@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import TextAnalysis._
+
+/** Deduplication operators for large text corpora.
+  *
+  * Scale design: every variant is expressed as shuffle-on-key DataFrame ops
+  * (explode → groupBy → join) with no driver-side materialization, so the
+  * same plan runs on a 1000-executor cluster. Candidate generation (LSH
+  * banding) keeps the pair space linear-ish in corpus size instead of the
+  * quadratic all-pairs join; the exact-Jaccard verify only touches candidate
+  * pairs.
+  */
+object Dedup {
+
+  /** Exact dedup: one surviving doc_id per distinct text (min id wins),
+    * grouped on md5 so the shuffle key is 16 bytes, not the document. */
+  def exactGroups(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Distinct 3-gram shingles per doc: (doc_id, shingle). The token array
+    * is projected first so the regex split runs once per row. */
+  def shingleRows(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(array_distinct(shingles3(col("toks")))).as("shingle"))
+
+  /** Exact pairwise Jaccard (on distinct 3-gram shingle sets) for every
+    * pair of docs sharing at least one shingle, thresholded.
+    *
+    * The shared-shingle equi-join is the classic inverted-index candidate
+    * generation: pairs with zero overlap are never materialized. At very
+    * large scale, hot shingles should be frequency-capped (df-filter) —
+    * [[minHashCandidates]] is the sub-linear alternative.
+    */
+  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: for each of `k` hash seeds, the min of
+    * xxhash64(seed, shingle) over the doc's shingles. Returned long-form
+    * as (doc_id, seed, minhash) — one shuffle, map-side combined. */
+  def minHashLong(docs: DataFrame, k: Int): DataFrame =
+    shingleRows(docs)
+      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("seed"),
+        col("shingle"))
+      .select(col("doc_id"), col("seed"), xxhash64(col("seed"), col("shingle")).as("h"))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(col("h")).as("minhash"))
+
+  /** LSH banding over MinHash signatures → candidate near-dup pairs.
+    * Band key is an order-insensitive combine (sum of per-row hashes), so
+    * no per-band sort is needed; docs sharing any band bucket become
+    * candidates. k seeds / rowsPerBand rows per band.
+    */
+  def minHashCandidates(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+    val bands = minHashLong(docs, k)
+      .withColumn("band", (col("seed") / rowsPerBand).cast(IntegerType))
+      .groupBy(col("doc_id"), col("band"))
+      .agg(sum(xxhash64(col("seed"), col("minhash"))).as("band_key"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** MinHash-LSH near-dup detection: candidates from banding, then exact
+    * Jaccard verification restricted to candidate pairs. */
+  def minHashNearDups(docs: DataFrame, k: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
+    val cand = minHashCandidates(docs, k, rowsPerBand)
+    jaccardPairs0(docs, cand).filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard evaluated only on the given candidate (doc_a, doc_b)
+    * pairs — the verify stage of MinHash-LSH. */
+  private def jaccardPairs0(docs: DataFrame, cand: DataFrame): DataFrame = {
+    val sh = shingleRows(docs)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
+        Seq("doc_b"))
+      .filter(col("shingle") === col("shingle_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per token hash, each bit votes
+    * ±1; the signature bit is 1 iff the vote sum is positive. Entirely
+    * explode/groupBy — two shuffles on doc_id, no driver state. */
+  def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("h"),
+        explode(sequence(lit(0), lit(63))).as("bit"))
+      .select(col("doc_id"), col("bit"),
+        when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1)
+          .otherwise(-1).as("vote"))
+      .groupBy(col("doc_id"), col("bit"))
+      .agg(sum(col("vote")).as("votes"))
+      .groupBy(col("doc_id"))
+      .agg(sum(when(col("votes") > 0, expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+        .otherwise(0L)).as("simhash"))
+}

@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis building blocks for a training-data pipeline, expressed as
+  * codegen-friendly Column expressions (no UDFs — everything here stays
+  * inside whole-stage codegen and is evaluated row-local, so it scales
+  * embarrassingly: no shuffle is introduced by any of these).
+  *
+  * Counting tricks (`length`-difference instead of regexp_count) are chosen
+  * so the DuckDB oracle can express the identical integer arithmetic.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed text. */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Word 3-gram shingles (1-based element_at, empty below 3 tokens —
+    * mirrors DuckDB's generate_series(1, len-2) semantics). */
+  def shingles3(toks: Column): Column =
+    when(size(toks) < 3, array().cast(ArrayType(StringType)))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2), i =>
+        concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
+          element_at(toks, i + 2))))
+
+  /** Occurrences of a marker word (space-delimited) in text, as an int.
+    * Implemented as a length-difference after replace so the identical
+    * expression exists in the DuckDB oracle dialect. */
+  def wordOccurrences(text: Column, word: String): Column = {
+    val padded = concat(lit(" "), trim(text), lit(" "))
+    val marker = s" $word "
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), " "))) /
+      lit(marker.length - 1)).cast(IntegerType)
+  }
+
+  /** Type-token ratio: distinct tokens / tokens (lexical diversity). */
+  def typeTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast(DoubleType) / size(toks)
+
+  /** Deterministic content fingerprint: md5 over the sorted distinct
+    * 3-gram shingles (rolling-window content signature; equal fingerprints
+    * ⇒ identical shingle sets). */
+  def shingleFingerprint(toks: Column): Column =
+    md5(concat_ws("|", array_sort(array_distinct(shingles3(toks)))))
+
+  /** Marker-word language-ID heuristic. Returns the language whose marker
+    * count is highest (ties resolved in fixed precedence order), 'und' when
+    * nothing matches. Cross-engine deterministic: pure integer compares. */
+  val langMarkers: Seq[(String, String)] =
+    Seq("en" -> "the", "de" -> "der", "fr" -> "le", "es" -> "el")
+
+  /** Rule: first language (in [[langMarkers]] order) whose count equals the
+    * greatest count wins; all-zero ⇒ 'und'. */
+  def langGuess(text: Column): Column = {
+    val counts = langMarkers.map { case (lang, w) => lang -> wordOccurrences(text, w) }
+    val g = greatest(counts.map(_._2): _*)
+    counts.foldRight(lit("und")) { case ((lang, c), els) =>
+      when(g > 0 && c === g, lit(lang)).otherwise(els)
+    }
+  }
+}

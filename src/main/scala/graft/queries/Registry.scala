@@ -1,0 +1,17 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** All declared queries (SURVEY.md §2 operator coverage + the LLM-pipeline
+  * extension surface), keyed for SparkEntry / Verify / Bench. */
+object Registry {
+  val all: Seq[Q] = Relational.all ++ TextQueries.all ++ VectorQueries.all
+
+  lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map(q => q.name -> q.run).toMap
+
+  def oracleSql: Map[String, String] =
+    all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+}

@@ -1,0 +1,411 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import Exact._
+
+/** The relational query surface over the synthetic TPC-H-ish corpus
+  * (SURVEY.md §2 + §2.9 extensions): scan/filter/project, hash & broadcast
+  * joins, semi/anti joins, group-by and rollup aggregation, distinct
+  * aggregates, window functions, sorts/limits, set operations, date and
+  * JSON scalar functions.
+  *
+  * Scale notes (100 TB design intent, verified on the local plans):
+  *  - dimension sides (region/nation/customer/supplier/part) are broadcast
+  *    explicitly so the fact-table join never shuffles `lineitem`;
+  *  - aggregations are partial-aggregate friendly (all sums are native
+  *    decimal sums, see [[Exact]]);
+  *  - every filter is a deterministic pushdown-able predicate on scan
+  *    columns (shows up as PushedFilters in the formatted plan);
+  *  - top-k uses orderBy+limit which Spark executes as TakeOrderedAndProject
+  *    (no global sort materialization).
+  */
+object Relational {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary: scan + filter + 8 aggregates. */
+  val q01 = Q(
+    "q01_pricing_summary",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "lineitem")
+        .filter($"l_shipdate" <= ts("1998-09-01 00:00:00"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("sum_disc_price"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount") * (lit(1.0) + $"l_tax")).as("sum_charge"),
+          davg($"l_quantity").as("avg_qty"),
+          davg($"l_extendedprice").as("avg_price"),
+          davg($"l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${sqlSum("l_quantity")} AS sum_qty,
+      ${sqlSum("l_extendedprice")} AS sum_base_price,
+      ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+      ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+      ${sqlAvg("l_quantity")} AS avg_qty,
+      ${sqlAvg("l_extendedprice")} AS avg_price,
+      ${sqlAvg("l_discount")} AS avg_disc,
+      COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus""")
+  )
+
+  /** Selective scan: filter + projection with a per-row computed column.
+    * All predicates push down to the parquet scan. */
+  val q02 = Q(
+    "q02_selective_scan",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "lineitem")
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1998-01-01 00:00:00") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_extendedprice",
+          ($"l_extendedprice" * $"l_discount").as("disc_revenue"))
+    },
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+      l_extendedprice * l_discount AS disc_revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""")
+  )
+
+  /** TPC-H Q3-style: 3-way join + agg + deterministic top-10
+    * (revenue DESC, key tiebreak). Dimension side broadcast. */
+  val q03 = Q(
+    "q03_top_unshipped_orders",
+    (spark, dir) => {
+      import spark.implicits._
+      val cust = Tables.load(spark, dir, "customer")
+        .filter($"c_mktsegment" === "BUILDING").select($"c_custkey")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter($"o_orderdate" < ts("1998-01-01 00:00:00"))
+        .select($"o_orderkey", $"o_custkey", $"o_orderdate")
+      val li = Tables.load(spark, dir, "lineitem")
+        .filter($"l_shipdate" > ts("1998-01-01 00:00:00"))
+        .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+      li.join(broadcast(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")),
+          $"l_orderkey" === $"o_orderkey")
+        .groupBy($"l_orderkey", $"o_orderdate")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+        .orderBy($"revenue".desc, $"l_orderkey")
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate,
+      ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+  )
+
+  /** TPC-H Q4-style: EXISTS as a left-semi join (no row duplication,
+    * no distinct needed), then count by priority. */
+  val q04 = Q(
+    "q04_order_priority",
+    (spark, dir) => {
+      import spark.implicits._
+      val ord = Tables.load(spark, dir, "orders")
+        .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1997-01-01 00:00:00"))
+      val li = Tables.load(spark, dir, "lineitem").select($"l_orderkey", $"l_shipdate")
+      ord.join(li, $"o_orderkey" === $"l_orderkey" &&
+            $"l_shipdate" > $"o_orderdate" + expr("INTERVAL 60 DAYS"), "left_semi")
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority""")
+  )
+
+  /** TPC-H Q5-style: 6-way star join (all dims broadcast; lineitem is the
+    * only shuffled relation), revenue by nation within a region. */
+  val q05 = Q(
+    "q05_regional_revenue",
+    (spark, dir) => {
+      import spark.implicits._
+      val region = Tables.load(spark, dir, "region").filter($"r_name" === "EUROPE")
+      val nation = Tables.load(spark, dir, "nation")
+      val cust = Tables.load(spark, dir, "customer")
+      val supp = Tables.load(spark, dir, "supplier")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter($"o_orderdate" >= ts("1996-01-01 00:00:00") &&
+          $"o_orderdate" < ts("1998-01-01 00:00:00"))
+        .select($"o_orderkey", $"o_custkey")
+      val li = Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+      val dims = cust
+        .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .select($"c_custkey", $"c_nationkey", $"n_name")
+      li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp),
+          $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+    },
+    Some(s"""SELECT n_name,
+      ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+    FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      JOIN orders ON o_custkey = c_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    WHERE r_name = 'EUROPE'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name""")
+  )
+
+  /** TPC-H Q6-style: single-row scalar aggregate over a selective scan. */
+  val q06 = Q(
+    "q06_forecast_revenue",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "lineitem")
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1998-01-01 00:00:00") &&
+          $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24.0)
+        .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some(s"""SELECT ${sqlSum("l_extendedprice * l_discount")} AS revenue,
+      COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0""")
+  )
+
+  /** Window top-N per group: top-3 orders per customer by totalprice
+    * (unique-key tiebreak makes row_number deterministic cross-engine). */
+  val q07 = Q(
+    "q07_topn_per_customer",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"o_custkey")
+        .orderBy($"o_totalprice".desc, $"o_orderkey")
+      Tables.load(spark, dir, "orders")
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice")
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" <= 3)
+    },
+    Some("""SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) t WHERE rn <= 3""")
+  )
+
+  /** Running windowed sum per user over the event stream (decimal-exact so
+    * DuckDB's segment-tree window aggregation matches Spark's running sum). */
+  val q08 = Q(
+    "q08_running_user_value",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.load(spark, dir, "events")
+        .select($"event_id", $"user_id", $"ts", $"value")
+        .withColumn("running_value",
+          sum($"value".cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+    },
+    Some("""SELECT event_id, user_id, ts, value,
+      CAST(SUM(CAST(value AS DECIMAL(18,2)))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS running_value
+    FROM events""")
+  )
+
+  /** Set operations: segment customers by activity before/after a date
+    * using INTERSECT / EXCEPT (set semantics) + UNION ALL of the tags. */
+  val q09 = Q(
+    "q09_customer_segments",
+    (spark, dir) => {
+      import spark.implicits._
+      val ord = Tables.load(spark, dir, "orders")
+      val early = ord.filter($"o_orderdate" < ts("1998-01-01 00:00:00"))
+        .select($"o_custkey").distinct()
+      val late = ord.filter($"o_orderdate" >= ts("1998-01-01 00:00:00"))
+        .select($"o_custkey").distinct()
+      early.intersect(late).withColumn("segment", lit("both"))
+        .unionByName(early.except(late).withColumn("segment", lit("early_only")))
+        .unionByName(late.except(early).withColumn("segment", lit("late_only")))
+        .select($"segment", $"o_custkey")
+    },
+    Some("""WITH early AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+         late AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+    SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM early INTERSECT SELECT o_custkey FROM late) t
+    UNION ALL
+    SELECT 'early_only' AS segment, o_custkey FROM (SELECT o_custkey FROM early EXCEPT SELECT o_custkey FROM late) t
+    UNION ALL
+    SELECT 'late_only' AS segment, o_custkey FROM (SELECT o_custkey FROM late EXCEPT SELECT o_custkey FROM early) t""")
+  )
+
+  /** Anti join: customers with no order since 2000-01-01 (NOT EXISTS). */
+  val q10 = Q(
+    "q10_customers_without_orders",
+    (spark, dir) => {
+      import spark.implicits._
+      val cust = Tables.load(spark, dir, "customer")
+      val ord = Tables.load(spark, dir, "orders")
+        .filter($"o_orderdate" >= ts("2000-01-01 00:00:00"))
+        .select($"o_custkey")
+      cust.join(ord, $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_name", $"c_acctbal")
+    },
+    Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')""")
+  )
+
+  /** ROLLUP aggregation: customer counts/balances by region, nation, and
+    * grand total in one pass. */
+  val q11 = Q(
+    "q11_rollup_acctbal",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "customer")
+        .join(broadcast(Tables.load(spark, dir, "nation")),
+          $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(Tables.load(spark, dir, "region")),
+          $"n_regionkey" === $"r_regionkey")
+        .rollup($"r_name", $"n_name")
+        .agg(count(lit(1)).as("n_customers"), dsum($"c_acctbal").as("total_acctbal"))
+    },
+    Some(s"""SELECT r_name, n_name, COUNT(*) AS n_customers,
+      ${sqlSum("c_acctbal")} AS total_acctbal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP(r_name, n_name)""")
+  )
+
+  /** Tumbling-window batch aggregation over the event stream (the batch
+    * twin of the Structured Streaming pipeline in graft.streaming). */
+  val q12 = Q(
+    "q12_events_hourly",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour_ts"), $"event_type")
+        .agg(count(lit(1)).as("n_events"), dsum($"value").as("total_value"))
+    },
+    Some(s"""SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+      COUNT(*) AS n_events, ${sqlSum("value")} AS total_value
+    FROM events GROUP BY 1, 2""")
+  )
+
+  /** JSON scalar extraction from the events.props JSON column + agg. */
+  val q13 = Q(
+    "q13_json_extract",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "events")
+        .withColumn("k", get_json_object($"props", "$.k").cast(LongType))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          max($"k").as("max_k"), min($"k").as("min_k"))
+    },
+    Some(s"""SELECT event_type, COUNT(*) AS n,
+      ${sqlSumLong("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS sum_k,
+      MAX(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS max_k,
+      MIN(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS min_k
+    FROM events GROUP BY event_type""")
+  )
+
+  /** Distinct aggregates per group. */
+  val q14 = Q(
+    "q14_distinct_aggs",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(countDistinct($"l_partkey").as("distinct_parts"),
+          countDistinct($"l_suppkey").as("distinct_supps"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_partkey) AS distinct_parts,
+      COUNT(DISTINCT l_suppkey) AS distinct_supps,
+      COUNT(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag""")
+  )
+
+  /** Global sort + limit: executed as TakeOrderedAndProject (top-k per
+    * partition then k-way merge on the driver — no full sort at scale). */
+  val q15 = Q(
+    "q15_priciest_parts",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "part")
+        .select($"p_partkey", $"p_name", $"p_brand", $"p_retailprice")
+        .orderBy($"p_retailprice".desc, $"p_partkey")
+        .limit(20)
+    },
+    Some("""SELECT p_partkey, p_name, p_brand, p_retailprice FROM part
+    ORDER BY p_retailprice DESC, p_partkey LIMIT 20""")
+  )
+
+  /** Fact-to-dimension broadcast join + aggregation by brand. */
+  val q16 = Q(
+    "q16_brand_revenue",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "lineitem")
+        .join(broadcast(Tables.load(spark, dir, "part")),
+          $"l_partkey" === $"p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"),
+          davg($"l_quantity").as("avg_qty"))
+    },
+    Some(s"""SELECT p_brand, COUNT(*) AS n_items,
+      ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+      ${sqlAvg("l_quantity")} AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand""")
+  )
+
+  /** Date-part extraction + monthly aggregation. */
+  val q17 = Q(
+    "q17_monthly_orders",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "orders")
+        .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+    },
+    Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      CAST(EXTRACT(month FROM o_orderdate) AS INTEGER) AS o_month,
+      COUNT(*) AS n_orders, ${sqlSum("o_totalprice")} AS total_price
+    FROM orders GROUP BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
+    q10, q11, q12, q13, q14, q15, q16, q17)
+}

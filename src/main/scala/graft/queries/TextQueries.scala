@@ -1,0 +1,188 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.operators.{Dedup, TextAnalysis => TA}
+
+/** Text-analysis + deduplication query surface over the `documents` table.
+  * Oracle SQL is DuckDB dialect; where a query's values depend on Spark's
+  * hash functions (xxhash64/murmur3: MinHash, SimHash) there is no oracle
+  * and the driver records a rows-only check.
+  */
+object TextQueries {
+
+  private val toks = TA.tokens(col("text"))
+  private val sqlToks = "string_split_regex(trim(text), '\\s+')"
+  private val sqlShingles =
+    s"""list_transform(generate_series(1, len($sqlToks)-2),
+        i -> concat_ws(' ', $sqlToks[i], $sqlToks[i+1], $sqlToks[i+2]))"""
+
+  /** Occurrence count of a marker word, DuckDB rendering of
+    * [[TA.wordOccurrences]] (identical integer arithmetic). */
+  private def sqlOcc(w: String): String = {
+    val m = s" $w "
+    s"CAST((length(' '||trim(text)||' ') - length(replace(' '||trim(text)||' ', '$m', ' '))) / ${m.length - 1} AS INTEGER)"
+  }
+
+  /** Token counting + lexical diversity per document. */
+  val q20 = Q(
+    "q20_token_stats",
+    (spark, dir) => {
+      // project the token array once; multi-referenced non-cheap aliases
+      // stay in their own projection (CollapseProject keeps them), so the
+      // regex split runs once per row
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), length(col("text")).as("len_chars"),
+          toks.as("toks"))
+        .select(col("doc_id"), col("lang"),
+          size(col("toks")).as("n_tokens"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          col("len_chars"),
+          (size(array_distinct(col("toks"))).cast(DoubleType) /
+            size(col("toks"))).as("ttr"))
+    },
+    Some(s"""SELECT doc_id, lang,
+      CAST(len($sqlToks) AS INTEGER) AS n_tokens,
+      CAST(len(list_distinct($sqlToks)) AS INTEGER) AS n_distinct,
+      CAST(length(text) AS INTEGER) AS len_chars,
+      CAST(len(list_distinct($sqlToks)) AS DOUBLE) / len($sqlToks) AS ttr
+    FROM documents""")
+  )
+
+  /** Quality scoring: pure-arithmetic heuristics (no transcendentals, so
+    * the oracle is bit-exact). */
+  val q21 = Q(
+    "q21_quality_score",
+    (spark, dir) => {
+      val nTokens = size(toks)
+      val nChars = length(col("text"))
+      val noSpace = length(regexp_replace(col("text"), " ", ""))
+      val stop = (TA.wordOccurrences(col("text"), "the") +
+        TA.wordOccurrences(col("text"), "a")).cast(DoubleType) / nTokens
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        (noSpace.cast(DoubleType) / nTokens).as("avg_token_len"),
+        stop.as("stopword_ratio"),
+        (TA.typeTokenRatio(toks) * lit(0.7) +
+          (lit(1.0) - stop) * lit(0.3)).as("quality_score"))
+    },
+    Some(s"""SELECT doc_id,
+      CAST(len($sqlToks) AS INTEGER) AS n_tokens,
+      CAST(length(replace(text, ' ', '')) AS DOUBLE) / len($sqlToks) AS avg_token_len,
+      CAST(${sqlOcc("the")} + ${sqlOcc("a")} AS DOUBLE) / len($sqlToks) AS stopword_ratio,
+      (CAST(len(list_distinct($sqlToks)) AS DOUBLE) / len($sqlToks)) * 0.7 +
+        (1.0 - CAST(${sqlOcc("the")} + ${sqlOcc("a")} AS DOUBLE) / len($sqlToks)) * 0.3
+        AS quality_score
+    FROM documents""")
+  )
+
+  /** Corpus stats by language label. */
+  val q22 = Q(
+    "q22_lang_stats",
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents GROUP BY lang""")
+  )
+
+  /** Exact dedup groups (hash-groupBy on md5(text)). */
+  val q23 = Q(
+    "q23_dedup_exact",
+    (spark, dir) => Dedup.exactGroups(Tables.load(spark, dir, "documents")),
+    Some("""SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+      COUNT(*) AS n_copies
+    FROM documents GROUP BY md5(text)""")
+  )
+
+  /** Marker-word language-ID heuristic vs the labeled language. */
+  val q24 = Q(
+    "q24_lang_guess",
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.langGuess(col("text")).as("guessed_lang"),
+        TA.wordOccurrences(col("text"), "the").as("c_en"),
+        TA.wordOccurrences(col("text"), "der").as("c_de"),
+        TA.wordOccurrences(col("text"), "le").as("c_fr"),
+        TA.wordOccurrences(col("text"), "el").as("c_es"))
+    },
+    Some(s"""SELECT doc_id, lang,
+      CASE WHEN greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) = 0 THEN 'und'
+           WHEN ${sqlOcc("the")} = greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) THEN 'en'
+           WHEN ${sqlOcc("der")} = greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) THEN 'de'
+           WHEN ${sqlOcc("le")} = greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) THEN 'fr'
+           ELSE 'es' END AS guessed_lang,
+      ${sqlOcc("the")} AS c_en, ${sqlOcc("der")} AS c_de,
+      ${sqlOcc("le")} AS c_fr, ${sqlOcc("el")} AS c_es
+    FROM documents""")
+  )
+
+  /** Content fingerprint: md5 over sorted distinct 3-gram shingles. */
+  val q25 = Q(
+    "q25_shingle_fingerprint",
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"),
+          array_distinct(TA.shingles3(col("toks"))).as("sh"))
+        .select(col("doc_id"),
+          md5(concat_ws("|", array_sort(col("sh")))).as("fingerprint"),
+          size(col("sh")).as("n_shingles"))
+    },
+    Some(s"""SELECT doc_id,
+      md5(array_to_string(list_sort(list_distinct($sqlShingles)), '|')) AS fingerprint,
+      CAST(len(list_distinct($sqlShingles)) AS INTEGER) AS n_shingles
+    FROM documents""")
+  )
+
+  /** Exact n-gram Jaccard near-dup pairs (inverted-index candidate join). */
+  val q26 = Q(
+    "q26_jaccard_near_dups",
+    (spark, dir) =>
+      Dedup.jaccardPairs(Tables.load(spark, dir, "documents"), 0.5),
+    Some(s"""WITH sh AS (
+        SELECT doc_id, unnest(list_distinct($sqlShingles)) AS shingle
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+    FROM inter
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5""")
+  )
+
+  /** MinHash-LSH near-dup detection (Spark-hash-seeded ⇒ rows-only check;
+    * exact-Jaccard verified, so the pair set equals q26's at the same
+    * threshold whenever LSH recall is 100%). */
+  val q27 = Q(
+    "q27_minhash_near_dups",
+    (spark, dir) => Dedup.minHashNearDups(
+      Tables.load(spark, dir, "documents"), k = 32, rowsPerBand = 4,
+      threshold = 0.5),
+    None
+  )
+
+  /** 64-bit SimHash signatures (Spark-hash-seeded ⇒ rows-only check). */
+  val q28 = Q(
+    "q28_simhash",
+    (spark, dir) => Dedup.simHash(Tables.load(spark, dir, "documents")),
+    None
+  )
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+}
