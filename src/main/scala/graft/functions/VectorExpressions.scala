@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for embedding math over
+  * `ArrayType(FloatType)` columns.
+  *
+  * The built-in route (`zip_with` + `aggregate`) is a higher-order
+  * function: interpreted per element with lambda-variable binding, and it
+  * breaks whole-stage codegen. These expressions generate a tight primitive
+  * loop (`doGenCode`) — one pass, no allocation — and keep the surrounding
+  * stage fully codegen'd, which is the difference between scanning 100 TB
+  * of embeddings at memory bandwidth vs. interpreter speed.
+  */
+trait FloatVecExpression { self: Expression =>
+  override def dataType: DataType = DoubleType
+
+  protected def checkFloatArrays(inputs: Seq[DataType]): TypeCheckResult =
+    if (inputs.forall { case ArrayType(FloatType, _) => true; case _ => false })
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects ARRAY<FLOAT> arguments, got " +
+        inputs.map(_.simpleString).mkString(", "))
+}
+
+/** dot(a, b): Σ a_i·b_i in double precision (sequential, deterministic). */
+case class FloatVecDot(left: Expression, right: Expression)
+  extends BinaryExpression with FloatVecExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkFloatArrays(Seq(left.dataType, right.dataType))
+  override def prettyName: String = "vec_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** cosine(a, b): dot / (‖a‖·‖b‖) in one pass; 0.0 when either norm is 0. */
+case class FloatVecCosine(left: Expression, right: Expression)
+  extends BinaryExpression with FloatVecExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkFloatArrays(Seq(left.dataType, right.dataType))
+  override def prettyName: String = "vec_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = x.getFloat(i).toDouble
+      val yv = y.getFloat(i).toDouble
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0
+    else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = (double)$a.getFloat($i);
+         |  double $yv = (double)$b.getFloat($i);
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |}
+         |${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatVecCosine =
+    copy(left = newLeft, right = newRight)
+}
+
+/** ‖a‖: L2 norm in double precision. */
+case class FloatVecNorm(child: Expression)
+  extends UnaryExpression with FloatVecExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    checkFloatArrays(Seq(child.dataType))
+  override def prettyName: String = "vec_norm"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var acc = 0.0
+    var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = x.getFloat(i).toDouble
+      acc += v * v
+      i += 1
+    }
+    math.sqrt(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $v = (double)$a.getFloat($i);
+         |  $acc += $v * $v;
+         |}
+         |${ev.value} = java.lang.Math.sqrt($acc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): FloatVecNorm =
+    copy(child = newChild)
+}
+
+/** Column-API wrappers over the native expressions. */
+object VecCols {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  def dot(a: Column, b: Column): Column =
+    column(FloatVecDot(expression(a), expression(b)))
+  def cosine(a: Column, b: Column): Column =
+    column(FloatVecCosine(expression(a), expression(b)))
+  def norm(a: Column): Column = column(FloatVecNorm(expression(a)))
+}
+
+/** Session registration so the expressions are usable from both the Column
+  * API (`call_function`) and plain SQL. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("vec_dot",
+      args => FloatVecDot(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_cosine",
+      args => FloatVecCosine(args.head, args(1)), "built-in")
+    reg.createOrReplaceTempFunction("vec_norm",
+      args => FloatVecNorm(args.head), "built-in")
+  }
+}

@@ -1,0 +1,118 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata.
+  *
+  * The decode step is STUBBED (this environment has no image/audio codecs):
+  * `decodeStub` parses a deterministic fake header instead of real pixels.
+  * Everything around it — the schema, the per-partition batched processing
+  * shape, partition sizing, and the feature-vector contract — is the real
+  * Spark plumbing a production decoder (JNI codec or vectorized UDF) would
+  * drop into: swap `decodeStub` for the real decoder and nothing else
+  * changes.
+  *
+  * Processing uses Dataset.mapPartitions so the (expensive) decoder
+  * amortizes any per-batch init across a whole partition — the same
+  * batching rationale as Arrow-batched UDFs — and stays embarrassingly
+  * parallel: no shuffle anywhere in decode/feature-extract.
+  */
+object Multimodal {
+
+  /** media(id, kind, payload, meta) — kind ∈ {image, audio, video}. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = true),
+      StructField("height", IntegerType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("sample_rate", IntegerType, nullable = true))),
+      nullable = true)))
+
+  final case class MediaMeta(width: Option[Int], height: Option[Int],
+    n_frames: Option[Int], sample_rate: Option[Int])
+  final case class Media(media_id: Long, kind: String, payload: Array[Byte],
+    meta: MediaMeta)
+  final case class Decoded(media_id: Long, kind: String, width: Int,
+    height: Int, n_pixels: Long, checksum: Long)
+  final case class MediaFeatures(media_id: Long, features: Array[Float])
+
+  /** Deterministic fake media corpus derived from the documents table:
+    * payload = a fake header (width/height/frames derived from doc_id) +
+    * the text bytes. Stands in for real image bytes end-to-end. */
+  def syntheticFromDocuments(docs: DataFrame): DataFrame = {
+    val kinds = array(lit("image"), lit("audio"), lit("video"))
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(kinds, (col("doc_id") % 3 + 1).cast(IntegerType)).as("kind"),
+      col("text").cast(BinaryType).as("payload"),
+      struct(
+        (col("doc_id") % 64 + 16).cast(IntegerType).as("width"),
+        (col("doc_id") % 48 + 12).cast(IntegerType).as("height"),
+        (col("doc_id") % 30 + 1).cast(IntegerType).as("n_frames"),
+        lit(16000).as("sample_rate")).as("meta"))
+  }
+
+  /** STUB decoder: a real implementation would parse the codec header and
+    * return pixel data; this derives the same shape deterministically from
+    * the payload bytes. Runs per-partition so decoder init is amortized. */
+  def decodeStub(media: Dataset[Media]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition init lives here (real codec: allocate decoder once)
+      it.map { m =>
+        val w = m.meta.width.getOrElse(0)
+        val h = m.meta.height.getOrElse(0)
+        val checksum = m.payload.foldLeft(1469598103934665603L)(
+          (acc, b) => (acc ^ b) * 1099511628211L) // FNV-1a, deterministic
+        Decoded(m.media_id, m.kind, w, h, w.toLong * h, checksum)
+      }
+    }
+  }
+
+  /** STUB feature extractor: real impl = CNN/audio embedding; this derives
+    * a deterministic `dim`-float vector from the payload checksum. The
+    * output contract (media_id, ArrayType(FloatType)) feeds directly into
+    * graft.operators.Similarity. */
+  def featureExtractStub(media: Dataset[Media], dim: Int = 16): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        var s = m.payload.foldLeft(-3750763034362895579L)(
+          (acc, b) => (acc ^ b) * 1099511628211L)
+        val v = Array.ofDim[Float](dim)
+        var i = 0
+        while (i < dim) {
+          s = s * 6364136223846793005L + 1442695040888963407L // LCG step
+          v(i) = ((s >>> 40).toInt.toFloat / (1 << 23)) - 1.0f
+          i += 1
+        }
+        MediaFeatures(m.media_id, v)
+      }
+    }
+  }
+
+  /** Metadata-level ops (no payload decode needed): resize target
+    * bookkeeping and uniform frame sampling — pure column arithmetic,
+    * fully codegen'd. */
+  def resizePlan(media: DataFrame, maxSide: Int): DataFrame = {
+    val w = col("meta.width")
+    val h = col("meta.height")
+    val scale = least(lit(1.0), lit(maxSide) / greatest(w, h).cast(DoubleType))
+    media.select(col("media_id"), col("kind"),
+      w.as("width"), h.as("height"),
+      floor(w * scale).cast(IntegerType).as("target_width"),
+      floor(h * scale).cast(IntegerType).as("target_height"))
+  }
+
+  def frameSamplePlan(media: DataFrame, everyN: Int): DataFrame =
+    media.filter(col("kind") === "video")
+      .select(col("media_id"),
+        sequence(lit(0), col("meta.n_frames") - 1, lit(everyN))
+          .as("frame_indices"))
+}

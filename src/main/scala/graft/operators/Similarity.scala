@@ -4,31 +4,35 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
+import graft.functions.VecCols
+
 /** Similarity search over embedding columns (`ArrayType(FloatType)`).
   *
   * Baseline: brute-force cosine top-k (one scan, TakeOrderedAndProject —
   * no global sort). Scale path: random-hyperplane LSH bucketing so the
   * scan only touches the query's bucket(s); planes are generated from a
   * fixed seed so bucketing is deterministic across runs and engines.
+  *
+  * All vector math uses the native codegen expressions in
+  * [[graft.functions]] (FloatVecDot/Cosine/Norm) — a single primitive loop
+  * per row inside whole-stage codegen, vs. the interpreted per-element
+  * lambda of `zip_with`+`aggregate`.
   */
 object Similarity {
 
+  private def litVec(q: Seq[Double]): Column =
+    typedlit(q.map(_.toFloat))
+
   /** dot(embedding, literal query vector) in double precision. */
   def dotWithLit(emb: Column, q: Seq[Double]): Column =
-    aggregate(
-      zip_with(emb, typedlit(q), (x, y) => x.cast(DoubleType) * y),
-      lit(0.0), (acc, x) => acc + x)
+    VecCols.dot(emb, litVec(q))
 
   /** L2 norm of an array column, in double. */
-  def l2Norm(emb: Column): Column =
-    sqrt(aggregate(emb, lit(0.0),
-      (acc, x) => acc + x.cast(DoubleType) * x.cast(DoubleType)))
+  def l2Norm(emb: Column): Column = VecCols.norm(emb)
 
   /** Cosine similarity against a literal query vector. */
-  def cosineWithLit(emb: Column, q: Seq[Double]): Column = {
-    val qn = math.sqrt(q.map(x => x * x).sum)
-    dotWithLit(emb, q) / (l2Norm(emb) * lit(qn))
-  }
+  def cosineWithLit(emb: Column, q: Seq[Double]): Column =
+    VecCols.cosine(emb, litVec(q))
 
   /** Brute-force cosine top-k neighbors of `q` (excluding `excludeId`). */
   def cosineTopK(emb: DataFrame, q: Seq[Double], k: Int,
@@ -80,15 +84,10 @@ object Similarity {
     val planes = hyperplanes(nPlanes, dim, seed)
     val b = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), planes).as("bucket"))
-    val dot = aggregate(
-      zip_with(col("a.embedding"), col("b.embedding"),
-        (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc: Column, x: Column) => acc + x)
     b.as("a").join(b.as("b"),
         col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (dot / (l2Norm(col("a.embedding")) * l2Norm(col("b.embedding"))))
-          .as("cosine"))
+        VecCols.cosine(col("a.embedding"), col("b.embedding")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (SURVEY.md §7: the
+  * reference is batch-only, streaming is the extension surface).
+  *
+  * The same event schema as the batch `events` table; sources are
+  * file-streams (splittable parquet directories — the pattern that scales
+  * to a bucketed 100 TB event lake or swaps for a Kafka source with no
+  * operator changes), transforms are watermarked windowed aggregations and
+  * a custom stateful sessionizer on mapGroupsWithState.
+  */
+object EventsStream {
+
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-stream source over a parquet directory of events. */
+  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling-window counts/sums per event type with a watermark bounding
+    * state (late rows beyond the watermark are dropped, state is evicted —
+    * required for unbounded runs). */
+  def tumblingCounts(events: DataFrame, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Sliding-window variant (overlapping windows). */
+  def slidingCounts(events: DataFrame, windowLen: String = "1 hour",
+      slide: String = "30 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Built-in session windows: gap-based per-user sessions. */
+  def sessionCounts(events: DataFrame, gap: String = "10 minutes",
+      watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("total_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp,
+    user_id: Long, event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long,
+    total_value: Double)
+
+  /** Custom stateful operator: running per-user totals via
+    * mapGroupsWithState — the pattern for state Spark's built-ins can't
+    * express. State is one small record per user, partitioned by user_id
+    * (scales horizontally with key count). Pass a `timeout` (e.g. "1 hour")
+    * to TTL idle users' state in a continuously-running deployment —
+    * processing-time timeouts need ongoing triggers, so the default for
+    * replay/batch-style runs is no timeout. */
+  def runningUserTotals(events: Dataset[Event],
+      timeout: Option[String] = None): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+        else GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          }
+          val next = UserRunning(userId, n, v)
+          state.update(next)
+          timeout.foreach(state.setTimeoutDuration)
+          next
+      }
+  }
+
+  /** Run any of the streaming transforms to completion over a static
+    * directory (replay mode): processes all available input, then stops.
+    * Returns the sink table name holding results in memory. */
+  def replayToMemory(df: DataFrame, sinkTable: String,
+      outputMode: OutputMode = OutputMode.Append()): Unit = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(sinkTable)
+      .outputMode(outputMode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.queries.TextQueries
+
+/** Unit semantics for text analysis + dedup operators. */
+class TextSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("shingles3: 1-based windows; fewer than 3 tokens gives empty, not error") {
+    val df = Seq("a b c d", "a b", "  x   y z  ").toDF("text")
+      .select(TextAnalysis.shingles3(TextAnalysis.tokens(col("text"))).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0))
+    assert(got(0) === Seq("a b c", "b c d"))
+    assert(got(1) === Seq.empty)
+    assert(got(2) === Seq("x y z")) // trim + \s+ collapse
+  }
+
+  test("wordOccurrences counts space-delimited words incl. string edges") {
+    val df = Seq("the cat the dog", "theory of the", "nothing here").toDF("text")
+      .select(TextAnalysis.wordOccurrences(col("text"), "the").as("c"))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(2, 1, 0))
+  }
+
+  test("langGuess: highest marker count wins, precedence breaks ties, und on none") {
+    val df = Seq(
+      "the cat sat on the mat",     // en
+      "der hund und der vogel",     // de
+      "xyz qrs",                    // und
+      "the der"                     // tie -> en (precedence)
+    ).toDF("text").select(TextAnalysis.langGuess(col("text")).as("g"))
+    assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "und", "en"))
+  }
+
+  test("exact dedup groups cover the corpus exactly once") {
+    val docs = Tables.load(spark, sf, "documents")
+    val groups = Dedup.exactGroups(docs).collect()
+    assert(groups.map(_.getAs[Long]("n_copies")).sum === docs.count())
+  }
+
+  test("minhash-LSH near-dups (q27) find the same pairs as exact Jaccard (q26)") {
+    val exact = TextQueries.q26.run(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = TextQueries.q27.run(spark, sf).select("doc_a", "doc_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH candidates are Jaccard-verified, so lsh ⊆ exact always; at these
+    // banding parameters recall on this corpus is total
+    assert(lsh.subsetOf(exact))
+    assert(lsh === exact)
+  }
+
+  test("simhash: 64-bit signatures, deterministic, one per doc") {
+    val a = Dedup.simHash(Tables.load(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val b = Dedup.simHash(Tables.load(spark, sf, "documents")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(a === b)
+    assert(a.size === Tables.load(spark, sf, "documents").count())
+  }
+
+  test("identical texts get identical shingle fingerprints; different texts differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "alpha beta gamma epsilon"))
+      .toDF("doc_id", "text")
+    df.createOrReplaceTempView("fp_docs")
+    val fp = df.select(col("doc_id"),
+      TextAnalysis.shingleFingerprint(TextAnalysis.tokens(col("text"))).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(1L) === fp(2L))
+    assert(fp(1L) !== fp(3L))
+  }
+}

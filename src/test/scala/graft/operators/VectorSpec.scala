@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Similarity-search semantics vs a driver-side reference computation. */
+class VectorSpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sf, "embeddings")
+
+  private lazy val local: Map[Long, Array[Float]] = emb
+    .select("vec_id", "embedding").collect()
+    .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+
+  private def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    for (i <- a.indices) {
+      dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  test("brute-force cosine top-k matches a driver-side reference ranking") {
+    val q = local(0L).map(_.toDouble).toSeq
+    val got = Similarity.cosineTopK(emb, q, k = 10, excludeId = 0L).collect()
+    val expected = local.view.filterKeys(_ != 0L)
+      .map { case (id, v) => id -> cosine(v, local(0L)) }.toSeq
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    assert(got.map(_.getAs[Long]("vec_id")).toSeq === expected.map(_._1))
+    got.zip(expected).foreach { case (row, (_, c)) =>
+      assert(math.abs(row.getAs[Double]("cosine") - c) < 1e-9)
+    }
+  }
+
+  test("LSH ANN results carry true cosine scores and stay in [-1,1]") {
+    val q = local(0L).map(_.toDouble).toSeq
+    val got = Similarity.annTopK(emb, q, k = 10, nPlanes = 4, seed = 42L,
+      excludeId = 0L).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    got.foreach { r =>
+      val c = r.getAs[Double]("cosine")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(math.abs(c - cosine(local(r.getAs[Long]("vec_id")), local(0L))) < 1e-9)
+    }
+  }
+
+  test("LSH bucketing is deterministic and buckets partition the corpus") {
+    val planes = Similarity.hyperplanes(4, local(0L).length, 42L)
+    val b1 = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), planes).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b2 = emb.select(col("vec_id"),
+      Similarity.lshBucket(col("embedding"), planes).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === b2)
+    assert(b1.values.forall(b => b >= 0 && b < 16))
+  }
+
+  test("near-dup pairs: symmetric-free (a<b), thresholded, true cosines") {
+    val pairs = Similarity.cosineNearDupPairs(emb, nPlanes = 3, seed = 7L,
+      threshold = 0.30).collect()
+    pairs.foreach { r =>
+      val (a, b, c) = (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cosine"))
+      assert(a < b && c >= 0.30)
+      assert(math.abs(c - cosine(local(a), local(b))) < 1e-9)
+    }
+  }
+}

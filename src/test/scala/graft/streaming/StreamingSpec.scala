@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.{SparkSpec, Tables}
+
+/** Structured Streaming replay equals the batch computation. */
+class StreamingSpec extends SparkSpec {
+
+  /** events written to a µs-timestamp parquet dir (stream-readable). */
+  private lazy val eventsDir: String = {
+    val d = tmpDir("graft-events-stream")
+    Tables.load(spark, sf, "events").write.mode("overwrite").parquet(d)
+    d
+  }
+
+  test("tumbling-window streaming counts equal the batch group-by") {
+    val stream = EventsStream.fromParquetDir(spark, eventsDir)
+    EventsStream.replayToMemory(
+      EventsStream.tumblingCounts(stream, "1 hour", "2 hours"),
+      "tumbling_sink", OutputMode.Complete())
+    val streamed = spark.table("tumbling_sink")
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long](2)).toMap
+    val batch = Tables.load(spark, sf, "events")
+      .groupBy(date_trunc("hour", col("ts")).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getTimestamp(0), r.getString(1)) -> r.getAs[Long](2)).toMap
+    assert(streamed === batch)
+  }
+
+  test("session windows: per-user sessions respect the gap") {
+    val stream = EventsStream.fromParquetDir(spark, eventsDir)
+    EventsStream.replayToMemory(
+      EventsStream.sessionCounts(stream, "10 minutes", "30 minutes"),
+      "session_sink", OutputMode.Complete())
+    val sessions = spark.table("session_sink").collect()
+    assert(sessions.nonEmpty)
+    // session length >= n_events-proportional lower bound: end >= start
+    sessions.foreach { r =>
+      assert(!r.getTimestamp(1).before(r.getTimestamp(0)))
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    // per-user sessions don't overlap
+    sessions.groupBy(_.getAs[Long]("user_id")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getTimestamp(0).getTime).toSeq
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(!w(1).getTimestamp(0).before(w(0).getTimestamp(1)))
+      }
+    }
+  }
+
+  test("mapGroupsWithState accumulates per-user totals across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.runningUserTotals(input.toDS())
+      .writeStream.format("memory").queryName("running_sink")
+      .outputMode(OutputMode.Update()).start()
+    def ev(id: Long, user: Long, v: Double) = EventsStream.Event(
+      id, java.sql.Timestamp.valueOf(s"2024-01-01 00:0$id:00"), user, "click", v)
+    input.addData(ev(1, 7L, 1.0), ev(2, 7L, 2.0), ev(3, 8L, 5.0))
+    query.processAllAvailable()
+    input.addData(ev(4, 7L, 3.0))
+    query.processAllAvailable()
+    val rows = spark.table("running_sink").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    query.stop()
+    // state carried across batches: user 7 ends at 3 events / 6.0 total
+    assert(rows.contains((7L, 3L, 6.0)))
+    assert(rows.contains((8L, 1L, 5.0)))
+  }
+}
