@@ -29,10 +29,14 @@ object SqlTransform {
     spark.sql(dialectRewrite(schemaSql))
   }
 
+  /** Load a user schema.sql file (SURVEY.md §2.1 S6) and run it. */
+  def fromFile(spark: SparkSession, path: String): DataFrame =
+    apply(spark, java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+
   /** Textual dialect shim: DuckDB's bare `VARCHAR` (no length) is Spark's
     * `STRING` — Spark's parser rejects length-less VARCHAR, so rewrite the
     * token (leaving `VARCHAR(n)` untouched). `--` comments and everything
     * else in the observed schema-file dialect parse identically. */
-  private[etl] def dialectRewrite(sql: String): String =
+  private[graft] def dialectRewrite(sql: String): String =
     sql.replaceAll("(?i)\\bVARCHAR\\b(?!\\s*\\()", "STRING")
 }

@@ -74,6 +74,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** IVF (inverted-file) cell assignment: index of the max-dot centroid.
+    * Centroids are a deterministic coarse quantizer (here: the first
+    * nCells vectors by id; a k-means refinement drops in without changing
+    * the operator). At scale `cell` is the partition/bucket key. */
+  def ivfAssign(emb: Column, centroids: Seq[Seq[Double]]): Column = {
+    val dots = array(centroids.map(c => dotWithLit(emb, c)): _*)
+    (array_position(dots, array_max(dots)) - 1).cast(IntegerType)
+  }
+
+  /** IVF ANN top-k: probe the `nProbe` centroid cells nearest the query
+    * and score only those cells' vectors — the coarse-quantization
+    * alternative to [[annTopK]]'s hyperplane LSH. */
+  def ivfTopK(emb: DataFrame, q: Seq[Double], k: Int, nCells: Int,
+      nProbe: Int, excludeId: Long = -1L): DataFrame = {
+    val centroids = emb.orderBy(col("vec_id")).limit(nCells)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val qDots = centroids.map(c => c.zip(q).map { case (a, b) => a * b }.sum)
+    val probes = qDots.zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2)
+    emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("label"),
+        cosineWithLit(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Embedding-cosine near-duplicate pairs via LSH buckets: only pairs in
     * the same bucket are scored (bucket-equi-join, never the full cross
     * product), then thresholded on exact cosine. */

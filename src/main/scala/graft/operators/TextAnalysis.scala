@@ -51,6 +51,22 @@ object TextAnalysis {
   val langMarkers: Seq[(String, String)] =
     Seq("en" -> "the", "de" -> "der", "fr" -> "le", "es" -> "el")
 
+  /** BPE-ish pre-tokenization: letter runs, digit runs, single
+    * non-alphanumeric marks — the classic subword-tokenizer pre-split.
+    * Plain enough to behave identically under Java and RE2-style engines
+    * (so the DuckDB oracle matches). */
+  val bpePattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
+  /** Polynomial rolling hash over the token stream (order-sensitive
+    * document fingerprint): fold acc*31 + xxhash64(token) with Java
+    * wraparound. Engine-hash-seeded, so no cross-engine oracle. */
+  def rollingHash(toks: Column): Column =
+    aggregate(transform(toks, t => xxhash64(t)), lit(0L),
+      (acc, h) => acc * lit(31L) + h)
+
   /** Rule: first language (in [[langMarkers]] order) whose count equals the
     * greatest count wins; all-zero ⇒ 'und'. */
   def langGuess(text: Column): Column = {

@@ -184,5 +184,38 @@ object TextQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28)
+  /** BPE-ish token counting alongside whitespace tokens. */
+  val q29 = Q(
+    "q29_bpe_token_stats",
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("wtoks"), TA.bpeTokens(col("text")).as("btoks"))
+        .select(col("doc_id"),
+          size(col("wtoks")).as("n_word_tokens"),
+          size(col("btoks")).as("n_bpe_tokens"),
+          (size(col("btoks")).cast(DoubleType) / size(col("wtoks")))
+            .as("bpe_per_word"))
+    },
+    Some(s"""SELECT doc_id,
+      CAST(len($sqlToks) AS INTEGER) AS n_word_tokens,
+      CAST(len(regexp_extract_all(text, '${TA.bpePattern}')) AS INTEGER) AS n_bpe_tokens,
+      CAST(len(regexp_extract_all(text, '${TA.bpePattern}')) AS DOUBLE) / len($sqlToks)
+        AS bpe_per_word
+    FROM documents""")
+  )
+
+  /** Order-sensitive rolling-hash fingerprint (engine-hash-seeded ⇒
+    * rows-only check; determinism is spec-tested). */
+  val q35 = Q(
+    "q35_rolling_fingerprint",
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), toks.as("toks"))
+        .select(col("doc_id"), TA.rollingHash(col("toks")).as("fingerprint"),
+          size(col("toks")).as("n_tokens"))
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q35)
 }

@@ -83,5 +83,14 @@ object VectorQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33)
+  /** IVF-probed ANN top-10 (coarse-quantizer variant of q31). */
+  val q34 = Q(
+    "q34_ivf_topk",
+    (spark, dir) => Similarity.ivfTopK(
+      Tables.load(spark, dir, "embeddings"), queryVec(spark, dir), k = 10,
+      nCells = 8, nProbe = 2, excludeId = 0L),
+    None
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
 }

@@ -61,6 +61,22 @@ class TextSpec extends SparkSpec {
     assert(a.size === Tables.load(spark, sf, "documents").count())
   }
 
+  test("BPE-ish tokenization splits letters/digits/punct marks") {
+    val df = Seq("don't stop 123 x-y!").toDF("text")
+      .select(TextAnalysis.bpeTokens(col("text")).as("t"))
+    assert(df.collect().head.getSeq[String](0) ===
+      Seq("don", "'", "t", "stop", "123", "x", "-", "y", "!"))
+  }
+
+  test("rolling hash: order-sensitive and deterministic") {
+    val df = Seq((1L, "a b c"), (2L, "c b a"), (3L, "a b c")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextAnalysis.rollingHash(TextAnalysis.tokens(col("text"))).as("h"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) === m(3L))   // same token order -> same fingerprint
+    assert(m(1L) !== m(2L))   // reversed order -> different fingerprint
+  }
+
   test("identical texts get identical shingle fingerprints; different texts differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),

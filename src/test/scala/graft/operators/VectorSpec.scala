@@ -57,6 +57,24 @@ class VectorSpec extends SparkSpec {
     assert(b1.values.forall(b => b >= 0 && b < 16))
   }
 
+  test("IVF ANN: probed-cell results carry true cosines; cells partition the corpus") {
+    val q = local(0L).map(_.toDouble).toSeq
+    val got = Similarity.ivfTopK(emb, q, k = 10, nCells = 8, nProbe = 2,
+      excludeId = 0L).collect()
+    assert(got.nonEmpty && got.length <= 10)
+    got.foreach { r =>
+      assert(math.abs(r.getAs[Double]("cosine") -
+        cosine(local(r.getAs[Long]("vec_id")), local(0L))) < 1e-9)
+    }
+    // every vector lands in exactly one of the nCells cells
+    val centroids = emb.orderBy(col("vec_id")).limit(8)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val cells = emb.select(
+      Similarity.ivfAssign(col("embedding"), centroids).as("cell")).collect()
+    assert(cells.forall { r => val c = r.getInt(0); c >= 0 && c < 8 })
+  }
+
   test("near-dup pairs: symmetric-free (a<b), thresholded, true cosines") {
     val pairs = Similarity.cosineNearDupPairs(emb, nPlanes = 3, seed = 7L,
       threshold = 0.30).collect()
