@@ -54,27 +54,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** MinHash signatures: for each of `k` hash seeds, the min of
-    * xxhash64(seed, shingle) over the doc's shingles. Returned long-form
-    * as (doc_id, seed, minhash) — one shuffle, map-side combined. */
-  def minHashLong(docs: DataFrame, k: Int): DataFrame =
+  /** MinHash signatures via the custom one-pass aggregate
+    * ([[graft.functions.MinHashAgg]]): (doc_id, sig ARRAY<BIGINT> of k
+    * minima). One shuffle keyed on doc_id, buffer of k longs per doc —
+    * no k× row expansion. */
+  def minHashSignatures(docs: DataFrame, k: Int): DataFrame =
     shingleRows(docs)
-      .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("seed"),
-        col("shingle"))
-      .select(col("doc_id"), col("seed"), xxhash64(col("seed"), col("shingle")).as("h"))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(col("h")).as("minhash"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhash(col("shingle"), k).as("sig"))
 
   /** LSH banding over MinHash signatures → candidate near-dup pairs.
-    * Band key is an order-insensitive combine (sum of per-row hashes), so
-    * no per-band sort is needed; docs sharing any band bucket become
-    * candidates. k seeds / rowsPerBand rows per band.
-    */
+    * Each signature is cut into k/rowsPerBand bands; the band key is a
+    * hash of that slice, and docs sharing any band bucket become
+    * candidates (Broder/LSH banding: P[candidate] = 1-(1-j^r)^b for
+    * Jaccard j). */
   def minHashCandidates(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
-    val bands = minHashLong(docs, k)
-      .withColumn("band", (col("seed") / rowsPerBand).cast(IntegerType))
-      .groupBy(col("doc_id"), col("band"))
-      .agg(sum(xxhash64(col("seed"), col("minhash"))).as("band_key"))
+    val nBands = k / rowsPerBand
+    val bandStructs = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)).as("band_key"))
+    }
+    val bands = minHashSignatures(docs, k)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
+      .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id"))
