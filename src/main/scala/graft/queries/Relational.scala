@@ -406,6 +406,85 @@ object Relational {
     FROM orders GROUP BY 1, 2""")
   )
 
+  /** lag() window: inter-event gap per user, in exact micro-derived
+    * seconds. */
+  val q18 = Q(
+    "q18_event_gaps",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      Tables.load(spark, dir, "events")
+        .select($"event_id", $"user_id", $"ts")
+        .withColumn("prev_ts", lag($"ts", 1).over(w))
+        .withColumn("gap_seconds",
+          (unix_micros($"ts") - unix_micros($"prev_ts")).cast(DoubleType) / 1e6)
+    },
+    Some("""SELECT event_id, user_id, ts,
+      lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts,
+      CAST(epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS DOUBLE)
+        / 1000000.0 AS gap_seconds
+    FROM events""")
+  )
+
+  /** Range (band) join: parts bucketed into price bands via an inequality
+    * join against a tiny in-line dimension (broadcast nested loop). */
+  val q19 = Q(
+    "q19_price_bands",
+    (spark, dir) => {
+      import spark.implicits._
+      val bands = Seq(("budget", 0.0, 930.0), ("mid", 930.0, 960.0),
+        ("premium", 960.0, 10000.0)).toDF("band", "lo", "hi")
+      Tables.load(spark, dir, "part")
+        .join(broadcast(bands),
+          $"p_retailprice" >= $"lo" && $"p_retailprice" < $"hi")
+        .groupBy($"band")
+        .agg(count(lit(1)).as("n_parts"), dsum($"p_retailprice").as("total_price"))
+    },
+    Some(s"""SELECT band, COUNT(*) AS n_parts,
+      ${sqlSum("p_retailprice")} AS total_price
+    FROM part JOIN (VALUES ('budget', 0.0, 930.0), ('mid', 930.0, 960.0),
+      ('premium', 960.0, 10000.0)) AS bands(band, lo, hi)
+      ON p_retailprice >= lo AND p_retailprice < hi
+    GROUP BY band""")
+  )
+
+  /** As-of join (custom operator, graft.operators.AsofJoin): attach each
+    * user's most recent signup event to every event. */
+  val q36 = Q(
+    "q36_asof_last_signup",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.load(spark, dir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts", $"event_id")
+      graft.operators.AsofJoin.asof(
+        ev.select($"event_id", $"user_id", $"ts", $"event_type"),
+        signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+        attach = Map("event_id" -> "last_signup_id", "ts" -> "last_signup_ts"))
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      s.event_id AS last_signup_id, s.ts AS last_signup_ts
+    FROM events e ASOF LEFT JOIN
+      (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts >= s.ts""")
+  )
+
+  /** CUBE aggregation: order counts/totals by (year × priority) with all
+    * subtotal combinations. */
+  val q37 = Q(
+    "q37_cube_orders",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "orders")
+        .cube(year($"o_orderdate").as("o_year"), $"o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_price"))
+    },
+    Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      o_orderpriority, COUNT(*) AS n_orders,
+      ${sqlSum("o_totalprice")} AS total_price
+    FROM orders GROUP BY CUBE(1, 2)""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37)
 }

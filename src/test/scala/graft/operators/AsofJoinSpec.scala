@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** As-of join semantics: latest right row with right.time <= left.time,
+  * ties matching, missing history ⇒ nulls. */
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("attaches most recent prior right row per key; >= ties match; no history is null") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),   // before any right row
+      (2L, 10L, ts("2024-01-01 12:00:00")),   // tie with r1 -> matches r1
+      (3L, 10L, ts("2024-01-01 15:00:00")),   // after r2 -> matches r2
+      (4L, 20L, ts("2024-01-01 09:00:00"))    // other key, no right rows
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 12:00:00")),
+      (200L, 10L, ts("2024-01-01 14:00:00"))
+    ).toDF("rid", "k", "rt")
+
+    val out = AsofJoin.asof(left, right, key = "k", leftTime = "t",
+      rightTime = "rt", attach = Map("rid" -> "matched_rid"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("matched_rid")).map(_.toLong)).toMap
+
+    assert(out(1L) === None)
+    assert(out(2L) === Some(100L))
+    assert(out(3L) === Some(200L))
+    assert(out(4L) === None)
+  }
+
+  test("row count is preserved (left semantics, no duplication)") {
+    val ev = graft.Tables.load(spark, sf, "events")
+    val signups = ev.filter($"event_type" === "signup")
+      .select($"user_id", $"ts", $"event_id")
+    val joined = AsofJoin.asof(ev.select($"event_id", $"user_id", $"ts"),
+      signups, "user_id", "ts", "ts", Map("event_id" -> "sid"))
+    assert(joined.count() === ev.count())
+  }
+}
