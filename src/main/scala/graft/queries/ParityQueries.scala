@@ -1,0 +1,68 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.streaming.EventsStream
+
+/** Reference-parity scalar surface (SURVEY.md §2.3/§2.4 P1–P7, F1–F4) as a
+  * declared query over the synthetic corpus, plus the Structured Streaming
+  * pipeline verified against a batch oracle. */
+object ParityQueries {
+
+  /** P1 rename / P3 1-based element_at with NULL out-of-range / P5 cast /
+    * P6 coalesce / P7 literals / F3 IS NOT NULL / F4 IN-list — the exact
+    * operator set of the reference's schema.sql layer, exercised over
+    * `documents` so the DuckDB oracle can verify it. */
+  val q38 = Q(
+    "q38_projection_parity",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = split(trim($"text"), "\\s+")
+      Tables.load(spark, dir, "documents")
+        .filter($"lang".isin("en", "de", "fr") && $"text".isNotNull)
+        .select(
+          $"doc_id".as("id"),
+          element_at(toks, 1).as("first_token"),
+          element_at(toks, 3).as("third_token"),
+          element_at(toks, 9999).as("token_overflow"),
+          coalesce($"source", lit("")).as("source_c"),
+          $"n_chars".cast(StringType).as("n_chars_str"),
+          lit(true).as("flag"),
+          lit(0.0).as("zero"))
+    },
+    Some("""SELECT doc_id AS id,
+      string_split_regex(trim(text), '\s+')[1] AS first_token,
+      string_split_regex(trim(text), '\s+')[3] AS third_token,
+      string_split_regex(trim(text), '\s+')[9999] AS token_overflow,
+      COALESCE(source, '') AS source_c,
+      CAST(n_chars AS VARCHAR) AS n_chars_str,
+      true AS flag, 0.0 AS zero
+    FROM documents
+    WHERE lang IN ('en', 'de', 'fr') AND text IS NOT NULL""")
+  )
+
+  /** The Structured Streaming tumbling-window pipeline, replayed to
+    * completion over the events table and verified against a plain batch
+    * SQL oracle — streaming and batch must agree exactly (decimal-exact
+    * sums make micro-batch boundaries invisible). */
+  val q39 = Q(
+    "q39_stream_hourly",
+    (spark, dir) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-q39").toString
+      Tables.load(spark, dir, "events").write.mode("overwrite").parquet(tmp)
+      EventsStream.replayToMemory(
+        EventsStream.tumblingCounts(EventsStream.fromParquetDir(spark, tmp)),
+        "q39_stream_hourly_sink", OutputMode.Complete())
+      spark.table("q39_stream_hourly_sink")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+      COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2""")
+  )
+
+  val all: Seq[Q] = Seq(q38, q39)
+}

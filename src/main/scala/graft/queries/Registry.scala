@@ -5,7 +5,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** All declared queries (SURVEY.md §2 operator coverage + the LLM-pipeline
   * extension surface), keyed for SparkEntry / Verify / Bench. */
 object Registry {
-  val all: Seq[Q] = Relational.all ++ TextQueries.all ++ VectorQueries.all
+  val all: Seq[Q] =
+    Relational.all ++ TextQueries.all ++ VectorQueries.all ++ ParityQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -36,7 +36,11 @@ object EventsStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowLen), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      // decimal-exact sum: micro-batch boundaries must not change results
+      // (same rule as graft.queries.Exact)
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 10))).cast(DoubleType)
+          .as("total_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n_events"), col("total_value"))
 
