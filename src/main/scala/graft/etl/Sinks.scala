@@ -28,6 +28,23 @@ object Sinks {
   def jsonl(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
 
+  /** The 100 TB-default parquet layout: directory-partitioned on
+    * low-cardinality keys so downstream scans prune whole partitions
+    * (PartitionFilters) instead of reading + filtering. */
+  def partitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String], codec: String = "snappy"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", codec)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** Bucketed + sorted managed table: joins/aggregations on the bucket
+    * column read co-located data and skip the shuffle entirely —
+    * the pre-partitioning strategy for repeatedly-joined 100 TB facts. */
+  def bucketedTable(df: DataFrame, tableName: String, bucketCol: String,
+      nBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite).format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** K2 (parity layout): one file holding a single JSON array, like the
     * reference's converter output (parquet2json.py:40). Collects to the
     * driver — small outputs only. */

@@ -64,5 +64,24 @@ object ParityQueries {
     FROM events GROUP BY 1, 2""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39)
+  /** Salted two-phase aggregation over the (low-cardinality, therefore
+    * skew-prone) event_type key — result-identical to the direct groupBy,
+    * which is exactly what the oracle verifies. */
+  val q40 = Q(
+    "q40_salted_agg",
+    (spark, dir) => {
+      import spark.implicits._
+      graft.operators.Skew.saltedSumCount(
+        Tables.load(spark, dir, "events"),
+        key = $"event_type", value = $"value",
+        distributor = $"event_id", saltFactor = 16)
+        .withColumnRenamed("k", "event_type")
+    },
+    Some("""SELECT event_type,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total,
+      COUNT(*) AS n
+    FROM events GROUP BY event_type""")
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40)
 }

@@ -1,0 +1,43 @@
+package graft.etl
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** At-scale storage layouts: partition pruning and shuffle-free bucketed
+  * joins, asserted from the physical plans. */
+class LayoutSpec extends SparkSpec {
+
+  test("partitioned parquet: scans prune partitions on the partition key") {
+    val dir = tmpDir("graft-part") + "/events_by_type"
+    Sinks.partitionedParquet(Tables.load(spark, sf, "events"), dir,
+      Seq("event_type"))
+    val scan = spark.read.parquet(dir).filter(col("event_type") === "signup")
+    val physical = scan.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") &&
+      physical.contains("event_type"))
+    // pruned read returns exactly the one partition's rows
+    val expected = Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "signup").count()
+    assert(scan.count() === expected)
+  }
+
+  test("bucketed tables: equi-join on the bucket column plans no shuffle") {
+    val orders = Tables.load(spark, sf, "orders")
+    Sinks.bucketedTable(orders.select("o_orderkey", "o_totalprice"),
+      "orders_b", "o_orderkey", 4)
+    Sinks.bucketedTable(
+      Tables.load(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+      "lineitem_b", "l_orderkey", 4)
+    // force a non-broadcast join so the shuffle-elision is what's tested
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("lineitem_b").join(spark.table("orders_b"),
+        col("l_orderkey") === col("o_orderkey"))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join should not shuffle:\n$plan")
+      assert(joined.count() === Tables.load(spark, sf, "lineitem").count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
