@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{ElementAt, Expression, ExpressionInfo}
+
+import graft.functions.{FloatVecCosine, FloatVecDot, FloatVecNorm}
+
+/** SparkSessionExtensions entry point: injects graft's native functions at
+  * session build time, so a cluster deployment enables the whole SQL
+  * surface with
+  *
+  *   --conf spark.sql.extensions=graft.GraftExtensions
+  *
+  * (the same registrations `GraftSession.prepare` performs imperatively
+  * for an existing session).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((FunctionIdentifier("vec_dot"),
+      info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
+      (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors"),
+      (args: Seq[Expression]) => FloatVecCosine(args.head, args(1))))
+    ext.injectFunction((FunctionIdentifier("vec_norm"),
+      info("vec_norm", "vec_norm(a) - L2 norm of a float vector"),
+      (args: Seq[Expression]) => FloatVecNorm(args.head)))
+    ext.injectFunction((FunctionIdentifier("list_element"),
+      info("list_element", "list_element(arr, i) - 1-based element access, NULL out of range"),
+      (args: Seq[Expression]) => ElementAt(args.head, args(1), None, failOnError = false)))
+  }
+}

@@ -54,6 +54,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact thresholded Jaccard with PREFIX FILTERING (AllPairs/PPJoin
+    * family): index only each doc's first ⌊(1−t)·n⌋+1 shingles under a
+    * global rarest-first order. Two sets with J ≥ t must share a prefix
+    * element, so candidate generation over prefixes is LOSSLESS — results
+    * are identical to [[jaccardPairs]] — while the inverted-index join
+    * shrinks by ~t and skips the hottest shingles entirely. The exact
+    * Jaccard verify then runs only on candidates. */
+  def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
+    val sh = shingleRows(docs)
+    // global order: document frequency ascending (rarest first), tiebreak
+    // on the shingle itself for determinism
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val ranked = sh.join(df, "shingle")
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+          .orderBy(col("df"), col("shingle"))))
+      .withColumn("n_shingles", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    val prefixes = ranked.filter(
+      col("rank") <= floor(lit(1.0 - threshold) * col("n_shingles")) + 1)
+      .select(col("doc_id"), col("shingle"))
+    val cand = prefixes.as("a").join(prefixes.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardPairs0(docs, cand).filter(col("jaccard") >= threshold)
+  }
+
   /** MinHash signatures via the custom one-pass aggregate
     * ([[graft.functions.MinHashAgg]]): (doc_id, sig ARRAY<BIGINT> of k
     * minima). One shuffle keyed on doc_id, buffer of k longs per doc —

@@ -83,5 +83,44 @@ object ParityQueries {
     FROM events GROUP BY event_type""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40)
+  /** End-to-end training-data curation: quality gate → exact dedup (min
+    * doc_id survives) → per-language corpus stats. The composition the
+    * text operators exist for, verified as one oracle query. */
+  val q41 = Q(
+    "q41_curation_pipeline",
+    (spark, dir) => {
+      import spark.implicits._
+      val toks = split(trim($"text"), "\\s+")
+      val ttr = size(array_distinct(toks)).cast(DoubleType) / size(toks)
+      val stop = (graft.operators.TextAnalysis.wordOccurrences($"text", "the") +
+        graft.operators.TextAnalysis.wordOccurrences($"text", "a"))
+        .cast(DoubleType) / size(toks)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5($"text")).orderBy($"doc_id")
+      Tables.load(spark, dir, "documents")
+        .withColumn("quality", ttr * lit(0.7) + (lit(1.0) - stop) * lit(0.3))
+        .filter($"quality" >= 0.5)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("total_chars"))
+    },
+    Some(s"""WITH toks AS (
+        SELECT doc_id, lang, n_chars, text,
+          CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
+            / len(string_split_regex(trim(text), '\\s+')) AS ttr,
+          CAST((length(' '||trim(text)||' ') - length(replace(' '||trim(text)||' ', ' the ', ' '))) / 4
+             + (length(' '||trim(text)||' ') - length(replace(' '||trim(text)||' ', ' a ', ' '))) / 2
+            AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS stop
+        FROM documents),
+      scored AS (
+        SELECT *, ttr * 0.7 + (1.0 - stop) * 0.3 AS quality FROM toks),
+      deduped AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM scored WHERE quality >= 0.5)
+    SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM deduped WHERE rn = 1 GROUP BY lang""")
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q41)
 }

@@ -145,11 +145,14 @@ object TextQueries {
     FROM documents""")
   )
 
-  /** Exact n-gram Jaccard near-dup pairs (inverted-index candidate join). */
+  /** Exact n-gram Jaccard near-dup pairs. Candidate generation uses
+    * lossless prefix filtering (AllPairs/PPJoin), so the result — and the
+    * oracle — is identical to the naive inverted-index join at a fraction
+    * of the join volume. */
   val q26 = Q(
     "q26_jaccard_near_dups",
     (spark, dir) =>
-      Dedup.jaccardPairs(Tables.load(spark, dir, "documents"), 0.5),
+      Dedup.jaccardPairsPrefix(Tables.load(spark, dir, "documents"), 0.5),
     Some(s"""WITH sh AS (
         SELECT doc_id, unnest(list_distinct($sqlShingles)) AS shingle
         FROM documents),

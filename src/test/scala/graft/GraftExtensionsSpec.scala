@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The spark.sql.extensions deployment path registers the same functions
+  * GraftSession.prepare does imperatively. */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("a session built with graft.GraftExtensions resolves the injected functions") {
+    val base = SparkSpec.session // ensure the shared context exists
+    // getOrCreate would hand back the existing session (no extensions), so
+    // clear the session registry and build a fresh session on the same
+    // SparkContext — exactly what a spark.sql.extensions deployment does.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // withExtensions is the programmatic twin of the static
+      // spark.sql.extensions conf (static confs don't apply when reusing
+      // an existing SparkContext, as this test does)
+      val s = SparkSession.builder()
+        .master("local[2]")
+        .withExtensions(new GraftExtensions())
+        .config("spark.sql.ansi.enabled", "false")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      assert(s ne base)
+      val r = s.sql(
+        """SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+          |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
+          |       vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
+          |       list_element(array('x','y'), 2) AS le,
+          |       list_element(array('x','y'), 7) AS oob
+          |""".stripMargin).collect().head
+      assert(r.getDouble(0) === 11.0)
+      assert(r.getDouble(1) === 5.0)
+      assert(r.getString(2) === "y")
+      assert(r.isNullAt(3))
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -23,6 +23,18 @@ class LayoutSpec extends SparkSpec {
   }
 
   test("bucketed tables: equi-join on the bucket column plans no shuffle") {
+    // clear table metadata AND any stale managed-table directories from
+    // previous JVM runs (the in-memory catalog forgets, the disk doesn't)
+    for (t <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(loc)
+    }
     val orders = Tables.load(spark, sf, "orders")
     Sinks.bucketedTable(orders.select("o_orderkey", "o_totalprice"),
       "orders_b", "o_orderkey", 4)

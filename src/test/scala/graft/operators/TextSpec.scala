@@ -41,6 +41,18 @@ class TextSpec extends SparkSpec {
     assert(groups.map(_.getAs[Long]("n_copies")).sum === docs.count())
   }
 
+  test("prefix-filtered Jaccard equals the naive inverted-index join exactly") {
+    val docs = Tables.load(spark, sf, "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    assert(pairs(Dedup.jaccardPairsPrefix(docs, 0.5)) ===
+      pairs(Dedup.jaccardPairs(docs, 0.5)))
+    // a lower threshold exercises longer prefixes
+    assert(pairs(Dedup.jaccardPairsPrefix(docs, 0.3)) ===
+      pairs(Dedup.jaccardPairs(docs, 0.3)))
+  }
+
   test("minhash-LSH near-dups (q27) find the same pairs as exact Jaccard (q26)") {
     val exact = TextQueries.q26.run(spark, sf).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
