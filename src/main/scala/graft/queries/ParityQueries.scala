@@ -130,5 +130,25 @@ object ParityQueries {
     FROM deduped WHERE rn = 1 GROUP BY lang""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q41)
+  /** Sketch-based approximate aggregates — the cardinality/quantile tools
+    * a 100 TB profiling pass actually uses (HyperLogLog++, KLL-style
+    * quantiles; mergeable, one pass, bounded memory). Sketch outputs are
+    * engine-specific ⇒ rows-only driver check; the accuracy contract vs
+    * exact values is spec-tested (ApproxSpec). */
+  val q42 = Q(
+    "q42_approx_profile",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
+          approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
+          percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99_price"))
+    },
+    None
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42)
 }
