@@ -220,5 +220,47 @@ object TextQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29, q35)
+  /** Scrub/normalize pass (the PII-redaction shape): digit runs become a
+    * placeholder token, text lowercased; emitted as a content hash so the
+    * oracle verifies the transform without shipping the full text. */
+  val q43 = Q(
+    "q43_scrub_normalize",
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "[0-9]+", "<NUM>")))
+            .as("normalized_hash"),
+          length(regexp_replace(col("text"), "[0-9]+", "<NUM>"))
+            .cast(IntegerType).as("normalized_len"))
+    },
+    Some("""SELECT doc_id,
+      md5(lower(regexp_replace(text, '[0-9]+', '<NUM>', 'g'))) AS normalized_hash,
+      CAST(length(regexp_replace(text, '[0-9]+', '<NUM>', 'g')) AS INTEGER) AS normalized_len
+    FROM documents""")
+  )
+
+  /** Repetition-ratio quality signal: the most frequent token's share of
+    * the document (boilerplate/spam indicator). */
+  val q44 = Q(
+    "q44_repetition_ratio",
+    (spark, dir) => {
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), explode(toks).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("doc_id"))
+        .agg(max(col("n")).as("max_freq"),
+          sum(col("n")).as("n_tokens"),
+          (max(col("n")).cast(DoubleType) / sum(col("n"))).as("rep_ratio"))
+    },
+    Some(s"""WITH t AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+      c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2)
+    SELECT doc_id, CAST(MAX(n) AS BIGINT) AS max_freq,
+      CAST(SUM(n) AS BIGINT) AS n_tokens,
+      CAST(MAX(n) AS DOUBLE) / SUM(n) AS rep_ratio
+    FROM c GROUP BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
+    q35, q43, q44)
 }
