@@ -17,21 +17,21 @@ import graft.functions.{FloatVecCosine, FloatVecDot, FloatVecNorm}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
+  private def info(name: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - dot product of two float vectors"),
+      info("vec_dot"),
       (args: Seq[Expression]) => FloatVecDot(args.head, args(1))))
     ext.injectFunction((FunctionIdentifier("vec_cosine"),
-      info("vec_cosine", "vec_cosine(a, b) - cosine similarity of two float vectors"),
+      info("vec_cosine"),
       (args: Seq[Expression]) => FloatVecCosine(args.head, args(1))))
     ext.injectFunction((FunctionIdentifier("vec_norm"),
-      info("vec_norm", "vec_norm(a) - L2 norm of a float vector"),
+      info("vec_norm"),
       (args: Seq[Expression]) => FloatVecNorm(args.head)))
     ext.injectFunction((FunctionIdentifier("list_element"),
-      info("list_element", "list_element(arr, i) - 1-based element access, NULL out of range"),
+      info("list_element"),
       (args: Seq[Expression]) => ElementAt(args.head, args(1), None, failOnError = false)))
   }
 }

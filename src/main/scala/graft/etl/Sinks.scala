@@ -82,8 +82,11 @@ object Sinks {
     val outMb = outputBytes / 1e6
     val ratio = if (outputBytes > 0) inputBytes.toDouble / outputBytes else 0.0
     val savedPct = if (inputBytes > 0) 100.0 * (1 - outputBytes.toDouble / inputBytes) else 0.0
-    val json =
-      f"""{"total_rows": $totalRows, "input_size_mb": $inMb%.2f, "output_size_mb": $outMb%.2f, "compression_ratio": $ratio%.2f, "space_saved_pct": $savedPct%.1f}"""
+    // Locale.ROOT: default-locale %f would emit comma decimals (invalid
+    // JSON) under many locales
+    val json = String.format(java.util.Locale.ROOT,
+      """{"total_rows": %d, "input_size_mb": %.2f, "output_size_mb": %.2f, "compression_ratio": %.2f, "space_saved_pct": %.1f}""",
+      totalRows, inMb, outMb, ratio, savedPct)
     Files.write(Paths.get(path), json.getBytes(StandardCharsets.UTF_8))
   }
 

@@ -68,7 +68,8 @@ object Multimodal {
       it.map { m =>
         val w = m.meta.width.getOrElse(0)
         val h = m.meta.height.getOrElse(0)
-        val checksum = m.payload.foldLeft(1469598103934665603L)(
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val checksum = bytes.foldLeft(1469598103934665603L)(
           (acc, b) => (acc ^ b) * 1099511628211L) // FNV-1a, deterministic
         Decoded(m.media_id, m.kind, w, h, w.toLong * h, checksum)
       }
@@ -83,7 +84,8 @@ object Multimodal {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        var s = m.payload.foldLeft(-3750763034362895579L)(
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        var s = bytes.foldLeft(-3750763034362895579L)(
           (acc, b) => (acc ^ b) * 1099511628211L)
         val v = Array.ofDim[Float](dim)
         var i = 0
@@ -113,6 +115,10 @@ object Multimodal {
   def frameSamplePlan(media: DataFrame, everyN: Int): DataFrame =
     media.filter(col("kind") === "video")
       .select(col("media_id"),
-        sequence(lit(0), col("meta.n_frames") - 1, lit(everyN))
+        // zero-frame (or null-meta) videos yield an empty list; a bare
+        // sequence(0, -1, step) would throw on illegal bounds
+        when(coalesce(col("meta.n_frames"), lit(0)) < 1,
+          array().cast(ArrayType(IntegerType)))
+          .otherwise(sequence(lit(0), col("meta.n_frames") - 1, lit(everyN)))
           .as("frame_indices"))
 }

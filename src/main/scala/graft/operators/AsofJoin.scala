@@ -31,18 +31,19 @@ object AsofJoin {
       leftTime: String, rightTime: String,
       attach: Map[String, String]): DataFrame = {
     val attachCols = attach.toSeq
+    // all attach columns travel as ONE struct so the window picks a whole
+    // right row atomically — per-column last() would mix values from
+    // different right rows whenever an attach column is null (row tearing)
+    val rStruct = struct(attachCols.map { case (src, as) => col(src).as(as) }: _*)
     val lTagged = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
-      .select(Seq(col("*")) ++ attachCols.map { case (_, as) =>
-        lit(null).as(s"_r_$as")
-      }: _*)
+      .withColumn("_r", lit(null).cast(
+        right.select(rStruct).schema.head.dataType))
     val rTagged = right
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(0))
-      .select(Seq(col(key), col("_t"), col("_side")) ++ attachCols.map {
-        case (src, as) => col(src).as(s"_r_$as")
-      }: _*)
+      .select(col(key), col("_t"), col("_side"), rStruct.as("_r"))
     // align schemas: left columns not present on right become nulls
     val leftCols = lTagged.columns
     val rAligned = rTagged.select(leftCols.map { c =>
@@ -54,10 +55,11 @@ object AsofJoin {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged.unionByName(rAligned)
-      .select(Seq(col("*")) ++ attachCols.map { case (_, as) =>
-        last(col(s"_r_$as"), ignoreNulls = true).over(w).as(as)
-      }: _*)
+      .withColumn("_r_last", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
-      .drop((Seq("_t", "_side") ++ attachCols.map { case (_, as) => s"_r_$as" }): _*)
+      .select(Seq(col("*")) ++ attachCols.map { case (_, as) =>
+        col(s"_r_last.$as").as(as)
+      }: _*)
+      .drop("_t", "_side", "_r", "_r_last")
   }
 }

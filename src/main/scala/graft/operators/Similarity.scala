@@ -63,8 +63,14 @@ object Similarity {
       seed: Long, excludeId: Long = -1L): DataFrame = {
     val dim = q.length
     val planes = hyperplanes(nPlanes, dim, seed)
+    // mirror the executor arithmetic exactly: litVec casts plane/query
+    // values to float32, so the driver-side bucket must too — otherwise a
+    // near-zero plane dot can flip sign and the query misses its own bucket
     val qBucket = planes.zipWithIndex.map { case (p, i) =>
-      if (p.zip(q).map { case (a, b) => a * b }.sum >= 0) 1L << i else 0L
+      val dot = p.zip(q).map { case (a, b) =>
+        a.toFloat.toDouble * b.toFloat.toDouble
+      }.sum
+      if (dot >= 0) 1L << i else 0L
     }.sum
     emb.withColumn("bucket", lshBucket(col("embedding"), planes))
       .filter(col("bucket") === qBucket && col("vec_id") =!= excludeId)
@@ -91,7 +97,10 @@ object Similarity {
     val centroids = emb.orderBy(col("vec_id")).limit(nCells)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
-    val qDots = centroids.map(c => c.zip(q).map { case (a, b) => a * b }.sum)
+    // float-cast mirror of ivfAssign's executor arithmetic (see annTopK)
+    val qDots = centroids.map(c => c.zip(q).map { case (a, b) =>
+      a.toFloat.toDouble * b.toFloat.toDouble
+    }.sum)
     val probes = qDots.zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2)
     emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
       .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)
@@ -106,8 +115,13 @@ object Similarity {
     * product), then thresholded on exact cosine. */
   def cosineNearDupPairs(emb: DataFrame, nPlanes: Int, seed: Long,
       threshold: Double): DataFrame = {
-    val first = emb.select(col("embedding")).head()
-    val dim = first.getSeq[Float](0).length
+    val first = emb.select(col("embedding")).head(1)
+    if (first.isEmpty) {
+      // empty corpus degrades to an empty pair set, like every other op here
+      return emb.limit(0).select(col("vec_id").as("vec_a"),
+        col("vec_id").as("vec_b"), lit(0.0).as("cosine"))
+    }
+    val dim = first.head.getSeq[Float](0).length
     val planes = hyperplanes(nPlanes, dim, seed)
     val b = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), planes).as("bucket"))

@@ -25,15 +25,13 @@ object TextAnalysis {
         concat_ws(" ", element_at(toks, i), element_at(toks, i + 1),
           element_at(toks, i + 2))))
 
-  /** Occurrences of a marker word (space-delimited) in text, as an int.
-    * Implemented as a length-difference after replace so the identical
-    * expression exists in the DuckDB oracle dialect. */
-  def wordOccurrences(text: Column, word: String): Column = {
-    val padded = concat(lit(" "), trim(text), lit(" "))
-    val marker = s" $word "
-    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(marker), " "))) /
-      lit(marker.length - 1)).cast(IntegerType)
-  }
+  /** Occurrences of a marker word in text, as an int: exact token-equality
+    * count over the whitespace tokens (a replace-based length diff would
+    * undercount adjacent markers because each match consumes the delimiter
+    * the next one needs). `list_filter` expresses the same count in the
+    * DuckDB oracle dialect. */
+  def wordOccurrences(text: Column, word: String): Column =
+    size(filter(tokens(text), t => t === word)).cast(IntegerType)
 
   /** Type-token ratio: distinct tokens / tokens (lexical diversity). */
   def typeTokenRatio(toks: Column): Column =

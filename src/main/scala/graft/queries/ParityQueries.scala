@@ -117,8 +117,8 @@ object ParityQueries {
         SELECT doc_id, lang, n_chars, text,
           CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)
             / len(string_split_regex(trim(text), '\\s+')) AS ttr,
-          CAST((length(' '||trim(text)||' ') - length(replace(' '||trim(text)||' ', ' the ', ' '))) / 4
-             + (length(' '||trim(text)||' ') - length(replace(' '||trim(text)||' ', ' a ', ' '))) / 2
+          CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t = 'the'))
+             + len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t = 'a'))
             AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) AS stop
         FROM documents),
       scored AS (

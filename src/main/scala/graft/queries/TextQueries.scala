@@ -20,11 +20,9 @@ object TextQueries {
         i -> concat_ws(' ', $sqlToks[i], $sqlToks[i+1], $sqlToks[i+2]))"""
 
   /** Occurrence count of a marker word, DuckDB rendering of
-    * [[TA.wordOccurrences]] (identical integer arithmetic). */
-  private def sqlOcc(w: String): String = {
-    val m = s" $w "
-    s"CAST((length(' '||trim(text)||' ') - length(replace(' '||trim(text)||' ', '$m', ' '))) / ${m.length - 1} AS INTEGER)"
-  }
+    * [[TA.wordOccurrences]] (identical token-equality count). */
+  private def sqlOcc(w: String): String =
+    s"CAST(len(list_filter($sqlToks, t -> t = '$w')) AS INTEGER)"
 
   /** Token counting + lexical diversity per document. */
   val q20 = Q(
@@ -117,7 +115,7 @@ object TextQueries {
         TA.wordOccurrences(col("text"), "el").as("c_es"))
     },
     Some(s"""SELECT doc_id, lang,
-      CASE WHEN greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) = 0 THEN 'und'
+      CASE WHEN COALESCE(greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}), 0) = 0 THEN 'und'
            WHEN ${sqlOcc("the")} = greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) THEN 'en'
            WHEN ${sqlOcc("der")} = greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) THEN 'de'
            WHEN ${sqlOcc("le")} = greatest(${sqlOcc("the")}, ${sqlOcc("der")}, ${sqlOcc("le")}, ${sqlOcc("el")}) THEN 'fr'

@@ -85,14 +85,22 @@ object EventsStream {
         if (timeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout
         else GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
-          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
-          val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
-            case ((cn, cv), e) => (cn + 1, cv + e.value)
+          if (state.hasTimedOut) {
+            // TTL fired with no new data: evict the idle user's state (the
+            // point of the timeout) and emit the final totals once
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            state.remove()
+            prev
+          } else {
+            val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0.0))
+            val (n, v) = batch.foldLeft((prev.n_events, prev.total_value)) {
+              case ((cn, cv), e) => (cn + 1, cv + e.value)
+            }
+            val next = UserRunning(userId, n, v)
+            state.update(next)
+            timeout.foreach(state.setTimeoutDuration)
+            next
           }
-          val next = UserRunning(userId, n, v)
-          state.update(next)
-          timeout.foreach(state.setTimeoutDuration)
-          next
       }
   }
 

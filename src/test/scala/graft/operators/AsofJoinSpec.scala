@@ -33,6 +33,20 @@ class AsofJoinSpec extends SparkSpec {
     assert(out(4L) === None)
   }
 
+  test("attach columns come atomically from ONE right row (no tearing on nulls)") {
+    val left = Seq((1L, 10L, ts("2024-01-01 15:00:00"))).toDF("id", "k", "t")
+    val right = Seq(
+      (Some(5L), Some(8L), 10L, ts("2024-01-01 12:00:00")),
+      (None, Some(9L), 10L, ts("2024-01-01 14:00:00"))  // latest row: a is null
+    ).toDF("a", "b", "k", "rt")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("a" -> "ra", "b" -> "rb")).collect().head
+    // ASOF semantics: the t=14:00 row wins wholesale -> (null, 9), never a
+    // mixed (5, 9) assembled from two different right rows
+    assert(out.isNullAt(out.fieldIndex("ra")))
+    assert(out.getAs[Long]("rb") === 9L)
+  }
+
   test("row count is preserved (left semantics, no duplication)") {
     val ev = graft.Tables.load(spark, sf, "events")
     val signups = ev.filter($"event_type" === "signup")

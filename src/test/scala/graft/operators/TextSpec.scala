@@ -19,10 +19,11 @@ class TextSpec extends SparkSpec {
     assert(got(2) === Seq("x y z")) // trim + \s+ collapse
   }
 
-  test("wordOccurrences counts space-delimited words incl. string edges") {
-    val df = Seq("the cat the dog", "theory of the", "nothing here").toDF("text")
+  test("wordOccurrences counts exact tokens incl. edges and adjacent markers") {
+    val df = Seq("the cat the dog", "theory of the", "nothing here",
+      "the the the").toDF("text")
       .select(TextAnalysis.wordOccurrences(col("text"), "the").as("c"))
-    assert(df.collect().map(_.getInt(0)).toSeq === Seq(2, 1, 0))
+    assert(df.collect().map(_.getInt(0)).toSeq === Seq(2, 1, 0, 3))
   }
 
   test("langGuess: highest marker count wins, precedence breaks ties, und on none") {
