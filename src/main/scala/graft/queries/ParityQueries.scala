@@ -150,5 +150,49 @@ object ParityQueries {
     None
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42)
+  /** Sliding-window aggregation (1 h windows, 30 min slide): each event
+    * lands in two overlapping windows. Spark's window() generates them
+    * natively; the oracle rebuilds the same epoch-aligned windows with
+    * time_bucket + a 2-row unnest. */
+  val q45 = Q(
+    "q45_sliding_windows",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "events")
+        .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast(org.apache.spark.sql.types.DecimalType(28, 10)))
+            .cast(org.apache.spark.sql.types.DoubleType).as("total_value"))
+        .select($"window.start".as("window_start"), $"event_type",
+          $"n_events", $"total_value")
+    },
+    Some("""WITH b AS (
+        SELECT event_type, value,
+          time_bucket(INTERVAL '30 minutes', ts) AS bucket FROM events),
+      e AS (SELECT event_type, value,
+          bucket - INTERVAL 30 MINUTE * k AS window_start
+        FROM b, unnest([0, 1]) t(k))
+    SELECT window_start, event_type, COUNT(*) AS n_events,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM e GROUP BY 1, 2""")
+  )
+
+  /** Correlated scalar subquery through the spark.sql surface (the user's
+    * SQL entry point — same text runs on both engines). */
+  val q46 = Q(
+    "q46_correlated_subquery",
+    (spark, dir) => {
+      Tables.registerAll(spark, dir)
+      spark.sql("""SELECT c_custkey, c_name,
+          (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+          (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+        FROM customer""")
+    },
+    Some("""SELECT c_custkey, c_name,
+      (SELECT COUNT(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders,
+      (SELECT MAX(o_totalprice) FROM orders WHERE o_custkey = c_custkey) AS max_order
+    FROM customer""")
+  )
+
+  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46)
 }
