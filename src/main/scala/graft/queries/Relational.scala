@@ -485,6 +485,98 @@ object Relational {
     FROM orders GROUP BY CUBE(1, 2)""")
   )
 
+  /** TPC-H Q7-style: shipping volume between nation pairs by year
+    * (customer nation × supplier nation). */
+  val q47 = Q(
+    "q47_nation_volume",
+    (spark, dir) => {
+      import spark.implicits._
+      val cust = Tables.load(spark, dir, "customer")
+        .join(broadcast(Tables.load(spark, dir, "nation")
+          .select($"n_nationkey", $"n_name".as("cust_nation"))),
+          $"c_nationkey" === $"n_nationkey")
+        .select($"c_custkey", $"cust_nation")
+      val supp = Tables.load(spark, dir, "supplier")
+        .join(broadcast(Tables.load(spark, dir, "nation")
+          .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))),
+          $"s_nationkey" === $"s_nk")
+        .select($"s_suppkey", $"supp_nation")
+      Tables.load(spark, dir, "lineitem")
+        .join(broadcast(Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate")),
+          $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
+        .filter($"cust_nation" =!= $"supp_nation")
+        .groupBy($"cust_nation", $"supp_nation",
+          year($"o_orderdate").as("o_year"))
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("volume"))
+    },
+    Some(s"""SELECT cn.n_name AS cust_nation, sn.n_name AS supp_nation,
+      CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS volume
+    FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation cn ON c_nationkey = cn.n_nationkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation sn ON s_nationkey = sn.n_nationkey
+    WHERE cn.n_name <> sn.n_name
+    GROUP BY 1, 2, 3""")
+  )
+
+  /** TPC-H Q15-style: the supplier(s) with maximum revenue in a period —
+    * aggregate compared against a scalar MAX subquery over the same
+    * aggregate. */
+  val q48 = Q(
+    "q48_top_supplier",
+    (spark, dir) => {
+      import spark.implicits._
+      val rev = Tables.load(spark, dir, "lineitem")
+        .filter($"l_shipdate" >= ts("1997-01-01 00:00:00") &&
+          $"l_shipdate" < ts("1998-01-01 00:00:00"))
+        .groupBy($"l_suppkey")
+        .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
+      val maxRev = rev.agg(max($"total_revenue")).head().getDouble(0)
+      rev.filter($"total_revenue" === maxRev)
+        .join(broadcast(Tables.load(spark, dir, "supplier")),
+          $"l_suppkey" === $"s_suppkey")
+        .select($"s_suppkey", $"s_name", $"total_revenue")
+    },
+    Some(s"""WITH rev AS (
+        SELECT l_suppkey,
+          ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)""")
+  )
+
+  /** TPC-H Q14-style: conditional-aggregate ratio (promo revenue share). */
+  val q49 = Q(
+    "q49_promo_share",
+    (spark, dir) => {
+      import spark.implicits._
+      val rev = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+      Tables.load(spark, dir, "lineitem")
+        .join(broadcast(Tables.load(spark, dir, "part")),
+          $"l_partkey" === $"p_partkey")
+        .agg(
+          (lit(100.0) * dsum(when($"p_type" === "PROMO", rev).otherwise(lit(0.0))) /
+            dsum(rev)).as("promo_share"),
+          count(lit(1)).as("n_rows"))
+    },
+    Some(s"""SELECT
+      100.0 * ${sqlSum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")}
+        / ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS promo_share,
+      COUNT(*) AS n_rows
+    FROM lineitem JOIN part ON l_partkey = p_partkey""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
-    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37)
+    q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
+    q47, q48, q49)
 }
