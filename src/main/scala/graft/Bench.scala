@@ -1,9 +1,86 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.io.{File, FileInputStream, FileOutputStream}
+import java.util.jar.{JarEntry, JarOutputStream}
+
+/** Benchmark entry point. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * The outer invocation (whatever launched us — sbt runMain, plain java)
+  * re-launches itself through `spark-submit` and relays the metric line:
+  * sbt-forked JVMs on this VM show ~20x multi-thread scheduler noise
+  * (round 1 recorded 399 s for a suite that measures ~44 s under
+  * spark-submit), so timings are only trustworthy under spark-submit.
+  * The child is marked with GRAFT_BENCH_INNER to stop the recursion.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val submit = new File("/opt/spark/bin/spark-submit")
+    if (sys.env.contains("GRAFT_BENCH_INNER") || !submit.exists()) runInner()
+    else delegate(submit)
+  }
+
+  private def delegate(submit: File): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val jar = appJar()
+    val cmd = java.util.Arrays.asList(
+      submit.getAbsolutePath,
+      "--master", s"local[$cpus]",
+      // 8g, not bigger: huge heaps (48g) measured ~3x slower on this VM
+      // (fresh-page faulting dominates the small-query times).
+      "--driver-memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"),
+      "--class", "graft.Bench", jar.getAbsolutePath)
+    val pb = new ProcessBuilder(cmd)
+    pb.environment().put("GRAFT_BENCH_INNER", "1")
+    pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+    val proc = pb.start()
+    // Drain stdout fully before waitFor to avoid pipe-buffer deadlock.
+    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    val rc = proc.waitFor()
+    out.find(_.startsWith("{\"metric\"")) match {
+      case Some(line) => println(line)
+      case None =>
+        out.foreach(System.err.println)
+        System.err.println(s"[bench] inner spark-submit rc=$rc produced no metric line")
+        sys.exit(1)
+    }
+  }
+
+  /** The jar to hand spark-submit: our own code source if it is already a
+    * jar; otherwise (a classes directory, e.g. under sbt) zip it up. The
+    * Spark jars themselves come from spark-submit's own classpath.
+    */
+  private def appJar(): File = {
+    val src = new File(
+      getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+    if (src.isFile) src
+    else {
+      val out = File.createTempFile("graft-bench-", ".jar")
+      out.deleteOnExit()
+      val jos = new JarOutputStream(new FileOutputStream(out))
+      def add(f: File, prefix: String): Unit = {
+        val name = if (prefix.isEmpty) f.getName else s"$prefix/${f.getName}"
+        if (f.isDirectory) f.listFiles().foreach(add(_, name))
+        else {
+          jos.putNextEntry(new JarEntry(name))
+          val in = new FileInputStream(f)
+          try {
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { jos.write(buf, 0, n); n = in.read(buf) }
+          } finally in.close()
+          jos.closeEntry()
+        }
+      }
+      src.listFiles().foreach(add(_, ""))
+      jos.close()
+      out
+    }
+  }
+
+  private def runInner(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -17,9 +94,8 @@ object Bench {
     // so the first timed query isn't charged for JVM/session init.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
-    // Best of two runs per query: this VM's scheduler noise is bursty
-    // (same plan varies 20x across minutes), and min-of-N is the standard
-    // way to report the plan's intrinsic cost. A failing query reports -1,
+    // Best of two runs per query: min-of-N reports the plan's intrinsic
+    // cost, not transient scheduler hiccups. A failing query reports -1,
     // never a misleading time-to-failure.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to 2).flatMap { _ =>
