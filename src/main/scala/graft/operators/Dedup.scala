@@ -39,7 +39,7 @@ object Dedup {
     * [[minHashCandidates]] is the sub-linear alternative.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs)
+    val sh = persisted(shingleRows(docs))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -54,6 +54,15 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The shingle relation feeds several consumers (frequency ranking,
+    * candidate join, verify join, size counts); without materialization
+    * each consumer re-runs the regex tokenize+shingle scan. Persisting the
+    * inverted index before joining against it is the standard PPJoin/LSH
+    * shape at any scale (MEMORY_AND_DISK: spills, never OOMs). Entries are
+    * released by the ContextCleaner once the plan is unreachable. */
+  private def persisted(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Exact thresholded Jaccard with PREFIX FILTERING (AllPairs/PPJoin
     * family): index only each doc's first ⌊(1−t)·n⌋+1 shingles under a
     * global rarest-first order. Two sets with J ≥ t must share a prefix
@@ -62,7 +71,7 @@ object Dedup {
     * shrinks by ~t and skips the hottest shingles entirely. The exact
     * Jaccard verify then runs only on candidates. */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingleRows(docs)
+    val sh = persisted(shingleRows(docs))
     // global order: document frequency ascending (rarest first), tiebreak
     // on the shingle itself for determinism
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -79,7 +88,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardPairs0(docs, cand).filter(col("jaccard") >= threshold)
+    jaccardPairs0(sh, cand).filter(col("jaccard") >= threshold)
   }
 
   /** MinHash signatures via the custom one-pass aggregate
@@ -87,8 +96,10 @@ object Dedup {
     * minima). One shuffle keyed on doc_id, buffer of k longs per doc —
     * no k× row expansion. */
   def minHashSignatures(docs: DataFrame, k: Int): DataFrame =
-    shingleRows(docs)
-      .groupBy(col("doc_id"))
+    minHashSignatures0(shingleRows(docs), k)
+
+  private def minHashSignatures0(sh: DataFrame, k: Int): DataFrame =
+    sh.groupBy(col("doc_id"))
       .agg(graft.functions.MinHashAgg.minhash(col("shingle"), k).as("sig"))
 
   /** LSH banding over MinHash signatures → candidate near-dup pairs.
@@ -96,13 +107,17 @@ object Dedup {
     * hash of that slice, and docs sharing any band bucket become
     * candidates (Broder/LSH banding: P[candidate] = 1-(1-j^r)^b for
     * Jaccard j). */
-  def minHashCandidates(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+  def minHashCandidates(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
+    minHashCandidates0(minHashSignatures(docs, k), k, rowsPerBand)
+
+  private def minHashCandidates0(sigs: DataFrame, k: Int,
+      rowsPerBand: Int): DataFrame = {
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { j =>
       struct(lit(j).as("band"),
         hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)).as("band_key"))
     }
-    val bands = minHashSignatures(docs, k)
+    val bands = sigs
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
       .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
     bands.as("a").join(bands.as("b"),
@@ -116,14 +131,15 @@ object Dedup {
     * Jaccard verification restricted to candidate pairs. */
   def minHashNearDups(docs: DataFrame, k: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val cand = minHashCandidates(docs, k, rowsPerBand)
-    jaccardPairs0(docs, cand).filter(col("jaccard") >= threshold)
+    val sh = persisted(shingleRows(docs))
+    val cand = minHashCandidates0(minHashSignatures0(sh, k), k, rowsPerBand)
+    jaccardPairs0(sh, cand).filter(col("jaccard") >= threshold)
   }
 
   /** Exact Jaccard evaluated only on the given candidate (doc_a, doc_b)
-    * pairs — the verify stage of MinHash-LSH. */
-  private def jaccardPairs0(docs: DataFrame, cand: DataFrame): DataFrame = {
-    val sh = shingleRows(docs)
+    * pairs — the verify stage of MinHash-LSH. Takes the (persisted)
+    * shingle relation so candidate generation and verify share one pass. */
+  private def jaccardPairs0(sh: DataFrame, cand: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
@@ -139,10 +155,18 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per token hash, each bit votes
-    * ±1; the signature bit is 1 iff the vote sum is positive. Entirely
-    * explode/groupBy — two shuffles on doc_id, no driver state. */
+  /** 64-bit SimHash over whitespace tokens via the one-pass
+    * [[graft.functions.SimHashAgg]]: one shuffle keyed on doc_id, a 64-int
+    * vote buffer per doc, map-side partial merge — no row expansion. */
   def simHash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SimHashAgg.simhash(col("tok")).as("simhash"))
+
+  /** Compositional SimHash (explode 64 rows per token → groupBy-sum votes):
+    * the reference formulation [[simHash]] is verified against — 64× the
+    * pre-shuffle rows, kept only as the test oracle for the aggregate. */
+  def simHashViaExplode(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("h"),
         explode(sequence(lit(0), lit(63))).as("bit"))

@@ -63,7 +63,8 @@ object ParityQueries {
       })
       EventsStream.replayToMemory(
         EventsStream.tumblingCounts(EventsStream.fromParquetDir(spark, tmp)),
-        "q39_stream_hourly_sink", OutputMode.Complete())
+        "q39_stream_hourly_sink", OutputMode.Complete(),
+        statePartitions = Some(8))
       spark.table("q39_stream_hourly_sink")
     },
     Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,

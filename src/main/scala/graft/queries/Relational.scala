@@ -95,7 +95,9 @@ object Relational {
       val li = Tables.load(spark, dir, "lineitem")
         .filter($"l_shipdate" > ts("1998-01-01 00:00:00"))
         .select($"l_orderkey", $"l_extendedprice", $"l_discount")
-      li.join(broadcast(ord.join(broadcast(cust), $"o_custkey" === $"c_custkey")),
+      // orders/customer are fact-scale: no broadcast hints — the join
+      // shuffles on the key (or AQE converts it when a side is small).
+      li.join(ord.join(cust, $"o_custkey" === $"c_custkey"),
           $"l_orderkey" === $"o_orderkey")
         .groupBy($"l_orderkey", $"o_orderdate")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
@@ -158,8 +160,10 @@ object Relational {
         .join(broadcast(nation), $"c_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .select($"c_custkey", $"c_nationkey", $"n_name")
-      li.join(broadcast(ord), $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(dims), $"o_custkey" === $"c_custkey")
+      // ord and dims are orders/customer-scale — shuffle joins (AQE may
+      // still broadcast them at small SF); supplier is a true dimension.
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(dims, $"o_custkey" === $"c_custkey")
         .join(broadcast(supp),
           $"l_suppkey" === $"s_suppkey" && $"s_nationkey" === $"c_nationkey")
         .groupBy($"n_name")
@@ -501,11 +505,13 @@ object Relational {
           .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))),
           $"s_nationkey" === $"s_nk")
         .select($"s_suppkey", $"supp_nation")
+      // orders and the customer-side relation are fact-scale: shuffle
+      // joins on the keys; only the supplier-side (dim-scale) broadcasts.
       Tables.load(spark, dir, "lineitem")
-        .join(broadcast(Tables.load(spark, dir, "orders")
-          .select($"o_orderkey", $"o_custkey", $"o_orderdate")),
+        .join(Tables.load(spark, dir, "orders")
+          .select($"o_orderkey", $"o_custkey", $"o_orderdate"),
           $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .join(broadcast(supp), $"l_suppkey" === $"s_suppkey")
         .filter($"cust_nation" =!= $"supp_nation")
         .groupBy($"cust_nation", $"supp_nation",

@@ -106,15 +106,32 @@ object EventsStream {
 
   /** Run any of the streaming transforms to completion over a static
     * directory (replay mode): processes all available input, then stops.
-    * Returns the sink table name holding results in memory. */
+    * Returns the sink table name holding results in memory.
+    *
+    * `statePartitions` sizes the stateful shuffle (fixed at checkpoint
+    * creation): state-store setup cost is per-partition-per-batch, so a
+    * replay with a few thousand keys wants far fewer than the session's
+    * shuffle partitions (32→8 halves the replay wall-clock), while a real
+    * deployment sizes it to key cardinality. Session conf is restored
+    * after the stream finishes. */
   def replayToMemory(df: DataFrame, sinkTable: String,
-      outputMode: OutputMode = OutputMode.Append()): Unit = {
-    val q = df.writeStream
-      .format("memory")
-      .queryName(sinkTable)
-      .outputMode(outputMode)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+      outputMode: OutputMode = OutputMode.Append(),
+      statePartitions: Option[Int] = None): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    statePartitions.foreach(n => spark.conf.set(key, n))
+    try {
+      val q = df.writeStream
+        .format("memory")
+        .queryName(sinkTable)
+        .outputMode(outputMode)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (statePartitions.isDefined)
+        prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+    }
   }
 }

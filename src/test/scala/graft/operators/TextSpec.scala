@@ -74,6 +74,15 @@ class TextSpec extends SparkSpec {
     assert(a.size === Tables.load(spark, sf, "documents").count())
   }
 
+  test("one-pass SimHashAgg matches the compositional explode formulation") {
+    val docs = Tables.load(spark, sf, "documents")
+    val agg = Dedup.simHash(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    val ref = Dedup.simHashViaExplode(docs).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
+    assert(agg === ref)
+  }
+
   test("BPE-ish tokenization splits letters/digits/punct marks") {
     val df = Seq("don't stop 123 x-y!").toDF("text")
       .select(TextAnalysis.bpeTokens(col("text")).as("t"))
