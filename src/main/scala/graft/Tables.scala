@@ -24,6 +24,14 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark does not read
       // natively: read the raw int64 nanos and truncate to microseconds —
       // the same ns→µs truncation DuckDB applies, so oracle values match.
+      // DELIBERATE session-wide mutation: the flag must outlive this call
+      // because the parquet footer is re-converted at EXECUTION time of the
+      // (lazy) plan — a scoped save/restore or per-read option breaks the
+      // scan with PARQUET_TYPE_ILLEGAL once the flag is gone (verified
+      // empirically; reader options are not consulted by the task-side
+      // converter). Effect of the flag elsewhere: TIMESTAMP(NANOS) columns
+      // read as LONG nanos instead of failing outright, which is this
+      // engine's intended semantics for any nanos column.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$dir/$name.parquet")
       if (raw.schema("ts").dataType == LongType)

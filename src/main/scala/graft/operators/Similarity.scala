@@ -89,14 +89,43 @@ object Similarity {
     (array_position(dots, array_max(dots)) - 1).cast(IntegerType)
   }
 
-  /** IVF ANN top-k: probe the `nProbe` centroid cells nearest the query
-    * and score only those cells' vectors — the coarse-quantization
-    * alternative to [[annTopK]]'s hyperplane LSH. */
-  def ivfTopK(emb: DataFrame, q: Seq[Double], k: Int, nCells: Int,
-      nProbe: Int, excludeId: Long = -1L): DataFrame = {
-    val centroids = emb.orderBy(col("vec_id")).limit(nCells)
+  /** First-N coarse quantizer: the first `nCells` vectors by id (the
+    * deterministic seed [[kmeansCentroids]] refines). */
+  def firstNCentroids(emb: DataFrame, nCells: Int): Seq[Seq[Double]] =
+    emb.orderBy(col("vec_id")).limit(nCells)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+
+  /** Lloyd's k-means refinement of the first-N seed: `iters` rounds of
+    * assign (max-dot cell) → per-cell mean. Each round is ONE scan with a
+    * partial-aggregating shuffle of at most nCells×dim running sums per
+    * partition — the shape that holds at 100 TB (centroids live driver-side
+    * as nCells×dim doubles; no per-row driver traffic). An emptied cell
+    * keeps its previous centroid. */
+  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): Seq[Seq[Double]] = {
+    var centroids = firstNCentroids(emb, nCells)
+    for (_ <- 0 until iters) {
+      val means = emb
+        .select(ivfAssign(col("embedding"), centroids).as("cell"),
+          posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq)
+        .toMap
+      centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** IVF ANN top-k over explicit centroids: probe the `nProbe` cells
+    * nearest the query and score only those cells' vectors. */
+  def ivfTopKWith(emb: DataFrame, q: Seq[Double], k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int,
+      excludeId: Long = -1L): DataFrame = {
     // float-cast mirror of ivfAssign's executor arithmetic (see annTopK)
     val qDots = centroids.map(c => c.zip(q).map { case (a, b) =>
       a.toFloat.toDouble * b.toFloat.toDouble
@@ -108,6 +137,54 @@ object Similarity {
         cosineWithLit(col("embedding"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** IVF ANN top-k with the first-N quantizer — the coarse-quantization
+    * alternative to [[annTopK]]'s hyperplane LSH. */
+  def ivfTopK(emb: DataFrame, q: Seq[Double], k: Int, nCells: Int,
+      nProbe: Int, excludeId: Long = -1L): DataFrame =
+    ivfTopKWith(emb, q, k, firstNCentroids(emb, nCells), nProbe, excludeId)
+
+  /** Multi-table (OR-amplified) hyperplane-LSH near-duplicate pairs: L
+    * independent tables of r planes each. Candidates are pairs sharing ANY
+    * table's bucket; exact cosine then verifies against the threshold.
+    *
+    * This is the scale shape [[cosineNearDupPairs]] lacks: r planes give
+    * 2^r buckets per table, so the within-bucket self-join touches
+    * ~L·n²/2^r pairs instead of n²/2^nPlanes — r=8, L=6 is 64× fewer
+    * candidate pairs than a single 3-plane table, while OR-ing L tables
+    * keeps recall high in the near-dup regime (collision prob per table
+    * (1−θ/π)^r, amplified to 1−(1−p)^L). At cluster scale (table, bucket)
+    * is the shuffle key and bucket population stays bounded. */
+  def cosineNearDupPairsBanded(emb: DataFrame, planesPerTable: Int,
+      nTables: Int, seed: Long, threshold: Double): DataFrame = {
+    val first = emb.select(col("embedding")).head(1)
+    if (first.isEmpty) {
+      return emb.limit(0).select(col("vec_id").as("vec_a"),
+        col("vec_id").as("vec_b"), lit(0.0).as("cosine"))
+    }
+    val dim = first.head.getSeq[Float](0).length
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(planesPerTable, dim, seed + t)
+      struct(lit(t).as("tbl"), lshBucket(col("embedding"), planes).as("bucket"))
+    }
+    // bucket relation only carries (vec_id, tbl, bucket): the embeddings
+    // are NOT exploded L× — they re-join once per verified candidate
+    val buckets = emb
+      .select(col("vec_id"), explode(array(tables: _*)).as("tb"))
+      .select(col("vec_id"), col("tb.tbl").as("tbl"), col("tb.bucket").as("bucket"))
+    val cand = buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        VecCols.cosine(col("ea"), col("eb")).as("cosine"))
+      .filter(col("cosine") >= threshold)
   }
 
   /** Embedding-cosine near-duplicate pairs via LSH buckets: only pairs in

@@ -543,8 +543,11 @@ object Relational {
           $"l_shipdate" < ts("1998-01-01 00:00:00"))
         .groupBy($"l_suppkey")
         .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_revenue"))
-      val maxRev = rev.agg(max($"total_revenue")).head().getDouble(0)
-      rev.filter($"total_revenue" === maxRev)
+      // the scalar MAX stays inside the plan (broadcast 1-row join): no
+      // eager driver-side job on plan/describe, and an empty window yields
+      // zero rows instead of an NPE
+      val maxRev = rev.agg(max($"total_revenue").as("max_revenue"))
+      rev.join(broadcast(maxRev), $"total_revenue" === $"max_revenue")
         .join(broadcast(Tables.load(spark, dir, "supplier")),
           $"l_suppkey" === $"s_suppkey")
         .select($"s_suppkey", $"s_name", $"total_revenue")

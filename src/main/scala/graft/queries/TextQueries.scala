@@ -167,15 +167,17 @@ object TextQueries {
     WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5""")
   )
 
-  /** MinHash-LSH near-dup detection (Spark-hash-seeded ⇒ rows-only check;
-    * exact-Jaccard verified, so the pair set equals q26's at the same
-    * threshold whenever LSH recall is 100%). */
+  /** MinHash-LSH near-dup detection. Candidates are exact-Jaccard
+    * verified, so the output equals the exhaustive q26 pair set whenever
+    * LSH recall is 100% — which DedupSpec asserts against exact Jaccard on
+    * the corpus — so q26's brute-force oracle SQL backs this query too
+    * (candidate generation differs; the verified result must not). */
   val q27 = Q(
     "q27_minhash_near_dups",
     (spark, dir) => Dedup.minHashNearDups(
       Tables.load(spark, dir, "documents"), k = 32, rowsPerBand = 4,
       threshold = 0.5),
-    None
+    q26.oracle
   )
 
   /** 64-bit SimHash signatures (Spark-hash-seeded ⇒ rows-only check). */

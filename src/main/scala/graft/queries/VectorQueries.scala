@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -9,9 +10,14 @@ import graft.operators.Similarity
 /** Similarity-search + vector-stats query surface over `embeddings`
   * (`embedding: ArrayType(FloatType)`, 64-dim).
   *
-  * Cosine scores involve a 64-term float dot product whose summation order
-  * differs between engines, so the top-k queries are rows-only checks; the
-  * dimension-stats query uses the decimal-exact sum and has a full oracle.
+  * Oracle strategy: the top-k queries emit INTEGER-ONLY results
+  * (rank, vec_id, label) so the driver hash compares exactly — the float
+  * cosine stays internal to the ranking. Both engines compute the score as
+  * a sequential float32→double dot/norm reduction, and the corpus' rank
+  * gaps (≥1e-4) dwarf any ulp-level divergence, so rankings agree. The
+  * hyperplane/centroid constants are deterministic (seeded PRNG / first-N
+  * rows), letting the oracle SQL reproduce bucket and cell membership
+  * exactly — q31/q34 verify the full ANN pipeline, not just the scoring.
   */
 object VectorQueries {
 
@@ -23,23 +29,85 @@ object VectorQueries {
       .filter(col("vec_id") === 0L).select(col("embedding"))
       .head().getSeq[Float](0).map(_.toDouble)
 
+  /** Rank a (vec_id, label, cosine) top-k result into integer-only
+    * (rank, vec_id, label); the window runs over the k surviving rows. */
+  private def ranked(topk: org.apache.spark.sql.DataFrame) =
+    topk.select(
+      row_number().over(Window.orderBy(col("cosine").desc, col("vec_id"))).as("rank"),
+      col("vec_id"), col("label"))
+
+  /** Shared oracle CTEs: cosine of every vector against vec_id 0's
+    * embedding, double-precision over the raw float32 values — the same
+    * reduction FloatVecCosine performs. */
+  private val cosineCtes = """
+    qe AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cu AS (SELECT e.vec_id, e.label, unnest(e.embedding) AS ev, unnest(qe.qv) AS qvv
+           FROM embeddings e, qe),
+    cs AS (SELECT vec_id, label,
+             SUM(CAST(ev AS DOUBLE)*CAST(qvv AS DOUBLE)) AS dotq,
+             SQRT(SUM(CAST(ev AS DOUBLE)*CAST(ev AS DOUBLE))) AS na
+           FROM cu GROUP BY vec_id, label),
+    qn AS (SELECT SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nq
+           FROM (SELECT unnest(qv) AS x FROM qe))"""
+
   /** Brute-force cosine top-10 neighbors of vec_id 0. */
   val q30 = Q(
     "q30_cosine_topk",
-    (spark, dir) => Similarity.cosineTopK(
+    (spark, dir) => ranked(Similarity.cosineTopK(
       Tables.load(spark, dir, "embeddings"), queryVec(spark, dir), k = 10,
-      excludeId = 0L),
-    None
+      excludeId = 0L)),
+    Some(s"""WITH $cosineCtes
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id) AS INTEGER) AS rank,
+             cs.vec_id AS vec_id, cs.label AS label
+      FROM cs, qn WHERE cs.vec_id <> 0
+      ORDER BY 1 LIMIT 10""")
   )
 
+  // -- q31: the 4-plane LSH bucket, reproduced in SQL -----------------------
+
+  private val q31Planes = Similarity.hyperplanes(nPlanes = 4, dim = 64, seed = 42L)
+
+  /** One plane as a DuckDB DOUBLE-array literal, float32-cast first to
+    * mirror `litVec`'s executor arithmetic exactly. */
+  private def planeLit(p: Seq[Double]): String =
+    p.map(_.toFloat.toDouble.toString).mkString("[", ", ", "]")
+
+  private val q31Oracle: String = {
+    val ps = q31Planes.map(planeLit)
+    s"""WITH $cosineCtes,
+      bu AS (SELECT vec_id, unnest(embedding) AS ev,
+               unnest(${ps(0)}) AS p0, unnest(${ps(1)}) AS p1,
+               unnest(${ps(2)}) AS p2, unnest(${ps(3)}) AS p3
+             FROM embeddings),
+      bd AS (SELECT vec_id,
+               SUM(CAST(ev AS DOUBLE)*p0) AS d0, SUM(CAST(ev AS DOUBLE)*p1) AS d1,
+               SUM(CAST(ev AS DOUBLE)*p2) AS d2, SUM(CAST(ev AS DOUBLE)*p3) AS d3
+             FROM bu GROUP BY vec_id),
+      bk AS (SELECT vec_id,
+               (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END) +
+               (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END) +
+               (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END) +
+               (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END) AS bucket
+             FROM bd),
+      qb AS (SELECT bucket AS qbucket FROM bk WHERE vec_id = 0)
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id) AS INTEGER) AS rank,
+             cs.vec_id AS vec_id, cs.label AS label
+      FROM cs JOIN bk ON cs.vec_id = bk.vec_id, qb, qn
+      WHERE bk.bucket = qb.qbucket AND cs.vec_id <> 0
+      ORDER BY 1 LIMIT 10"""
+  }
+
   /** LSH-bucketed ANN top-10 for the same query (the 100 TB scale path:
-    * score only the query's bucket). */
+    * score only the query's bucket). The oracle embeds the seeded plane
+    * constants, so DuckDB reproduces bucket membership bit-for-bit. */
   val q31 = Q(
     "q31_ann_lsh_topk",
-    (spark, dir) => Similarity.annTopK(
+    (spark, dir) => ranked(Similarity.annTopK(
       Tables.load(spark, dir, "embeddings"), queryVec(spark, dir), k = 10,
-      nPlanes = 4, seed = 42L, excludeId = 0L),
-    None
+      nPlanes = 4, seed = 42L, excludeId = 0L)),
+    Some(q31Oracle)
   )
 
   /** Per-dimension statistics (posexplode ≡ DuckDB zipped unnest).
@@ -71,26 +139,66 @@ object VectorQueries {
     GROUP BY 1""")
   )
 
-  /** Embedding-cosine near-duplicate pairs via LSH buckets. The corpus is
-    * near-orthogonal random vectors (max pairwise cosine ≈ 0.51), so the
-    * "near-dup" threshold is 0.30 — the operator semantics, not the
-    * threshold, are what carries to a real corpus. */
+  /** Embedding-cosine near-duplicate pairs via banded multi-table LSH
+    * (4 tables × 6 planes): candidates only from shared buckets, then
+    * exact-cosine verification. The corpus is near-orthogonal random
+    * vectors (max pairwise cosine ≈ 0.51), so the "near-dup" threshold is
+    * 0.30 and per-table recall is intentionally partial — rows-only here;
+    * VectorSpec proves 100% recall + bounded buckets on planted near-dups,
+    * the regime the operator exists for. */
   val q33 = Q(
     "q33_embedding_near_dups",
-    (spark, dir) => Similarity.cosineNearDupPairs(
-      Tables.load(spark, dir, "embeddings"), nPlanes = 3, seed = 7L,
-      threshold = 0.30),
+    (spark, dir) => Similarity.cosineNearDupPairsBanded(
+      Tables.load(spark, dir, "embeddings"), planesPerTable = 6, nTables = 4,
+      seed = 7L, threshold = 0.30),
     None
   )
 
-  /** IVF-probed ANN top-10 (coarse-quantizer variant of q31). */
+  // -- q34: first-8 IVF cells, reproduced self-referentially in SQL ---------
+
+  private val q34Oracle: String = s"""WITH $cosineCtes,
+    ct AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             embedding AS ce
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+    du AS (SELECT e.vec_id AS vid, ct.cell, unnest(e.embedding) AS ev, unnest(ct.ce) AS cv
+           FROM embeddings e CROSS JOIN ct),
+    dc AS (SELECT vid, cell, SUM(CAST(ev AS DOUBLE)*CAST(cv AS DOUBLE)) AS dot
+           FROM du GROUP BY vid, cell),
+    mx AS (SELECT vid, MAX(dot) AS md FROM dc GROUP BY vid),
+    asg AS (SELECT dc.vid, MIN(dc.cell) AS cell
+            FROM dc JOIN mx ON dc.vid = mx.vid AND dc.dot = mx.md GROUP BY dc.vid),
+    pr AS (SELECT cell FROM dc WHERE vid = 0 ORDER BY dot DESC, cell LIMIT 2)
+    SELECT CAST(ROW_NUMBER() OVER (
+             ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id) AS INTEGER) AS rank,
+           cs.vec_id AS vec_id, cs.label AS label
+    FROM cs JOIN asg ON cs.vec_id = asg.vid JOIN pr ON asg.cell = pr.cell, qn
+    WHERE cs.vec_id <> 0
+    ORDER BY 1 LIMIT 10"""
+
+  /** IVF-probed ANN top-10 (coarse-quantizer variant of q31): the oracle
+    * recomputes the first-8 centroids, the max-dot cell assignment, and
+    * the 2-probe selection from the table itself. */
   val q34 = Q(
     "q34_ivf_topk",
-    (spark, dir) => Similarity.ivfTopK(
+    (spark, dir) => ranked(Similarity.ivfTopK(
       Tables.load(spark, dir, "embeddings"), queryVec(spark, dir), k = 10,
-      nCells = 8, nProbe = 2, excludeId = 0L),
+      nCells = 8, nProbe = 2, excludeId = 0L)),
+    Some(q34Oracle)
+  )
+
+  /** IVF ANN with k-means-refined centroids (2 Lloyd rounds from the
+    * first-8 seed). Iterative float means are engine-specific → rows-only;
+    * VectorSpec asserts the refinement improves recall vs brute force. */
+  val q50 = Q(
+    "q50_ivf_kmeans_topk",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      ranked(Similarity.ivfTopKWith(emb, queryVec(spark, dir), k = 10,
+        Similarity.kmeansCentroids(emb, nCells = 8, iters = 2), nProbe = 2,
+        excludeId = 0L))
+    },
     None
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50)
 }

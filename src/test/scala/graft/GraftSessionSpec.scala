@@ -41,5 +41,13 @@ class GraftSessionSpec extends SparkSpec {
     assert(dialectRewrite("CAST(x AS varchar)") === "CAST(x AS STRING)")
     assert(dialectRewrite("CAST(x AS VARCHAR(10))") === "CAST(x AS VARCHAR(10))")
     assert(dialectRewrite("myvarchar_col") === "myvarchar_col")
+    // lexer-aware: literals, quoted identifiers, and comments pass verbatim
+    assert(dialectRewrite("WHERE note = 'VARCHAR'") === "WHERE note = 'VARCHAR'")
+    assert(dialectRewrite("SELECT 'it''s VARCHAR' AS v") === "SELECT 'it''s VARCHAR' AS v")
+    assert(dialectRewrite("SELECT \"VARCHAR\" FROM t") === "SELECT \"VARCHAR\" FROM t")
+    assert(dialectRewrite("-- a VARCHAR note\nCAST(x AS VARCHAR)") ===
+      "-- a VARCHAR note\nCAST(x AS STRING)")
+    assert(dialectRewrite("/* VARCHAR */ CAST(x AS VARCHAR)") ===
+      "/* VARCHAR */ CAST(x AS STRING)")
   }
 }

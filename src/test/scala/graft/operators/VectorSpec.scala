@@ -75,6 +75,67 @@ class VectorSpec extends SparkSpec {
     assert(cells.forall { r => val c = r.getInt(0); c >= 0 && c < 8 })
   }
 
+  test("banded LSH near-dups: full recall on planted dups, bounded buckets") {
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // synthetic corpus: 100 random 32-dim bases + 20 jittered near-copies
+    // (the near-dup regime the operator exists for: cosine ≥ ~0.99)
+    val rnd = new scala.util.Random(123)
+    val dim = 32
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val bases = (0 until 100).map(i => i.toLong -> vec())
+    val dups = (0 until 20).map { i =>
+      (1000 + i).toLong -> bases(i)._2.map(x => x + rnd.nextGaussian().toFloat * 0.02f)
+    }
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("embedding",
+        ArrayType(FloatType)), StructField("label", IntegerType)))
+    val rows = (bases ++ dups).map { case (id, v) => Row(id, v.toSeq, 0) }
+    val df = spark.createDataFrame(rows.asJava, schema)
+
+    // brute-force truth at threshold 0.95
+    val all = (bases ++ dups)
+    val truth = (for {
+      (ia, va) <- all; (ib, vb) <- all if ia < ib
+      if cosine(va, vb) >= 0.95
+    } yield (ia, ib)).toSet
+    assert(truth.size >= 20) // every planted pair qualifies
+
+    val got = Similarity.cosineNearDupPairsBanded(df, planesPerTable = 8,
+      nTables = 8, seed = 99L, threshold = 0.95).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    // exact-cosine verification ⇒ perfect precision; OR-amplified tables ⇒
+    // full recall on this (deterministic) corpus
+    assert(got === truth)
+
+    // scale story: no bucket in any table holds more than a small fraction
+    // of the corpus, so the within-bucket self-join stays bounded
+    val maxBucket = (0 until 8).map { t =>
+      val planes = Similarity.hyperplanes(8, dim, 99L + t)
+      df.groupBy(Similarity.lshBucket(col("embedding"), planes).as("b"))
+        .count().agg(max("count")).head().getLong(0)
+    }.max
+    assert(maxBucket <= all.size / 4)
+  }
+
+  test("k-means centroids refine the first-N seed; IVF recall not degraded") {
+    val q = local(0L).map(_.toDouble).toSeq
+    val brute = Similarity.cosineTopK(emb, q, k = 10, excludeId = 0L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val seedCentroids = Similarity.firstNCentroids(emb, 8)
+    val refined = Similarity.kmeansCentroids(emb, nCells = 8, iters = 2)
+    assert(refined.size === 8)
+    assert(refined !== seedCentroids)
+    def recall(cs: Seq[Seq[Double]]): Double = {
+      val got = Similarity.ivfTopKWith(emb, q, k = 10, cs, nProbe = 2,
+        excludeId = 0L).collect().map(_.getAs[Long]("vec_id")).toSet
+      got.intersect(brute).size / 10.0
+    }
+    val (rSeed, rKm) = (recall(seedCentroids), recall(refined))
+    assert(rKm >= rSeed && rKm > 0.0)
+  }
+
   test("near-dup pairs: symmetric-free (a<b), thresholded, true cosines") {
     val pairs = Similarity.cosineNearDupPairs(emb, nPlanes = 3, seed = 7L,
       threshold = 0.30).collect()
