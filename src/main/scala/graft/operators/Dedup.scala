@@ -23,6 +23,50 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("text_hash"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** Duplicate clusters: connected components over an undirected near-dup
+    * pair relation, as min-label propagation to a fixpoint — every doc gets
+    * `cluster` = the smallest doc_id reachable through near-dup edges
+    * (docs in no pair are their own singleton cluster).
+    *
+    * This is the step a dedup pipeline runs AFTER pair detection: keep one
+    * canonical doc per cluster instead of dropping both ends of each pair.
+    * Each round is one shuffle-on-key join + aggregate over only the docs
+    * that appear in pairs; rounds = component diameter, which for near-dup
+    * graphs (cliques of copies) is 1-2. The driver-side loop holds no data
+    * — only the converged? count — so the same plan runs at cluster scale
+    * (the O(log n) large-star/small-star variant drops in if components
+    * ever grow chain-shaped). */
+  def dupClusters(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 20): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("dst_cluster")), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("dst_cluster")).as("nbr_min"))
+      val next = labels
+        .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(labels.select(col("doc_id"), col("cluster").as("old_cluster")), Seq("doc_id"))
+        .filter(col("cluster") =!= col("old_cluster")).count()
+      labels.unpersist()
+      labels = next
+      round += 1
+    }
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
   /** Distinct 3-gram shingles per doc: (doc_id, shingle). The token array
     * is projected first so the regex split runs once per row. */
   def shingleRows(docs: DataFrame): DataFrame =

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic content-hash sampling and splits for training-data
+  * pipelines.
+  *
+  * All selection is by comparing the lowercase-hex md5 of a key column
+  * against fixed hex thresholds: the decision is a pure row-local function
+  * of the data (reproducible across runs, engines, partitionings, and
+  * cluster sizes — unlike `df.sample`, whose output depends on partition
+  * layout and seed plumbing). Every operator is a scan-only projection or
+  * filter: no shuffle, fully codegen'd, trivially 100 TB-scalable.
+  *
+  * A hex threshold string encodes fraction f as its base-16 expansion
+  * ("cccccccc" ≈ 0.8); md5 is uniform, so P[md5(key) < t] = f to ~2^-32
+  * with an 8-digit threshold.
+  */
+object Sampling {
+
+  /** Lowercase hex md5 of a string column — the sampling key. */
+  def hashKey(c: Column): Column = md5(c.cast("binary"))
+
+  /** Hex threshold with 8 fractional hex digits for a fraction in [0,1]. */
+  def hexThreshold(fraction: Double): String = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction $fraction")
+    val scaled = math.round(fraction * (1L << 32)).min(1L << 32)
+    if (scaled == (1L << 32)) "g" // > any hex digit: keeps everything
+    else f"$scaled%08x"
+  }
+
+  /** Keep ~`fraction` of rows, chosen deterministically by md5(key). */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.filter(hashKey(key) < lit(hexThreshold(fraction)))
+
+  /** Assign each row a named split by md5(key) range: `cuts` are the
+    * cumulative upper fractions, e.g. train/val/test 80/10/10 =
+    * Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0). A row's split is
+    * stable under re-runs and corpus growth (a doc never migrates between
+    * splits unless its content changes). */
+  def splitAssign(key: Column, cuts: Seq[(String, Double)]): Column = {
+    require(cuts.nonEmpty && cuts.last._2 >= 1.0, "cuts must end at 1.0")
+    val k = hashKey(key)
+    cuts.init.foldRight(lit(cuts.last._1): Column) { case ((name, cut), rest) =>
+      when(k < lit(hexThreshold(cut)), lit(name)).otherwise(rest)
+    }
+  }
+}

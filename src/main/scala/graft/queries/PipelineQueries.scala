@@ -1,0 +1,89 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.{Dedup, Sampling}
+
+/** Curation-pipeline composition queries over `documents`: duplicate
+  * clustering (the step after pair detection) and deterministic
+  * content-hash sampling/splits (reproducible corpus subsets). All
+  * oracle-backed: clustering is pure integer graph reachability (DuckDB
+  * recursive CTE), and sampling decisions are md5-threshold comparisons
+  * both engines compute identically.
+  */
+object PipelineQueries {
+
+  /** The q26 near-dup pair relation in DuckDB dialect (threshold 0.5). */
+  private val sqlPairCtes = s"""
+    sh AS (
+      SELECT doc_id, unnest(list_distinct(${TextQueries.sqlShingles})) AS shingle
+      FROM documents),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM inter
+        JOIN sizes na ON na.doc_id = doc_a
+        JOIN sizes nb ON nb.doc_id = doc_b
+      WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5)"""
+
+  /** Connected-component duplicate clusters over the q26 pair relation:
+    * (doc_id, cluster = min reachable doc_id); docs in no pair are
+    * singletons. The oracle computes the same components via a recursive
+    * transitive-closure CTE — pure integers, exact hash match. */
+  val q51 = Q(
+    "q51_dup_clusters",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.dupClusters(docs,
+        Dedup.jaccardPairsPrefix(docs, 0.5).select(col("doc_a"), col("doc_b")))
+    },
+    Some(s"""WITH RECURSIVE $sqlPairCtes,
+      edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+                UNION ALL SELECT doc_b, doc_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
+               FROM reach GROUP BY s)
+    SELECT doc.doc_id, COALESCE(comp.cluster, doc.doc_id) AS cluster
+    FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id""")
+  )
+
+  /** Stratified deterministic sample: ~25% of docs per language, chosen by
+    * md5(text) threshold — reproducible across engines/partitionings. */
+  val q52 = Q(
+    "q52_hash_sample",
+    (spark, dir) => Sampling.hashSample(
+      Tables.load(spark, dir, "documents"), col("text"), 0.25)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc_id")),
+    Some(s"""SELECT lang, COUNT(*) AS n_sampled, MIN(doc_id) AS min_doc_id
+      FROM documents
+      WHERE md5(text) < '${Sampling.hexThreshold(0.25)}'
+      GROUP BY lang""")
+  )
+
+  /** Deterministic train/val/test split (80/10/10) by content hash: a
+    * doc's split never changes across runs or corpus growth. */
+  val q53 = Q(
+    "q53_train_split",
+    (spark, dir) => Tables.load(spark, dir, "documents")
+      .groupBy(Sampling.splitAssign(col("text"),
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)).as("split"))
+      .agg(count(lit(1)).as("n_docs")),
+    Some(s"""SELECT CASE
+        WHEN md5(text) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+        WHEN md5(text) < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+        ELSE 'test' END AS split,
+      COUNT(*) AS n_docs
+    FROM documents GROUP BY 1""")
+  )
+
+  val all: Seq[Q] = Seq(q51, q52, q53)
+}

@@ -6,7 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * extension surface), keyed for SparkEntry / Verify / Bench. */
 object Registry {
   val all: Seq[Q] =
-    Relational.all ++ TextQueries.all ++ VectorQueries.all ++ ParityQueries.all
+    Relational.all ++ TextQueries.all ++ VectorQueries.all ++
+      PipelineQueries.all ++ ParityQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -15,7 +15,7 @@ object TextQueries {
 
   private val toks = TA.tokens(col("text"))
   private val sqlToks = "string_split_regex(trim(text), '\\s+')"
-  private val sqlShingles =
+  private[queries] val sqlShingles =
     s"""list_transform(generate_series(1, len($sqlToks)-2),
         i -> concat_ws(' ', $sqlToks[i], $sqlToks[i+1], $sqlToks[i+2]))"""
 

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Deterministic hash sampling/splits: threshold encoding, md5 key parity
+  * with the oracle engine, stability, and split partitioning. */
+class SamplingSpec extends SparkSpec {
+
+  test("hexThreshold encodes fractions as 8 hex digits; boundaries exact") {
+    assert(Sampling.hexThreshold(0.25) === "40000000")
+    assert(Sampling.hexThreshold(0.5) === "80000000")
+    assert(Sampling.hexThreshold(0.0) === "00000000")
+    assert(Sampling.hexThreshold(1.0) === "g") // above every hex digest
+    intercept[IllegalArgumentException](Sampling.hexThreshold(1.5))
+  }
+
+  test("hashKey is the standard lowercase-hex md5 of the UTF-8 bytes") {
+    import spark.implicits._
+    val got = Seq("hello").toDF("text")
+      .select(Sampling.hashKey(col("text"))).head().getString(0)
+    // known md5("hello") — the value DuckDB's md5() also produces, which
+    // is what makes the sampling decision engine-portable
+    assert(got === "5d41402abc4b2a76b9719d911017c592")
+  }
+
+  test("hashSample: deterministic, approximately the asked fraction") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count().toDouble
+    val s1 = Sampling.hashSample(docs, col("text"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val s2 = Sampling.hashSample(docs, col("text"), 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1 === s2) // bit-stable across runs
+    assert(math.abs(s1.size / n - 0.25) < 0.15) // uniform-ish at small n
+    // monotone: a bigger fraction strictly contains a smaller one
+    val s3 = Sampling.hashSample(docs, col("text"), 0.5)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(s1.subsetOf(s3))
+  }
+
+  test("splitAssign partitions every row into exactly one named split") {
+    val docs = Tables.load(spark, sf, "documents")
+    val cuts = Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0)
+    val counts = docs
+      .groupBy(Sampling.splitAssign(col("text"), cuts).as("split"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum === docs.count())
+    assert(counts("train") > counts.getOrElse("val", 0L))
+  }
+}

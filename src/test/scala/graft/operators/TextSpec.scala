@@ -99,6 +99,24 @@ class TextSpec extends SparkSpec {
     assert(m(1L) !== m(2L))   // reversed order -> different fingerprint
   }
 
+  test("dupClusters: min-label components over pairs; singletons keep their id") {
+    // components: {1,2,3} (chain), {10,11}, singletons 4,5
+    val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.dupClusters(docs, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L,
+      10L -> 10L, 11L -> 10L))
+    // a longer chain still converges (propagation runs to fixpoint, not one
+    // round): 20-21-22-23-24 all collapse to 20
+    val chain = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 24L))
+      .toDF("doc_a", "doc_b")
+    val chainDocs = Seq(20L, 21L, 22L, 23L, 24L).toDF("doc_id")
+    val got2 = Dedup.dupClusters(chainDocs, chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2.values.toSet === Set(20L))
+  }
+
   test("identical texts get identical shingle fingerprints; different texts differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
