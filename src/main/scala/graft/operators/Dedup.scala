@@ -39,11 +39,15 @@ object Dedup {
   def dupClusters(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    // eager localCheckpoint, not persist: iterative plans must TRUNCATE
+    // lineage each round or planning cost (and the printed plan) grows as
+    // nested cached subtrees — the same discipline GraphX/ALS apply. A
+    // reliable checkpoint dir replaces localCheckpoint on a real cluster.
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("cluster"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
@@ -54,11 +58,10 @@ object Dedup {
         .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
       changed = next
         .join(labels.select(col("doc_id"), col("cluster").as("old_cluster")), Seq("doc_id"))
         .filter(col("cluster") =!= col("old_cluster")).count()
-      labels.unpersist()
       labels = next
       round += 1
     }

@@ -73,6 +73,28 @@ object ParityQueries {
     FROM events GROUP BY 1, 2""")
   )
 
+  /** Streaming deduplication replayed over the events table: distinct
+    * (user_id, event_type) keys with watermark-bounded state. The output
+    * is a SET of keys, so it equals the batch DISTINCT oracle regardless
+    * of arrival order or micro-batch boundaries. */
+  val q54 = Q(
+    "q54_stream_dedup",
+    (spark, dir) => {
+      val tmp = stagedEvents.getOrElseUpdate(dir, {
+        val t = java.nio.file.Files.createTempDirectory("graft-q39").toString
+        Tables.load(spark, dir, "events").write.mode("overwrite").parquet(t)
+        t
+      })
+      EventsStream.replayToMemory(
+        EventsStream.dedupKeys(EventsStream.fromParquetDir(spark, tmp),
+          Seq("user_id", "event_type")),
+        "q54_stream_dedup_sink", OutputMode.Append(),
+        statePartitions = Some(8))
+      spark.table("q54_stream_dedup_sink")
+    },
+    Some("SELECT DISTINCT user_id, event_type FROM events")
+  )
+
   /** Salted two-phase aggregation over the (low-cardinality, therefore
     * skew-prone) event_type key — result-identical to the direct groupBy,
     * which is exactly what the oracle verifies. */
@@ -195,5 +217,5 @@ object ParityQueries {
     FROM customer""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46)
+  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54)
 }

@@ -65,6 +65,21 @@ object EventsStream {
         col("session_window.end").as("session_end"), col("user_id"),
         col("n_events"), col("total_value"))
 
+  /** Streaming deduplication: first occurrence of each key combination
+    * survives, duplicates within the watermark horizon are dropped —
+    * the streaming form of a curation pipeline's dedup stage.
+    * `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    * watermark passes (bounded state on an unbounded stream), unlike plain
+    * `dropDuplicates`, whose state grows with distinct keys forever.
+    * Emitting only the key columns makes the result a deterministic SET —
+    * equal to batch `SELECT DISTINCT keys` regardless of arrival order. */
+  def dedupKeys(events: DataFrame, keys: Seq[String],
+      watermark: String = "24 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+      .select(keys.map(col): _*)
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
     user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,

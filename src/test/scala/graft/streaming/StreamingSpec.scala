@@ -31,6 +31,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("streaming dedup: key set equals batch DISTINCT; duplicates dropped") {
+    val stream = EventsStream.fromParquetDir(spark, eventsDir)
+    EventsStream.replayToMemory(
+      EventsStream.dedupKeys(stream, Seq("user_id", "event_type")),
+      "dedup_sink", OutputMode.Append())
+    val streamed = spark.table("dedup_sink").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val batch = Tables.load(spark, sf, "events")
+      .select("user_id", "event_type").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // exactly one row per distinct key (duplicates dropped, none invented)
+    assert(streamed.length === streamed.distinct.length)
+    assert(streamed.toSet === batch.toSet)
+    // the corpus genuinely contains duplicates for this key pair
+    assert(batch.length < Tables.load(spark, sf, "events").count())
+  }
+
   test("session windows: per-user sessions respect the gap") {
     val stream = EventsStream.fromParquetDir(spark, eventsDir)
     EventsStream.replayToMemory(
