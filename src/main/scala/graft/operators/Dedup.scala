@@ -38,11 +38,15 @@ object Dedup {
     * ever grow chain-shaped). */
   def dupClusters(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
-    val fwd = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     // eager localCheckpoint, not persist: iterative plans must TRUNCATE
     // lineage each round or planning cost (and the printed plan) grows as
     // nested cached subtrees — the same discipline GraphX/ALS apply. A
     // reliable checkpoint dir replaces localCheckpoint on a real cluster.
+    // Pairs are materialized BEFORE the union mirrors them: the union
+    // references the relation twice, and un-checkpointed that re-runs the
+    // whole (expensive) pair-detection pipeline once per reference.
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint(true)
+    val fwd = p.select(col("doc_a").as("src"), col("doc_b").as("dst"))
     val edges = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
     var labels = edges.select(col("src").as("doc_id")).distinct()
