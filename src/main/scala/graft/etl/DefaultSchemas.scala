@@ -50,7 +50,7 @@ object DefaultSchemas {
     WHERE metadata.lat IS NOT NULL AND metadata.lng IS NOT NULL
   """
 
-  /** Extended 33-column output: every grade system / type flag, 6 path
+  /** Extended 34-column output: every grade system / type flag, 6 path
     * levels, the whole-array pathTokens passthrough (P4), and the extra
     * content fields (examples/schema-extended.sql:4-53 behavior). */
   val extended: String = """

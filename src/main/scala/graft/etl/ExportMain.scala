@@ -21,10 +21,13 @@ object ExportMain {
       .map(p => java.nio.file.Files.readString(java.nio.file.Paths.get(p)))
       .getOrElse(DefaultSchemas.canonical)
     val spark = graft.GraftSession.create()
-    try sys.exit(run(spark,
-      GraphQlApi.fetchAllAreas(FetchClient.httpTransport(120000), _),
-      config, schemaSql, outDir))
-    finally spark.stop()
+    // System.exit does not unwind the stack, so stop() must happen first
+    val code =
+      try run(spark,
+        GraphQlApi.fetchAllAreas(FetchClient.httpTransport(120000), _),
+        config, schemaSql, outDir)
+      finally spark.stop()
+    sys.exit(code)
   }
 
   /** Fetch via `fetchAreas(apiUrl)`, flatten, and export. Returns the

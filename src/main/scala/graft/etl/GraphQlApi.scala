@@ -37,7 +37,16 @@ query GetCountries {
 
   /** Areas-with-climbs query: leaf areas under a country's path token,
     * offset-paginated (reference export.py:28-68 — the selection set is the
-    * API contract, reproduced as-is). */
+    * API contract, reproduced as-is).
+    *
+    * Deliberately reference-parity: like export.py, the selection fetches
+    * only grades{yds vscale french}, the five core type flags, and
+    * content{description}. The extended-schema fields beyond that
+    * (ewbank/uiaa/za/british grades, mixed/ice/snow/aid flags,
+    * content.location/protection) parse as NULL and surface through their
+    * COALESCE defaults — exactly what the reference produces when its
+    * schema-extended.sql runs over its own fetch. Widening the selection
+    * set is a one-string change here if the upstream API offers them. */
   val AreasQuery: String = """
 query GetAreas($tokens: [String!]!, $limit: Int!, $offset: Int!) {
   areas(filter: {leaf_status: {isLeaf: true}, path_tokens: {tokens: $tokens}}, limit: $limit, offset: $offset) {
@@ -176,14 +185,24 @@ query GetAreas($tokens: [String!]!, $limit: Int!, $offset: Int!) {
   /** Fetch the country list (hard-fail), then every country's areas
     * (soft-fail per unit) — export.py:160-192. Returns raw area JSON
     * strings ready for [[JsonSource.fromRecords]]. */
-  def fetchAllAreas(transport: FetchClient.Transport, apiUrl: String,
-      pageSize: Int = AreasPageSize,
-      policy: FetchClient.RetryPolicy = FetchClient.RetryPolicy()): Seq[String] = {
-    val (status, body) = transport(apiUrl, countriesBody)
+  /** The countries request with the same retry ladder as page fetches
+    * (an improvement over export.py:164-168's bare POST: transient
+    * 502/timeouts retry instead of hard-failing the whole export; a
+    * still-failing request then hard-fails as before). */
+  private def fetchCountries(transport: FetchClient.Transport, apiUrl: String,
+      policy: FetchClient.RetryPolicy): Seq[String] = {
+    val (status, body) =
+      FetchClient.postWithRetry(transport, apiUrl, countriesBody, policy)
     if (status != 200)
       throw new RuntimeException(
         s"Countries query failed: $status ${body.take(500)}")
-    val countries = parseCountries(body) // GraphQlErrors propagates: hard
+    parseCountries(body) // GraphQlErrors propagates: hard
+  }
+
+  def fetchAllAreas(transport: FetchClient.Transport, apiUrl: String,
+      pageSize: Int = AreasPageSize,
+      policy: FetchClient.RetryPolicy = FetchClient.RetryPolicy()): Seq[String] = {
+    val countries = fetchCountries(transport, apiUrl, policy)
     System.err.println(s"[fetch] ${countries.size} countries")
     FetchClient.fetchUnits(countries)(
       fetchCountryAreas(transport, apiUrl, _, pageSize, policy))
@@ -202,11 +221,7 @@ query GetAreas($tokens: [String!]!, $limit: Int!, $offset: Int!) {
       policy: FetchClient.RetryPolicy = FetchClient.RetryPolicy(),
       parallelism: Int = 8): org.apache.spark.sql.Dataset[String] = {
     import spark.implicits._
-    val (status, body) = mkTransport()(apiUrl, countriesBody)
-    if (status != 200)
-      throw new RuntimeException(
-        s"Countries query failed: $status ${body.take(500)}")
-    val countries = parseCountries(body)
+    val countries = fetchCountries(mkTransport(), apiUrl, policy)
     spark.createDataset(countries)
       .repartition(math.min(parallelism, math.max(1, countries.size)))
       .mapPartitions { cs =>

@@ -17,9 +17,11 @@ object Parquet2JsonMain {
       sys.exit(1)
     }
     val spark = graft.GraftSession.create()
-    try sys.exit(run(spark, args(0),
-      args.lift(1).getOrElse("openbeta-climbs.parquet")))
-    finally spark.stop()
+    // System.exit does not unwind the stack, so stop() must happen first
+    val code =
+      try run(spark, args(0), args.lift(1).getOrElse("openbeta-climbs.parquet"))
+      finally spark.stop()
+    sys.exit(code)
   }
 
   /** Convert `input` parquet to `output`; returns the exit code. */

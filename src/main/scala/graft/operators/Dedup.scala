@@ -69,6 +69,10 @@ object Dedup {
       labels = next
       round += 1
     }
+    // a component with diameter > maxRounds would return partially-merged
+    // labels: surface it rather than silently emitting wrong clusters
+    require(changed == 0,
+      s"dupClusters did not converge in $maxRounds rounds ($changed labels still changing); raise maxRounds")
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))

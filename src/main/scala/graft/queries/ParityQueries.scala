@@ -51,16 +51,20 @@ object ParityQueries {
   private val stagedEvents =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Stage the ns-timestamp events as a stream-readable µs parquet dir
+    * once per sf dir (re-runs in the same JVM replay the same input). */
+  private def stagedEventsDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedEvents.getOrElseUpdate(dir, {
+      val t = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
+      Tables.load(spark, dir, "events").write.mode("overwrite").parquet(t)
+      t
+    })
+
   val q39 = Q(
     "q39_stream_hourly",
     (spark, dir) => {
-      // stage the ns-timestamp events as a stream-readable µs parquet dir
-      // once per sf dir (re-runs in the same JVM replay the same input)
-      val tmp = stagedEvents.getOrElseUpdate(dir, {
-        val t = java.nio.file.Files.createTempDirectory("graft-q39").toString
-        Tables.load(spark, dir, "events").write.mode("overwrite").parquet(t)
-        t
-      })
+      val tmp = stagedEventsDir(spark, dir)
       EventsStream.replayToMemory(
         EventsStream.tumblingCounts(EventsStream.fromParquetDir(spark, tmp)),
         "q39_stream_hourly_sink", OutputMode.Complete(),
@@ -80,11 +84,7 @@ object ParityQueries {
   val q54 = Q(
     "q54_stream_dedup",
     (spark, dir) => {
-      val tmp = stagedEvents.getOrElseUpdate(dir, {
-        val t = java.nio.file.Files.createTempDirectory("graft-q39").toString
-        Tables.load(spark, dir, "events").write.mode("overwrite").parquet(t)
-        t
-      })
+      val tmp = stagedEventsDir(spark, dir)
       EventsStream.replayToMemory(
         EventsStream.dedupKeys(EventsStream.fromParquetDir(spark, tmp),
           Seq("user_id", "event_type")),

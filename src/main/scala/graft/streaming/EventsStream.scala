@@ -71,8 +71,16 @@ object EventsStream {
     * `dropDuplicatesWithinWatermark` keeps per-key state only until the
     * watermark passes (bounded state on an unbounded stream), unlike plain
     * `dropDuplicates`, whose state grows with distinct keys forever.
-    * Emitting only the key columns makes the result a deterministic SET —
-    * equal to batch `SELECT DISTINCT keys` regardless of arrival order. */
+    *
+    * The bounded state is a CONTRACT, not just an optimization: a key
+    * recurring more than `watermark` after its state was evicted re-emits
+    * (that is the standard streaming-dedup semantics — exact global
+    * distinct on an unbounded stream needs unbounded state). The output
+    * equals batch `SELECT DISTINCT keys` when the input is replayed as a
+    * single micro-batch (AvailableNow over one staged dir with no
+    * maxFilesPerTrigger — q54's configuration) or whenever no key gap
+    * exceeds the horizon. Emitting only the key columns keeps the result
+    * a deterministic set under any arrival order within a batch. */
   def dedupKeys(events: DataFrame, keys: Seq[String],
       watermark: String = "24 hours"): DataFrame =
     events
