@@ -1,6 +1,7 @@
 package graft.etl
 
 import com.fasterxml.jackson.databind.ObjectMapper
+import org.apache.spark.sql.functions.col
 
 import graft.SparkSpec
 
@@ -222,6 +223,29 @@ class GraphQlExportSpec extends SparkSpec {
 
     // missing input → exit 1
     assert(Parquet2JsonMain.run(spark, s"$dir/x.json", s"$dir/absent.parquet") === 1)
+  }
+
+  test("extended schema over the fetch path: unfetched fields surface as defaults") {
+    // the AREAS_QUERY selection set (reference parity) does not fetch the
+    // extended-only fields; through the REAL fetch→enrich→transform path
+    // they must come out as their COALESCE defaults, not errors
+    val dir = tmpDir("graft-export-ext")
+    val code = ExportMain.run(spark,
+      GraphQlApi.fetchAllAreas(fakeTransport, _, pageSize = 2,
+        FetchClient.RetryPolicy(backoffMs = 1)),
+      GraftConfig(apiUrl = "http://x", outputFilename = "ext.parquet"),
+      schemaSql = DefaultSchemas.extended, outDir = dir)
+    assert(code === 0)
+    val out = spark.read.parquet(s"$dir/ext.parquet")
+    assert(out.columns.length === 34)
+    val r = out.filter(col("climb_id") === "cl-own").head()
+    assert(r.getAs[String]("grade_yds") === "5.9")   // fetched
+    assert(r.getAs[String]("grade_ewbank") === "")   // unfetched → default
+    assert(r.getAs[Boolean]("is_sport"))             // fetched
+    assert(!r.getAs[Boolean]("is_ice"))              // unfetched → default
+    assert(r.getAs[String]("protection") === "")     // unfetched → default
+    assert(r.getAs[Seq[String]]("full_location_path") ===
+      Seq("USA", "Utah", "IC", "Buttress"))
   }
 
   // -- extended schema golden (P4 whole-array passthrough) ------------------
