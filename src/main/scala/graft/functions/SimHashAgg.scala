@@ -5,7 +5,7 @@ import java.nio.ByteBuffer
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,9 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * groupBy-sum), this computes the whole signature in ONE pass: no 64× row
   * expansion before the shuffle, one 64-int vote buffer per group, and
   * map-side partial merge is an elementwise add — the shape that scales to
-  * billions of documents. Hash and vote rule match the compositional
-  * `xxhash64(tok)` formulation exactly (seed 42, strict `votes > 0`), so
-  * both produce identical signatures.
+  * billions of documents. The per-token hash is [[SimHashAgg.tokenHash64]]
+  * (md5-derived, engine-portable) and the vote rule is strict `votes > 0`,
+  * matching both the compositional explode formulation and the DuckDB
+  * oracle bit-for-bit.
   */
 case class SimHashAgg(
     child: Expression,
@@ -33,9 +34,7 @@ case class SimHashAgg(
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {
     val v = child.eval(input)
     if (v != null) {
-      // Spark's xxhash64(col) default seed, so signatures are comparable
-      // with hashes computed via the SQL function.
-      val h = XxHash64Function.hash(v.asInstanceOf[UTF8String], StringType, 42L)
+      val h = SimHashAgg.tokenHash64(v.asInstanceOf[UTF8String])
       var i = 0
       while (i < 64) {
         buffer(i) += (if (((h >>> i) & 1L) == 1L) 1 else -1)
@@ -90,4 +89,21 @@ object SimHashAgg {
   /** Column API: simhash(stringCol) → BIGINT signature. */
   def simhash(c: Column): Column =
     column(SimHashAgg(expression(c)).toAggregateExpression())
+
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(() => java.security.MessageDigest.getInstance("MD5"))
+
+  /** Portable 64-bit token hash: the first 8 bytes of md5, big-endian —
+    * the same value every engine derives from md5's leading 16 hex chars,
+    * which is what lets q28's oracle recompute signatures bit-for-bit
+    * (engine-seeded xxhash64 could not be cross-checked). */
+  def tokenHash64(s: UTF8String): Long = {
+    val d = digest.get()
+    d.reset()
+    val md = d.digest(s.getBytes)
+    var h = 0L
+    var j = 0
+    while (j < 8) { h = (h << 8) | (md(j) & 0xffL); j += 1 }
+    h
+  }
 }

@@ -220,10 +220,18 @@ object Dedup {
 
   /** Compositional SimHash (explode 64 rows per token → groupBy-sum votes):
     * the reference formulation [[simHash]] is verified against — 64× the
-    * pre-shuffle rows, kept only as the test oracle for the aggregate. */
+    * pre-shuffle rows, kept only as the test oracle for the aggregate.
+    * Token hash = first 8 bytes of md5 (hi 4 bits ∥ lo 60 bits via conv,
+    * since conv of 16 hex chars can exceed Long) — identical to
+    * [[graft.functions.SimHashAgg.tokenHash64]]. */
   def simHashViaExplode(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"),
+      .select(col("doc_id"),
+        md5(col("tok").cast("binary")).as("hex"))
+      .select(col("doc_id"),
+        shiftleft(conv(substring(col("hex"), 1, 1), 16, 10).cast(LongType), 60)
+          .bitwiseOR(conv(substring(col("hex"), 2, 15), 16, 10).cast(LongType))
+          .as("h"),
         explode(sequence(lit(0), lit(63))).as("bit"))
       .select(col("doc_id"), col("bit"),
         when(expr("shiftright(h, bit)").bitwiseAND(1) === 1, 1)

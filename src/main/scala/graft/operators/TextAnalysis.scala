@@ -58,11 +58,19 @@ object TextAnalysis {
   def bpeTokens(text: Column): Column =
     regexp_extract_all(text, lit(bpePattern), lit(0))
 
+  /** Portable per-token 60-bit hash: the first 15 hex chars of md5(token).
+    * md5 is bit-identical across engines, so fingerprints built from it
+    * are oracle-checkable — unlike engine-seeded xxhash64/murmur3. */
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t.cast("binary")), 1, 15), 16, 10).cast(org.apache.spark.sql.types.LongType)
+
   /** Polynomial rolling hash over the token stream (order-sensitive
-    * document fingerprint): fold acc*31 + xxhash64(token) with Java
-    * wraparound. Engine-hash-seeded, so no cross-engine oracle. */
+    * document fingerprint): fold acc*31 + tokenHash60(token) with Java
+    * wraparound (needs non-ANSI mode; the engine's sessions set it).
+    * The same fold runs in DuckDB via list_reduce + HUGEINT mod 2^64,
+    * so q35 verifies against a real oracle. */
   def rollingHash(toks: Column): Column =
-    aggregate(transform(toks, t => xxhash64(t)), lit(0L),
+    aggregate(transform(toks, tokenHash60(_)), lit(0L),
       (acc, h) => acc * lit(31L) + h)
 
   /** Rule: first language (in [[langMarkers]] order) whose count equals the

@@ -180,11 +180,35 @@ object TextQueries {
     q26.oracle
   )
 
-  /** 64-bit SimHash signatures (Spark-hash-seeded ⇒ rows-only check). */
+  /** 64-bit SimHash signatures. The md5-derived token hash makes the
+    * signature engine-portable: the oracle recomputes the per-bit votes
+    * (64 rows per token — fine for an oracle, the Spark side stays the
+    * one-pass aggregate) and assembles the signature with HUGEINT shifts. */
   val q28 = Q(
     "q28_simhash",
     (spark, dir) => Dedup.simHash(Tables.load(spark, dir, "documents")),
-    None
+    Some(s"""WITH u AS (
+        SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+      h AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(tok), 1, 1))::BIGINT AS hi,
+          ('0x' || substr(md5(tok), 2, 15))::BIGINT AS lo
+        FROM u),
+      v AS (
+        SELECT doc_id, i,
+          SUM(CASE WHEN (CASE WHEN i < 60 THEN (lo >> i) & 1
+                              ELSE (hi >> (i - 60)) & 1 END) = 1
+              THEN 1 ELSE -1 END) AS votes
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+        GROUP BY doc_id, i),
+      s AS (
+        SELECT doc_id,
+          SUM(CASE WHEN votes > 0 THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS r
+        FROM v GROUP BY doc_id)
+    SELECT doc_id,
+      CAST(CASE WHEN r >= 9223372036854775808::HUGEINT
+                THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS simhash
+    FROM s""")
   )
 
   /** BPE-ish token counting alongside whitespace tokens. */
@@ -207,8 +231,9 @@ object TextQueries {
     FROM documents""")
   )
 
-  /** Order-sensitive rolling-hash fingerprint (engine-hash-seeded ⇒
-    * rows-only check; determinism is spec-tested). */
+  /** Order-sensitive rolling-hash fingerprint. The md5-based token hash
+    * makes the fold engine-portable: the oracle reproduces the exact
+    * Java-wraparound arithmetic with HUGEINT mod 2^64. */
   val q35 = Q(
     "q35_rolling_fingerprint",
     (spark, dir) => {
@@ -217,7 +242,18 @@ object TextQueries {
         .select(col("doc_id"), TA.rollingHash(col("toks")).as("fingerprint"),
           size(col("toks")).as("n_tokens"))
     },
-    None
+    Some(s"""SELECT doc_id,
+      CAST(CASE WHEN r >= 9223372036854775808::HUGEINT
+                THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS fingerprint,
+      CAST(len($sqlToks) AS INTEGER) AS n_tokens
+    FROM (
+      SELECT doc_id, text,
+        CASE WHEN len($sqlToks) = 0 THEN 0::HUGEINT
+        ELSE list_reduce(
+          list_transform($sqlToks, t -> (('0x' || substr(md5(t), 1, 15))::BIGINT)::HUGEINT),
+          (a, h) -> (a * 31 + h) % 18446744073709551616::HUGEINT)
+        END AS r
+      FROM documents)""")
   )
 
   /** Scrub/normalize pass (the PII-redaction shape): digit runs become a
