@@ -189,5 +189,12 @@ object GraftFunctions {
       args => FloatVecCosine(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       args => FloatVecNorm(args.head), "built-in")
+    // the custom aggregates, reachable from plain SQL:
+    //   SELECT doc_id, simhash(tok), minhash(shingle, 32) ... GROUP BY doc_id
+    reg.createOrReplaceTempFunction("simhash",
+      args => SimHashAgg(args.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("minhash",
+      args => MinHashAgg(args.head,
+        args(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
   }
 }

@@ -27,6 +27,17 @@ class GraftSessionSpec extends SparkSpec {
       """SELECT r_name, COUNT(*) AS n FROM nation JOIN region
          ON n_regionkey = r_regionkey GROUP BY r_name""").count()
     assert(n === 5)
+    // custom aggregates from plain SQL: simhash + minhash over tokens
+    val agg = spark.sql(
+      """SELECT doc_id, simhash(tok) AS sh, minhash(tok, 8) AS mh
+         FROM (SELECT doc_id, explode(split(trim(text), '\\s+')) AS tok
+               FROM documents)
+         GROUP BY doc_id LIMIT 3""").collect()
+    assert(agg.length === 3)
+    agg.foreach { r =>
+      assert(!r.isNullAt(1))
+      assert(r.getSeq[Long](2).length === 8)
+    }
   }
 
   test("describe exposes column names and types (M1/M2)") {
