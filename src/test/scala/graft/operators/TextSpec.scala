@@ -117,6 +117,34 @@ class TextSpec extends SparkSpec {
     assert(got2.values.toSet === Set(20L))
   }
 
+  test("dupClusters equals a driver-side union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 30
+      val edges = Seq.fill(25)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+        .distinct
+      // union-find reference with min-root unions: the final root of every
+      // node is exactly its component's minimum element
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = {
+        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+
+      val docs = (0 until n).map(_.toLong).toDF("doc_id")
+      val pairs = edges.toDF("doc_a", "doc_b")
+      val got = Dedup.dupClusters(docs, pairs).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === expected)
+    }
+  }
+
   test("identical texts get identical shingle fingerprints; different texts differ") {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
