@@ -95,6 +95,27 @@ object ParityQueries {
     Some("SELECT DISTINCT user_id, event_type FROM events")
   )
 
+  /** Stream-stream interval self-join replayed over events: per-user
+    * follow-up pairs within 5 minutes, watermark-bounded buffers on both
+    * sides. The (lead_id, follow_id) set hash-matches the batch interval
+    * join oracle. */
+  val q57 = Q(
+    "q57_stream_follow_join",
+    (spark, dir) => {
+      val tmp = stagedEventsDir(spark, dir)
+      val src = EventsStream.fromParquetDir(spark, tmp)
+      EventsStream.replayToMemory(
+        EventsStream.followWithin(src, EventsStream.fromParquetDir(spark, tmp)),
+        "q57_stream_follow_sink", OutputMode.Append(),
+        statePartitions = Some(8))
+      spark.table("q57_stream_follow_sink")
+    },
+    Some("""SELECT a.event_id AS lead_id, b.event_id AS follow_id
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE""")
+  )
+
   /** Salted two-phase aggregation over the (low-cardinality, therefore
     * skew-prone) event_type key — result-identical to the direct groupBy,
     * which is exactly what the oracle verifies. */
@@ -217,5 +238,5 @@ object ParityQueries {
     FROM customer""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54)
+  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57)
 }

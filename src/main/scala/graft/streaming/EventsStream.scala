@@ -88,6 +88,30 @@ object EventsStream {
       .dropDuplicatesWithinWatermark(keys)
       .select(keys.map(col): _*)
 
+  /** Stream-stream interval join: each event joins the SAME user's events
+    * arriving within `horizon` after it (follow-up detection — the shape
+    * behind funnel/attribution pipelines). Both sides are watermarked and
+    * the join condition carries the time bound, so Spark buffers each side
+    * only `horizon`+watermark long — bounded state on two unbounded
+    * streams. Output (lead_id, follow_id) pairs are a deterministic set:
+    * equal to the batch interval self-join whenever the replay's watermark
+    * covers the data (single-batch AvailableNow, as in q57). */
+  def followWithin(lead: DataFrame, follow: DataFrame,
+      horizon: String = "5 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = lead.withWatermark("ts", watermark)
+      .select(col("event_id").as("lead_id"), col("user_id").as("lead_user"),
+        col("ts").as("lead_ts"))
+    val f = follow.withWatermark("ts", watermark)
+      .select(col("event_id").as("follow_id"), col("user_id").as("follow_user"),
+        col("ts").as("follow_ts"))
+    l.join(f,
+      col("lead_user") === col("follow_user") &&
+        col("follow_ts") > col("lead_ts") &&
+        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $horizon"))
+      .select(col("lead_id"), col("follow_id"))
+  }
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
     user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,

@@ -48,6 +48,25 @@ class StreamingSpec extends SparkSpec {
     assert(batch.length < Tables.load(spark, sf, "events").count())
   }
 
+  test("stream-stream interval join equals the batch interval self-join") {
+    EventsStream.replayToMemory(
+      EventsStream.followWithin(
+        EventsStream.fromParquetDir(spark, eventsDir),
+        EventsStream.fromParquetDir(spark, eventsDir)),
+      "follow_sink", OutputMode.Append())
+    val streamed = spark.table("follow_sink").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ev = Tables.load(spark, sf, "events")
+    val batch = ev.as("a").join(ev.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("b.ts") > col("a.ts") &&
+          col("b.ts") <= col("a.ts") + expr("INTERVAL 5 minutes"))
+      .select(col("a.event_id"), col("b.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session windows: per-user sessions respect the gap") {
     val stream = EventsStream.fromParquetDir(spark, eventsDir)
     EventsStream.replayToMemory(
