@@ -94,11 +94,14 @@ object Bench {
     // so the first timed query isn't charged for JVM/session init.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
-    // Best of two runs per query: min-of-N reports the plan's intrinsic
-    // cost, not transient scheduler hiccups. A failing query reports -1,
-    // never a misleading time-to-failure.
+    // Best of three runs per query: min-of-N reports the plan's intrinsic
+    // cost, not transient scheduler hiccups — this VM carries time-varying
+    // co-tenant load that can inflate a whole pass 2×, so more samples
+    // matter more than per-sample cost. A failing query reports -1, never
+    // a misleading time-to-failure.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to 2).flatMap { _ =>
+      val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
