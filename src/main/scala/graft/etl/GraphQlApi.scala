@@ -92,6 +92,32 @@ query GetAreas($tokens: [String!]!, $limit: Int!, $offset: Int!) {
   /** Max page size the API allows (export.py:71). */
   val AreasPageSize: Int = 500
 
+  /** Single-area-by-uuid query (the reference's smoke-test fetch,
+    * test-export.py:11-33) — same climb selection set as [[AreasQuery]]. */
+  def areaQuery(uuid: String): String = s"""
+query {
+  area(uuid: "$uuid") {
+    uuid
+    area_name
+    pathTokens
+    metadata { lat lng }
+    climbs {
+      uuid
+      name
+      fa
+      length
+      boltsCount
+      grades { yds vscale french }
+      type { sport trad bouldering alpine tr }
+      safety
+      metadata { lat lng }
+      content { description }
+      pathTokens
+    }
+  }
+}
+"""
+
   /** A response carrying a GraphQL `errors` key (C4). */
   final case class GraphQlErrors(detail: String)
     extends Exception(s"GraphQL errors: $detail")
@@ -129,6 +155,34 @@ query GetAreas($tokens: [String!]!, $limit: Int!, $offset: Int!) {
         a.elements().asScala.map(_.path("areaName").asText()).toSeq
       case _ => Seq.empty
     }
+  }
+
+  /** POST body for a single-area fetch. */
+  def areaBody(uuid: String): String = {
+    val root = mapper.createObjectNode()
+    root.put("query", areaQuery(uuid))
+    mapper.writeValueAsString(root)
+  }
+
+  /** Unpack a single-area envelope (`data.area`) → the area's raw JSON,
+    * or None when absent. Throws [[GraphQlErrors]] on an `errors` key
+    * (test-export.py:46-48 exits on it). */
+  def parseArea(body: String): Option[String] = {
+    val root = mapper.readTree(body)
+    if (root.has("errors")) throw GraphQlErrors(root.get("errors").toString)
+    val area = root.path("data").path("area")
+    if (area.isMissingNode || area.isNull) None else Some(area.toString)
+  }
+
+  /** Fetch one area by uuid (the reference's smoke-test path). */
+  def fetchArea(transport: FetchClient.Transport, apiUrl: String,
+      uuid: String,
+      policy: FetchClient.RetryPolicy = FetchClient.RetryPolicy()): Option[String] = {
+    val (status, body) =
+      FetchClient.postWithRetry(transport, apiUrl, areaBody(uuid), policy)
+    if (status != 200)
+      throw new RuntimeException(s"Area query failed: $status ${body.take(500)}")
+    parseArea(body)
   }
 
   /** Unpack one areas-page envelope → raw JSON strings, one per area

@@ -106,6 +106,24 @@ class GraphQlExportSpec extends SparkSpec {
     }
   }
 
+  test("single-area fetch: body carries the uuid; envelope unpacks data.area") {
+    val b = mapper.readTree(GraphQlApi.areaBody("abc-123"))
+    assert(b.get("query").asText().contains("""area(uuid: "abc-123")"""))
+    val got = GraphQlApi.parseArea(
+      s"""{"data": {"area": ${areaJson("a1", Seq("USA"), Some(1.0), Seq.empty)}}}""")
+    assert(mapper.readTree(got.get).get("uuid").asText() === "a1")
+    assert(GraphQlApi.parseArea("""{"data": {"area": null}}""").isEmpty)
+    intercept[GraphQlApi.GraphQlErrors] {
+      GraphQlApi.parseArea("""{"errors": [{"message": "x"}]}""")
+    }
+    // through the transport with retry: one smoke area end-to-end
+    val t: FetchClient.Transport = (_, _) =>
+      (200, s"""{"data": {"area": ${areaJson("a2", Seq("USA"), None,
+        Seq(climbJson("c1", None, None)))}}}""")
+    val area = GraphQlApi.fetchArea(t, "http://x", "a2").get
+    assert(mapper.readTree(area).get("climbs").size() === 1)
+  }
+
   // -- fetch orchestration --------------------------------------------------
 
   test("per-country pagination stops on short page; soft failures keep partials") {
