@@ -30,6 +30,14 @@ case class MinHashAgg(
 
   require(numHashes > 0, "numHashes must be positive")
 
+  // analysis-time type gate: without it a LONG argument passes planning
+  // and every task dies with ClassCastException at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash expects a STRING argument, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): Array[Long] =
     Array.fill(numHashes)(Long.MaxValue)
 

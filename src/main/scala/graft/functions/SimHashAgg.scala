@@ -29,6 +29,14 @@ case class SimHashAgg(
     override val inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Int]] with UnaryLike[Expression] {
 
+  // analysis-time type gate: without it a LONG argument passes planning
+  // and every task dies with ClassCastException at runtime
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash expects a STRING argument, got ${child.dataType.simpleString}")
+
   override def createAggregationBuffer(): Array[Int] = new Array[Int](64)
 
   override def update(buffer: Array[Int], input: InternalRow): Array[Int] = {

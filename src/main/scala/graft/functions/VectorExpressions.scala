@@ -28,18 +28,23 @@ trait FloatVecExpression { self: Expression =>
         inputs.map(_.simpleString).mkString(", "))
 }
 
-/** dot(a, b): Σ a_i·b_i in double precision (sequential, deterministic). */
+/** dot(a, b): Σ a_i·b_i in double precision (sequential, deterministic).
+  * Mismatched vector lengths yield NULL — a truncated similarity over the
+  * shared prefix would be a plausible-looking wrong answer that could rank
+  * a corrupt embedding into top-k results undetected. */
 case class FloatVecDot(left: Expression, right: Expression)
   extends BinaryExpression with FloatVecExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     checkFloatArrays(Seq(left.dataType, right.dataType))
   override def prettyName: String = "vec_dot"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -55,12 +60,16 @@ case class FloatVecDot(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += (double)$a.getFloat($i) * (double)$b.getFloat($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -69,18 +78,21 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
-/** cosine(a, b): dot / (‖a‖·‖b‖) in one pass; 0.0 when either norm is 0. */
+/** cosine(a, b): dot / (‖a‖·‖b‖) in one pass; 0.0 when either norm is 0;
+  * NULL on mismatched vector lengths (see [[FloatVecDot]]). */
 case class FloatVecCosine(left: Expression, right: Expression)
   extends BinaryExpression with FloatVecExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     checkFloatArrays(Seq(left.dataType, right.dataType))
   override def prettyName: String = "vec_cosine"
+  override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
@@ -107,15 +119,19 @@ case class FloatVecCosine(left: Expression, right: Expression)
       val xv = ctx.freshName("xv")
       val yv = ctx.freshName("yv")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xv = (double)$a.getFloat($i);
-         |  double $yv = (double)$b.getFloat($i);
-         |  $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xv = (double)$a.getFloat($i);
+         |    double $yv = (double)$b.getFloat($i);
+         |    $dot += $xv * $yv; $na += $xv * $xv; $nb += $yv * $yv;
+         |  }
+         |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 
@@ -194,7 +210,14 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction("simhash",
       args => SimHashAgg(args.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash",
-      args => MinHashAgg(args.head,
-        args(1).eval().asInstanceOf[Int]).toAggregateExpression(), "built-in")
+      args => {
+        val k = args(1).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt // BIGINT literals arrive as Long
+          case other => throw new IllegalArgumentException(
+            s"minhash(col, k): k must be an integer literal, got $other")
+        }
+        MinHashAgg(args.head, k).toAggregateExpression()
+      }, "built-in")
   }
 }

@@ -50,8 +50,13 @@ object AsofJoin {
       if (rTagged.columns.contains(c)) col(c) else lit(null).as(c)
     }: _*)
 
+    // `_r` as the final sort key: right rows sharing (key, _t) would
+    // otherwise be picked in physical-row order (nondeterministic across
+    // runs/partitionings); ordering by the attach struct makes the
+    // greatest attach tuple the deterministic winner. `_r` is null on left
+    // rows, whose relative order is irrelevant (their _r is ignored).
     val w = Window.partitionBy(col(key))
-      .orderBy(col("_t"), col("_side"))
+      .orderBy(col("_t"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     lTagged.unionByName(rAligned)

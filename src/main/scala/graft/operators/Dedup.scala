@@ -95,18 +95,11 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = persisted(shingleRows(docs))
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    inter
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    jaccardFromCommon(sh, inter).filter(col("jaccard") >= threshold)
   }
 
   /** The shingle relation feeds several consumers (frequency ranking,
@@ -136,8 +129,13 @@ object Dedup {
           .orderBy(col("df"), col("shingle"))))
       .withColumn("n_shingles", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
+    // +1e-9 before floor: (1-t)*n computed in floating point can land just
+    // BELOW a mathematically-integer value (0.1*10 = 0.9999999999999998),
+    // and truncating there shortens the prefix below the lossless minimum
+    // ⌊(1-t)n⌋+1 — silently dropping true pairs. The epsilon can only ever
+    // lengthen the prefix (still lossless, marginal extra candidates).
     val prefixes = ranked.filter(
-      col("rank") <= floor(lit(1.0 - threshold) * col("n_shingles")) + 1)
+      col("rank") <= floor(lit(1.0 - threshold) * col("n_shingles") + lit(1e-9)) + 1)
       .select(col("doc_id"), col("shingle"))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
@@ -167,6 +165,9 @@ object Dedup {
 
   private def minHashCandidates0(sigs: DataFrame, k: Int,
       rowsPerBand: Int): DataFrame = {
+    require(k % rowsPerBand == 0,
+      s"k=$k must be a multiple of rowsPerBand=$rowsPerBand — a remainder " +
+        "would silently drop signature positions from banding")
     val nBands = k / rowsPerBand
     val bandStructs = (0 until nBands).map { j =>
       struct(lit(j).as("band"),
@@ -195,14 +196,22 @@ object Dedup {
     * pairs — the verify stage of MinHash-LSH. Takes the (persisted)
     * shingle relation so candidate generation and verify share one pass. */
   private def jaccardPairs0(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
-    cand
+    val common = cand
       .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
         Seq("doc_b"))
       .filter(col("shingle") === col("shingle_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
+    jaccardFromCommon(sh, common)
+  }
+
+  /** The shared Jaccard arithmetic: attach per-doc set sizes to a
+    * (doc_a, doc_b, n_common) relation and compute |∩|/|∪|. Single source
+    * of truth for the formula across the exhaustive and verify paths. */
+  private def jaccardFromCommon(sh: DataFrame, common: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
       .withColumn("jaccard",

@@ -44,8 +44,13 @@ object Similarity {
       .limit(k)
 
   /** Deterministic random hyperplanes: nPlanes × dim gaussians from a
-    * seeded PRNG (driver-side constants, folded into the plan). */
+    * seeded PRNG (driver-side constants, folded into the plan). Capped at
+    * 63 planes: bucket ids are one bit per plane in a signed Long, and
+    * `1L << 64` silently wraps to 1 — planes past 63 would alias earlier
+    * bit positions and quietly break the (1−θ/π)^r collision model. */
   def hyperplanes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    require(nPlanes >= 1 && nPlanes <= 63,
+      s"nPlanes=$nPlanes out of [1, 63]: bucket bits live in a signed Long")
     val rnd = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
   }
@@ -156,14 +161,21 @@ object Similarity {
     * keeps recall high in the near-dup regime (collision prob per table
     * (1−θ/π)^r, amplified to 1−(1−p)^L). At cluster scale (table, bucket)
     * is the shuffle key and bucket population stays bounded. */
+  /** One Spark job probing the corpus' vector dimension; None on an empty
+    * corpus (shared by both near-dup variants). */
+  private def probeDim(emb: DataFrame): Option[Int] =
+    emb.select(col("embedding")).head(1).headOption
+      .map(_.getSeq[Float](0).length)
+
+  /** The empty-corpus degenerate result: an empty (vec_a, vec_b, cosine)
+    * relation with the right schema. */
+  private def emptyPairs(emb: DataFrame): DataFrame =
+    emb.limit(0).select(col("vec_id").as("vec_a"),
+      col("vec_id").as("vec_b"), lit(0.0).as("cosine"))
+
   def cosineNearDupPairsBanded(emb: DataFrame, planesPerTable: Int,
       nTables: Int, seed: Long, threshold: Double): DataFrame = {
-    val first = emb.select(col("embedding")).head(1)
-    if (first.isEmpty) {
-      return emb.limit(0).select(col("vec_id").as("vec_a"),
-        col("vec_id").as("vec_b"), lit(0.0).as("cosine"))
-    }
-    val dim = first.head.getSeq[Float](0).length
+    val dim = probeDim(emb).getOrElse(return emptyPairs(emb))
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(planesPerTable, dim, seed + t)
       struct(lit(t).as("tbl"), lshBucket(col("embedding"), planes).as("bucket"))
@@ -192,13 +204,7 @@ object Similarity {
     * product), then thresholded on exact cosine. */
   def cosineNearDupPairs(emb: DataFrame, nPlanes: Int, seed: Long,
       threshold: Double): DataFrame = {
-    val first = emb.select(col("embedding")).head(1)
-    if (first.isEmpty) {
-      // empty corpus degrades to an empty pair set, like every other op here
-      return emb.limit(0).select(col("vec_id").as("vec_a"),
-        col("vec_id").as("vec_b"), lit(0.0).as("cosine"))
-    }
-    val dim = first.head.getSeq[Float](0).length
+    val dim = probeDim(emb).getOrElse(return emptyPairs(emb))
     val planes = hyperplanes(nPlanes, dim, seed)
     val b = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), planes).as("bucket"))

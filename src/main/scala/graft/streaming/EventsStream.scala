@@ -60,7 +60,11 @@ object EventsStream {
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      // decimal-exact like tumblingCounts: session-merge order across
+      // micro-batches must not perturb the sum
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 10))).cast(DoubleType)
+          .as("total_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"),
         col("n_events"), col("total_value"))

@@ -38,6 +38,14 @@ class GraftSessionSpec extends SparkSpec {
       assert(!r.isNullAt(1))
       assert(r.getSeq[Long](2).length === 8)
     }
+    // BIGINT k literal accepted; wrong argument type fails at ANALYSIS,
+    // not as a runtime ClassCastException on executors
+    assert(spark.sql(
+      """SELECT minhash(lang, CAST(4 AS BIGINT)) AS m FROM documents""")
+      .collect().head.getSeq[Long](0).length === 4)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash(doc_id) FROM documents").collect()
+    }
   }
 
   test("describe exposes column names and types (M1/M2)") {

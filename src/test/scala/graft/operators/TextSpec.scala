@@ -99,6 +99,20 @@ class TextSpec extends SparkSpec {
     assert(m(1L) !== m(2L))   // reversed order -> different fingerprint
   }
 
+  test("prefix filter stays lossless at thresholds where (1-t)*n is integral") {
+    // t=0.8, 5-shingle docs: (1-t)*n = 0.9999999999999999 in FP — a naive
+    // floor would shorten the prefix to 1 and can miss true pairs. Doc b =
+    // doc a minus one shingle gives J = 4/5 = 0.8 exactly.
+    val a = "w1 w2 w3 w4 w5 w6 w7" // 5 shingles
+    val b = "w2 w3 w4 w5 w6 w7"    // 4 shingles, all shared with a
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+    val naive = Dedup.jaccardPairs(docs, 0.8).collect()
+    val prefix = Dedup.jaccardPairsPrefix(docs, 0.8).collect()
+    assert(naive.length === 1)
+    assert(prefix.map(r => (r.getLong(0), r.getLong(1))).toSet ===
+      naive.map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("dupClusters: min-label components over pairs; singletons keep their id") {
     // components: {1,2,3} (chain), {10,11}, singletons 4,5
     val docs = Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L).toDF("doc_id")

@@ -45,6 +45,19 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("mismatched vector lengths yield NULL, not a truncated similarity") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq(
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f, 3.0f)),
+      (Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+      .select(graft.functions.VecCols.dot(col("a"), col("b")).as("d"),
+        graft.functions.VecCols.cosine(col("a"), col("b")).as("c"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) === 14.0 && math.abs(rows(0).getDouble(1) - 1.0) < 1e-12)
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+  }
+
   test("LSH bucketing is deterministic and buckets partition the corpus") {
     val planes = Similarity.hyperplanes(4, local(0L).length, 42L)
     val b1 = emb.select(col("vec_id"),
