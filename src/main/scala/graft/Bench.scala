@@ -34,15 +34,19 @@ object Bench {
     pb.environment().put("GRAFT_BENCH_INNER", "1")
     pb.redirectError(ProcessBuilder.Redirect.INHERIT)
     val proc = pb.start()
-    // Drain stdout fully before waitFor to avoid pipe-buffer deadlock.
-    val out = scala.io.Source.fromInputStream(proc.getInputStream).getLines().toList
+    // Stream-scan stdout (don't buffer the whole child output) and relay
+    // every metric line in order: the full per-query line first, then the
+    // compact summary. The compact line must be LAST so the caller's
+    // tail-capture window always contains a complete, parseable total.
+    var sawMetric = false
+    scala.io.Source.fromInputStream(proc.getInputStream).getLines().foreach { line =>
+      if (line.startsWith("{\"metric\"")) { sawMetric = true; println(line) }
+      else System.err.println(line)
+    }
     val rc = proc.waitFor()
-    out.find(_.startsWith("{\"metric\"")) match {
-      case Some(line) => println(line)
-      case None =>
-        out.foreach(System.err.println)
-        System.err.println(s"[bench] inner spark-submit rc=$rc produced no metric line")
-        sys.exit(1)
+    if (!sawMetric) {
+      System.err.println(s"[bench] inner spark-submit rc=$rc produced no metric line")
+      sys.exit(1)
     }
   }
 
@@ -116,7 +120,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Full line (per-query map) first, durable copy on disk, then a short
+    // summary line that a bounded tail-capture window can never clip —
+    // round 1/2 drivers recorded parsed:null because the 57-query line's
+    // head (including the total) fell outside their capture window.
+    println(full)
+    try {
+      val w = new java.io.PrintWriter("bench.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

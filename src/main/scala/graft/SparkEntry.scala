@@ -18,4 +18,10 @@ object SparkEntry {
     * the same parquet tables. Omitted for hash-seeded ops (MinHash,
     * SimHash, LSH ANN) → driver records a rows-only check. */
   def oracleSql: Map[String, String] = graft.queries.Registry.oracleSql
+
+  /** Oracles whose SQL embeds data-dependent constants (e.g. q50's
+    * Spark-computed k-means centroids as literals); Verify merges these
+    * into oracle_sql.json alongside the static map. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    graft.queries.Registry.dynamicOracleSql(spark, sfDir)
 }

@@ -33,15 +33,24 @@ object MultimodalQueries {
     FROM documents""")
   )
 
-  /** Uniform frame sampling: every 5th frame index of each video. */
+  /** Uniform frame sampling: every 5th frame index of each video.
+    * The API (`frameSamplePlan`) returns one array per video; the
+    * driver-checked query EXPLODES it to (media_id, frame_idx) rows
+    * because the verify harness sorts result cells with pandas, which
+    * cannot order array values (round-2 q56 `err`). Every synthetic
+    * video has ≥1 frame, so explode drops no media_ids here.
+    */
   val q56 = Q(
     "q56_frame_sample",
-    (spark, dir) => Multimodal.frameSamplePlan(
-      Multimodal.syntheticFromDocuments(Tables.load(spark, dir, "documents")),
-      everyN = 5),
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.{col, explode}
+      Multimodal.frameSamplePlan(
+        Multimodal.syntheticFromDocuments(Tables.load(spark, dir, "documents")),
+        everyN = 5)
+        .select(col("media_id"), explode(col("frame_indices")).as("frame_idx"))
+    },
     Some("""SELECT doc_id AS media_id,
-      list_transform(generate_series(0, doc_id % 30, 5),
-        x -> CAST(x AS INTEGER)) AS frame_indices
+      CAST(unnest(generate_series(0, doc_id % 30, 5)) AS INTEGER) AS frame_idx
     FROM documents WHERE doc_id % 3 = 2""")
   )
 

@@ -16,4 +16,9 @@ object Registry {
 
   def oracleSql: Map[String, String] =
     all.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Data-dependent oracles (Q.oracleGen), built against the live session
+    * and scale-factor dir at Verify time. Disjoint from [[oracleSql]]. */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    all.flatMap(q => q.oracleGen.map(g => q.name -> g(spark, sfDir))).toMap
 }

@@ -139,27 +139,79 @@ object VectorQueries {
     GROUP BY 1""")
   )
 
+  // -- q33: banded multi-table LSH near-dup pairs, reproduced in SQL --------
+
+  /** The 4 tables × 6 planes of q33, seeds 7..10 (Similarity seeds table t
+    * with `seed + t`). */
+  private val q33Tables: Seq[Seq[Seq[Double]]] =
+    (0 until 4).map(t => Similarity.hyperplanes(nPlanes = 6, dim = 64, seed = 7L + t))
+
+  /** Per-table bucket CTEs + the union — the SQL mirror of
+    * `Similarity.cosineNearDupPairsBanded`'s bucket relation. */
+  private val q33Oracle: String = {
+    val perTable = q33Tables.zipWithIndex.map { case (planes, t) =>
+      val ps = planes.map(planeLit)
+      val unnests = ps.zipWithIndex
+        .map { case (p, i) => s"unnest($p) AS p$i" }.mkString(", ")
+      val sums = ps.indices
+        .map(i => s"SUM(CAST(ev AS DOUBLE)*p$i) AS d$i").mkString(", ")
+      val bits = ps.indices
+        .map(i => s"(CASE WHEN d$i >= 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+      s"""bu$t AS (SELECT vec_id, unnest(embedding) AS ev, $unnests FROM embeddings),
+      bd$t AS (SELECT vec_id, $sums FROM bu$t GROUP BY vec_id),
+      bk$t AS (SELECT $t AS tbl, vec_id, $bits AS bucket FROM bd$t)"""
+    }.mkString(",\n      ")
+    val union = q33Tables.indices
+      .map(t => s"SELECT * FROM bk$t").mkString(" UNION ALL ")
+    s"""WITH $perTable,
+      bk AS ($union),
+      cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+               FROM bk a JOIN bk b
+                 ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+      pe AS (SELECT c.vec_a, c.vec_b,
+               unnest(ea.embedding) AS va, unnest(eb.embedding) AS vb
+             FROM cand c
+               JOIN embeddings ea ON ea.vec_id = c.vec_a
+               JOIN embeddings eb ON eb.vec_id = c.vec_b),
+      sc AS (SELECT vec_a, vec_b,
+               SUM(CAST(va AS DOUBLE)*CAST(vb AS DOUBLE)) AS dot,
+               SUM(CAST(va AS DOUBLE)*CAST(va AS DOUBLE)) AS na2,
+               SUM(CAST(vb AS DOUBLE)*CAST(vb AS DOUBLE)) AS nb2
+             FROM pe GROUP BY vec_a, vec_b)
+      SELECT vec_a, vec_b,
+        CAST(ROUND(dot/(SQRT(na2)*SQRT(nb2)) * 1000000) AS BIGINT) AS cosine_1e6
+      FROM sc WHERE dot/(SQRT(na2)*SQRT(nb2)) >= 0.30"""
+  }
+
   /** Embedding-cosine near-duplicate pairs via banded multi-table LSH
     * (4 tables × 6 planes): candidates only from shared buckets, then
     * exact-cosine verification. The corpus is near-orthogonal random
     * vectors (max pairwise cosine ≈ 0.51), so the "near-dup" threshold is
-    * 0.30 and per-table recall is intentionally partial — rows-only here;
-    * VectorSpec proves 100% recall + bounded buckets on planted near-dups,
-    * the regime the operator exists for. */
+    * 0.30 and per-table recall is intentionally partial — no obstacle to
+    * an oracle, because the SQL embeds the same seeded plane constants and
+    * reproduces the same candidate set (the q31 technique). The checked
+    * output carries the cosine as integer micros: both engines compute the
+    * same sequential float32→double reduction, and 1e-6 rounding absorbs
+    * any aggregation-order ulp drift. VectorSpec additionally proves 100%
+    * recall + bounded buckets on planted near-dups. */
   val q33 = Q(
     "q33_embedding_near_dups",
     (spark, dir) => Similarity.cosineNearDupPairsBanded(
       Tables.load(spark, dir, "embeddings"), planesPerTable = 6, nTables = 4,
-      seed = 7L, threshold = 0.30),
-    None
+      seed = 7L, threshold = 0.30)
+      .select(col("vec_a"), col("vec_b"),
+        round(col("cosine") * 1000000).cast(LongType).as("cosine_1e6")),
+    Some(q33Oracle)
   )
 
-  // -- q34: first-8 IVF cells, reproduced self-referentially in SQL ---------
+  // -- q34/q50: IVF cells, reproduced in SQL over an explicit centroid CTE --
 
-  private val q34Oracle: String = s"""WITH $cosineCtes,
-    ct AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
-             embedding AS ce
-           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+  /** IVF probe + rank oracle over whatever `ct(cell, ce)` CTE the caller
+    * supplies: max-dot cell assignment (min-cell tiebreak ≡ ivfAssign's
+    * array_position-of-max), 2-probe selection from vec 0's dots, then
+    * exact-cosine ranking inside the probed cells. */
+  private def ivfOracle(ctSql: String): String = s"""WITH $cosineCtes,
+    ct AS ($ctSql),
     du AS (SELECT e.vec_id AS vid, ct.cell, unnest(e.embedding) AS ev, unnest(ct.ce) AS cv
            FROM embeddings e CROSS JOIN ct),
     dc AS (SELECT vid, cell, SUM(CAST(ev AS DOUBLE)*CAST(cv AS DOUBLE)) AS dot
@@ -175,6 +227,12 @@ object VectorQueries {
     WHERE cs.vec_id <> 0
     ORDER BY 1 LIMIT 10"""
 
+  /** q34's first-8 centroids, self-referential from the table itself. */
+  private val q34Oracle: String = ivfOracle(
+    """SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             embedding AS ce
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)""")
+
   /** IVF-probed ANN top-10 (coarse-quantizer variant of q31): the oracle
     * recomputes the first-8 centroids, the max-dot cell assignment, and
     * the 2-probe selection from the table itself. */
@@ -187,8 +245,13 @@ object VectorQueries {
   )
 
   /** IVF ANN with k-means-refined centroids (2 Lloyd rounds from the
-    * first-8 seed). Iterative float means are engine-specific → rows-only;
-    * VectorSpec asserts the refinement improves recall vs brute force. */
+    * first-8 seed). The Lloyd ITERATIONS are engine-specific (parallel
+    * float means), but the refined centroids are just 8×64 numbers: the
+    * dynamic oracle runs `kmeansCentroids` once at Verify time and embeds
+    * the float32-cast values as literals — exactly the arithmetic
+    * `ivfAssign`'s litVec performs on executors — so cell assignment,
+    * probe selection, and ranking are all hash-checked end-to-end.
+    * VectorSpec additionally asserts the refinement improves recall. */
   val q50 = Q(
     "q50_ivf_kmeans_topk",
     (spark, dir) => {
@@ -197,7 +260,14 @@ object VectorQueries {
         Similarity.kmeansCentroids(emb, nCells = 8, iters = 2), nProbe = 2,
         excludeId = 0L))
     },
-    None
+    None,
+    oracleGen = Some((spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 2)
+      val rows = cents.zipWithIndex
+        .map { case (c, i) => s"($i, ${planeLit(c)})" }.mkString(", ")
+      ivfOracle(s"SELECT CAST(cell AS INTEGER) AS cell, ce FROM (VALUES $rows) AS t(cell, ce)")
+    })
   )
 
   val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50)
