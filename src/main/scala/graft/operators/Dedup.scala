@@ -99,7 +99,7 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
-    jaccardFromCommon(sh, inter).filter(col("jaccard") >= threshold)
+    jaccardFromCommon(docSizes(sh), inter).filter(col("jaccard") >= threshold)
   }
 
   /** The shingle relation feeds several consumers (frequency ranking,
@@ -120,15 +120,18 @@ object Dedup {
     * Jaccard verify then runs only on candidates. */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = persisted(shingleRows(docs))
+    // per-doc set sizes via one aggregate over the persisted index — this
+    // was previously a count(*) window over doc_id, a second full pass
+    // over the ranked relation
+    val sizes = docSizes(sh)
     // global order: document frequency ascending (rarest first), tiebreak
     // on the shingle itself for determinism
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val ranked = sh.join(df, "shingle")
+      .join(sizes, "doc_id")
       .withColumn("rank", row_number().over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
           .orderBy(col("df"), col("shingle"))))
-      .withColumn("n_shingles", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))))
     // +1e-9 before floor: (1-t)*n computed in floating point can land just
     // BELOW a mathematically-integer value (0.1*10 = 0.9999999999999998),
     // and truncating there shortens the prefix below the lossless minimum
@@ -141,8 +144,13 @@ object Dedup {
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardPairs0(sh, cand).filter(col("jaccard") >= threshold)
+    jaccardPairs0(sh, cand, threshold)
   }
+
+  /** Per-doc distinct-shingle counts — the |A| and |B| of the Jaccard
+    * formula. */
+  private def docSizes(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
 
   /** MinHash signatures via the custom one-pass aggregate
     * ([[graft.functions.MinHashAgg]]): (doc_id, sig ARRAY<BIGINT> of k
@@ -189,28 +197,44 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sh = persisted(shingleRows(docs))
     val cand = minHashCandidates0(minHashSignatures0(sh, k), k, rowsPerBand)
-    jaccardPairs0(sh, cand).filter(col("jaccard") >= threshold)
+    jaccardPairs0(sh, cand, threshold)
   }
 
   /** Exact Jaccard evaluated only on the given candidate (doc_a, doc_b)
-    * pairs — the verify stage of MinHash-LSH. Takes the (persisted)
-    * shingle relation so candidate generation and verify share one pass. */
-  private def jaccardPairs0(sh: DataFrame, cand: DataFrame): DataFrame = {
-    val common = cand
-      .join(sh.select(col("doc_id").as("doc_a"), col("shingle")), Seq("doc_a"))
-      .join(sh.select(col("doc_id").as("doc_b"), col("shingle").as("shingle_b")),
-        Seq("doc_b"))
-      .filter(col("shingle") === col("shingle_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    jaccardFromCommon(sh, common)
+    * pairs — the verify stage of both LSH paths. Each doc's distinct
+    * shingles are gathered into ONE array row; a candidate pair then costs
+    * a single codegen'd `array_intersect` instead of re-exploding both
+    * docs' shingle rows through two shuffle joins and a pair-keyed
+    * aggregation (which dominated q26 at 4.2 s of its 4.5 s total: ~200k
+    * candidates × ~52 shingles × 2 joins). A size-ratio prefilter drops
+    * pairs where even full containment could not reach the threshold
+    * (J ≤ min/max) before the intersection runs. Per-doc arrays are
+    * bounded by document length, so the row shape holds at corpus scale;
+    * `sort_array` keeps the gather deterministic. */
+  private def jaccardPairs0(sh: DataFrame, cand: DataFrame,
+      threshold: Double): DataFrame = {
+    val sets = sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"),
+        count(lit(1)).as("n"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("shingles").as("sa"), col("n").as("na")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("shingles").as("sb"), col("n").as("nb")), Seq("doc_b"))
+      .filter(least(col("na"), col("nb")) >=
+        lit(threshold) * greatest(col("na"), col("nb")))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
+        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("n_common"))
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** The shared Jaccard arithmetic: attach per-doc set sizes to a
     * (doc_a, doc_b, n_common) relation and compute |∩|/|∪|. Single source
     * of truth for the formula across the exhaustive and verify paths. */
-  private def jaccardFromCommon(sh: DataFrame, common: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+  private def jaccardFromCommon(sizes: DataFrame, common: DataFrame): DataFrame = {
     common
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_shingles").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_shingles").as("nb")), "doc_b")
