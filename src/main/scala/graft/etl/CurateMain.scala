@@ -36,7 +36,8 @@ object CurateMain {
         val docs = spark.read.parquet(args(0))
         val r = run(spark, docs, args(1),
           args.lift(2).map(_.toDouble).getOrElse(0.5),
-          args.lift(3).map(_.toDouble).getOrElse(0.5))
+          args.lift(3).map(_.toDouble).getOrElse(0.5),
+          inputBytes = Sinks.pathSize(args(0)))
         println(s"Curated ${r.input} -> ${r.afterNearDup} docs (${r.outputPath})")
         0
       } catch {
@@ -58,7 +59,8 @@ object CurateMain {
   }
 
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
-      minQuality: Double = 0.5, jaccardThreshold: Double = 0.5): Result = {
+      minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
+      inputBytes: Long = 0L): Result = {
     val input = docs.count()
 
     // stage 1: quality floor
@@ -90,7 +92,7 @@ object CurateMain {
     Sinks.partitionedParquet(withSplit, out, Seq("split"))
 
     val nFinal = spark.read.parquet(out).count()
-    Sinks.statsSidecar(s"$outDir/curate-stats.json", nFinal, 0L,
+    Sinks.statsSidecar(s"$outDir/curate-stats.json", nFinal, inputBytes,
       Sinks.pathSize(out))
     Result(input, nQuality, nExact, nFinal, out)
   }

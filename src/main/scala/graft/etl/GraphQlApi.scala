@@ -93,10 +93,14 @@ query GetAreas($tokens: [String!]!, $limit: Int!, $offset: Int!) {
   val AreasPageSize: Int = 500
 
   /** Single-area-by-uuid query (the reference's smoke-test fetch,
-    * test-export.py:11-33) — same climb selection set as [[AreasQuery]]. */
-  def areaQuery(uuid: String): String = s"""
-query {
-  area(uuid: "$uuid") {
+    * test-export.py:11-33) — same climb selection set as [[AreasQuery]].
+    * The uuid travels in the `variables` object like [[AreasQuery]]'s
+    * arguments, never string-interpolated into the document: an
+    * interpolated quote or backslash would malform the query or inject
+    * arbitrary GraphQL. */
+  val AreaQuery: String = """
+query($uuid: ID!) {
+  area(uuid: $uuid) {
     uuid
     area_name
     pathTokens
@@ -157,10 +161,12 @@ query {
     }
   }
 
-  /** POST body for a single-area fetch. */
+  /** POST body for a single-area fetch; the uuid rides in `variables`
+    * (JSON-escaped by the serializer), see [[AreaQuery]]. */
   def areaBody(uuid: String): String = {
     val root = mapper.createObjectNode()
-    root.put("query", areaQuery(uuid))
+    root.put("query", AreaQuery)
+    root.putObject("variables").put("uuid", uuid)
     mapper.writeValueAsString(root)
   }
 

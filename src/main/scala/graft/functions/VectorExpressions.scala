@@ -211,6 +211,12 @@ object GraftFunctions {
       args => SimHashAgg(args.head).toAggregateExpression(), "built-in")
     reg.createOrReplaceTempFunction("minhash",
       args => {
+        // foldable gate BEFORE eval(): eval on a non-foldable arg (e.g. a
+        // column reference) throws an unbound-reference error instead of
+        // this intended message
+        if (args.length < 2 || !args(1).foldable)
+          throw new IllegalArgumentException(
+            "minhash(col, k): k must be an integer literal")
         val k = args(1).eval() match {
           case i: Int => i
           case l: Long => l.toInt // BIGINT literals arrive as Long

@@ -194,6 +194,32 @@ object ParityQueries {
     None
   )
 
+  /** The exactly-determined half of the profiling pass, split out of q42
+    * so the driver hash-checks everything that CAN be hash-checked: exact
+    * distinct counts, row counts, min/max. q42 keeps only the genuinely
+    * engine-defined sketch outputs (HLL estimates, approximate quantiles)
+    * under its documented rows-only exemption. */
+  val q58 = Q(
+    "q58_exact_profile",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "lineitem")
+        .groupBy($"l_returnflag")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          min($"l_extendedprice").as("min_price"),
+          max($"l_extendedprice").as("max_price"))
+    },
+    Some("""SELECT l_returnflag, COUNT(*) AS n_rows,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      MIN(l_extendedprice) AS min_price,
+      MAX(l_extendedprice) AS max_price
+    FROM lineitem GROUP BY l_returnflag""")
+  )
+
   /** Sliding-window aggregation (1 h windows, 30 min slide): each event
     * lands in two overlapping windows. Spark's window() generates them
     * natively; the oracle rebuilds the same epoch-aligned windows with
@@ -238,5 +264,5 @@ object ParityQueries {
     FROM customer""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57)
+  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58)
 }

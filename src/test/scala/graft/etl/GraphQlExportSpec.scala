@@ -108,7 +108,11 @@ class GraphQlExportSpec extends SparkSpec {
 
   test("single-area fetch: body carries the uuid; envelope unpacks data.area") {
     val b = mapper.readTree(GraphQlApi.areaBody("abc-123"))
-    assert(b.get("query").asText().contains("""area(uuid: "abc-123")"""))
+    // the uuid rides in variables (never interpolated into the document —
+    // a quote/backslash in it would malform or inject GraphQL)
+    assert(b.get("query").asText().contains("area(uuid: $uuid)"))
+    assert(b.get("variables").get("uuid").asText() === "abc-123")
+    assert(!b.get("query").asText().contains("abc-123"))
     val got = GraphQlApi.parseArea(
       s"""{"data": {"area": ${areaJson("a1", Seq("USA"), Some(1.0), Seq.empty)}}}""")
     assert(mapper.readTree(got.get).get("uuid").asText() === "a1")
@@ -183,6 +187,18 @@ class GraphQlExportSpec extends SparkSpec {
     val areas = ds.collect()
     assert(areas.length === 3) // USA's 3 areas; Atlantis soft-fails to zero
     assert(areas.forall(a => mapper.readTree(a).get("uuid").asText().startsWith("area-")))
+  }
+
+  test("distributed fetch parity: per-partition fetch returns the exact " +
+      "area set of the driver-side path") {
+    val policy = FetchClient.RetryPolicy(backoffMs = 1)
+    val driverSide = GraphQlApi.fetchAllAreas(fakeTransport, "http://x",
+      pageSize = 2, policy)
+    // parallelism > #countries exercises the partition clamp too
+    val distributed = GraphQlApi.fetchAllAreasDistributed(spark,
+      mkFakeTransport, "http://x", pageSize = 2, policy, parallelism = 8)
+      .collect().toSeq
+    assert(distributed.sorted === driverSide.sorted)
   }
 
   // -- the runnable surface -------------------------------------------------
