@@ -34,8 +34,8 @@ object Dedup {
     * that appear in pairs; rounds = component diameter, which for near-dup
     * graphs (cliques of copies) is 1-2. The driver-side loop holds no data
     * — only the converged? count — so the same plan runs at cluster scale
-    * (the O(log n) large-star/small-star variant drops in if components
-    * ever grow chain-shaped). */
+    * ([[dupClustersStar]] is the O(log n)-round drop-in for components
+    * that grow chain-shaped). */
   def dupClusters(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     // eager localCheckpoint, not persist: iterative plans must TRUNCATE
@@ -73,6 +73,66 @@ object Dedup {
     // labels: surface it rather than silently emitting wrong clusters
     require(changed == 0,
       s"dupClusters did not converge in $maxRounds rounds ($changed labels still changing); raise maxRounds")
+    docs.select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
+  }
+
+  /** Connected components via alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", MR-CC): converges in O(log n) rounds regardless of component
+    * DIAMETER, where [[dupClusters]]' label propagation needs
+    * diameter-many rounds. Same contract: every doc labels with its
+    * component's minimum doc_id, singletons label themselves.
+    *
+    * Use this variant when components can go chain-shaped (transcript
+    * streams, crawl chains); near-dup graphs are clique-ish (diameter
+    * 1-2), where plain propagation wins on constant factors — which is why
+    * it stays the default in the curation pipeline.
+    *
+    * Each round is two shuffle-on-key aggregate+join passes over the edge
+    * relation only (never the corpus), lineage-truncated per round; the
+    * driver holds only the convergence counter. Edges stay oriented
+    * (src > dst) throughout, so the relation never doubles. */
+  def dupClustersStar(docs: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 30): DataFrame = {
+    // large-star: every u attaches its LARGER neighbors to m = min(N(u) ∪ u)
+    def largeStar(e: DataFrame): DataFrame = {
+      val nb = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      val m = nb.groupBy(col("src")).agg(min(col("dst")).as("mn"))
+        .select(col("src"), least(col("mn"), col("src")).as("m"))
+      nb.join(m, "src").filter(col("dst") > col("src"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .distinct()
+    }
+    // small-star: every u attaches its SMALLER neighbors (and itself) to m
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("src")).agg(min(col("dst")).as("m"))
+      e.join(m, "src").filter(col("dst") =!= col("m"))
+        .select(col("dst").as("src"), col("m").as("dst"))
+        .union(m.select(col("src"), col("m").as("dst")))
+        .distinct()
+    }
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("src"),
+        least(col("doc_a"), col("doc_b")).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint(true)
+    var round = 0
+    var done = false
+    while (!done && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      // fixpoint = edge set unchanged over a full round (the converged
+      // state is a star per component, which both operations preserve)
+      done = next.except(e).limit(1).count() == 0 &&
+        e.except(next).limit(1).count() == 0
+      e = next
+      round += 1
+    }
+    require(done,
+      s"dupClustersStar did not converge in $maxRounds rounds; raise maxRounds")
+    val labels = e.groupBy(col("src")).agg(min(col("dst")).as("cluster"))
+      .select(col("src").as("doc_id"), col("cluster"))
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))

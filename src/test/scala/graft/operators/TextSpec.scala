@@ -139,24 +139,58 @@ class TextSpec extends SparkSpec {
         .filter(p => p._1 != p._2)
         .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
         .distinct
-      // union-find reference with min-root unions: the final root of every
-      // node is exactly its component's minimum element
-      val parent = Array.tabulate(n)(identity)
-      def find(x: Int): Int = {
-        if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
-      }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a.toInt), find(b.toInt))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      val expected = (0 until n).map(i => i.toLong -> find(i).toLong).toMap
-
+      val expected = unionFind(n, edges)
       val docs = (0 until n).map(_.toLong).toDF("doc_id")
       val pairs = edges.toDF("doc_a", "doc_b")
       val got = Dedup.dupClusters(docs, pairs).collect()
         .map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(got === expected)
     }
+  }
+
+  test("dupClustersStar matches union-find on random graphs and chains, " +
+      "converging in O(log n) rounds where propagation needs the diameter") {
+    val rnd = new scala.util.Random(11)
+    for (_ <- 1 to 3) {
+      val n = 40
+      val edges = Seq.fill(30)((rnd.nextInt(n), rnd.nextInt(n)))
+        .filter(p => p._1 != p._2)
+        .map(p => (math.min(p._1, p._2).toLong, math.max(p._1, p._2).toLong))
+        .distinct
+      val docs = (0 until n).map(_.toLong).toDF("doc_id")
+      val got = Dedup.dupClustersStar(docs, edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === unionFind(n, edges))
+    }
+    // the case the variant exists for: a 64-node chain (diameter 63).
+    // maxRounds=10 would fail plain diameter-bound propagation; star
+    // contraction collapses it in O(log n) rounds.
+    val chain = (0L until 63L).map(i => (i, i + 1))
+    val chainDocs = (0L until 64L).toDF("doc_id")
+    val gotChain = Dedup.dupClustersStar(chainDocs,
+        chain.toDF("doc_a", "doc_b"), maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotChain === (0L until 64L).map(_ -> 0L).toMap)
+    // reversed/shuffled edge orientation must not matter
+    val swapped = chain.map { case (a, b) => (b, a) }
+    val gotSwap = Dedup.dupClustersStar(chainDocs,
+        swapped.toDF("doc_a", "doc_b"), maxRounds = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotSwap === gotChain)
+  }
+
+  /** Union-find reference with min-root unions: the final root of every
+    * node is exactly its component's minimum element. */
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      if (parent(x) != x) parent(x) = find(parent(x)); parent(x)
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
   }
 
   test("identical texts get identical shingle fingerprints; different texts differ") {
