@@ -26,6 +26,12 @@ object GraftSession {
       .config("spark.sql.ansi.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // TypedImperativeAggregate (minhash/simhash) groups: the 128-group
+      // default falls back to sort-based aggregation on any realistic
+      // per-partition doc count; 64k groups ~ 25 MB of vote buffers —
+      // hash aggregation stays on for the working range, the fallback
+      // still guards runaway cardinality.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
