@@ -197,11 +197,29 @@ object Dedup {
     // and truncating there shortens the prefix below the lossless minimum
     // ⌊(1-t)n⌋+1 — silently dropping true pairs. The epsilon can only ever
     // lengthen the prefix (still lossless, marginal extra candidates).
-    val prefixes = ranked.filter(
+    // persisted: the self-join below references this subtree twice (build
+    // + probe side), and un-persisted each side re-runs the ranking window
+    val prefixes = persisted(ranked.filter(
       col("rank") <= floor(lit(1.0 - threshold) * col("n_shingles") + lit(1e-9)) + 1)
-      .select(col("doc_id"), col("shingle"))
+      .select(col("doc_id"), col("shingle"), col("rank"), col("n_shingles")))
+    // PPJoin pruning at generation time, both LOSSLESS for J ≥ t:
+    //  - length filter: J ≤ min/max, so mismatched sizes can't qualify;
+    //  - positional filter: a qualifying pair needs overlap ≥
+    //    α = ⌈t/(1+t)·(na+nb)⌉, and a shared prefix element at ranks
+    //    (ra, rb) bounds the remaining overlap by 1 + min(na−ra, nb−rb).
+    //    The bound only has to hold for SOME shared occurrence and it
+    //    always holds for the first one, so pruning per-occurrence before
+    //    the distinct() drops no true pair. Epsilons lean the same safe
+    //    way as the prefix-length floor above: α can only shrink.
+    val alpha = ceil(
+      lit(threshold) / lit(1.0 + threshold) *
+        (col("a.n_shingles") + col("b.n_shingles")) - lit(1e-9))
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .filter(least(col("a.n_shingles"), col("b.n_shingles")) >=
+        lit(threshold) * greatest(col("a.n_shingles"), col("b.n_shingles")) - lit(1e-9))
+      .filter(least(col("a.n_shingles") - col("a.rank"),
+        col("b.n_shingles") - col("b.rank")) + 1 >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     jaccardPairs0(sh, cand, threshold)
