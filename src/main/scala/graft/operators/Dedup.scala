@@ -299,8 +299,11 @@ object Dedup {
         col("shingles").as("sa"), col("n").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"),
         col("shingles").as("sb"), col("n").as("nb")), Seq("doc_b"))
+      // -1e-9: FP t·max can round just ABOVE the real product and drop an
+      // exact-boundary pair; the epsilon only ever keeps extra candidates,
+      // and the exact jaccard filter below still decides them correctly
       .filter(least(col("na"), col("nb")) >=
-        lit(threshold) * greatest(col("na"), col("nb")))
+        lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
         size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("n_common"))
       .withColumn("jaccard",
