@@ -244,6 +244,20 @@ object VectorQueries {
     Some(q34Oracle)
   )
 
+  /** q50's refined centroids, memoized per sf dir: the query run and the
+    * oracle generation must see the SAME 8×64 numbers, and recomputing the
+    * Lloyd rounds in two separate jobs risks a partial-aggregation merge
+    * order producing a last-ulp different mean (enough to flip a
+    * cell assignment right on a boundary). One computation per process
+    * removes the race entirely — and saves the duplicate scan. */
+  private val kmeansCache =
+    new scala.collection.concurrent.TrieMap[String, Seq[Seq[Double]]]()
+  private def q50Centroids(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Seq[Double]] =
+    kmeansCache.getOrElseUpdate(dir,
+      Similarity.kmeansCentroids(Tables.load(spark, dir, "embeddings"),
+        nCells = 8, iters = 2))
+
   /** IVF ANN with k-means-refined centroids (2 Lloyd rounds from the
     * first-8 seed). The Lloyd ITERATIONS are engine-specific (parallel
     * float means), but the refined centroids are just 8×64 numbers: the
@@ -257,14 +271,11 @@ object VectorQueries {
     (spark, dir) => {
       val emb = Tables.load(spark, dir, "embeddings")
       ranked(Similarity.ivfTopKWith(emb, queryVec(spark, dir), k = 10,
-        Similarity.kmeansCentroids(emb, nCells = 8, iters = 2), nProbe = 2,
-        excludeId = 0L))
+        q50Centroids(spark, dir), nProbe = 2, excludeId = 0L))
     },
     None,
     oracleGen = Some((spark, dir) => {
-      val emb = Tables.load(spark, dir, "embeddings")
-      val cents = Similarity.kmeansCentroids(emb, nCells = 8, iters = 2)
-      val rows = cents.zipWithIndex
+      val rows = q50Centroids(spark, dir).zipWithIndex
         .map { case (c, i) => s"($i, ${planeLit(c)})" }.mkString(", ")
       ivfOracle(s"SELECT CAST(cell AS INTEGER) AS cell, ce FROM (VALUES $rows) AS t(cell, ce)")
     })
