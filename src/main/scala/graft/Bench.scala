@@ -85,19 +85,9 @@ object Bench {
   private def runInner(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // TypedImperativeAggregate (minhash/simhash) groups: the 128-group
-      // default falls back to sort-based aggregation on any realistic
-      // per-partition doc count; 64k groups ~ 25 MB of vote buffers —
-      // hash aggregation stays on for the working range, the fallback
-      // still guards runaway cardinality.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer cache, shuffle machinery)
@@ -112,6 +102,9 @@ object Bench {
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to repeats).flatMap { _ =>
+        // memoized per-dir state (q50's centroids) would otherwise be free
+        // on samples 2..n and min-of-n would report a partial query
+        graft.queries.Registry.resetTransientCaches()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).count()
@@ -137,7 +130,12 @@ object Bench {
       val w = new java.io.PrintWriter("bench.json")
       try w.println(full) finally w.close()
     } catch { case _: Throwable => () }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"sf":"$sfDir"}""")
+    // "failed" makes a partial run visible in the ONE line a bounded
+    // tail-capture consumer parses: total silently excludes failed
+    // queries (recorded as -1 in the per-query map), so a smaller total
+    // must not read as a performance win
+    val failed = results.values.count(_ < 0)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -15,23 +15,37 @@ import graft.functions.GraftFunctions
   */
 object GraftSession {
 
+  /** Engine tuning every graft session applies (the CLI factory below and
+    * the Bench/Verify harness mains, which build their own sessions):
+    *
+    *  - UTC + non-ANSI: DuckDB-oracle parity (out-of-range element_at /
+    *    bad casts yield NULL, the reference's list_element semantics);
+    *  - AQE on: runtime coalescing / skew handling;
+    *  - objectHashAggregate fallback at 64k groups: the 128-group default
+    *    pushes every TypedImperativeAggregate (minhash/simhash) into
+    *    sort-based aggregation at any realistic per-partition doc count,
+    *    while 64k groups of vote buffers is only ~25 MB — hash aggregation
+    *    stays on for the working range and the fallback still guards
+    *    runaway cardinality.
+    */
+  val engineConfs: Map[String, String] = Map(
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.ui.enabled" -> "false",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536")
+
+  /** `builder.config(k, v)` for every [[engineConfs]] entry. */
+  def tuned(builder: SparkSession.Builder): SparkSession.Builder =
+    engineConfs.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+
   def create(master: String = "local[*]",
       shufflePartitions: Int = 32,
       appName: String = "graft"): SparkSession = {
-    val s = SparkSession.builder()
+    val s = tuned(SparkSession.builder()
       .master(master)
       .appName(appName)
-      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      // TypedImperativeAggregate (minhash/simhash) groups: the 128-group
-      // default falls back to sort-based aggregation on any realistic
-      // per-partition doc count; 64k groups ~ 25 MB of vote buffers —
-      // hash aggregation stays on for the working range, the fallback
-      // still guards runaway cardinality.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

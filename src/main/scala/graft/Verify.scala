@@ -7,21 +7,11 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // engine tuning (UTC, non-ANSI oracle parity, AQE, object-agg
+    // threshold) is shared via GraftSession.tuned — see its scaladoc
+    val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // non-ANSI: out-of-range element_at / bad casts yield NULL (DuckDB
-      // oracle parity + the reference's list_element semantics, SURVEY §2 P3)
-      .config("spark.sql.ansi.enabled", "false")
-      .config("spark.sql.adaptive.enabled", "true")
-      // TypedImperativeAggregate (minhash/simhash) groups: the 128-group
-      // default falls back to sort-based aggregation on any realistic
-      // per-partition doc count; 64k groups ~ 25 MB of vote buffers —
-      // hash aggregation stays on for the working range, the fallback
-      // still guards runaway cardinality.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "65536")
+      .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

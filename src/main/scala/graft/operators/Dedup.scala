@@ -180,10 +180,12 @@ object Dedup {
     * Jaccard verify then runs only on candidates. */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = persisted(shingleRows(docs))
-    // per-doc set sizes via one aggregate over the persisted index — this
-    // was previously a count(*) window over doc_id, a second full pass
-    // over the ranked relation
-    val sizes = docSizes(sh)
+    // ONE per-doc aggregate (sorted shingle array + count) serves both the
+    // prefix-length bound here and the verify stage — previously the size
+    // came from a count(*) window (a second pass over the ranked relation)
+    // and the verify stage re-aggregated the counts independently
+    val sets = persisted(docSets(sh))
+    val sizes = sets.select(col("doc_id"), col("n_shingles"))
     // global order: document frequency ascending (rarest first), tiebreak
     // on the shingle itself for determinism
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
@@ -222,13 +224,22 @@ object Dedup {
         col("b.n_shingles") - col("b.rank")) + 1 >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    jaccardPairs0(sh, cand, threshold)
+    jaccardPairs0(sets, cand, threshold)
   }
 
   /** Per-doc distinct-shingle counts — the |A| and |B| of the Jaccard
     * formula. */
   private def docSizes(sh: DataFrame): DataFrame =
     sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+
+  /** Per-doc shingle SETS (one sorted array row + size per doc) — the
+    * verify-stage relation; `sort_array` keeps the gather deterministic.
+    * Array size is bounded by document length, so the row shape holds at
+    * corpus scale. */
+  private def docSets(sh: DataFrame): DataFrame =
+    sh.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("shingle"))).as("shingles"),
+        count(lit(1)).as("n_shingles"))
 
   /** MinHash signatures via the custom one-pass aggregate
     * ([[graft.functions.MinHashAgg]]): (doc_id, sig ARRAY<BIGINT> of k
@@ -275,30 +286,26 @@ object Dedup {
       threshold: Double): DataFrame = {
     val sh = persisted(shingleRows(docs))
     val cand = minHashCandidates0(minHashSignatures0(sh, k), k, rowsPerBand)
-    jaccardPairs0(sh, cand, threshold)
+    jaccardPairs0(docSets(sh), cand, threshold)
   }
 
   /** Exact Jaccard evaluated only on the given candidate (doc_a, doc_b)
-    * pairs — the verify stage of both LSH paths. Each doc's distinct
-    * shingles are gathered into ONE array row; a candidate pair then costs
-    * a single codegen'd `array_intersect` instead of re-exploding both
-    * docs' shingle rows through two shuffle joins and a pair-keyed
-    * aggregation (which dominated q26 at 4.2 s of its 4.5 s total: ~200k
-    * candidates × ~52 shingles × 2 joins). A size-ratio prefilter drops
-    * pairs where even full containment could not reach the threshold
-    * (J ≤ min/max) before the intersection runs. Per-doc arrays are
-    * bounded by document length, so the row shape holds at corpus scale;
-    * `sort_array` keeps the gather deterministic. */
-  private def jaccardPairs0(sh: DataFrame, cand: DataFrame,
+    * pairs — the verify stage of both LSH paths, over a [[docSets]]
+    * relation. A candidate pair costs a single codegen'd `array_intersect`
+    * instead of re-exploding both docs' shingle rows through two shuffle
+    * joins and a pair-keyed aggregation (which dominated q26 at 4.2 s of
+    * its 4.5 s total: ~200k candidates × ~52 shingles × 2 joins). A
+    * size-ratio prefilter drops pairs where even full containment could
+    * not reach the threshold (J ≤ min/max) before the intersection runs —
+    * redundant for prefix-path candidates (already length-filtered) but
+    * load-bearing for the MinHash-banding path. */
+  private def jaccardPairs0(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
-    val sets = sh.groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(col("shingle"))).as("shingles"),
-        count(lit(1)).as("n"))
     cand
       .join(sets.select(col("doc_id").as("doc_a"),
-        col("shingles").as("sa"), col("n").as("na")), Seq("doc_a"))
+        col("shingles").as("sa"), col("n_shingles").as("na")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"),
-        col("shingles").as("sb"), col("n").as("nb")), Seq("doc_b"))
+        col("shingles").as("sb"), col("n_shingles").as("nb")), Seq("doc_b"))
       // -1e-9: FP t·max can round just ABOVE the real product and drop an
       // exact-boundary pair; the epsilon only ever keeps extra candidates,
       // and the exact jaccard filter below still decides them correctly

@@ -21,4 +21,9 @@ object Registry {
     * and scale-factor dir at Verify time. Disjoint from [[oracleSql]]. */
   def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
     all.flatMap(q => q.oracleGen.map(g => q.name -> g(spark, sfDir))).toMap
+
+  /** Drops memoized per-dir query state (see VectorQueries.resetCaches);
+    * input STAGING caches (ParityQueries' replayed-events dir) are kept —
+    * they are test-input setup, not query work. */
+  def resetTransientCaches(): Unit = VectorQueries.resetCaches()
 }

@@ -177,10 +177,11 @@ object VectorQueries {
                SUM(CAST(va AS DOUBLE)*CAST(vb AS DOUBLE)) AS dot,
                SUM(CAST(va AS DOUBLE)*CAST(va AS DOUBLE)) AS na2,
                SUM(CAST(vb AS DOUBLE)*CAST(vb AS DOUBLE)) AS nb2
-             FROM pe GROUP BY vec_a, vec_b)
-      SELECT vec_a, vec_b,
+             FROM pe GROUP BY vec_a, vec_b),
+      sm AS (SELECT vec_a, vec_b,
         CAST(ROUND(dot/(SQRT(na2)*SQRT(nb2)) * 1000000) AS BIGINT) AS cosine_1e6
-      FROM sc WHERE dot/(SQRT(na2)*SQRT(nb2)) >= 0.30"""
+      FROM sc)
+      SELECT vec_a, vec_b, cosine_1e6 FROM sm WHERE cosine_1e6 >= 300000"""
   }
 
   /** Embedding-cosine near-duplicate pairs via banded multi-table LSH
@@ -190,17 +191,22 @@ object VectorQueries {
     * 0.30 and per-table recall is intentionally partial — no obstacle to
     * an oracle, because the SQL embeds the same seeded plane constants and
     * reproduces the same candidate set (the q31 technique). The checked
-    * output carries the cosine as integer micros: both engines compute the
-    * same sequential float32→double reduction, and 1e-6 rounding absorbs
-    * any aggregation-order ulp drift. VectorSpec additionally proves 100%
-    * recall + bounded buckets on planted near-dups. */
+    * output carries the cosine as integer micros, and — critically — the
+    * THRESHOLD test too runs on the rounded micros in BOTH engines: a raw
+    * `cosine >= 0.30` would make set membership hinge on last-ulp
+    * aggregation-order drift, whereas micro-rounding only diverges if the
+    * engines disagree by ≥ half a micro (they agree to ~1e-15). The
+    * operator is therefore called with an epsilon-lowered threshold and
+    * the checked query re-filters on micros. VectorSpec additionally
+    * proves 100% recall + bounded buckets on planted near-dups. */
   val q33 = Q(
     "q33_embedding_near_dups",
     (spark, dir) => Similarity.cosineNearDupPairsBanded(
       Tables.load(spark, dir, "embeddings"), planesPerTable = 6, nTables = 4,
-      seed = 7L, threshold = 0.30)
+      seed = 7L, threshold = 0.30 - 1e-6)
       .select(col("vec_a"), col("vec_b"),
-        round(col("cosine") * 1000000).cast(LongType).as("cosine_1e6")),
+        round(col("cosine") * 1000000).cast(LongType).as("cosine_1e6"))
+      .filter(col("cosine_1e6") >= 300000L),
     Some(q33Oracle)
   )
 
@@ -252,6 +258,14 @@ object VectorQueries {
     * removes the race entirely — and saves the duplicate scan. */
   private val kmeansCache =
     new scala.collection.concurrent.TrieMap[String, Seq[Seq[Double]]]()
+
+  /** Drops memoized per-dir state (q50's centroids). Bench calls this
+    * before every timed sample so q50's reported time includes the
+    * centroid computation each round (comparable to earlier rounds), and
+    * it is the escape hatch if data under a dir is regenerated in-process.
+    * Verify intentionally does NOT call it between the query dump and
+    * oracle generation — sharing one computation is the point. */
+  def resetCaches(): Unit = kmeansCache.clear()
   private def q50Centroids(spark: org.apache.spark.sql.SparkSession,
       dir: String): Seq[Seq[Double]] =
     kmeansCache.getOrElseUpdate(dir,
