@@ -159,4 +159,18 @@ class VectorSpec extends SparkSpec {
       assert(math.abs(c - cosine(local(a), local(b))) < 1e-9)
     }
   }
+
+  test("dynamic oracle (q50): stable across calls, centroids shared with the query") {
+    import graft.queries.Registry
+    Registry.resetTransientCaches()
+    val sql1 = Registry.dynamicOracleSql(spark, sf)("q50_ivf_kmeans_topk")
+    val sql2 = Registry.dynamicOracleSql(spark, sf)("q50_ivf_kmeans_topk")
+    // memoized: the second generation embeds byte-identical literals, so
+    // the query dump and the oracle can never desynchronize in-process
+    assert(sql1 === sql2)
+    // 8 centroid rows of 64 literals each, as a VALUES list
+    assert("\\(\\d+, \\[".r.findAllIn(sql1).size === 8)
+    // the oracle must carry literal doubles, not references to Spark state
+    assert(!sql1.contains("???") && sql1.contains("VALUES"))
+  }
 }
