@@ -27,7 +27,8 @@ object CurateMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 2) {
       System.err.println(
-        "Usage: CurateMain <documents.parquet> <outDir> [minQuality] [jaccardThreshold]")
+        "Usage: CurateMain <documents.parquet> <outDir> [minQuality] " +
+          "[jaccardThreshold] [clusterAlgo: propagate|star]")
       sys.exit(1)
     }
     val spark = graft.GraftSession.create()
@@ -37,7 +38,8 @@ object CurateMain {
         val r = run(spark, docs, args(1),
           args.lift(2).map(_.toDouble).getOrElse(0.5),
           args.lift(3).map(_.toDouble).getOrElse(0.5),
-          inputBytes = Sinks.pathSize(args(0)))
+          inputBytes = Sinks.pathSize(args(0)),
+          clusterAlgo = args.lift(4).getOrElse("propagate"))
         println(s"Curated ${r.input} -> ${r.afterNearDup} docs (${r.outputPath})")
         0
       } catch {
@@ -58,9 +60,12 @@ object CurateMain {
     ttr * lit(0.7) + (lit(1.0) - stop) * lit(0.3)
   }
 
+  /** `clusterAlgo`: "propagate" (default — near-dup graphs are clique-ish,
+    * diameter 1-2) or "star" ([[Dedup.dupClustersStar]]'s O(log n) rounds
+    * for corpora whose duplicate chains run long — transcripts, crawls). */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
-      inputBytes: Long = 0L): Result = {
+      inputBytes: Long = 0L, clusterAlgo: String = "propagate"): Result = {
     val input = docs.count()
 
     // stage 1: quality floor
@@ -78,9 +83,14 @@ object CurateMain {
 
     // stage 3: near-dup collapse — one canonical doc per Jaccard cluster
     // (the cluster label IS the surviving doc_id, so keep label == id)
-    val clusters = Dedup.dupClusters(exact,
-      Dedup.jaccardPairsPrefix(exact, jaccardThreshold)
-        .select(col("doc_a"), col("doc_b")))
+    val pairs = Dedup.jaccardPairsPrefix(exact, jaccardThreshold)
+      .select(col("doc_a"), col("doc_b"))
+    val clusters = clusterAlgo match {
+      case "propagate" => Dedup.dupClusters(exact, pairs)
+      case "star"      => Dedup.dupClustersStar(exact, pairs)
+      case other => throw new IllegalArgumentException(
+        s"clusterAlgo must be 'propagate' or 'star', got '$other'")
+    }
     val canonical = exact.join(clusters, "doc_id")
       .filter(col("doc_id") === col("cluster")).drop("cluster")
 

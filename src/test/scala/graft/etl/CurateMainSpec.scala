@@ -38,4 +38,20 @@ class CurateMainSpec extends SparkSpec {
       new java.io.File(s"$dir/curate-stats.json"))
     assert(stats.get("total_rows").asLong() === r.afterNearDup)
   }
+
+  test("curate: star clustering yields the identical canonical set") {
+    val dir = tmpDir("graft-curate-star")
+    val docs = Tables.load(spark, sf, "documents")
+    val base = CurateMain.run(spark, docs, tmpDir("graft-curate-prop"))
+    val star = CurateMain.run(spark, docs, dir, clusterAlgo = "star")
+    // both connected-component algorithms label with the component min,
+    // so the surviving canonical doc_ids must be exactly equal
+    assert(star.afterNearDup === base.afterNearDup)
+    val ids = (p: String) => spark.read.parquet(p)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids(star.outputPath) === ids(base.outputPath))
+    intercept[IllegalArgumentException] {
+      CurateMain.run(spark, docs, tmpDir("graft-curate-bad"), clusterAlgo = "frobnicate")
+    }
+  }
 }
