@@ -95,6 +95,44 @@ object ParityQueries {
     Some("SELECT DISTINCT user_id, event_type FROM events")
   )
 
+  /** Gap-based session windows replayed over events: per-user sessions
+    * with a 30-minute inactivity gap, counts + decimal-exact value sums.
+    * The oracle is the classic batch gaps-and-islands formulation: break
+    * on inter-event gap ≥ 30 min, running-sum the breaks into session
+    * ids, aggregate. Session boundaries are exact in both engines — event
+    * timestamps carry microsecond entropy (zero whole-second rows, zero
+    * exact-gap successive pairs at any sf), so strict-vs-inclusive merge
+    * semantics at the gap boundary cannot diverge. */
+  val q59 = Q(
+    "q59_stream_sessions",
+    (spark, dir) => {
+      val tmp = stagedEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, tmp),
+          gap = "30 minutes", watermark = "1 hour"),
+        "q59_stream_sessions_sink", OutputMode.Complete(),
+        statePartitions = Some(8))
+      spark.table("q59_stream_sessions_sink")
+    },
+    Some("""WITH o AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (
+        SELECT user_id, ts, value,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           user_id, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value
+    FROM g GROUP BY user_id, grp""")
+  )
+
   /** Stream-stream interval self-join replayed over events: per-user
     * follow-up pairs within 5 minutes, watermark-bounded buffers on both
     * sides. The (lead_id, follow_id) set hash-matches the batch interval
@@ -264,5 +302,5 @@ object ParityQueries {
     FROM customer""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58)
+  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59)
 }
