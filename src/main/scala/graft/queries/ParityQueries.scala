@@ -133,6 +133,32 @@ object ParityQueries {
     FROM g GROUP BY user_id, grp""")
   )
 
+  /** The custom stateful operator (mapGroupsWithState running per-user
+    * totals) replayed over events and driver-checked on its deterministic
+    * projection: per-user event counts. Update mode emits one row per
+    * user per micro-batch that touched it, and counts only grow, so
+    * max(n_events) per user is the final state regardless of how the
+    * replay splits into batches. total_value stays out of the checked
+    * output: the state fold adds doubles in group-iterator order, which
+    * is not deterministic across shuffles (StreamingSpec covers it with a
+    * tolerance instead). */
+  val q60 = Q(
+    "q60_stream_user_totals",
+    (spark, dir) => {
+      import spark.implicits._
+      val tmp = stagedEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.runningUserTotals(
+          EventsStream.fromParquetDir(spark, tmp).as[EventsStream.Event]).toDF(),
+        "q60_stream_user_totals_sink", OutputMode.Update(),
+        statePartitions = Some(8))
+      spark.table("q60_stream_user_totals_sink")
+        .groupBy($"user_id")
+        .agg(max($"n_events").as("n_events"))
+    },
+    Some("SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id")
+  )
+
   /** Stream-stream interval self-join replayed over events: per-user
     * follow-up pairs within 5 minutes, watermark-bounded buffers on both
     * sides. The (lead_id, follow_id) set hash-matches the batch interval
@@ -302,5 +328,6 @@ object ParityQueries {
     FROM customer""")
   )
 
-  val all: Seq[Q] = Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59)
+  val all: Seq[Q] =
+    Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60)
 }
