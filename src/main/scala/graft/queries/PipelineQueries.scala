@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Sampling}
+import graft.operators.{Dedup, Packing, Sampling}
 
 /** Curation-pipeline composition queries over `documents`: duplicate
   * clustering (the step after pair detection) and deterministic
@@ -85,5 +85,58 @@ object PipelineQueries {
     FROM documents GROUP BY 1""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53)
+  /** Shared CTEs for the corpus-layout queries: deterministic shard (8
+    * shards, seed 7) + within-shard pseudo-shuffle position — the md5
+    * arithmetic mirror of `Packing.shardAssign`. */
+  private val sqlShardCtes = """
+    sk AS (
+      SELECT doc_id, text,
+        md5(concat('7:', CAST(doc_id AS VARCHAR))) AS skey
+      FROM documents),
+    sa AS (
+      SELECT doc_id, text, skey,
+        CAST(('0x' || substr(skey, 1, 7))::BIGINT % 8 AS INTEGER) AS shard
+      FROM sk),
+    sp AS (
+      SELECT doc_id, text, shard,
+        CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY skey, doc_id)
+          AS INTEGER) AS pos
+      FROM sa)"""
+
+  /** Deterministic training-shard assignment: every doc gets a stable
+    * (shard, position) from its seeded md5 key — the pseudo-shuffle a
+    * pretraining loader reads back; per-shard windows, no global order. */
+  val q61 = Q(
+    "q61_shard_assign",
+    (spark, dir) => Packing.shardAssign(
+      Tables.load(spark, dir, "documents"), nShards = 8, seed = 7L),
+    Some(s"""WITH $sqlShardCtes
+      SELECT doc_id, shard, pos FROM sp""")
+  )
+
+  /** Token-budget sequence packing on top of the sharded order: pack k of
+    * a shard holds the docs whose running whitespace-token sum lands in
+    * ((k−1)·512, k·512] — ≈512-token contiguous blocks, reproducible from
+    * (corpus, seed, budget) alone. */
+  val q62 = Q(
+    "q62_sequence_packing",
+    (spark, dir) => Packing.packSequences(
+      Tables.load(spark, dir, "documents"), nShards = 8, seed = 7L,
+      tokenBudget = 512),
+    Some(s"""WITH $sqlShardCtes,
+      tk AS (
+        SELECT doc_id, shard, pos,
+          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+        FROM sp),
+      cm AS (
+        SELECT doc_id, shard, pos, n_tokens,
+          SUM(n_tokens) OVER (PARTITION BY shard ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS cum
+        FROM tk)
+      SELECT doc_id, shard, pos, n_tokens,
+        GREATEST(CAST(CEIL(CAST(cum AS DOUBLE) / 512) AS INTEGER), 1) AS bin
+      FROM cm""")
+  )
+
+  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62)
 }
