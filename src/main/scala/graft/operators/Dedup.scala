@@ -241,6 +241,24 @@ object Dedup {
       .agg(sort_array(collect_list(col("shingle"))).as("shingles"),
         count(lit(1)).as("n_shingles"))
 
+  /** Cross-set contamination (train/eval decontamination): every
+    * `candidates` doc sharing at least `minShared` distinct 3-gram
+    * shingles with some `reference` doc, with the overlap count — the
+    * pairs a pretraining pipeline drops from the training side before an
+    * eval set is considered clean. Same inverted-index equi-join shape as
+    * [[jaccardPairs]] (shuffle on shingle, never a cross product); at
+    * benchmark-decontamination scale the reference side is small and
+    * broadcastable. */
+  def crossContamination(candidates: DataFrame, reference: DataFrame,
+      minShared: Long): DataFrame = {
+    val shA = shingleRows(candidates).select(col("doc_id").as("cand_id"), col("shingle"))
+    val shB = shingleRows(reference).select(col("doc_id").as("ref_id"), col("shingle"))
+    shA.join(shB, "shingle")
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signatures via the custom one-pass aggregate
     * ([[graft.functions.MinHashAgg]]): (doc_id, sig ARRAY<BIGINT> of k
     * minima). One shuffle keyed on doc_id, buffer of k longs per doc —

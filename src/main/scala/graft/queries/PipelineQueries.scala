@@ -138,5 +138,41 @@ object PipelineQueries {
       FROM cm""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62)
+  /** Train/eval decontamination over q53's deterministic split: train-side
+    * docs sharing ≥5 distinct 3-gram shingles with any val/test doc — the
+    * relation a pipeline subtracts from the training corpus so the held-out
+    * split stays clean. (The synthetic corpus plants near-dups, and the
+    * content-hash split scatters them across splits, so the result is
+    * non-trivial by construction.) */
+  val q63 = Q(
+    "q63_decontaminate",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val split = Sampling.splitAssign(col("text"),
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+      val withSplit = docs.withColumn("split", split)
+      Dedup.crossContamination(
+        withSplit.filter(col("split") === "train"),
+        withSplit.filter(col("split") =!= "train"),
+        minShared = 5L)
+        .select(col("cand_id").as("train_id"), col("ref_id").as("eval_id"),
+          col("n_shared"))
+    },
+    Some(s"""WITH sp AS (
+        SELECT doc_id, text, CASE
+            WHEN md5(text) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+            WHEN md5(text) < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+            ELSE 'test' END AS split
+        FROM documents),
+      sh AS (
+        SELECT doc_id, split,
+          unnest(list_distinct(${TextQueries.sqlShingles})) AS shingle
+        FROM sp)
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.split = 'train' AND b.split <> 'train'
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5""")
+  )
+
+  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63)
 }
