@@ -66,6 +66,10 @@ object CurateMain {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
       inputBytes: Long = 0L, clusterAlgo: String = "propagate"): Result = {
+    // fail fast: a typo'd algorithm name must not burn three corpus scans
+    // (the counts below) before stage 3 rejects it
+    require(clusterAlgo == "propagate" || clusterAlgo == "star",
+      s"clusterAlgo must be 'propagate' or 'star', got '$clusterAlgo'")
     val input = docs.count()
 
     // stage 1: quality floor

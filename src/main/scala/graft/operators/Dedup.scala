@@ -250,14 +250,35 @@ object Dedup {
     * benchmark-decontamination scale the reference side is small and
     * broadcastable. */
   def crossContamination(candidates: DataFrame, reference: DataFrame,
+      minShared: Long): DataFrame =
+    crossContamination0(
+      shingleRows(candidates).select(col("doc_id").as("cand_id"), col("shingle")),
+      shingleRows(reference).select(col("doc_id").as("ref_id"), col("shingle")),
+      minShared)
+
+  /** Same-corpus variant: when candidates and reference are two slices of
+    * ONE relation (the train/eval decontamination case), tokenize and
+    * shingle that relation ONCE into a persisted index and filter it both
+    * ways — the two-DataFrame form would re-run the scan + shingle
+    * pipeline per side. `isReference` marks the reference (eval) side. */
+  def crossContaminationWithin(docs: DataFrame, isReference: Column,
       minShared: Long): DataFrame = {
-    val shA = shingleRows(candidates).select(col("doc_id").as("cand_id"), col("shingle"))
-    val shB = shingleRows(reference).select(col("doc_id").as("ref_id"), col("shingle"))
+    val sh = persisted(docs
+      .select(col("doc_id"), isReference.as("is_ref"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_ref"),
+        explode(array_distinct(shingles3(col("toks")))).as("shingle")))
+    crossContamination0(
+      sh.filter(!col("is_ref")).select(col("doc_id").as("cand_id"), col("shingle")),
+      sh.filter(col("is_ref")).select(col("doc_id").as("ref_id"), col("shingle")),
+      minShared)
+  }
+
+  private def crossContamination0(shA: DataFrame, shB: DataFrame,
+      minShared: Long): DataFrame =
     shA.join(shB, "shingle")
       .groupBy(col("cand_id"), col("ref_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
-  }
 
   /** MinHash signatures via the custom one-pass aggregate
     * ([[graft.functions.MinHashAgg]]): (doc_id, sig ARRAY<BIGINT> of k

@@ -29,16 +29,22 @@ object Packing {
   private def shuffleKey(seed: Long): Column =
     md5(concat(lit(s"$seed:"), col("doc_id").cast(StringType)))
 
-  /** Deterministic shard + position assignment: each doc lands in one of
-    * `nShards` shards (top-28-bit slice of its md5 key, mod nShards) at a
-    * stable position (pseudo-random within-shard order). */
-  def shardAssign(docs: DataFrame, nShards: Int, seed: Long): DataFrame = {
-    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+  /** (shard, key) column pair for a given layout: the shard is the
+    * first-7-hex-chars slice of the key (28 bits — fits a signed int
+    * exactly, same value in any engine that can parse hex) mod nShards. */
+  private def shardCols(nShards: Int, seed: Long): (Column, Column) = {
     val key = shuffleKey(seed)
-    // first 7 hex chars = 28 bits: fits a signed int exactly, same value
-    // in any engine that can parse hex
     val shard = (conv(substring(key, 1, 7), 16, 10).cast(LongType) % nShards)
       .cast(IntegerType)
+    (shard, key)
+  }
+
+  /** Deterministic shard + position assignment: each doc lands in one of
+    * `nShards` shards at a stable position (pseudo-random within-shard
+    * order). */
+  def shardAssign(docs: DataFrame, nShards: Int, seed: Long): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
+    val (shard, key) = shardCols(nShards, seed)
     docs
       .select(col("doc_id"), shard.as("shard"), key.as("skey"))
       .withColumn("pos", row_number().over(
@@ -51,25 +57,31 @@ object Packing {
     * pack boundary each time the running sum crosses a multiple of
     * `tokenBudget`: `bin = ceil(cumsum / budget)`, i.e. bin k holds the
     * docs whose running sum lands in ((k−1)·budget, k·budget]. Every pack
-    * carries ≈budget tokens (the doc straddling a boundary goes to the
-    * earlier pack), it is ONE window pass — unlike true greedy
-    * first-fit, which needs a stateful scan — and it is exactly
-    * reproducible from (corpus, seed, budget) alone, which is what a
-    * resumable pretraining loader needs. Output:
-    * (doc_id, shard, pos, n_tokens, bin). */
+    * carries ≈budget tokens; the doc that pushes the running sum past a
+    * multiple of the budget CLOSES its pack (it is the pack's last,
+    * possibly overshooting doc), and a doc bigger than the whole budget
+    * simply closes its pack immediately — followers start accumulating in
+    * the next one. The binning is ONE window pass — unlike true greedy
+    * first-fit, which needs a stateful scan — and exactly reproducible
+    * from (corpus, seed, budget) alone, which is what a resumable
+    * pretraining loader needs. Output: (doc_id, shard, pos, n_tokens,
+    * bin). */
   def packSequences(docs: DataFrame, nShards: Int, seed: Long,
       tokenBudget: Int): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be >= 1")
     require(tokenBudget >= 1, s"tokenBudget=$tokenBudget must be >= 1")
-    val sharded = shardAssign(docs, nShards, seed)
-      .join(docs.select(col("doc_id"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens")), "doc_id")
-    sharded
+    // token counts ride the same projection as the shuffle key: one scan,
+    // one shuffle (the shard window) — not a second scan + doc_id join
+    val (shard, key) = shardCols(nShards, seed)
+    docs
+      .select(col("doc_id"), shard.as("shard"), key.as("skey"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
       .withColumn("cum", sum(col("n_tokens")).over(
-        Window.partitionBy(col("shard")).orderBy(col("pos"))
+        Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("doc_id"), col("shard"), col("pos"), col("n_tokens"),
-        // ceil(cum / budget): the first doc that pushes the running sum
-        // past k*budget opens pack k+1; an over-budget doc gets its own
         greatest(ceil(col("cum").cast(DoubleType) / tokenBudget), lit(1))
           .cast(IntegerType).as("bin"))
   }

@@ -126,7 +126,7 @@ object PipelineQueries {
     Some(s"""WITH $sqlShardCtes,
       tk AS (
         SELECT doc_id, shard, pos,
-          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+          CAST(len(${TextQueries.sqlToks}) AS BIGINT) AS n_tokens
         FROM sp),
       cm AS (
         SELECT doc_id, shard, pos, n_tokens,
@@ -150,10 +150,7 @@ object PipelineQueries {
       val docs = Tables.load(spark, dir, "documents")
       val split = Sampling.splitAssign(col("text"),
         Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
-      val withSplit = docs.withColumn("split", split)
-      Dedup.crossContamination(
-        withSplit.filter(col("split") === "train"),
-        withSplit.filter(col("split") =!= "train"),
+      Dedup.crossContaminationWithin(docs, isReference = split =!= "train",
         minShared = 5L)
         .select(col("cand_id").as("train_id"), col("ref_id").as("eval_id"),
           col("n_shared"))

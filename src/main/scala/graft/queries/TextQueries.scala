@@ -14,7 +14,9 @@ import graft.operators.{Dedup, TextAnalysis => TA}
 object TextQueries {
 
   private val toks = TA.tokens(col("text"))
-  private val sqlToks = "string_split_regex(trim(text), '\\s+')"
+  // private[queries]: q62's oracle mirrors the same tokenizer — a single
+  // definition keeps the Spark/DuckDB contract from silently diverging
+  private[queries] val sqlToks = "string_split_regex(trim(text), '\\s+')"
   private[queries] val sqlShingles =
     s"""list_transform(generate_series(1, len($sqlToks)-2),
         i -> concat_ws(' ', $sqlToks[i], $sqlToks[i+1], $sqlToks[i+2]))"""
