@@ -94,27 +94,39 @@ object Bench {
     // so the first timed query isn't charged for JVM/session init.
     spark.read.parquet(s"$sfDir/region.parquet")
       .groupBy("r_name").count().count()
-    // Best of three runs per query: min-of-N reports the plan's intrinsic
-    // cost, not transient scheduler hiccups — this VM carries time-varying
-    // co-tenant load that can inflate a whole pass 2×, so more samples
-    // matter more than per-sample cost. A failing query reports -1, never
-    // a misleading time-to-failure.
+    // Best of N runs per query, sampled ROUND-ROBIN (N full passes over the
+    // suite, not N back-to-back samples per query): this VM carries
+    // time-varying co-tenant load, and back-to-back samples put all of one
+    // query's samples inside the same ~10 s spike window — round 3 recorded
+    // 3×+ "regressions" on the alphabetically-adjacent q33/q34 that way.
+    // Spreading a query's samples minutes apart lets min-of-N actually
+    // cancel transient load. A failing query reports -1, never a
+    // misleading time-to-failure.
     val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to repeats).flatMap { _ =>
-        // memoized per-dir state (q50's centroids) would otherwise be free
-        // on samples 2..n and min-of-n would report a partial query
-        graft.queries.Registry.resetTransientCaches()
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).count()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+    // Optional comma-separated query filter for targeted profiling runs.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    for (pass <- 1 to repeats; (name, fn) <- queries) {
+      // memoized per-dir state (q50's centroids) would otherwise be free
+      // on samples 2..n and min-of-n would report a partial query
+      graft.queries.Registry.resetTransientCaches()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        samples(name) = dt :: samples(name)
+        System.err.println(f"[bench] pass $pass $name%-28s $dt%8.3f s")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pass $pass $name failed: ${e.getMessage}")
       }
-      name -> (if (times.nonEmpty) times.min else -1.0)
+    }
+    val results = queries.map { case (name, _) =>
+      val ts = samples(name)
+      name -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -129,13 +141,18 @@ object Bench {
     try {
       val w = new java.io.PrintWriter("bench.json")
       try w.println(full) finally w.close()
-    } catch { case _: Throwable => () }
+    } catch { case e: Throwable =>
+      // keep the run alive, but a stale/missing on-disk copy must be visible
+      System.err.println(s"[bench] bench.json write failed: $e")
+    }
     // "failed" makes a partial run visible in the ONE line a bounded
     // tail-capture consumer parses: total silently excludes failed
     // queries (recorded as -1 in the per-query map), so a smaller total
-    // must not read as a performance win
+    // must not read as a performance win. The compact line is named
+    // "summary", NOT "total": two same-named lines with different schemas
+    // would make a metric-name-matching consumer parse either shape.
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -174,8 +174,12 @@ object Similarity {
       col("vec_id").as("vec_b"), lit(0.0).as("cosine"))
 
   def cosineNearDupPairsBanded(emb: DataFrame, planesPerTable: Int,
-      nTables: Int, seed: Long, threshold: Double): DataFrame = {
-    val dim = probeDim(emb).getOrElse(return emptyPairs(emb))
+      nTables: Int, seed: Long, threshold: Double,
+      dimHint: Option[Int] = None): DataFrame = {
+    // dimHint skips the dimension-probe job when the caller already knows
+    // the corpus dimensionality (static table metadata, e.g. a memoized
+    // query-vector fetch) — one fewer driver job per invocation
+    val dim = dimHint.orElse(probeDim(emb)).getOrElse(return emptyPairs(emb))
     val tables = (0 until nTables).map { t =>
       val planes = hyperplanes(planesPerTable, dim, seed + t)
       struct(lit(t).as("tbl"), lshBucket(col("embedding"), planes).as("bucket"))
