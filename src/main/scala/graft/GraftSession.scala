@@ -26,14 +26,21 @@ object GraftSession {
     *    sort-based aggregation at any realistic per-partition doc count,
     *    while 64k groups of vote buffers is only ~25 MB — hash aggregation
     *    stays on for the working range and the fallback still guards
-    *    runaway cardinality.
+    *    runaway cardinality;
+    *  - AQE coalesce floor at 64 KiB: the 1 MiB default collapses small
+    *    CPU-BOUND stages (candidate joins over compact keys, e.g. dedup's
+    *    prefix self-join: ~6 MiB of shuffle data but seconds of compute)
+    *    to single-digit parallelism. The floor only matters when
+    *    bytes/parallelism < 1 MiB — i.e. small stages; at cluster scale
+    *    partitions dwarf both values and coalescing behaves as before.
     */
   val engineConfs: Map[String, String] = Map(
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.ui.enabled" -> "false",
-    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536")
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
 
   /** `builder.config(k, v)` for every [[engineConfs]] entry. */
   def tuned(builder: SparkSession.Builder): SparkSession.Builder =

@@ -205,6 +205,8 @@ object GraftFunctions {
       args => FloatVecCosine(args.head, args(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_norm",
       args => FloatVecNorm(args.head), "built-in")
+    reg.createOrReplaceTempFunction("sorted_intersect_size",
+      args => SortedIntersectSize(args.head, args(1)), "built-in")
     // the custom aggregates, reachable from plain SQL:
     //   SELECT doc_id, simhash(tok), minhash(shingle, 32) ... GROUP BY doc_id
     reg.createOrReplaceTempFunction("simhash",

@@ -138,6 +138,17 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
   }
 
+  /** Widen low-parallelism inputs before CPU-heavy row-local work: a small
+    * corpus arrives as a 1-file/1-partition scan and would tokenize
+    * single-threaded. At scale the scan is naturally wide and this is a
+    * no-op — the guard exists so we never add a full-corpus shuffle to a
+    * properly-partitioned input. */
+  private def parallelized(docs: DataFrame): DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= math.min(parallelism, 8)) docs
+    else docs.repartition(parallelism, col("doc_id"))
+  }
+
   /** Distinct 3-gram shingles per doc: (doc_id, shingle). The token array
     * is projected first so the regex split runs once per row. */
   def shingleRows(docs: DataFrame): DataFrame =
@@ -164,12 +175,17 @@ object Dedup {
 
   /** The shingle relation feeds several consumers (frequency ranking,
     * candidate join, verify join, size counts); without materialization
-    * each consumer re-runs the regex tokenize+shingle scan. Persisting the
-    * inverted index before joining against it is the standard PPJoin/LSH
-    * shape at any scale (MEMORY_AND_DISK: spills, never OOMs). Entries are
-    * released by the ContextCleaner once the plan is unreachable. */
+    * each consumer re-runs the regex tokenize+shingle scan. Materializing
+    * the inverted index before joining against it is the standard
+    * PPJoin/LSH shape at any scale. Eager localCheckpoint, not persist:
+    * checkpoint blocks are owned by the RDD and freed by the
+    * ContextCleaner when the plan becomes unreachable, whereas
+    * `persist` registers with the session's CacheManager and the entry
+    * (plus its blocks) survives until an explicit unpersist — a leak for
+    * every operator invocation in a long-lived session. On a real cluster
+    * a reliable checkpoint dir replaces localCheckpoint. */
   private def persisted(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    df.localCheckpoint(true)
 
   /** Exact thresholded Jaccard with PREFIX FILTERING (AllPairs/PPJoin
     * family): index only each doc's first ⌊(1−t)·n⌋+1 shingles under a
@@ -179,31 +195,47 @@ object Dedup {
     * shrinks by ~t and skips the hottest shingles entirely. The exact
     * Jaccard verify then runs only on candidates. */
   def jaccardPairsPrefix(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = persisted(shingleRows(docs))
-    // ONE per-doc aggregate (sorted shingle array + count) serves both the
-    // prefix-length bound here and the verify stage — previously the size
-    // came from a count(*) window (a second pass over the ranked relation)
-    // and the verify stage re-aggregated the counts independently
-    val sets = persisted(docSets(sh))
-    val sizes = sets.select(col("doc_id"), col("n_shingles"))
+    // Per-doc sorted distinct shingle SETS, computed row-locally — no
+    // explode→groupBy round trip; the only relation-wide work left is the
+    // document-frequency aggregate and one regroup to attach df ranks.
+    // Materialized: the relation is consumed twice (document-frequency
+    // branch + regroup probe), and the checkpoint doubles as a plan
+    // barrier — fused un-materialized, the optimizer re-inlines the
+    // token-split into each consumer's generator and the regex runs per
+    // shingle reference again (measured 2.5× the whole operator).
+    val sets = persisted(docSetsLocal(parallelized(docs)))
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
     // global order: document frequency ascending (rarest first), tiebreak
     // on the shingle itself for determinism
     val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    val ranked = sh.join(df, "shingle")
-      .join(sizes, "doc_id")
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
-          .orderBy(col("df"), col("shingle"))))
     // +1e-9 before floor: (1-t)*n computed in floating point can land just
     // BELOW a mathematically-integer value (0.1*10 = 0.9999999999999998),
     // and truncating there shortens the prefix below the lossless minimum
     // ⌊(1-t)n⌋+1 — silently dropping true pairs. The epsilon can only ever
     // lengthen the prefix (still lossless, marginal extra candidates).
-    // persisted: the self-join below references this subtree twice (build
-    // + probe side), and un-persisted each side re-runs the ranking window
-    val prefixes = persisted(ranked.filter(
-      col("rank") <= floor(lit(1.0 - threshold) * col("n_shingles") + lit(1e-9)) + 1)
-      .select(col("doc_id"), col("shingle"), col("rank"), col("n_shingles")))
+    val prefLen = (floor(lit(1.0 - threshold) * col("n_shingles") + lit(1e-9)) + 1)
+      .cast(IntegerType)
+    // Rank within a ROW, not a window over the relation: one regroup
+    // collects each doc's (df, shingle) pairs, array_sort orders them
+    // rarest-first (struct sort = lexicographic over fields), and `slice`
+    // keeps the prefix — replacing the former row_number window's
+    // relation-wide shuffle+sort. The ONE materialized relation of the
+    // operator: it carries both the prefix (candidate generation reads it
+    // on build and probe side) and the value-sorted set (the merge-walk
+    // verify below).
+    val packs = persisted(sh.join(df, "shingle")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("df"), col("shingle")))).as("by_df"))
+      .select(col("doc_id"), size(col("by_df")).cast(LongType).as("n_shingles"),
+        col("by_df"))
+      .select(col("doc_id"), col("n_shingles"),
+        slice(col("by_df"), lit(1), prefLen).as("prefix"),
+        array_sort(transform(col("by_df"), x => x.getField("shingle")))
+          .as("shingles")))
+    val prefixes = packs
+      .select(col("doc_id"), col("n_shingles"), posexplode(col("prefix")))
+      .select(col("doc_id"), col("col.shingle").as("shingle"),
+        (col("pos") + 1).as("rank"), col("n_shingles"))
     // PPJoin pruning at generation time, both LOSSLESS for J ≥ t:
     //  - length filter: J ≤ min/max, so mismatched sizes can't qualify;
     //  - positional filter: a qualifying pair needs overlap ≥
@@ -216,6 +248,11 @@ object Dedup {
     val alpha = ceil(
       lit(threshold) / lit(1.0 + threshold) *
         (col("a.n_shingles") + col("b.n_shingles")) - lit(1e-9))
+    // NO distinct() on candidates: deduping per-occurrence candidates is a
+    // shuffle of the (large) candidate relation, and on shingle corpora it
+    // removes only ~5% of rows — the merge-walk verify re-checks the few
+    // duplicates cheaper than the exchange costs, and the final distinct
+    // runs over the (tiny) verified pair set instead.
     val cand = prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .filter(least(col("a.n_shingles"), col("b.n_shingles")) >=
@@ -223,8 +260,8 @@ object Dedup {
       .filter(least(col("a.n_shingles") - col("a.rank"),
         col("b.n_shingles") - col("b.rank")) + 1 >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    jaccardPairs0(sets, cand, threshold)
+    jaccardPairs0(packs.select(col("doc_id"), col("shingles"), col("n_shingles")),
+      cand, threshold).distinct()
   }
 
   /** Per-doc distinct-shingle counts — the |A| and |B| of the Jaccard
@@ -240,6 +277,25 @@ object Dedup {
     sh.groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("shingle"))).as("shingles"),
         count(lit(1)).as("n_shingles"))
+
+  /** [[docSets]] computed ROW-LOCALLY — no explode→groupBy round trip: a
+    * document's distinct-shingle set is a function of that document alone,
+    * so gathering it through a relation-wide shuffle is pure waste. Keeps
+    * docs with zero shingles (n_shingles = 0); they produce no inverted-
+    * index rows, so candidate paths never see them.
+    *
+    * Each stage is its own projection so the previous step binds to an
+    * attribute: `shingles3`'s transform lambda dereferences the token
+    * array ~3× per shingle, and inlined that re-runs the regex split per
+    * reference (measured 7× the whole stage's cost; CollapseProject keeps
+    * multi-referenced non-cheap projections apart, so the split runs once
+    * per row). */
+  def docSetsLocal(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_sort(array_distinct(shingles3(col("toks")))).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        size(col("shingles")).cast(LongType).as("n_shingles"))
 
   /** Cross-set contamination (train/eval decontamination): every
     * `candidates` doc sharing at least `minShared` distinct 3-gram
@@ -263,7 +319,7 @@ object Dedup {
     * pipeline per side. `isReference` marks the reference (eval) side. */
   def crossContaminationWithin(docs: DataFrame, isReference: Column,
       minShared: Long): DataFrame = {
-    val sh = persisted(docs
+    val sh = persisted(parallelized(docs)
       .select(col("doc_id"), isReference.as("is_ref"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), col("is_ref"),
         explode(array_distinct(shingles3(col("toks")))).as("shingle")))
@@ -323,21 +379,25 @@ object Dedup {
     * Jaccard verification restricted to candidate pairs. */
   def minHashNearDups(docs: DataFrame, k: Int, rowsPerBand: Int,
       threshold: Double): DataFrame = {
-    val sh = persisted(shingleRows(docs))
+    val sh = persisted(shingleRows(parallelized(docs)))
     val cand = minHashCandidates0(minHashSignatures0(sh, k), k, rowsPerBand)
     jaccardPairs0(docSets(sh), cand, threshold)
   }
 
   /** Exact Jaccard evaluated only on the given candidate (doc_a, doc_b)
     * pairs — the verify stage of both LSH paths, over a [[docSets]]
-    * relation. A candidate pair costs a single codegen'd `array_intersect`
-    * instead of re-exploding both docs' shingle rows through two shuffle
-    * joins and a pair-keyed aggregation (which dominated q26 at 4.2 s of
-    * its 4.5 s total: ~200k candidates × ~52 shingles × 2 joins). A
+    * relation. A candidate pair costs a single codegen'd merge walk over
+    * the two pre-sorted shingle arrays ([[graft.functions
+    * .SortedIntersectSize]]) instead of re-exploding both docs' shingle
+    * rows through two shuffle joins and a pair-keyed aggregation (which
+    * dominated q26 at 4.2 s of its 4.5 s total), and ~30× cheaper per pair
+    * than `array_intersect`'s per-row hash set (34 µs → ~1 µs measured). A
     * size-ratio prefilter drops pairs where even full containment could
     * not reach the threshold (J ≤ min/max) before the intersection runs —
     * redundant for prefix-path candidates (already length-filtered) but
-    * load-bearing for the MinHash-banding path. */
+    * load-bearing for the MinHash-banding path. Duplicate candidate rows
+    * produce duplicate (identical) output rows; callers that feed
+    * per-occurrence candidates dedupe the (small) verified output. */
   private def jaccardPairs0(sets: DataFrame, cand: DataFrame,
       threshold: Double): DataFrame = {
     cand
@@ -351,7 +411,8 @@ object Dedup {
       .filter(least(col("na"), col("nb")) >=
         lit(threshold) * greatest(col("na"), col("nb")) - lit(1e-9))
       .select(col("doc_a"), col("doc_b"), col("na"), col("nb"),
-        size(array_intersect(col("sa"), col("sb"))).cast(LongType).as("n_common"))
+        graft.functions.SetCols.sortedIntersectSize(col("sa"), col("sb"))
+          .as("n_common"))
       .withColumn("jaccard",
         col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
       .filter(col("jaccard") >= threshold)
