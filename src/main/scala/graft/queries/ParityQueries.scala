@@ -103,18 +103,10 @@ object ParityQueries {
     * timestamps carry microsecond entropy (zero whole-second rows, zero
     * exact-gap successive pairs at any sf), so strict-vs-inclusive merge
     * semantics at the gap boundary cannot diverge. */
-  val q59 = Q(
-    "q59_stream_sessions",
-    (spark, dir) => {
-      val tmp = stagedEventsDir(spark, dir)
-      EventsStream.replayToMemory(
-        EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, tmp),
-          gap = "30 minutes", watermark = "1 hour"),
-        "q59_stream_sessions_sink", OutputMode.Complete(),
-        statePartitions = Some(8))
-      spark.table("q59_stream_sessions_sink")
-    },
-    Some("""WITH o AS (
+  /** The batch gaps-and-islands sessionization both q59 and q65 verify
+    * against: break on inter-event gap ≥ 30 min, running-sum the breaks
+    * into session ids, aggregate. */
+  private val sessionsOracle = """WITH o AS (
         SELECT user_id, ts, value,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
@@ -130,7 +122,65 @@ object ParityQueries {
            MAX(ts) + INTERVAL '30 minutes' AS session_end,
            user_id, COUNT(*) AS n_events,
            CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE) AS total_value
-    FROM g GROUP BY user_id, grp""")
+    FROM g GROUP BY user_id, grp"""
+
+  val q59 = Q(
+    "q59_stream_sessions",
+    (spark, dir) => {
+      val tmp = stagedEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, tmp),
+          gap = "30 minutes", watermark = "1 hour"),
+        "q59_stream_sessions_sink", OutputMode.Complete(),
+        statePartitions = Some(8))
+      spark.table("q59_stream_sessions_sink")
+    },
+    Some(sessionsOracle)
+  )
+
+  /** Staged events plus ONE far-future sentinel event (user_id −1, 30 days
+    * past max ts): in Append mode a session only emits once the watermark
+    * passes its end, so a bounded replay would withhold every session in
+    * the final watermark horizon. The sentinel advances the watermark past
+    * all real sessions; its own session is never finalized and therefore
+    * never reaches the sink. */
+  private val stagedSentinelEvents =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedSentinelEventsDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedSentinelEvents.getOrElseUpdate(dir, {
+      import spark.implicits._
+      val t = java.nio.file.Files.createTempDirectory("graft-events-sentinel").toString
+      val ev = Tables.load(spark, dir, "events")
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+      val sentinel = Seq((-1L, far, -1L, "sentinel", 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      ev.unionByName(sentinel).write.mode("overwrite").parquet(t)
+      t
+    })
+
+  /** [[q59]]'s session pipeline in APPEND mode — the bounded-state contract
+    * an unbounded deployment runs on: each session emits exactly once when
+    * the watermark passes its end, and its state is evicted (Complete mode
+    * retains the whole result table forever — fine for a bounded replay,
+    * not at stream scale). Verified against the same batch oracle; the
+    * sentinel row (see [[stagedSentinelEventsDir]]) exists only to flush
+    * the final watermark horizon and never appears in the output — the
+    * user_id filter is a guard, asserted redundant by StreamingSpec. */
+  val q65 = Q(
+    "q65_stream_sessions_append",
+    (spark, dir) => {
+      val tmp = stagedSentinelEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, tmp),
+          gap = "30 minutes", watermark = "1 hour"),
+        "q65_stream_sessions_append_sink", OutputMode.Append(),
+        statePartitions = Some(8))
+      spark.table("q65_stream_sessions_append_sink")
+        .filter(col("user_id") >= 0)
+    },
+    Some(sessionsOracle)
   )
 
   /** The custom stateful operator (mapGroupsWithState running per-user
@@ -329,5 +379,5 @@ object ParityQueries {
   )
 
   val all: Seq[Q] =
-    Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60)
+    Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65)
 }

@@ -31,18 +31,10 @@ object PipelineQueries {
         JOIN sizes nb ON nb.doc_id = doc_b
       WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5)"""
 
-  /** Connected-component duplicate clusters over the q26 pair relation:
-    * (doc_id, cluster = min reachable doc_id); docs in no pair are
-    * singletons. The oracle computes the same components via a recursive
-    * transitive-closure CTE — pure integers, exact hash match. */
-  val q51 = Q(
-    "q51_dup_clusters",
-    (spark, dir) => {
-      val docs = Tables.load(spark, dir, "documents")
-      Dedup.dupClusters(docs,
-        Dedup.jaccardPairsPrefix(docs, 0.5).select(col("doc_a"), col("doc_b")))
-    },
-    Some(s"""WITH RECURSIVE $sqlPairCtes,
+  /** The recursive transitive-closure clustering oracle both q51 and q64
+    * check against: components over the q26 pair relation, labeled with
+    * their minimum doc_id — pure integers, exact hash match. */
+  private val clustersOracle = s"""WITH RECURSIVE $sqlPairCtes,
       edges AS (SELECT doc_a AS s, doc_b AS d FROM pairs
                 UNION ALL SELECT doc_b, doc_a FROM pairs),
       reach(s, d) AS (
@@ -52,7 +44,35 @@ object PipelineQueries {
       comp AS (SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster
                FROM reach GROUP BY s)
     SELECT doc.doc_id, COALESCE(comp.cluster, doc.doc_id) AS cluster
-    FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id""")
+    FROM documents doc LEFT JOIN comp ON doc.doc_id = comp.doc_id"""
+
+  /** Connected-component duplicate clusters over the q26 pair relation:
+    * (doc_id, cluster = min reachable doc_id); docs in no pair are
+    * singletons. Min-label propagation (diameter-bounded rounds — the
+    * right constant factor for clique-ish near-dup graphs). */
+  val q51 = Q(
+    "q51_dup_clusters",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.dupClusters(docs,
+        Dedup.jaccardPairsPrefix(docs, 0.5).select(col("doc_a"), col("doc_b")))
+    },
+    Some(clustersOracle)
+  )
+
+  /** Same contract as [[q51]] through the O(log n)-round large-star/
+    * small-star contraction ([[Dedup.dupClustersStar]]) — the variant
+    * chain-shaped components need at scale. Checked against the SAME
+    * recursive-CTE oracle on the SAME pair relation: both algorithms must
+    * produce identical component labelings. */
+  val q64 = Q(
+    "q64_dup_clusters_star",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Dedup.dupClustersStar(docs,
+        Dedup.jaccardPairsPrefix(docs, 0.5).select(col("doc_a"), col("doc_b")))
+    },
+    Some(clustersOracle)
   )
 
   /** Stratified deterministic sample: ~25% of docs per language, chosen by
@@ -171,5 +191,5 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63)
+  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64)
 }

@@ -88,6 +88,38 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("append-mode sessions equal complete-mode sessions once flushed") {
+    // the bounded-state (append + watermark) contract: with a far-future
+    // sentinel advancing the watermark past every real session, append
+    // mode must emit exactly the complete-mode result — and the sentinel's
+    // own (never-finalized) session must not reach the sink
+    val ev = Tables.load(spark, sf, "events")
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
+    import spark.implicits._
+    val sentinel = Seq((-1L, far, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val d = tmpDir("graft-events-sentinel-spec")
+    ev.unionByName(sentinel).write.mode("overwrite").parquet(d)
+    EventsStream.replayToMemory(
+      EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, d),
+        "10 minutes", "30 minutes"),
+      "session_append_sink", OutputMode.Append())
+    val appended = spark.table("session_append_sink").collect()
+    // no sentinel session emitted (its window end is past the final watermark)
+    assert(!appended.exists(_.getAs[Long]("user_id") == -1L))
+    EventsStream.replayToMemory(
+      EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, eventsDir),
+        "10 minutes", "30 minutes"),
+      "session_complete_sink", OutputMode.Complete())
+    val complete = spark.table("session_complete_sink").collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"))
+    assert(appended.map(key).toSet === complete.map(key).toSet)
+    assert(appended.length === complete.length)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
