@@ -7,13 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: image/audio/video as opaque `binary`
   * payloads with typed metadata.
   *
-  * The decode step is STUBBED (this environment has no image/audio codecs):
-  * `decodeStub` parses a deterministic fake header instead of real pixels.
-  * Everything around it — the schema, the per-partition batched processing
-  * shape, partition sizing, and the feature-vector contract — is the real
-  * Spark plumbing a production decoder (JNI codec or vectorized UDF) would
-  * drop into: swap `decodeStub` for the real decoder and nothing else
-  * changes.
+  * Two decoders share one interface: [[decodeImageIO]] decodes REAL image
+  * bytes through the JDK's ImageIO (PNG/JPEG/BMP/GIF — no external codec
+  * needed), proving a real codec drops into the plumbing unchanged;
+  * [[decodeStub]] parses the synthetic corpus' deterministic fake headers
+  * (its payloads are text bytes, not decodable media). Everything around
+  * them — the schema, the per-partition batched processing shape,
+  * partition sizing, and the feature-vector contract — is identical: a
+  * production decoder (JNI video codec, audio resampler) swaps in the
+  * same way ImageIO does.
   *
   * Processing uses Dataset.mapPartitions so the (expensive) decoder
   * amortizes any per-batch init across a whole partition — the same
@@ -72,6 +74,50 @@ object Multimodal {
         val checksum = bytes.foldLeft(1469598103934665603L)(
           (acc, b) => (acc ^ b) * 1099511628211L) // FNV-1a, deterministic
         Decoded(m.media_id, m.kind, w, h, w.toLong * h, checksum)
+      }
+    }
+  }
+
+  /** REAL image decoder over the same interface as [[decodeStub]]: parses
+    * the payload bytes with the JDK's ImageIO (PNG/JPEG/BMP/GIF),
+    * returning actual pixel dimensions and an FNV-1a checksum over the
+    * decoded ARGB pixels — content-addressable evidence the pixels, not
+    * just the container bytes, were read. Runs per-partition with decoder
+    * init (disabling ImageIO's temp-file cache) amortized across the
+    * partition, exactly like a JNI codec would be. Rows whose payload
+    * doesn't decode are dropped — the production contract for a corpus
+    * with corrupt members (a real pipeline would also side-channel a
+    * corrupt-count metric). */
+  def decodeImageIO(media: Dataset[Media]): Dataset[Decoded] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition decoder init: no temp-file cache, in-memory streams
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        img.map { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          var acc = 1469598103934665603L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = im.getRGB(x, y)
+              acc = (acc ^ (p & 0xff)) * 1099511628211L
+              acc = (acc ^ ((p >>> 8) & 0xff)) * 1099511628211L
+              acc = (acc ^ ((p >>> 16) & 0xff)) * 1099511628211L
+              acc = (acc ^ ((p >>> 24) & 0xff)) * 1099511628211L
+              x += 1
+            }
+            y += 1
+          }
+          Decoded(m.media_id, m.kind, w, h, w.toLong * h, acc)
+        }
       }
     }
   }

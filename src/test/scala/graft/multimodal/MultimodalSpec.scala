@@ -29,6 +29,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIO decoder reads REAL png bytes through the same interface") {
+    // tiny real PNGs generated in-memory: the decode path runs an actual
+    // codec end-to-end — dimensions and pixels come from the image, not
+    // the metadata struct (which is deliberately wrong here)
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        im.setRGB(x, y, (seed * 2654435761L).toInt + x * 31 + y * 7)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      Multimodal.Media(1L, "image", png(5, 3, 1),
+        Multimodal.MediaMeta(Some(999), Some(999), None, None)),
+      Multimodal.Media(2L, "image", png(5, 3, 1),   // identical pixels to 1
+        Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.Media(3L, "image", png(4, 7, 2),
+        Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.Media(4L, "image", "not an image".getBytes, // corrupt: dropped
+        Multimodal.MediaMeta(Some(1), Some(1), None, None)))
+    val out = Multimodal.decodeImageIO(rows.toDS().repartition(2))
+      .collect().map(d => d.media_id -> d).toMap
+    assert(out.keySet === Set(1L, 2L, 3L))         // corrupt row dropped
+    assert(out(1L).width === 5 && out(1L).height === 3 && out(1L).n_pixels === 15L)
+    assert(out(3L).width === 4 && out(3L).height === 7)
+    assert(out(1L).checksum === out(2L).checksum)  // pixel-content-addressed
+    assert(out(1L).checksum !== out(3L).checksum)
+  }
+
   test("stub feature extractor emits fixed-dim float vectors usable by Similarity") {
     val feats = Multimodal.featureExtractStub(media.as[Multimodal.Media], dim = 16)
     val rows = feats.collect()
