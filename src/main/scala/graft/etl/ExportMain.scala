@@ -12,9 +12,12 @@ import org.apache.spark.sql.SparkSession
   */
 object ExportMain {
 
+  /** args: [configPath] [schemaPath|-] [outDir] — "-" (or omission) selects
+    * the built-in canonical schema, letting callers reach the outDir
+    * positional without shipping a schema file. */
   def main(args: Array[String]): Unit = {
     val configPath = args.headOption.getOrElse("config.yaml")
-    val schemaPath = args.lift(1)
+    val schemaPath = args.lift(1).filter(_ != "-")
     val outDir = args.lift(2).getOrElse(".")
     val config = GraftConfig.fromYamlFile(configPath)
     val schemaSql = schemaPath

@@ -19,8 +19,16 @@ object GraftConfig {
   def fromYaml(text: String): GraftConfig = {
     val root = new org.yaml.snakeyaml.Yaml().load(text)
       .asInstanceOf[java.util.Map[String, Object]]
-    val m: Map[String, Object] =
+    val top: Map[String, Object] =
       Option(root).map(_.asScala.toMap).getOrElse(Map.empty)
+    // the reference nests everything under an `export:` root key
+    // (config.yaml:3, read as config["export"][...] at export.py:285);
+    // accept that layout and the flat one
+    val m: Map[String, Object] = top.get("export") match {
+      case Some(e: java.util.Map[_, _]) =>
+        e.asInstanceOf[java.util.Map[String, Object]].asScala.toMap
+      case _ => top
+    }
     def str(k: String, dflt: String) =
       m.get(k).map(String.valueOf).getOrElse(dflt)
     val out = m.get("output") match {

@@ -139,6 +139,18 @@ class EtlSpec extends SparkSpec {
     assert(c.compression === "zstd")
     // empty regions -> worldwide
     assert(GraftConfig.fromYaml("regions: []").regions.isEmpty)
+    // the reference's own nested layout (everything under `export:`)
+    val nested = GraftConfig.fromYaml(
+      """export:
+        |  api_url: "https://example.org/graphql"
+        |  regions: []
+        |  output:
+        |    filename: "climbs.parquet"
+        |    compression: "snappy"
+        |""".stripMargin)
+    assert(nested.apiUrl === "https://example.org/graphql")
+    assert(nested.outputFilename === "climbs.parquet")
+    assert(nested.compression === "snappy")
   }
 
   test("fetch pagination stops on short page; retry ladder retries 502 then succeeds") {
