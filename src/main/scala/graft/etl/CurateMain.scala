@@ -66,10 +66,15 @@ object CurateMain {
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
       inputBytes: Long = 0L, clusterAlgo: String = "propagate"): Result = {
-    // fail fast: a typo'd algorithm name must not burn three corpus scans
-    // (the counts below) before stage 3 rejects it
-    require(clusterAlgo == "propagate" || clusterAlgo == "star",
-      s"clusterAlgo must be 'propagate' or 'star', got '$clusterAlgo'")
+    // resolve the algorithm up front — the single validation site, and it
+    // fails fast: a typo'd name must not burn three corpus scans (the
+    // counts below) before stage 3 rejects it
+    val clusterFn: (DataFrame, DataFrame) => DataFrame = clusterAlgo match {
+      case "propagate" => Dedup.dupClusters(_, _)
+      case "star"      => Dedup.dupClustersStar(_, _)
+      case other => throw new IllegalArgumentException(
+        s"clusterAlgo must be 'propagate' or 'star', got '$other'")
+    }
     val input = docs.count()
 
     // stage 1: quality floor
@@ -89,12 +94,7 @@ object CurateMain {
     // (the cluster label IS the surviving doc_id, so keep label == id)
     val pairs = Dedup.jaccardPairsPrefix(exact, jaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
-    val clusters = clusterAlgo match {
-      case "propagate" => Dedup.dupClusters(exact, pairs)
-      case "star"      => Dedup.dupClustersStar(exact, pairs)
-      case other => throw new IllegalArgumentException(
-        s"clusterAlgo must be 'propagate' or 'star', got '$other'")
-    }
+    val clusters = clusterFn(exact, pairs)
     val canonical = exact.join(clusters, "doc_id")
       .filter(col("doc_id") === col("cluster")).drop("cluster")
 

@@ -161,8 +161,9 @@ object Dedup {
     *
     * The shared-shingle equi-join is the classic inverted-index candidate
     * generation: pairs with zero overlap are never materialized. At very
-    * large scale, hot shingles should be frequency-capped (df-filter) —
-    * [[minHashCandidates]] is the sub-linear alternative.
+    * large scale, hot shingles need bounding — [[jaccardPairsCapped]]
+    * (explicit df cap, documented recall trade) or [[minHashCandidates]]
+    * (sub-linear banding) are the alternatives.
     */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = persisted(shingleRows(docs))
@@ -171,6 +172,34 @@ object Dedup {
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     jaccardFromCommon(docSizes(sh), inter).filter(col("jaccard") >= threshold)
+  }
+
+  /** [[jaccardPairs]] with a document-frequency cap on the inverted index:
+    * shingles occurring in more than `maxDf` documents generate NO
+    * candidates, bounding the worst inverted-list join a priori (one
+    * df-D shingle alone contributes D·(D−1)/2 candidate rows — a stopword
+    * 3-gram at corpus scale is a cross product).
+    *
+    * RECALL CONTRACT (the losslessness-vs-cap trade, explicit): every
+    * REPORTED pair is exact — the verify stage intersects the FULL shingle
+    * sets, so capping never distorts a Jaccard value or admits a false
+    * positive. A true pair is MISSED iff every shingle the two docs share
+    * is hotter than the cap; pairs sharing at least one ≤`maxDf` shingle
+    * are always found. [[jaccardPairsPrefix]] remains the lossless default
+    * (rarest-first prefixes skip hot shingles without dropping pairs); the
+    * cap is for corpora where even prefix generation must be bounded. */
+  def jaccardPairsCapped(docs: DataFrame, threshold: Double,
+      maxDf: Long): DataFrame = {
+    val sets = persisted(docSetsLocal(parallelized(docs)))
+    val sh = sets.select(col("doc_id"), explode(col("shingles")).as("shingle"))
+    val rare = sh.join(
+      sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf),
+      "shingle").select(col("doc_id"), col("shingle"))
+    val cand = rare.as("a").join(rare.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    jaccardPairs0(sets, cand, threshold).distinct()
   }
 
   /** The shingle relation feeds several consumers (frequency ranking,

@@ -54,6 +54,37 @@ class TextSpec extends SparkSpec {
       pairs(Dedup.jaccardPairs(docs, 0.3)))
   }
 
+  test("df-capped Jaccard: exact values, recall contract, no-op at high cap") {
+    import spark.implicits._
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    // "a b c" is hot (4 docs); docs 0/1 share ONLY it; docs 4/5 share rare
+    // shingles and are near-identical
+    val docs = Seq(
+      (0L, "a b c p q r"),
+      (1L, "a b c x y z"),
+      (2L, "a b c m n o"),
+      (3L, "a b c u v w"),
+      (4L, "k l m n k l m"),
+      (5L, "k l m n k l j")).toDF("doc_id", "text")
+    val naive = pairs(Dedup.jaccardPairs(docs, 0.1))
+    val capped = pairs(Dedup.jaccardPairsCapped(docs, 0.1, maxDf = 3L))
+    // reported pairs are exact (a subset of naive, same jaccard values)
+    assert(capped.subsetOf(naive))
+    // missed iff every shared shingle is hot: 0-1 share only "a b c"
+    assert(naive.exists { case (a, b, _) => a == 0L && b == 1L })
+    assert(!capped.exists { case (a, b, _) => a == 0L && b == 1L })
+    // found when at least one shared shingle is rare: 4-5 survive
+    assert(capped.exists { case (a, b, _) => a == 4L && b == 5L })
+    // a cap above every df is a no-op: identical to the naive join
+    assert(pairs(Dedup.jaccardPairsCapped(docs, 0.1, maxDf = 1000L)) === naive)
+    // and on the real corpus too
+    val corpus = Tables.load(spark, sf, "documents")
+    assert(pairs(Dedup.jaccardPairsCapped(corpus, 0.5, maxDf = 100000L)) ===
+      pairs(Dedup.jaccardPairs(corpus, 0.5)))
+  }
+
   test("minhash-LSH near-dups (q27) find the same pairs as exact Jaccard (q26)") {
     val exact = TextQueries.q26.run(spark, sf).select("doc_a", "doc_b")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
