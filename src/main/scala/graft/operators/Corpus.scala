@@ -1,0 +1,138 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.operators.{TextAnalysis => TA}
+
+/** Corpus-level analytics and transforms for training-data pipelines:
+  * n-gram frequency statistics, cross-source vocabulary overlap,
+  * document-frequency-capped stopword scrubbing, and context-window token
+  * chunking. Everything here is either scan-only (chunking, and the scrub
+  * once its small hot-set is built) or one partial-aggregated shuffle of
+  * the token/shingle relation — the shapes that survive a 100 TB corpus.
+  */
+object Corpus {
+
+  /** Top-`k` 3-gram shingles corpus-wide by occurrence count, with the
+    * number of distinct documents containing each (`n_docs`).
+    *
+    * Two-phase aggregation instead of `countDistinct`: the first groupBy
+    * on (shingle, doc_id) collapses per-document repeats WITH map-side
+    * partial aggregation, so the wide shuffle carries one row per
+    * (shingle, doc) incidence, and the second groupBy — already tiny —
+    * derives both totals. `countDistinct(doc_id)` would plan an Expand
+    * (2× the exploded relation) to share one shuffle; at corpus scale two
+    * small shuffles beat one doubled one. The final total order
+    * (count desc, shingle asc) is deterministic, so the LIMIT cutoff is
+    * too; Spark plans it as TakeOrderedAndProject (no global sort). */
+  def ngramTopK(docs: DataFrame, k: Int): DataFrame =
+    docs.select(col("doc_id"),
+        explode(TA.shingles3(TA.tokens(col("text")))).as("shingle"))
+      .groupBy(col("shingle"), col("doc_id"))
+      .agg(count(lit(1)).as("n_in_doc"))
+      .groupBy(col("shingle"))
+      .agg(sum(col("n_in_doc")).as("n_occurrences"),
+        count(lit(1)).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("shingle").asc)
+      .limit(k)
+
+  /** Pairwise Jaccard similarity of the distinct 3-gram-shingle
+    * vocabularies of every two `source` groups (a < b), with intersection
+    * and union sizes — the source-level cousin of document near-dup: which
+    * corpora overlap enough that sampling weights should account for it.
+    * Shingles, not unigram tokens: unigram vocabularies saturate (every
+    * large corpus contains every common word, Jaccard → 1), while the
+    * 3-gram space is sparse enough to discriminate at any scale.
+    *
+    * The vocabulary relation (one row per distinct (source, shingle)) is
+    * the only corpus-sized intermediate — one distinct shuffle keyed by
+    * shingle; the self-join on shingle then emits at most
+    * |sources-with-shingle|² ≤ nSources² rows per shingle, bounded
+    * regardless of corpus size, and per-source vocabulary sizes are a
+    * broadcastable nSources-row aggregate. Pairs sharing zero shingles are
+    * (correctly) absent. */
+  def vocabOverlap(docs: DataFrame): DataFrame = {
+    val vocab = docs
+      .select(col("source"),
+        explode(array_distinct(TA.shingles3(TA.tokens(col("text"))))).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
+    val common = vocab.as("a").join(vocab.as("b"),
+        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("source_a"), col("n_vocab").as("na"))),
+        "source_a")
+      .join(broadcast(sizes.select(col("source").as("source_b"), col("n_vocab").as("nb"))),
+        "source_b")
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        (col("na") + col("nb") - col("n_common")).as("n_union"),
+        (col("n_common").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+  }
+
+  /** Remove every token whose document frequency is ≥ `minDfFraction` of
+    * the corpus from every document, preserving the order of the survivors
+    * (C4-style corpus-adaptive stopword scrubbing).
+    *
+    * The hot set is SMALL BY CONSTRUCTION: a token qualifies only if it
+    * appears in ≥ f·N documents, and with D distinct tokens per doc on
+    * average there are at most D/f such tokens — independent of corpus
+    * size. So the plan computes df with one partial-aggregated shuffle of
+    * the distinct-token relation, closes the hot set against the corpus
+    * row count via a 1-row cross join (no driver action, the plan stays
+    * lazy), collapses it to ONE array row, and broadcast-cross-joins that
+    * row back onto the corpus where the actual scrub is a row-local array
+    * filter. Nothing per-document ever shuffles. */
+  def scrubHotWords(docs: DataFrame, minDfFraction: Double): DataFrame = {
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val hot = docs
+      .select(explode(array_distinct(TA.tokens(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .join(total)
+      .filter(col("df").cast(DoubleType) >= lit(minDfFraction) * col("n_total"))
+    // sort_array: the membership test is order-independent, but a
+    // deterministic array makes plans and debugging stable
+    val hotRow = hot.agg(sort_array(collect_list(col("tok"))).as("hot_toks"))
+    docs
+      .crossJoin(broadcast(hotRow))
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"), col("hot_toks"))
+      .select(col("doc_id"), col("toks"),
+        filter(col("toks"), t => not(array_contains(col("hot_toks"), t))).as("kept"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        size(col("kept")).as("n_kept"),
+        array_join(col("kept"), " ").as("scrubbed"))
+  }
+
+  /** Split each document's token sequence into context windows of at most
+    * `window` tokens starting every `stride` tokens (overlap = window −
+    * stride), the chunking step in front of tokenizer/packing in a
+    * training pipeline. Chunk starts are 1, 1+s, 1+2s, …; the count
+    * 1 + ⌈max(n−w, 0)/s⌉ is exactly enough that the last chunk reaches the
+    * final token (it may be shorter than `window`; with stride ≤ window
+    * every token is covered). Entirely row-local — a scan-only generate,
+    * no shuffle at any scale. */
+  def chunkTokens(docs: DataFrame, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    val n = size(col("toks"))
+    val nChunks = when(n <= window, lit(1))
+      .otherwise(ceil((n - lit(window)).cast(DoubleType) / lit(stride))
+        .cast(IntegerType) + lit(1))
+    docs
+      .select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), nChunks - 1)).as(Seq("chunk_idx", "i")))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("i") * stride + 1).as("start_tok"),
+        slice(col("toks"), col("i") * stride + 1, lit(window)).as("chunk"))
+      .select(col("doc_id"), col("chunk_idx").cast(IntegerType).as("chunk_idx"),
+        col("start_tok").cast(IntegerType).as("start_tok"),
+        size(col("chunk")).as("n_chunk_tokens"),
+        array_join(col("chunk"), " ").as("chunk_text"))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.Corpus
+
+/** Corpus-level analytics and transform queries over the `documents`
+  * table: n-gram frequency stats, cross-source vocabulary overlap,
+  * df-capped stopword scrubbing, and context-window chunking. Oracle SQL
+  * is DuckDB dialect, sharing [[TextQueries.sqlToks]] /
+  * [[TextQueries.sqlShingles]] so the tokenizer contract stays single-
+  * sourced. */
+object CorpusQueries {
+
+  private val sqlToks = TextQueries.sqlToks
+  private val sqlShingles = TextQueries.sqlShingles
+
+  /** Corpus-wide top-k 3-grams with occurrence and document counts. */
+  val q66 = Q(
+    "q66_ngram_topk",
+    (spark, dir) => Corpus.ngramTopK(Tables.load(spark, dir, "documents"), 20),
+    Some(s"""SELECT shingle, CAST(SUM(n_in_doc) AS BIGINT) AS n_occurrences,
+        COUNT(*) AS n_docs
+      FROM (SELECT doc_id, s AS shingle, COUNT(*) AS n_in_doc
+            FROM (SELECT doc_id, unnest($sqlShingles) AS s FROM documents)
+            GROUP BY doc_id, s)
+      GROUP BY shingle
+      ORDER BY n_occurrences DESC, shingle ASC
+      LIMIT 20""")
+  )
+
+  /** Pairwise source-vocabulary (3-gram) Jaccard overlap. */
+  val q67 = Q(
+    "q67_source_overlap",
+    (spark, dir) => Corpus.vocabOverlap(Tables.load(spark, dir, "documents")),
+    Some(s"""WITH vocab AS (
+        SELECT DISTINCT source, unnest(list_distinct($sqlShingles)) AS s
+        FROM documents),
+      sizes AS (SELECT source, COUNT(*) AS n_vocab FROM vocab GROUP BY source),
+      common AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM vocab a JOIN vocab b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, n_common,
+        sa.n_vocab + sb.n_vocab - n_common AS n_union,
+        CAST(n_common AS DOUBLE) / (sa.n_vocab + sb.n_vocab - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.source = source_a
+      JOIN sizes sb ON sb.source = source_b""")
+  )
+
+  /** Corpus-adaptive stopword scrub: drop tokens present in ≥ 78.6% of
+    * documents. The cap sits inside the synthetic corpus's df spread
+    * (not at a cliff where the hot set is all-or-nothing), so the check
+    * exercises a real split; both engines evaluate the same
+    * integer-df ≥ double-threshold comparison, so the boundary is
+    * deterministic. COALESCE on the oracle: DuckDB's array_to_string
+    * returns NULL for an empty list where Spark's array_join returns
+    * ''. */
+  val q68 = Q(
+    "q68_stopword_scrub",
+    (spark, dir) =>
+      Corpus.scrubHotWords(Tables.load(spark, dir, "documents"), 0.786),
+    Some(s"""WITH dfx AS (
+        SELECT tok, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, tok
+              FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents))
+        GROUP BY tok),
+      total AS (SELECT COUNT(*) AS n_total FROM documents),
+      hotl AS (SELECT list_sort(list(tok)) AS hot_toks FROM dfx, total
+               WHERE CAST(df AS DOUBLE) >= 0.786 * n_total)
+      SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
+        CAST(len(kept) AS INTEGER) AS n_kept,
+        COALESCE(array_to_string(kept, ' '), '') AS scrubbed
+      FROM (SELECT doc_id, $sqlToks AS toks,
+              list_filter($sqlToks, t -> NOT list_contains(hot_toks, t)) AS kept
+            FROM documents, hotl)""")
+  )
+
+  /** Context-window chunking: 64-token windows every 48 tokens. */
+  val q69 = Q(
+    "q69_token_chunks",
+    (spark, dir) =>
+      Corpus.chunkTokens(Tables.load(spark, dir, "documents"), 64, 48),
+    Some(s"""SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        CAST(i*48 + 1 AS INTEGER) AS start_tok,
+        CAST(len(toks[i*48 + 1 : i*48 + 64]) AS INTEGER) AS n_chunk_tokens,
+        array_to_string(toks[i*48 + 1 : i*48 + 64], ' ') AS chunk_text
+      FROM (SELECT doc_id, toks,
+              unnest(range(CASE WHEN len(toks) <= 64 THEN 1
+                ELSE CAST(ceil((len(toks) - 64) / 48.0) AS INTEGER) + 1 END)) AS i
+            FROM (SELECT doc_id, $sqlToks AS toks FROM documents))""")
+  )
+
+  val all: Seq[Q] = Seq(q66, q67, q68, q69)
+}

@@ -7,7 +7,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Registry {
   val all: Seq[Q] =
     Relational.all ++ TextQueries.all ++ VectorQueries.all ++
-      PipelineQueries.all ++ MultimodalQueries.all ++ ParityQueries.all
+      PipelineQueries.all ++ MultimodalQueries.all ++ ParityQueries.all ++
+      CorpusQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+
+/** Corpus analytics/transform invariants: top-k ordering, overlap
+  * symmetry-by-construction, scrub losslessness on the survivor side, and
+  * chunk coverage arithmetic. */
+class CorpusSpec extends SparkSpec {
+
+  private def docs = Tables.load(spark, sf, "documents")
+
+  test("ngramTopK: k rows, count-descending, n_docs <= n_occurrences") {
+    val rows = Corpus.ngramTopK(docs, 10).collect()
+    assert(rows.length === 10)
+    val counts = rows.map(_.getAs[Long]("n_occurrences"))
+    assert(counts.sameElements(counts.sortBy(-_)))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") <= r.getAs[Long]("n_occurrences"))
+      assert(r.getAs[Long]("n_docs") >= 1L)
+    }
+  }
+
+  test("vocabOverlap: a < b pairs only, jaccard in (0,1], sizes consistent") {
+    val rows = Corpus.vocabOverlap(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[String]("source_a"), r.getAs[String]("source_b"))
+      assert(a < b)
+      val common = r.getAs[Long]("n_common")
+      val union = r.getAs[Long]("n_union")
+      val j = r.getAs[Double]("jaccard")
+      assert(common >= 1L && common <= union)
+      assert(math.abs(j - common.toDouble / union) < 1e-12)
+    }
+    // every unordered pair appears at most once
+    val pairs = rows.map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.distinct.length === pairs.length)
+  }
+
+  test("scrubHotWords: survivors keep order; hot set respects the cap") {
+    val n = docs.count()
+    val out = Corpus.scrubHotWords(docs, 0.5)
+    val rows = out.collect()
+    assert(rows.length === n)
+    // recompute the hot set independently
+    val hot = docs
+      .select(explode(array_distinct(TextAnalysis.tokens(col("text")))).as("tok"))
+      .groupBy("tok").count()
+      .filter(col("count") >= lit(0.5) * lit(n))
+      .collect().map(_.getString(0)).toSet
+    val original = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val toks = original(r.getAs[Long]("doc_id")).trim.split("\\s+").toSeq
+      val expected = toks.filterNot(hot)
+      assert(r.getAs[Int]("n_tokens") === toks.length)
+      assert(r.getAs[Int]("n_kept") === expected.length)
+      // order-preserving: scrubbed IS the subsequence of survivors
+      assert(r.getAs[String]("scrubbed") === expected.mkString(" "))
+    }
+  }
+
+  test("scrubHotWords: cap above max df scrubs nothing") {
+    val out = Corpus.scrubHotWords(docs, 1.01).collect()
+    out.foreach { r =>
+      assert(r.getAs[Int]("n_kept") === r.getAs[Int]("n_tokens"))
+    }
+  }
+
+  test("chunkTokens: full coverage, stride-spaced starts, window-capped") {
+    val (w, s) = (16, 12)
+    val chunks = Corpus.chunkTokens(docs, w, s).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val lens = docs
+      .select(col("doc_id"), size(TextAnalysis.tokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(chunks.keySet === lens.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = lens(id)
+      val sorted = cs.sortBy(_.getAs[Int]("chunk_idx"))
+      // starts are 1, 1+s, 1+2s, ...
+      sorted.zipWithIndex.foreach { case (c, i) =>
+        assert(c.getAs[Int]("chunk_idx") === i)
+        assert(c.getAs[Int]("start_tok") === 1 + i * s)
+        assert(c.getAs[Int]("n_chunk_tokens") <= w)
+        assert(c.getAs[Int]("n_chunk_tokens") >= 1)
+      }
+      // the last chunk ends exactly at token n — every token covered
+      val last = sorted.last
+      assert(last.getAs[Int]("start_tok") + last.getAs[Int]("n_chunk_tokens") - 1 === n)
+      // expected chunk count
+      val expect = if (n <= w) 1 else math.ceil((n - w).toDouble / s).toInt + 1
+      assert(sorted.length === expect)
+    }
+  }
+
+  test("chunkTokens: rejects stride > window") {
+    intercept[IllegalArgumentException](Corpus.chunkTokens(docs, 8, 9))
+  }
+}
