@@ -28,8 +28,13 @@ object Corpus {
     * (count desc, shingle asc) is deterministic, so the LIMIT cutoff is
     * too; Spark plans it as TakeOrderedAndProject (no global sort). */
   def ngramTopK(docs: DataFrame, k: Int): DataFrame =
-    docs.select(col("doc_id"),
-        explode(TA.shingles3(TA.tokens(col("text")))).as("shingle"))
+    // tokens in their OWN projection: shingles3's transform dereferences
+    // the token array ~3× per shingle, and inlined the regex split would
+    // re-run per reference (the docSetsLocal pitfall — measured ~7× the
+    // stage). CollapseProject keeps multi-referenced non-cheap
+    // projections apart, so the split runs once per row.
+    docs.select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(TA.shingles3(col("toks"))).as("shingle"))
       .groupBy(col("shingle"), col("doc_id"))
       .agg(count(lit(1)).as("n_in_doc"))
       .groupBy(col("shingle"))
@@ -54,9 +59,12 @@ object Corpus {
     * broadcastable nSources-row aggregate. Pairs sharing zero shingles are
     * (correctly) absent. */
   def vocabOverlap(docs: DataFrame): DataFrame = {
+    // same two-stage projection as ngramTopK: bind the token array to an
+    // attribute before shingles3 multi-references it
     val vocab = docs
+      .select(col("source"), TA.tokens(col("text")).as("toks"))
       .select(col("source"),
-        explode(array_distinct(TA.shingles3(TA.tokens(col("text"))))).as("tok"))
+        explode(array_distinct(TA.shingles3(col("toks")))).as("tok"))
       .distinct()
     val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
     val common = vocab.as("a").join(vocab.as("b"),
