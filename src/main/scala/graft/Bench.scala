@@ -102,7 +102,11 @@ object Bench {
     // Spreading a query's samples minutes apart lets min-of-N actually
     // cancel transient load. A failing query reports -1, never a
     // misleading time-to-failure.
-    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt
+    // 5 passes, not 3: this host's contention windows can outlast a whole
+    // 3-pass run (round 4 observed 10×+ inflation across consecutive
+    // passes with near-zero guest load); two extra ~35 s passes are cheap
+    // insurance that min-of-N sees at least one quiet window.
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "5").toInt
     // Optional comma-separated query filter for targeted profiling runs.
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
