@@ -92,7 +92,7 @@ object CurateMain {
 
     // stage 3: near-dup collapse — one canonical doc per Jaccard cluster
     // (the cluster label IS the surviving doc_id, so keep label == id)
-    val pairs = Dedup.jaccardPairsPrefix(exact, jaccardThreshold)
+    val pairs = Dedup.jaccardPairsPrefixHash(exact, jaccardThreshold)
       .select(col("doc_a"), col("doc_b"))
     val clusters = clusterFn(exact, pairs)
     val canonical = exact.join(clusters, "doc_id")

@@ -185,9 +185,10 @@ object Dedup {
     * sets, so capping never distorts a Jaccard value or admits a false
     * positive. A true pair is MISSED iff every shingle the two docs share
     * is hotter than the cap; pairs sharing at least one ≤`maxDf` shingle
-    * are always found. [[jaccardPairsPrefix]] remains the lossless default
-    * (rarest-first prefixes skip hot shingles without dropping pairs); the
-    * cap is for corpora where even prefix generation must be bounded. */
+    * are always found. The prefix paths ([[jaccardPairsPrefixHash]] for
+    * flat df distributions, [[jaccardPairsPrefix]]'s rarest-first order
+    * for hot-shingle corpora) remain the lossless defaults; the cap is
+    * for corpora where even prefix generation must be bounded. */
   def jaccardPairsCapped(docs: DataFrame, threshold: Double,
       maxDf: Long): DataFrame = {
     val sets = persisted(docSetsLocal(parallelized(docs)))
@@ -265,32 +266,76 @@ object Dedup {
       .select(col("doc_id"), col("n_shingles"), posexplode(col("prefix")))
       .select(col("doc_id"), col("col.shingle").as("shingle"),
         (col("pos") + 1).as("rank"), col("n_shingles"))
-    // PPJoin pruning at generation time, both LOSSLESS for J ≥ t:
-    //  - length filter: J ≤ min/max, so mismatched sizes can't qualify;
-    //  - positional filter: a qualifying pair needs overlap ≥
-    //    α = ⌈t/(1+t)·(na+nb)⌉, and a shared prefix element at ranks
-    //    (ra, rb) bounds the remaining overlap by 1 + min(na−ra, nb−rb).
-    //    The bound only has to hold for SOME shared occurrence and it
-    //    always holds for the first one, so pruning per-occurrence before
-    //    the distinct() drops no true pair. Epsilons lean the same safe
-    //    way as the prefix-length floor above: α can only shrink.
+    val cand = prefixCandidates(prefixes, threshold)
+    jaccardPairs0(packs.select(col("doc_id"), col("shingles"), col("n_shingles")),
+      cand, threshold).distinct()
+  }
+
+  /** PPJoin candidate generation from a (doc_id, shingle, rank,
+    * n_shingles) prefix relation, with pruning at generation time — both
+    * prunes LOSSLESS for J ≥ t:
+    *  - length filter: J ≤ min/max, so mismatched sizes can't qualify;
+    *  - positional filter: a qualifying pair needs overlap ≥
+    *    α = ⌈t/(1+t)·(na+nb)⌉, and a shared prefix element at ranks
+    *    (ra, rb) bounds the remaining overlap by 1 + min(na−ra, nb−rb).
+    *    The bound only has to hold for SOME shared occurrence and it
+    *    always holds for the first one, so pruning per-occurrence before
+    *    any dedup drops no true pair. Epsilons lean the same safe way as
+    *    the prefix-length floor: α can only shrink.
+    *
+    * NO distinct() on the output: deduping per-occurrence candidates is a
+    * shuffle of the (large) candidate relation, and on shingle corpora it
+    * removes only ~5% of rows — the merge-walk verify re-checks the few
+    * duplicates cheaper than the exchange costs, and the final distinct
+    * runs over the (tiny) verified pair set instead. */
+  private def prefixCandidates(prefixes: DataFrame, threshold: Double): DataFrame = {
     val alpha = ceil(
       lit(threshold) / lit(1.0 + threshold) *
         (col("a.n_shingles") + col("b.n_shingles")) - lit(1e-9))
-    // NO distinct() on candidates: deduping per-occurrence candidates is a
-    // shuffle of the (large) candidate relation, and on shingle corpora it
-    // removes only ~5% of rows — the merge-walk verify re-checks the few
-    // duplicates cheaper than the exchange costs, and the final distinct
-    // runs over the (tiny) verified pair set instead.
-    val cand = prefixes.as("a").join(prefixes.as("b"),
+    prefixes.as("a").join(prefixes.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
       .filter(least(col("a.n_shingles"), col("b.n_shingles")) >=
         lit(threshold) * greatest(col("a.n_shingles"), col("b.n_shingles")) - lit(1e-9))
       .filter(least(col("a.n_shingles") - col("a.rank"),
         col("b.n_shingles") - col("b.rank")) + 1 >= alpha)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-    jaccardPairs0(packs.select(col("doc_id"), col("shingles"), col("n_shingles")),
-      cand, threshold).distinct()
+  }
+
+  /** [[jaccardPairsPrefix]] under a HASH total order instead of
+    * rarest-first document frequency: prefix-filter losslessness only
+    * needs SOME fixed total order shared by every document (the pigeonhole
+    * argument never uses what the order means), and ordering shingles by
+    * (md5, value) is computable inside each row — the df aggregate, the
+    * df join, and the regroup vanish, leaving the candidate equi-join and
+    * the verify joins as the ONLY relation-wide operations.
+    *
+    * The trade: rarest-first deliberately pushes hot shingles out of
+    * prefixes, minimizing candidates; a hash order admits them at their
+    * natural rate, so a shingle of document frequency D that lands in
+    * prefixes contributes O(D²) per-occurrence candidates. On corpora
+    * whose shingle df distribution is flat (natural text at modest scale),
+    * the extra candidates cost less than the two saved shuffles; on
+    * corpora with genuinely hot shingles, [[jaccardPairsPrefix]]'s df
+    * order (or [[jaccardPairsCapped]]'s explicit bound) is the right
+    * tool. Results are identical to [[jaccardPairs]] either way —
+    * spec-verified. */
+  def jaccardPairsPrefixHash(docs: DataFrame, threshold: Double): DataFrame = {
+    val sets = persisted(docSetsLocal(parallelized(docs)))
+    val prefLen = (floor(lit(1.0 - threshold) * col("n_shingles") + lit(1e-9)) + 1)
+      .cast(IntegerType)
+    // struct sort = lexicographic over (h, shingle); md5 of the UTF-8
+    // bytes, same digest the sampling operators use — engine-portable and
+    // collision-tiebroken by the shingle itself, so the order is total
+    val prefixes = sets
+      .select(col("doc_id"), col("n_shingles"),
+        slice(array_sort(transform(col("shingles"),
+          s => struct(md5(s.cast("binary")).as("h"), s.as("shingle")))),
+          lit(1), prefLen).as("prefix"))
+      .select(col("doc_id"), col("n_shingles"), posexplode(col("prefix")))
+      .select(col("doc_id"), col("col.shingle").as("shingle"),
+        (col("pos") + 1).as("rank"), col("n_shingles"))
+    val cand = prefixCandidates(prefixes, threshold)
+    jaccardPairs0(sets, cand, threshold).distinct()
   }
 
   /** Per-doc distinct-shingle counts — the |A| and |B| of the Jaccard

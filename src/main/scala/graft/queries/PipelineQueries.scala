@@ -55,7 +55,7 @@ object PipelineQueries {
     (spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       Dedup.dupClusters(docs,
-        Dedup.jaccardPairsPrefix(docs, 0.5).select(col("doc_a"), col("doc_b")))
+        Dedup.jaccardPairsPrefixHash(docs, 0.5).select(col("doc_a"), col("doc_b")))
     },
     Some(clustersOracle)
   )
@@ -70,7 +70,7 @@ object PipelineQueries {
     (spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
       Dedup.dupClustersStar(docs,
-        Dedup.jaccardPairsPrefix(docs, 0.5).select(col("doc_a"), col("doc_b")))
+        Dedup.jaccardPairsPrefixHash(docs, 0.5).select(col("doc_a"), col("doc_b")))
     },
     Some(clustersOracle)
   )

@@ -152,7 +152,7 @@ object TextQueries {
   val q26 = Q(
     "q26_jaccard_near_dups",
     (spark, dir) =>
-      Dedup.jaccardPairsPrefix(Tables.load(spark, dir, "documents"), 0.5),
+      Dedup.jaccardPairsPrefixHash(Tables.load(spark, dir, "documents"), 0.5),
     Some(s"""WITH sh AS (
         SELECT doc_id, unnest(list_distinct($sqlShingles)) AS shingle
         FROM documents),

@@ -52,6 +52,12 @@ class TextSpec extends SparkSpec {
     // a lower threshold exercises longer prefixes
     assert(pairs(Dedup.jaccardPairsPrefix(docs, 0.3)) ===
       pairs(Dedup.jaccardPairs(docs, 0.3)))
+    // the hash-ordered prefix path must be exactly as lossless: the
+    // pigeonhole argument holds for ANY fixed total order
+    assert(pairs(Dedup.jaccardPairsPrefixHash(docs, 0.5)) ===
+      pairs(Dedup.jaccardPairs(docs, 0.5)))
+    assert(pairs(Dedup.jaccardPairsPrefixHash(docs, 0.3)) ===
+      pairs(Dedup.jaccardPairs(docs, 0.3)))
   }
 
   test("df-capped Jaccard: exact values, recall contract, no-op at high cap") {
