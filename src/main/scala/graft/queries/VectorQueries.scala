@@ -162,9 +162,12 @@ object VectorQueries {
   private val q33Tables: Seq[Seq[Seq[Double]]] =
     (0 until 4).map(t => Similarity.hyperplanes(nPlanes = 6, dim = 64, seed = 7L + t))
 
-  /** Per-table bucket CTEs + the union — the SQL mirror of
-    * `Similarity.cosineNearDupPairsBanded`'s bucket relation. */
-  private val q33Oracle: String = {
+  /** Per-table bucket CTEs + union + exact-cosine pair scoring — the SQL
+    * mirror of `Similarity.cosineNearDupPairsBanded`'s full pair relation
+    * (ends at the micro-rounded `sm` CTE; q33 selects pairs from it, q70
+    * feeds it to a recursive closure). No leading "WITH" — callers supply
+    * WITH or WITH RECURSIVE and may append further CTEs after a comma. */
+  private val q33PairCtes: String = {
     val perTable = q33Tables.zipWithIndex.map { case (planes, t) =>
       val ps = planes.map(planeLit)
       val unnests = ps.zipWithIndex
@@ -179,7 +182,7 @@ object VectorQueries {
     }.mkString(",\n      ")
     val union = q33Tables.indices
       .map(t => s"SELECT * FROM bk$t").mkString(" UNION ALL ")
-    s"""WITH $perTable,
+    s"""$perTable,
       bk AS ($union),
       cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
                FROM bk a JOIN bk b
@@ -196,9 +199,12 @@ object VectorQueries {
              FROM pe GROUP BY vec_a, vec_b),
       sm AS (SELECT vec_a, vec_b,
         CAST(ROUND(dot/(SQRT(na2)*SQRT(nb2)) * 1000000) AS BIGINT) AS cosine_1e6
-      FROM sc)
-      SELECT vec_a, vec_b, cosine_1e6 FROM sm WHERE cosine_1e6 >= 300000"""
+      FROM sc)"""
   }
+
+  private val q33Oracle: String =
+    s"""WITH $q33PairCtes
+      SELECT vec_a, vec_b, cosine_1e6 FROM sm WHERE cosine_1e6 >= 300000"""
 
   /** Embedding-cosine near-duplicate pairs via banded multi-table LSH
     * (4 tables × 6 planes): candidates only from shared buckets, then
@@ -225,6 +231,46 @@ object VectorQueries {
         round(col("cosine") * 1000000).cast(LongType).as("cosine_1e6"))
       .filter(col("cosine_1e6") >= 300000L),
     Some(q33Oracle)
+  )
+
+  /** Semantic (embedding-space) duplicate clusters: connected components
+    * over q33's exact-cosine-verified near-dup pairs, every vector labeled
+    * with its component's minimum vec_id (singletons label themselves) —
+    * the step that turns pairwise near-dup detection into "keep one per
+    * semantic cluster". Same composition contract as q51/q64 on the text
+    * side: pair detection is banded LSH + verify (never all-pairs), and
+    * clustering touches only vectors that appear in some pair. The
+    * membership threshold rides the SAME rounded-micros contract as q33,
+    * so the edge set — and therefore the labeling — is identical in both
+    * engines. */
+  val q70 = Q(
+    "q70_embedding_clusters",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val pairs = Similarity.cosineNearDupPairsBanded(
+        emb, planesPerTable = 6, nTables = 4, seed = 7L,
+        threshold = 0.30 - 1e-6,
+        dimHint = Some(queryVec(spark, dir).length))
+        .select(col("vec_a"), col("vec_b"),
+          round(col("cosine") * 1000000).cast(LongType).as("cosine_1e6"))
+        .filter(col("cosine_1e6") >= 300000L)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      graft.operators.Dedup
+        .dupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
+        .select(col("doc_id").as("vec_id"), col("cluster"))
+    },
+    Some(s"""WITH RECURSIVE $q33PairCtes,
+      pairs AS (SELECT vec_a, vec_b FROM sm WHERE cosine_1e6 >= 300000),
+      edges AS (SELECT vec_a AS s, vec_b AS d FROM pairs
+                UNION ALL SELECT vec_b, vec_a FROM pairs),
+      reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+      comp AS (SELECT s AS vec_id, LEAST(s, MIN(d)) AS cluster
+               FROM reach GROUP BY s)
+      SELECT e.vec_id, COALESCE(comp.cluster, e.vec_id) AS cluster
+      FROM embeddings e LEFT JOIN comp ON e.vec_id = comp.vec_id""")
   )
 
   // -- q34/q50: IVF cells, reproduced in SQL over an explicit centroid CTE --
@@ -312,5 +358,5 @@ object VectorQueries {
     })
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70)
 }
