@@ -43,6 +43,38 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
 
+  /** Brute-force cosine kNN JOIN: the k nearest corpus vectors for EVERY
+    * query in a (small) batch, as (query_id, rank, vec_id) — rank by
+    * (cosine desc, vec_id asc), a query's own vector excluded when its id
+    * matches a corpus id.
+    *
+    * Scale shape: the query batch rides the plan as literal structs (a
+    * broadcast in spirit — Q·dim constants, no join), each corpus row
+    * scores all Q queries inside one codegen'd projection, and per-query
+    * ranking happens in [[graft.functions.TopKAgg]] — map-side k-buffers
+    * mean the single shuffle carries partitions × Q × k rows, never the
+    * scored relation. A window ranker here would funnel every scored row
+    * into Q partitions (the classic kNN-join skew); the aggregate keeps
+    * the hot path embarrassingly parallel. Q·N score arithmetic is
+    * inherent to the brute-force contract; for large Q or N, cut the
+    * scored relation first (IVF cells or LSH buckets), then rank the
+    * survivors the same way. */
+  def knnJoin(emb: DataFrame, queries: Seq[(Long, Seq[Double])], k: Int): DataFrame = {
+    require(queries.nonEmpty, "knnJoin needs at least one query")
+    val qArr = array(queries.map { case (qid, v) =>
+      struct(lit(qid).as("query_id"), litVec(v).as("qv"))
+    }: _*)
+    emb
+      .select(col("vec_id"), col("embedding"), explode(qArr).as("q"))
+      .filter(col("vec_id") =!= col("q.query_id"))
+      .groupBy(col("q.query_id").as("query_id"))
+      .agg(graft.functions.TopKAgg.topk(
+        VecCols.cosine(col("embedding"), col("q.qv")), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "vec_id")))
+      .select(col("query_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("vec_id"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes × dim gaussians from a
     * seeded PRNG (driver-side constants, folded into the plan). Capped at
     * 63 planes: bucket ids are one bit per plane in a signed Long, and

@@ -358,5 +358,41 @@ object VectorQueries {
     })
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70)
+  /** Batch kNN join: top-3 cosine neighbors for each of the first 5
+    * vectors (self excluded), via [[Similarity.knnJoin]]'s one-pass
+    * map-side top-k aggregate — the shape that avoids the Q-partition
+    * window skew a naive ranker would shuffle into. Integer-only output
+    * (query_id, rank, vec_id, label); ranking agreement rides the same
+    * corpus rank-gap argument as q30, with vec_id tiebreak on exact
+    * score ties in BOTH engines. */
+  val q71 = Q(
+    "q71_knn_join",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = first8(spark, dir).take(5).zipWithIndex
+        .map { case (v, i) => (i.toLong, v) }
+      Similarity.knnJoin(emb, queries, k = 3)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+    },
+    Some("""WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+                FROM embeddings WHERE vec_id < 5),
+      cu AS (SELECT q.query_id, e.vec_id, e.label,
+               unnest(e.embedding) AS ev, unnest(q.qv) AS qvv
+             FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+      cs AS (SELECT query_id, vec_id, label,
+               SUM(CAST(ev AS DOUBLE)*CAST(qvv AS DOUBLE)) AS dot,
+               SQRT(SUM(CAST(ev AS DOUBLE)*CAST(ev AS DOUBLE))) AS ne
+             FROM cu GROUP BY 1, 2, 3),
+      qn AS (SELECT query_id, SQRT(SUM(CAST(x AS DOUBLE)*CAST(x AS DOUBLE))) AS nq
+             FROM (SELECT query_id, unnest(qv) AS x FROM q) GROUP BY query_id),
+      rk AS (SELECT cs.query_id, vec_id, label,
+               ROW_NUMBER() OVER (PARTITION BY cs.query_id
+                 ORDER BY cs.dot/(cs.ne*qn.nq) DESC, vec_id) AS rank
+             FROM cs JOIN qn ON cs.query_id = qn.query_id)
+      SELECT query_id, CAST(rank AS INTEGER) AS rank, vec_id, label
+      FROM rk WHERE rank <= 3""")
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71)
 }

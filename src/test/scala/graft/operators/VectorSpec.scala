@@ -173,4 +173,36 @@ class VectorSpec extends SparkSpec {
     // the oracle must carry literal doubles, not references to Spark state
     assert(!sql1.contains("???") && sql1.contains("VALUES"))
   }
+
+  test("TopKAgg: rank order, id tiebreak, k cap — stable across partitionings") {
+    import spark.implicits._
+    import graft.functions.TopKAgg
+    // score ties (20.0 twice) must break toward the smaller id; k=3 drops
+    // the rest; nulls are skipped
+    val rows = Seq((30.0, 7L), (20.0, 9L), (20.0, 2L), (10.0, 1L), (5.0, 8L))
+    def run(parts: Int): Seq[Long] =
+      rows.toDF("score", "id").repartition(parts)
+        .agg(TopKAgg.topk(col("score"), col("id"), 3).as("top"))
+        .head().getSeq[Long](0)
+    assert(run(1) === Seq(7L, 2L, 9L))
+    // forcing partial buffers + merge across 4 partitions changes nothing
+    assert(run(4) === Seq(7L, 2L, 9L))
+    // fewer rows than k: all of them, still rank-ordered
+    val few = Seq((1.0, 5L), (2.0, 3L)).toDF("score", "id")
+      .agg(TopKAgg.topk(col("score"), col("id"), 10)).head().getSeq[Long](0)
+    assert(few === Seq(3L, 5L))
+  }
+
+  test("knnJoin equals per-query cosineTopK") {
+    val queries = Seq(0L, 1L, 2L).map(id => id -> local(id).map(_.toDouble).toSeq)
+    val got = Similarity.knnJoin(emb, queries, k = 5).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq }
+    queries.foreach { case (qid, qv) =>
+      val expect = Similarity.cosineTopK(emb, qv, k = 5, excludeId = qid)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got(qid) === expect, s"query $qid")
+    }
+  }
 }
