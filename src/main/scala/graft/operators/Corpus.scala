@@ -51,26 +51,41 @@ object Corpus {
     * large corpus contains every common word, Jaccard → 1), while the
     * 3-gram space is sparse enough to discriminate at any scale.
     *
-    * The vocabulary relation (one row per distinct (source, shingle)) is
-    * the only corpus-sized intermediate — one distinct shuffle keyed by
-    * shingle; the self-join on shingle then emits at most
-    * |sources-with-shingle|² ≤ nSources² rows per shingle, bounded
-    * regardless of corpus size, and per-source vocabulary sizes are a
-    * broadcastable nSources-row aggregate. Pairs sharing zero shingles are
-    * (correctly) absent. */
+    * ONE corpus-sized shuffle: the incidence relation groups by shingle
+    * with `collect_set(source)` deduping map-side (no separate distinct
+    * pass, no self-join — a join would re-exchange both sides and emit
+    * per-occurrence rows through a second shuffle). Each shingle's sorted
+    * source list (≤ nSources elements) then expands to its a<b pairs
+    * ROW-LOCALLY, and everything downstream aggregates relations bounded
+    * by nSources², independent of corpus size. Pairs sharing zero
+    * shingles are (correctly) absent. */
   def vocabOverlap(docs: DataFrame): DataFrame = {
-    // same two-stage projection as ngramTopK: bind the token array to an
+    // two-stage projection as in ngramTopK: bind the token array to an
     // attribute before shingles3 multi-references it
-    val vocab = docs
+    val byShingle = docs
       .select(col("source"), TA.tokens(col("text")).as("toks"))
       .select(col("source"),
         explode(array_distinct(TA.shingles3(col("toks")))).as("tok"))
-      .distinct()
-    val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("n_vocab"))
-    val common = vocab.as("a").join(vocab.as("b"),
-        col("a.tok") === col("b.tok") && col("a.source") < col("b.source"))
-      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-      .agg(count(lit(1)).as("n_common"))
+      .groupBy(col("tok"))
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+    // DIMENSION COLLAPSE before pair expansion: distinct source-LISTS are
+    // few (bounded by the source-set lattice actually realized, not by
+    // shingle count — corpora share hot co-occurrence patterns), so
+    // grouping shingles by their whole list first shrinks the pair
+    // explode from |shingles|·pairs rows to |distinct lists|·pairs, and
+    // every downstream count becomes a weighted sum
+    val setCounts = byShingle.groupBy(col("srcs")).agg(count(lit(1)).as("cnt"))
+    // per-source vocabulary sizes from the weighted lists
+    val sizes = setCounts.select(explode(col("srcs")).as("source"), col("cnt"))
+      .groupBy(col("source")).agg(sum(col("cnt")).as("n_vocab"))
+    // ordered pairs from each sorted list: element i with every later one
+    val pairsCol = flatten(transform(col("srcs"), (a, i) =>
+      transform(slice(col("srcs"), i + lit(2), size(col("srcs"))),
+        b => struct(a.as("source_a"), b.as("source_b")))))
+    val common = setCounts
+      .select(explode(pairsCol).as("p"), col("cnt"))
+      .groupBy(col("p.source_a").as("source_a"), col("p.source_b").as("source_b"))
+      .agg(sum(col("cnt")).as("n_common"))
     common
       .join(broadcast(sizes.select(col("source").as("source_a"), col("n_vocab").as("na"))),
         "source_a")

@@ -58,15 +58,19 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("doc_id").as("dst"), col("cluster").as("dst_cluster")), Seq("dst"))
         .groupBy(col("src")).agg(min(col("dst_cluster")).as("nbr_min"))
+      // the improved? flag rides the SAME checkpointed relation (labels
+      // only ever decrease, so "new < old" is exactly "changed") — re-
+      // joining old labels against new just to detect convergence would
+      // add a whole join+shuffle per round; here the check is a trivial
+      // scan of blocks already in memory
       val next = labels
         .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("improved"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("doc_id"), col("cluster").as("old_cluster")), Seq("doc_id"))
-        .filter(col("cluster") =!= col("old_cluster")).count()
-      labels = next
+      changed = next.filter(col("improved")).limit(1).count()
+      labels = next.drop("improved")
       round += 1
     }
     // a component with diameter > maxRounds would return partially-merged
@@ -123,9 +127,13 @@ object Dedup {
     while (!done && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       // fixpoint = edge set unchanged over a full round (the converged
-      // state is a star per component, which both operations preserve)
+      // state is a star per component, which both operations preserve).
+      // Both relations are distinct sets, so ONE anti-join suffices:
+      // next ⊆ e together with |next| = |e| is set equality — the counts
+      // are trivial scans of checkpointed blocks, where the second
+      // except would be another full join per round.
       done = next.except(e).limit(1).count() == 0 &&
-        e.except(next).limit(1).count() == 0
+        next.count() == e.count()
       e = next
       round += 1
     }

@@ -255,8 +255,12 @@ object VectorQueries {
           round(col("cosine") * 1000000).cast(LongType).as("cosine_1e6"))
         .filter(col("cosine_1e6") >= 300000L)
         .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+      // star contraction, not label propagation: the embedding near-dup
+      // graph at bench scale has a larger diameter than text clique
+      // graphs (threshold-0.3 chains), and star's O(log n) rounds beat
+      // diameter-many propagation rounds there (measured ~2x at sf0.1)
       graft.operators.Dedup
-        .dupClusters(emb.select(col("vec_id").as("doc_id")), pairs)
+        .dupClustersStar(emb.select(col("vec_id").as("doc_id")), pairs)
         .select(col("doc_id").as("vec_id"), col("cluster"))
     },
     Some(s"""WITH RECURSIVE $q33PairCtes,
