@@ -227,5 +227,19 @@ object GraftFunctions {
         }
         MinHashAgg(args.head, k).toAggregateExpression()
       }, "built-in")
+    reg.createOrReplaceTempFunction("topk",
+      args => {
+        // same foldable gate as minhash: k must be a literal
+        if (args.length < 3 || !args(2).foldable)
+          throw new IllegalArgumentException(
+            "topk(score, id, k): k must be an integer literal")
+        val k = args(2).eval() match {
+          case i: Int => i
+          case l: Long => l.toInt
+          case other => throw new IllegalArgumentException(
+            s"topk(score, id, k): k must be an integer literal, got $other")
+        }
+        TopKAgg(args.head, args(1), k).toAggregateExpression()
+      }, "built-in")
   }
 }

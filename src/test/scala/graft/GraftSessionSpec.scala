@@ -46,6 +46,15 @@ class GraftSessionSpec extends SparkSpec {
     intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT simhash(doc_id) FROM documents").collect()
     }
+    // topk from plain SQL: highest-score ids, rank-ordered, literal k
+    val tk = spark.sql(
+      """SELECT topk(CAST(n_chars AS DOUBLE), doc_id, 3) AS t FROM documents""")
+      .collect().head.getSeq[Long](0)
+    assert(tk.length === 3)
+    val byLen = spark.sql(
+      """SELECT doc_id FROM documents ORDER BY n_chars DESC, doc_id LIMIT 3""")
+      .collect().map(_.getLong(0)).toSeq
+    assert(tk === byLen)
   }
 
   test("describe exposes column names and types (M1/M2)") {
