@@ -53,7 +53,11 @@ case class TopKAgg(
   override def update(b: TopKAgg.Buffer, input: InternalRow): TopKAgg.Buffer = {
     val s = left.eval(input)
     val i = right.eval(input)
-    if (s != null && i != null)
+    // NaN is excluded at the gate: beats() is false for every comparison
+    // involving NaN, so a NaN admitted while size < k would sit in the
+    // buffer violating the sort invariant and, once last, block all later
+    // inserts. Treating NaN like NULL (no rank) keeps the invariant total.
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       b.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     b
   }

@@ -75,8 +75,10 @@ object Dedup {
     }
     // a component with diameter > maxRounds would return partially-merged
     // labels: surface it rather than silently emitting wrong clusters
+    // (the changed probe is limit(1)-short-circuited, so it carries no
+    // meaningful count — phrase the failure as a boolean state)
     require(changed == 0,
-      s"dupClusters did not converge in $maxRounds rounds ($changed labels still changing); raise maxRounds")
+      s"dupClusters did not converge in $maxRounds rounds (labels were still changing); raise maxRounds")
     docs.select(col("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster"), col("doc_id")).as("cluster"))
@@ -124,16 +126,27 @@ object Dedup {
       .localCheckpoint(true)
     var round = 0
     var done = false
+    // |e| is carried across rounds: this round's |next| is next round's
+    // |e|, so only the first round pays a count job for the old side
+    var eCount = e.count()
     while (!done && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       // fixpoint = edge set unchanged over a full round (the converged
       // state is a star per component, which both operations preserve).
-      // Both relations are distinct sets, so ONE anti-join suffices:
-      // next ⊆ e together with |next| = |e| is set equality — the counts
-      // are trivial scans of checkpointed blocks, where the second
-      // except would be another full join per round.
-      done = next.except(e).limit(1).count() == 0 &&
-        next.count() == e.count()
+      // Both relations are distinct sets, so set equality is |e| = |next|
+      // = |e ∩ next|; ONE full-outer join emits (n_next, n_common) in a
+      // single job over two checkpointed edge-sized relations — the
+      // previous except/count/count trio cost three scheduler round-trips
+      // per round, which on a real cluster is three full job launches.
+      val conv = e.withColumn("in_e", lit(1))
+        .join(next.withColumn("in_next", lit(1)), Seq("src", "dst"), "full_outer")
+        .agg(coalesce(sum(col("in_next")), lit(0L)).as("n_next"),
+          coalesce(sum(col("in_e") * col("in_next")), lit(0L)).as("n_common"))
+        .head()
+      val nNext = conv.getLong(0)
+      val nCommon = conv.getLong(1)
+      done = nCommon == eCount && nNext == eCount
+      eCount = nNext
       e = next
       round += 1
     }
