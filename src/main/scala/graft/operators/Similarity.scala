@@ -75,6 +75,55 @@ object Similarity {
         col("vec_id"))
   }
 
+  /** IVF-bucketed cosine kNN JOIN — the large-Q scale path [[knnJoin]]'s
+    * scaladoc promises: instead of scoring every (query, corpus) pair,
+    * both sides are assigned to IVF cells (corpus rows to their max-dot
+    * cell, each query to its `nProbe` nearest cells) and only same-cell
+    * pairs are scored. Queries arrive as a RELATION (query_id BIGINT,
+    * qv ARRAY<FLOAT>), not driver-side literals, so Q is unbounded.
+    *
+    * Output contract matches [[knnJoin]]: (query_id, rank, vec_id), rank
+    * by (cosine desc, vec_id asc), self-matches excluded — but results are
+    * the exact kNN *within the probed cells* (ANN semantics, like
+    * [[ivfTopKWith]] vs [[cosineTopK]]).
+    *
+    * Scale shape: probe selection is row-local (centroids are plan
+    * constants — nCells × dim floats), so the query side never shuffles to
+    * pick cells. The probe relation (Q × nProbe rows) is broadcast —
+    * corpus rows never move; each corpus partition scores only the queries
+    * probing its rows' cells, and [[graft.functions.TopKAgg]] keeps
+    * k-buffers map-side so the one real shuffle carries
+    * partitions × Q × k rows. For Q too large to broadcast, drop the hint:
+    * the same plan becomes a cell-keyed shuffle join, and cell-population
+    * skew is then the thing to watch (composite (cell, salt) keys with a
+    * salt-exploded query side is the standard fix). */
+  def knnJoinBucketed(emb: DataFrame, queries: DataFrame, k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe=$nProbe out of [1, ${centroids.size}]")
+    // per-query nProbe nearest cells, computed inside the row: sort
+    // struct(-dot, cell) ascending = dot desc with min-cell tiebreak, the
+    // same order ivfAssign's array_position-of-max induces for the top-1
+    val cellDots = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-VecCols.dot(col("qv"), litVec(c))).as("nd"), lit(i).as("cell"))
+    }: _*)
+    val probes = queries
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(cellDots), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+    emb
+      .select(col("vec_id"), col("embedding"),
+        ivfAssign(col("embedding"), centroids).as("cell"))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topk(
+        VecCols.cosine(col("embedding"), col("qv")), col("vec_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "vec_id")))
+      .select(col("query_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("vec_id"))
+  }
+
   /** Deterministic random hyperplanes: nPlanes × dim gaussians from a
     * seeded PRNG (driver-side constants, folded into the plan). Capped at
     * 63 planes: bucket ids are one bit per plane in a signed Long, and

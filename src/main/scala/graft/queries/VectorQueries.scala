@@ -398,5 +398,62 @@ object VectorQueries {
       FROM rk WHERE rank <= 3""")
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71)
+  /** Bucketed (large-Q) kNN join: the first 16 vectors as a query RELATION,
+    * each probing its 2 nearest of the first-8 IVF cells, ranked top-3
+    * within the probed cells — the scale path q71's scaladoc promises:
+    * candidates come from a cell equi-join against a broadcast probe
+    * relation, never the Q-explode of the whole corpus. ANN semantics
+    * (exact kNN within probed cells), and the oracle reproduces the full
+    * chain — corpus cell assignment, per-query probe selection (dot desc,
+    * min-cell tiebreak), and in-cell cosine ranking — from the table
+    * itself, so cell membership and ranking are hash-checked end-to-end. */
+  val q72 = Q(
+    "q72_knn_join_bucketed",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.knnJoinBucketed(emb, queries, k = 3,
+        centroids = first8(spark, dir), nProbe = 2)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+    },
+    Some("""WITH ct AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+               embedding AS ce
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+      du AS (SELECT e.vec_id AS vid, ct.cell, unnest(e.embedding) AS ev, unnest(ct.ce) AS cv
+             FROM embeddings e CROSS JOIN ct),
+      dc AS (SELECT vid, cell, SUM(CAST(ev AS DOUBLE)*CAST(cv AS DOUBLE)) AS dot
+             FROM du GROUP BY vid, cell),
+      mx AS (SELECT vid, MAX(dot) AS md FROM dc GROUP BY vid),
+      asg AS (SELECT dc.vid, MIN(dc.cell) AS cell
+              FROM dc JOIN mx ON dc.vid = mx.vid AND dc.dot = mx.md GROUP BY dc.vid),
+      pr AS (SELECT vid AS query_id, cell FROM (
+               SELECT vid, cell,
+                 ROW_NUMBER() OVER (PARTITION BY vid ORDER BY dot DESC, cell) AS rn
+               FROM dc WHERE vid < 16) WHERE rn <= 2),
+      cand AS (SELECT pr.query_id, a.vid AS vec_id
+               FROM pr JOIN asg a ON a.cell = pr.cell
+               WHERE a.vid <> pr.query_id),
+      pe AS (SELECT c.query_id, c.vec_id,
+               unnest(eq.embedding) AS qv, unnest(ec.embedding) AS ev
+             FROM cand c
+               JOIN embeddings eq ON eq.vec_id = c.query_id
+               JOIN embeddings ec ON ec.vec_id = c.vec_id),
+      sc AS (SELECT query_id, vec_id,
+               SUM(CAST(qv AS DOUBLE)*CAST(ev AS DOUBLE)) AS dot,
+               SQRT(SUM(CAST(qv AS DOUBLE)*CAST(qv AS DOUBLE))) AS nq,
+               SQRT(SUM(CAST(ev AS DOUBLE)*CAST(ev AS DOUBLE))) AS ne
+             FROM pe GROUP BY 1, 2),
+      rk AS (SELECT query_id, vec_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY dot/(nq*ne) DESC, vec_id) AS rank
+             FROM sc)
+      SELECT r.query_id, CAST(r.rank AS INTEGER) AS rank, r.vec_id, e.label
+      FROM rk r JOIN embeddings e ON e.vec_id = r.vec_id
+      WHERE r.rank <= 3""")
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72)
 }

@@ -191,6 +191,35 @@ class VectorSpec extends SparkSpec {
     val few = Seq((1.0, 5L), (2.0, 3L)).toDF("score", "id")
       .agg(TopKAgg.topk(col("score"), col("id"), 10)).head().getSeq[Long](0)
     assert(few === Seq(3L, 5L))
+    // NaN scores rank like NULL (skipped): they neither occupy a slot nor
+    // block later finite inserts once the buffer fills
+    val nan = Seq((Double.NaN, 99L), (3.0, 4L), (Double.NaN, 98L), (1.0, 6L),
+        (2.0, 5L)).toDF("score", "id")
+      .agg(TopKAgg.topk(col("score"), col("id"), 2)).head().getSeq[Long](0)
+    assert(nan === Seq(4L, 5L))
+  }
+
+  test("knnJoinBucketed equals per-query ivfTopKWith on the probed cells") {
+    import spark.implicits._
+    val centroids = Similarity.firstNCentroids(emb, 8)
+    val qids = Seq(0L, 3L, 11L)
+    val queries = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val got = Similarity.knnJoinBucketed(emb, queries, k = 5, centroids, nProbe = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) =>
+        q -> rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("vec_id")).toSeq }
+    qids.foreach { qid =>
+      val expect = Similarity.ivfTopKWith(emb, local(qid).map(_.toDouble).toSeq,
+        k = 5, centroids, nProbe = 2, excludeId = qid)
+        .collect().map(_.getAs[Long]("vec_id")).toSeq
+      assert(got(qid) === expect, s"query $qid")
+    }
+    // a query relation of one row still produces k ranked rows
+    val one = Similarity.knnJoinBucketed(emb,
+      queries.filter(col("query_id") === 0L), k = 5, centroids, nProbe = 2)
+    assert(one.count() === 5)
   }
 
   test("knnJoin equals per-query cosineTopK") {
