@@ -60,6 +60,45 @@ object Multimodal {
         lit(16000).as("sample_rate")).as("meta"))
   }
 
+  /** The deterministic pixel function shared by [[syntheticPngCorpus]] and
+    * the oracle mirrors in graft.queries: 24-bit RGB at (x, y) for image
+    * `seed`. Pure integer arithmetic — reproducible anywhere without a
+    * codec, which is what lets a DuckDB oracle hash-check the REAL decode
+    * path's output. */
+  def syntheticPixel(seed: Long, x: Int, y: Int): Int =
+    ((seed * 2654435761L).toInt + x * 31 + y * 7) & 0xffffff
+
+  /** Dimensions of synthetic PNG `id` (tiny, varied, never degenerate). */
+  def pngWidth(id: Long): Int = (id % 7 + 3).toInt
+  def pngHeight(id: Long): Int = (id % 5 + 2).toInt
+
+  /** A corpus of n REAL PNG images: payload bytes are produced by the
+    * JDK's PNG encoder on executors, pixel content = [[syntheticPixel]].
+    * PNG is lossless 24-bit RGB, so whatever decoder reads the payload
+    * back must reproduce those exact pixels — the bridge that lets the
+    * driver's oracle check [[decodeImageIO]] against pure-arithmetic
+    * constants. Encoding is row-local (no shuffle); at scale this stands
+    * in for a parquet scan of a binary image column. */
+  def syntheticPngCorpus(spark: SparkSession, n: Int): Dataset[Media] = {
+    import spark.implicits._
+    spark.range(n).map { boxed =>
+      val id = boxed.toLong
+      val w = pngWidth(id)
+      val h = pngHeight(id)
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) { im.setRGB(x, y, syntheticPixel(id, x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      Media(id, "image", bos.toByteArray, MediaMeta(None, None, None, None))
+    }
+  }
+
   /** STUB decoder: a real implementation would parse the codec header and
     * return pixel data; this derives the same shape deterministically from
     * the payload bytes. Runs per-partition so decoder init is amortized. */
@@ -120,6 +159,65 @@ object Multimodal {
         }
       }
     }
+  }
+
+  /** REAL image feature extractor over DECODED PIXELS: a grid×grid
+    * block-mean RGB vector (row-major blocks, channels r/g/b per block,
+    * means scaled to [0,1]) — dim = grid²·3. No ML dependency, but a
+    * genuine content embedding: visually similar images land near each
+    * other in cosine space, and the decode→embed→similarity chain is real
+    * end-to-end. Channel sums are INTEGER (exact, order-independent) with
+    * one final divide, so the vector is bit-reproducible from the pixel
+    * values alone — which is what lets an oracle recompute it without a
+    * codec. Same per-partition batching as [[decodeImageIO]]; undecodable
+    * rows are dropped. */
+  def featureExtractImage(media: Dataset[Media], grid: Int = 2): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        img.map(im => MediaFeatures(m.media_id, blockMeanRGB(im, grid)))
+      }
+    }
+  }
+
+  /** The block-mean arithmetic of [[featureExtractImage]], exposed so
+    * specs/oracles can mirror it: pixel (x, y) belongs to block
+    * (min(x·g/w, g−1), min(y·g/h, g−1)). */
+  def blockMeanRGB(im: java.awt.image.BufferedImage, grid: Int): Array[Float] = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val sums = Array.ofDim[Long](grid * grid * 3)
+    val counts = Array.ofDim[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val by = math.min(y * grid / h, grid - 1)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(x * grid / w, grid - 1)
+        val b = by * grid + bx
+        val p = im.getRGB(x, y)
+        sums(b * 3) += (p >>> 16) & 0xff
+        sums(b * 3 + 1) += (p >>> 8) & 0xff
+        sums(b * 3 + 2) += p & 0xff
+        counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val v = Array.ofDim[Float](grid * grid * 3)
+    var i = 0
+    while (i < v.length) {
+      val c = counts(i / 3)
+      v(i) = if (c == 0) 0f else (sums(i).toDouble / (c * 255.0)).toFloat
+      i += 1
+    }
+    v
   }
 
   /** STUB feature extractor: real impl = CNN/audio embedding; this derives

@@ -54,5 +54,142 @@ object MultimodalQueries {
     FROM documents WHERE doc_id % 3 = 2""")
   )
 
-  val all: Seq[Q] = Seq(q55, q56)
+  // -- q73/q74: the REAL codec path, driver-checked -------------------------
+  //
+  // The corpus is Multimodal.syntheticPngCorpus: genuine PNG bytes encoded
+  // on executors whose pixel content is the pure integer function
+  // Multimodal.syntheticPixel. PNG is lossless, so the decode/extract
+  // results are pure arithmetic over those pixels — the oracles below
+  // recompute them WITHOUT any codec and embed the constants, making the
+  // ImageIO decode and the block-mean embedding hash-checked end-to-end
+  // (previously both were spec-only; see MultimodalSpec for the unit tier).
+
+  private val nPng = 48
+
+  /** Pure mirror of decodeImageIO's FNV-1a over ARGB bytes (alpha decodes
+    * opaque 0xff for TYPE_INT_RGB-encoded PNGs), row-major, b/g/r/a per
+    * pixel — byte-for-byte the executor loop, minus the codec. */
+  private[graft] def mirrorChecksum(id: Long): Long = {
+    val w = Multimodal.pngWidth(id)
+    val h = Multimodal.pngHeight(id)
+    var acc = 1469598103934665603L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = 0xff000000 | Multimodal.syntheticPixel(id, x, y)
+        acc = (acc ^ (p & 0xff)) * 1099511628211L
+        acc = (acc ^ ((p >>> 8) & 0xff)) * 1099511628211L
+        acc = (acc ^ ((p >>> 16) & 0xff)) * 1099511628211L
+        acc = (acc ^ ((p >>> 24) & 0xff)) * 1099511628211L
+        x += 1
+      }
+      y += 1
+    }
+    acc
+  }
+
+  /** Pure mirror of featureExtractImage's block-mean RGB over the
+    * synthetic pixels, returned as the float32-cast doubles the executor
+    * emits (integer channel sums make the mirror exact, not approximate). */
+  private[graft] def mirrorFeatures(id: Long, grid: Int = 2): Seq[Double] = {
+    val w = Multimodal.pngWidth(id)
+    val h = Multimodal.pngHeight(id)
+    val sums = Array.ofDim[Long](grid * grid * 3)
+    val counts = Array.ofDim[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val by = math.min(y * grid / h, grid - 1)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(x * grid / w, grid - 1)
+        val b = by * grid + bx
+        val p = Multimodal.syntheticPixel(id, x, y)
+        sums(b * 3) += (p >>> 16) & 0xff
+        sums(b * 3 + 1) += (p >>> 8) & 0xff
+        sums(b * 3 + 2) += p & 0xff
+        counts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    sums.indices.map { i =>
+      val c = counts(i / 3)
+      (if (c == 0) 0f else (sums(i).toDouble / (c * 255.0)).toFloat).toDouble
+    }
+  }
+
+  /** REAL ImageIO decode, driver-checked: decode the PNG corpus and emit
+    * (media_id, width, height, n_pixels, checksum); the oracle is the
+    * pure-arithmetic expectation as a VALUES relation. A broken codec
+    * path (wrong dimensions, wrong pixels, dropped rows) hash-mismatches. */
+  val q73 = Q(
+    "q73_imageio_decode",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      Multimodal.decodeImageIO(Multimodal.syntheticPngCorpus(spark, nPng))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"),
+          col("n_pixels"), col("checksum"))
+    },
+    Some {
+      val rows = (0L until nPng).map { id =>
+        val w = Multimodal.pngWidth(id)
+        val h = Multimodal.pngHeight(id)
+        s"($id, $w, $h, ${w.toLong * h}, ${mirrorChecksum(id)})"
+      }.mkString(", ")
+      s"""SELECT CAST(media_id AS BIGINT) AS media_id,
+        CAST(width AS INTEGER) AS width, CAST(height AS INTEGER) AS height,
+        CAST(n_pixels AS BIGINT) AS n_pixels, CAST(checksum AS BIGINT) AS checksum
+      FROM (VALUES $rows) AS t(media_id, width, height, n_pixels, checksum)"""
+    }
+  )
+
+  /** The full decode→embed→similarity chain, driver-checked: block-mean
+    * RGB embeddings from REAL decoded pixels, cosine-ranked against image
+    * 0's embedding (supplied as plan constants from the pure mirror, the
+    * queryVec pattern), top-5. Ranking runs over ROUNDED MICROS in both
+    * engines (the q33 contract) so set membership and order never hinge on
+    * last-ulp double drift; micro ties break on media_id. */
+  val q74 = Q(
+    "q74_media_embed_topk",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.LongType
+      val feats = Multimodal.featureExtractImage(
+        Multimodal.syntheticPngCorpus(spark, nPng), grid = 2).toDF()
+      feats.filter(col("media_id") =!= 0L)
+        .select(col("media_id"),
+          round(graft.operators.Similarity.cosineWithLit(
+            col("features"), mirrorFeatures(0L)) * 1000000)
+            .cast(LongType).as("cosine_1e6"))
+        .select(
+          row_number().over(
+            Window.orderBy(col("cosine_1e6").desc, col("media_id"))).as("rank"),
+          col("media_id"), col("cosine_1e6"))
+        .filter(col("rank") <= 5)
+    },
+    Some {
+      val vals = (0L until nPng).map { id =>
+        s"($id, ${mirrorFeatures(id).map(_.toString).mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      s"""WITH f AS (SELECT CAST(id AS BIGINT) AS media_id, v
+               FROM (VALUES $vals) AS t(id, v)),
+        q AS (SELECT v AS qv FROM f WHERE media_id = 0),
+        pe AS (SELECT f.media_id, unnest(f.v) AS fv, unnest(q.qv) AS qvv
+               FROM f, q WHERE f.media_id <> 0),
+        cs AS (SELECT media_id, SUM(fv*qvv) AS dot,
+                 SQRT(SUM(fv*fv)) AS nf, SQRT(SUM(qvv*qvv)) AS nq
+               FROM pe GROUP BY 1),
+        sm AS (SELECT media_id,
+                 CAST(ROUND(dot/(nf*nq) * 1000000) AS BIGINT) AS cosine_1e6
+               FROM cs)
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY cosine_1e6 DESC, media_id) AS INTEGER) AS rank,
+             media_id, cosine_1e6
+      FROM sm ORDER BY 1 LIMIT 5"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(q55, q56, q73, q74)
 }

@@ -60,6 +60,27 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1L).checksum !== out(3L).checksum)
   }
 
+  test("synthetic PNG corpus: decode + block-mean features match the pure mirrors") {
+    import graft.queries.MultimodalQueries
+    val media = Multimodal.syntheticPngCorpus(spark, 12)
+    // the decode path reads real PNG bytes; the mirror never touches a
+    // codec — agreement proves the encode→decode round trip is lossless
+    // and the checksum walks the pixels the oracle thinks it walks
+    val dec = Multimodal.decodeImageIO(media).collect()
+      .map(d => d.media_id -> d).toMap
+    assert(dec.keySet === (0L until 12).toSet)
+    dec.foreach { case (id, d) =>
+      assert(d.width === Multimodal.pngWidth(id) && d.height === Multimodal.pngHeight(id))
+      assert(d.checksum === MultimodalQueries.mirrorChecksum(id), s"media $id")
+    }
+    val feats = Multimodal.featureExtractImage(media, grid = 2).collect()
+      .map(f => f.media_id -> f.features.toSeq).toMap
+    assert(feats.keySet === (0L until 12).toSet)
+    feats.foreach { case (id, v) =>
+      assert(v.map(_.toDouble) === MultimodalQueries.mirrorFeatures(id), s"media $id")
+    }
+  }
+
   test("stub feature extractor emits fixed-dim float vectors usable by Similarity") {
     val feats = Multimodal.featureExtractStub(media.as[Multimodal.Media], dim = 16)
     val rows = feats.collect()
