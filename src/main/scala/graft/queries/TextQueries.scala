@@ -299,6 +299,46 @@ object TextQueries {
     FROM c GROUP BY doc_id""")
   )
 
+  /** df-CAPPED Jaccard near-dup pairs: shingles occurring in more than
+    * maxDf=3 documents generate NO candidates — the explicit bound on the
+    * worst inverted-list join for corpora where even prefix filtering must
+    * be capped. Deliberately NOT q26's result: pairs whose every shared
+    * shingle is hotter than the cap (e.g. members of 4+-copy duplicate
+    * clusters, whose shingles all carry df ≥ 4) are missed by contract,
+    * and the oracle reproduces the same capped candidate generation, so
+    * the driver hash-checks the recall contract itself — reported pairs
+    * exact (verify intersects FULL shingle sets), misses only
+    * all-hot-shingle pairs. TextSpec pins the same contract against the
+    * lossless q26 result at the unit tier. */
+  val q75 = Q(
+    "q75_jaccard_capped",
+    (spark, dir) =>
+      Dedup.jaccardPairsCapped(Tables.load(spark, dir, "documents"),
+        threshold = 0.5, maxDf = 3),
+    Some(s"""WITH sh AS (
+        SELECT doc_id, unnest(list_distinct($sqlShingles)) AS shingle
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      df AS (SELECT shingle, COUNT(*) AS df FROM sh GROUP BY shingle),
+      rare AS (SELECT sh.doc_id, sh.shingle
+               FROM sh JOIN df ON sh.shingle = df.shingle WHERE df.df <= 3),
+      cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+               FROM rare a JOIN rare b
+                 ON a.shingle = b.shingle AND a.doc_id < b.doc_id),
+      inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+          JOIN sh a ON a.doc_id = c.doc_a
+          JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+      CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+    FROM inter
+      JOIN sizes na ON na.doc_id = doc_a
+      JOIN sizes nb ON nb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q35, q43, q44)
+    q35, q43, q44, q75)
 }
