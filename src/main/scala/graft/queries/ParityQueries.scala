@@ -68,7 +68,7 @@ object ParityQueries {
       EventsStream.replayToMemory(
         EventsStream.tumblingCounts(EventsStream.fromParquetDir(spark, tmp)),
         "q39_stream_hourly_sink", OutputMode.Complete(),
-        statePartitions = Some(8))
+        statePartitions = Some(8), noDataBatch = false)
       spark.table("q39_stream_hourly_sink")
     },
     Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -89,7 +89,7 @@ object ParityQueries {
         EventsStream.dedupKeys(EventsStream.fromParquetDir(spark, tmp),
           Seq("user_id", "event_type")),
         "q54_stream_dedup_sink", OutputMode.Append(),
-        statePartitions = Some(8))
+        statePartitions = Some(8), noDataBatch = false)
       spark.table("q54_stream_dedup_sink")
     },
     Some("SELECT DISTINCT user_id, event_type FROM events")
@@ -132,7 +132,7 @@ object ParityQueries {
         EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, tmp),
           gap = "30 minutes", watermark = "1 hour"),
         "q59_stream_sessions_sink", OutputMode.Complete(),
-        statePartitions = Some(8))
+        statePartitions = Some(8), noDataBatch = false)
       spark.table("q59_stream_sessions_sink")
     },
     Some(sessionsOracle)
@@ -201,7 +201,7 @@ object ParityQueries {
         EventsStream.runningUserTotals(
           EventsStream.fromParquetDir(spark, tmp).as[EventsStream.Event]).toDF(),
         "q60_stream_user_totals_sink", OutputMode.Update(),
-        statePartitions = Some(8))
+        statePartitions = Some(8), noDataBatch = false)
       spark.table("q60_stream_user_totals_sink")
         .groupBy($"user_id")
         .agg(max($"n_events").as("n_events"))
@@ -221,7 +221,7 @@ object ParityQueries {
       EventsStream.replayToMemory(
         EventsStream.followWithin(src, EventsStream.fromParquetDir(spark, tmp)),
         "q57_stream_follow_sink", OutputMode.Append(),
-        statePartitions = Some(8))
+        statePartitions = Some(8), noDataBatch = false)
       spark.table("q57_stream_follow_sink")
     },
     Some("""SELECT a.event_id AS lead_id, b.event_id AS follow_id

@@ -164,14 +164,29 @@ object EventsStream {
     * replay with a few thousand keys wants far fewer than the session's
     * shuffle partitions (32→8 halves the replay wall-clock), while a real
     * deployment sizes it to key cardinality. Session conf is restored
-    * after the stream finishes. */
+    * after the stream finishes.
+    *
+    * `noDataBatch = false` skips the trailing empty micro-batch Spark runs
+    * after the watermark advances. That batch exists to EMIT results whose
+    * trigger is the watermark itself (Append-mode windows/sessions — q65
+    * keeps it) and to evict expired state; transforms whose rows are
+    * emitted in the batch that computes them (inner stream-stream joins,
+    * dedup, Update-mode stateful ops, Complete-mode aggregations) produce
+    * identical output without it, and a bounded replay discards state at
+    * shutdown anyway — eviction work is pure overhead there (~⅓ of q57's
+    * replay wall-clock). A continuous deployment leaves it ON: there the
+    * no-data batch is how state stays bounded between bursts. */
   def replayToMemory(df: DataFrame, sinkTable: String,
       outputMode: OutputMode = OutputMode.Append(),
-      statePartitions: Option[Int] = None): Unit = {
+      statePartitions: Option[Int] = None,
+      noDataBatch: Boolean = true): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
+    val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
     val prev = spark.conf.getOption(key)
+    val prevNd = spark.conf.getOption(ndKey)
     statePartitions.foreach(n => spark.conf.set(key, n))
+    if (!noDataBatch) spark.conf.set(ndKey, false)
     try {
       val q = df.writeStream
         .format("memory")
@@ -183,6 +198,8 @@ object EventsStream {
     } finally {
       if (statePartitions.isDefined)
         prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
+      if (!noDataBatch)
+        prevNd.fold(spark.conf.unset(ndKey))(v => spark.conf.set(ndKey, v))
     }
   }
 }
