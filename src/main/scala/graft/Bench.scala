@@ -132,11 +132,23 @@ object Bench {
       val ts = samples(name)
       name -> (if (ts.nonEmpty) ts.min else -1.0)
     }.toMap
+    // one stderr line per final per-query min: stderr is captured unbounded
+    // by the driver, so even if a tail-capture window ever clips the big
+    // stdout map again, the per-query numbers survive somewhere durable
+    results.toSeq.sortBy(_._1).foreach { case (name, v) =>
+      System.err.println(f"[bench] min  $name%-28s $v%8.3f s")
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
+    // host 1-min load average at sample time: this VM's documented failure
+    // mode is co-tenant contention storms inflating timings 10-40x, and a
+    // bench artifact is only adjudicable if it carries the evidence
+    val load1 = try {
+      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    } catch { case _: Throwable => -1.0 }
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1":$load1,"sf":"$sfDir"}"""
     // Full line (per-query map) first, durable copy on disk, then a short
     // summary line that a bounded tail-capture window can never clip —
     // round 1/2 drivers recorded parsed:null because the 57-query line's
@@ -156,7 +168,7 @@ object Bench {
     // "summary", NOT "total": two same-named lines with different schemas
     // would make a metric-name-matching consumer parse either shape.
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"load1":$load1,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
