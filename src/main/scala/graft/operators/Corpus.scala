@@ -131,6 +131,38 @@ object Corpus {
         array_join(col("kept"), " ").as("scrubbed"))
   }
 
+  /** Frequency-ranked unigram vocabulary: (tok, n_occurrences, token_id)
+    * with dense 0-based ids by (count desc, token asc) — the
+    * tokenizer-prep step that turns corpus statistics into an id space.
+    *
+    * The corpus-wide work is ONE partial-aggregated shuffle of the token
+    * relation; the ranking window then runs over the minCount-SURVIVORS
+    * only — a vocabulary is tens of thousands of rows regardless of corpus
+    * size (Heaps' law + the count floor), so the single-partition ranking
+    * sort is bounded. At truly huge vocab sizes, swap the window for a
+    * range-partitioned sort + partition-offset pass. */
+  def vocabulary(docs: DataFrame, minCount: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs.select(explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minCount)
+      .select(col("tok"), col("n_occurrences"),
+        (row_number().over(
+          Window.orderBy(col("n_occurrences").desc, col("tok").asc)) - 1)
+          .as("token_id"))
+  }
+
+  /** Encode every document as (doc_id, pos, token_id) under a vocabulary,
+    * out-of-vocabulary tokens → −1. The vocab side is broadcast (small by
+    * the [[vocabulary]] bound), so the corpus side is scan + explode +
+    * broadcast-hash-join — no corpus-sized shuffle at any scale. `pos` is
+    * 1-based. */
+  def encodeTokens(docs: DataFrame, vocab: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(TA.tokens(col("text"))).as(Seq("pos", "tok")))
+      .join(broadcast(vocab.select(col("tok"), col("token_id"))), Seq("tok"), "left")
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        coalesce(col("token_id"), lit(-1)).as("token_id"))
+
   /** Split each document's token sequence into context windows of at most
     * `window` tokens starting every `stride` tokens (overlap = window −
     * stride), the chunking step in front of tokenizer/packing in a

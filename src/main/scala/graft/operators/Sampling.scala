@@ -46,4 +46,36 @@ object Sampling {
       when(k < lit(hexThreshold(cut)), lit(name)).otherwise(rest)
     }
   }
+
+  /** The deterministic per-row order key stratified sampling ranks by: the
+    * first 13 hex digits (52 bits — exactly double-representable, so the
+    * double comparison loses nothing) of md5(key), as a double. Uniform,
+    * content-derived, engine-portable: any engine that can md5 reproduces
+    * the same sample. */
+  def orderKey53(key: Column): Column =
+    conv(substring(hashKey(key), 1, 13), 16, 10).cast("double")
+
+  /** Deterministic STRATIFIED sample: up to `n` rows per stratum, chosen
+    * by ascending [[orderKey53]] (ties → smaller id), emitted as
+    * (stratum, sample_rank, id).
+    *
+    * "Sample 10k docs per language/source" is the quota-balancing step a
+    * mixing pipeline runs ahead of training. A per-stratum `row_number`
+    * window would shuffle the WHOLE corpus into as few partitions as there
+    * are strata (languages: a handful — extreme skew at 100 TB); the
+    * [[graft.functions.TopKAgg]] aggregate keeps an n-element buffer per
+    * stratum on the map side instead, so the one shuffle carries
+    * partitions × strata × n rows and the scan stays embarrassingly
+    * parallel — the same shape as the kNN join. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+      key: Column, n: Int): DataFrame =
+    df.select(stratum.as("stratum"), id.as("id"),
+        // topk keeps the HIGHEST scores: negate so the smallest order keys
+        // (and, on 52-bit-prefix collisions, the smaller id) win
+        (-orderKey53(key)).as("neg_key"))
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKAgg.topk(col("neg_key"), col("id"), n).as("picks"))
+      .select(col("stratum"), posexplode(col("picks")).as(Seq("pos", "id")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("sample_rank"),
+        col("id"))
 }

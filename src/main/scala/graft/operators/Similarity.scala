@@ -231,6 +231,79 @@ object Similarity {
       nProbe: Int, excludeId: Long = -1L): DataFrame =
     ivfTopKWith(emb, q, k, firstNCentroids(emb, nCells), nProbe, excludeId)
 
+  /** The SQ8 codebook scalar: the largest |coordinate| of any
+    * L2-NORMALIZED corpus vector. Symmetric (zero-preserving) quantization
+    * of normalized vectors is what makes an integer code dot approximate
+    * COSINE rank-preservingly — an offset (min/max) quantizer's shift term
+    * dominates the dot and destroys the ranking (measured recall 0/10 on
+    * this corpus), and per-dim scales reweight dims inside the dot. One
+    * global scalar has neither distortion: code dot ≈ (127/S)²·cosine.
+    * Driver-side cost: one scan-aggregate returning a double (at scale:
+    * index-build metadata, not query work). Zero-norm vectors are
+    * excluded from the scale (they quantize to all-zero codes). */
+  def sq8Scale(emb: DataFrame): Double =
+    emb.select((array_max(transform(col("embedding"),
+        v => abs(v.cast(DoubleType)))) / VecCols.norm(col("embedding"))).as("m"))
+      .filter(!isnan(col("m")))
+      .agg(max(col("m"))).head().getDouble(0)
+
+  /** Symmetric SQ8 codes of a normalized vector: code_i =
+    * round(v_i / ‖v‖ · 127 / S) ∈ [−127, 127]. The arithmetic is the same
+    * op sequence (div, mul, div, half-away-from-zero round) in every
+    * engine, so an oracle reproduces the codes; the only cross-engine
+    * drift source is ‖v‖'s summation order, ~1 ulp, which flips a code
+    * only if the rounding argument sits within ~1e-14 of a .5 boundary —
+    * the q33 micro-rounding class of accepted risk. `nm` is the
+    * precomputed norm column (projected once, not recomputed per
+    * element). */
+  def sq8Codes(emb: Column, nm: Column, scale: Double): Column =
+    transform(emb, v =>
+      round(v.cast(DoubleType) / nm * lit(127.0) / lit(scale))
+        .cast(IntegerType))
+
+  /** Driver-side mirror of [[sq8Codes]] for the query vector: identical
+    * op sequence, and BigDecimal HALF_UP to match Spark's `Round`
+    * (math.round's floor(x+0.5) diverges on boundary-adjacent doubles and
+    * rounds negatives toward +∞ instead of away from zero). */
+  def sq8QuantizeVec(q: Seq[Double], scale: Double): Seq[Int] = {
+    var nm = 0.0
+    q.foreach(x => nm += x * x) // sequential, like the codegen norm
+    val n = math.sqrt(nm)
+    q.map(x => java.math.BigDecimal.valueOf(x / n * 127.0 / scale)
+      .setScale(0, java.math.RoundingMode.HALF_UP).intValue)
+  }
+
+  /** Scalar-quantized (SQ8) ANN with exact re-rank: score every corpus
+    * vector by the INTEGER dot of its int8 codes against the query's
+    * codes — 4× smaller reads than float32, and the integer dot is exact,
+    * so the candidate ranking carries no float drift — keep the top
+    * `rerank` candidates (TakeOrderedAndProject, no global sort), then
+    * rank those few by exact cosine over the original embeddings. The
+    * classic SQ8 shape: quantization error only matters if it reorders
+    * across the rerank boundary.
+    *
+    * Codes ≤ 127 are exact in float32, so the existing codegen
+    * [[graft.functions.VecCols]] dot serves as the integer-dot engine
+    * (products ≤ 16129, sums ≪ 2^53 — every intermediate exact). */
+  def quantizedTopK(emb: DataFrame, q: Seq[Double], k: Int,
+      scale: Double, rerank: Int, excludeId: Long = -1L): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val qCodes = sq8QuantizeVec(q, scale).map(_.toDouble)
+    val cand = emb.filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VecCols.norm(col("embedding")).as("nm"))
+      .select(col("vec_id"), col("label"), col("embedding"),
+        VecCols.dot(
+          sq8Codes(col("embedding"), col("nm"), scale).cast("array<float>"),
+          litVec(qCodes)).as("qdot"))
+      .orderBy(col("qdot").desc, col("vec_id"))
+      .limit(rerank)
+    cand.select(col("vec_id"), col("label"),
+        cosineWithLit(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Multi-table (OR-amplified) hyperplane-LSH near-duplicate pairs: L
     * independent tables of r planes each. Candidates are pairs sharing ANY
     * table's bucket; exact cosine then verifies against the threshold.

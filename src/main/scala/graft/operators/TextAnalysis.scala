@@ -73,6 +73,25 @@ object TextAnalysis {
     aggregate(transform(toks, tokenHash60(_)), lit(0L),
       (acc, h) => acc * lit(31L) + h)
 
+  /** PII scrubbing patterns, restricted to the Java-regex ∩ RE2 common
+    * subset (no lookaround, no boundaries) so the DuckDB oracle applies
+    * the identical automata: email local@host.tld, and phone-ish runs —
+    * an optional +, then ≥8 digit/dash characters bracketed by digits.
+    * Deliberately eager (a date range like 2020-2021 scrubs as PHONE):
+    * a curation pipeline prefers false positives over leaked numbers,
+    * and the contract is deterministic either way. */
+  val emailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern: String = "\\+?[0-9][0-9-]{6,}[0-9]"
+
+  /** Replace emails then phone-runs with typed placeholders — row-local,
+    * codegen'd, zero shuffles at any scale. Email first: the phone pattern
+    * can match digit runs inside an address's local part, and scrubbing it
+    * first would corrupt the address instead of typing it. */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "<EMAIL>"),
+      phonePattern, "<PHONE>")
+
   /** Rule: first language (in [[langMarkers]] order) whose count equals the
     * greatest count wins; all-zero ⇒ 'und'. */
   def langGuess(text: Column): Column = {

@@ -91,5 +91,31 @@ object CorpusQueries {
             FROM (SELECT doc_id, $sqlToks AS toks FROM documents))""")
   )
 
-  val all: Seq[Q] = Seq(q66, q67, q68, q69)
+  /** Vocabulary build + token-id encoding ([[Corpus.vocabulary]] at
+    * minCount=5 feeding [[Corpus.encodeTokens]]): every document as
+    * (doc_id, pos, token_id), OOV → −1 — the tokenizer-prep chain that
+    * turns corpus statistics into the id stream a trainer consumes. The
+    * oracle rebuilds the same frequency-ranked ids ((count desc, token
+    * asc), dense 0-based) and re-encodes, so id assignment AND the
+    * per-position encoding are both hash-checked. */
+  val q78 = Q(
+    "q78_vocab_encode",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Corpus.encodeTokens(docs, Corpus.vocabulary(docs, 5L))
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, unnest($sqlToks) AS tok,
+          unnest(generate_series(1, len($sqlToks))) AS pos
+        FROM documents),
+      v AS (SELECT tok, COUNT(*) AS n FROM t GROUP BY tok HAVING COUNT(*) >= 5),
+      vid AS (SELECT tok,
+          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS INTEGER) AS token_id
+        FROM v)
+      SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos,
+        COALESCE(vid.token_id, -1) AS token_id
+      FROM t LEFT JOIN vid USING (tok)""")
+  )
+
+  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78)
 }

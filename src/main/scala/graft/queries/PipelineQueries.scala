@@ -89,6 +89,28 @@ object PipelineQueries {
       GROUP BY lang""")
   )
 
+  /** Per-stratum QUOTA sampling ([[Sampling.stratifiedSample]]): up to 20
+    * docs per language by ascending 52-bit-md5-prefix order key ("sample N
+    * per language/source" — the quota-balancing step ahead of mixing).
+    * Unlike q52's fraction sampling, the quota is exact per stratum; the
+    * map-side TopKAgg buffers avoid the per-stratum window shuffle that
+    * would funnel the corpus into a handful of partitions. The oracle
+    * ranks by the same (md5-prefix, doc_id) rule, so the exact sampled
+    * set and its ranks are hash-checked. */
+  val q76 = Q(
+    "q76_stratified_sample",
+    (spark, dir) => Sampling.stratifiedSample(
+      Tables.load(spark, dir, "documents"),
+      col("lang"), col("doc_id"), col("text"), n = 20),
+    Some("""WITH r AS (
+        SELECT lang AS stratum, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY ('0x' || substr(md5(text), 1, 13))::BIGINT, doc_id) AS rk
+        FROM documents)
+      SELECT stratum, CAST(rk AS INTEGER) AS sample_rank, doc_id AS id
+      FROM r WHERE rk <= 20""")
+  )
+
   /** Deterministic train/val/test split (80/10/10) by content hash: a
     * doc's split never changes across runs or corpus growth. */
   val q53 = Q(
@@ -191,5 +213,5 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64)
+  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76)
 }

@@ -339,6 +339,39 @@ object TextQueries {
     WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5""")
   )
 
+  /** PII scrubbing ([[TA.scrubPii]]): emails and phone-ish digit runs →
+    * typed placeholders. The corpus carries no organic PII, so each doc's
+    * text is AUGMENTED with a synthetic doc_id-derived address and phone
+    * before scrubbing — every row exercises both patterns, and the oracle
+    * must reproduce the identical regex semantics (patterns live in the
+    * Java∩RE2 common subset; DuckDB needs the 'g' flag to match Spark's
+    * replace-all). Output is the md5 of the scrubbed text plus its length
+    * — a full-content check without shipping the text. */
+  val q77 = Q(
+    "q77_pii_scrub",
+    (spark, dir) => {
+      val aug = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast(StringType), lit("@example.com or +1-555-010-"),
+        col("doc_id").cast(StringType), lit(" now"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), TA.scrubPii(aug).as("scrubbed"))
+        .select(col("doc_id"), md5(col("scrubbed")).as("scrub_hash"),
+          length(col("scrubbed")).as("n_scrubbed_chars"))
+    },
+    Some(s"""WITH s AS (
+        SELECT doc_id,
+          regexp_replace(
+            regexp_replace(
+              text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+                '@example.com or +1-555-010-' || CAST(doc_id AS VARCHAR) || ' now',
+              '${TA.emailPattern}', '<EMAIL>', 'g'),
+            '${TA.phonePattern}', '<PHONE>', 'g') AS scrubbed
+        FROM documents)
+      SELECT doc_id, md5(scrubbed) AS scrub_hash,
+        CAST(length(scrubbed) AS INTEGER) AS n_scrubbed_chars
+      FROM s""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q35, q43, q44, q75)
+    q35, q43, q44, q75, q77)
 }

@@ -455,5 +455,47 @@ object VectorQueries {
       WHERE r.rank <= 3""")
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72)
+  /** Scalar-quantized (SQ8) ANN with exact re-rank: L2-normalize, quantize
+    * symmetrically to int8 codes with one global scale, rank candidates by
+    * the INTEGER code dot (≈ cosine, rank-preservingly — see
+    * [[Similarity.sq8Scale]]'s scaladoc for why offset/per-dim schemes
+    * fail), keep top-20, re-rank those by exact cosine to a top-10. The
+    * memory-bound ANN shape for a 100 TB embedding corpus: 4× smaller
+    * candidate scans, float embeddings touched only for the rerank few.
+    * The oracle recomputes normalization, the global scale, the codes,
+    * the integer candidate ranking, and the cosine re-rank from the table
+    * itself — the quantization arithmetic is hash-checked end-to-end, not
+    * just the final ranking. */
+  val q79 = Q(
+    "q79_sq8_topk",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      ranked(Similarity.quantizedTopK(emb, queryVec(spark, dir), k = 10,
+        Similarity.sq8Scale(emb), rerank = 20, excludeId = 0L))
+    },
+    Some(s"""WITH $cosineCtes,
+      pu AS (SELECT vec_id, unnest(embedding) AS ev,
+               unnest(generate_series(1, len(embedding))) AS pos
+             FROM embeddings),
+      nrm AS (SELECT vec_id, SQRT(SUM(CAST(ev AS DOUBLE)*CAST(ev AS DOUBLE))) AS nm
+              FROM pu GROUP BY 1),
+      sc AS (SELECT MAX(mx / nm) AS scale
+             FROM (SELECT vec_id, MAX(ABS(CAST(ev AS DOUBLE))) AS mx
+                   FROM pu GROUP BY 1) JOIN nrm USING (vec_id)
+             WHERE nm > 0),
+      cd AS (SELECT pu.vec_id, pu.pos,
+               CAST(ROUND(CAST(pu.ev AS DOUBLE) / nm * 127.0 / scale) AS INTEGER) AS code
+             FROM pu JOIN nrm USING (vec_id), sc),
+      qc AS (SELECT pos, code FROM cd WHERE vec_id = 0),
+      qd AS (SELECT cd.vec_id, SUM(cd.code * qc.code) AS qdot
+             FROM cd JOIN qc USING (pos) WHERE cd.vec_id <> 0 GROUP BY 1),
+      topc AS (SELECT vec_id FROM qd ORDER BY qdot DESC, vec_id LIMIT 20)
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id) AS INTEGER) AS rank,
+             cs.vec_id AS vec_id, cs.label AS label
+      FROM cs JOIN topc USING (vec_id), qn
+      ORDER BY 1 LIMIT 10""")
+  )
+
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79)
 }

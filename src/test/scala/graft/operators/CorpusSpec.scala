@@ -96,6 +96,32 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary + encodeTokens: dense rank-ordered ids, lossless roundtrip") {
+    val vocab = Corpus.vocabulary(docs, 5L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // ids are dense 0..n-1 and follow (count desc, token asc)
+    assert(vocab.map(_._3).sorted.toSeq === vocab.indices.toSeq)
+    val byId = vocab.sortBy(_._3)
+    byId.sliding(2).foreach { case Array((ta, na, _), (tb, nb, _)) =>
+      assert(na > nb || (na == nb && ta < tb))
+    case _ => ()
+    }
+    // encoding round-trips: decoding every in-vocab position through the
+    // vocabulary reproduces the original token at that position
+    val vmap = vocab.map(v => v._3 -> v._1).toMap
+    val sample = docs.limit(20)
+    val toks = sample.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "tok")))
+      .collect().map(r => (r.getLong(0), r.getInt(1) + 1) -> r.getString(2)).toMap
+    val enc = Corpus.encodeTokens(sample, Corpus.vocabulary(docs, 5L)).collect()
+    assert(enc.length === toks.size) // every position encoded exactly once
+    enc.foreach { r =>
+      val (doc, pos, id) = (r.getLong(0), r.getInt(1), r.getInt(2))
+      if (id >= 0) assert(vmap(id) === toks((doc, pos)))
+      else assert(!vmap.values.toSet.contains(toks((doc, pos)))) // true OOV
+    }
+  }
+
   test("chunkTokens: rejects stride > window") {
     intercept[IllegalArgumentException](Corpus.chunkTokens(docs, 8, 9))
   }

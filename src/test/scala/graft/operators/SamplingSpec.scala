@@ -50,4 +50,28 @@ class SamplingSpec extends SparkSpec {
     assert(counts.values.sum === docs.count())
     assert(counts("train") > counts.getOrElse("val", 0L))
   }
+
+  test("stratifiedSample: exact quota, window-rank parity, partition-stable") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.load(spark, sf, "documents")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Sampling.stratifiedSample(df, col("lang"), col("doc_id"), col("text"), 7)
+        .collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val got = run(docs)
+    // quota exact per stratum (corpus has >7 docs per lang), ranks 1..7
+    got.groupBy(_._1).foreach { case (lang, rows) =>
+      assert(rows.size === 7, lang)
+      assert(rows.map(_._2) === (1 to 7).toSet, lang)
+    }
+    // the aggregate must equal the straightforward window formulation
+    val ref = docs.select(col("lang"), col("doc_id"),
+        row_number().over(Window.partitionBy(col("lang"))
+          .orderBy(Sampling.orderKey53(col("text")), col("doc_id"))).as("rk"))
+      .filter(col("rk") <= 7)
+      .collect().map(r => (r.getString(0), r.getInt(2), r.getLong(1))).toSet
+    assert(got === ref)
+    // partitioning must not change the sample (map-side buffers merge)
+    assert(run(docs.repartition(13)) === got)
+  }
 }

@@ -36,6 +36,22 @@ class TextSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "und", "en"))
   }
 
+  test("scrubPii: emails and phone runs become typed placeholders, rest intact") {
+    val rows = Seq(
+      "mail me at a.b+c@sub.example.org today",
+      "call +1-555-010-7788 or 555-010-7788 now",
+      "no pii here, just 2021 and a dash-word",
+      "u1@x.io and u2@y.co, then +44-20-7946-0958")
+      .toDF("text")
+      .select(TextAnalysis.scrubPii(col("text")).as("s"))
+      .collect().map(_.getString(0))
+    assert(rows(0) === "mail me at <EMAIL> today")
+    assert(rows(1) === "call <PHONE> or <PHONE> now")
+    // short digit runs (2021) survive; dash-word untouched
+    assert(rows(2) === "no pii here, just 2021 and a dash-word")
+    assert(rows(3) === "<EMAIL> and <EMAIL>, then <PHONE>")
+  }
+
   test("exact dedup groups cover the corpus exactly once") {
     val docs = Tables.load(spark, sf, "documents")
     val groups = Dedup.exactGroups(docs).collect()

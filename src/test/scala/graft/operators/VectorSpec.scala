@@ -199,6 +199,30 @@ class VectorSpec extends SparkSpec {
     assert(nan === Seq(4L, 5L))
   }
 
+  test("SQ8 quantization: codes in range, exact recovery at full rerank") {
+    val scale = Similarity.sq8Scale(emb)
+    assert(scale > 0.0 && scale <= 1.0) // a normalized coordinate's bound
+    // corpus codes all land in [-127, 127]
+    val codes = emb.select(
+        graft.functions.VecCols.norm(col("embedding")).as("nm"),
+        col("embedding"))
+      .select(Similarity.sq8Codes(col("embedding"), col("nm"), scale).as("c"))
+      .select(explode(col("c")).as("v")).agg(min("v"), max("v")).head()
+    assert(codes.getInt(0) >= -127 && codes.getInt(1) <= 127)
+    val q = local(0L).map(_.toDouble).toSeq
+    // with rerank = whole corpus, the exact re-rank recovers brute force
+    val n = emb.count().toInt
+    val full = Similarity.quantizedTopK(emb, q, k = 10, scale, rerank = n,
+      excludeId = 0L).collect().map(_.getAs[Long]("vec_id")).toSeq
+    val brute = Similarity.cosineTopK(emb, q, k = 10, excludeId = 0L)
+      .collect().map(_.getAs[Long]("vec_id")).toSeq
+    assert(full === brute)
+    // at rerank=20 the symmetric-normalized code dot keeps high recall
+    val ann = Similarity.quantizedTopK(emb, q, k = 10, scale, rerank = 20,
+      excludeId = 0L).collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(brute.toSet.intersect(ann).size >= 8)
+  }
+
   test("knnJoinBucketed equals per-query ivfTopKWith on the probed cells") {
     import spark.implicits._
     val centroids = Similarity.firstNCentroids(emb, 8)
