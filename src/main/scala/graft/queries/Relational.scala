@@ -585,7 +585,37 @@ object Relational {
     FROM lineitem JOIN part ON l_partkey = p_partkey""")
   )
 
+  /** Latest snapshot per key: each user's most recent event by
+    * (ts, event_id) — the upsert/compaction primitive behind every
+    * mutable-state-over-append-log table (CDC materialization, profile
+    * stores, dedup-by-latest).
+    *
+    * `max_by(struct(payload), struct(ts, event_id))` instead of a
+    * row_number window: the typed-aggregate path partially aggregates
+    * MAP-SIDE, so the shuffle carries one row per (partition, user)
+    * instead of every event into per-user partitions — the same
+    * skew-avoidance argument as q71's TopKAgg, via a Spark built-in. The
+    * event_id tiebreak makes the winner total-ordered, so both engines
+    * agree even on equal timestamps. */
+  val q80 = Q(
+    "q80_latest_snapshot",
+    (spark, dir) => Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(max_by(
+        struct(col("event_id"), col("ts"), col("event_type"), col("value")),
+        struct(col("ts"), col("event_id"))).as("latest"))
+      .select(col("user_id"), col("latest.event_id").as("event_id"),
+        col("latest.ts").as("ts"), col("latest.event_type").as("event_type"),
+        col("latest.value").as("value")),
+    Some("""SELECT user_id, event_id, ts, event_type, value
+      FROM (SELECT user_id, event_id, ts, event_type, value,
+              ROW_NUMBER() OVER (PARTITION BY user_id
+                ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events)
+      WHERE rn = 1""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
-    q47, q48, q49)
+    q47, q48, q49, q80)
 }

@@ -372,6 +372,46 @@ object TextQueries {
       FROM s""")
   )
 
+  /** Quantile-based quality selection: keep each language's top-half by
+    * q21's quality score — the data-selection step that cuts a corpus to
+    * its best fraction per stratum. The cut runs on PERCENT_RANK, not a
+    * computed quantile value: percent_rank is (rank−1)/(n−1) — pure
+    * integer arithmetic on an ordering both engines derive from identical
+    * quality doubles — so the `>= 0.5` boundary is exact, where comparing
+    * against an interpolated median would hinge on last-ulp interpolation
+    * drift. doc_id tiebreak makes every rank unique. Scale note: the
+    * per-language window funnels each stratum to one partition; for
+    * low-cardinality strata at 100 TB, swap in an approx-quantile
+    * threshold broadcast against the scan (two scan-only passes). */
+  val q81 = Q(
+    "q81_quality_select",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val stop = (TA.wordOccurrences(col("text"), "the") +
+        TA.wordOccurrences(col("text"), "a")).cast(DoubleType) / size(toks)
+      val quality = TA.typeTokenRatio(toks) * lit(0.7) +
+        (lit(1.0) - stop) * lit(0.3)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("lang"), quality.as("q"))
+        .select(col("doc_id"), col("lang"),
+          percent_rank().over(
+            Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id")))
+            .as("pr"))
+        .filter(col("pr") >= 0.5)
+        .select(col("doc_id"), col("lang"))
+    },
+    Some(s"""WITH s AS (
+        SELECT doc_id, lang,
+          (CAST(len(list_distinct($sqlToks)) AS DOUBLE) / len($sqlToks)) * 0.7 +
+            (1.0 - CAST(${sqlOcc("the")} + ${sqlOcc("a")} AS DOUBLE) / len($sqlToks)) * 0.3
+            AS q
+        FROM documents),
+      r AS (SELECT doc_id, lang,
+              PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+            FROM s)
+      SELECT doc_id, lang FROM r WHERE pr >= 0.5""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q35, q43, q44, q75, q77)
+    q35, q43, q44, q75, q77, q81)
 }
