@@ -102,14 +102,18 @@ object Dedup {
     * (src > dst) throughout, so the relation never doubles. */
   def dupClustersStar(docs: DataFrame, pairs: DataFrame,
       maxRounds: Int = 30): DataFrame = {
-    // large-star: every u attaches its LARGER neighbors to m = min(N(u) ∪ u)
+    // large-star: every u attaches its LARGER neighbors to m = min(N(u) ∪ u).
+    // NO distinct here: duplicate (src, dst) rows change neither smallStar's
+    // groupBy-min nor its terminal distinct, so deduping in between is a
+    // pure extra exchange+agg per round — smallStar's own distinct is the
+    // one that defines the round's output set. Row count stays bounded by
+    // 2|e| (each oriented occurrence emits at most one row).
     def largeStar(e: DataFrame): DataFrame = {
       val nb = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       val m = nb.groupBy(col("src")).agg(min(col("dst")).as("mn"))
         .select(col("src"), least(col("mn"), col("src")).as("m"))
       nb.join(m, "src").filter(col("dst") > col("src"))
         .select(col("dst").as("src"), col("m").as("dst"))
-        .distinct()
     }
     // small-star: every u attaches its SMALLER neighbors (and itself) to m
     def smallStar(e: DataFrame): DataFrame = {
@@ -133,19 +137,17 @@ object Dedup {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
       // fixpoint = edge set unchanged over a full round (the converged
       // state is a star per component, which both operations preserve).
-      // Both relations are distinct sets, so set equality is |e| = |next|
-      // = |e ∩ next|; ONE full-outer join emits (n_next, n_common) in a
-      // single job over two checkpointed edge-sized relations — the
-      // previous except/count/count trio cost three scheduler round-trips
-      // per round, which on a real cluster is three full job launches.
-      val conv = e.withColumn("in_e", lit(1))
-        .join(next.withColumn("in_next", lit(1)), Seq("src", "dst"), "full_outer")
-        .agg(coalesce(sum(col("in_next")), lit(0L)).as("n_next"),
-          coalesce(sum(col("in_e") * col("in_next")), lit(0L)).as("n_common"))
-        .head()
-      val nNext = conv.getLong(0)
-      val nCommon = conv.getLong(1)
-      done = nCommon == eCount && nNext == eCount
+      // Two-tier probe: a COUNT of the just-checkpointed blocks (a scan,
+      // the cheapest possible job) gates the real set-equality check —
+      // while the contraction is still shrinking the edge set, counts
+      // differ and no join runs at all; only when counts agree does one
+      // semi-join count |e ∩ next| (both are distinct sets, so
+      // |e| = |next| = |e ∩ next| is equality). Rounds-1 join jobs saved
+      // vs probing with a join every round.
+      val nNext = next.count()
+      if (nNext == eCount) {
+        done = e.join(next, Seq("src", "dst"), "left_semi").count() == eCount
+      }
       eCount = nNext
       e = next
       round += 1
