@@ -615,7 +615,35 @@ object Relational {
       WHERE rn = 1""")
   )
 
+  /** PIVOT: hourly event counts widened to one column per event type —
+    * the wide-format reporting shape. The pivot VALUES are passed
+    * explicitly (the five known types): with an explicit list Spark plans
+    * a single-pass pivot aggregation with NO extra distinct-values job,
+    * and the output schema is deterministic — exactly what the oracle's
+    * CASE-sum formulation mirrors. Unknown types would silently vanish in
+    * both engines alike. */
+  val q82 = Q(
+    "q82_pivot_hourly",
+    (spark, dir) => Tables.load(spark, dir, "events")
+      .select(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(col("hour"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("hour"), coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("error"), lit(0L)).as("n_error"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("view"), lit(0L)).as("n_view")),
+    Some("""SELECT date_trunc('hour', ts) AS hour,
+        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+      FROM events GROUP BY 1""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
-    q47, q48, q49, q80)
+    q47, q48, q49, q80, q82)
 }
