@@ -55,19 +55,24 @@ object Dedup {
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
-      val nbrMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("cluster").as("dst_cluster")), Seq("dst"))
-        .groupBy(col("src")).agg(min(col("dst_cluster")).as("nbr_min"))
-      // the improved? flag rides the SAME checkpointed relation (labels
-      // only ever decrease, so "new < old" is exactly "changed") — re-
-      // joining old labels against new just to detect convergence would
-      // add a whole join+shuffle per round; here the check is a trivial
-      // scan of blocks already in memory
-      val next = labels
-        .join(nbrMin.select(col("src").as("doc_id"), col("nbr_min")), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("improved"))
+      // ONE join + ONE aggregate per round: each doc's next label is
+      // min(own ∪ neighbors' labels), so the neighbor contributions
+      // (edges ⋈ labels on dst, re-keyed to src) UNION the self row and a
+      // single groupBy-min produces the new label — the former
+      // nbrMin-then-rejoin shape paid a third exchange per round just to
+      // reattach the old label. The self flag rides the union so the same
+      // aggregate also yields the old label, and `improved` (labels only
+      // ever decrease, so "new < old" is exactly "changed") stays a
+      // trivial scan of the just-checkpointed blocks
+      val next = edges
+        .join(labels.select(col("doc_id").as("dst"), col("cluster")), Seq("dst"))
+        .select(col("src").as("doc_id"), col("cluster"), lit(false).as("self"))
+        .union(labels.select(col("doc_id"), col("cluster"), lit(true).as("self")))
+        .groupBy(col("doc_id"))
+        .agg(min(col("cluster")).as("cluster"),
+          min(when(col("self"), col("cluster"))).as("old_cluster"))
+        .select(col("doc_id"), col("cluster"),
+          (col("cluster") < col("old_cluster")).as("improved"))
         .localCheckpoint(true)
       changed = next.filter(col("improved")).limit(1).count()
       labels = next.drop("improved")
