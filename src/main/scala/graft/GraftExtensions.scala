@@ -33,5 +33,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("list_element"),
       info("list_element"),
       (args: Seq[Expression]) => ElementAt(args.head, args(1), None, failOnError = false)))
+    ext.injectFunction((FunctionIdentifier("scrub_pii"),
+      info("scrub_pii"),
+      (args: Seq[Expression]) =>
+        graft.functions.GraftFunctions.scrubPiiExpr(args.head)))
   }
 }

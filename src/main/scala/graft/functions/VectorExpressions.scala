@@ -241,5 +241,24 @@ object GraftFunctions {
         }
         TopKAgg(args.head, args(1), k).toAggregateExpression()
       }, "built-in")
+    // PII scrub on the SQL surface — the reference's customization point
+    // is user-editable SQL, so the curation transform must be reachable
+    // from it. Built as a direct catalyst tree (the Column bridge wraps
+    // Spark-4 Columns in unevaluable node expressions on this path); the
+    // patterns are the single-sourced TextAnalysis constants, so SQL and
+    // Column callers scrub identically.
+    reg.createOrReplaceTempFunction("scrub_pii",
+      args => GraftFunctions.scrubPiiExpr(args.head), "built-in")
+  }
+
+  /** regexp_replace(regexp_replace(text, email, '<EMAIL>'), phone,
+    * '<PHONE>') as a raw expression tree — shared by the imperative
+    * registry and the SparkSessionExtensions deployment path. */
+  def scrubPiiExpr(text: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, RegExpReplace}
+    RegExpReplace(
+      RegExpReplace(text,
+        Literal(graft.operators.TextAnalysis.emailPattern), Literal("<EMAIL>")),
+      Literal(graft.operators.TextAnalysis.phonePattern), Literal("<PHONE>"))
   }
 }

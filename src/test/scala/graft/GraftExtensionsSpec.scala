@@ -30,12 +30,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d,
           |       vec_norm(array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS n,
           |       list_element(array('x','y'), 2) AS le,
-          |       list_element(array('x','y'), 7) AS oob
+          |       list_element(array('x','y'), 7) AS oob,
+          |       scrub_pii('mail a.b@x.io or +1-555-010-7788') AS scrubbed
           |""".stripMargin).collect().head
       assert(r.getDouble(0) === 11.0)
       assert(r.getDouble(1) === 5.0)
       assert(r.getString(2) === "y")
       assert(r.isNullAt(3))
+      assert(r.getString(4) === "mail <EMAIL> or <PHONE>")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
