@@ -3,8 +3,13 @@ import org.apache.spark.sql.SparkSession
 import java.io.{File, FileInputStream, FileOutputStream}
 import java.util.jar.{JarEntry, JarOutputStream}
 
-/** Benchmark entry point. Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+/** Benchmark entry point. Prints TWO JSON metric lines — the full
+  * per-query map first, then a compact summary a bounded tail-capture
+  * window can never clip (the summary line is always LAST):
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *    "load1_start":L,"load1_end":L,"sf":...}
+  *   {"metric":"summary","value":N,"unit":"sec","n_queries":N,"failed":N,
+  *    "load1_start":L,"load1_end":L,"sf":...}
   *
   * The outer invocation (whatever launched us — sbt runMain, plain java)
   * re-launches itself through `spark-submit` and relays the metric line:
@@ -82,9 +87,18 @@ object Bench {
     }
   }
 
+  /** 1-minute /proc/loadavg, -1 if unreadable. */
+  private def load1(): Double =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   private def runInner(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // ambient load BEFORE we spin up local[32]: the adjudication signal is
+    // co-tenant contention, and sampling after our own run would mostly
+    // measure ourselves
+    val loadStart = load1()
     val spark = GraftSession.tuned(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
@@ -141,14 +155,13 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    // host 1-min load average at sample time: this VM's documented failure
-    // mode is co-tenant contention storms inflating timings 10-40x, and a
-    // bench artifact is only adjudicable if it carries the evidence
-    val load1 = try {
-      scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
-    } catch { case _: Throwable => -1.0 }
+    // host 1-min load averages: this VM's documented failure mode is
+    // co-tenant contention storms inflating timings 10-40x, and a bench
+    // artifact is only adjudicable if it carries the evidence. start =
+    // ambient before our executors spun up; end includes our own load.
+    val loadEnd = load1()
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1":$load1,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"load1_start":$loadStart,"load1_end":$loadEnd,"sf":"$sfDir"}"""
     // Full line (per-query map) first, durable copy on disk, then a short
     // summary line that a bounded tail-capture window can never clip —
     // round 1/2 drivers recorded parsed:null because the 57-query line's
@@ -168,7 +181,7 @@ object Bench {
     // "summary", NOT "total": two same-named lines with different schemas
     // would make a metric-name-matching consumer parse either shape.
     val failed = results.values.count(_ < 0)
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"load1":$load1,"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","n_queries":${results.size},"failed":$failed,"load1_start":$loadStart,"load1_end":$loadEnd,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

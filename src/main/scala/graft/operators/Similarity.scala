@@ -239,8 +239,13 @@ object Similarity {
     * this corpus), and per-dim scales reweight dims inside the dot. One
     * global scalar has neither distortion: code dot ≈ (127/S)²·cosine.
     * Driver-side cost: one scan-aggregate returning a double (at scale:
-    * index-build metadata, not query work). Zero-norm vectors are
-    * excluded from the scale (they quantize to all-zero codes). */
+    * index-build metadata, not query work). Zero-norm degenerate case:
+    * excluded from the scale here; in [[sq8Codes]] the 0-divisor division
+    * yields null code elements (non-ANSI Divide), which FloatVecDot reads
+    * as 0 — so a zero-norm vector scores a candidate dot of 0.0 and can
+    * enter the rerank set when fewer than `rerank` vectors score
+    * positive, where the exact re-rank gives it cosine 0.0 (FloatVecCosine's
+    * zero-norm branch) and any positive-cosine vector outranks it. */
   def sq8Scale(emb: DataFrame): Double =
     emb.select((array_max(transform(col("embedding"),
         v => abs(v.cast(DoubleType)))) / VecCols.norm(col("embedding"))).as("m"))
