@@ -28,7 +28,7 @@ object CurateMain {
     if (args.length < 2) {
       System.err.println(
         "Usage: CurateMain <documents.parquet> <outDir> [minQuality] " +
-          "[jaccardThreshold] [clusterAlgo: propagate|star]")
+          "[jaccardThreshold] [clusterAlgo: propagate|star] [scrubPii: true|false]")
       sys.exit(1)
     }
     val spark = graft.GraftSession.create()
@@ -39,7 +39,8 @@ object CurateMain {
           args.lift(2).map(_.toDouble).getOrElse(0.5),
           args.lift(3).map(_.toDouble).getOrElse(0.5),
           inputBytes = Sinks.pathSize(args(0)),
-          clusterAlgo = args.lift(4).getOrElse("propagate"))
+          clusterAlgo = args.lift(4).getOrElse("propagate"),
+          scrubPii = args.lift(5).exists(_.toBoolean))
         println(s"Curated ${r.input} -> ${r.afterNearDup} docs (${r.outputPath})")
         0
       } catch {
@@ -65,7 +66,8 @@ object CurateMain {
     * for corpora whose duplicate chains run long — transcripts, crawls). */
   def run(spark: SparkSession, docs: DataFrame, outDir: String,
       minQuality: Double = 0.5, jaccardThreshold: Double = 0.5,
-      inputBytes: Long = 0L, clusterAlgo: String = "propagate"): Result = {
+      inputBytes: Long = 0L, clusterAlgo: String = "propagate",
+      scrubPii: Boolean = false): Result = {
     // resolve the algorithm up front — the single validation site, and it
     // fails fast: a typo'd name must not burn three corpus scans (the
     // counts below) before stage 3 rejects it
@@ -77,8 +79,15 @@ object CurateMain {
     }
     val input = docs.count()
 
+    // stage 0 (optional): PII scrub — BEFORE scoring/dedup so placeholders
+    // are what every later stage (and the output) sees; row-local, free of
+    // shuffles, so it fuses into stage 1's scan
+    val source =
+      if (scrubPii) docs.withColumn("text", TA.scrubPii(col("text")))
+      else docs
+
     // stage 1: quality floor
-    val quality = docs
+    val quality = source
       .withColumn("quality", qualityScore(col("text")))
       .filter(col("quality") >= minQuality)
     val nQuality = quality.count()

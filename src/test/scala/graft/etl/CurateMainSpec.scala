@@ -54,4 +54,19 @@ class CurateMainSpec extends SparkSpec {
       CurateMain.run(spark, docs, tmpDir("graft-curate-bad"), clusterAlgo = "frobnicate")
     }
   }
+
+  test("curate: scrubPii stage types PII before scoring and output") {
+    import spark.implicits._
+    val dir = tmpDir("graft-curate-pii")
+    // inject PII into otherwise-normal docs so the stage has work to do
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+      .withColumn("text",
+        concat(col("text"), lit(" reach me at someone@example.com")))
+    val r = CurateMain.run(spark, docs, dir, scrubPii = true)
+    assert(r.afterNearDup > 0)
+    val out = spark.read.parquet(r.outputPath)
+    // no address survives; the typed placeholder does
+    assert(out.filter(col("text").contains("@example.com")).count() === 0)
+    assert(out.filter(col("text").contains("<EMAIL>")).count() === out.count())
+  }
 }
