@@ -89,7 +89,8 @@ object Bench {
 
   /** 1-minute /proc/loadavg, -1 if unreadable. */
   private def load1(): Double =
-    try scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")(0).toDouble
+    try java.nio.file.Files.readString(
+      java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
     catch { case _: Throwable => -1.0 }
 
   private def runInner(): Unit = {

@@ -57,7 +57,11 @@ object Sampling {
 
   /** Deterministic STRATIFIED sample: up to `n` rows per stratum, chosen
     * by ascending [[orderKey53]] (ties → smaller id), emitted as
-    * (stratum, sample_rank, id).
+    * (stratum, sample_rank, id). Rows with a NULL key are excluded up
+    * front — a row with no content to order by has no defined sample
+    * position, and making the exclusion explicit keeps every engine's
+    * NULL-ordering convention (NULLS FIRST windows, NULLS LAST sorts,
+    * aggregate null-skipping) out of the contract.
     *
     * "Sample 10k docs per language/source" is the quota-balancing step a
     * mixing pipeline runs ahead of training. A per-stratum `row_number`
@@ -69,7 +73,8 @@ object Sampling {
     * parallel — the same shape as the kNN join. */
   def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
       key: Column, n: Int): DataFrame =
-    df.select(stratum.as("stratum"), id.as("id"),
+    df.filter(key.isNotNull)
+      .select(stratum.as("stratum"), id.as("id"),
         // topk keeps the HIGHEST scores: negate so the smallest order keys
         // (and, on 52-bit-prefix collisions, the smaller id) win
         (-orderKey53(key)).as("neg_key"))

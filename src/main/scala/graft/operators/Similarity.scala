@@ -82,10 +82,13 @@ object Similarity {
     * pairs are scored. Queries arrive as a RELATION (query_id BIGINT,
     * qv ARRAY<FLOAT>), not driver-side literals, so Q is unbounded.
     *
-    * Output contract matches [[knnJoin]]: (query_id, rank, vec_id), rank
-    * by (cosine desc, vec_id asc), self-matches excluded — but results are
+    * Output shape matches [[knnJoin]]: (query_id, rank, vec_id), rank by
+    * (cosine desc, vec_id asc), self-matches excluded — but results are
     * the exact kNN *within the probed cells* (ANN semantics, like
-    * [[ivfTopKWith]] vs [[cosineTopK]]).
+    * [[ivfTopKWith]] vs [[cosineTopK]]), with the corollary that a query
+    * whose probed cells contain no other corpus vector emits NO rows
+    * (where brute-force [[knnJoin]] always emits k per query): callers
+    * must treat absent query_ids as empty neighbor sets, not errors.
     *
     * Scale shape: probe selection is row-local (centroids are plan
     * constants — nCells × dim floats), so the query side never shuffles to
@@ -240,17 +243,22 @@ object Similarity {
     * global scalar has neither distortion: code dot ≈ (127/S)²·cosine.
     * Driver-side cost: one scan-aggregate returning a double (at scale:
     * index-build metadata, not query work). Zero-norm degenerate case:
-    * excluded from the scale here; in [[sq8Codes]] the 0-divisor division
-    * yields null code elements (non-ANSI Divide), which FloatVecDot reads
-    * as 0 — so a zero-norm vector scores a candidate dot of 0.0 and can
-    * enter the rerank set when fewer than `rerank` vectors score
-    * positive, where the exact re-rank gives it cosine 0.0 (FloatVecCosine's
-    * zero-norm branch) and any positive-cosine vector outranks it. */
-  def sq8Scale(emb: DataFrame): Double =
-    emb.select((array_max(transform(col("embedding"),
+    * excluded from the scale here, and [[sq8Codes]] gives such vectors
+    * ALL-ZERO codes explicitly (double 0/0 is IEEE NaN, and what NaN
+    * rounds/casts to differs by engine — the explicit branch is what keeps
+    * the oracle portable). An all-zero code vector scores candidate dot
+    * 0.0, and if it reaches the exact re-rank, FloatVecCosine's zero-norm
+    * branch scores it 0.0 there too — any positive-cosine vector outranks
+    * it. */
+  def sq8Scale(emb: DataFrame): Double = {
+    val row = emb.select((array_max(transform(col("embedding"),
         v => abs(v.cast(DoubleType)))) / VecCols.norm(col("embedding"))).as("m"))
       .filter(!isnan(col("m")))
-      .agg(max(col("m"))).head().getDouble(0)
+      .agg(max(col("m"))).head()
+    require(!row.isNullAt(0),
+      "sq8Scale: corpus has no vectors with a nonzero norm to calibrate on")
+    row.getDouble(0)
+  }
 
   /** Symmetric SQ8 codes of a normalized vector: code_i =
     * round(v_i / ‖v‖ · 127 / S) ∈ [−127, 127]. The arithmetic is the same
@@ -263,8 +271,9 @@ object Similarity {
     * element). */
   def sq8Codes(emb: Column, nm: Column, scale: Double): Column =
     transform(emb, v =>
-      round(v.cast(DoubleType) / nm * lit(127.0) / lit(scale))
-        .cast(IntegerType))
+      when(nm === 0.0, lit(0))
+        .otherwise(round(v.cast(DoubleType) / nm * lit(127.0) / lit(scale))
+          .cast(IntegerType)))
 
   /** Driver-side mirror of [[sq8Codes]] for the query vector: identical
     * op sequence, and BigDecimal HALF_UP to match Spark's `Round`
@@ -274,7 +283,8 @@ object Similarity {
     var nm = 0.0
     q.foreach(x => nm += x * x) // sequential, like the codegen norm
     val n = math.sqrt(nm)
-    q.map(x => java.math.BigDecimal.valueOf(x / n * 127.0 / scale)
+    if (n == 0.0) q.map(_ => 0) // mirror sq8Codes' zero-norm branch
+    else q.map(x => java.math.BigDecimal.valueOf(x / n * 127.0 / scale)
       .setScale(0, java.math.RoundingMode.HALF_UP).intValue)
   }
 

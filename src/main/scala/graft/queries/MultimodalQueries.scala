@@ -89,34 +89,24 @@ object MultimodalQueries {
     acc
   }
 
-  /** Pure mirror of featureExtractImage's block-mean RGB over the
-    * synthetic pixels, returned as the float32-cast doubles the executor
-    * emits (integer channel sums make the mirror exact, not approximate). */
+  /** Pure mirror of featureExtractImage's block-mean RGB: builds the
+    * synthetic image driver-side (setRGB from the shared pixel function —
+    * no codec involved) and runs the SAME `Multimodal.blockMeanRGB` the
+    * executor runs, so the arithmetic is single-sourced and cannot drift
+    * from the oracle. Only the codec round-trip differs from the executor
+    * path, and q73's checksum oracle pins that separately. */
   private[graft] def mirrorFeatures(id: Long, grid: Int = 2): Seq[Double] = {
     val w = Multimodal.pngWidth(id)
     val h = Multimodal.pngHeight(id)
-    val sums = Array.ofDim[Long](grid * grid * 3)
-    val counts = Array.ofDim[Long](grid * grid)
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
-      val by = math.min(y * grid / h, grid - 1)
       var x = 0
-      while (x < w) {
-        val bx = math.min(x * grid / w, grid - 1)
-        val b = by * grid + bx
-        val p = Multimodal.syntheticPixel(id, x, y)
-        sums(b * 3) += (p >>> 16) & 0xff
-        sums(b * 3 + 1) += (p >>> 8) & 0xff
-        sums(b * 3 + 2) += p & 0xff
-        counts(b) += 1
-        x += 1
-      }
+      while (x < w) { im.setRGB(x, y, Multimodal.syntheticPixel(id, x, y)); x += 1 }
       y += 1
     }
-    sums.indices.map { i =>
-      val c = counts(i / 3)
-      (if (c == 0) 0f else (sums(i).toDouble / (c * 255.0)).toFloat).toDouble
-    }
+    Multimodal.blockMeanRGB(im, grid).map(_.toDouble).toSeq
   }
 
   /** REAL ImageIO decode, driver-checked: decode the PNG corpus and emit

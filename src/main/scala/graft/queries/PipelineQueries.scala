@@ -106,7 +106,7 @@ object PipelineQueries {
         SELECT lang AS stratum, doc_id,
           ROW_NUMBER() OVER (PARTITION BY lang
             ORDER BY ('0x' || substr(md5(text), 1, 13))::BIGINT, doc_id) AS rk
-        FROM documents)
+        FROM documents WHERE text IS NOT NULL)
       SELECT stratum, CAST(rk AS INTEGER) AS sample_rank, doc_id AS id
       FROM r WHERE rk <= 20""")
   )

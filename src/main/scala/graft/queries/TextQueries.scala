@@ -391,13 +391,17 @@ object TextQueries {
         TA.wordOccurrences(col("text"), "a")).cast(DoubleType) / size(toks)
       val quality = TA.typeTokenRatio(toks) * lit(0.7) +
         (lit(1.0) - stop) * lit(0.3)
+      // a single-document stratum has percent_rank 0.0 (the n=1 degenerate
+      // of (rank−1)/(n−1)), which the bare cut would DELETE — "keep the
+      // top half" must never empty a stratum, so singletons are kept
+      // explicitly via a partition count
+      val byLang = Window.partitionBy(col("lang"))
       Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("lang"), quality.as("q"))
         .select(col("doc_id"), col("lang"),
-          percent_rank().over(
-            Window.partitionBy(col("lang")).orderBy(col("q"), col("doc_id")))
-            .as("pr"))
-        .filter(col("pr") >= 0.5)
+          percent_rank().over(byLang.orderBy(col("q"), col("doc_id"))).as("pr"),
+          count(lit(1)).over(byLang).as("n_lang"))
+        .filter(col("pr") >= 0.5 || col("n_lang") === 1)
         .select(col("doc_id"), col("lang"))
     },
     Some(s"""WITH s AS (
@@ -407,9 +411,10 @@ object TextQueries {
             AS q
         FROM documents),
       r AS (SELECT doc_id, lang,
-              PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr
+              PERCENT_RANK() OVER (PARTITION BY lang ORDER BY q, doc_id) AS pr,
+              COUNT(*) OVER (PARTITION BY lang) AS n_lang
             FROM s)
-      SELECT doc_id, lang FROM r WHERE pr >= 0.5""")
+      SELECT doc_id, lang FROM r WHERE pr >= 0.5 OR n_lang = 1""")
   )
 
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,

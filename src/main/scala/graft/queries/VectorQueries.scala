@@ -484,7 +484,9 @@ object VectorQueries {
                    FROM pu GROUP BY 1) JOIN nrm USING (vec_id)
              WHERE nm > 0),
       cd AS (SELECT pu.vec_id, pu.pos,
-               CAST(ROUND(CAST(pu.ev AS DOUBLE) / nm * 127.0 / scale) AS INTEGER) AS code
+               CASE WHEN nm = 0 THEN 0
+                    ELSE CAST(ROUND(CAST(pu.ev AS DOUBLE) / nm * 127.0 / scale) AS INTEGER)
+               END AS code
              FROM pu JOIN nrm USING (vec_id), sc),
       qc AS (SELECT pos, code FROM cd WHERE vec_id = 0),
       qd AS (SELECT cd.vec_id, SUM(cd.code * qc.code) AS qdot
