@@ -533,6 +533,39 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Exact duplicated-SPAN detection: every `span`-token window (stride 1)
+    * that occurs at least `minOccurrences` times corpus-wide, reported per
+    * occurrence as (doc_id, start_tok, span_hash, n_occurrences) — the
+    * passage-level cousin of document dedup: boilerplate headers, license
+    * blocks, and copied paragraphs recur across otherwise-distinct
+    * documents, and span-level detection is what a substring-dedup pass
+    * (the suffix-array technique, bounded to a fixed window) removes.
+    *
+    * Window hashes are computed ROW-LOCALLY (one md5 per window over the
+    * doc's own token slice — no cross-row state), so the only relation-
+    * wide operations are one partial-aggregated groupBy on the 32-char
+    * hash and the occurrence re-join; at corpus scale both shuffle on the
+    * hash key, never on text. */
+  def duplicateSpans(docs: DataFrame, span: Int,
+      minOccurrences: Long = 2L): DataFrame = {
+    require(span > 0, s"span must be positive, got $span")
+    val occ = parallelized(docs)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= span)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(1), size(col("toks")) - (span - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(span))).cast("binary"))))
+          .as(Seq("pos", "span_hash")))
+      .select(col("doc_id"), (col("pos") + 1).as("start_tok"), col("span_hash"))
+      .localCheckpoint(true)
+    val hot = occ.groupBy(col("span_hash"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") >= minOccurrences)
+    occ.join(hot, "span_hash")
+      .select(col("doc_id"), col("start_tok"), col("span_hash"),
+        col("n_occurrences"))
+  }
+
   /** 64-bit SimHash over whitespace tokens via the one-pass
     * [[graft.functions.SimHashAgg]]: one shuffle keyed on doc_id, a 64-int
     * vote buffer per doc, map-side partial merge — no row expansion. */

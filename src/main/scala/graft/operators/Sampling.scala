@@ -47,6 +47,44 @@ object Sampling {
     }
   }
 
+  /** The per-source sampling fractions that mix a corpus DOWN to a target
+    * source distribution: the largest total N with share(s) = weights(s)
+    * is N = min_s count_s / w_s (the scarcest source binds), and source s
+    * then keeps fraction N·w_s / count_s of its rows. Pure driver
+    * arithmetic over the per-source counts (a |sources|-row aggregate). */
+  def mixFractions(counts: Map[String, Long],
+      weights: Map[String, Double]): Map[String, Double] = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      "mix weights must be positive")
+    weights.keys.foreach(s => require(counts.getOrElse(s, 0L) > 0L,
+      s"mix source '$s' has no rows"))
+    val n = weights.map { case (s, w) => counts(s) / w }.min
+    weights.map { case (s, w) => s -> math.min(1.0, n * w / counts(s)) }
+  }
+
+  /** Deterministic DOWN-SAMPLING to a target source mix: keep only the
+    * weighted sources, each hash-sampled at its [[mixFractions]] fraction,
+    * so the surviving corpus approximates share(s) = weights(s) with the
+    * scarcest source kept whole. The mixing step of a pretraining data
+    * recipe ("40% web, 30% books, …"), as one scan-only filter: the
+    * per-source thresholds are plan literals (a when-chain over
+    * |sources| branches), selection is the same md5-threshold rule as
+    * [[hashSample]] — reproducible across runs, engines, and cluster
+    * sizes, and a source's kept-set only shrinks/grows monotonically if
+    * its weight changes. One |sources|-row aggregate runs driver-side
+    * first; everything else is the scan. */
+  def mixToWeights(df: DataFrame, source: Column, key: Column,
+      weights: Map[String, Double]): DataFrame = {
+    val counts = df.groupBy(source.as("src")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fractions = mixFractions(counts, weights)
+    val threshold = fractions.toSeq.sortBy(_._1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (s, f)) =>
+        when(source === s, lit(hexThreshold(f))).otherwise(acc)
+      }
+    df.filter(hashKey(key) < threshold) // null threshold (unlisted source) drops the row
+  }
+
   /** The deterministic per-row order key stratified sampling ranks by: the
     * first 13 hex digits (52 bits — exactly double-representable, so the
     * double comparison loses nothing) of md5(key), as a double. Uniform,

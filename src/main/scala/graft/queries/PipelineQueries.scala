@@ -213,5 +213,36 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76)
+  /** Down-sampling to a target source mix ([[Sampling.mixToWeights]]):
+    * keep sources src0..src3 at 40/30/20/10 shares, the scarcest-source-
+    * bound fractions derived from the data. The oracle recomputes counts,
+    * the binding total, each source's fraction, AND the hex threshold
+    * encoding in SQL — the whole mixing rule is hash-checked, not just
+    * the final sample. (src0's fraction lands exactly at 1.0, exercising
+    * the keep-everything 'g' threshold branch in both engines.) */
+  val q84 = Q(
+    "q84_mix_to_weights",
+    (spark, dir) => Sampling.mixToWeights(
+      Tables.load(spark, dir, "documents"), col("source"), col("text"),
+      Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc_id")),
+    Some("""WITH c AS (SELECT source, COUNT(*) AS cnt FROM documents GROUP BY source),
+      w AS (SELECT * FROM (VALUES ('src0', 0.4), ('src1', 0.3), ('src2', 0.2),
+              ('src3', 0.1)) AS t(source, wt)),
+      nn AS (SELECT MIN(cnt / wt) AS n FROM c JOIN w USING (source)),
+      f AS (SELECT c.source, LEAST(1.0, nn.n * w.wt / c.cnt) AS frac
+            FROM c JOIN w USING (source), nn),
+      thr AS (SELECT source,
+                CASE WHEN frac >= 1.0 THEN 'g'
+                     ELSE lpad(lower(to_hex(CAST(ROUND(frac * 4294967296.0) AS BIGINT))), 8, '0')
+                END AS t
+              FROM f)
+      SELECT d.source, COUNT(*) AS n_sampled, MIN(d.doc_id) AS min_doc_id
+      FROM documents d JOIN thr ON d.source = thr.source
+      WHERE md5(d.text) < thr.t
+      GROUP BY d.source""")
+  )
+
+  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84)
 }

@@ -417,6 +417,28 @@ object TextQueries {
       SELECT doc_id, lang FROM r WHERE pr >= 0.5 OR n_lang = 1""")
   )
 
+  /** Exact duplicated-span detection ([[Dedup.duplicateSpans]]): every
+    * 20-token window occurring ≥2 times corpus-wide, per occurrence —
+    * passage-level dedup (boilerplate, copied paragraphs) where
+    * q23/q26/q51 work at document level. Window hashes are row-local
+    * md5s, so the oracle rebuilds the identical hash per window and the
+    * whole occurrence relation hash-checks. */
+  val q83 = Q(
+    "q83_duplicate_spans",
+    (spark, dir) =>
+      Dedup.duplicateSpans(Tables.load(spark, dir, "documents"), span = 20),
+    Some(s"""WITH t AS (SELECT doc_id, $sqlToks AS toks FROM documents),
+      occ AS (
+        SELECT doc_id, CAST(i AS INTEGER) AS start_tok,
+          md5(array_to_string(toks[i : i + 19], ' ')) AS span_hash
+        FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks) - 19)) AS i
+              FROM t WHERE len(toks) >= 20)),
+      hot AS (SELECT span_hash, COUNT(*) AS n_occurrences
+              FROM occ GROUP BY 1 HAVING COUNT(*) >= 2)
+      SELECT occ.doc_id, occ.start_tok, occ.span_hash, hot.n_occurrences
+      FROM occ JOIN hot USING (span_hash)""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q35, q43, q44, q75, q77, q81)
+    q35, q43, q44, q75, q77, q81, q83)
 }

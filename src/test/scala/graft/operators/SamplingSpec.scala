@@ -51,6 +51,42 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > counts.getOrElse("val", 0L))
   }
 
+  test("mixFractions: scarcest source binds, fractions cap at 1.0, missing source rejected") {
+    val counts = Map("a" -> 100L, "b" -> 50L, "c" -> 400L)
+    val f = Sampling.mixFractions(counts, Map("a" -> 0.5, "b" -> 0.25, "c" -> 0.25))
+    // binding source: min(100/0.5, 50/0.25, 400/0.25) = 200 ⇒ a keeps all
+    assert(f("a") === 1.0)
+    assert(f("b") === 1.0)
+    assert(math.abs(f("c") - 200.0 * 0.25 / 400) < 1e-12)
+    intercept[IllegalArgumentException] {
+      Sampling.mixFractions(counts, Map("a" -> 0.5, "zzz" -> 0.5))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixFractions(counts, Map("a" -> 0.0))
+    }
+  }
+
+  test("mixToWeights: unlisted sources dropped, kept shares track the weights") {
+    val docs = Tables.load(spark, sf, "documents")
+    val w = Map("src0" -> 0.4, "src1" -> 0.3, "src2" -> 0.2, "src3" -> 0.1)
+    val out = Sampling.mixToWeights(docs, col("source"), col("text"), w)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc.keySet.subsetOf(w.keySet)) // unlisted sources never survive
+    // deterministic under re-run
+    val again = Sampling.mixToWeights(docs, col("source"), col("text"), w)
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again === bySrc)
+    // the binding source (largest weight here, equal counts) keeps everything
+    val srcTotals = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("src0") === srcTotals("src0"))
+    // monotone in weight: heavier-weighted sources keep at least as many
+    assert(bySrc("src0") >= bySrc("src1") && bySrc("src1") >= bySrc("src2") &&
+      bySrc("src2") >= bySrc("src3"))
+  }
+
   test("stratifiedSample: exact quota, window-rank parity, partition-stable") {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables.load(spark, sf, "documents")

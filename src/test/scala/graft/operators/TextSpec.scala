@@ -36,6 +36,25 @@ class TextSpec extends SparkSpec {
     assert(df.collect().map(_.getString(0)).toSeq === Seq("en", "de", "und", "en"))
   }
 
+  test("duplicateSpans: shared passages found per occurrence, unique text silent") {
+    val passage = (1 to 25).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"alpha beta $passage gamma"),
+      (2L, s"$passage delta epsilon zeta"),
+      (3L, "entirely unrelated words " + (1 to 30).map(i => s"u$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(docs, span = 20).collect()
+    // doc 3 shares nothing: never reported
+    assert(!got.exists(_.getLong(0) === 3L))
+    // the 25-token shared passage has 6 distinct 20-token windows, each in
+    // both docs: every reported row counts exactly 2 occurrences
+    assert(got.nonEmpty && got.forall(_.getAs[Long]("n_occurrences") === 2L))
+    val byDoc = got.groupBy(_.getLong(0)).view.mapValues(_.length).toMap
+    assert(byDoc(1L) === byDoc(2L)) // symmetric occurrence counts
+    // doc 1's shared windows start after its 2-token prefix
+    assert(got.filter(_.getLong(0) === 1L).map(_.getAs[Int]("start_tok")).min === 3)
+  }
+
   test("scrubPii: emails and phone runs become typed placeholders, rest intact") {
     val rows = Seq(
       "mail me at a.b+c@sub.example.org today",
