@@ -378,6 +378,36 @@ object ParityQueries {
     FROM customer""")
   )
 
+  /** Parquet sink roundtrip, driver-checked: write `documents` to a fresh
+    * zstd parquet directory, read it back, and emit an order-insensitive
+    * content summary (row count + bit_xor of a per-row md5-derived 60-bit
+    * hash over every column). The oracle computes the same summary over
+    * the ORIGINAL table — equality means the write→read cycle preserved
+    * every row and every value byte-for-byte, which is the K1 sink
+    * contract (codec included) that was previously only spec-tested.
+    * bit_xor, not sum: order-insensitive AND overflow-free for any corpus
+    * size. */
+  val q85 = Q(
+    "q85_parquet_roundtrip",
+    (spark, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-roundtrip").toString
+      Tables.load(spark, dir, "documents")
+        .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
+      spark.read.parquet(tmp)
+        .select(graft.operators.TextAnalysis.tokenHash60(
+          concat_ws("|", col("doc_id").cast(StringType), col("text"),
+            col("lang"), col("source"), col("n_chars").cast(StringType)))
+          .as("h"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(h)").as("content_xor"))
+    },
+    Some("""SELECT COUNT(*) AS n_rows,
+      bit_xor(('0x' || substr(md5(
+        concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
+                  CAST(n_chars AS VARCHAR))), 1, 15))::BIGINT) AS content_xor
+    FROM documents""")
+  )
+
   val all: Seq[Q] =
-    Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65)
+    Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85)
 }
