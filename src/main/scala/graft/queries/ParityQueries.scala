@@ -408,6 +408,30 @@ object ParityQueries {
     FROM documents""")
   )
 
+  /** q54's streaming dedup through the PARQUET FILE SINK instead of the
+    * memory sink: the sink an unbounded deployment writes (exactly-once
+    * via the sink commit log), driver-checked by reading the committed
+    * files back — the result must be the same batch-DISTINCT set whichever
+    * sink carried it. Covers the streaming file-sink path (commit log,
+    * file manifest read-back) that the memory-sink replays can't. */
+  val q86 = Q(
+    "q86_stream_parquet_sink",
+    (spark, dir) => {
+      val tmp = stagedEventsDir(spark, dir)
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-stream-sink").toString
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-stream-sink-ck").toString
+      EventsStream.replayToParquet(
+        EventsStream.dedupKeys(EventsStream.fromParquetDir(spark, tmp),
+          Seq("user_id", "event_type")),
+        out, ck, statePartitions = Some(8), noDataBatch = false)
+      spark.read.parquet(out)
+    },
+    Some("SELECT DISTINCT user_id, event_type FROM events")
+  )
+
   val all: Seq[Q] =
-    Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85)
+    Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
+      q86)
 }

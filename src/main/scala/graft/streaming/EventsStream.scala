@@ -179,7 +179,32 @@ object EventsStream {
   def replayToMemory(df: DataFrame, sinkTable: String,
       outputMode: OutputMode = OutputMode.Append(),
       statePartitions: Option[Int] = None,
-      noDataBatch: Boolean = true): Unit = {
+      noDataBatch: Boolean = true): Unit =
+    replay(df, statePartitions, noDataBatch) { ws =>
+      ws.format("memory").queryName(sinkTable).outputMode(outputMode)
+    }
+
+  /** Replay to a PARQUET FILE SINK — the sink an unbounded deployment
+    * actually writes (exactly-once via the sink's commit log under
+    * `checkpointDir`; readers see only committed files). Append-mode only,
+    * as the file sink requires; the memory-sink variant above is the
+    * test/inspection path, this is the production path. */
+  def replayToParquet(df: DataFrame, outDir: String, checkpointDir: String,
+      statePartitions: Option[Int] = None,
+      noDataBatch: Boolean = true): Unit =
+    replay(df, statePartitions, noDataBatch) { ws =>
+      ws.format("parquet").option("path", outDir)
+        .option("checkpointLocation", checkpointDir)
+        .outputMode(OutputMode.Append())
+    }
+
+  /** The shared replay harness: conf handling (state sizing, no-data-batch
+    * suppression, restoration) around an AvailableNow run of whatever sink
+    * `configure` sets up. */
+  private def replay(df: DataFrame, statePartitions: Option[Int],
+      noDataBatch: Boolean)(
+      configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
+        => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
@@ -188,10 +213,7 @@ object EventsStream {
     statePartitions.foreach(n => spark.conf.set(key, n))
     if (!noDataBatch) spark.conf.set(ndKey, false)
     try {
-      val q = df.writeStream
-        .format("memory")
-        .queryName(sinkTable)
-        .outputMode(outputMode)
+      val q = configure(df.writeStream)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
