@@ -75,7 +75,10 @@ object Sampling {
     * first; everything else is the scan. */
   def mixToWeights(df: DataFrame, source: Column, key: Column,
       weights: Map[String, Double]): DataFrame = {
-    val counts = df.groupBy(source.as("src")).agg(count(lit(1)).as("n"))
+    // NULL sources are unlisted by definition — exclude them before the
+    // count so the driver-side getString never sees a null group key
+    val counts = df.filter(source.isNotNull)
+      .groupBy(source.as("src")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val fractions = mixFractions(counts, weights)
     val threshold = fractions.toSeq.sortBy(_._1)

@@ -47,6 +47,14 @@ object Exact {
     s"${sqlSum(e)} / COUNT($e)"
 
   /** DuckDB sums of integers widen to HUGEINT; pin back to BIGINT so the
-    * oracle schema matches Spark's `sum(long) => long`. */
+    * oracle schema matches Spark's `sum(long) => long`.
+    *
+    * Audit rule (checked round 6 across every oracle in `graft.queries`):
+    * any integer `SUM(...)` whose alias reaches the RESULT schema must go
+    * through this helper (or an explicit `CAST(... AS BIGINT)`). HUGEINT is
+    * fine in intermediate CTEs — only final output columns cross the
+    * driver's arrow materialization, where int128 renders as decimal and
+    * hash-diverges from Spark's long (the q82 round-5 failure). `COUNT`
+    * needs no pin: DuckDB COUNT is already BIGINT. */
   def sqlSumLong(e: String): String = s"CAST(SUM($e) AS BIGINT)"
 }

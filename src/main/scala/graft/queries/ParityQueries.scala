@@ -51,12 +51,35 @@ object ParityQueries {
   private val stagedEvents =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]()
+  locally {
+    // one JVM-exit sweep for every scratch dir this object created:
+    // Bench samples each query several times, so without cleanup each run
+    // would leak multiple corpus-sized parquet copies under /tmp
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      scratchDirs.forEach { root =>
+        try {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => p.toFile.delete())
+        } catch { case _: Throwable => () } // best-effort
+      }))
+  }
+
+  /** Fresh temp directory, recursively deleted at JVM exit. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    scratchDirs.add(p)
+    p.toString
+  }
+
   /** Stage the ns-timestamp events as a stream-readable µs parquet dir
     * once per sf dir (re-runs in the same JVM replay the same input). */
   private def stagedEventsDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
     stagedEvents.getOrElseUpdate(dir, {
-      val t = java.nio.file.Files.createTempDirectory("graft-events-replay").toString
+      val t = scratchDir("graft-events-replay")
       Tables.load(spark, dir, "events").write.mode("overwrite").parquet(t)
       t
     })
@@ -150,7 +173,7 @@ object ParityQueries {
       dir: String): String =
     stagedSentinelEvents.getOrElseUpdate(dir, {
       import spark.implicits._
-      val t = java.nio.file.Files.createTempDirectory("graft-events-sentinel").toString
+      val t = scratchDir("graft-events-sentinel")
       val ev = Tables.load(spark, dir, "events")
       val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
       val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
@@ -390,8 +413,7 @@ object ParityQueries {
   val q85 = Q(
     "q85_parquet_roundtrip",
     (spark, dir) => {
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-roundtrip").toString
+      val tmp = scratchDir("graft-roundtrip")
       Tables.load(spark, dir, "documents")
         .write.mode("overwrite").option("compression", "zstd").parquet(tmp)
       spark.read.parquet(tmp)
@@ -418,10 +440,8 @@ object ParityQueries {
     "q86_stream_parquet_sink",
     (spark, dir) => {
       val tmp = stagedEventsDir(spark, dir)
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-stream-sink").toString
-      val ck = java.nio.file.Files
-        .createTempDirectory("graft-stream-sink-ck").toString
+      val out = scratchDir("graft-stream-sink")
+      val ck = scratchDir("graft-stream-sink-ck")
       EventsStream.replayToParquet(
         EventsStream.dedupKeys(EventsStream.fromParquetDir(spark, tmp),
           Seq("user_id", "event_type")),

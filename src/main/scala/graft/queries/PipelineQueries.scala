@@ -234,7 +234,11 @@ object PipelineQueries {
       f AS (SELECT c.source, LEAST(1.0, nn.n * w.wt / c.cnt) AS frac
             FROM c JOIN w USING (source), nn),
       thr AS (SELECT source,
-                CASE WHEN frac >= 1.0 THEN 'g'
+                -- mirror Sampling.hexThreshold exactly: 'g' whenever the
+                -- ROUNDED 32-bit scaling saturates (possible for frac just
+                -- below 1.0), not only for frac >= 1.0 — otherwise to_hex
+                -- yields 9 digits and lpad would mangle the threshold
+                CASE WHEN CAST(ROUND(frac * 4294967296.0) AS BIGINT) >= 4294967296 THEN 'g'
                      ELSE lpad(lower(to_hex(CAST(ROUND(frac * 4294967296.0) AS BIGINT))), 8, '0')
                 END AS t
               FROM f)

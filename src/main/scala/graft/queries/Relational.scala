@@ -634,12 +634,12 @@ object Relational {
         coalesce(col("purchase"), lit(0L)).as("n_purchase"),
         coalesce(col("signup"), lit(0L)).as("n_signup"),
         coalesce(col("view"), lit(0L)).as("n_view")),
-    Some("""SELECT date_trunc('hour', ts) AS hour,
-        SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-        SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
-        SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-        SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-        SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+    Some(s"""SELECT date_trunc('hour', ts) AS hour,
+        ${Exact.sqlSumLong("CASE WHEN event_type = 'click' THEN 1 ELSE 0 END")} AS n_click,
+        ${Exact.sqlSumLong("CASE WHEN event_type = 'error' THEN 1 ELSE 0 END")} AS n_error,
+        ${Exact.sqlSumLong("CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END")} AS n_purchase,
+        ${Exact.sqlSumLong("CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END")} AS n_signup,
+        ${Exact.sqlSumLong("CASE WHEN event_type = 'view' THEN 1 ELSE 0 END")} AS n_view
       FROM events GROUP BY 1""")
   )
 
