@@ -136,20 +136,49 @@ object Corpus {
     * tokenizer-prep step that turns corpus statistics into an id space.
     *
     * The corpus-wide work is ONE partial-aggregated shuffle of the token
-    * relation; the ranking window then runs over the minCount-SURVIVORS
-    * only — a vocabulary is tens of thousands of rows regardless of corpus
-    * size (Heaps' law + the count floor), so the single-partition ranking
-    * sort is bounded. At truly huge vocab sizes, swap the window for a
-    * range-partitioned sort + partition-offset pass. */
-  def vocabulary(docs: DataFrame, minCount: Long): DataFrame = {
+    * relation; the ranking then runs over the minCount-SURVIVORS only — a
+    * vocabulary is tens of thousands of rows regardless of corpus size
+    * (Heaps' law + the count floor), so the default single-partition
+    * ranking sort (`rankPartitions = 1`) is bounded.
+    *
+    * For very large vocabularies (low minCount, shingle/BPE token spaces),
+    * pass `rankPartitions = P > 1`: the survivors are RANGE-partitioned on
+    * the ranking key, ranked per partition (each sort touches ~1/P of the
+    * vocab), and per-partition offsets — a P-row relation — convert local
+    * ranks to the same global dense ids. The two paths produce IDENTICAL
+    * output: the ranking key (count desc, tok asc) is total (tok is
+    * unique), so ids don't depend on where range boundaries land. The
+    * survivor relation is localCheckpoint'ed in this path so the
+    * corpus-sized explode+aggregate runs once, not once per downstream
+    * reference. */
+  def vocabulary(docs: DataFrame, minCount: Long,
+      rankPartitions: Int = 1): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    docs.select(explode(TA.tokens(col("text"))).as("tok"))
+    require(rankPartitions >= 1, s"rankPartitions=$rankPartitions")
+    val counts = docs.select(explode(TA.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
       .filter(col("n_occurrences") >= minCount)
-      .select(col("tok"), col("n_occurrences"),
-        (row_number().over(
-          Window.orderBy(col("n_occurrences").desc, col("tok").asc)) - 1)
-          .as("token_id"))
+    val ord = Seq(col("n_occurrences").desc, col("tok").asc)
+    if (rankPartitions == 1)
+      counts.select(col("tok"), col("n_occurrences"),
+        (row_number().over(Window.orderBy(ord: _*)) - 1).as("token_id"))
+    else {
+      // explicit numPartitions pins the exchange (AQE won't coalesce it);
+      // pid is stable once materialized, so ranks and offsets agree
+      val parts = counts.repartitionByRange(rankPartitions, ord: _*)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val local = parts.withColumn("lr",
+        row_number().over(Window.partitionBy(col("pid")).orderBy(ord: _*)))
+      // offset(p) = rows in earlier partitions; the only single-partition
+      // window left runs over P rows, not the vocabulary
+      val offsets = parts.groupBy(col("pid")).agg(count(lit(1)).as("cnt"))
+        .select(col("pid"), (sum(col("cnt")).over(Window.orderBy(col("pid")))
+          - col("cnt")).as("offset"))
+      local.join(broadcast(offsets), Seq("pid"))
+        .select(col("tok"), col("n_occurrences"),
+          (col("lr") - 1 + col("offset")).cast(IntegerType).as("token_id"))
+    }
   }
 
   /** Encode every document as (doc_id, pos, token_id) under a vocabulary,

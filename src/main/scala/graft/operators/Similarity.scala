@@ -92,18 +92,28 @@ object Similarity {
     *
     * Scale shape: probe selection is row-local (centroids are plan
     * constants — nCells × dim floats), so the query side never shuffles to
-    * pick cells. The probe relation (Q × nProbe rows) is broadcast —
-    * corpus rows never move; each corpus partition scores only the queries
-    * probing its rows' cells, and [[graft.functions.TopKAgg]] keeps
-    * k-buffers map-side so the one real shuffle carries
-    * partitions × Q × k rows. For Q too large to broadcast, drop the hint:
-    * the same plan becomes a cell-keyed shuffle join, and cell-population
-    * skew is then the thing to watch (composite (cell, salt) keys with a
-    * salt-exploded query side is the standard fix). */
+    * pick cells. With `saltBuckets = 0` (default) the probe relation
+    * (Q × nProbe rows) is broadcast — corpus rows never move; each corpus
+    * partition scores only the queries probing its rows' cells, and
+    * [[graft.functions.TopKAgg]] keeps k-buffers map-side so the one real
+    * shuffle carries partitions × Q × k rows.
+    *
+    * For Q × nProbe too large to broadcast, pass `saltBuckets = S > 0`:
+    * the broadcast hint is dropped and the join becomes a shuffle join on
+    * the composite key (cell, salt) — each corpus row takes ONE salt
+    * (hash(vec_id) mod S) while each probe row is exploded across all S
+    * salts, so every (corpus row, probing query) pair still meets exactly
+    * once but a hot cell's corpus rows spread over S reducers instead of
+    * one. Replication cost is salt-side-bounded: Q × nProbe × S probe rows
+    * shuffle, never the corpus (which shuffles once, unreplicated).
+    * Results are IDENTICAL to the broadcast path — salting only re-keys
+    * the join; candidate membership and ranking don't change. */
   def knnJoinBucketed(emb: DataFrame, queries: DataFrame, k: Int,
-      centroids: Seq[Seq[Double]], nProbe: Int): DataFrame = {
+      centroids: Seq[Seq[Double]], nProbe: Int,
+      saltBuckets: Int = 0): DataFrame = {
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe=$nProbe out of [1, ${centroids.size}]")
+    require(saltBuckets >= 0, s"saltBuckets=$saltBuckets must be >= 0")
     // per-query nProbe nearest cells, computed inside the row: sort
     // struct(-dot, cell) ascending = dot desc with min-cell tiebreak, the
     // same order ivfAssign's array_position-of-max induces for the top-1
@@ -114,10 +124,19 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(slice(array_sort(cellDots), 1, nProbe)).as("p"))
       .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
-    emb
+    val cells = emb
       .select(col("vec_id"), col("embedding"),
         ivfAssign(col("embedding"), centroids).as("cell"))
-      .join(broadcast(probes), Seq("cell"))
+    val candidates =
+      if (saltBuckets == 0) cells.join(broadcast(probes), Seq("cell"))
+      else {
+        val salted = cells.withColumn("salt",
+          pmod(xxhash64(col("vec_id")), lit(saltBuckets)).cast(IntegerType))
+        val probesAllSalts = probes.withColumn("salt",
+          explode(array((0 until saltBuckets).map(s => lit(s)): _*)))
+        salted.join(probesAllSalts, Seq("cell", "salt"))
+      }
+    candidates
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topk(

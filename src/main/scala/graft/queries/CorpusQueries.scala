@@ -97,12 +97,16 @@ object CorpusQueries {
     * turns corpus statistics into the id stream a trainer consumes. The
     * oracle rebuilds the same frequency-ranked ids ((count desc, token
     * asc), dense 0-based) and re-encodes, so id assignment AND the
-    * per-position encoding are both hash-checked. */
+    * per-position encoding are both hash-checked. The vocabulary uses the
+    * RANGE-PARTITIONED ranking path (rankPartitions=4) — the large-vocab
+    * scale shape — whose ids are contract-identical to the window path
+    * (CorpusSpec proves the equality; this query hash-checks the ranged
+    * path against an oracle that ranks the plain way). */
   val q78 = Q(
     "q78_vocab_encode",
     (spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      Corpus.encodeTokens(docs, Corpus.vocabulary(docs, 5L))
+      Corpus.encodeTokens(docs, Corpus.vocabulary(docs, 5L, rankPartitions = 4))
     },
     Some(s"""WITH t AS (
         SELECT doc_id, unnest($sqlToks) AS tok,

@@ -455,6 +455,28 @@ object VectorQueries {
       WHERE r.rank <= 3""")
   )
 
+  /** q72's salted shuffle-join fallback ([[Similarity.knnJoinBucketed]]
+    * with saltBuckets > 0) — the path a deployment takes when Q × nProbe
+    * outgrows the broadcast threshold: no broadcast hint, the join shuffles
+    * on the composite (cell, salt) key, corpus rows take one salt each and
+    * probes replicate across all salts, so hot-cell populations spread over
+    * saltBuckets reducers. Salting is pure re-keying — the result contract
+    * is IDENTICAL to q72, so the same oracle hash-checks that the fallback
+    * changes the plan and nothing else. */
+  val q87 = Q(
+    "q87_knn_join_salted",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.knnJoinBucketed(emb, queries, k = 3,
+        centroids = first8(spark, dir), nProbe = 2, saltBuckets = 4)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+    },
+    q72.oracle
+  )
+
   /** Scalar-quantized (SQ8) ANN with exact re-rank: L2-normalize, quantize
     * symmetrically to int8 codes with one global scale, rank candidates by
     * the INTEGER code dot (≈ cosine, rank-preservingly — see
@@ -499,5 +521,5 @@ object VectorQueries {
       ORDER BY 1 LIMIT 10""")
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79)
+  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87)
 }

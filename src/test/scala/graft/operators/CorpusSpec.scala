@@ -122,6 +122,21 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("vocabulary range-partitioned ranking equals the window path") {
+    // the large-vocab path (range-partition + per-partition offsets) must
+    // assign the SAME dense ids as the single-partition window, including
+    // on a low floor where partitions are unevenly filled
+    for (minCount <- Seq(1L, 5L); parts <- Seq(3, 8)) {
+      val window = Corpus.vocabulary(docs, minCount).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+      val ranged = Corpus.vocabulary(docs, minCount, rankPartitions = parts)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._3)
+      assert(ranged.toSeq === window.toSeq,
+        s"minCount=$minCount rankPartitions=$parts")
+    }
+  }
+
   test("chunkTokens: rejects stride > window") {
     intercept[IllegalArgumentException](Corpus.chunkTokens(docs, 8, 9))
   }

@@ -246,6 +246,52 @@ class VectorSpec extends SparkSpec {
     assert(one.count() === 5)
   }
 
+  test("knnJoinBucketed salted fallback: identical results on a skewed-cell corpus, no broadcast hint") {
+    import spark.implicits._
+    // synthetic corpus engineered for cell skew: 100 of 120 vectors point
+    // near the same direction (one hot IVF cell), the rest spread — the
+    // shape where a plain cell-keyed shuffle join piles one reducer high
+    val rnd = new scala.util.Random(7L)
+    val base = Array.fill(8)(rnd.nextGaussian().toFloat)
+    val rows = (0L until 120L).map { id =>
+      val v =
+        if (id < 100) base.map(x => x + 0.05f * rnd.nextGaussian().toFloat)
+        else Array.fill(8)(rnd.nextGaussian().toFloat)
+      (id, s"v$id", v.toSeq)
+    }
+    val corpus = rows.toDF("vec_id", "label", "embedding")
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<float>"))
+    val centroids = Similarity.firstNCentroids(corpus, 4)
+    val queries = corpus.filter(col("vec_id").isin(0L, 1L, 50L, 101L, 110L))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+
+    def collected(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("vec_id"))).toSet
+
+    // salting is pure re-keying: results identical to the broadcast path
+    val bcast = Similarity.knnJoinBucketed(corpus, queries, k = 5, centroids,
+      nProbe = 2)
+    val salted = Similarity.knnJoinBucketed(corpus, queries, k = 5, centroids,
+      nProbe = 2, saltBuckets = 5)
+    assert(collected(salted) === collected(bcast))
+    // the fallback really dropped the hint (AQE may still pick a broadcast
+    // join at these test sizes — the contract is no FORCED broadcast; the
+    // analyzed plan is where the hint is visible before the optimizer
+    // folds it into the Join node)
+    assert(bcast.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(!salted.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    // probing ALL cells makes the ANN exact: salted output must equal the
+    // brute-force kNN join per query
+    val allCells = Similarity.knnJoinBucketed(corpus, queries, k = 5, centroids,
+      nProbe = 4, saltBuckets = 3)
+    val localVecs = rows.map { case (id, _, v) => id -> v.toArray }.toMap
+    val brute = Similarity.knnJoin(corpus,
+      Seq(0L, 1L, 50L, 101L, 110L).map(id =>
+        id -> localVecs(id).map(_.toDouble).toSeq), k = 5)
+    assert(collected(allCells) === collected(brute))
+  }
+
   test("knnJoin equals per-query cosineTopK") {
     val queries = Seq(0L, 1L, 2L).map(id => id -> local(id).map(_.toDouble).toSeq)
     val got = Similarity.knnJoin(emb, queries, k = 5).collect()
