@@ -313,9 +313,24 @@ object ParityQueries {
 
   /** Sketch-based approximate aggregates — the cardinality/quantile tools
     * a 100 TB profiling pass actually uses (HyperLogLog++, KLL-style
-    * quantiles; mergeable, one pass, bounded memory). Sketch outputs are
-    * engine-specific ⇒ rows-only driver check; the accuracy contract vs
-    * exact values is spec-tested (ApproxSpec). */
+    * quantiles; mergeable, one pass, bounded memory) — as a TOLERANCE-BAND
+    * contract the driver hash-checks (formerly a rows-only exemption: raw
+    * sketch outputs are engine-specific and can never hash-match an
+    * oracle). The query computes each sketch AND the exact value in one
+    * pass and emits whether the sketch landed inside a documented band;
+    * the oracle recomputes the exact halves in DuckDB and states the
+    * expected verdict (every band holds). A sketch drifting out of band
+    * flips a boolean and fails the hash — a checked contract, not an
+    * exemption.
+    *
+    * Bands (generous multiples of the configured accuracy, so the check
+    * never flakes yet still catches a broken sketch):
+    *  - HLL++ at rsd=0.02: |approx−exact|/exact ≤ 0.10 (5× the rsd; for
+    *    HLL the estimate is within 5σ with overwhelming probability).
+    *  - percentile_approx at accuracy=1000 (rank error ≤ 0.1%): the
+    *    returned value must lie within the exact interpolated [p45, p55]
+    *    band for the median and [p98.5, p99.5] for p99 (a ±5% / ±0.5%
+    *    rank band — 50× the guaranteed rank error). */
   val q42 = Q(
     "q42_approx_profile",
     (spark, dir) => {
@@ -323,19 +338,34 @@ object ParityQueries {
       Tables.load(spark, dir, "lineitem")
         .groupBy($"l_returnflag")
         .agg(
-          approx_count_distinct($"l_partkey", rsd = 0.02).as("approx_parts"),
-          approx_count_distinct($"l_orderkey", rsd = 0.02).as("approx_orders"),
-          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50_price"),
-          percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99_price"))
+          approx_count_distinct($"l_partkey", rsd = 0.02).as("ap"),
+          approx_count_distinct($"l_orderkey", rsd = 0.02).as("ao"),
+          percentile_approx($"l_extendedprice", lit(0.5), lit(1000)).as("p50"),
+          percentile_approx($"l_extendedprice", lit(0.99), lit(1000)).as("p99"),
+          countDistinct($"l_partkey").as("n_parts"),
+          countDistinct($"l_orderkey").as("n_orders"),
+          expr("percentile(l_extendedprice, array(0.45, 0.55, 0.985, 0.995))")
+            .as("pb"))
+        .select($"l_returnflag", $"n_parts", $"n_orders",
+          (abs($"ap" - $"n_parts").cast("double") / $"n_parts" <= 0.10)
+            .as("parts_in_band"),
+          (abs($"ao" - $"n_orders").cast("double") / $"n_orders" <= 0.10)
+            .as("orders_in_band"),
+          ($"p50" >= $"pb" (0) && $"p50" <= $"pb" (1)).as("p50_in_band"),
+          ($"p99" >= $"pb" (2) && $"p99" <= $"pb" (3)).as("p99_in_band"))
     },
-    None
+    Some("""SELECT l_returnflag,
+      COUNT(DISTINCT l_partkey) AS n_parts,
+      COUNT(DISTINCT l_orderkey) AS n_orders,
+      true AS parts_in_band, true AS orders_in_band,
+      true AS p50_in_band, true AS p99_in_band
+    FROM lineitem GROUP BY l_returnflag""")
   )
 
-  /** The exactly-determined half of the profiling pass, split out of q42
-    * so the driver hash-checks everything that CAN be hash-checked: exact
-    * distinct counts, row counts, min/max. q42 keeps only the genuinely
-    * engine-defined sketch outputs (HLL estimates, approximate quantiles)
-    * under its documented rows-only exemption. */
+  /** The exactly-determined half of the profiling pass, split out of q42:
+    * exact distinct counts, row counts, min/max, hash-checked value-
+    * for-value. q42 covers the sketch half via its tolerance-band
+    * contract; this query pins the exact baseline both engines agree on. */
   val q58 = Q(
     "q58_exact_profile",
     (spark, dir) => {
