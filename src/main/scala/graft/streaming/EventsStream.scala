@@ -24,9 +24,19 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** File-stream source over a parquet directory of events. */
-  def fromParquetDir(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.schema(schema).parquet(dir)
+  /** File-stream source over a parquet directory of events.
+    * `maxFilesPerTrigger` is the deployment rate-limit knob: it caps each
+    * micro-batch at N files (oldest-first by modification time), so a
+    * backlog replays as a sequence of bounded batches instead of one
+    * giant one — the watermark then advances batch by batch and the
+    * transforms must be (and are — StreamingSpec's multi-batch test)
+    * invariant to where those batch boundaries fall. */
+  def fromParquetDir(spark: SparkSession, dir: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(dir)
+  }
 
   /** Tumbling-window counts/sums per event type with a watermark bounding
     * state (late rows beyond the watermark are dropped, state is evicted —

@@ -65,6 +65,52 @@ object GraphQlExportSpec {
       }
     }
   }
+  /** Attempt log for the retry-isolation test: country → POST attempts
+    * observed across all partitions. Executors share the JVM in local
+    * mode, so a concurrent map in the companion is visible test-side. */
+  val attemptLog = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  /** Fake transport for the retry-isolation test: 6 countries, one area
+    * each, with per-country failure personalities —
+    *  - good-1 / good-2: answer immediately;
+    *  - flaky-502: 502 on the first areas attempt, then 200 (retryable
+    *    status — [[FetchClient.postWithRetry]] must retry in place);
+    *  - flaky-timeout: HttpTimeoutException on the first attempt, then
+    *    200 (retryable transport error);
+    *  - dead-500: always 500 (non-retryable → soft per-country failure);
+    *  - dead-errors: always a GraphQL errors envelope (soft failure).
+    * Transient state (first-attempt-failed flags) lives in the transport
+    * INSTANCE, so each partition's retry ladder is self-contained. */
+  def mkRetryTransport: () => FetchClient.Transport = () => {
+    val mapper = new ObjectMapper()
+    val failedOnce = new java.util.concurrent.ConcurrentHashMap[String, Boolean]()
+    (_, body) => {
+      val req = mapper.readTree(body)
+      if (req.get("query").asText().contains("GetCountries"))
+        (200, """{"data": {"countries": [
+            {"areaName": "good-1"}, {"areaName": "good-2"},
+            {"areaName": "flaky-502"}, {"areaName": "flaky-timeout"},
+            {"areaName": "dead-500"}, {"areaName": "dead-errors"}]}}""")
+      else {
+        val country = req.get("variables").get("tokens").get(0).asText()
+        attemptLog.merge(country, 1, (a, b) => a + b)
+        def page = (200, s"""{"data": {"areas": [${
+          areaJson(s"area-$country", Seq(country), None, Seq.empty)}]}}""")
+        country match {
+          case "dead-500"   => (500, "ise")
+          case "dead-errors" => (200, """{"errors": [{"message": "nope"}]}""")
+          case "flaky-502" =>
+            if (failedOnce.putIfAbsent(country, true) == null) (502, "bad gateway")
+            else page
+          case "flaky-timeout" =>
+            if (failedOnce.putIfAbsent(country, true) == null)
+              throw new java.net.http.HttpTimeoutException("slow")
+            else page
+          case _ => page
+        }
+      }
+    }
+  }
 }
 
 class GraphQlExportSpec extends SparkSpec {
@@ -199,6 +245,29 @@ class GraphQlExportSpec extends SparkSpec {
       mkFakeTransport, "http://x", pageSize = 2, policy, parallelism = 8)
       .collect().toSeq
     assert(distributed.sorted === driverSide.sorted)
+  }
+
+  test("distributed fetch: per-partition retry isolation — transient " +
+      "failures retry in place, permanent ones soft-fail only their country") {
+    GraphQlExportSpec.attemptLog.clear()
+    val ds = GraphQlApi.fetchAllAreasDistributed(spark,
+      GraphQlExportSpec.mkRetryTransport, "http://x", pageSize = 2,
+      FetchClient.RetryPolicy(attempts = 3, backoffMs = 1), parallelism = 3)
+    val got = ds.collect().map(a => mapper.readTree(a).get("uuid").asText()).sorted
+    // the 4 healthy-or-transient countries contribute exactly their area;
+    // both dead countries soft-fail to zero without poisoning the others
+    assert(got === Array("area-flaky-502", "area-flaky-timeout",
+      "area-good-1", "area-good-2"))
+    val log = GraphQlExportSpec.attemptLog
+    // transient failures were retried INSIDE the partition (2 attempts:
+    // one failure + one success), not resurfaced as unit failures
+    assert(log.get("flaky-502") === 2)
+    assert(log.get("flaky-timeout") === 2)
+    // the non-retryable 500 returns immediately (postWithRetry only
+    // retries 502/503/504); the errors envelope is a parsed 200
+    assert(log.get("dead-500") === 1)
+    assert(log.get("dead-errors") === 1)
+    assert(log.get("good-1") === 1 && log.get("good-2") === 1)
   }
 
   // -- the runnable surface -------------------------------------------------

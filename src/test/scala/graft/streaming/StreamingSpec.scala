@@ -120,6 +120,86 @@ class StreamingSpec extends SparkSpec {
     assert(appended.length === complete.length)
   }
 
+  test("q59/q65 invariance: unaligned multi-batch replay with out-of-order " +
+      "files equals the single-batch session result") {
+    // The single-batch AvailableNow replays elsewhere in this suite prove
+    // batch↔stream equality but never let the watermark advance MID-replay.
+    // Here the corpus is carved into 6 time-sliced files with each slice's
+    // trailing <55 minutes of events deferred into the NEXT file — genuine
+    // cross-batch late arrivals, bounded inside the 1-hour watermark —
+    // and replayed at maxFilesPerTrigger=2 (4 unaligned micro-batches).
+    // Sessions finalized by intermediate watermarks plus late-row merges
+    // must reproduce the single-batch result exactly (q59/q65's config:
+    // gap 30 min, watermark 1 hour).
+    import spark.implicits._
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val rows = ev.orderBy("ts").collect()
+    assert(rows.length >= 600)
+    // deferral window: < watermark (1 h) so deferred rows are never
+    // dropped; events average a 43-minute gap, so 55 min catches real rows
+    val deferMs = 55L * 60 * 1000
+    val raw = rows.grouped(math.ceil(rows.length / 6.0).toInt).map(_.toSeq).toArray
+    val files = Array.fill(raw.length)(Seq.empty[org.apache.spark.sql.Row])
+    var carry = Seq.empty[org.apache.spark.sql.Row]
+    for (i <- raw.indices) {
+      if (i < raw.length - 1) {
+        // defer the slice's trailing window but KEEP its max-ts row in
+        // place: the deferred rows then arrive in a later file than a
+        // strictly newer row — genuine out-of-order arrival, yet bounded
+        // lateness (watermark after this file ≈ boundary − 1 h)
+        val boundary = raw(i).last.getTimestamp(1).getTime
+        val (tail, keep) = raw(i).partition { r =>
+          val t = r.getTimestamp(1).getTime
+          boundary - t < deferMs && t < boundary
+        }
+        files(i) = carry ++ keep
+        carry = tail
+      } else files(i) = carry ++ raw(i)
+    }
+    assert(files.forall(_.nonEmpty) && raw.indices.init.exists { i =>
+      // at least one genuinely deferred (out-of-order) row exists
+      files(i + 1).map(_.getTimestamp(1).getTime).min <
+        files(i).map(_.getTimestamp(1).getTime).max
+    })
+    val d = tmpDir("graft-events-multibatch")
+    files.foreach { f =>
+      spark.createDataFrame(spark.sparkContext.parallelize(f, 1), ev.schema)
+        .write.mode("append").parquet(d)
+      Thread.sleep(30) // distinct mtimes → deterministic file order
+    }
+    // sentinel last file: flushes the final watermark horizon (q65 shape)
+    val far = new java.sql.Timestamp(
+      rows.last.getTimestamp(1).getTime + 30L * 24 * 3600 * 1000)
+    Seq((-1L, far, -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(1).write.mode("append").parquet(d)
+
+    val q = EventsStream.sessionCounts(
+        EventsStream.fromParquetDir(spark, d, maxFilesPerTrigger = Some(2)),
+        gap = "30 minutes", watermark = "1 hour")
+      .writeStream.format("memory").queryName("mb_sessions_sink")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    assert(dataBatches >= 3, s"expected an unaligned multi-batch replay, saw $dataBatches")
+
+    val multiBatch = spark.table("mb_sessions_sink").collect()
+    // the sentinel's own session is never finalized → never emitted
+    assert(!multiBatch.exists(_.getAs[Long]("user_id") == -1L))
+    EventsStream.replayToMemory(
+      EventsStream.sessionCounts(EventsStream.fromParquetDir(spark, eventsDir),
+        "30 minutes", "1 hour"),
+      "mb_sessions_ref_sink", OutputMode.Complete())
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0), r.getTimestamp(1), r.getAs[Long]("user_id"),
+        r.getAs[Long]("n_events"), r.getAs[Double]("total_value"))
+    val ref = spark.table("mb_sessions_ref_sink").collect()
+    assert(multiBatch.map(key).toSet === ref.map(key).toSet)
+    assert(multiBatch.length === ref.length)
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
