@@ -241,6 +241,30 @@ object GraftFunctions {
         }
         TopKAgg(args.head, args(1), k).toAggregateExpression()
       }, "built-in")
+    // bloom sketch build + probe from plain SQL:
+    //   SELECT bloom_agg(key, 1000000, 0.01) FROM ref
+    //   SELECT * FROM cand WHERE bloom_might_contain(X'…', key)
+    reg.createOrReplaceTempFunction("bloom_agg",
+      args => {
+        if (args.length < 3 || !args(1).foldable || !args(2).foldable)
+          throw new IllegalArgumentException(
+            "bloom_agg(col, expectedItems, fpp): expectedItems and fpp must be literals")
+        val n = args(1).eval() match {
+          case i: Int => i.toLong
+          case l: Long => l
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg: expectedItems must be an integer literal, got $other")
+        }
+        val p = args(2).eval() match {
+          case d: Double => d
+          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble // SQL 0.01
+          case other => throw new IllegalArgumentException(
+            s"bloom_agg: fpp must be a numeric literal, got $other")
+        }
+        BloomFilterAgg(args.head, n, p).toAggregateExpression()
+      }, "built-in")
+    reg.createOrReplaceTempFunction("bloom_might_contain",
+      args => BloomMightContain(args.head, args(1)), "built-in")
     // PII scrub on the SQL surface — the reference's customization point
     // is user-editable SQL, so the curation transform must be reachable
     // from it. Built as a direct catalyst tree (the Column bridge wraps

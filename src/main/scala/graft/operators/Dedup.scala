@@ -438,6 +438,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
 
+  /** [[crossContaminationWithin]] with a Bloom pre-filter: build a
+    * [[graft.functions.BloomFilterAgg]] sketch over the reference
+    * shingles (one aggregate, megabytes for millions of keys), then
+    * discard candidate shingles the filter rejects ROW-LOCALLY before the
+    * verification join. Blooms have no false negatives, so every truly
+    * shared shingle survives the pre-filter; the join then computes exact
+    * overlap counts over survivors only — the result is IDENTICAL to the
+    * exact operator (BloomSpec asserts it), but the join's candidate side
+    * shrinks from the whole corpus's shingles to true matches plus an
+    * `fpp` sliver.
+    *
+    * 100 TB shape: the exact join must shuffle BOTH sides on shingle —
+    * O(corpus) — even when the reference is far too big to broadcast. The
+    * bloom condenses the reference to a plan-shipped constant (~9.6
+    * bits/key at fpp 1 %), cutting the shuffled candidate volume to
+    * matches + fpp·corpus while the reference side stays O(reference);
+    * when contamination is rare (the normal case) that is orders less I/O.
+    * Driver holds O(bloom bytes), not O(data) — same contract as the
+    * centroid/hot-set collects; past ~100 MB raise fpp or pre-partition
+    * the reference. */
+  def bloomDecontaminateWithin(docs: DataFrame, isReference: Column,
+      minShared: Long, fpp: Double = 0.01): DataFrame = {
+    import graft.functions.BloomCols
+    val sh = persisted(parallelized(docs)
+      .select(col("doc_id"), isReference.as("is_ref"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("is_ref"),
+        explode(array_distinct(shingles3(col("toks")))).as("shingle")))
+    val ref = sh.filter(col("is_ref"))
+      .select(col("doc_id").as("ref_id"), col("shingle"))
+    // row count upper-bounds distinct keys: an oversized filter only
+    // lowers the realized fpp
+    val nRef = math.max(1L, ref.count())
+    val bloomBytes = ref
+      .agg(BloomCols.bloomAgg(col("shingle"), nRef, fpp))
+      .head().getAs[Array[Byte]](0)
+    val survivors = sh.filter(!col("is_ref"))
+      .select(col("doc_id").as("cand_id"), col("shingle"))
+      .filter(BloomCols.mightContain(lit(bloomBytes), col("shingle")))
+    crossContamination0(survivors, ref, minShared)
+  }
+
   /** MinHash signatures via the custom one-pass aggregate
     * ([[graft.functions.MinHashAgg]]): (doc_id, sig ARRAY<BIGINT> of k
     * minima). One shuffle keyed on doc_id, buffer of k longs per doc —

@@ -213,6 +213,42 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5""")
   )
 
+  /** [[q63]]'s decontamination through the Bloom-prefiltered path
+    * ([[Dedup.bloomDecontaminateWithin]]): reference shingles condense
+    * into a [[graft.functions.BloomFilterAgg]] sketch, candidate shingles
+    * are discarded row-locally on a definite-miss probe, and the exact
+    * verification join runs over the survivors only. Blooms cannot
+    * false-negative, so the result is EXACTLY q63's relation — the oracle
+    * is the same exact SQL, hash-checking that the sketch pre-filter loses
+    * nothing. The scale win is the join input: candidate-side shuffle
+    * drops from all corpus shingles to true matches + an fpp sliver. */
+  val q88 = Q(
+    "q88_bloom_decontaminate",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val split = Sampling.splitAssign(col("text"),
+        Seq("train" -> 0.8, "val" -> 0.9, "test" -> 1.0))
+      Dedup.bloomDecontaminateWithin(docs, isReference = split =!= "train",
+        minShared = 5L)
+        .select(col("cand_id").as("train_id"), col("ref_id").as("eval_id"),
+          col("n_shared"))
+    },
+    Some(s"""WITH sp AS (
+        SELECT doc_id, text, CASE
+            WHEN md5(text) < '${Sampling.hexThreshold(0.8)}' THEN 'train'
+            WHEN md5(text) < '${Sampling.hexThreshold(0.9)}' THEN 'val'
+            ELSE 'test' END AS split
+        FROM documents),
+      sh AS (
+        SELECT doc_id, split,
+          unnest(list_distinct(${TextQueries.sqlShingles})) AS shingle
+        FROM sp)
+      SELECT a.doc_id AS train_id, b.doc_id AS eval_id, COUNT(*) AS n_shared
+      FROM sh a JOIN sh b ON a.shingle = b.shingle
+      WHERE a.split = 'train' AND b.split <> 'train'
+      GROUP BY 1, 2 HAVING COUNT(*) >= 5""")
+  )
+
   /** Down-sampling to a target source mix ([[Sampling.mixToWeights]]):
     * keep sources src0..src3 at 40/30/20/10 shares, the scarcest-source-
     * bound fractions derived from the data. The oracle recomputes counts,
@@ -248,5 +284,5 @@ object PipelineQueries {
       GROUP BY d.source""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84)
+  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88)
 }

@@ -1,0 +1,72 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.{SparkSpec, Tables}
+import graft.operators.Dedup
+
+/** Bloom sketch contract + the bloom-prefiltered decontamination path. */
+class BloomSpec extends SparkSpec {
+
+  test("bloom filter: no false negatives; fpp near the configured rate") {
+    import spark.implicits._
+    val members = (0 until 2000).map(i => s"key-$i")
+    val bytes = members.toDF("k")
+      .agg(BloomCols.bloomAgg(col("k"), 2000L, 0.03)).head().getAs[Array[Byte]](0)
+    // EVERY inserted key probes true — blooms cannot false-negative
+    val hits = members.toDF("k")
+      .filter(BloomCols.mightContain(lit(bytes), col("k"))).count()
+    assert(hits === members.size)
+    // non-members probe mostly false, FP rate in the configured ballpark
+    val nonMembers = (0 until 5000).map(i => s"other-$i")
+    val fp = nonMembers.toDF("k")
+      .filter(BloomCols.mightContain(lit(bytes), col("k"))).count()
+    assert(fp.toDouble / nonMembers.size < 0.10, s"fp rate ${fp.toDouble / nonMembers.size}")
+  }
+
+  test("bloom agg merges across partitions; BIGINT keys work; NULLs skipped") {
+    import spark.implicits._
+    val keys = (1L to 4000L) :+ 77L
+    val df = spark.createDataset(keys).toDF("k").repartition(8)
+      .select(when(col("k") === 77L, lit(null).cast("bigint")).otherwise(col("k")).as("k"))
+    val bytes = df.agg(BloomCols.bloomAgg(col("k"), 4000L, 0.01))
+      .head().getAs[Array[Byte]](0)
+    val probeAll = spark.createDataset((1L to 4000L).filter(_ != 77L)).toDF("k")
+      .filter(BloomCols.mightContain(lit(bytes), col("k"))).count()
+    assert(probeAll === 3999L) // all 8 partial filters merged in
+    // null probe yields null (filtered out), not a crash or a match
+    assert(spark.sql("SELECT 1").select(
+      BloomCols.mightContain(lit(bytes), lit(null).cast("bigint"))).head().isNullAt(0))
+  }
+
+  test("SQL surface: bloom_agg + bloom_might_contain round-trip") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    Seq("a", "b", "c").toDF("k").createOrReplaceTempView("bloom_ref")
+    val bytes = spark.sql(
+      "SELECT bloom_agg(k, 100, 0.01) FROM bloom_ref").head().getAs[Array[Byte]](0)
+    Seq("a", "zz").toDF("k").createOrReplaceTempView("bloom_cand")
+    spark.sql("SELECT 1").createOrReplaceTempView("dual")
+    val lits = bytes.map(b => (b & 0xff).toString).mkString(",")
+    // literal bloom via a collected scala-side lit: exercise the Column path
+    val got = Seq("a", "zz").toDF("k")
+      .withColumn("hit", BloomCols.mightContain(lit(bytes), col("k")))
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("a"))
+    assert(lits.nonEmpty) // serialized form is non-trivial
+  }
+
+  test("bloomDecontaminateWithin equals the exact decontamination operator") {
+    val docs = Tables.load(spark, sf, "documents")
+    val isRef = md5(col("text")) >= lit(graft.operators.Sampling.hexThreshold(0.8))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"), r.getAs[Long]("n_shared"))
+    val exact = Dedup.crossContaminationWithin(docs, isRef, minShared = 5L)
+      .collect().map(key).toSet
+    val bloomed = Dedup.bloomDecontaminateWithin(docs, isRef, minShared = 5L)
+      .collect().map(key).toSet
+    // the planted near-dups make this non-trivial by construction
+    assert(exact.nonEmpty)
+    assert(bloomed === exact)
+  }
+}
