@@ -481,7 +481,78 @@ object ParityQueries {
     Some("SELECT DISTINCT user_id, event_type FROM events")
   )
 
+  /** Stream-static broadcast enrichment ([[EventsStream.enrichedTumblingCounts]]):
+    * events join the `customer` dimension (user_id → c_custkey) per
+    * micro-batch with zero join state, then roll up per (hour window,
+    * market segment) behind the watermark. Verified against the batch
+    * join+group oracle — the stream-static join must neither drop nor
+    * duplicate events across the broadcast. */
+  val q89 = Q(
+    "q89_stream_enrich_dim",
+    (spark, dir) => {
+      val tmp = stagedEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.enrichedTumblingCounts(
+          EventsStream.fromParquetDir(spark, tmp),
+          Tables.load(spark, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          streamKey = "user_id", dimKey = "c_custkey",
+          rollupCol = "c_mktsegment"),
+        "q89_stream_enrich_dim_sink", OutputMode.Complete(),
+        statePartitions = Some(8), noDataBatch = false)
+      spark.table("q89_stream_enrich_dim_sink")
+    },
+    Some("""SELECT date_trunc('hour', ts) AS window_start,
+        c_mktsegment, COUNT(*) AS n_events,
+        CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) AS VARCHAR) AS DOUBLE)
+          AS total_value
+      FROM events JOIN customer ON user_id = c_custkey
+      GROUP BY 1, 2""")
+  )
+
+  /** Custom sessionization via flatMapGroupsWithState
+    * ([[EventsStream.closedSessions]]): zero-or-more emissions per
+    * invocation, EventTimeTimeout-driven session close, and a custom
+    * payload (first/last event type of each session) the built-in
+    * session_window cannot produce. Same gaps-and-islands oracle family
+    * as q59/q65 plus arg_min/arg_max for the path payload; the sentinel
+    * staging (see [[stagedSentinelEventsDir]]) flushes the final
+    * watermark horizon so every real session's timeout fires. */
+  val q90 = Q(
+    "q90_stream_custom_sessions",
+    (spark, dir) => {
+      import spark.implicits._
+      val tmp = stagedSentinelEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.closedSessions(
+          EventsStream.fromParquetDir(spark, tmp).as[EventsStream.Event],
+          gapMinutes = 30, watermark = "1 hour").toDF(),
+        "q90_stream_custom_sessions_sink", OutputMode.Append(),
+        statePartitions = Some(8))
+      spark.table("q90_stream_custom_sessions_sink")
+        .filter(col("user_id") >= 0)
+    },
+    Some("""WITH o AS (
+        SELECT user_id, ts, event_type,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (
+        SELECT user_id, ts, event_type,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o)
+      SELECT user_id, MIN(ts) AS session_start,
+        MAX(ts) + INTERVAL '30 minutes' AS session_end,
+        COUNT(*) AS n_events,
+        arg_min(event_type, ts) AS first_type,
+        arg_max(event_type, ts) AS last_type
+      FROM g GROUP BY user_id, grp""")
+  )
+
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86)
+      q86, q89, q90)
 }

@@ -126,6 +126,27 @@ object EventsStream {
       .select(col("lead_id"), col("follow_id"))
   }
 
+  /** Stream-static enrichment: join each event against a broadcast
+    * dimension relation, then roll up per (tumbling window, dimension
+    * attribute). The static side is re-planned per micro-batch (so a dim
+    * refresh is picked up) and broadcast — the join is STATELESS, adding
+    * zero streaming state; all bounded state stays in the windowed
+    * aggregate behind the watermark. This is the canonical "enrich the
+    * firehose with reference data" shape: at 100 TB/day the stream side
+    * never shuffles for the join, only for the post-join aggregate. */
+  def enrichedTumblingCounts(events: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String, rollupCol: String,
+      windowLen: String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), col(streamKey) === col(dimKey))
+      .groupBy(window(col("ts"), windowLen), col(rollupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(28, 10))).cast(DoubleType)
+          .as("total_value"))
+      .select(col("window.start").as("window_start"), col(rollupCol),
+        col("n_events"), col("total_value"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp,
     user_id: Long, event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long,
@@ -161,6 +182,96 @@ object EventsStream {
             state.update(next)
             timeout.foreach(state.setTimeoutDuration)
             next
+          }
+      }
+  }
+
+  /** One in-flight session per user inside [[closedSessions]]'s state:
+    * timestamps as epoch MICROseconds so session boundaries keep the
+    * events table's µs precision (Timestamp.getTime alone truncates to
+    * ms, which could flip a gap decision exactly at the boundary). */
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long,
+    firstType: String, lastType: String)
+  final case class ClosedSession(user_id: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    n_events: Long, first_type: String, last_type: String)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** Custom sessionization via flatMapGroupsWithState — the API for state
+    * machines that emit ZERO OR MORE rows per invocation, which
+    * mapGroupsWithState (exactly one) and session_window (fixed
+    * start/end/agg shape) cannot express. Each user's state is one open
+    * session; a ≥`gapMinutes` quiet period closes it and emits a session
+    * row carrying custom payload (first/last event type — the kind of
+    * session-path feature the built-in session window can't produce).
+    * Sessions idle past the gap close through an EventTimeTimeout, so
+    * state stays bounded by ACTIVE users, not all users ever seen.
+    *
+    * Determinism contract: batch-oracle-exact when each user's events
+    * arrive in a single micro-batch (the replay configuration) or in
+    * ts order across batches; bounded-late cross-batch stragglers merge
+    * into the open session but cannot reopen one already closed by gap —
+    * the same horizon semantics as streaming dedup's documented contract. */
+  def closedSessions(events: Dataset[Event], gapMinutes: Int = 30,
+      watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60 * 1000000
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[OpenSession]) =>
+          def close(s: OpenSession): ClosedSession =
+            ClosedSession(userId, fromMicros(s.startUs),
+              fromMicros(s.lastUs + gapUs), s.n, s.firstType, s.lastType)
+          if (state.hasTimedOut) {
+            // quiet past the gap: the watermark passed lastUs+gap, so no
+            // admissible event can extend this session — final, emit once
+            val out = state.getOption.map(close)
+            state.remove()
+            out.iterator
+          } else {
+            // in-batch arrival order is arbitrary; ts order is the session
+            // semantics, so sort (bounded: one user's slice of one batch)
+            val sorted = batch.toSeq.sortBy(e => toMicros(e.ts))
+            val closed = Seq.newBuilder[ClosedSession]
+            var open = state.getOption
+            for (e <- sorted) {
+              val t = toMicros(e.ts)
+              open match {
+                case Some(s) if t - s.lastUs < gapUs =>
+                  open = Some(s.copy(
+                    startUs = math.min(s.startUs, t),
+                    lastUs = math.max(s.lastUs, t), n = s.n + 1,
+                    lastType = if (t >= s.lastUs) e.event_type else s.lastType))
+                case Some(s) =>
+                  closed += close(s)
+                  open = Some(OpenSession(t, t, 1, e.event_type, e.event_type))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.event_type, e.event_type))
+              }
+            }
+            open.foreach { s =>
+              val horizonMs = (s.lastUs + gapUs) / 1000
+              // the timeout must sit above the watermark; if the watermark
+              // already passed the horizon the session is closeable NOW
+              if (state.getCurrentWatermarkMs() >= horizonMs) {
+                closed += close(s)
+                state.remove()
+              } else {
+                state.update(s)
+                state.setTimeoutTimestamp(horizonMs)
+              }
+            }
+            closed.result().iterator
           }
       }
   }

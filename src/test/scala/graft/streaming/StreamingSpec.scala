@@ -200,6 +200,51 @@ class StreamingSpec extends SparkSpec {
     assert(multiBatch.length === ref.length)
   }
 
+  test("flatMapGroupsWithState sessions: gap close in-batch, timeout close " +
+      "via watermark, custom first/last payload") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[EventsStream.Event]
+    val query = EventsStream.closedSessions(input.toDS(), gapMinutes = 30,
+        watermark = "1 hour").toDF()
+      .writeStream.format("memory").queryName("fmgws_sink")
+      .outputMode(OutputMode.Append()).start()
+    def ev(id: Long, user: Long, time: String, typ: String) =
+      EventsStream.Event(id, java.sql.Timestamp.valueOf(time), user, typ, 1.0)
+    // session A: two events 5 min apart (arrives out of order in-batch)
+    input.addData(
+      ev(2, 1L, "2024-01-01 00:05:00", "buy"),
+      ev(1, 1L, "2024-01-01 00:00:00", "view"))
+    query.processAllAvailable()
+    assert(spark.table("fmgws_sink").isEmpty) // still open, nothing emitted
+    // 50 min later: gap ≥ 30 min closes session A the moment this arrives
+    input.addData(ev(3, 1L, "2024-01-01 00:55:00", "view"))
+    query.processAllAvailable()
+    val afterGap = spark.table("fmgws_sink").collect()
+    assert(afterGap.length === 1)
+    val a = afterGap.head
+    assert(a.getAs[Long]("user_id") === 1L)
+    assert(a.getTimestamp(1) === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(a.getTimestamp(2) === java.sql.Timestamp.valueOf("2024-01-01 00:35:00"))
+    assert(a.getAs[Long]("n_events") === 2L)
+    assert(a.getAs[String]("first_type") === "view")
+    assert(a.getAs[String]("last_type") === "buy")
+    // a far-future event from ANOTHER user pushes the watermark past
+    // session B's horizon (00:55 + 30 min): B closes by TIMEOUT, with no
+    // further user-1 input — the eviction path an idle user exercises
+    input.addData(ev(9, 2L, "2024-01-01 04:00:00", "ping"))
+    query.processAllAvailable()
+    val afterTimeout = spark.table("fmgws_sink").collect()
+    query.stop()
+    assert(afterTimeout.length === 2)
+    val closedB = afterTimeout.filter(r => r.getAs[Long]("user_id") == 1L &&
+      r.getTimestamp(1) === java.sql.Timestamp.valueOf("2024-01-01 00:55:00"))
+    assert(closedB.length === 1)
+    assert(closedB.head.getAs[Long]("n_events") === 1L)
+    // user 2's own session stays open (watermark hasn't passed its horizon)
+    assert(!afterTimeout.exists(_.getAs[Long]("user_id") == 2L))
+  }
+
   test("mapGroupsWithState accumulates per-user totals across micro-batches") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
