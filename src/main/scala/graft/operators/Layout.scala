@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.LayoutCols
+
+/** Multi-dimensional data layout: Z-order clustering for the at-rest
+  * corpus, so range predicates on EITHER of two dimensions prune files.
+  *
+  * A linear sort clusters exactly one column; predicates on a second
+  * column read every file. Z-ordering sorts by the Morton interleave of
+  * both dimensions' scaled values: every file then covers a small range
+  * of BOTH columns, and min/max footer pruning (or partition pruning)
+  * works for each — the standard lakehouse layout trick for
+  * (key, date)- or (lat, lng)-addressed corpora.
+  *
+  * Scale shape: one O(1)-row min/max probe (driver holds two constants
+  * per dimension — same contract as the centroid collects), then a
+  * single range-shuffle on the Z-value; the interleave itself is a native
+  * codegen expression on the scan. No skew pitfall: Z-values inherit the
+  * near-uniformity of the scaled dimensions, and `repartitionByRange`
+  * samples the actual distribution either way.
+  */
+object Layout {
+
+  /** The Z-value column for two numeric dimensions, min/max-scaled to
+    * `bits` bits each from the PROVIDED bounds (callers that know domain
+    * bounds skip the probe; [[zorderBy]] probes them). Scaling arithmetic
+    * is plain double math (floor((v−min)·(2^bits−1)/(max−min))) so any
+    * engine reproduces the exact codes. Degenerate dimensions
+    * (min == max) scale to 0 — the interleave then orders by the other
+    * dimension alone. */
+  def zValue(x: Column, y: Column, xMin: Double, xMax: Double,
+      yMin: Double, yMax: Double, bits: Int = 16): Column = {
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else floor((c.cast("double") - lit(lo)) * lit(((1L << bits) - 1).toDouble)
+        / lit(hi - lo)).cast("long")
+    LayoutCols.bitInterleave(scaled(x, xMin, xMax), scaled(y, yMin, yMax), bits)
+  }
+
+  /** Z-order-cluster `df` on two numeric columns: probe their bounds,
+    * range-partition by Z-value, sort within partitions — the DataFrame
+    * is then laid out for a `Sinks.parquet` write whose files are
+    * prunable on both dimensions. */
+  def zorderBy(df: DataFrame, xCol: String, yCol: String,
+      bits: Int = 16, numFiles: Option[Int] = None): DataFrame = {
+    val b = df.agg(
+      min(col(xCol)).cast("double"), max(col(xCol)).cast("double"),
+      min(col(yCol)).cast("double"), max(col(yCol)).cast("double")).head()
+    val z = zValue(col(xCol), col(yCol),
+      b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3), bits)
+    val withZ = df.withColumn("__z", z)
+    val ranged = numFiles.fold(withZ.repartitionByRange(col("__z")))(
+      n => withZ.repartitionByRange(n, col("__z")))
+    ranged.sortWithinPartitions("__z").drop("__z")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Dedup, Packing, Sampling}
+import graft.operators.{Dedup, Layout, Packing, Sampling}
 
 /** Curation-pipeline composition queries over `documents`: duplicate
   * clustering (the step after pair detection) and deterministic
@@ -249,6 +249,49 @@ object PipelineQueries {
       GROUP BY 1, 2 HAVING COUNT(*) >= 5""")
   )
 
+  /** The DuckDB twin of [[graft.functions.BitInterleave]]: Σ over bit i of
+    * x's bit at 2i plus y's bit at 2i+1 — machine-generated shift/mask
+    * terms, same formula as the codegen loop. */
+  private def sqlInterleave(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"(((($x) >> $i) & 1) << ${2 * i}) + (((($y) >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** Z-order layout codes ([[Layout.zValue]]): every lineitem row's Morton
+    * interleave of min/max-scaled (l_partkey, l_suppkey), rolled up per
+    * high-order Z-bucket (the file-level granularity a layout write would
+    * produce). The oracle recomputes the bounds, the double scaling
+    * arithmetic, and all 32 interleave terms in SQL — the entire Z-code
+    * derivation is hash-checked, engine to engine, so the layout operator's
+    * clustering key is pinned, not just spot-tested. */
+  val q91 = Q(
+    "q91_zorder_layout",
+    (spark, dir) => {
+      val li = Tables.load(spark, dir, "lineitem")
+      val b = li.agg(
+        min(col("l_partkey")).cast("double"), max(col("l_partkey")).cast("double"),
+        min(col("l_suppkey")).cast("double"), max(col("l_suppkey")).cast("double")).head()
+      val z = Layout.zValue(col("l_partkey"), col("l_suppkey"),
+        b.getDouble(0), b.getDouble(1), b.getDouble(2), b.getDouble(3), bits = 16)
+      li.select(shiftright(z, 20).as("z_bucket"), z.as("zv"))
+        .groupBy(col("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"), min(col("zv")).as("min_z"),
+          max(col("zv")).as("max_z"))
+    },
+    Some(s"""WITH b AS (
+        SELECT CAST(MIN(l_partkey) AS DOUBLE) AS xmn, CAST(MAX(l_partkey) AS DOUBLE) AS xmx,
+               CAST(MIN(l_suppkey) AS DOUBLE) AS ymn, CAST(MAX(l_suppkey) AS DOUBLE) AS ymx
+        FROM lineitem),
+      s AS (
+        SELECT CAST(FLOOR((CAST(l_partkey AS DOUBLE) - xmn) * 65535.0 / (xmx - xmn)) AS BIGINT) AS sx,
+               CAST(FLOOR((CAST(l_suppkey AS DOUBLE) - ymn) * 65535.0 / (ymx - ymn)) AS BIGINT) AS sy
+        FROM lineitem, b),
+      z AS (SELECT ${sqlInterleave("sx", "sy", 16)} AS zv FROM s)
+      SELECT zv >> 20 AS z_bucket, COUNT(*) AS n_rows,
+        MIN(zv) AS min_z, MAX(zv) AS max_z
+      FROM z GROUP BY 1""")
+  )
+
   /** Down-sampling to a target source mix ([[Sampling.mixToWeights]]):
     * keep sources src0..src3 at 40/30/20/10 shares, the scarcest-source-
     * bound fractions derived from the data. The oracle recomputes counts,
@@ -284,5 +327,5 @@ object PipelineQueries {
       GROUP BY d.source""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88)
+  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91)
 }

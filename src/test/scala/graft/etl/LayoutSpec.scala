@@ -52,4 +52,33 @@ class LayoutSpec extends SparkSpec {
       assert(joined.count() === Tables.load(spark, sf, "lineitem").count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("z-order layout clusters BOTH dimensions; linear sort only one") {
+    import spark.implicits._
+    // deterministic pseudo-uniform 2-D points (hash-derived, no RNG)
+    val pts = spark.range(0, 20000).select(
+      (abs(hash(col("id"))) % 10000L).as("x"),
+      (abs(hash(col("id") * 7 + 3)) % 10000L).as("y"))
+    def widthRatios(df: org.apache.spark.sql.DataFrame): (Double, Double) = {
+      val w = df.withColumn("part", spark_partition_id())
+        .groupBy("part")
+        .agg((max($"x") - min($"x")).as("wx"), (max($"y") - min($"y")).as("wy"))
+        .agg(avg($"wx"), avg($"wy")).head()
+      (w.getDouble(0) / 10000.0, w.getDouble(1) / 10000.0)
+    }
+    val (zx, zy) = widthRatios(
+      graft.operators.Layout.zorderBy(pts, "x", "y", bits = 16,
+        numFiles = Some(16)))
+    // 16 range partitions of the Z-curve ≈ a 4×4 grid: each partition
+    // spans ~1/4 of EACH dimension (plus curve-boundary slop)
+    assert(zx < 0.6 && zy < 0.6, s"z-order widths: x=$zx y=$zy")
+    val (lx, ly) = widthRatios(pts.repartitionByRange(16, $"x"))
+    assert(lx < 0.2, s"linear sort should cluster x tightly, got $lx")
+    assert(ly > 0.8, s"linear sort leaves y unclustered, got $ly")
+    // the z-ordered relation is a pure reordering: same point multiset
+    val a = graft.operators.Layout.zorderBy(pts, "x", "y")
+      .groupBy("x", "y").count().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val b = pts.groupBy("x", "y").count().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a === b)
+  }
 }
