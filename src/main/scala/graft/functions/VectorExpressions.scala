@@ -265,6 +265,26 @@ object GraftFunctions {
       }, "built-in")
     reg.createOrReplaceTempFunction("bloom_might_contain",
       args => BloomMightContain(args.head, args(1)), "built-in")
+    // count-min frequency sketch build + probe from plain SQL
+    reg.createOrReplaceTempFunction("count_min_agg",
+      args => {
+        if (args.length < 4 || !args.tail.forall(_.foldable))
+          throw new IllegalArgumentException(
+            "count_min_agg(col, eps, confidence, seed): eps/confidence/seed must be literals")
+        def num(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
+          e.eval() match {
+            case d: Double => d
+            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+            case i: Int => i.toDouble
+            case l: Long => l.toDouble
+            case other => throw new IllegalArgumentException(
+              s"count_min_agg: expected a numeric literal, got $other")
+          }
+        CountMinAgg(args.head, num(args(1)), num(args(2)),
+          num(args(3)).toInt).toAggregateExpression()
+      }, "built-in")
+    reg.createOrReplaceTempFunction("count_min_estimate",
+      args => CountMinEstimate(args.head, args(1)), "built-in")
     // PII scrub on the SQL surface — the reference's customization point
     // is user-editable SQL, so the curation transform must be reachable
     // from it. Built as a direct catalyst tree (the Column bridge wraps

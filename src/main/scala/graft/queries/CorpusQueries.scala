@@ -121,5 +121,45 @@ object CorpusQueries {
       FROM t LEFT JOIN vid USING (tok)""")
   )
 
-  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78)
+  /** Heavy-hitter token counts through the Count-Min sketch
+    * ([[graft.functions.CountMinAgg]]), hash-checked as a tolerance-band
+    * contract (the q42 pattern): build the sketch in one pass, then for
+    * the exact top-20 tokens emit whether the CMS estimate respects both
+    * sketch guarantees — never below the exact count, and within 3·ε·N
+    * above it. The oracle recomputes the exact top-20 in DuckDB and
+    * states both verdicts hold; a broken sketch (bad merge, hash drift,
+    * under-count) flips a boolean and fails the hash. At 100 TB this is
+    * the frequency path when per-key exact counting is too wide: the
+    * sketch is a fixed-size grid with map-side merge, and the exact pass
+    * here exists only to verify it. */
+  val q92 = Q(
+    "q92_cms_heavy_hitters",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.functions.CountMinCols
+      val eps = 0.0005
+      val toks = Tables.load(spark, dir, "documents")
+        .select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok"))
+      val built = toks.agg(
+        CountMinCols.countMinAgg(col("tok"), eps, 0.99, seed = 42),
+        count(lit(1))).head()
+      val sketch = lit(built.getAs[Array[Byte]](0))
+      val band = math.ceil(3 * eps * built.getLong(1)).toLong
+      toks.groupBy(col("tok"))
+        .agg(count(lit(1)).as("n_exact"))
+        .orderBy(desc("n_exact"), asc("tok"))
+        .limit(20)
+        .select(col("tok").as("token"), col("n_exact"),
+          (CountMinCols.estimate(sketch, col("tok")) >= col("n_exact"))
+            .as("cms_never_under"),
+          (CountMinCols.estimate(sketch, col("tok")) <= col("n_exact") + lit(band))
+            .as("cms_within_band"))
+    },
+    Some(s"""SELECT tok AS token, COUNT(*) AS n_exact,
+        true AS cms_never_under, true AS cms_within_band
+      FROM (SELECT unnest($sqlToks) AS tok FROM documents)
+      GROUP BY tok ORDER BY n_exact DESC, token ASC LIMIT 20""")
+  )
+
+  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78, q92)
 }
