@@ -23,19 +23,22 @@ case class BitInterleave(left: Expression, right: Expression, bits: Int)
 
   require(bits > 0 && bits <= 31, "bits must be in [1, 31]")
 
+  // INT accepted alongside BIGINT (SQL integer literals arrive as INT);
+  // both widen losslessly to the long bit arithmetic
   override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == LongType)
+    if (Seq(left, right).forall(e =>
+      e.dataType == LongType || e.dataType == IntegerType))
       TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"bit_interleave expects BIGINT dimensions, got " +
+      s"bit_interleave expects INT/BIGINT dimensions, got " +
         s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
 
   override def dataType: DataType = LongType
   override def prettyName: String = "bit_interleave"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[Long]
-    val y = b.asInstanceOf[Long]
+    val x = a.asInstanceOf[Number].longValue()
+    val y = b.asInstanceOf[Number].longValue()
     var z = 0L
     var i = 0
     while (i < bits) {
@@ -53,8 +56,8 @@ case class BitInterleave(left: Expression, right: Expression, bits: Int)
       s"""
          |long $z = 0L;
          |for (int $i = 0; $i < $bits; $i++) {
-         |  $z |= (($a >> $i) & 1L) << (2 * $i);
-         |  $z |= (($b >> $i) & 1L) << (2 * $i + 1);
+         |  $z |= ((((long) $a) >> $i) & 1L) << (2 * $i);
+         |  $z |= ((((long) $b) >> $i) & 1L) << (2 * $i + 1);
          |}
          |${ev.value} = $z;
        """.stripMargin

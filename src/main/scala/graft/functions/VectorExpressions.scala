@@ -195,104 +195,93 @@ object VecCols {
 }
 
 /** Session registration so the expressions are usable from both the Column
-  * API (`call_function`) and plain SQL. */
+  * API (`call_function`) and plain SQL. The builder list is the single
+  * source for BOTH deployment paths: `register` installs them imperatively
+  * on an existing session ([[graft.GraftSession.prepare]]), and
+  * [[graft.GraftExtensions]] injects the same list at session build time
+  * via `spark.sql.extensions`. */
 object GraftFunctions {
-  def register(spark: SparkSession): Unit = {
-    val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("vec_dot",
-      args => FloatVecDot(args.head, args(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_cosine",
-      args => FloatVecCosine(args.head, args(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_norm",
-      args => FloatVecNorm(args.head), "built-in")
-    reg.createOrReplaceTempFunction("sorted_intersect_size",
-      args => SortedIntersectSize(args.head, args(1)), "built-in")
-    // the custom aggregates, reachable from plain SQL:
-    //   SELECT doc_id, simhash(tok), minhash(shingle, 32) ... GROUP BY doc_id
-    reg.createOrReplaceTempFunction("simhash",
-      args => SimHashAgg(args.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("minhash",
-      args => {
-        // foldable gate BEFORE eval(): eval on a non-foldable arg (e.g. a
-        // column reference) throws an unbound-reference error instead of
-        // this intended message
-        if (args.length < 2 || !args(1).foldable)
-          throw new IllegalArgumentException(
-            "minhash(col, k): k must be an integer literal")
-        val k = args(1).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt // BIGINT literals arrive as Long
-          case other => throw new IllegalArgumentException(
-            s"minhash(col, k): k must be an integer literal, got $other")
-        }
-        MinHashAgg(args.head, k).toAggregateExpression()
-      }, "built-in")
-    reg.createOrReplaceTempFunction("topk",
-      args => {
-        // same foldable gate as minhash: k must be a literal
-        if (args.length < 3 || !args(2).foldable)
-          throw new IllegalArgumentException(
-            "topk(score, id, k): k must be an integer literal")
-        val k = args(2).eval() match {
-          case i: Int => i
-          case l: Long => l.toInt
-          case other => throw new IllegalArgumentException(
-            s"topk(score, id, k): k must be an integer literal, got $other")
-        }
-        TopKAgg(args.head, args(1), k).toAggregateExpression()
-      }, "built-in")
-    // bloom sketch build + probe from plain SQL:
+
+  private def intLit(args: Seq[Expression], i: Int, usage: String): Int = {
+    // foldable gate BEFORE eval(): eval on a non-foldable arg (e.g. a
+    // column reference) throws an unbound-reference error instead of
+    // this intended message
+    if (args.length <= i || !args(i).foldable)
+      throw new IllegalArgumentException(usage)
+    args(i).eval() match {
+      case n: Int => n
+      case l: Long => l.toInt // BIGINT literals arrive as Long
+      case other => throw new IllegalArgumentException(s"$usage, got $other")
+    }
+  }
+
+  private def longLit(args: Seq[Expression], i: Int, usage: String): Long = {
+    if (args.length <= i || !args(i).foldable)
+      throw new IllegalArgumentException(usage)
+    args(i).eval() match {
+      case n: Int => n.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(s"$usage, got $other")
+    }
+  }
+
+  private def numLit(args: Seq[Expression], i: Int, usage: String): Double = {
+    if (args.length <= i || !args(i).foldable)
+      throw new IllegalArgumentException(usage)
+    args(i).eval() match {
+      case d: Double => d
+      case dec: org.apache.spark.sql.types.Decimal => dec.toDouble // SQL 0.01
+      case n: Int => n.toDouble
+      case l: Long => l.toDouble
+      case other => throw new IllegalArgumentException(s"$usage, got $other")
+    }
+  }
+
+  /** Every graft SQL function: scalar codegen expressions, the custom
+    * aggregates (`SELECT doc_id, simhash(tok), minhash(shingle, 32) …
+    * GROUP BY doc_id`), the sketch build/probe pairs, and the PII scrub
+    * (the reference's customization point is user-editable SQL, so the
+    * curation transform must be reachable from it — built as a direct
+    * catalyst tree on the single-sourced TextAnalysis patterns, so SQL
+    * and Column callers scrub identically). */
+  val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> ((args: Seq[Expression]) => FloatVecDot(args.head, args(1))),
+    "vec_cosine" -> ((args: Seq[Expression]) => FloatVecCosine(args.head, args(1))),
+    "vec_norm" -> ((args: Seq[Expression]) => FloatVecNorm(args.head)),
+    "sorted_intersect_size" ->
+      ((args: Seq[Expression]) => SortedIntersectSize(args.head, args(1))),
+    "bit_interleave" -> ((args: Seq[Expression]) => BitInterleave(args.head, args(1),
+      intLit(args, 2, "bit_interleave(x, y, bits): bits must be an integer literal"))),
+    "simhash" -> ((args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()),
+    "minhash" -> ((args: Seq[Expression]) => MinHashAgg(args.head,
+      intLit(args, 1, "minhash(col, k): k must be an integer literal"))
+      .toAggregateExpression()),
+    "topk" -> ((args: Seq[Expression]) => TopKAgg(args.head, args(1),
+      intLit(args, 2, "topk(score, id, k): k must be an integer literal"))
+      .toAggregateExpression()),
+    // sketch build/probe pairs:
     //   SELECT bloom_agg(key, 1000000, 0.01) FROM ref
     //   SELECT * FROM cand WHERE bloom_might_contain(X'…', key)
-    reg.createOrReplaceTempFunction("bloom_agg",
-      args => {
-        if (args.length < 3 || !args(1).foldable || !args(2).foldable)
-          throw new IllegalArgumentException(
-            "bloom_agg(col, expectedItems, fpp): expectedItems and fpp must be literals")
-        val n = args(1).eval() match {
-          case i: Int => i.toLong
-          case l: Long => l
-          case other => throw new IllegalArgumentException(
-            s"bloom_agg: expectedItems must be an integer literal, got $other")
-        }
-        val p = args(2).eval() match {
-          case d: Double => d
-          case dec: org.apache.spark.sql.types.Decimal => dec.toDouble // SQL 0.01
-          case other => throw new IllegalArgumentException(
-            s"bloom_agg: fpp must be a numeric literal, got $other")
-        }
-        BloomFilterAgg(args.head, n, p).toAggregateExpression()
-      }, "built-in")
-    reg.createOrReplaceTempFunction("bloom_might_contain",
-      args => BloomMightContain(args.head, args(1)), "built-in")
-    // count-min frequency sketch build + probe from plain SQL
-    reg.createOrReplaceTempFunction("count_min_agg",
-      args => {
-        if (args.length < 4 || !args.tail.forall(_.foldable))
-          throw new IllegalArgumentException(
-            "count_min_agg(col, eps, confidence, seed): eps/confidence/seed must be literals")
-        def num(e: org.apache.spark.sql.catalyst.expressions.Expression): Double =
-          e.eval() match {
-            case d: Double => d
-            case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
-            case i: Int => i.toDouble
-            case l: Long => l.toDouble
-            case other => throw new IllegalArgumentException(
-              s"count_min_agg: expected a numeric literal, got $other")
-          }
-        CountMinAgg(args.head, num(args(1)), num(args(2)),
-          num(args(3)).toInt).toAggregateExpression()
-      }, "built-in")
-    reg.createOrReplaceTempFunction("count_min_estimate",
-      args => CountMinEstimate(args.head, args(1)), "built-in")
-    // PII scrub on the SQL surface — the reference's customization point
-    // is user-editable SQL, so the curation transform must be reachable
-    // from it. Built as a direct catalyst tree (the Column bridge wraps
-    // Spark-4 Columns in unevaluable node expressions on this path); the
-    // patterns are the single-sourced TextAnalysis constants, so SQL and
-    // Column callers scrub identically.
-    reg.createOrReplaceTempFunction("scrub_pii",
-      args => GraftFunctions.scrubPiiExpr(args.head), "built-in")
+    "bloom_agg" -> ((args: Seq[Expression]) => BloomFilterAgg(args.head,
+      longLit(args, 1, "bloom_agg(col, expectedItems, fpp): expectedItems must be an integer literal"),
+      numLit(args, 2, "bloom_agg(col, expectedItems, fpp): fpp must be a numeric literal"))
+      .toAggregateExpression()),
+    "bloom_might_contain" ->
+      ((args: Seq[Expression]) => BloomMightContain(args.head, args(1))),
+    "count_min_agg" -> ((args: Seq[Expression]) => CountMinAgg(args.head,
+      numLit(args, 1, "count_min_agg(col, eps, confidence, seed): eps must be a numeric literal"),
+      numLit(args, 2, "count_min_agg(col, eps, confidence, seed): confidence must be a numeric literal"),
+      intLit(args, 3, "count_min_agg(col, eps, confidence, seed): seed must be an integer literal"))
+      .toAggregateExpression()),
+    "count_min_estimate" ->
+      ((args: Seq[Expression]) => CountMinEstimate(args.head, args(1))),
+    "scrub_pii" -> ((args: Seq[Expression]) => GraftFunctions.scrubPiiExpr(args.head)))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** regexp_replace(regexp_replace(text, email, '<EMAIL>'), phone,

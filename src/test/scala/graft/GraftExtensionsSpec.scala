@@ -38,6 +38,24 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(r.getString(2) === "y")
       assert(r.isNullAt(3))
       assert(r.getString(4) === "mail <EMAIL> or <PHONE>")
+      // the custom aggregates and sketch builders ride the same injection
+      val agg = s.sql(
+        """SELECT minhash(x, 4) AS mh, simhash(x) AS sh,
+          |       bloom_agg(x, 100, 0.01) AS bf,
+          |       count_min_agg(x, 0.01, 0.99, 1) AS cms,
+          |       bit_interleave(5, 3, 4) AS z
+          |FROM VALUES ('a'), ('b'), ('a') AS t(x)""".stripMargin).collect().head
+      assert(agg.getAs[scala.collection.Seq[Long]]("mh").length === 4)
+      assert(agg.getAs[Long]("z") === 27L) // x=0101@even, y=0011@odd
+      def hex(b: Array[Byte]) = b.map("%02X".format(_)).mkString
+      val probe = s.sql(
+        s"""SELECT bloom_might_contain(X'${hex(agg.getAs[Array[Byte]]("bf"))}', 'a') AS hit,
+           |       bloom_might_contain(X'${hex(agg.getAs[Array[Byte]]("bf"))}', 'zz') AS miss,
+           |       count_min_estimate(X'${hex(agg.getAs[Array[Byte]]("cms"))}', 'a') AS est
+           |""".stripMargin).collect().head
+      assert(probe.getBoolean(0))
+      assert(!probe.getBoolean(1))
+      assert(probe.getLong(2) === 2L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
