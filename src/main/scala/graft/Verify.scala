@@ -15,7 +15,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_VERIFY_ONLY=q93,q07 → dump only the named queries
+    // (prefix match), for targeted local oracle iteration; the driver
+    // never sets it, so its runs always dump the full surface.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    def selected(name: String) = only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(p => selected(p._1)).foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       try {
         // repartition(1), not coalesce(1): coalesce would collapse the whole

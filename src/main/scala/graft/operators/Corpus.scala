@@ -219,4 +219,91 @@ object Corpus {
         size(col("chunk")).as("n_chunk_tokens"),
         array_join(col("chunk"), " ").as("chunk_text"))
   }
+
+  /** Top-`k` TF-IDF terms per source: which tokens are DISTINCTIVE of each
+    * corpus slice, not merely frequent in it — the relevance/topicality
+    * statistic behind quality filters ("does this source over-index on
+    * boilerplate?") and mixture design. Output: (source, token, tf_total,
+    * df, tfidf_1e6, rank) with rank 1..k by (score desc, token asc).
+    *
+    * Scoring: tfidf = tf_total(source, token) · ln(N / df), with N the
+    * corpus document count and df the CORPUS-WIDE document frequency —
+    * per-source tf against global idf, so a token every source repeats
+    * scores ~0 everywhere. The score is emitted as integer MICROS
+    * (`round(x·1e6)`), the same cross-engine contract as the cosine
+    * queries: every arithmetic step (long→double promotion, one exact
+    * division, `ln`, two multiplications, round-half-up) is evaluated in
+    * the same order by any IEEE engine, and the top-k cutoff itself runs
+    * on the rounded micros, so rank boundaries can't drift on a last-ulp
+    * disagreement. (Micros stay exactly representable up to 2^53 —
+    * tf_total·ln(N/df) < ~9e9 — beyond which widen the scale.)
+    *
+    * Shape at scale: shuffle 1 partial-aggregates the exploded token
+    * relation to (source, doc, token) tf rows — in-document repeats
+    * collapse map-side; shuffle 2 collapses that to the (source, token)
+    * relation (vocab-bounded, Heaps' law); df then derives from the
+    * aggregate — `sum` of per-source doc counts — NOT from a second pass
+    * over the corpus, and the df join exchanges only vocab-sized
+    * relations. N closes via a broadcast 1-row cross join (plan stays
+    * lazy, no driver action).
+    *
+    * Ranking: `rankPartitions = 1` (default) ranks with one window
+    * partitioned by source — fine while per-source vocabularies sort in
+    * one task. For large vocabs pass P > 1: rows are RANGE-partitioned on
+    * the full (source, score, token) ranking key — a big source spreads
+    * across MANY partitions, so no per-source executor hot spot — ranked
+    * locally, pruned to local-rank ≤ k (global rank ≥ local rank, so
+    * nothing prunable can reach the top k), and per-(partition, source)
+    * offsets — a P×sources relation — convert local to global ranks.
+    * Both paths emit identical rows: the ranking key is total (token is
+    * unique per source), so ranks don't depend on boundary placement. */
+  def tfidfTopTerms(docs: DataFrame, k: Int,
+      rankPartitions: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, s"k=$k")
+    require(rankPartitions >= 1, s"rankPartitions=$rankPartitions")
+    val total = docs.agg(count(lit(1)).cast(DoubleType).as("n_total"))
+    val tf = docs
+      .select(col("source"), col("doc_id"),
+        explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("source"), col("doc_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val bySourceToken = tf.groupBy(col("source"), col("token"))
+      .agg(sum(col("tf")).as("tf_total"), count(lit(1)).as("nd"))
+    val dfRel = bySourceToken.groupBy(col("token"))
+      .agg(sum(col("nd")).as("df"))
+    val scored = bySourceToken.join(dfRel, Seq("token"))
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("token"), col("tf_total"), col("df"),
+        round(col("tf_total") * log(col("n_total") / col("df")) * lit(1e6))
+          .cast(LongType).as("tfidf_1e6"))
+    val ord = Seq(col("tfidf_1e6").desc, col("token").asc)
+    val out = Seq(col("source"), col("token"), col("tf_total"), col("df"),
+      col("tfidf_1e6"))
+    if (rankPartitions == 1)
+      scored.select(out :+ row_number().over(
+          Window.partitionBy(col("source")).orderBy(ord: _*)).as("rank"): _*)
+        .filter(col("rank") <= k)
+    else {
+      // explicit numPartitions pins the exchange (AQE won't coalesce it);
+      // pid is stable once materialized, so ranks and offsets agree
+      val parts = scored
+        .repartitionByRange(rankPartitions, col("source") +: ord: _*)
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint()
+      val local = parts.withColumn("lr", row_number().over(
+          Window.partitionBy(col("pid"), col("source")).orderBy(ord: _*)))
+        .filter(col("lr") <= k) // global rank >= local rank: safe prune
+      val offsets = parts.groupBy(col("pid"), col("source"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("pid"), col("source"),
+          (sum(col("cnt")).over(
+            Window.partitionBy(col("source")).orderBy(col("pid")))
+            - col("cnt")).as("offset"))
+      local.join(broadcast(offsets), Seq("pid", "source"))
+        .select(out :+ (col("lr") + col("offset")).cast(IntegerType)
+          .as("rank"): _*)
+        .filter(col("rank") <= k)
+    }
+  }
 }

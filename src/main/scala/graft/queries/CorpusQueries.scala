@@ -161,5 +161,37 @@ object CorpusQueries {
       GROUP BY tok ORDER BY n_exact DESC, token ASC LIMIT 20""")
   )
 
-  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78, q92)
+  /** Per-source top-15 TF-IDF terms ([[Corpus.tfidfTopTerms]]), on the
+    * RANGE-PARTITIONED ranking path (rankPartitions=4, the large-vocab
+    * scale shape; CorpusSpec proves path equality, this hash-checks the
+    * ranged path against a plain-window oracle). The score crosses
+    * engines as integer micros — the cosine-query contract: identical
+    * promotion/division/ln/multiply/round order, and the top-k cutoff
+    * itself compares rounded micros, so rank boundaries can't drift on a
+    * last-ulp `ln` disagreement. */
+  val q93 = Q(
+    "q93_tfidf_top_terms",
+    (spark, dir) => Corpus.tfidfTopTerms(
+      Tables.load(spark, dir, "documents"), 15, rankPartitions = 4),
+    Some(s"""WITH tf AS (
+        SELECT source, doc_id, token, COUNT(*) AS tf
+        FROM (SELECT source, doc_id, unnest($sqlToks) AS token FROM documents)
+        GROUP BY 1, 2, 3),
+      st AS (SELECT source, token, CAST(SUM(tf) AS BIGINT) AS tf_total,
+               COUNT(*) AS nd
+             FROM tf GROUP BY 1, 2),
+      df AS (SELECT token, CAST(SUM(nd) AS BIGINT) AS df FROM st GROUP BY 1),
+      sc AS (SELECT source, token, tf_total, df,
+               CAST(ROUND(tf_total * ln(
+                   (SELECT CAST(COUNT(*) AS DOUBLE) FROM documents) / df)
+                 * 1000000) AS BIGINT) AS tfidf_1e6
+             FROM st JOIN df USING (token)),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                 ORDER BY tfidf_1e6 DESC, token ASC) AS INTEGER) AS rank
+             FROM sc)
+      SELECT source, token, tf_total, df, tfidf_1e6, rank
+      FROM rk WHERE rank <= 15""")
+  )
+
+  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78, q92, q93)
 }

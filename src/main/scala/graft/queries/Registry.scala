@@ -8,7 +8,7 @@ object Registry {
   val all: Seq[Q] =
     Relational.all ++ TextQueries.all ++ VectorQueries.all ++
       PipelineQueries.all ++ MultimodalQueries.all ++ ParityQueries.all ++
-      CorpusQueries.all
+      CorpusQueries.all ++ EventQueries.all
 
   lazy val byName: Map[String, Q] = all.map(q => q.name -> q).toMap
 

@@ -140,4 +140,49 @@ class CorpusSpec extends SparkSpec {
   test("chunkTokens: rejects stride > window") {
     intercept[IllegalArgumentException](Corpus.chunkTokens(docs, 8, 9))
   }
+
+  test("tfidfTopTerms: rank contract, idf monotonicity, ubiquity scores ~0") {
+    import spark.implicits._
+    // hand corpus: "common" in every doc (idf = ln(1) = 0 exactly),
+    // "rare" in one source only, "shared" in two of three docs
+    val hand = Seq(
+      (1L, "common rare rare extra", "a"),
+      (2L, "common shared", "b"),
+      (3L, "common shared filler", "b")
+    ).toDF("doc_id", "text", "source").withColumn("lang", lit("en"))
+      .withColumn("n_chars", length(col("text")))
+    val rows = Corpus.tfidfTopTerms(hand, 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5)))
+    // ubiquitous token scores exactly 0 micros in every source
+    rows.filter(_._2 == "common").foreach(t => assert(t._5 === 0L, t))
+    // rare (df=1, tf=2) outranks everything in source a
+    val aTop = rows.filter(_._1 == "a").minBy(_._6)
+    assert(aTop._2 === "rare" && aTop._3 === 2L && aTop._4 === 1L)
+    // score arithmetic: tf_total * ln(3/df) micros, engine-exact
+    rows.foreach { case (_, _, tf, df, micro, _) =>
+      assert(micro === math.round(tf * math.log(3.0 / df) * 1e6))
+    }
+    // ranks are dense 1..n per source with score-desc, token-asc order
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      val sorted = g.sortBy(_._6)
+      assert(sorted.map(_._6).toSeq === (1 to g.length).toSeq)
+      assert(sorted.toSeq === g.sortBy(t => (-t._5, t._2)).toSeq)
+    }
+  }
+
+  test("tfidfTopTerms: range-partitioned ranking equals the window path") {
+    for (parts <- Seq(3, 8)) {
+      val window = Corpus.tfidfTopTerms(docs, 12).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getInt(5)))
+        .sortBy(t => (t._1, t._6))
+      val ranged = Corpus.tfidfTopTerms(docs, 12, rankPartitions = parts)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getInt(5)))
+        .sortBy(t => (t._1, t._6))
+      assert(ranged.toSeq === window.toSeq, s"rankPartitions=$parts")
+    }
+  }
 }
