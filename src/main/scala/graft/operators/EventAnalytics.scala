@@ -1,8 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 /** Event-log analytics: ordered funnel completion and time-decayed
   * engagement aggregation — the behavioral-reporting pair next to the
@@ -102,5 +103,159 @@ object EventAnalytics {
       .agg(count(lit(1)).as("n_events"),
         sum((col(valueCol) * pow(lit(2.0), -col("buckets")))
           .cast(DecimalType(28, 10))).cast(DoubleType).as("decayed_value"))
+  }
+
+  /** Weekly cohort retention: users are assigned to the ISO week of their
+    * FIRST event; for every (cohort, week-offset) cell, how many of that
+    * cohort's users were active, and what fraction of the cohort that is.
+    * The canonical "do users come back" report.
+    *
+    * Shape at scale: ONE wide shuffle. Per user, a single partial-aggregated
+    * groupBy collects both the first-event timestamp and the DISTINCT set of
+    * active weeks (bounded: ≤ weeks-in-corpus per user, collected map-side),
+    * so the raw event volume is reduced before the exchange. The
+    * (cohort, offset) re-aggregation and the cohort-size window both run on
+    * #cohorts × #weeks rows — reporting-table sized, irrelevant at any SF.
+    * No join back to the event log.
+    *
+    * Retention is a single exact division of two BIGINT counts; the offset
+    * is an exact integer (week-truncated timestamps differ by whole
+    * multiples of 7 days, so `datediff/7` is exact before the int cast). */
+  def cohortRetention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val wk = date_trunc("week", col(tsCol))
+    val perUser = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).as("cohort_week"),
+        collect_set(wk).as("weeks"))
+    val cells = perUser
+      .select(col("cohort_week"), explode(col("weeks")).as("wk"))
+      .select(col("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7)
+          .cast(IntegerType).as("week_offset"))
+      .groupBy(col("cohort_week"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val cohortSize = Window.partitionBy(col("cohort_week"))
+    cells.select(col("cohort_week"), col("week_offset"), col("n_active"),
+      (col("n_active").cast(DoubleType) /
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(cohortSize)).as("retention"))
+  }
+
+  /** First-order (Markov) transition matrix over each user's event-type
+    * sequence: counts and row-normalized probabilities for every observed
+    * (from_type, to_type) adjacency. Orders strictly by (ts, event id) so
+    * ties are deterministic and cross-engine reproducible.
+    *
+    * Shape at scale: the lag window is ONE shuffle on the user key with
+    * per-user sort — the same exchange any per-user sequence operator pays
+    * (sessionize, funnel) — then the pair counts collapse to at most
+    * |types|² rows via a partial-aggregated groupBy. The probability
+    * normalization is a window over that tiny matrix. Per-user state in the
+    * window is one row of look-behind, not the whole sequence. */
+  def transitionMatrix(events: DataFrame, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    val seq = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    val pairs = events
+      .select(col(userCol), col(typeCol), col(tsCol), col(idCol))
+      .withColumn("from_type", lag(col(typeCol), 1).over(seq))
+      .filter(col("from_type").isNotNull)
+      .groupBy(col("from_type"), col(typeCol).as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val row = Window.partitionBy(col("from_type"))
+    pairs.select(col("from_type"), col("to_type"), col("n"),
+      (col("n").cast(DoubleType) / sum(col("n")).over(row)).as("prob"))
+  }
+
+  /** Last-touch attribution counting: for every `target` event, how many
+    * `source` events the same user produced in the strictly-preceding
+    * window `[ts − windowMinutes, ts)`, and when the latest one was (NULL
+    * when unattributed). The "views before purchase" shape.
+    *
+    * Shape at scale: an EQUI-join on the user key (sort-merge, both sides'
+    * type filters pushed to the parquet scan) with the time-range predicate
+    * evaluated as a join residual — never a cross product, because the user
+    * key partitions the space; per-user pair work is bounded by per-user
+    * event counts, the same bound every per-user operator here carries. A
+    * LEFT join keeps zero-source targets with an honest 0/NULL. */
+  def attributionCounts(events: DataFrame, target: String, source: String,
+      windowMinutes: Int, userCol: String = "user_id",
+      typeCol: String = "event_type", tsCol: String = "ts",
+      idCol: String = "event_id"): DataFrame = {
+    require(windowMinutes >= 1, s"windowMinutes=$windowMinutes")
+    val t = events.filter(col(typeCol) === target)
+      .select(col(idCol), col(userCol), col(tsCol))
+    val s = events.filter(col(typeCol) === source)
+      .select(col(userCol).as("s_user"), col(tsCol).as("s_ts"))
+    t.join(s,
+        col(userCol) === col("s_user") &&
+          col("s_ts") < col(tsCol) &&
+          col("s_ts") >= col(tsCol) - expr(s"INTERVAL $windowMinutes MINUTES"),
+        "left")
+      .groupBy(col(idCol), col(tsCol))
+      .agg(count(col("s_ts")).as("n_source"),
+        max(col("s_ts")).as("last_source_ts"))
+  }
+
+  /** Zero-filled hourly activity series per key: every (key, hour) cell in
+    * the corpus' global hour span gets a row, with 0 where nothing
+    * happened — the gap-fill / densification step charting and
+    * stream-backfill jobs need (a sparse groupBy output silently skips
+    * empty hours).
+    *
+    * Shape at scale: the hour span closes via a broadcast 1-row aggregate
+    * (no driver action); the dense frame is keys × `sequence(h0, h1)`
+    * exploded — generated, not shuffled, and sized #keys × #hours, a
+    * reporting grid orders of magnitude below the event volume it
+    * describes. The observed counts arrive from ONE partial-aggregated
+    * shuffle and meet the grid in a join on (key, hour). */
+  def denseHourlyCounts(events: DataFrame, keyCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val hr = date_trunc("hour", col(tsCol))
+    val bounds = events.agg(date_trunc("hour", min(col(tsCol))).as("h0"),
+      date_trunc("hour", max(col(tsCol))).as("h1"))
+    val grid = events.select(col(keyCol)).distinct()
+      .crossJoin(broadcast(bounds))
+      .select(col(keyCol),
+        explode(sequence(col("h0"), col("h1"),
+          expr("INTERVAL 1 HOUR"))).as("hour"))
+    val observed = events
+      .groupBy(col(keyCol), hr.as("hour"))
+      .agg(count(lit(1)).as("n"))
+    grid.join(observed, Seq(keyCol, "hour"), "left")
+      .select(col(keyCol), col("hour"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** Per-group z-score outliers: events whose value sits more than
+    * `threshold` population standard deviations from their group's mean.
+    * The cheap distribution-based anomaly screen run before expensive
+    * per-record inspection.
+    *
+    * Exactness: mean and E[x²] go through the library's DECIMAL(28,10) sum
+    * discipline ([[graft.queries.Exact]]) so they are partition-order
+    * independent; variance is then `E[x²] − μ²` and the z-score one
+    * subtraction, one division, one IEEE-exact sqrt — every step a single
+    * correctly-rounded double op both engines evaluate identically (the
+    * q95 precedent: double·double products cast to DECIMAL(28,10) agree
+    * cross-engine on this corpus).
+    *
+    * Shape at scale: one partial-aggregated groupBy to #groups stat rows,
+    * broadcast back onto the stream — no window over raw events, no second
+    * wide shuffle. Degenerate groups (σ = 0) flag nothing, by construction
+    * rather than by NaN accident. */
+  def valueOutliers(events: DataFrame, threshold: Double = 3.0,
+      keyCol: String = "event_type", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    import graft.queries.Exact
+    val stats = events.groupBy(col(keyCol)).agg(
+      (Exact.dsum(col(valueCol)) / count(col(valueCol))).as("mu"),
+      (Exact.dsum(col(valueCol) * col(valueCol)) / count(col(valueCol)))
+        .as("ex2"))
+    val sigma = sqrt(col("ex2") - col("mu") * col("mu"))
+    events.join(broadcast(stats), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col(valueCol),
+        ((col(valueCol) - col("mu")) / sigma).as("z"))
+      .filter(abs(col("z")) > threshold)
   }
 }

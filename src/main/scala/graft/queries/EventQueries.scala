@@ -75,5 +75,107 @@ object EventQueries {
       FROM w GROUP BY user_id""")
   )
 
-  val all: Seq[Q] = Seq(q94, q95)
+  /** Weekly cohort retention. Both engines truncate weeks to Monday 00:00
+    * (Spark `date_trunc('week')` ≡ DuckDB), offsets are exact integers
+    * (week stamps differ by whole multiples of 7 days), and retention is a
+    * single exact division of BIGINT counts — the [[Exact]] discipline. */
+  val q96 = Q(
+    "q96_cohort_retention",
+    (spark, dir) => EventAnalytics.cohortRetention(
+      Tables.load(spark, dir, "events")),
+    Some("""WITH fu AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+          FROM events GROUP BY user_id),
+        act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        cells AS (SELECT f.cohort_week,
+            CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INTEGER) AS week_offset,
+            COUNT(*) AS n_active
+          FROM act a JOIN fu f USING (user_id) GROUP BY 1, 2)
+      SELECT cohort_week, week_offset, n_active,
+        CAST(n_active AS DOUBLE) /
+          MAX(CASE WHEN week_offset = 0 THEN n_active END)
+            OVER (PARTITION BY cohort_week) AS retention
+      FROM cells""")
+  )
+
+  /** First-order event-type transition matrix. The lag runs over the same
+    * deterministic (ts, event_id) order in both engines; the probability
+    * denominator is pinned back to BIGINT before the one exact division
+    * (DuckDB window SUM widens to HUGEINT — the q82 lesson). */
+  val q97 = Q(
+    "q97_event_transitions",
+    (spark, dir) => EventAnalytics.transitionMatrix(
+      Tables.load(spark, dir, "events")),
+    Some("""WITH s AS (SELECT user_id, event_type,
+            LAG(event_type) OVER (PARTITION BY user_id
+              ORDER BY ts, event_id) AS from_type
+          FROM events),
+        c AS (SELECT from_type, event_type AS to_type, COUNT(*) AS n
+          FROM s WHERE from_type IS NOT NULL GROUP BY 1, 2)
+      SELECT from_type, to_type, n,
+        CAST(n AS DOUBLE) /
+          CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob
+      FROM c""")
+  )
+
+  /** Last-touch attribution: views in the hour before each purchase. COUNT
+    * over the left join's possibly-NULL source column is BIGINT in both
+    * engines; MAX(ts) is NULL for unattributed purchases in both. */
+  val q98 = Q(
+    "q98_purchase_attribution",
+    (spark, dir) => EventAnalytics.attributionCounts(
+      Tables.load(spark, dir, "events"),
+      target = "purchase", source = "view", windowMinutes = 60),
+    Some("""SELECT p.event_id, p.ts,
+        COUNT(v.s_ts) AS n_source, MAX(v.s_ts) AS last_source_ts
+      FROM (SELECT event_id, user_id, ts FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT user_id, ts AS s_ts FROM events
+            WHERE event_type = 'view') v
+        ON v.user_id = p.user_id AND v.s_ts < p.ts
+          AND v.s_ts >= p.ts - INTERVAL 60 MINUTE
+      GROUP BY 1, 2""")
+  )
+
+  /** Zero-filled hourly series per event type. Spark's `sequence` and
+    * DuckDB's `generate_series` are both end-inclusive with an exact
+    * 1-hour step over µs timestamps; the grid join's fill value is a
+    * BIGINT 0 in both engines. */
+  val q99 = Q(
+    "q99_dense_hourly",
+    (spark, dir) => EventAnalytics.denseHourlyCounts(
+      Tables.load(spark, dir, "events")),
+    Some("""WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+            date_trunc('hour', MAX(ts)) AS h1 FROM events),
+        k AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT k.event_type, g.generate_series AS hour
+          FROM k, b, generate_series(b.h0, b.h1, INTERVAL 1 HOUR) g),
+        c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
+            COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+      SELECT grid.event_type, grid.hour,
+        COALESCE(c.n, CAST(0 AS BIGINT)) AS n_events
+      FROM grid LEFT JOIN c
+        ON grid.event_type = c.event_type AND grid.hour = c.hour""")
+  )
+
+  /** Per-type z-score outliers (|z| > 3, population σ). μ and E[x²] ride
+    * the DECIMAL(28,10) sum + VARCHAR-routed double cast ([[Exact.sqlSum]]);
+    * from there every step — subtract, multiply, sqrt, divide, compare —
+    * is one correctly-rounded IEEE op evaluated identically by both
+    * engines, so even the >3 classification boundary agrees bit-for-bit. */
+  val q100 = Q(
+    "q100_value_outliers",
+    (spark, dir) => EventAnalytics.valueOutliers(
+      Tables.load(spark, dir, "events")),
+    Some(s"""WITH st AS (SELECT event_type,
+          ${Exact.sqlSum("value")} / COUNT(value) AS mu,
+          ${Exact.sqlSum("value * value")} / COUNT(value) AS ex2
+        FROM events GROUP BY event_type)
+      SELECT e.event_id, e.event_type, e.value,
+        (e.value - st.mu) / sqrt(st.ex2 - st.mu * st.mu) AS z
+      FROM events e JOIN st USING (event_type)
+      WHERE abs((e.value - st.mu) / sqrt(st.ex2 - st.mu * st.mu)) > 3.0""")
+  )
+
+  val all: Seq[Q] = Seq(q94, q95, q96, q97, q98, q99, q100)
 }

@@ -84,4 +84,85 @@ class EventAnalyticsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(a === b) // DECIMAL(28,10) sum: bit-equal under any partitioning
   }
+
+  test("cohortRetention: offsets off the first-event week, exact fractions") {
+    val events = ev(
+      // cohort week of 2024-01-01 (Monday): u1 active wk0+wk1, u2 wk0 only
+      (1L, "view", "2024-01-02 10:00:00", 0),
+      (1L, "view", "2024-01-09 10:00:00", 0),
+      (2L, "view", "2024-01-03 10:00:00", 0),
+      // cohort week of 2024-01-08: u3 active wk0 and wk2
+      (3L, "view", "2024-01-10 10:00:00", 0),
+      (3L, "view", "2024-01-24 10:00:00", 0))
+    val out = EventAnalytics.cohortRetention(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getInt(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("2024-01-01 00:00:00.0", 0)) === ((2L, 1.0)))
+    assert(out(("2024-01-01 00:00:00.0", 1)) === ((1L, 0.5)))
+    assert(out(("2024-01-08 00:00:00.0", 0)) === ((1L, 1.0)))
+    assert(out(("2024-01-08 00:00:00.0", 2)) === ((1L, 1.0)))
+    assert(out.size === 4) // no zero-filled or phantom cells
+  }
+
+  test("transitionMatrix: adjacency counts and row-normalized probabilities") {
+    val events = ev(
+      (1L, "view", "2024-01-01 00:00:01", 0),
+      (1L, "click", "2024-01-01 00:00:02", 0),
+      (1L, "view", "2024-01-01 00:00:03", 0),
+      (2L, "view", "2024-01-01 00:00:01", 0),
+      (2L, "click", "2024-01-01 00:00:02", 0),
+      (3L, "view", "2024-01-01 00:00:09", 0)) // singleton: no transition
+    val out = EventAnalytics.transitionMatrix(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out(("view", "click")) === ((2L, 1.0)))
+    assert(out(("click", "view")) === ((1L, 1.0)))
+    assert(out.size === 2) // no cross-user adjacency invented
+  }
+
+  test("attributionCounts: window bounds are [ts-w, ts), per-user only") {
+    val events = ev(
+      (1L, "view", "2024-01-01 00:00:00", 0),     // 60 min before: in (>=)
+      (1L, "view", "2024-01-01 00:30:00", 0),     // in window, latest
+      (1L, "purchase", "2024-01-01 01:00:00", 0), // target
+      (2L, "view", "2024-01-01 00:59:00", 0),     // other user: excluded
+      (2L, "purchase", "2024-01-01 02:00:00", 0)) // u2: no view in window
+    val out = EventAnalytics
+      .attributionCounts(events, "purchase", "view", 60).collect()
+      .map(r => r.getTimestamp(1).toString ->
+        ((r.getLong(2), Option(r.getTimestamp(3)).map(_.toString)))).toMap
+    assert(out("2024-01-01 01:00:00.0") ===
+      ((2L, Some("2024-01-01 00:30:00.0"))))
+    assert(out("2024-01-01 02:00:00.0") === ((0L, None)))
+  }
+
+  test("denseHourlyCounts: zero-fills every key over the global hour span") {
+    val events = ev(
+      (1L, "view", "2024-01-01 00:10:00", 0),
+      (1L, "view", "2024-01-01 02:20:00", 0), // hour 1 empty for view
+      (2L, "click", "2024-01-01 01:30:00", 0))
+    val out = EventAnalytics.denseHourlyCounts(events).collect()
+      .map(r => (r.getString(0), r.getTimestamp(1).toString) ->
+        r.getLong(2)).toMap
+    assert(out.size === 6) // 2 keys x 3 hours, dense
+    assert(out(("view", "2024-01-01 00:00:00.0")) === 1L)
+    assert(out(("view", "2024-01-01 01:00:00.0")) === 0L)
+    assert(out(("view", "2024-01-01 02:00:00.0")) === 1L)
+    assert(out(("click", "2024-01-01 01:00:00.0")) === 1L)
+    assert(out(("click", "2024-01-01 00:00:00.0")) === 0L)
+  }
+
+  test("valueOutliers: flags beyond |z|>t, sigma-zero groups flag nothing") {
+    val base = (1 to 20).map(i =>
+      (1L, "view", f"2024-01-01 00:${i}%02d:00", 1.0)) :+
+      (1L, "view", "2024-01-01 00:21:00", 100.0) :+ // the outlier
+      (2L, "click", "2024-01-01 00:01:00", 5.0) :+  // sigma=0 group
+      (2L, "click", "2024-01-01 00:02:00", 5.0)
+    val out = EventAnalytics.valueOutliers(ev(base: _*), threshold = 3.0)
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "view")
+    assert(out.head.getDouble(2) === 100.0)
+    assert(out.head.getDouble(3) > 3.0)
+  }
 }
