@@ -34,9 +34,13 @@ object EventAnalytics {
     * per user is bounded by that user's event count — the same per-key
     * bound the session operators carry. The final stage-count aggregate
     * is a single all-null-key reduce emitting `stages.length` rows. */
-  def funnel(events: DataFrame, stages: Seq[String],
-      typeCol: String = "event_type", userCol: String = "user_id",
-      tsCol: String = "ts"): DataFrame = {
+  /** Per-user greedy-earliest chain resolution shared by [[funnel]] and
+    * [[funnelDwellPercentiles]]: one shuffle to per-user sorted stage
+    * arrays, then a row-local walk binding each stage to the earliest
+    * event strictly after the previous stage's bind. Emits one row per
+    * user with nullable bind timestamps t0..t{k−1}. */
+  private def chainTimes(events: DataFrame, stages: Seq[String],
+      typeCol: String, userCol: String, tsCol: String): DataFrame = {
     require(stages.nonEmpty, "funnel needs at least one stage")
     require(stages.distinct == stages, s"duplicate stage in $stages")
     val arrays = stages.zipWithIndex.map { case (s, i) =>
@@ -47,11 +51,17 @@ object EventAnalytics {
       .filter(col(typeCol).isin(stages: _*))
       .groupBy(col(userCol))
       .agg(arrays.head, arrays.tail: _*)
-    val withTimes = stages.indices.foldLeft(perUser) { (df, i) =>
+    stages.indices.foldLeft(perUser) { (df, i) =>
       if (i == 0) df.withColumn("t0", element_at(col("a0"), 1))
       else df.withColumn(s"t$i",
         element_at(filter(col(s"a$i"), x => x > col(s"t${i - 1}")), 1))
     }
+  }
+
+  def funnel(events: DataFrame, stages: Seq[String],
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val withTimes = chainTimes(events, stages, typeCol, userCol, tsCol)
     val counts = withTimes.agg(
       count(col("t0")).as("n0"),
       stages.indices.tail.map(i => count(col(s"t$i")).as(s"n$i")): _*)
@@ -67,6 +77,61 @@ object EventAnalytics {
            col(s"n$i").cast(DoubleType) / col(s"n${i - 1}")))
           .as("conv_from_prev"))
     }: _*)).as("s")).select("s.*")
+  }
+
+  /** Stage-to-stage dwell-time distributions for an ordered funnel: for
+    * every consecutive stage pair, the exact nearest-rank percentiles of
+    * `t_i − t_{i−1}` (µs) across users who completed stage i under
+    * [[funnel]]'s greedy-earliest chain semantics. The "how long do users
+    * sit between click and purchase" report next to the completion counts.
+    *
+    * Exactness: dwell times are BIGINT µs differences; a percentile is the
+    * nearest-rank order statistic — the smallest dwell whose cumulative
+    * count reaches `ceil(p·n)` — so every output is an integer actually
+    * present in the data, hash-checkable with no interpolation or
+    * floating-point tie-break (the [[graft.queries.Exact]] discipline).
+    *
+    * Shape at scale: the per-user chain is [[funnel]]'s ONE user-key
+    * shuffle; dwell rows (#users × (stages−1)) then compress via a
+    * partial-aggregated groupBy into a per-(stage, dwell) HISTOGRAM before
+    * any ordering, so the per-stage cumulative window sorts distinct
+    * values with multiplicities, not raw rows — the same
+    * compress-then-rank move as the vocabulary ranking. The final
+    * percentile pick is a per-stage aggregate over that histogram. */
+  def funnelDwellPercentiles(events: DataFrame, stages: Seq[String],
+      percentiles: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      typeCol: String = "event_type", userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    require(stages.size >= 2, "dwell needs at least two stages")
+    require(percentiles.nonEmpty &&
+      percentiles.forall(p => p > 0 && p <= 1), s"percentiles=$percentiles")
+    val withTimes = chainTimes(events, stages, typeCol, userCol, tsCol)
+    val pairs = stages.indices.tail.map { i =>
+      struct(
+        lit(i + 1).as("stage_idx"),
+        lit(stages(i - 1)).as("stage_from"),
+        lit(stages(i)).as("stage_to"),
+        (unix_micros(col(s"t$i")) - unix_micros(col(s"t${i - 1}")))
+          .as("dwell_us"))
+    }
+    val hist = withTimes
+      .select(explode(array(pairs: _*)).as("p")).select("p.*")
+      .filter(col("dwell_us").isNotNull)
+      .groupBy(col("stage_idx"), col("stage_from"), col("stage_to"),
+        col("dwell_us"))
+      .agg(count(lit(1)).as("c"))
+    val byStage = Window.partitionBy(col("stage_idx"))
+    val cum = byStage.orderBy(col("dwell_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(byStage))
+    val picks = percentiles.map { p =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col("dwell_us")))
+        .as(s"p${math.round(p * 100)}_us")
+    }
+    ranked.groupBy(col("stage_idx"), col("stage_from"), col("stage_to"))
+      .agg(max(col("n")).as("n_users"), picks: _*)
   }
 
   /** Per-user time-decayed value total: each event contributes
@@ -242,8 +307,12 @@ object EventAnalytics {
     *
     * Shape at scale: one partial-aggregated groupBy to #groups stat rows,
     * broadcast back onto the stream — no window over raw events, no second
-    * wide shuffle. Degenerate groups (σ = 0) flag nothing, by construction
-    * rather than by NaN accident. */
+    * wide shuffle. Degenerate groups flag nothing DETERMINISTICALLY: the
+    * variance is clamped at zero (`greatest(E[x²] − μ², 0)` — the rounded
+    * decimal E[x²] can dip a hair below μ² for near-constant groups, where
+    * DuckDB's sqrt would hard-error and Spark's would NaN-flag every row)
+    * and a σ = 0 denominator is NULLed before the division, so both
+    * engines agree even on constant groups. */
   def valueOutliers(events: DataFrame, threshold: Double = 3.0,
       keyCol: String = "event_type", valueCol: String = "value",
       idCol: String = "event_id"): DataFrame = {
@@ -252,10 +321,11 @@ object EventAnalytics {
       (Exact.dsum(col(valueCol)) / count(col(valueCol))).as("mu"),
       (Exact.dsum(col(valueCol) * col(valueCol)) / count(col(valueCol)))
         .as("ex2"))
-    val sigma = sqrt(col("ex2") - col("mu") * col("mu"))
+    val sigma =
+      sqrt(greatest(col("ex2") - col("mu") * col("mu"), lit(0.0)))
+    val z = (col(valueCol) - col("mu")) / when(sigma > 0, sigma)
     events.join(broadcast(stats), Seq(keyCol))
-      .select(col(idCol), col(keyCol), col(valueCol),
-        ((col(valueCol) - col("mu")) / sigma).as("z"))
+      .select(col(idCol), col(keyCol), col(valueCol), z.as("z"))
       .filter(abs(col("z")) > threshold)
   }
 }

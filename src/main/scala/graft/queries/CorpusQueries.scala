@@ -97,16 +97,15 @@ object CorpusQueries {
     * turns corpus statistics into the id stream a trainer consumes. The
     * oracle rebuilds the same frequency-ranked ids ((count desc, token
     * asc), dense 0-based) and re-encodes, so id assignment AND the
-    * per-position encoding are both hash-checked. The vocabulary uses the
-    * RANGE-PARTITIONED ranking path (rankPartitions=4) — the large-vocab
-    * scale shape — whose ids are contract-identical to the window path
-    * (CorpusSpec proves the equality; this query hash-checks the ranged
-    * path against an oracle that ranks the plain way). */
+    * per-position encoding are both hash-checked. Runs the DEFAULT
+    * single-window ranking path — the recorded bench number is the path
+    * a user gets; the range-partitioned large-vocab scale path is
+    * hash-checked separately as [[q101]] (round-6 verdict item 3). */
   val q78 = Q(
     "q78_vocab_encode",
     (spark, dir) => {
       val docs = Tables.load(spark, dir, "documents")
-      Corpus.encodeTokens(docs, Corpus.vocabulary(docs, 5L, rankPartitions = 4))
+      Corpus.encodeTokens(docs, Corpus.vocabulary(docs, 5L))
     },
     Some(s"""WITH t AS (
         SELECT doc_id, unnest($sqlToks) AS tok,
@@ -161,18 +160,17 @@ object CorpusQueries {
       GROUP BY tok ORDER BY n_exact DESC, token ASC LIMIT 20""")
   )
 
-  /** Per-source top-15 TF-IDF terms ([[Corpus.tfidfTopTerms]]), on the
-    * RANGE-PARTITIONED ranking path (rankPartitions=4, the large-vocab
-    * scale shape; CorpusSpec proves path equality, this hash-checks the
-    * ranged path against a plain-window oracle). The score crosses
-    * engines as integer micros — the cosine-query contract: identical
-    * promotion/division/ln/multiply/round order, and the top-k cutoff
-    * itself compares rounded micros, so rank boundaries can't drift on a
-    * last-ulp `ln` disagreement. */
+  /** Per-source top-15 TF-IDF terms ([[Corpus.tfidfTopTerms]]). The score
+    * crosses engines as integer micros — the cosine-query contract:
+    * identical promotion/division/ln/multiply/round order, and the top-k
+    * cutoff itself compares rounded micros, so rank boundaries can't
+    * drift on a last-ulp `ln` disagreement. Runs the DEFAULT
+    * single-window ranking path; the range-partitioned scale path is
+    * hash-checked separately as [[q102]]. */
   val q93 = Q(
     "q93_tfidf_top_terms",
     (spark, dir) => Corpus.tfidfTopTerms(
-      Tables.load(spark, dir, "documents"), 15, rankPartitions = 4),
+      Tables.load(spark, dir, "documents"), 15),
     Some(s"""WITH tf AS (
         SELECT source, doc_id, token, COUNT(*) AS tf
         FROM (SELECT source, doc_id, unnest($sqlToks) AS token FROM documents)
@@ -193,5 +191,33 @@ object CorpusQueries {
       FROM rk WHERE rank <= 15""")
   )
 
-  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78, q92, q93)
+  /** [[q78]]'s pipeline on the RANGE-PARTITIONED vocabulary ranking path
+    * (rankPartitions=4) — the large-vocab scale shape, where a single
+    * global ROW_NUMBER window would funnel every surviving token through
+    * one partition. Ids are contract-identical to the window path
+    * (CorpusSpec proves the equality), so the SAME oracle hash-checks
+    * both; declaring the paths as separate queries keeps each one's bench
+    * number attributable (round-6 verdict item 3: the scale path pays an
+    * eager localCheckpoint + 2 extra exchanges that lose at sf0.1 — a
+    * price that must be visible, not silently folded into q78). */
+  val q101 = Q(
+    "q101_vocab_encode_ranged",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      Corpus.encodeTokens(docs, Corpus.vocabulary(docs, 5L, rankPartitions = 4))
+    },
+    q78.oracle
+  )
+
+  /** [[q93]]'s TF-IDF top terms on the RANGE-PARTITIONED ranking path
+    * (rankPartitions=4); same oracle, same path-equality contract as
+    * [[q101]]. */
+  val q102 = Q(
+    "q102_tfidf_ranged",
+    (spark, dir) => Corpus.tfidfTopTerms(
+      Tables.load(spark, dir, "documents"), 15, rankPartitions = 4),
+    q93.oracle
+  )
+
+  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102)
 }

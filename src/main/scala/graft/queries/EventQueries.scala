@@ -78,14 +78,21 @@ object EventQueries {
   /** Weekly cohort retention. Both engines truncate weeks to Monday 00:00
     * (Spark `date_trunc('week')` ≡ DuckDB), offsets are exact integers
     * (week stamps differ by whole multiples of 7 days), and retention is a
-    * single exact division of BIGINT counts — the [[Exact]] discipline. */
+    * single exact division of BIGINT counts — the [[Exact]] discipline.
+    * The oracle CASTs its week stamps back to TIMESTAMP: DuckDB's
+    * `date_trunc('week', …)` returns DATE on a plain-TIMESTAMP input
+    * (it stayed TIMESTAMP_NS on the nanos corpora earlier rounds shipped),
+    * and a DATE would hash as `2024-01-01` against Spark's
+    * `2024-01-01 00:00:00`. */
   val q96 = Q(
     "q96_cohort_retention",
     (spark, dir) => EventAnalytics.cohortRetention(
       Tables.load(spark, dir, "events")),
-    Some("""WITH fu AS (SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    Some("""WITH fu AS (SELECT user_id,
+            CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
           FROM events GROUP BY user_id),
-        act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+        act AS (SELECT DISTINCT user_id,
+            CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk FROM events),
         cells AS (SELECT f.cohort_week,
             CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INTEGER) AS week_offset,
             COUNT(*) AS n_active
@@ -139,7 +146,11 @@ object EventQueries {
   /** Zero-filled hourly series per event type. Spark's `sequence` and
     * DuckDB's `generate_series` are both end-inclusive with an exact
     * 1-hour step over µs timestamps; the grid join's fill value is a
-    * BIGINT 0 in both engines. */
+    * BIGINT 0 in both engines. The oracle uses the SCALAR-list
+    * `unnest(generate_series(...))` form: DuckDB's table-function form
+    * rejects both lateral column refs (r6's binder error) and subquery
+    * parameters, but the scalar form takes the bounds as plain columns
+    * from the 1-row `b` cross join. */
   val q99 = Q(
     "q99_dense_hourly",
     (spark, dir) => EventAnalytics.denseHourlyCounts(
@@ -147,8 +158,9 @@ object EventQueries {
     Some("""WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
             date_trunc('hour', MAX(ts)) AS h1 FROM events),
         k AS (SELECT DISTINCT event_type FROM events),
-        grid AS (SELECT k.event_type, g.generate_series AS hour
-          FROM k, b, generate_series(b.h0, b.h1, INTERVAL 1 HOUR) g),
+        grid AS (SELECT k.event_type,
+            unnest(generate_series(b.h0, b.h1, INTERVAL 1 HOUR)) AS hour
+          FROM k, b),
         c AS (SELECT event_type, date_trunc('hour', ts) AS hour,
             COUNT(*) AS n
           FROM events GROUP BY 1, 2)
@@ -162,7 +174,11 @@ object EventQueries {
     * the DECIMAL(28,10) sum + VARCHAR-routed double cast ([[Exact.sqlSum]]);
     * from there every step — subtract, multiply, sqrt, divide, compare —
     * is one correctly-rounded IEEE op evaluated identically by both
-    * engines, so even the >3 classification boundary agrees bit-for-bit. */
+    * engines, so even the >3 classification boundary agrees bit-for-bit.
+    * Both sides clamp the variance at 0 and NULL a σ = 0 denominator
+    * (near-constant groups: the decimal-rounded E[x²] can dip below μ²,
+    * where DuckDB sqrt hard-errors and Spark NaN-flags — the clamp makes
+    * degenerate groups flag nothing in BOTH engines). */
   val q100 = Q(
     "q100_value_outliers",
     (spark, dir) => EventAnalytics.valueOutliers(
@@ -172,10 +188,62 @@ object EventQueries {
           ${Exact.sqlSum("value * value")} / COUNT(value) AS ex2
         FROM events GROUP BY event_type)
       SELECT e.event_id, e.event_type, e.value,
-        (e.value - st.mu) / sqrt(st.ex2 - st.mu * st.mu) AS z
+        (e.value - st.mu) /
+          NULLIF(sqrt(greatest(st.ex2 - st.mu * st.mu, 0)), 0) AS z
       FROM events e JOIN st USING (event_type)
-      WHERE abs((e.value - st.mu) / sqrt(st.ex2 - st.mu * st.mu)) > 3.0""")
+      WHERE abs((e.value - st.mu) /
+        NULLIF(sqrt(greatest(st.ex2 - st.mu * st.mu, 0)), 0)) > 3.0""")
   )
 
-  val all: Seq[Q] = Seq(q94, q95, q96, q97, q98, q99, q100)
+  /** Stage-to-stage dwell-time percentiles for the q94 funnel
+    * ([[EventAnalytics.funnelDwellPercentiles]]). Both engines resolve the
+    * identical greedy-earliest chain (q94's CTE ladder), difference the
+    * binds to BIGINT µs, and pick nearest-rank order statistics
+    * (smallest dwell with cumulative count ≥ ceil(p·n)) — every output an
+    * integer present in the data, no interpolation, hash-exact. The
+    * oracle's window SUM widens to HUGEINT, so n_users pins back to
+    * BIGINT (the q82 lesson). */
+  val q103 = Q(
+    "q103_funnel_dwell",
+    (spark, dir) => EventAnalytics.funnelDwellPercentiles(
+      Tables.load(spark, dir, "events"), Seq("view", "click", "purchase")),
+    Some("""WITH f AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+      pu AS (SELECT user_id,
+          list_sort(list_filter(list(CASE WHEN event_type = 'view' THEN ts END),
+            x -> x IS NOT NULL)) AS a0,
+          list_sort(list_filter(list(CASE WHEN event_type = 'click' THEN ts END),
+            x -> x IS NOT NULL)) AS a1,
+          list_sort(list_filter(list(CASE WHEN event_type = 'purchase' THEN ts END),
+            x -> x IS NOT NULL)) AS a2
+        FROM f GROUP BY user_id),
+      s0 AS (SELECT user_id, a1, a2, a0[1] AS t0 FROM pu),
+      s1 AS (SELECT user_id, a2, t0,
+          list_filter(a1, x -> x > t0)[1] AS t1 FROM s0),
+      s2 AS (SELECT user_id, t0, t1,
+          list_filter(a2, x -> x > t1)[1] AS t2 FROM s1),
+      d AS (
+        SELECT CAST(2 AS INTEGER) AS stage_idx, 'view' AS stage_from,
+          'click' AS stage_to, epoch_us(t1) - epoch_us(t0) AS dwell_us
+        FROM s2 WHERE t1 IS NOT NULL
+        UNION ALL
+        SELECT CAST(3 AS INTEGER), 'click', 'purchase',
+          epoch_us(t2) - epoch_us(t1)
+        FROM s2 WHERE t2 IS NOT NULL),
+      h AS (SELECT stage_idx, stage_from, stage_to, dwell_us, COUNT(*) AS c
+        FROM d GROUP BY 1, 2, 3, 4),
+      w AS (SELECT *,
+          SUM(c) OVER (PARTITION BY stage_idx ORDER BY dwell_us) AS cum,
+          SUM(c) OVER (PARTITION BY stage_idx) AS n
+        FROM h)
+      SELECT stage_idx, stage_from, stage_to,
+        CAST(MAX(n) AS BIGINT) AS n_users,
+        MIN(CASE WHEN cum >= ceil(0.5 * n) THEN dwell_us END) AS p50_us,
+        MIN(CASE WHEN cum >= ceil(0.9 * n) THEN dwell_us END) AS p90_us,
+        MIN(CASE WHEN cum >= ceil(0.99 * n) THEN dwell_us END) AS p99_us
+      FROM w GROUP BY 1, 2, 3""")
+  )
+
+  val all: Seq[Q] = Seq(q94, q95, q96, q97, q98, q99, q100, q103)
 }

@@ -152,6 +152,68 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out(("click", "2024-01-01 00:00:00.0")) === 0L)
   }
 
+  test("funnelDwellPercentiles: nearest-rank picks over chain dwell times") {
+    val events = ev(
+      // u1: full chain — view→click 10 s, click→purchase 60 s
+      (1L, "view", "2024-01-01 00:00:00", 0),
+      (1L, "click", "2024-01-01 00:00:10", 0),
+      (1L, "purchase", "2024-01-01 00:01:10", 0),
+      // u2: view→click 30 s, no purchase
+      (2L, "view", "2024-01-01 00:00:00", 0),
+      (2L, "click", "2024-01-01 00:00:30", 0),
+      // u3: view only — contributes to no dwell pair
+      (3L, "view", "2024-01-01 00:00:00", 0),
+      // u4: click strictly BEFORE view — chain never binds, no dwell
+      (4L, "click", "2024-01-01 00:00:03", 0),
+      (4L, "view", "2024-01-01 00:00:05", 0))
+    val out = EventAnalytics
+      .funnelDwellPercentiles(events, Seq("view", "click", "purchase"))
+      .collect()
+      .map(r => r.getInt(0) -> ((r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // stage 2 dwells {10 s, 30 s}: n=2, rank ceil(.5·2)=1 → 10 s,
+    // ceil(.9·2)=2 → 30 s, ceil(.99·2)=2 → 30 s (µs integers)
+    assert(out(2) === (("view", "click", 2L, 10000000L, 30000000L, 30000000L)))
+    // stage 3 has the single 60 s dwell: every percentile is that value
+    assert(out(3) === (("click", "purchase", 1L,
+      60000000L, 60000000L, 60000000L)))
+    assert(out.size === 2)
+  }
+
+  test("funnelDwellPercentiles: custom percentiles, p=1 is the max") {
+    val events = ev(
+      (1L, "view", "2024-01-01 00:00:00", 0),
+      (1L, "click", "2024-01-01 00:00:01", 0),
+      (2L, "view", "2024-01-01 00:00:00", 0),
+      (2L, "click", "2024-01-01 00:00:02", 0),
+      (3L, "view", "2024-01-01 00:00:00", 0),
+      (3L, "click", "2024-01-01 00:00:04", 0))
+    val out = EventAnalytics.funnelDwellPercentiles(events,
+      Seq("view", "click"), percentiles = Seq(0.25, 1.0)).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.schema.fieldNames.takeRight(2).toSeq === Seq("p25_us", "p100_us"))
+    assert(r.getLong(4) === 1000000L) // ceil(.25·3)=1 → smallest
+    assert(r.getLong(5) === 4000000L) // p=1 → rank n → max
+  }
+
+  test("funnelDwellPercentiles: rejects single stage and bad percentiles") {
+    intercept[IllegalArgumentException](
+      EventAnalytics.funnelDwellPercentiles(ev(), Seq("view")))
+    intercept[IllegalArgumentException](
+      EventAnalytics.funnelDwellPercentiles(ev(), Seq("view", "click"),
+        percentiles = Seq(0.0)))
+  }
+
+  test("valueOutliers: near-constant group (rounded variance < 0) flags " +
+      "nothing instead of NaN-flagging every row") {
+    // all-0.1 group: decimal-rounded E[x²] = 0.01 dips BELOW μ² =
+    // 0.010000000000000002, so the unclamped variance is negative — sqrt
+    // would NaN (and Spark's NaN > 3 is TRUE, flagging all 21 rows)
+    val rows = (1 to 21).map(i => (1L, "view", f"2024-01-01 00:${i}%02d:00", 0.1))
+    assert(EventAnalytics.valueOutliers(ev(rows: _*)).collect().isEmpty)
+  }
+
   test("valueOutliers: flags beyond |z|>t, sigma-zero groups flag nothing") {
     val base = (1 to 20).map(i =>
       (1L, "view", f"2024-01-01 00:${i}%02d:00", 1.0)) :+
