@@ -134,6 +134,52 @@ object EventAnalytics {
       .agg(max(col("n")).as("n_users"), picks: _*)
   }
 
+  /** Batch gap-based sessionization — the batch/backfill twin of the
+    * streaming sessionizer (`graft.streaming.EventsStream.sessionCounts`),
+    * emitting the SAME output contract: (session_start, session_end =
+    * last event + gap, user_id, n_events, decimal-exact total_value). One
+    * engine for the live stream and its historical backfill means session
+    * boundaries can never disagree between the two paths — the property
+    * q59/q65/q104 verify from the streaming side and q105 from this side,
+    * all against one gaps-and-islands oracle.
+    *
+    * Semantics: a session BREAKS when the inter-event gap is ≥ `gap`
+    * (strictly-less keeps the session alive — matching Spark's
+    * session-window close, whose window is [start, last + gap)). The
+    * comparison runs on exact BIGINT µs differences.
+    *
+    * Shape at scale: ONE user-key shuffle. The lag, the running break
+    * sum, and the (user, session) aggregate all share the same user-key
+    * partitioning (the window sort is per-partition work, and the groupBy
+    * keys extend the window's partition key), so Catalyst plans a single
+    * exchange — the same bound the streaming sessionizer's state shuffle
+    * carries. */
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import graft.queries.Exact
+    require(gapMinutes >= 1, s"gapMinutes=$gapMinutes")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val brk = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev >= gapUs, 1L)
+      .otherwise(0L)
+    events
+      .select(col(userCol), col(tsCol), col(valueCol))
+      .withColumn("grp", sum(brk).over(run))
+      .groupBy(col(userCol), col("grp"))
+      .agg(
+        min(col(tsCol)).as("session_start"),
+        (max(col(tsCol)) + expr(s"INTERVAL $gapMinutes MINUTES"))
+          .as("session_end"),
+        count(lit(1)).as("n_events"),
+        Exact.dsum(col(valueCol)).as("total_value"))
+      .select(col("session_start"), col("session_end"), col(userCol),
+        col("n_events"), col("total_value"))
+  }
+
   /** Per-user time-decayed value total: each event contributes
     * `value · 2^-⌊age / halfLifeDays⌋`, age measured in days back from
     * the NEWEST event in the log (an in-plan anchor — no wall clock, so

@@ -245,5 +245,17 @@ object EventQueries {
       FROM w GROUP BY 1, 2, 3""")
   )
 
-  val all: Seq[Q] = Seq(q94, q95, q96, q97, q98, q99, q100, q103)
+  /** Batch gap-based sessionization ([[EventAnalytics.sessionize]]) —
+    * verified against the SAME gaps-and-islands oracle as the streaming
+    * sessionizers (q59 Complete, q65 Append, q104 multi-batch), pinning
+    * the backfill/live parity claim: one session contract, four verified
+    * paths. */
+  val q105 = Q(
+    "q105_batch_sessionize",
+    (spark, dir) => EventAnalytics.sessionize(
+      Tables.load(spark, dir, "events"), gapMinutes = 30),
+    Some(ParityQueries.sessionsOracle)
+  )
+
+  val all: Seq[Q] = Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105)
 }

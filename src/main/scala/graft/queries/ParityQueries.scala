@@ -129,7 +129,7 @@ object ParityQueries {
   /** The batch gaps-and-islands sessionization both q59 and q65 verify
     * against: break on inter-event gap ≥ 30 min, running-sum the breaks
     * into session ids, aggregate. */
-  private val sessionsOracle = """WITH o AS (
+  private[queries] val sessionsOracle = """WITH o AS (
         SELECT user_id, ts, value,
           CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)

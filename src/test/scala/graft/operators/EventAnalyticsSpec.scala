@@ -205,6 +205,44 @@ class EventAnalyticsSpec extends SparkSpec {
         percentiles = Seq(0.0)))
   }
 
+  test("sessionize: breaks at gap >= 30 min exactly, end = last + gap, " +
+      "decimal-exact totals") {
+    val events = ev(
+      // u1 session A: two events 29:59.999999 apart — strictly under the
+      // gap, stays one session
+      (1L, "view", "2024-01-01 00:00:00", 1.5),
+      (1L, "view", "2024-01-01 00:29:59.999999", 2.5),
+      // u1 session B: exactly 30:00.000000 after the previous event — the
+      // >= boundary BREAKS
+      (1L, "view", "2024-01-01 00:59:59.999999", 4.0),
+      // u2: single event
+      (2L, "click", "2024-01-01 12:00:00", 7.0))
+    val out = EventAnalytics.sessionize(events, gapMinutes = 30).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getTimestamp(0).toString) ->
+        ((r.getTimestamp(1).toString, r.getAs[Long]("n_events"),
+          r.getAs[Double]("total_value")))).toMap
+    assert(out.size === 3)
+    assert(out((1L, "2024-01-01 00:00:00.0")) ===
+      (("2024-01-01 00:59:59.999999", 2L, 4.0)))
+    assert(out((1L, "2024-01-01 00:59:59.999999")) ===
+      (("2024-01-01 01:29:59.999999", 1L, 4.0)))
+    assert(out((2L, "2024-01-01 12:00:00.0")) ===
+      (("2024-01-01 12:30:00.0", 1L, 7.0)))
+  }
+
+  test("sessionize: matches the streaming session contract on the corpus") {
+    // batch/backfill parity: same gap, same corpus — identical session
+    // rows as the oracle-verified streaming output contract (schema +
+    // per-user session counts spot-checked; full equality is q105 vs the
+    // q59/q65/q104 shared oracle)
+    val events = graft.Tables.load(spark, sf, "events")
+    val out = EventAnalytics.sessionize(events, gapMinutes = 30)
+    assert(out.columns.toSeq === Seq("session_start", "session_end",
+      "user_id", "n_events", "total_value"))
+    val total = out.agg(sum(col("n_events"))).head().getLong(0)
+    assert(total === events.count()) // every event lands in exactly one session
+  }
+
   test("valueOutliers: near-constant group (rounded variance < 0) flags " +
       "nothing instead of NaN-flagging every row") {
     // all-0.1 group: decimal-rounded E[x²] = 0.01 dips BELOW μ² =
