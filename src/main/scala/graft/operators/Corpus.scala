@@ -306,4 +306,117 @@ object Corpus {
         .filter(col("rank") <= k)
     }
   }
+
+  /** Corpus-trained bigram language-model scoring: every document's total
+    * Laplace-smoothed bigram log-probability under a model fitted on the
+    * corpus itself — the KenLM-style statistical quality filter of
+    * pretraining pipelines (an incoherent or boilerplate document scores
+    * far from the corpus mean for its length; the score feeds the same
+    * selection step as [[TextAnalysis]]'s heuristic quality features, but
+    * is distribution-aware).
+    *
+    * Model: p(w₂|w₁) = (c(w₁w₂) + 1) / (c(w₁) + |V|), c(w₁) summed over
+    * observed bigram starts, |V| the corpus's distinct-token count.
+    *
+    * Exactness: all model inputs are BIGINT counts, so each bigram's
+    * probability is ONE exact double division; the per-bigram log rides
+    * the integer-micro contract (round(ln·10⁶) — the q93 precedent) and
+    * the per-doc total is a BIGINT sum of those integers:
+    * partition-order-independent and cross-engine hash-exact. Documents
+    * with < 2 tokens score (0, 0) — present, not dropped.
+    *
+    * Shape at scale: the model is vocab²-BOUNDED, far below corpus size —
+    * two partial-aggregated shuffles build it (bigram counts, then start
+    * counts off the already-tiny bigram relation); |V| closes via a
+    * broadcast 1-row aggregate. Scoring joins the corpus-sized bigram
+    * stream against those model relations (broadcast when the model fits
+    * — the usual case; sort-merge on the bigram key beyond that), and the
+    * per-doc total is ONE partial-aggregated doc-key shuffle. No driver
+    * materialization anywhere. */
+  def bigramLogProb(docs: DataFrame): DataFrame = {
+    val toksed = docs.select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val bigrams = toksed.select(col("doc_id"),
+      explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n12"))
+    val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
+    val vocab = toksed.select(explode(col("toks")).as("tok"))
+      .agg(countDistinct(col("tok")).as("vocab"))
+    val lp = round(log((col("n12") + lit(1.0)) / (col("n1") + col("vocab")))
+      * lit(1000000.0)).cast(LongType)
+    val scored = bigrams
+      .join(c12, Seq("w1", "w2"))
+      .join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("logprob_micros"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("logprob_micros"), lit(0L)).as("logprob_micros"))
+  }
+
+  /** ln 2 as the one correctly-rounded double, embedded as a LITERAL on
+    * both engines so neither runtime's `ln(2)` call (last-ulp risk) enters
+    * the contract. */
+  private val Ln2 = 0.6931471805599453
+
+  /** Pairwise Jensen–Shannon divergence between the unigram token
+    * DISTRIBUTIONS of every two `source` groups (a < b), in integer
+    * micro-nats — the distribution-level companion to [[vocabOverlap]]:
+    * overlap says which corpora share vocabulary, divergence says how
+    * differently they USE it, the quantity mixture design actually weighs
+    * (JS is symmetric, bounded by ln 2, and zero-safe — KL is none of
+    * those).
+    *
+    * Per union token the contribution is p·ln(2p/(p+q)) + q·ln(2q/(p+q))
+    * (≥ 0 by the log-sum inequality; p or q absent → the p·ln 2 limit),
+    * halved into the micro scaling (×5·10⁵). Exactness: p and q are ONE
+    * exact double division of BIGINT counts each; every term is a fixed
+    * op sequence both engines evaluate identically (the q93 integer-micro
+    * contract, with [[Ln2]] pinned as a literal), and the per-pair total
+    * is a BIGINT sum of term micros — partition-order independent.
+    *
+    * Shape at scale: ONE corpus-sized shuffle (the (source, token) count).
+    * Everything downstream is vocab-bounded: totals are |sources| rows,
+    * the pair relation |sources|², and the term relations join the
+    * vocab-sized counts against broadcast pairs — the a-side LEFT join
+    * supplies common and a-only tokens, a LEFT ANTI join isolates b-only
+    * tokens. No driver materialization. */
+  def sourceDivergence(docs: DataFrame): DataFrame = {
+    val st = docs
+      .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val tot = st.groupBy(col("source")).agg(sum(col("n")).as("nt"))
+    val pairs = tot.select(col("source").as("sa"), col("nt").as("na_t"))
+      .crossJoin(tot.select(col("source").as("sb"), col("nt").as("nb_t")))
+      .filter(col("sa") < col("sb"))
+    val p = col("na") / col("na_t")
+    val q = col("nb") / col("nb_t")
+    val common = round((p * log(lit(2.0) * p / (p + q)) +
+      q * log(lit(2.0) * q / (p + q))) * lit(500000.0)).cast(LongType)
+    val aTerm = when(col("nb").isNull,
+      round(p * lit(Ln2) * lit(500000.0)).cast(LongType)).otherwise(common)
+    val bTerm = round(q * lit(Ln2) * lit(500000.0)).cast(LongType)
+    val aSide = st.select(col("source").as("sa"), col("tok"), col("n").as("na"))
+      .join(broadcast(pairs), Seq("sa"))
+      .join(st.select(col("source").as("sb"), col("tok"), col("n").as("nb")),
+        Seq("sb", "tok"), "left")
+      .select(col("sa"), col("sb"), aTerm.as("t"))
+    val bOnly = st.select(col("source").as("sb"), col("tok"), col("n").as("nb"))
+      .join(broadcast(pairs), Seq("sb"))
+      .join(st.select(col("source").as("sa"), col("tok")), Seq("sa", "tok"),
+        "left_anti")
+      .select(col("sa"), col("sb"), bTerm.as("t"))
+    aSide.unionByName(bOnly)
+      .groupBy(col("sa"), col("sb"))
+      .agg(count(lit(1)).as("n_union"), sum(col("t")).as("js_micros"))
+      .select(col("sa").as("source_a"), col("sb").as("source_b"),
+        col("n_union"), col("js_micros"))
+  }
 }

@@ -219,5 +219,85 @@ object CorpusQueries {
     q93.oracle
   )
 
-  val all: Seq[Q] = Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102)
+  /** Corpus-trained bigram LM scoring ([[Corpus.bigramLogProb]]): per-doc
+    * Laplace-smoothed log-probability totals. The oracle rebuilds the
+    * identical model — BIGINT bigram/start counts, exact-division
+    * probabilities, per-bigram round(ln·10⁶) integer micros (the q93
+    * contract), BIGINT per-doc sums (HUGEINT pinned back) — so model
+    * fitting AND scoring are both hash-checked. Sub-2-token docs appear
+    * as (0, 0) via the left join on both sides. */
+  val q106 = Q(
+    "q106_bigram_logprob",
+    (spark, dir) => Corpus.bigramLogProb(Tables.load(spark, dir, "documents")),
+    Some(s"""WITH big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM (SELECT doc_id, $sqlToks AS toks FROM documents))),
+      c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS vocab
+            FROM (SELECT unnest($sqlToks) AS tok FROM documents)),
+      scored AS (SELECT b.doc_id,
+          CAST(ROUND(ln((n12 + 1.0) / (n1 + vocab)) * 1000000) AS BIGINT) AS lp
+        FROM big b JOIN c12 USING (w1, w2) JOIN c1 USING (w1), v),
+      per_doc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(lp) AS BIGINT) AS logprob_micros
+        FROM scored GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        COALESCE(logprob_micros, CAST(0 AS BIGINT)) AS logprob_micros
+      FROM documents d LEFT JOIN per_doc USING (doc_id)""")
+  )
+
+  /** Pairwise source JS divergence ([[Corpus.sourceDivergence]]) in
+    * integer micro-nats. The oracle mirrors the exact term algebra —
+    * identical division/multiply/ln op order, ln 2 pinned as the same
+    * double LITERAL on both sides (neither runtime's ln(2) call is
+    * trusted), per-term rounding to micros, BIGINT pair sums (HUGEINT
+    * pinned) — so the distribution fitting AND the divergence arithmetic
+    * are hash-checked. All terms are ≥ 0 (log-sum inequality), so the
+    * half-up vs half-away rounding modes cannot disagree. */
+  val q108 = Q(
+    "q108_source_divergence",
+    (spark, dir) => Corpus.sourceDivergence(
+      Tables.load(spark, dir, "documents")),
+    Some(s"""WITH st AS (
+        SELECT source, tok, COUNT(*) AS n
+        FROM (SELECT source, unnest($sqlToks) AS tok FROM documents)
+        GROUP BY 1, 2),
+      tot AS (SELECT source, CAST(SUM(n) AS BIGINT) AS nt FROM st GROUP BY 1),
+      pairs AS (SELECT a.source AS sa, a.nt AS na_t,
+          b.source AS sb, b.nt AS nb_t
+        FROM tot a, tot b WHERE a.source < b.source),
+      aside AS (SELECT p.sa, p.sb, s.n AS na, p.na_t, t.n AS nb, p.nb_t
+        FROM pairs p JOIN st s ON s.source = p.sa
+        LEFT JOIN st t ON t.source = p.sb AND t.tok = s.tok),
+      bonly AS (SELECT p.sa, p.sb, s.n AS nb, p.nb_t
+        FROM pairs p JOIN st s ON s.source = p.sb
+        WHERE NOT EXISTS (SELECT 1 FROM st t
+          WHERE t.source = p.sa AND t.tok = s.tok)),
+      terms AS (
+        SELECT sa, sb, CASE WHEN nb IS NULL
+          THEN CAST(ROUND(na / CAST(na_t AS DOUBLE) * 0.6931471805599453
+            * 500000) AS BIGINT)
+          ELSE CAST(ROUND((na / CAST(na_t AS DOUBLE)
+              * ln(2 * (na / CAST(na_t AS DOUBLE))
+                / (na / CAST(na_t AS DOUBLE) + nb / CAST(nb_t AS DOUBLE)))
+            + nb / CAST(nb_t AS DOUBLE)
+              * ln(2 * (nb / CAST(nb_t AS DOUBLE))
+                / (na / CAST(na_t AS DOUBLE) + nb / CAST(nb_t AS DOUBLE))))
+            * 500000) AS BIGINT) END AS t
+        FROM aside
+        UNION ALL
+        SELECT sa, sb, CAST(ROUND(nb / CAST(nb_t AS DOUBLE)
+          * 0.6931471805599453 * 500000) AS BIGINT)
+        FROM bonly)
+      SELECT sa AS source_a, sb AS source_b, COUNT(*) AS n_union,
+        CAST(SUM(t) AS BIGINT) AS js_micros
+      FROM terms GROUP BY 1, 2""")
+  )
+
+  val all: Seq[Q] =
+    Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108)
 }

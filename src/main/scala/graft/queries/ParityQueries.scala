@@ -311,6 +311,33 @@ object ParityQueries {
        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE""")
   )
 
+  /** [[q57]]'s interval self-join as a LEFT OUTER stream-stream join
+    * ([[EventsStream.followWithinOuter]]): every event emits, follow_id
+    * NULL when nothing followed within 5 minutes. Unmatched rows only
+    * emit when the watermark passes lead_ts + horizon, so the replay
+    * stages the far-future sentinel (q65's flush trick) to close the
+    * final horizon; the sentinel's own rows are filtered by id. Verified
+    * against the batch LEFT JOIN oracle — matched pairs AND null-matched
+    * leads both hash-checked. */
+  val q107 = Q(
+    "q107_stream_follow_outer",
+    (spark, dir) => {
+      val tmp = stagedSentinelEventsDir(spark, dir)
+      val src = EventsStream.fromParquetDir(spark, tmp)
+      EventsStream.replayToMemory(
+        EventsStream.followWithinOuter(src,
+          EventsStream.fromParquetDir(spark, tmp)),
+        "q107_stream_follow_outer_sink", OutputMode.Append(),
+        statePartitions = Some(8))
+      spark.table("q107_stream_follow_outer_sink")
+        .filter(col("lead_id") >= 0)
+    },
+    Some("""SELECT a.event_id AS lead_id, b.event_id AS follow_id
+      FROM events a LEFT JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE""")
+  )
+
   /** Salted two-phase aggregation over the (low-cardinality, therefore
     * skew-prone) event_type key — result-identical to the direct groupBy,
     * which is exactly what the oracle verifies. */
@@ -612,5 +639,5 @@ object ParityQueries {
 
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104)
+      q86, q89, q90, q104, q107)
 }

@@ -126,6 +126,35 @@ object EventsStream {
       .select(col("lead_id"), col("follow_id"))
   }
 
+  /** LEFT OUTER variant of [[followWithin]]: EVERY lead event emits, with
+    * `follow_id` NULL when no same-user follow landed inside the horizon —
+    * the "did a conversion follow, including the no's" join an inner
+    * stream-stream join cannot answer. The null-matched row for a lead can
+    * only emit once the watermark passes `lead_ts + horizon` (before that
+    * a matching follow could still arrive), so outer joins add a
+    * watermark-gated EMISSION contract on top of the inner join's
+    * watermark-gated state EVICTION; both sides' buffers stay bounded by
+    * the same watermark. A bounded replay therefore withholds unmatched
+    * leads in the final watermark horizon unless something advances the
+    * watermark past them — q107 stages the q65 far-future sentinel for
+    * exactly that. */
+  def followWithinOuter(lead: DataFrame, follow: DataFrame,
+      horizon: String = "5 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = lead.withWatermark("ts", watermark)
+      .select(col("event_id").as("lead_id"), col("user_id").as("lead_user"),
+        col("ts").as("lead_ts"))
+    val f = follow.withWatermark("ts", watermark)
+      .select(col("event_id").as("follow_id"), col("user_id").as("follow_user"),
+        col("ts").as("follow_ts"))
+    l.join(f,
+      col("lead_user") === col("follow_user") &&
+        col("follow_ts") > col("lead_ts") &&
+        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $horizon"),
+      "leftOuter")
+      .select(col("lead_id"), col("follow_id"))
+  }
+
   /** Stream-static enrichment: join each event against a broadcast
     * dimension relation, then roll up per (tumbling window, dimension
     * attribute). The static side is re-planned per micro-batch (so a dim

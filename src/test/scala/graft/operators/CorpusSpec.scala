@@ -185,4 +185,71 @@ class CorpusSpec extends SparkSpec {
       assert(ranged.toSeq === window.toSeq, s"rankPartitions=$parts")
     }
   }
+
+  test("bigramLogProb: hand-computed Laplace model, sub-2-token docs (0,0)") {
+    import spark.implicits._
+    // corpus: "a b a", "a b", "x" → bigrams (a,b)x2, (b,a)x1; starts
+    // a→2, b→1; vocab {a,b,x} = 3
+    val hand = Seq((1L, "a b a"), (2L, "a b"), (3L, "x"))
+      .toDF("doc_id", "text")
+    def lp(p: Double) = math.round(math.log(p) * 1e6)
+    val pAB = lp(3.0 / 5.0) // (2+1)/(2+3)
+    val pBA = lp(2.0 / 4.0) // (1+1)/(1+3)
+    val out = Corpus.bigramLogProb(hand).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((2L, pAB + pBA)))
+    assert(out(2L) === ((1L, pAB)))
+    assert(out(3L) === ((0L, 0L))) // single token: no bigram, still present
+    assert(out.size === 3)
+  }
+
+  test("bigramLogProb: corpus scores are negative, length-scaled, total") {
+    val out = Corpus.bigramLogProb(docs).collect()
+    assert(out.length === docs.count())
+    out.foreach { r =>
+      val (nb, s) = (r.getLong(1), r.getLong(2))
+      if (nb == 0) assert(s === 0L)
+      // every smoothed probability < 1, so each bigram contributes < 0
+      else assert(s < 0L && s >= nb * lpFloor)
+    }
+  }
+
+  /** Loosest possible per-bigram log-prob (p ≥ 1/(c1+V) ≥ 1/(2·corpus
+    * tokens)): a generous floor just pinning the scale of the micros. */
+  private lazy val lpFloor: Long = {
+    val nTok = docs.select(explode(TextAnalysis.tokens(col("text"))))
+      .count()
+    math.round(math.log(1.0 / (2.0 * nTok)) * 1e6)
+  }
+
+  test("sourceDivergence: identical sources diverge 0, disjoint hit ln 2") {
+    import spark.implicits._
+    val ln2 = 0.6931471805599453
+    def oneSided(p: Double) = math.round(p * ln2 * 500000)
+    val hand = Seq(
+      (1L, "a b", "s1"), (2L, "a b", "s2"), // identical distributions
+      (3L, "x", "s3")) // vocabulary disjoint from both
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.sourceDivergence(hand).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("s1", "s2")) === ((2L, 0L))) // same p, q: every ln(1) term 0
+    // disjoint: every token one-sided — Σ round(p·ln2·5e5) over both sides
+    val disjoint = oneSided(0.5) * 2 + oneSided(1.0)
+    assert(out(("s1", "s3")) === ((3L, disjoint)))
+    assert(out(("s2", "s3")) === ((3L, disjoint)))
+    assert(out.size === 3)
+  }
+
+  test("sourceDivergence: a<b pairs, js in [0, ln2] micro-nats on corpus") {
+    val rows = Corpus.sourceDivergence(docs).collect()
+    val nSources = docs.select("source").distinct().count().toInt
+    assert(rows.length === nSources * (nSources - 1) / 2)
+    rows.foreach { r =>
+      assert(r.getString(0) < r.getString(1))
+      val js = r.getLong(3)
+      // bound: Σ terms = 2·JS·5e5 ≤ ln2·1e6 (+1 for per-term rounding)
+      assert(js >= 0L && js <= 693148L, s"js=$js")
+    }
+  }
 }
