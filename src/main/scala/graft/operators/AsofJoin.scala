@@ -1,11 +1,13 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** As-of join: attach to each left row the most recent right row with the
-  * same key and right.time <= left.time.
+/** As-of join: attach to each left row the nearest right row with the
+  * same key — the most recent one at-or-before the left time (backward,
+  * the default), or the earliest one at-or-after it (forward) — optionally
+  * only within a `tolerance` interval of the left time.
   *
   * Spark has no native as-of operator (SURVEY.md §2.9 lists it among the
   * missing join kinds). The classic scalable plan — used here — is the
@@ -13,10 +15,15 @@ import org.apache.spark.sql.functions._
   * `last_value(ignoreNulls)` window per key ordered by (time, side).
   * Cost: a single shuffle+sort on (key, time) — no range-condition
   * explosion, no per-row binary search, and it scales exactly like any
-  * windowed aggregation (state is one row per partition cursor).
+  * windowed aggregation (state is one row per partition cursor). The
+  * forward direction is the same scan run time-descending; tolerance is a
+  * row-local post-check on the matched row's time (the window already
+  * found the nearest candidate, so outside-tolerance simply nulls the
+  * attachment — no second pass).
   *
-  * Ties (right.time == left.time) match, mirroring ASOF JOIN's `>=`
-  * semantics: right rows sort before left rows at equal timestamps.
+  * Ties (right.time == left.time) match in BOTH directions, mirroring
+  * ASOF JOIN's inclusive comparisons: right rows sort inside the
+  * window scan so an equal-timestamp right row is visible to the left row.
   */
 object AsofJoin {
 
@@ -26,15 +33,28 @@ object AsofJoin {
     * @param leftTime   left timestamp column name
     * @param rightTime  right timestamp column name
     * @param attach     right columns to carry onto left rows, renamed as given
+    * @param direction  "backward" (right.time <= left.time, nearest below —
+    *                   the default) or "forward" (right.time >= left.time,
+    *                   nearest above)
+    * @param tolerance  optional interval string (e.g. "7 days"): matches
+    *                   farther than this from the left time are nulled
     */
   def asof(left: DataFrame, right: DataFrame, key: String,
       leftTime: String, rightTime: String,
-      attach: Map[String, String]): DataFrame = {
+      attach: Map[String, String],
+      direction: String = "backward",
+      tolerance: Option[String] = None): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction=$direction")
     val attachCols = attach.toSeq
     // all attach columns travel as ONE struct so the window picks a whole
     // right row atomically — per-column last() would mix values from
-    // different right rows whenever an attach column is null (row tearing)
-    val rStruct = struct(attachCols.map { case (src, as) => col(src).as(as) }: _*)
+    // different right rows whenever an attach column is null (row
+    // tearing). The matched row's own time rides along as `__rt` (LAST
+    // field: ties compare equal on it, so the attach-first tie-break
+    // order is unchanged) for the tolerance check.
+    val rStruct = struct(attachCols.map { case (src, as) =>
+      col(src).as(as) } :+ col(rightTime).as("__rt"): _*)
     val lTagged = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(1))
@@ -50,20 +70,35 @@ object AsofJoin {
       if (rTagged.columns.contains(c)) col(c) else lit(null).as(c)
     }: _*)
 
-    // `_r` as the final sort key: right rows sharing (key, _t) would
-    // otherwise be picked in physical-row order (nondeterministic across
-    // runs/partitionings); ordering by the attach struct makes the
-    // greatest attach tuple the deterministic winner. `_r` is null on left
-    // rows, whose relative order is irrelevant (their _r is ignored).
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("_t"), col("_side"), col("_r"))
+    // Backward: ascending (time, side, attach) — rights precede lefts at
+    // equal time, `last` picks the nearest right at-or-before, greatest
+    // attach tuple on exact-time ties (deterministic — physical row order
+    // never decides). Forward: the same scan time-DESCENDING; rights
+    // still precede lefts at equal time (side asc), and attach ASC makes
+    // the latest-listed tie row — the one `last` picks — the greatest
+    // attach tuple, preserving the tie contract across directions.
+    val w = (if (direction == "backward")
+        Window.partitionBy(col(key))
+          .orderBy(col("_t").asc, col("_side").asc, col("_r").asc)
+      else
+        Window.partitionBy(col(key))
+          .orderBy(col("_t").desc, col("_side").asc, col("_r").asc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matched = col("_r_last")
+    val withinTol: Column = tolerance match {
+      case None => matched.isNotNull
+      case Some(tol) =>
+        val diff =
+          if (direction == "backward") col("_t") - matched.getField("__rt")
+          else matched.getField("__rt") - col("_t")
+        matched.isNotNull && diff <= expr(s"INTERVAL $tol")
+    }
     lTagged.unionByName(rAligned)
       .withColumn("_r_last", last(col("_r"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .select(Seq(col("*")) ++ attachCols.map { case (_, as) =>
-        col(s"_r_last.$as").as(as)
+        when(withinTol, matched.getField(as)).as(as)
       }: _*)
       .drop("_t", "_side", "_r", "_r_last")
   }

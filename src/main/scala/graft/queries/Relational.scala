@@ -473,6 +473,60 @@ object Relational {
       ON e.user_id = s.user_id AND e.ts >= s.ts""")
   )
 
+  /** [[q36]] with a 7-day TOLERANCE: signups farther back than the window
+    * are nulled. The operator's tolerance is a row-local post-check on the
+    * nearest match (no second pass); the oracle applies the identical
+    * check over DuckDB's native ASOF result — nearest-then-filter is
+    * exactly the as-of-with-tolerance semantics. */
+  val q109 = Q(
+    "q109_asof_tolerance",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.load(spark, dir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts", $"event_id")
+      graft.operators.AsofJoin.asof(
+        ev.select($"event_id", $"user_id", $"ts", $"event_type"),
+        signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+        attach = Map("event_id" -> "last_signup_id", "ts" -> "last_signup_ts"),
+        tolerance = Some("7 days"))
+    },
+    Some("""SELECT event_id, user_id, ts, event_type,
+      CASE WHEN ts - last_signup_ts <= INTERVAL 7 DAY
+        THEN last_signup_id END AS last_signup_id,
+      CASE WHEN ts - last_signup_ts <= INTERVAL 7 DAY
+        THEN last_signup_ts END AS last_signup_ts
+    FROM (SELECT e.event_id, e.user_id, e.ts, e.event_type,
+        s.event_id AS last_signup_id, s.ts AS last_signup_ts
+      FROM events e ASOF LEFT JOIN
+        (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+        ON e.user_id = s.user_id AND e.ts >= s.ts)""")
+  )
+
+  /** FORWARD as-of: each event's NEXT same-user signup at-or-after it —
+    * the "time until next conversion" lookup. Same single
+    * shuffle-and-scan plan as backward, run time-descending; DuckDB's
+    * native ASOF with `<=` is the oracle. */
+  val q110 = Q(
+    "q110_asof_forward",
+    (spark, dir) => {
+      import spark.implicits._
+      val ev = Tables.load(spark, dir, "events")
+      val signups = ev.filter($"event_type" === "signup")
+        .select($"user_id", $"ts", $"event_id")
+      graft.operators.AsofJoin.asof(
+        ev.select($"event_id", $"user_id", $"ts", $"event_type"),
+        signups, key = "user_id", leftTime = "ts", rightTime = "ts",
+        attach = Map("event_id" -> "next_signup_id", "ts" -> "next_signup_ts"),
+        direction = "forward")
+    },
+    Some("""SELECT e.event_id, e.user_id, e.ts, e.event_type,
+      s.event_id AS next_signup_id, s.ts AS next_signup_ts
+    FROM events e ASOF LEFT JOIN
+      (SELECT user_id, ts, event_id FROM events WHERE event_type = 'signup') s
+      ON e.user_id = s.user_id AND e.ts <= s.ts""")
+  )
+
   /** CUBE aggregation: order counts/totals by (year × priority) with all
     * subtotal combinations. */
   val q37 = Q(
@@ -645,5 +699,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
-    q47, q48, q49, q80, q82)
+    q47, q48, q49, q80, q82, q109, q110)
 }

@@ -47,6 +47,51 @@ class AsofJoinSpec extends SparkSpec {
     assert(out.getAs[Long]("rb") === 9L)
   }
 
+  test("forward direction: earliest following right row; <= ties match") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 10:00:00")),   // before r1 -> matches r1
+      (2L, 10L, ts("2024-01-01 12:00:00")),   // tie with r1 -> matches r1
+      (3L, 10L, ts("2024-01-01 13:00:00")),   // between -> matches r2
+      (4L, 10L, ts("2024-01-01 15:00:00"))    // after all -> null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      (100L, 10L, ts("2024-01-01 12:00:00")),
+      (200L, 10L, ts("2024-01-01 14:00:00"))
+    ).toDF("rid", "k", "rt")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("rid" -> "matched_rid"), direction = "forward")
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("matched_rid")).map(_.toLong)).toMap
+    assert(out(1L) === Some(100L))
+    assert(out(2L) === Some(100L))
+    assert(out(3L) === Some(200L))
+    assert(out(4L) === None)
+  }
+
+  test("tolerance nulls matches beyond the window, keeps those inside") {
+    val left = Seq(
+      (1L, 10L, ts("2024-01-01 12:30:00")),   // 30 min after r1: inside
+      (2L, 10L, ts("2024-01-01 14:00:00"))    // 2 h after r1: outside
+    ).toDF("id", "k", "t")
+    val right = Seq((100L, 10L, ts("2024-01-01 12:00:00"))).toDF("rid", "k", "rt")
+    val out = AsofJoin.asof(left, right, "k", "t", "rt",
+      Map("rid" -> "matched_rid"), tolerance = Some("1 hour"))
+      .collect().map(r => r.getAs[Long]("id") ->
+        Option(r.getAs[java.lang.Long]("matched_rid")).map(_.toLong)).toMap
+    assert(out(1L) === Some(100L))
+    assert(out(2L) === None) // nearest match exists but is out of tolerance
+  }
+
+  test("backward and forward agree with each other at exact-tie timestamps") {
+    val left = Seq((1L, 10L, ts("2024-01-01 12:00:00"))).toDF("id", "k", "t")
+    val right = Seq((100L, 10L, ts("2024-01-01 12:00:00"))).toDF("rid", "k", "rt")
+    for (d <- Seq("backward", "forward")) {
+      val out = AsofJoin.asof(left, right, "k", "t", "rt",
+        Map("rid" -> "m"), direction = d).collect().head
+      assert(out.getAs[Long]("m") === 100L, s"direction=$d")
+    }
+  }
+
   test("row count is preserved (left semantics, no duplication)") {
     val ev = graft.Tables.load(spark, sf, "events")
     val signups = ev.filter($"event_type" === "signup")
