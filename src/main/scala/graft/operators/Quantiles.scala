@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact distribution statistics without sketches: nearest-rank order
+  * statistics per group, computed scale-safely. The exact sibling of the
+  * KLL-ish quantile sketch in the profiling queries — when the value
+  * domain compresses (lengths, counts, µs durations, scores), exact
+  * quantiles are affordable at any corpus size and hash-checkable
+  * cross-engine, which no mergeable sketch is.
+  */
+object Quantiles {
+
+  /** Per-group exact nearest-rank quantiles of `valueCol`: for each
+    * requested p, the smallest value whose cumulative count reaches
+    * `ceil(p·n)` — an actual data value, no interpolation (the
+    * [[graft.queries.Exact]] discipline; the q103 dwell-percentile
+    * pattern, generalized).
+    *
+    * Shape at scale: one partial-aggregated groupBy compresses the raw
+    * rows into a per-(group, value) HISTOGRAM before any ordering, so the
+    * per-group cumulative window sorts distinct values with
+    * multiplicities, not rows — the compress-then-rank move. Groups are
+    * window partitions: per-group state is the distinct-value count, and
+    * the final pick is one more tiny aggregate. */
+  def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"ps=$ps")
+    val hist = df.groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("c"))
+    val byGroup = Window.partitionBy(col(groupCol))
+    val cum = byGroup.orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist
+      .withColumn("cum", sum(col("c")).over(cum))
+      .withColumn("n", sum(col("c")).over(byGroup))
+    val picks = ps.map { p =>
+      min(when(col("cum") >= ceil(lit(p) * col("n")), col(valueCol)))
+        .as(s"p${math.round(p * 100)}")
+    }
+    ranked.groupBy(col(groupCol))
+      .agg(max(col("n")).as("n"), picks: _*)
+  }
+}

@@ -298,6 +298,39 @@ object CorpusQueries {
       FROM terms GROUP BY 1, 2""")
   )
 
+  /** Per-source document-length distribution
+    * ([[graft.operators.Quantiles.exactGroupQuantiles]] over token
+    * counts) — the curation report behind length filtering and packing
+    * budgets. Exact nearest-rank picks on BIGINT counts: every output is
+    * a length actually present, hash-checkable with no sketch tolerance.
+    * The oracle mirrors the histogram + cumulative-rank construction
+    * (window SUM pinned back from HUGEINT — the q82 lesson). */
+  val q114 = Q(
+    "q114_length_quantiles",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Quantiles.exactGroupQuantiles(
+        Tables.load(spark, dir, "documents")
+          .select(col("source"),
+            size(graft.operators.TextAnalysis.tokens(col("text")))
+              .cast(org.apache.spark.sql.types.LongType).as("n_tokens")),
+        "source", "n_tokens")
+    },
+    Some(s"""WITH v AS (SELECT source,
+          CAST(len($sqlToks) AS BIGINT) AS n_tokens FROM documents),
+      h AS (SELECT source, n_tokens, COUNT(*) AS c FROM v GROUP BY 1, 2),
+      w AS (SELECT *,
+          SUM(c) OVER (PARTITION BY source ORDER BY n_tokens) AS cum,
+          SUM(c) OVER (PARTITION BY source) AS n
+        FROM h)
+      SELECT source, CAST(MAX(n) AS BIGINT) AS n,
+        MIN(CASE WHEN cum >= ceil(0.25 * n) THEN n_tokens END) AS p25,
+        MIN(CASE WHEN cum >= ceil(0.5 * n) THEN n_tokens END) AS p50,
+        MIN(CASE WHEN cum >= ceil(0.75 * n) THEN n_tokens END) AS p75,
+        MIN(CASE WHEN cum >= ceil(0.95 * n) THEN n_tokens END) AS p95
+      FROM w GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
-    Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108)
+    Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114)
 }

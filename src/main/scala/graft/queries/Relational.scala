@@ -527,6 +527,90 @@ object Relational {
       ON e.user_id = s.user_id AND e.ts <= s.ts""")
   )
 
+  /** Event-time RANGE window frame: for every event, the count and
+    * decimal-exact value sum of the SAME USER's events in the trailing
+    * hour `[ts − 1 h, ts]` — the per-row rolling aggregate (rate limiting,
+    * burst detection) that a ROWS frame cannot express. Spark's frame runs
+    * on BIGINT µs bounds, DuckDB's on an INTERVAL bound — identical
+    * inclusive window membership on µs-exact timestamps. One shuffle on
+    * the user key, same as every per-user window. */
+  val q111 = Q(
+    "q111_trailing_window",
+    (spark, dir) => {
+      import spark.implicits._
+      val w = Window.partitionBy($"user_id").orderBy(unix_micros($"ts"))
+        .rangeBetween(-3600L * 1000000L, 0L)
+      Tables.load(spark, dir, "events")
+        .select($"event_id", $"user_id", $"ts",
+          count(lit(1)).over(w).as("n_trailing_1h"),
+          sum($"value".cast(DecimalType(28, 10))).over(w)
+            .cast(DoubleType).as("trailing_value"))
+    },
+    Some("""SELECT event_id, user_id, ts,
+      COUNT(*) OVER w AS n_trailing_1h,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(28,10))) OVER w AS VARCHAR) AS DOUBLE)
+        AS trailing_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""")
+  )
+
+  /** Pivot → UNPIVOT round-trip: the q82-style wide daily counts melted
+    * back to long form with `Dataset.unpivot`, which must reproduce the
+    * plain GROUP BY exactly (absent (day, type) cells pivot to NULL and
+    * are dropped on the melt — the only rows the direct aggregate never
+    * had). The oracle IS that direct aggregate: equality proves the
+    * reshape pair is lossless. */
+  val q112 = Q(
+    "q112_unpivot_daily",
+    (spark, dir) => {
+      import spark.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.load(spark, dir, "events")
+        .select(to_date($"ts").as("day"), $"event_type")
+        .groupBy($"day")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .unpivot(Array($"day"), types.map(col).toArray, "event_type",
+          "n_events")
+        .filter($"n_events".isNotNull)
+    },
+    Some("""SELECT CAST(ts AS DATE) AS day, event_type, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2""")
+  )
+
+  /** Explicit GROUPING SETS (Spark 4's `Dataset.groupingSets`) — the
+    * subtotal shape between q11's ROLLUP and q37's CUBE: (year, priority),
+    * (priority), and grand-total rows only, with `grouping_id` pinning
+    * which set each row came from (NULL year in a data row vs NULL year
+    * in a subtotal are different things — the id disambiguates, and both
+    * engines number sets identically from the same column order). */
+  val q113 = Q(
+    "q113_grouping_sets",
+    (spark, dir) => {
+      import spark.implicits._
+      Tables.load(spark, dir, "orders")
+        .select(year($"o_orderdate").as("o_year"), $"o_orderpriority",
+          $"o_totalprice")
+        .groupingSets(
+          Seq(Seq($"o_year", $"o_orderpriority"), Seq($"o_orderpriority"),
+            Seq()),
+          $"o_year", $"o_orderpriority")
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+          dsum($"o_totalprice").as("total_price"))
+    },
+    Some(s"""SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+        o_orderpriority,
+        CAST(GROUPING(EXTRACT(year FROM o_orderdate), o_orderpriority)
+          AS BIGINT) AS gid,
+        COUNT(*) AS n_orders,
+        ${sqlSum("o_totalprice")} AS total_price
+      FROM orders
+      GROUP BY GROUPING SETS (
+        (EXTRACT(year FROM o_orderdate), o_orderpriority),
+        (o_orderpriority), ())""")
+  )
+
   /** CUBE aggregation: order counts/totals by (year × priority) with all
     * subtotal combinations. */
   val q37 = Q(
@@ -699,5 +783,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
-    q47, q48, q49, q80, q82, q109, q110)
+    q47, q48, q49, q80, q82, q109, q110, q111, q112, q113)
 }
