@@ -200,6 +200,74 @@ class StreamingSpec extends SparkSpec {
     assert(multiBatch.length === ref.length)
   }
 
+  test("parquet-sink checkpoint resume: source offsets, session state, and " +
+      "the commit log all survive a restart") {
+    // The deployment contract behind every unbounded run: a query is
+    // stopped (deploy, crash, rebalance) and restarted from its
+    // checkpoint. The restart must (a) not reread committed input files,
+    // (b) restore open-session state so boundary-spanning sessions close
+    // correctly, (c) append to the sink without duplicating prior output.
+    // All three fold into one assertion: the two-run streamed result
+    // equals the batch sessionization of the whole corpus — computed by
+    // EventAnalytics.sessionize, the operator q105 oracle-verifies, so
+    // stream, backfill, and oracle share one contract.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sliced = ev.withColumn("slice",
+      ntile(6).over(Window.orderBy(col("ts"), col("event_id"))))
+      .localCheckpoint()
+    val in = tmpDir("graft-resume-in")
+    val out = tmpDir("graft-resume-out")
+    val chk = tmpDir("graft-resume-chk")
+    def writeSlices(r: Range): Unit = r.foreach { i =>
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(in)
+      Thread.sleep(30) // distinct mtimes → deterministic arrival order
+    }
+    def run(): Unit = EventsStream.replayToParquet(
+      EventsStream.sessionCounts(
+        EventsStream.fromParquetDir(spark, in, maxFilesPerTrigger = Some(2)),
+        gap = "30 minutes", watermark = "1 hour"),
+      out, chk, statePartitions = Some(4))
+
+    writeSlices(1 to 3)
+    run() // first run: slices 1–3, then STOPS (AvailableNow drains)
+    val mid = spark.read.parquet(out).count()
+
+    writeSlices(4 to 6)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    run() // RESTART from the same checkpoint
+
+    val streamed = spark.read.parquet(out).filter($"user_id" >= 0).collect()
+    val batch = graft.operators.EventAnalytics.sessionize(ev, gapMinutes = 30)
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))
+    assert(streamed.map(key).toSet === batch.map(key).toSet)
+    assert(streamed.length === batch.length) // set-equal AND no duplicates
+    // the restart genuinely split the work: some sessions committed before
+    // it, some only after
+    assert(mid > 0 && mid < batch.length, s"mid=$mid of ${batch.length}")
+
+    // exactly-once READ side: an orphan parquet file (a write that never
+    // committed to the sink's _spark_metadata log) is invisible to readers
+    val committed = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(committed,
+      java.nio.file.Paths.get(out, "orphan-uncommitted.parquet"))
+    assert(spark.read.parquet(out).filter($"user_id" >= 0).count()
+      === batch.length.toLong)
+  }
+
   test("flatMapGroupsWithState sessions: gap close in-batch, timeout close " +
       "via watermark, custom first/last payload") {
     import spark.implicits._
