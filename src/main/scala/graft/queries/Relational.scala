@@ -579,6 +579,34 @@ object Relational {
       FROM events GROUP BY 1, 2""")
   )
 
+  /** [[graft.operators.Skew.saltedJoin]] end-to-end: lineitem joined to
+    * orders on (key, salt) with the orders side replicated 8×, then
+    * rolled up by priority. The salted rewrite must be result-identical
+    * to the plain equi-join — the oracle IS that plain join. This is the
+    * hot-key fallback when the right side is too big to broadcast whole
+    * but tolerates saltFactor× replication; previously spec-only
+    * (SkewSpec), now driver-checked like every other claimed operator. */
+  val q115 = Q(
+    "q115_salted_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      val ord = Tables.load(spark, dir, "orders")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      graft.operators.Skew
+        .saltedJoin(li, ord, "l_orderkey",
+          distributor = $"l_linenumber", saltFactor = 8)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice").as("total_price"))
+    },
+    Some(s"""SELECT o_orderpriority, COUNT(*) AS n_items,
+        ${sqlSum("l_extendedprice")} AS total_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY 1""")
+  )
+
   /** Explicit GROUPING SETS (Spark 4's `Dataset.groupingSets`) — the
     * subtotal shape between q11's ROLLUP and q37's CUBE: (year, priority),
     * (priority), and grand-total rows only, with `grouping_id` pinning
@@ -783,5 +811,5 @@ object Relational {
 
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
-    q47, q48, q49, q80, q82, q109, q110, q111, q112, q113)
+    q47, q48, q49, q80, q82, q109, q110, q111, q112, q113, q115)
 }
