@@ -56,4 +56,27 @@ object Layout {
       n => withZ.repartitionByRange(n, col("__z")))
     ranged.sortWithinPartitions("__z").drop("__z")
   }
+
+  /** Size-targeted compaction: repartition so a subsequent write emits
+    * files of roughly `targetBytes` each — the small-files remedy (a
+    * 100 TB table accreted from streaming micro-batches or per-job
+    * appends degrades every later scan: footer-fetch and task-schedule
+    * overhead scale with FILE COUNT, not data size).
+    *
+    * The partition count comes from the OPTIMIZER's size estimate
+    * (`optimizedPlan.stats.sizeInBytes` — file-based relations report
+    * actual on-disk bytes), so sizing costs zero extra jobs; the
+    * round-robin repartition then yields near-equal file sizes, unlike
+    * `coalesce` which both skips the rebalance AND collapses upstream
+    * parallelism. In-memory bytes overstate parquet-encoded bytes, so
+    * files land somewhat under target — the safe side of the trade
+    * (pass a larger target to correct). Pair with [[zorderBy]] when the
+    * compacted layout should also prune: compact fixes file COUNT,
+    * Z-order fixes file CONTENT. */
+  def compact(df: DataFrame, targetBytes: Long): DataFrame = {
+    require(targetBytes > 0, s"targetBytes=$targetBytes")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val parts = (bytes + targetBytes - 1) / targetBytes
+    df.repartition(parts.min(BigInt(1 << 20)).max(BigInt(1)).toInt)
+  }
 }

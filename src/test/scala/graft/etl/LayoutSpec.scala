@@ -81,4 +81,27 @@ class LayoutSpec extends SparkSpec {
     val b = pts.groupBy("x", "y").count().collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a === b)
   }
+
+  test("compact: file count tracks the byte target; data is a pure " +
+      "repartition") {
+    import spark.implicits._
+    val ev = graft.Tables.load(spark, sf, "events")
+    val bytes = ev.queryExecution.optimizedPlan.stats.sizeInBytes.toLong
+    assert(bytes > 0)
+    def filesWritten(df: org.apache.spark.sql.DataFrame): Int = {
+      val d = tmpDir("graft-compact")
+      df.write.mode("overwrite").parquet(d)
+      new java.io.File(d).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    // target ≥ relation size → exactly one file
+    assert(filesWritten(graft.operators.Layout.compact(ev, bytes * 2)) === 1)
+    // target ~1/8 of the relation → ~8 near-equal files
+    val n = filesWritten(graft.operators.Layout.compact(ev, bytes / 8))
+    assert(n >= 6 && n <= 10, s"files=$n")
+    // pure repartition: same row multiset
+    assert(graft.operators.Layout.compact(ev, bytes / 4)
+      .groupBy($"event_id").count().filter($"count" =!= 1).isEmpty)
+    assert(graft.operators.Layout.compact(ev, bytes / 4).count() === ev.count())
+    intercept[IllegalArgumentException](graft.operators.Layout.compact(ev, 0))
+  }
 }
