@@ -338,6 +338,81 @@ object Similarity {
       .limit(k)
   }
 
+  /** Product-quantization (PQ) ANN with exact re-rank: the vector is cut
+    * into `m` subvectors, each encoded as the id of its nearest codebook
+    * centroid (L2, smallest-id tie-break), and candidate ranking scores a
+    * vector by the ADC (asymmetric distance computation) sum — per
+    * subspace, a precomputed table lookup of dot(query subvector,
+    * centroid) — so the scan reads m×log₂(kCent) BITS of code per vector
+    * instead of dim floats, the memory-bound regime's answer when even
+    * SQ8's 4× cut is too wide. The top `rerank` ADC candidates re-rank by
+    * exact cosine over the original embeddings (the [[quantizedTopK]]
+    * shape: quantization error only matters if it reorders across the
+    * rerank boundary).
+    *
+    * Deterministic codebook for verifiability: subspace centroids are the
+    * subvectors of the `kCent` smallest-id corpus vectors
+    * ([[firstNCentroids]] — q34's coarse-quantizer contract; swap in
+    * per-subspace k-means offline for recall, the plan is unchanged).
+    * Encoding distances run per row over literal centroid arrays
+    * (`zip_with`+`aggregate` on m·kCent 8-dim folds; at these SFs the
+    * interpreted lambda is immaterial — the codegen route is the
+    * |c|²−2·dot expansion over [[graft.functions.VecCols]] if a profile
+    * ever says otherwise). Driver state is the codebook + ADC tables:
+    * O(kCent·dim + m·kCent) constants, the index-artifact contract. */
+  def pqTopK(emb: DataFrame, q: Seq[Double], k: Int, m: Int = 8,
+      kCent: Int = 16, rerank: Int = 40, excludeId: Long = -1L): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val dim = q.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    // codebook: float32 values, as the executors will see them
+    val cents: Seq[Seq[Double]] = firstNCentroids(emb, kCent)
+    require(cents.nonEmpty && cents.head.length == dim,
+      s"codebook dim ${cents.headOption.map(_.length)} != $dim")
+    // ADC tables: t(s)(j) = dot(query subvector s, centroid j's subvector
+    // s), float-cast elements, sequential double fold — the same
+    // arithmetic the re-used litVec/zip_with path performs per row
+    val tables: Seq[Seq[Double]] = (0 until m).map { s =>
+      cents.map { c =>
+        var acc = 0.0
+        var i = s * sub
+        while (i < (s + 1) * sub) {
+          acc += q(i).toFloat.toDouble * c(i).toFloat.toDouble
+          i += 1
+        }
+        acc
+      }
+    }
+    val codeCols = (0 until m).map { s =>
+      val subv = slice(col("embedding"), s * sub + 1, sub)
+      val dists = array((0 until kCent).map { j =>
+        val c = litVec(cents(j).slice(s * sub, (s + 1) * sub))
+        aggregate(
+          zip_with(subv, c, (a, b) =>
+            (a.cast(DoubleType) - b.cast(DoubleType)) *
+              (a.cast(DoubleType) - b.cast(DoubleType))),
+          lit(0.0), (acc, x) => acc + x)
+      }: _*)
+      // array_position returns the FIRST index of the min → smallest-j ties
+      (array_position(dists, array_min(dists)) - 1)
+        .cast(IntegerType).as(s"_c$s")
+    }
+    val adc = (0 until m).map { s =>
+      element_at(lit(tables(s).toArray), col(s"_c$s") + 1)
+    }.reduce(_ + _)
+    val cand = emb.filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id") +: col("label") +: col("embedding") +:
+        codeCols: _*)
+      .withColumn("_adc", adc)
+      .orderBy(col("_adc").desc, col("vec_id"))
+      .limit(rerank)
+    cand.select(col("vec_id"), col("label"),
+        cosineWithLit(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** Multi-table (OR-amplified) hyperplane-LSH near-duplicate pairs: L
     * independent tables of r planes each. Candidates are pairs sharing ANY
     * table's bucket; exact cosine then verifies against the threshold.

@@ -521,5 +521,56 @@ object VectorQueries {
       ORDER BY 1 LIMIT 10""")
   )
 
-  val all: Seq[Q] = Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87)
+  /** Product-quantization ANN ([[Similarity.pqTopK]]: 8 subspaces × 16
+    * first-N centroids, ADC candidate ranking, exact re-rank of the top
+    * 40). The oracle rebuilds everything from the table itself (the q34
+    * self-referential pattern): codebook = subvectors of the 16
+    * smallest-id vectors, per-(vector, subspace) nearest centroid by
+    * summed squared double differences with the smallest-id tie-break,
+    * ADC = per-subspace query·centroid dots summed over the code
+    * assignment, then the shared exact-cosine re-rank. Output is
+    * integer-only (rank, vec_id, label) — the q79 contract. */
+  val q116 = Q(
+    "q116_pq_topk",
+    (spark, dir) => ranked(Similarity.pqTopK(
+      Tables.load(spark, dir, "embeddings"), queryVec(spark, dir),
+      k = 10, m = 8, kCent = 16, rerank = 40, excludeId = 0L)),
+    Some(s"""WITH $cosineCtes,
+      fb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+               embedding AS ce
+             FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      cb AS (SELECT j, CAST((pos - 1) // 8 AS INTEGER) AS s,
+               CAST((pos - 1) % 8 AS INTEGER) AS i, CAST(c AS DOUBLE) AS c
+             FROM (SELECT j, unnest(ce) AS c,
+                     unnest(generate_series(1, len(ce))) AS pos FROM fb)),
+      pu2 AS (SELECT vec_id, CAST((pos - 1) // 8 AS INTEGER) AS s,
+                CAST((pos - 1) % 8 AS INTEGER) AS i, CAST(ev AS DOUBLE) AS x
+              FROM (SELECT vec_id, unnest(embedding) AS ev,
+                      unnest(generate_series(1, len(embedding))) AS pos
+                    FROM embeddings)),
+      d AS (SELECT p.vec_id, p.s, cb.j,
+              SUM((p.x - cb.c) * (p.x - cb.c)) AS dist
+            FROM pu2 p JOIN cb ON cb.s = p.s AND cb.i = p.i
+            GROUP BY 1, 2, 3),
+      code AS (SELECT vec_id, s, j FROM (
+               SELECT vec_id, s, j, ROW_NUMBER() OVER (
+                 PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d)
+             WHERE rn = 1),
+      qt AS (SELECT cb.s, cb.j, SUM(qq.x * cb.c) AS t
+             FROM (SELECT s, i, x FROM pu2 WHERE vec_id = 0) qq
+             JOIN cb ON cb.s = qq.s AND cb.i = qq.i
+             GROUP BY 1, 2),
+      adc AS (SELECT c.vec_id, SUM(qt.t) AS adc
+              FROM code c JOIN qt ON qt.s = c.s AND qt.j = c.j
+              WHERE c.vec_id <> 0 GROUP BY 1),
+      topc AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 40)
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id) AS INTEGER) AS rank,
+             cs.vec_id AS vec_id, cs.label AS label
+      FROM cs JOIN topc USING (vec_id), qn
+      ORDER BY 1 LIMIT 10""")
+  )
+
+  val all: Seq[Q] =
+    Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116)
 }

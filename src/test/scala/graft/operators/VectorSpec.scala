@@ -304,4 +304,27 @@ class VectorSpec extends SparkSpec {
       assert(got(qid) === expect, s"query $qid")
     }
   }
+
+  test("pqTopK: ADC candidates + exact re-rank keep recall; widening " +
+      "rerank recovers brute force") {
+    val emb = graft.Tables.load(spark, sf, "embeddings")
+    val q = Similarity.firstNCentroids(emb, 1).head
+    val brute = Similarity.cosineTopK(emb, q, 10, excludeId = 0L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val pq = Similarity.pqTopK(emb, q, 10, excludeId = 0L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    // 16-centroid first-N codebook at rerank=40: measured 8/10 on this
+    // corpus; ≥6 leaves head-room without letting a broken encoder pass
+    assert(pq.intersect(brute).size >= 6, s"recall ${pq.intersect(brute).size}/10")
+    // rerank = corpus size degenerates to exact: the ADC stage then only
+    // orders the candidate sweep, and the exact re-rank decides everything
+    val n = emb.count().toInt
+    val full = Similarity.pqTopK(emb, q, 10, rerank = n, excludeId = 0L)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(full === brute)
+    intercept[IllegalArgumentException](
+      Similarity.pqTopK(emb, q, k = 10, rerank = 5)) // rerank < k
+    intercept[IllegalArgumentException](
+      Similarity.pqTopK(emb, q, k = 10, m = 7)) // 64 % 7 != 0
+  }
 }
