@@ -419,4 +419,48 @@ object Corpus {
       .select(col("sa").as("source_a"), col("sb").as("source_b"),
         col("n_union"), col("js_micros"))
   }
+
+  /** Per-source Zipf slope: the least-squares slope of ln(frequency) on
+    * ln(rank) over the source's token frequency table — natural text sits
+    * near −1; flat slopes flag template/boilerplate-heavy sources and
+    * steep ones degenerate vocabularies, making this the corpus-health
+    * diagnostic run next to [[sourceDivergence]] when composing training
+    * mixtures.
+    *
+    * Exactness: ranks are dense integers over the TOTAL order
+    * (count desc, token asc) — no boundary ambiguity; each point's
+    * ln(rank)/ln(count) is one correctly-rounded double from an exact
+    * integer; the four OLS sums ride DECIMAL(28,10)
+    * ([[graft.queries.Exact]]) so they are partition-order independent,
+    * and the slope is computed in one fixed op sequence both engines
+    * evaluate identically.
+    *
+    * Shape at scale: one corpus-sized partial-aggregated shuffle to the
+    * (source, token) counts; the ranking window and the OLS aggregate run
+    * on the vocab-bounded relation (per-source partitions — the
+    * range-partitioned ranking of [[vocabulary]] is the drop-in if a
+    * single source's vocabulary ever outgrows a partition). */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    import graft.queries.Exact
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("source"), explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
+    val rank = row_number().over(Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("tok").asc))
+    val pts = counts
+      .select(col("source"), log(rank.cast(DoubleType)).as("x"),
+        log(col("n").cast(DoubleType)).as("y"))
+    pts.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_points"),
+        Exact.dsum(col("x")).as("sx"), Exact.dsum(col("y")).as("sy"),
+        Exact.dsum(col("x") * col("y")).as("sxy"),
+        Exact.dsum(col("x") * col("x")).as("sxx"))
+      .select(col("source"), col("n_points"), {
+        // degenerate single-point fit → NULL in both engines, not 0/0
+        val num = col("n_points") * col("sxy") - col("sx") * col("sy")
+        val den = col("n_points") * col("sxx") - col("sx") * col("sx")
+        (num / when(den =!= 0.0, den)).as("zipf_slope")
+      })
+  }
 }

@@ -331,6 +331,34 @@ object CorpusQueries {
       FROM w GROUP BY 1""")
   )
 
+  /** Per-source Zipf slope ([[Corpus.zipfSlope]]): OLS of ln(frequency)
+    * on ln(rank) over each source's token frequency table. Ranks are
+    * dense integers over the (count desc, token asc) total order; the
+    * four OLS sums ride the DECIMAL(28,10) discipline; the slope is one
+    * fixed op sequence with a NULLed degenerate denominator on both
+    * sides. */
+  val q117 = Q(
+    "q117_zipf_slope",
+    (spark, dir) => Corpus.zipfSlope(Tables.load(spark, dir, "documents")),
+    Some(s"""WITH c AS (
+        SELECT source, tok, COUNT(*) AS n
+        FROM (SELECT source, unnest($sqlToks) AS tok FROM documents)
+        GROUP BY 1, 2),
+      pts AS (SELECT source,
+          ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY n DESC, tok ASC) AS DOUBLE)) AS x,
+          ln(CAST(n AS DOUBLE)) AS y
+        FROM c),
+      s AS (SELECT source, COUNT(*) AS n_points,
+          ${Exact.sqlSum("x")} AS sx, ${Exact.sqlSum("y")} AS sy,
+          ${Exact.sqlSum("x * y")} AS sxy, ${Exact.sqlSum("x * x")} AS sxx
+        FROM pts GROUP BY 1)
+      SELECT source, n_points,
+        (n_points * sxy - sx * sy) /
+          NULLIF(n_points * sxx - sx * sx, 0) AS zipf_slope
+      FROM s""")
+  )
+
   val all: Seq[Q] =
-    Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114)
+    Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114, q117)
 }

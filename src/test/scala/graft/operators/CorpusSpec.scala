@@ -241,6 +241,37 @@ class CorpusSpec extends SparkSpec {
     assert(out.size === 3)
   }
 
+  test("zipfSlope: OLS on hand counts; single-token source yields NULL") {
+    import spark.implicits._
+    val hand = Seq(
+      (1L, "a a b a", "s1"), (2L, "a b c", "s1"), // a=4, b=2, c=1
+      (3L, "x x", "s2"), (4L, "x", "s2")) // one distinct token: no fit
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.zipfSlope(hand).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), Option(r.getAs[java.lang.Double]("zipf_slope")
+          ).map(_.toDouble)))).toMap
+    val (xs, ys) = (Seq(1.0, 2.0, 3.0).map(math.log),
+      Seq(4.0, 2.0, 1.0).map(math.log))
+    val n = 3.0
+    val expected = (n * xs.zip(ys).map { case (a, b) => a * b }.sum -
+      xs.sum * ys.sum) / (n * xs.map(x => x * x).sum - xs.sum * xs.sum)
+    val (n1, Some(got)) = out("s1")
+    assert(n1 === 3L)
+    assert(math.abs(got - expected) < 1e-6, s"got=$got expected=$expected")
+    assert(got < 0) // frequency falls with rank
+    assert(out("s2") === ((1L, None))) // degenerate fit: NULL, not 0/0
+  }
+
+  test("zipfSlope: every corpus source fits a negative finite slope") {
+    val rows = Corpus.zipfSlope(docs).collect()
+    assert(rows.length === docs.select("source").distinct().count())
+    rows.foreach { r =>
+      val s = r.getAs[Double]("zipf_slope")
+      assert(!s.isNaN && !s.isInfinite && s < 0, s"slope=$s")
+    }
+  }
+
   test("sourceDivergence: a<b pairs, js in [0, ln2] micro-nats on corpus") {
     val rows = Corpus.sourceDivergence(docs).collect()
     val nSources = docs.select("source").distinct().count().toInt
