@@ -105,6 +105,7 @@ object EventAnalytics {
     require(stages.size >= 2, "dwell needs at least two stages")
     require(percentiles.nonEmpty &&
       percentiles.forall(p => p > 0 && p <= 1), s"percentiles=$percentiles")
+    Quantiles.requireDistinctLabels(percentiles)
     val withTimes = chainTimes(events, stages, typeCol, userCol, tsCol)
     val pairs = stages.indices.tail.map { i =>
       struct(
@@ -128,7 +129,7 @@ object EventAnalytics {
       .withColumn("n", sum(col("c")).over(byStage))
     val picks = percentiles.map { p =>
       min(when(col("cum") >= ceil(lit(p) * col("n")), col("dwell_us")))
-        .as(s"p${math.round(p * 100)}_us")
+        .as(s"${Quantiles.pLabel(p)}_us")
     }
     ranked.groupBy(col("stage_idx"), col("stage_from"), col("stage_to"))
       .agg(max(col("n")).as("n_users"), picks: _*)

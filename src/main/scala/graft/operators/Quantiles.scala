@@ -13,6 +13,26 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Column-label stem for percentile p: tenth-of-a-percent precision,
+    * trailing zero dropped — 0.5→"p50", 0.99→"p99", 0.995→"p99_5",
+    * 0.001→"p0_1". Rounding to per-mille means ps closer than 0.0005
+    * still collide, so every caller must also [[requireDistinctLabels]]
+    * — a collision would surface as a duplicate output column, an
+    * opaque downstream failure. */
+  def pLabel(p: Double): String = {
+    val mille = math.round(p * 1000)
+    if (mille % 10 == 0) s"p${mille / 10}" else s"p${mille / 10}_${mille % 10}"
+  }
+
+  /** Fail fast (with the colliding ps named) rather than emit duplicate
+    * column names. */
+  def requireDistinctLabels(ps: Seq[Double]): Unit = {
+    val dup = ps.groupBy(pLabel).filter(_._2.size > 1)
+    require(dup.isEmpty,
+      s"percentile labels collide at per-mille precision: " +
+        dup.map { case (l, vs) => s"$l<=${vs.mkString(",")}" }.mkString("; "))
+  }
+
   /** Per-group exact nearest-rank quantiles of `valueCol`: for each
     * requested p, the smallest value whose cumulative count reaches
     * `ceil(p·n)` — an actual data value, no interpolation (the
@@ -28,6 +48,7 @@ object Quantiles {
   def exactGroupQuantiles(df: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1), s"ps=$ps")
+    requireDistinctLabels(ps)
     val hist = df.groupBy(col(groupCol), col(valueCol))
       .agg(count(lit(1)).as("c"))
     val byGroup = Window.partitionBy(col(groupCol))
@@ -38,7 +59,7 @@ object Quantiles {
       .withColumn("n", sum(col("c")).over(byGroup))
     val picks = ps.map { p =>
       min(when(col("cum") >= ceil(lit(p) * col("n")), col(valueCol)))
-        .as(s"p${math.round(p * 100)}")
+        .as(pLabel(p))
     }
     ranked.groupBy(col(groupCol))
       .agg(max(col("n")).as("n"), picks: _*)

@@ -207,7 +207,8 @@ object ParityQueries {
   )
 
   /** Staged events carved into 6 contiguous TIME-SLICED parquet files
-    * (plus q65's far-future sentinel), written with distinct mtimes so the
+    * (plus q65's far-future sentinel), each slice's files stamped with an
+    * explicit strictly-increasing mtime ([[stampSliceMtimes]]) so the
     * file-stream source replays them oldest-slice-first. At
     * maxFilesPerTrigger=2 the replay becomes multiple micro-batches whose
     * intermediate watermarks finalize and EVICT sessions mid-replay — the
@@ -217,6 +218,29 @@ object ParityQueries {
     * work — the same contract as [[stagedEventsDir]]'s staging writes. */
   private val stagedSlicedEvents =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Stamp every not-yet-stamped parquet part file in `dir` with the
+    * given epoch-second mtime. Explicit `Files.setLastModifiedTime` with
+    * an increasing counter, NOT a sleep between writes: on filesystems
+    * with coarse (1 s) mtime granularity a short sleep can leave slices
+    * sharing an mtime, making the file-stream source's arrival order —
+    * and thus the multi-batch watermark path being exercised —
+    * nondeterministic. The absolute epoch is an arbitrary fixed past
+    * instant; the source's maxFileAge is relative to the NEWEST file's
+    * mtime, so only the ordering matters. */
+  private def stampSliceMtimes(dir: String,
+      stamped: scala.collection.mutable.Set[String], epochSec: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filterNot(f => stamped.contains(f.getName))
+      .foreach { f =>
+        Files.setLastModifiedTime(Paths.get(f.getPath),
+          FileTime.from(java.time.Instant.ofEpochSecond(epochSec)))
+        stamped += f.getName
+      }
+  }
   private def stagedSlicedEventsDir(spark: org.apache.spark.sql.SparkSession,
       dir: String): String =
     stagedSlicedEvents.getOrElseUpdate(dir, {
@@ -229,15 +253,17 @@ object ParityQueries {
         .withColumn("slice",
           ntile(6).over(Window.orderBy(col("ts"), col("event_id"))))
         .localCheckpoint()
+      val stamped = scala.collection.mutable.Set.empty[String]
       for (i <- 1 to 6) {
         sliced.filter(col("slice") === i).drop("slice")
           .coalesce(1).write.mode("append").parquet(t)
-        Thread.sleep(30) // distinct mtimes → deterministic arrival order
+        stampSliceMtimes(t, stamped, 1600000000L + i)
       }
       val far = new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000)
       Seq((-1L, far, -1L, "sentinel", 0.0, "{}"))
         .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
         .coalesce(1).write.mode("append").parquet(t)
+      stampSliceMtimes(t, stamped, 1600000000L + 7)
       t
     })
 

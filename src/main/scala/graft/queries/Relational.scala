@@ -560,13 +560,20 @@ object Relational {
     * plain GROUP BY exactly (absent (day, type) cells pivot to NULL and
     * are dropped on the melt — the only rows the direct aggregate never
     * had). The oracle IS that direct aggregate: equality proves the
-    * reshape pair is lossless. */
+    * reshape pair is lossless. The pivot value list is derived from the
+    * data (sorted distinct event_type — one tiny
+    * domain-cardinality-bounded collect, the mixToWeights contract)
+    * rather than hardcoded: a generator-added type would otherwise be
+    * silently dropped by the pivot while the direct-aggregate oracle
+    * kept it, surfacing as an opaque hash mismatch. */
   val q112 = Q(
     "q112_unpivot_daily",
     (spark, dir) => {
       import spark.implicits._
-      val types = Seq("click", "error", "purchase", "signup", "view")
-      Tables.load(spark, dir, "events")
+      val events = Tables.load(spark, dir, "events")
+      val types = events.select($"event_type").distinct()
+        .collect().map(_.getString(0)).sorted.toSeq
+      events
         .select(to_date($"ts").as("day"), $"event_type")
         .groupBy($"day")
         .pivot("event_type", types)

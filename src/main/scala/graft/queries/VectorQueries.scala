@@ -529,7 +529,13 @@ object VectorQueries {
     * summed squared double differences with the smallest-id tie-break,
     * ADC = per-subspace query·centroid dots summed over the code
     * assignment, then the shared exact-cosine re-rank. Output is
-    * integer-only (rank, vec_id, label) — the q79 contract. */
+    * integer-only (rank, vec_id, label) — the q79 contract. The oracle's
+    * dist/qt/adc sums are ordered list folds (`list_sum(list(... ORDER
+    * BY i)))`), pinning DuckDB's accumulation to the same sequential
+    * element order Spark's `aggregate`-over-`zip_with` (and the
+    * driver-side ADC table build) uses — per the Exact.scala discipline,
+    * unordered parallel SUM could flip the exact-equality centroid
+    * tie-break or the rerank cutoff by one ulp. */
   val q116 = Q(
     "q116_pq_topk",
     (spark, dir) => ranked(Similarity.pqTopK(
@@ -549,18 +555,18 @@ object VectorQueries {
                       unnest(generate_series(1, len(embedding))) AS pos
                     FROM embeddings)),
       d AS (SELECT p.vec_id, p.s, cb.j,
-              SUM((p.x - cb.c) * (p.x - cb.c)) AS dist
+              list_sum(list((p.x - cb.c) * (p.x - cb.c) ORDER BY p.i)) AS dist
             FROM pu2 p JOIN cb ON cb.s = p.s AND cb.i = p.i
             GROUP BY 1, 2, 3),
       code AS (SELECT vec_id, s, j FROM (
                SELECT vec_id, s, j, ROW_NUMBER() OVER (
                  PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM d)
              WHERE rn = 1),
-      qt AS (SELECT cb.s, cb.j, SUM(qq.x * cb.c) AS t
+      qt AS (SELECT cb.s, cb.j, list_sum(list(qq.x * cb.c ORDER BY qq.i)) AS t
              FROM (SELECT s, i, x FROM pu2 WHERE vec_id = 0) qq
              JOIN cb ON cb.s = qq.s AND cb.i = qq.i
              GROUP BY 1, 2),
-      adc AS (SELECT c.vec_id, SUM(qt.t) AS adc
+      adc AS (SELECT c.vec_id, list_sum(list(qt.t ORDER BY c.s)) AS adc
               FROM code c JOIN qt ON qt.s = c.s AND qt.j = c.j
               WHERE c.vec_id <> 0 GROUP BY 1),
       topc AS (SELECT vec_id FROM adc ORDER BY adc DESC, vec_id LIMIT 40)

@@ -16,6 +16,29 @@ class StreamingSpec extends SparkSpec {
     d
   }
 
+  /** Explicit strictly-increasing mtimes for staged slice files (counter
+    * per directory), replacing sleep-between-writes: coarse (1 s) mtime
+    * filesystems could leave slices sharing an mtime, making the
+    * file-stream source's arrival order nondeterministic. Mirrors
+    * ParityQueries.stampSliceMtimes. */
+  private val mtimeState =
+    scala.collection.mutable.Map.empty[String, (scala.collection.mutable.Set[String], Long)]
+  private def stampNewFiles(dir: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val (stamped, tick) =
+      mtimeState.getOrElseUpdate(dir, (scala.collection.mutable.Set.empty[String], 1600000000L))
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .filterNot(f => stamped.contains(f.getName))
+      .foreach { f =>
+        Files.setLastModifiedTime(Paths.get(f.getPath),
+          FileTime.from(java.time.Instant.ofEpochSecond(tick)))
+        stamped += f.getName
+      }
+    mtimeState(dir) = (stamped, tick + 1)
+  }
+
   test("tumbling-window streaming counts equal the batch group-by") {
     val stream = EventsStream.fromParquetDir(spark, eventsDir)
     EventsStream.replayToMemory(
@@ -166,7 +189,7 @@ class StreamingSpec extends SparkSpec {
     files.foreach { f =>
       spark.createDataFrame(spark.sparkContext.parallelize(f, 1), ev.schema)
         .write.mode("append").parquet(d)
-      Thread.sleep(30) // distinct mtimes → deterministic file order
+      stampNewFiles(d)
     }
     // sentinel last file: flushes the final watermark horizon (q65 shape)
     val far = new java.sql.Timestamp(
@@ -174,6 +197,7 @@ class StreamingSpec extends SparkSpec {
     Seq((-1L, far, -1L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .repartition(1).write.mode("append").parquet(d)
+    stampNewFiles(d)
 
     val q = EventsStream.sessionCounts(
         EventsStream.fromParquetDir(spark, d, maxFilesPerTrigger = Some(2)),
@@ -224,7 +248,7 @@ class StreamingSpec extends SparkSpec {
     def writeSlices(r: Range): Unit = r.foreach { i =>
       sliced.filter(col("slice") === i).drop("slice")
         .coalesce(1).write.mode("append").parquet(in)
-      Thread.sleep(30) // distinct mtimes → deterministic arrival order
+      stampNewFiles(in)
     }
     def run(): Unit = EventsStream.replayToParquet(
       EventsStream.sessionCounts(
@@ -242,6 +266,7 @@ class StreamingSpec extends SparkSpec {
         -1L, "sentinel", 0.0, "{}"))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("append").parquet(in)
+    stampNewFiles(in) // sentinel must carry the NEWEST mtime (maxFileAge)
     run() // RESTART from the same checkpoint
 
     val streamed = spark.read.parquet(out).filter($"user_id" >= 0).collect()
