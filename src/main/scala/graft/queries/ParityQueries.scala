@@ -68,7 +68,7 @@ object ParityQueries {
   }
 
   /** Fresh temp directory, recursively deleted at JVM exit. */
-  private def scratchDir(prefix: String): String = {
+  private[queries] def scratchDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
     scratchDirs.add(p)
     p.toString

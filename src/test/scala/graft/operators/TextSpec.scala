@@ -137,6 +137,36 @@ class TextSpec extends SparkSpec {
     assert(lsh === exact)
   }
 
+  test("incremental minhash dedup against a persisted index equals the " +
+      "batch operator filtered to pairs touching the new batch") {
+    val docs = Tables.load(spark, sf, "documents")
+    val idxPath = tmpDir("graft-mh-index")
+    Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 2 === 0), k = 32,
+      path = idxPath)
+    val idx = spark.read.parquet(idxPath)
+    // the index carries everything verification needs
+    assert(idx.columns.toSet === Set("doc_id", "sig", "shingles", "n_shingles"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("jaccard") * 1e9))).toSet
+    val inc = pairs(Dedup.minHashNearDupsIncremental(
+      docs.filter(col("doc_id") % 2 =!= 0), idx,
+      k = 32, rowsPerBand = 4, threshold = 0.5))
+    val full = pairs(Dedup.minHashNearDups(docs, k = 32, rowsPerBand = 4,
+      threshold = 0.5)).filter { case (a, b, _) => a % 2 == 1 || b % 2 == 1 }
+    assert(inc === full)
+    // indexed-vs-indexed pairs (batch 1's own report) never re-emit
+    assert(!inc.exists { case (a, b, _) => a % 2 == 0 && b % 2 == 0 })
+    // append cadence: adding batch 2 to the index leaves a batch-3 run
+    // with nothing new to report against an unchanged corpus
+    Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 2 =!= 0), k = 32,
+      path = idxPath, mode = "append")
+    val idx2 = spark.read.parquet(idxPath)
+    assert(idx2.count() === docs.count())
+    assert(Dedup.minHashNearDupsIncremental(docs.limit(0), idx2,
+      k = 32, rowsPerBand = 4, threshold = 0.5).count() === 0L)
+  }
+
   test("simhash: 64-bit signatures, deterministic, one per doc") {
     val a = Dedup.simHash(Tables.load(spark, sf, "documents")).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
