@@ -816,7 +816,40 @@ object Relational {
       FROM events GROUP BY 1""")
   )
 
+  /** q115's AQE twin: the SAME join and rollup, but as a forced
+    * shuffle-merge join under the session's adaptive execution
+    * (`spark.sql.adaptive.skewJoin.enabled` is on in
+    * [[graft.GraftSession]]) instead of the manual salt rewrite. The
+    * `merge` hint pins the plan AQE's skew handling applies to —
+    * without it the small orders side broadcasts at test scale and
+    * there is no exchange for AQE to split. Same oracle as q115: both
+    * rewrites must be result-identical to the plain join.
+    *
+    * The 100 TB division of labor (SkewSpec demonstrates both halves,
+    * PLANS.md prices them): AQE splits oversized SHUFFLE PARTITIONS at
+    * runtime from actual map statistics — zero replication cost, the
+    * default choice when a sort-merge join is already the plan — but it
+    * cannot reach broadcast-averse hot keys inside an aggregation or a
+    * join the optimizer refuses to shuffle; the salt rewrite (q115)
+    * is the manual fallback that pre-splits the KEY itself at
+    * saltFactor× replication cost. */
+  val q120 = Q(
+    "q120_aqe_skew_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val li = Tables.load(spark, dir, "lineitem")
+        .select($"l_orderkey", $"l_linenumber", $"l_extendedprice")
+      val ord = Tables.load(spark, dir, "orders")
+        .select($"o_orderkey".as("l_orderkey"), $"o_orderpriority")
+      li.hint("merge").join(ord, Seq("l_orderkey"))
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n_items"),
+          dsum($"l_extendedprice").as("total_price"))
+    },
+    q115.oracle
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
-    q47, q48, q49, q80, q82, q109, q110, q111, q112, q113, q115)
+    q47, q48, q49, q80, q82, q109, q110, q111, q112, q113, q115, q120)
 }

@@ -577,6 +577,163 @@ object VectorQueries {
       ORDER BY 1 LIMIT 10""")
   )
 
+  // -- q119: recall@10 of every ANN method vs the exact top-10, in-band ----
+
+  /** The IVF probe-and-rank CTE chain of [[ivfOracle]], prefix-renamed so
+    * two centroid variants can coexist in one statement; ends at
+    * `<pre>top`, that method's top-10 vec_ids. */
+  private def ivfTopCtes(pre: String, ctSql: String): String = s"""
+    ${pre}ct AS ($ctSql),
+    ${pre}du AS (SELECT e.vec_id AS vid, c.cell, unnest(e.embedding) AS ev, unnest(c.ce) AS cv
+           FROM embeddings e CROSS JOIN ${pre}ct c),
+    ${pre}dc AS (SELECT vid, cell, SUM(CAST(ev AS DOUBLE)*CAST(cv AS DOUBLE)) AS dot
+           FROM ${pre}du GROUP BY vid, cell),
+    ${pre}mx AS (SELECT vid, MAX(dot) AS md FROM ${pre}dc GROUP BY vid),
+    ${pre}asg AS (SELECT d.vid, MIN(d.cell) AS cell
+            FROM ${pre}dc d JOIN ${pre}mx m ON d.vid = m.vid AND d.dot = m.md GROUP BY d.vid),
+    ${pre}pr AS (SELECT cell FROM ${pre}dc WHERE vid = 0 ORDER BY dot DESC, cell LIMIT 2),
+    ${pre}top AS (SELECT cs.vec_id
+            FROM cs JOIN ${pre}asg a ON cs.vec_id = a.vid
+              JOIN ${pre}pr p ON a.cell = p.cell, qn
+            WHERE cs.vec_id <> 0
+            ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id LIMIT 10)"""
+
+  /** Every ANN method's top-10 restated as a vec_id CTE (q31/q34/q50/q79/
+    * q116's oracle chains, prefix-renamed), joined against the exact
+    * top-10 — the whole statement is the five sibling oracles composed. */
+  private def q119Oracle(ikCtSql: String): String = {
+    val ps = q31Planes.map(planeLit)
+    s"""WITH $cosineCtes,
+      ex AS (SELECT cs.vec_id FROM cs, qn WHERE cs.vec_id <> 0
+             ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id LIMIT 10),
+      l_bu AS (SELECT vec_id, unnest(embedding) AS ev,
+                 unnest(${ps(0)}) AS p0, unnest(${ps(1)}) AS p1,
+                 unnest(${ps(2)}) AS p2, unnest(${ps(3)}) AS p3
+               FROM embeddings),
+      l_bd AS (SELECT vec_id,
+                 SUM(CAST(ev AS DOUBLE)*p0) AS d0, SUM(CAST(ev AS DOUBLE)*p1) AS d1,
+                 SUM(CAST(ev AS DOUBLE)*p2) AS d2, SUM(CAST(ev AS DOUBLE)*p3) AS d3
+               FROM l_bu GROUP BY vec_id),
+      l_bk AS (SELECT vec_id,
+                 (CASE WHEN d0 >= 0 THEN 1 ELSE 0 END) +
+                 (CASE WHEN d1 >= 0 THEN 2 ELSE 0 END) +
+                 (CASE WHEN d2 >= 0 THEN 4 ELSE 0 END) +
+                 (CASE WHEN d3 >= 0 THEN 8 ELSE 0 END) AS bucket
+               FROM l_bd),
+      l_qb AS (SELECT bucket AS qbucket FROM l_bk WHERE vec_id = 0),
+      l_top AS (SELECT cs.vec_id
+                FROM cs JOIN l_bk ON cs.vec_id = l_bk.vec_id, l_qb, qn
+                WHERE l_bk.bucket = l_qb.qbucket AND cs.vec_id <> 0
+                ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id LIMIT 10),
+      ${ivfTopCtes("i8_",
+        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             embedding AS ce
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)""")},
+      ${ivfTopCtes("ik_", ikCtSql)},
+      s_pu AS (SELECT vec_id, unnest(embedding) AS ev,
+                 unnest(generate_series(1, len(embedding))) AS pos
+               FROM embeddings),
+      s_nrm AS (SELECT vec_id, SQRT(SUM(CAST(ev AS DOUBLE)*CAST(ev AS DOUBLE))) AS nm
+                FROM s_pu GROUP BY 1),
+      s_scl AS (SELECT MAX(mx / nm) AS scale
+                FROM (SELECT vec_id, MAX(ABS(CAST(ev AS DOUBLE))) AS mx
+                      FROM s_pu GROUP BY 1) JOIN s_nrm USING (vec_id)
+                WHERE nm > 0),
+      s_cd AS (SELECT s_pu.vec_id, s_pu.pos,
+                 CASE WHEN nm = 0 THEN 0
+                      ELSE CAST(ROUND(CAST(s_pu.ev AS DOUBLE) / nm * 127.0 / scale) AS INTEGER)
+                 END AS code
+               FROM s_pu JOIN s_nrm USING (vec_id), s_scl),
+      s_qc AS (SELECT pos, code FROM s_cd WHERE vec_id = 0),
+      s_qd AS (SELECT s_cd.vec_id, SUM(s_cd.code * s_qc.code) AS qdot
+               FROM s_cd JOIN s_qc USING (pos) WHERE s_cd.vec_id <> 0 GROUP BY 1),
+      s_topc AS (SELECT vec_id FROM s_qd ORDER BY qdot DESC, vec_id LIMIT 20),
+      s_top AS (SELECT cs.vec_id FROM cs JOIN s_topc USING (vec_id), qn
+                ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id LIMIT 10),
+      p_fb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+                 embedding AS ce
+               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      p_cb AS (SELECT j, CAST((pos - 1) // 8 AS INTEGER) AS s,
+                 CAST((pos - 1) % 8 AS INTEGER) AS i, CAST(c AS DOUBLE) AS c
+               FROM (SELECT j, unnest(ce) AS c,
+                       unnest(generate_series(1, len(ce))) AS pos FROM p_fb)),
+      p_pu AS (SELECT vec_id, CAST((pos - 1) // 8 AS INTEGER) AS s,
+                 CAST((pos - 1) % 8 AS INTEGER) AS i, CAST(ev AS DOUBLE) AS x
+               FROM (SELECT vec_id, unnest(embedding) AS ev,
+                       unnest(generate_series(1, len(embedding))) AS pos
+                     FROM embeddings)),
+      p_d AS (SELECT p.vec_id, p.s, c.j,
+                list_sum(list((p.x - c.c) * (p.x - c.c) ORDER BY p.i)) AS dist
+              FROM p_pu p JOIN p_cb c ON c.s = p.s AND c.i = p.i
+              GROUP BY 1, 2, 3),
+      p_code AS (SELECT vec_id, s, j FROM (
+                 SELECT vec_id, s, j, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM p_d)
+               WHERE rn = 1),
+      p_qt AS (SELECT c.s, c.j, list_sum(list(qq.x * c.c ORDER BY qq.i)) AS t
+               FROM (SELECT s, i, x FROM p_pu WHERE vec_id = 0) qq
+               JOIN p_cb c ON c.s = qq.s AND c.i = qq.i
+               GROUP BY 1, 2),
+      p_adc AS (SELECT c.vec_id, list_sum(list(p_qt.t ORDER BY c.s)) AS adc
+                FROM p_code c JOIN p_qt ON p_qt.s = c.s AND p_qt.j = c.j
+                WHERE c.vec_id <> 0 GROUP BY 1),
+      p_topc AS (SELECT vec_id FROM p_adc ORDER BY adc DESC, vec_id LIMIT 40),
+      p_top AS (SELECT cs.vec_id FROM cs JOIN p_topc USING (vec_id), qn
+                ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id LIMIT 10)
+      SELECT 'lsh' AS method, COUNT(*) AS hits_at_10 FROM l_top JOIN ex USING (vec_id)
+      UNION ALL
+      SELECT 'ivf_first8', COUNT(*) FROM i8_top JOIN ex USING (vec_id)
+      UNION ALL
+      SELECT 'ivf_kmeans', COUNT(*) FROM ik_top JOIN ex USING (vec_id)
+      UNION ALL
+      SELECT 'sq8', COUNT(*) FROM s_top JOIN ex USING (vec_id)
+      UNION ALL
+      SELECT 'pq', COUNT(*) FROM p_top JOIN ex USING (vec_id)"""
+  }
+
+  /** Recall@10 of every ANN method vs the exact top-10 (q30), as a
+    * DECLARED query: (method, hits_at_10) with hits an integer count —
+    * the recall floor is pinned in-band by the driver's hash check, not
+    * just spec-asserted. Each method runs its production operator; the
+    * left join against the exact id set and the per-method count are
+    * distributed (no collect — every relation is ≤ k rows after the
+    * top-k aggregates). The oracle recomputes all five ANN chains AND
+    * the exact ranking from the table itself (the five sibling oracles
+    * composed, prefix-renamed), so a recall regression in EITHER engine
+    * breaks the hash. */
+  val q119 = Q(
+    "q119_ann_recall",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val q = queryVec(spark, dir)
+      val exact = Similarity.cosineTopK(emb, q, k = 10, excludeId = 0L)
+        .select(col("vec_id")).withColumn("hit", lit(1))
+      val methods: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "lsh" -> Similarity.annTopK(emb, q, k = 10, nPlanes = 4, seed = 42L,
+          excludeId = 0L),
+        "ivf_first8" -> Similarity.ivfTopKWith(emb, q, k = 10,
+          first8(spark, dir), nProbe = 2, excludeId = 0L),
+        "ivf_kmeans" -> Similarity.ivfTopKWith(emb, q, k = 10,
+          q50Centroids(spark, dir), nProbe = 2, excludeId = 0L),
+        "sq8" -> Similarity.quantizedTopK(emb, q, k = 10,
+          Similarity.sq8Scale(emb), rerank = 20, excludeId = 0L),
+        "pq" -> Similarity.pqTopK(emb, q, k = 10, m = 8, kCent = 16,
+          rerank = 40, excludeId = 0L))
+      methods.map { case (name, df) =>
+        df.select(lit(name).as("method"), col("vec_id"))
+      }.reduce(_ union _)
+        .join(exact, Seq("vec_id"), "left")
+        .groupBy(col("method"))
+        .agg(sum(coalesce(col("hit"), lit(0))).as("hits_at_10"))
+    },
+    None,
+    oracleGen = Some((spark, dir) => {
+      val rows = q50Centroids(spark, dir).zipWithIndex
+        .map { case (c, i) => s"($i, ${planeLit(c)})" }.mkString(", ")
+      q119Oracle(s"SELECT CAST(cell AS INTEGER) AS cell, ce FROM (VALUES $rows) AS t(cell, ce)")
+    })
+  )
+
   val all: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116)
+    Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119)
 }
