@@ -243,6 +243,125 @@ object Multimodal {
     }
   }
 
+  /** Perceptual dHash over decoded pixels: grayscale block means on a
+    * (grid+1)×grid grid (so horizontally adjacent blocks overlap nothing
+    * and every row yields `grid` comparisons), bit (bx, by) set iff the
+    * left block is strictly brighter than its right neighbor. Bit index =
+    * by·grid+bx, row-major — 64 bits at the default grid 8.
+    *
+    * The whole contract is INTEGER: per-block sums of the BT.601-weighted
+    * gray 299r+587g+114b, and the brightness comparison runs on exact
+    * cross-products (sumL·cntR > sumR·cntL) instead of dividing — no
+    * float anywhere, so a pure-arithmetic oracle reproduces every bit.
+    * Brightness shifts move both sides of each comparison together, which
+    * is what makes dHash robust to the re-encode/brightness edits that
+    * break exact byte dedup (q23's md5) on images. Degenerate inputs
+    * (width < grid+1 or height < grid) leave empty blocks whose
+    * comparisons are all-false rather than erroring. */
+  def dHash(im: java.awt.image.BufferedImage, grid: Int = 8): Long = {
+    val w = im.getWidth
+    val h = im.getHeight
+    val cols = grid + 1
+    val sums = Array.ofDim[Long](cols * grid)
+    val counts = Array.ofDim[Long](cols * grid)
+    var y = 0
+    while (y < h) {
+      val by = math.min(y * grid / h, grid - 1)
+      var x = 0
+      while (x < w) {
+        val bx = math.min(x * cols / w, cols - 1)
+        val p = im.getRGB(x, y)
+        val gray = 299L * ((p >>> 16) & 0xff) + 587L * ((p >>> 8) & 0xff) +
+          114L * (p & 0xff)
+        sums(by * cols + bx) += gray
+        counts(by * cols + bx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    var by = 0
+    while (by < grid) {
+      var bx = 0
+      while (bx < grid) {
+        val l = by * cols + bx
+        val r = l + 1
+        if (sums(l) * counts(r) > sums(r) * counts(l))
+          bits |= 1L << (by * grid + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    bits
+  }
+
+  /** (media_id, dhash) via the REAL ImageIO decode path — the same
+    * per-partition batching and drop-undecodable contract as
+    * [[decodeImageIO]]; row-local, no shuffle. */
+  def dHashImages(media: Dataset[Media], grid: Int = 8): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        img.map(im => (m.media_id, dHash(im, grid)))
+      }
+    }.toDF("media_id", "dhash")
+  }
+
+  /** Pixel function of near-duplicate `base`: the base image with a
+    * sparse deterministic edit — every ~29th pixel gets two red bits
+    * flipped (XOR keeps it pure integer arithmetic, no clamping). Sparse
+    * enough that block means move only slightly (small dHash Hamming
+    * distance), but every payload byte run differs (exact dedup misses
+    * it). */
+  def dupPixel(base: Long, x: Int, y: Int): Int = {
+    val p = syntheticPixel(base, x, y)
+    if ((x * 7 + y * 11) % 29 == 0) p ^ 0x180000 else p
+  }
+
+  /** Dimensions of the dup-corpus images — larger than
+    * [[syntheticPngCorpus]]'s so every (grid+1)×grid dHash block is
+    * populated at grid 8. */
+  def dupPngWidth(id: Long): Int = (id % 8 + 18).toInt
+  def dupPngHeight(id: Long): Int = (id % 6 + 12).toInt
+
+  /** PNG corpus with PLANTED NEAR-DUPLICATES: ids [0, nBase) are base
+    * images (pixel content [[syntheticPixel]], dims [[dupPngWidth]]×
+    * [[dupPngHeight]]); ids [nBase, nBase+nDups) are [[dupPixel]] edits
+    * of base (id − nBase) at the same dimensions. Same executor-side PNG
+    * encoding as [[syntheticPngCorpus]]. */
+  def syntheticPngDupCorpus(spark: SparkSession, nBase: Int,
+      nDups: Int): Dataset[Media] = {
+    import spark.implicits._
+    require(nDups <= nBase, s"nDups=$nDups > nBase=$nBase")
+    spark.range(nBase + nDups).map { boxed =>
+      val id = boxed.toLong
+      val base = if (id < nBase) id else id - nBase
+      val w = dupPngWidth(base)
+      val h = dupPngHeight(base)
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          im.setRGB(x, y,
+            if (id < nBase) syntheticPixel(id, x, y) else dupPixel(base, x, y))
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(im, "png", bos)
+      Media(id, "image", bos.toByteArray, MediaMeta(None, None, None, None))
+    }
+  }
+
   /** Metadata-level ops (no payload decode needed): resize target
     * bookkeeping and uniform frame sampling — pure column arithmetic,
     * fully codegen'd. */

@@ -699,6 +699,50 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(graft.functions.SimHashAgg.simhash(col("tok")).as("simhash"))
 
+  /** Near-duplicate pairs over any 64-bit signature relation (SimHash
+    * text signatures, perceptual image dHashes): every pair whose
+    * signatures differ in at most `maxHamming` bits.
+    *
+    * Candidates come from HAMMING BANDING — the signature is cut into
+    * `nBands` contiguous bit chunks and pairs sharing ANY chunk value
+    * become candidates. Pigeonhole-LOSSLESS for maxHamming < nBands: a
+    * pair with ≤ maxHamming differing bits has at least one chunk with
+    * zero of them, so the banded result EQUALS the all-pairs scan (the
+    * prefix-filter argument in bit space; callers must pass
+    * nBands > maxHamming, enforced). Verification is one codegen'd
+    * `bit_count(xor)` per candidate — no arrays shipped, the signatures
+    * ARE the rows.
+    *
+    * 100 TB shape: the banding join shuffles (band, chunk) keyed rows —
+    * 8 bytes of signature per row, never payloads or vectors; chunk
+    * population is 2^(64/nBands)-bounded under random bits, and a hot
+    * chunk (constant image regions) is a salting candidate like any hot
+    * key. */
+  def hammingNearDupPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int, nBands: Int = 4): DataFrame = {
+    require(nBands > maxHamming,
+      s"nBands=$nBands must exceed maxHamming=$maxHamming for lossless banding")
+    require(64 % nBands == 0, s"nBands=$nBands must divide 64")
+    val width = 64 / nBands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val bandStructs = (0 until nBands).map { j =>
+      struct(lit(j).as("band"),
+        shiftright(col(sigCol), j * width).bitwiseAND(lit(mask)).as("chunk"))
+    }
+    val bands = sigs
+      .select(col(idCol).as("id"), col(sigCol).as("sig"),
+        explode(array(bandStructs: _*)).as("b"))
+      .select(col("id"), col("sig"),
+        col("b.band").as("band"), col("b.chunk").as("chunk"))
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** Compositional SimHash (explode 64 rows per token → groupBy-sum votes):
     * the reference formulation [[simHash]] is verified against — 64× the
     * pre-shuffle rows, kept only as the test oracle for the aggregate.

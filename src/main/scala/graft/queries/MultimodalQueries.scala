@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.multimodal.Multimodal
+import graft.operators.Dedup
 
 /** Driver-verified slice of the multimodal surface: the metadata-level
   * operators (resize-target planning, uniform frame sampling) are pure
@@ -181,5 +182,68 @@ object MultimodalQueries {
     }
   )
 
-  val all: Seq[Q] = Seq(q55, q56, q73, q74)
+  // -- q121: image near-dup (perceptual dHash + Hamming banding) ------------
+
+  private val nDupBase = 40
+  private val nDupDups = 12
+
+  /** Driver-side mirror of a dup-corpus image's dHash: build the pixels
+    * from the shared pure functions (no codec) and run the SAME
+    * `Multimodal.dHash` the executor runs — single-sourced arithmetic,
+    * the mirrorFeatures pattern. */
+  private[graft] def mirrorDHash(id: Long): Long = {
+    val base = if (id < nDupBase) id else id - nDupBase
+    val w = Multimodal.dupPngWidth(base)
+    val h = Multimodal.dupPngHeight(base)
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        im.setRGB(x, y,
+          if (id < nDupBase) Multimodal.syntheticPixel(id, x, y)
+          else Multimodal.dupPixel(base, x, y))
+        x += 1
+      }
+      y += 1
+    }
+    Multimodal.dHash(im, grid = 8)
+  }
+
+  /** Image NEAR-dup detection on a planted-duplicate PNG corpus: REAL
+    * ImageIO decode → perceptual dHash (integer-exact gradient bits) →
+    * Hamming-banded candidate pairs → exact `bit_count(xor)` verify
+    * ([[graft.operators.Dedup.hammingNearDupPairs]], lossless for
+    * maxHamming < nBands). The planted dups are sparse pixel edits that
+    * defeat byte-exact dedup but land within a few dHash bits; the
+    * oracle recomputes every hash with pure arithmetic (driver-side
+    * mirror of the same single-sourced dHash, q73's contract) and
+    * brute-forces all pairs — equality proves both the codec path and
+    * the banding's losslessness. */
+  val q121 = Q(
+    "q121_image_near_dups",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      Dedup.hammingNearDupPairs(
+        Multimodal.dHashImages(
+          Multimodal.syntheticPngDupCorpus(spark, nDupBase, nDupDups), grid = 8),
+        idCol = "media_id", sigCol = "dhash", maxHamming = 5, nBands = 8)
+        .select(col("id_a").as("media_a"), col("id_b").as("media_b"),
+          col("hamming"))
+    },
+    Some {
+      val rows = (0L until (nDupBase + nDupDups)).map { id =>
+        s"($id, ${mirrorDHash(id)})"
+      }.mkString(", ")
+      s"""WITH hs AS (SELECT CAST(id AS BIGINT) AS media_id, CAST(h AS BIGINT) AS dhash
+               FROM (VALUES $rows) AS t(id, h))
+      SELECT a.media_id AS media_a, b.media_id AS media_b,
+        CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      FROM hs a JOIN hs b ON a.media_id < b.media_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= 5"""
+    }
+  )
+
+  val all: Seq[Q] = Seq(q55, q56, q73, q74, q121)
 }

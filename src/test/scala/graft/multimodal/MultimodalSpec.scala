@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import graft.{SparkSpec, Tables}
+import graft.operators.Dedup
 
 /** Multimodal plumbing: schema, batched decode shape, determinism. */
 class MultimodalSpec extends SparkSpec {
@@ -96,6 +97,60 @@ class MultimodalSpec extends SparkSpec {
       val (tw, th) = (r.getAs[Int]("target_width"), r.getAs[Int]("target_height"))
       assert(tw <= 32 && th <= 32)
       assert((w >= h) === (tw >= th))
+    }
+  }
+
+  test("dHash: brightness-shift invariant, sensitive to structure, " +
+      "decode path matches the pure mirror") {
+    def img(w: Int, h: Int, px: (Int, Int) => Int) = {
+      val im = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) im.setRGB(x, y, px(x, y))
+      im
+    }
+    def px(x: Int, y: Int) = Multimodal.syntheticPixel(99L, x, y)
+    val base = Multimodal.dHash(img(20, 14, px))
+    // uniform brightness shift moves both sides of every block comparison
+    // together: hash unchanged (what byte-exact dedup can never give)
+    def brighter(x: Int, y: Int) = {
+      val p = px(x, y)
+      def lift(c: Int) = math.min(255, c + 40)
+      (lift((p >>> 16) & 0xff) << 16) | (lift((p >>> 8) & 0xff) << 8) | lift(p & 0xff)
+    }
+    assert(Multimodal.dHash(img(20, 14, brighter)) === base)
+    // structural change (transpose-ish reshuffle) moves many bits
+    val other = Multimodal.dHash(img(20, 14, (x, y) => px(y % 20, x % 14)))
+    assert(java.lang.Long.bitCount(base ^ other) > 10)
+    // executor decode path = driver mirror, image by image (q121's corpus
+    // shape, whose mirror splits base/dup at id 40)
+    val decoded = Multimodal.dHashImages(
+      Multimodal.syntheticPngDupCorpus(spark, nBase = 40, nDups = 12), grid = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(decoded.size === 52)
+    decoded.foreach { case (id, h) =>
+      assert(h === graft.queries.MultimodalQueries.mirrorDHash(id))
+    }
+  }
+
+  test("hamming-banded image near-dups: lossless vs brute force, planted " +
+      "dups all found") {
+    import org.apache.spark.sql.functions.col
+    val sigs = Multimodal.dHashImages(
+      Multimodal.syntheticPngDupCorpus(spark, nBase = 40, nDups = 12), grid = 8)
+    val banded = Dedup.hammingNearDupPairs(sigs, "media_id", "dhash",
+      maxHamming = 5, nBands = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over the collected signatures
+    val hs = sigs.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val brute = (for {
+      a <- hs.keys; b <- hs.keys; if a < b
+      d = java.lang.Long.bitCount(hs(a) ^ hs(b)); if d <= 5
+    } yield (a, b, d)).toSet
+    assert(banded === brute)
+    // every planted dup (i, i+40) is within the threshold
+    (0L until 12L).foreach { i =>
+      assert(banded.exists { case (a, b, _) => a == i && b == i + 40 },
+        s"planted pair ($i, ${i + 40}) missed")
     }
   }
 
