@@ -663,7 +663,33 @@ object ParityQueries {
       FROM g GROUP BY user_id, grp""")
   )
 
+  /** q104's multi-batch session replay under the ROCKSDB state store
+    * ([[EventsStream.RocksDbProvider]]) — the provider an unbounded
+    * deployment runs, where session state lives on executor-local disk
+    * with changelog checkpoints instead of the default HDFS-backed
+    * heap map. The store is an implementation detail below the dataflow:
+    * this query shares q104's staging, watermark path, AND oracle, so
+    * the driver hash-checks that swapping the provider changes nothing
+    * (StreamingSpec asserts the same provider-vs-provider identity on
+    * the checkpoint-resume path). */
+  val q122 = Q(
+    "q122_stream_sessions_rocksdb",
+    (spark, dir) => {
+      val tmp = stagedSlicedEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.sessionCounts(
+          EventsStream.fromParquetDir(spark, tmp, maxFilesPerTrigger = Some(2)),
+          gap = "30 minutes", watermark = "1 hour"),
+        "q122_stream_sessions_rocksdb_sink", OutputMode.Append(),
+        statePartitions = Some(8),
+        stateStoreProvider = Some(EventsStream.RocksDbProvider))
+      spark.table("q122_stream_sessions_rocksdb_sink")
+        .filter(col("user_id") >= 0)
+    },
+    Some(sessionsOracle)
+  )
+
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107)
+      q86, q89, q90, q104, q107, q122)
 }

@@ -329,10 +329,21 @@ object EventsStream {
   def replayToMemory(df: DataFrame, sinkTable: String,
       outputMode: OutputMode = OutputMode.Append(),
       statePartitions: Option[Int] = None,
-      noDataBatch: Boolean = true): Unit =
-    replay(df, statePartitions, noDataBatch) { ws =>
+      noDataBatch: Boolean = true,
+      stateStoreProvider: Option[String] = None): Unit =
+    replay(df, statePartitions, noDataBatch, stateStoreProvider) { ws =>
       ws.format("memory").queryName(sinkTable).outputMode(outputMode)
     }
+
+  /** Fully-qualified class of the RocksDB state store — the provider an
+    * unbounded 100 TB deployment runs (state spills to local disk with
+    * changelog checkpointing instead of living on the JVM heap), here so
+    * callers opt in without spelling the internal package. Results must be
+    * IDENTICAL to the default HDFS-backed provider — the store is an
+    * implementation detail below the dataflow — which q122 hash-checks
+    * and StreamingSpec asserts provider-vs-provider. */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 
   /** Replay to a PARQUET FILE SINK — the sink an unbounded deployment
     * actually writes (exactly-once via the sink's commit log under
@@ -341,27 +352,31 @@ object EventsStream {
     * test/inspection path, this is the production path. */
   def replayToParquet(df: DataFrame, outDir: String, checkpointDir: String,
       statePartitions: Option[Int] = None,
-      noDataBatch: Boolean = true): Unit =
-    replay(df, statePartitions, noDataBatch) { ws =>
+      noDataBatch: Boolean = true,
+      stateStoreProvider: Option[String] = None): Unit =
+    replay(df, statePartitions, noDataBatch, stateStoreProvider) { ws =>
       ws.format("parquet").option("path", outDir)
         .option("checkpointLocation", checkpointDir)
         .outputMode(OutputMode.Append())
     }
 
   /** The shared replay harness: conf handling (state sizing, no-data-batch
-    * suppression, restoration) around an AvailableNow run of whatever sink
-    * `configure` sets up. */
+    * suppression, state-store provider, restoration) around an
+    * AvailableNow run of whatever sink `configure` sets up. */
   private def replay(df: DataFrame, statePartitions: Option[Int],
-      noDataBatch: Boolean)(
+      noDataBatch: Boolean, stateStoreProvider: Option[String] = None)(
       configure: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]
         => org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
     val spark = df.sparkSession
     val key = "spark.sql.shuffle.partitions"
     val ndKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val ssKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.getOption(key)
     val prevNd = spark.conf.getOption(ndKey)
+    val prevSs = spark.conf.getOption(ssKey)
     statePartitions.foreach(n => spark.conf.set(key, n))
     if (!noDataBatch) spark.conf.set(ndKey, false)
+    stateStoreProvider.foreach(p => spark.conf.set(ssKey, p))
     try {
       val q = configure(df.writeStream)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
@@ -372,6 +387,8 @@ object EventsStream {
         prev.fold(spark.conf.unset(key))(v => spark.conf.set(key, v))
       if (!noDataBatch)
         prevNd.fold(spark.conf.unset(ndKey))(v => spark.conf.set(ndKey, v))
+      if (stateStoreProvider.isDefined)
+        prevSs.fold(spark.conf.unset(ssKey))(v => spark.conf.set(ssKey, v))
     }
   }
 }

@@ -293,6 +293,64 @@ class StreamingSpec extends SparkSpec {
       === batch.length.toLong)
   }
 
+  test("RocksDB state store: checkpoint-resume session replay is " +
+      "result-identical to the default provider") {
+    // The provider an unbounded deployment runs (state on executor-local
+    // disk, changelog checkpoints) must be invisible to the dataflow:
+    // the SAME two-run resume protocol as the test above, but with state
+    // held in RocksDB, must produce the exact batch sessionization —
+    // including sessions whose open state crossed the restart boundary
+    // through a RocksDB checkpoint.
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.load(spark, sf, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    val sliced = ev.withColumn("slice",
+      ntile(6).over(Window.orderBy(col("ts"), col("event_id"))))
+      .localCheckpoint()
+    val in = tmpDir("graft-rocksdb-in")
+    val out = tmpDir("graft-rocksdb-out")
+    val chk = tmpDir("graft-rocksdb-chk")
+    val providerBefore = spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass")
+    def writeSlices(r: Range): Unit = r.foreach { i =>
+      sliced.filter(col("slice") === i).drop("slice")
+        .coalesce(1).write.mode("append").parquet(in)
+      stampNewFiles(in)
+    }
+    def run(): Unit = EventsStream.replayToParquet(
+      EventsStream.sessionCounts(
+        EventsStream.fromParquetDir(spark, in, maxFilesPerTrigger = Some(2)),
+        gap = "30 minutes", watermark = "1 hour"),
+      out, chk, statePartitions = Some(4),
+      stateStoreProvider = Some(EventsStream.RocksDbProvider))
+    writeSlices(1 to 3)
+    run()
+    val mid = spark.read.parquet(out).count()
+    writeSlices(4 to 6)
+    val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+    Seq((-1L, new java.sql.Timestamp(maxTs.getTime + 30L * 24 * 3600 * 1000),
+        -1L, "sentinel", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("append").parquet(in)
+    stampNewFiles(in)
+    run()
+    val streamed = spark.read.parquet(out).filter($"user_id" >= 0).collect()
+    val batch = graft.operators.EventAnalytics.sessionize(ev, gapMinutes = 30)
+      .collect()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"),
+        r.getAs[Long]("user_id"), r.getAs[Long]("n_events"),
+        r.getAs[Double]("total_value"))
+    assert(streamed.map(key).toSet === batch.map(key).toSet)
+    assert(streamed.length === batch.length)
+    assert(mid > 0 && mid < batch.length, s"mid=$mid of ${batch.length}")
+    // the conf was restored: later streams keep the session default
+    assert(spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass") === providerBefore)
+  }
+
   test("flatMapGroupsWithState sessions: gap close in-batch, timeout close " +
       "via watermark, custom first/last payload") {
     import spark.implicits._
