@@ -663,6 +663,47 @@ object ParityQueries {
       FROM g GROUP BY user_id, grp""")
   )
 
+  /** Two-generation evolving parquet table, staged once per sf dir:
+    * generation 1 = even doc_ids under the original 5-column documents
+    * schema; generation 2 = odd doc_ids with an ADDED quality_score
+    * column (a pure function of n_chars so the oracle can recompute
+    * it). Both generations land in ONE directory — the weekly-export
+    * layout a schema change produces in place. */
+  private val stagedEvolved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def evolvedDocsDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedEvolved.getOrElseUpdate(dir, {
+      val t = scratchDir("graft-evolved-docs")
+      val docs = Tables.load(spark, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .write.mode("append").parquet(t)
+      docs.filter(col("doc_id") % 2 =!= 0)
+        .withColumn("quality_score", col("n_chars").cast(DoubleType) / 1000.0)
+        .write.mode("append").parquet(t)
+      t
+    })
+
+  /** Schema-evolution read path ([[graft.etl.SchemaEvolution.readMerged]]):
+    * the two-generation table read as ONE relation — generation-1 rows
+    * NULL-backfill the added column. The oracle is the explicit DuckDB
+    * union of the two generations, so the merged schema, the backfill,
+    * and the row set all hash-check. SchemaEvolutionSpec proves the
+    * pinned-schema read ([[graft.etl.SchemaEvolution.readAs]], the
+    * zero-discovery-cost production path) returns the identical
+    * relation. */
+  val q123 = Q(
+    "q123_schema_evolution",
+    (spark, dir) => graft.etl.SchemaEvolution
+      .readMerged(spark, evolvedDocsDir(spark, dir))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("quality_score")),
+    Some("""SELECT doc_id, lang, n_chars, CAST(NULL AS DOUBLE) AS quality_score
+      FROM documents WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, lang, n_chars, CAST(n_chars AS DOUBLE) / 1000.0 AS quality_score
+      FROM documents WHERE doc_id % 2 = 1""")
+  )
+
   /** q104's multi-batch session replay under the ROCKSDB state store
     * ([[EventsStream.RocksDbProvider]]) — the provider an unbounded
     * deployment runs, where session state lives on executor-local disk
@@ -691,5 +732,5 @@ object ParityQueries {
 
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107, q122)
+      q86, q89, q90, q104, q107, q122, q123)
 }
