@@ -310,47 +310,39 @@ object Dedup {
     *    always holds for the first one, so pruning per-occurrence before
     *    any dedup drops no true pair. Epsilons lean the same safe way as
     *    the prefix-length floor: α can only shrink.
-    *  - asymmetric INDEXING prefix (the PPJoin index/probe split): the
-    *    prefix lemma holds for prefixes of length n−α+1 on BOTH sides
-    *    with the true α, and any per-side LOWER bound on α gives a valid
-    *    (longer) prefix. The smaller set of a qualifying pair has
-    *    α ≥ ⌈2t/(1+t)·n_min⌉ (its partner is at least as large), so its
-    *    shared element must sit within its first
-    *    ⌊(1−t)/(1+t)·n⌋+1 elements — at t=0.5 a third of the probing
-    *    prefix ⌊(1−t)n⌋+1 the explode emits. Requiring the smaller
-    *    side's rank (both sides' on equal sizes — both are "smaller")
-    *    to fall inside that indexing prefix drops ~40% of candidate
-    *    occurrences at generation time with zero recall loss
-    *    (TextSpec proves both prefix paths equal the exhaustive join at
-    *    two thresholds). Evaluated-and-rejected alternative: a Bloom
-    *    prefilter of candidate doc_ids over the verify-side sets — at
-    *    sf0.1 the 220k candidates cover 97.5% of the 5000 docs, so the
+    * Evaluated-and-rejected round-8 additions, both measured at sf0.1:
+    *  - PPJoin's asymmetric INDEXING-prefix cut (smaller side's rank ≤
+    *    ⌊(1−t)/(1+t)·n⌋+1) removes ZERO candidates here — the positional
+    *    filter SUBSUMES it: violating the index bound means
+    *    na−ra < α−1, which already fails the positional test. The
+    *    index/probe split only pays in architectures that index the
+    *    short prefix INSTEAD of evaluating the positional filter.
+    *  - A Bloom prefilter of candidate doc_ids over the verify-side
+    *    sets: the 220k candidates cover 97.5% of the 5000 docs, so the
     *    bloom prunes nothing and costs an extra aggregate.
+    *
+    * The join key is whatever column `key` names — the hash-order path
+    * joins on an 8-byte xxhash64 instead of the shingle string (narrower
+    * shuffle; collisions only ADD candidates, which the exact verify
+    * then drops — recall is untouched because equal shingles always
+    * collide equal).
     *
     * NO distinct() on the output: deduping per-occurrence candidates is a
     * shuffle of the (large) candidate relation, and on shingle corpora it
     * removes only ~5% of rows — the merge-walk verify re-checks the few
     * duplicates cheaper than the exchange costs, and the final distinct
     * runs over the (tiny) verified pair set instead. */
-  private def prefixCandidates(prefixes: DataFrame, threshold: Double): DataFrame = {
+  private def prefixCandidates(prefixes: DataFrame, threshold: Double,
+      key: String = "shingle"): DataFrame = {
     val alpha = ceil(
       lit(threshold) / lit(1.0 + threshold) *
         (col("a.n_shingles") + col("b.n_shingles")) - lit(1e-9))
-    // indexing-prefix length for a side: same floor+epsilon derivation as
-    // the probing prefix (n−⌈c·n⌉+1 = ⌊(1−c)·n⌋+1 for c = 2t/(1+t))
-    def idxLen(n: Column) =
-      floor(lit((1.0 - threshold) / (1.0 + threshold)) * n + lit(1e-9)) + 1
     prefixes.as("a").join(prefixes.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col(s"a.$key") === col(s"b.$key") && col("a.doc_id") < col("b.doc_id"))
       .filter(least(col("a.n_shingles"), col("b.n_shingles")) >=
         lit(threshold) * greatest(col("a.n_shingles"), col("b.n_shingles")) - lit(1e-9))
       .filter(least(col("a.n_shingles") - col("a.rank"),
         col("b.n_shingles") - col("b.rank")) + 1 >= alpha)
-      .filter(
-        (col("a.n_shingles") > col("b.n_shingles") ||
-          col("a.rank") <= idxLen(col("a.n_shingles"))) &&
-        (col("b.n_shingles") > col("a.n_shingles") ||
-          col("b.rank") <= idxLen(col("b.n_shingles"))))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
   }
 
@@ -358,9 +350,19 @@ object Dedup {
     * rarest-first document frequency: prefix-filter losslessness only
     * needs SOME fixed total order shared by every document (the pigeonhole
     * argument never uses what the order means), and ordering shingles by
-    * (md5, value) is computable inside each row — the df aggregate, the
-    * df join, and the regroup vanish, leaving the candidate equi-join and
-    * the verify joins as the ONLY relation-wide operations.
+    * (xxhash64, value) is computable inside each row — the df aggregate,
+    * the df join, and the regroup vanish, leaving the candidate equi-join
+    * and the verify joins as the ONLY relation-wide operations.
+    *
+    * The candidate join runs on the 8-BYTE HASH, not the shingle string:
+    * the prefix relation and its shuffle carry (doc_id, h, rank, n) longs
+    * only — no text. Distinct shingles colliding on h can only ADD
+    * candidate occurrences (equal shingles always hash equal, so no true
+    * pair is lost), and the exact merge-walk verify drops them; the
+    * (h, shingle) struct sort keeps the ORDER total even under collision,
+    * so prefix ranks stay globally consistent. Order portability across
+    * engines is not needed — the oracle is the order-free inverted-index
+    * join.
     *
     * The trade: rarest-first deliberately pushes hot shingles out of
     * prefixes, minimizing candidates; a hash order admits them at their
@@ -376,18 +378,15 @@ object Dedup {
     val sets = persisted(docSetsLocal(parallelized(docs)))
     val prefLen = (floor(lit(1.0 - threshold) * col("n_shingles") + lit(1e-9)) + 1)
       .cast(IntegerType)
-    // struct sort = lexicographic over (h, shingle); md5 of the UTF-8
-    // bytes, same digest the sampling operators use — engine-portable and
-    // collision-tiebroken by the shingle itself, so the order is total
     val prefixes = sets
       .select(col("doc_id"), col("n_shingles"),
         slice(array_sort(transform(col("shingles"),
-          s => struct(md5(s.cast("binary")).as("h"), s.as("shingle")))),
+          s => struct(xxhash64(s).as("h"), s.as("shingle")))),
           lit(1), prefLen).as("prefix"))
       .select(col("doc_id"), col("n_shingles"), posexplode(col("prefix")))
-      .select(col("doc_id"), col("col.shingle").as("shingle"),
+      .select(col("doc_id"), col("col.h").as("h"),
         (col("pos") + 1).as("rank"), col("n_shingles"))
-    val cand = prefixCandidates(prefixes, threshold)
+    val cand = prefixCandidates(prefixes, threshold, key = "h")
     jaccardPairs0(sets, cand, threshold).distinct()
   }
 
