@@ -253,6 +253,51 @@ object Similarity {
       nProbe: Int, excludeId: Long = -1L): DataFrame =
     ivfTopKWith(emb, q, k, firstNCentroids(emb, nCells), nProbe, excludeId)
 
+  /** Persist an IVF index ARTIFACT: the corpus written `partitionBy(cell)`
+    * (each coarse cell its own parquet directory) plus a tiny centroid
+    * sidecar relation (cell, centroid). This is the q118 persisted-index
+    * contract for vectors — assignment is paid ONCE at index build, and a
+    * query's nProbe cell filter becomes PHYSICAL partition pruning: the
+    * scan touches only the probed cells' files, never the corpus
+    * ([[ivfTopKFromIndex]]'s plan shows the cell PartitionFilters,
+    * VectorSpec asserts it). At 100 TB this layout is the difference
+    * between an ANN query reading ~nProbe/nCells of the corpus and
+    * re-scanning all of it per query. */
+  def writeIvfIndex(emb: DataFrame, centroids: Seq[Seq[Double]],
+      path: String): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** ANN top-k served FROM a [[writeIvfIndex]] artifact: load the
+    * centroid sidecar (nCells×dim doubles — index metadata, not data),
+    * pick the `nProbe` max-dot cells for the query, and scan ONLY those
+    * cell partitions, ranking by exact cosine. Identical results to
+    * [[ivfTopKWith]] over the live corpus with the same centroids (the
+    * assignment was computed by the same expression at build time) —
+    * which is what lets q124 reuse q34's oracle verbatim. */
+  def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+      q: Seq[Double], k: Int, nProbe: Int, excludeId: Long = -1L): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val qDots = centroids.map(c => c.zip(q).map { case (a, b) =>
+      a.toFloat.toDouble * b.toFloat.toDouble
+    }.sum)
+    val probes = qDots.zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2)
+    spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probes: _*) && col("vec_id") =!= excludeId)
+      .select(col("vec_id"), col("label"),
+        cosineWithLit(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
   /** The SQ8 codebook scalar: the largest |coordinate| of any
     * L2-NORMALIZED corpus vector. Symmetric (zero-preserving) quantization
     * of normalized vectors is what makes an integer code dot approximate

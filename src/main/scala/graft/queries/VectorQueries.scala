@@ -734,6 +734,39 @@ object VectorQueries {
     })
   )
 
+  /** The first-8 IVF index artifact, built ONCE per sf dir
+    * ([[Similarity.writeIvfIndex]]): corpus partitioned by cell +
+    * centroid sidecar. Staging, not query work — q124 measures serving
+    * from the artifact. */
+  private val stagedIvfIndex =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedIvfIndex.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-ivf-index")
+      Similarity.writeIvfIndex(Tables.load(spark, dir, "embeddings"),
+        first8(spark, dir), t)
+      t
+    })
+
+  /** ANN served from the PERSISTED IVF index (q118's persisted-index
+    * contract for vectors): cell assignment was paid once at index build
+    * and the corpus sits `partitionBy(cell)` on disk, so the query's
+    * 2-probe filter is physical PARTITION PRUNING — the scan reads the
+    * probed cells' files only (VectorSpec asserts the PartitionFilters
+    * in the plan). Same centroids, assignment arithmetic, probe
+    * selection, and ranking as q34 over the live corpus, so q34's
+    * self-referential oracle verifies this path verbatim — a drifted
+    * index (stale assignment, wrong pruning) hash-mismatches. */
+  val q124 = Q(
+    "q124_ivf_persisted_index",
+    (spark, dir) => ranked(Similarity.ivfTopKFromIndex(
+      spark, ivfIndexDir(spark, dir), queryVec(spark, dir), k = 10,
+      nProbe = 2, excludeId = 0L)),
+    Some(q34Oracle)
+  )
+
   val all: Seq[Q] =
-    Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119)
+    Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119,
+      q124)
 }

@@ -327,4 +327,31 @@ class VectorSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Similarity.pqTopK(emb, q, k = 10, m = 7)) // 64 % 7 != 0
   }
+
+  test("persisted IVF index: serving equals the live-corpus query, and " +
+      "the probe filter is physical partition pruning") {
+    val centroids = Similarity.firstNCentroids(emb, 8)
+    val q = local(0L).map(_.toDouble).toSeq
+    val idx = tmpDir("graft-ivf-idx")
+    Similarity.writeIvfIndex(emb, centroids, idx)
+    // cell directories exist (partitionBy layout)
+    val cellDirs = new java.io.File(s"$idx/cells").listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName).toSet
+    assert(cellDirs.nonEmpty && cellDirs.subsetOf(
+      (0 until 8).map(i => s"cell=$i").toSet))
+    val served = Similarity.ivfTopKFromIndex(spark, idx, q, k = 10,
+      nProbe = 2, excludeId = 0L)
+    val live = Similarity.ivfTopKWith(emb, q, k = 10, centroids,
+      nProbe = 2, excludeId = 0L)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1))).toSeq
+    assert(ids(served) === ids(live))
+    // the cell filter reached the scan as a PARTITION filter, not a
+    // data filter: only the probed directories are read
+    val plan = served.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("cell"),
+      s"no partition pruning in:\n$plan")
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in PartitionFilters:\n$plan")
+  }
 }
