@@ -359,6 +359,57 @@ object CorpusQueries {
       FROM s""")
   )
 
+  /** The FROZEN vocabulary: built from batch 1 (even doc_ids) only,
+    * persisted as parquet once per sf dir. Staging — q125 measures the
+    * apply side, which must never recount batch 1. */
+  private val stagedVocab =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def frozenVocabDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedVocab.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val t = ParityQueries.scratchDir("graft-frozen-vocab")
+      Corpus.vocabulary(
+        Tables.load(spark, dir, "documents").filter(col("doc_id") % 2 === 0),
+        minCount = 5L)
+        .write.mode("overwrite").parquet(t)
+      t
+    })
+
+  /** Frozen-vocabulary incremental encode — the tokenizer contract of a
+    * training pipeline: the vocabulary is FROZEN when the tokenizer is
+    * trained (batch 1) and every later batch encodes against it
+    * unchanged, unseen tokens mapping to the OOV id (−1). Batch 2 (odd
+    * doc_ids) encodes against batch 1's persisted [[Corpus.vocabulary]]
+    * relation via the broadcast [[Corpus.encodeTokens]] join; batch 1 is
+    * never re-tokenized or recounted (the q118/q124 persisted-artifact
+    * contract, for the vocab). The oracle rebuilds the batch-1 ranking
+    * and the batch-2 encode from scratch — id drift, OOV mishandling,
+    * or vocab contamination by batch 2 all hash-mismatch. */
+  val q125 = Q(
+    "q125_frozen_vocab_encode",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      Corpus.encodeTokens(
+        Tables.load(spark, dir, "documents").filter(col("doc_id") % 2 =!= 0),
+        spark.read.parquet(frozenVocabDir(spark, dir)))
+    },
+    Some(s"""WITH t AS (
+        SELECT doc_id, unnest($sqlToks) AS tok,
+          unnest(generate_series(1, len($sqlToks))) AS pos
+        FROM documents),
+      v AS (SELECT tok, COUNT(*) AS n FROM t
+            WHERE doc_id % 2 = 0 GROUP BY tok HAVING COUNT(*) >= 5),
+      vid AS (SELECT tok,
+          CAST(ROW_NUMBER() OVER (ORDER BY n DESC, tok) - 1 AS INTEGER) AS token_id
+        FROM v)
+      SELECT t.doc_id, CAST(t.pos AS INTEGER) AS pos,
+        COALESCE(vid.token_id, -1) AS token_id
+      FROM t LEFT JOIN vid USING (tok)
+      WHERE t.doc_id % 2 = 1""")
+  )
+
   val all: Seq[Q] =
-    Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114, q117)
+    Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
+      q117, q125)
 }
