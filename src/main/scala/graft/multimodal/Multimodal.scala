@@ -161,6 +161,52 @@ object Multimodal {
     }
   }
 
+  /** [[decodeImageIO]] with the corrupt-row SIDE CHANNEL its scaladoc
+    * promises: undecodable rows are still dropped from the relation, but
+    * each drop bumps a named LongAccumulator the driver reads after any
+    * action — the operational metric that distinguishes "corpus is 2%
+    * corrupt" from silent data loss. Standard accumulator semantics:
+    * counts are at-least-once under task retries/speculation (fine for a
+    * health metric; an exactly-once count is a separate aggregation
+    * query). */
+  def decodeImageIOWithMetrics(media: Dataset[Media])
+      : (Dataset[Decoded], org.apache.spark.util.LongAccumulator) = {
+    import media.sparkSession.implicits._
+    val corrupt = media.sparkSession.sparkContext
+      .longAccumulator("graft.multimodal.corrupt_media")
+    val ds = media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val bytes = if (m.payload == null) Array.emptyByteArray else m.payload
+        val img =
+          try Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes)))
+          catch { case _: java.io.IOException => None }
+        if (img.isEmpty) corrupt.add(1)
+        img.map { im =>
+          val w = im.getWidth
+          val h = im.getHeight
+          var acc = 1469598103934665603L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = im.getRGB(x, y)
+              acc = (acc ^ (p & 0xff)) * 1099511628211L
+              acc = (acc ^ ((p >>> 8) & 0xff)) * 1099511628211L
+              acc = (acc ^ ((p >>> 16) & 0xff)) * 1099511628211L
+              acc = (acc ^ ((p >>> 24) & 0xff)) * 1099511628211L
+              x += 1
+            }
+            y += 1
+          }
+          Decoded(m.media_id, m.kind, w, h, w.toLong * h, acc)
+        }
+      }
+    }
+    (ds, corrupt)
+  }
+
   /** REAL image feature extractor over DECODED PIXELS: a grid×grid
     * block-mean RGB vector (row-major blocks, channels r/g/b per block,
     * means scaled to [0,1]) — dim = grid²·3. No ML dependency, but a

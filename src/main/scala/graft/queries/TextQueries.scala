@@ -490,6 +490,52 @@ object TextQueries {
       AND (doc_a % 2 = 1 OR doc_b % 2 = 1)""")
   )
 
+  /** SimHash near-dup PAIRS ([[Dedup.hammingNearDupPairs]] over the q28
+    * signatures): every pair within 5 differing bits, candidates from
+    * 8-band Hamming banding (pigeonhole-lossless for maxHamming < 8) and
+    * one codegen bit_count(xor) verify per candidate — signature-only
+    * dedup, no shingle sets or text anywhere past the one signature
+    * pass. Threshold from measurement at sf0.01: the q26 Jaccard≥0.5
+    * near-dups sit at Hamming 0–10 (23/25 within 5) while random pairs
+    * floor at 7 — the classic simhash trade (cheapest candidate path,
+    * recall bounded by signature granularity) that q26/q27 buy back with
+    * exact set verification. The oracle extends q28's
+    * signature-rebuilding SQL with the brute-force xor/bit_count join,
+    * so banding losslessness is hash-checked against all-pairs. */
+  val q126 = Q(
+    "q126_simhash_near_dups",
+    (spark, dir) => Dedup.hammingNearDupPairs(
+      Dedup.simHash(Tables.load(spark, dir, "documents")),
+      idCol = "doc_id", sigCol = "simhash", maxHamming = 5, nBands = 8),
+    Some(s"""WITH u AS (
+        SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+      h AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(tok), 1, 1))::BIGINT AS hi,
+          ('0x' || substr(md5(tok), 2, 15))::BIGINT AS lo
+        FROM u),
+      v AS (
+        SELECT doc_id, i,
+          SUM(CASE WHEN (CASE WHEN i < 60 THEN (lo >> i) & 1
+                              ELSE (hi >> (i - 60)) & 1 END) = 1
+              THEN 1 ELSE -1 END) AS votes
+        FROM h CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS i)
+        GROUP BY doc_id, i),
+      s AS (
+        SELECT doc_id,
+          SUM(CASE WHEN votes > 0 THEN 1::HUGEINT << i ELSE 0::HUGEINT END) AS r
+        FROM v GROUP BY doc_id),
+      sg AS (
+        SELECT doc_id,
+          CAST(CASE WHEN r >= 9223372036854775808::HUGEINT
+                    THEN r - 18446744073709551616::HUGEINT ELSE r END AS BIGINT) AS simhash
+        FROM s)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+      FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q35, q43, q44, q75, q77, q81, q83, q118)
+    q35, q43, q44, q75, q77, q81, q83, q118, q126)
 }

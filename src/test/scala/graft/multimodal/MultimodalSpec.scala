@@ -154,6 +154,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("corrupt media: rows dropped, side-channel accumulator counts them") {
+    val good = Multimodal.syntheticPngCorpus(spark, 10)
+    // plant 3 corrupt rows: garbage bytes, an empty payload, and a null
+    val bad = Seq(
+      Multimodal.Media(100L, "image", Array[Byte](1, 2, 3, 4, 5),
+        Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.Media(101L, "image", Array.emptyByteArray,
+        Multimodal.MediaMeta(None, None, None, None)),
+      Multimodal.Media(102L, "image", null,
+        Multimodal.MediaMeta(None, None, None, None)))
+    val corpus = good.union(spark.createDataset(bad)(good.encoder))
+    val (decoded, corrupt) = Multimodal.decodeImageIOWithMetrics(corpus)
+    val rows = decoded.collect()
+    assert(rows.length === 10)
+    assert(rows.map(_.media_id).toSet === (0L until 10L).toSet)
+    assert(corrupt.value === 3L)
+    // same relation as the plain decoder, metric aside
+    val plain = Multimodal.decodeImageIO(corpus).collect()
+      .map(d => d.media_id -> d.checksum).toMap
+    assert(rows.map(d => d.media_id -> d.checksum).toMap === plain)
+  }
+
   test("frame sampling: videos only, stride respected") {
     val plan = Multimodal.frameSamplePlan(media, everyN = 5).collect()
     assert(plan.nonEmpty)
