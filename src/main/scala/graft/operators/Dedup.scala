@@ -522,9 +522,13 @@ object Dedup {
   def minHashCandidates(docs: DataFrame, k: Int, rowsPerBand: Int): DataFrame =
     minHashCandidates0(minHashSignatures(docs, k), k, rowsPerBand)
 
-  /** (doc_id, band, band_key) banding rows for a (doc_id, sig) relation —
-    * the LSH bucket keys, computed row-locally. */
-  private def bandRows(sigs: DataFrame, k: Int, rowsPerBand: Int): DataFrame = {
+  /** (doc_id, band, band_key [, carried…]) banding rows for a
+    * (doc_id, sig, …) relation — the LSH bucket keys, computed
+    * row-locally. `carry` names extra columns to keep on each band row
+    * (the streaming gate carries the shingle set so verification never
+    * needs a second join back to the stream). */
+  private def bandRows(sigs: DataFrame, k: Int, rowsPerBand: Int,
+      carry: Seq[String] = Nil): DataFrame = {
     require(k % rowsPerBand == 0,
       s"k=$k must be a multiple of rowsPerBand=$rowsPerBand — a remainder " +
         "would silently drop signature positions from banding")
@@ -534,8 +538,27 @@ object Dedup {
         hash(slice(col("sig"), j * rowsPerBand + 1, rowsPerBand)).as("band_key"))
     }
     sigs
-      .select(col("doc_id"), explode(array(bandStructs: _*)).as("b"))
-      .select(col("doc_id"), col("b.band").as("band"), col("b.band_key").as("band_key"))
+      .select(col("doc_id") +: carry.map(col) :+
+        explode(array(bandStructs: _*)).as("b"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("b.band").as("band") :+ col("b.band_key").as("band_key"): _*)
+  }
+
+  /** The [[minHashSignatures0]] signature computed ROW-LOCALLY from a
+    * doc's distinct-shingle array: for each seed i, min over the array of
+    * the SAME `XxHash64Function.hash(s, seed=i)` the one-pass aggregate
+    * applies — bit-identical signatures (DedupSpec asserts it), which is
+    * what lets a STREAMING doc sign itself statelessly and band-join a
+    * static index built by the batch path. Empty arrays yield NULL mins
+    * (such docs produce no signature rows in the batch path either —
+    * callers filter n_shingles > 0). */
+  def minHashSignatureCol(shingles: Column, k: Int): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    array((0 until k).map { i =>
+      array_min(transform(shingles, s =>
+        column(org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(expression(s)), i.toLong))))
+    }: _*)
   }
 
   private def minHashCandidates0(sigs: DataFrame, k: Int,
@@ -608,6 +631,53 @@ object Dedup {
     val sets = index.select(col("doc_id"), col("shingles"), col("n_shingles"))
       .union(docSets(sh))
     jaccardPairs0(sets, cand, threshold)
+  }
+
+  /** STREAMING near-dup gate: an unbounded stream of documents checked
+    * against a STATIC [[writeMinHashIndex]] reference relation, emitting
+    * (new_id, ref_id, jaccard) for every exact-verified match — the
+    * ingest-time filter that keeps a training corpus from re-absorbing
+    * what it already contains (or an eval set: decontamination at the
+    * door instead of as a batch sweep).
+    *
+    * Everything stream-side is STATELESS and row-local: shingle sets
+    * ([[docSetsLocal]] — pure projections), the signature
+    * ([[minHashSignatureCol]] — bit-identical to the index's aggregate
+    * signatures), and the band explode. Candidates come from a
+    * stream-STATIC equi-join on (band, band_key) — no watermarks, no
+    * join state — and each candidate row carries both shingle arrays, so
+    * the exact [[graft.functions.SortedIntersectSize]] verify runs
+    * inline; a pair sharing several bands is collapsed by the final
+    * streaming dropDuplicates. State story: ONLY the dropDuplicates
+    * keeps state (one (new_id, ref_id) key per emitted match — bounded
+    * by true matches, not input; a deployment with an event-time column
+    * would add a watermark to age it). Carrying the doc's shingle array
+    * onto its nBands band rows is the price of statelessness — doc-sized
+    * rows ×nBands within one micro-batch, vs a stateful stream-stream
+    * rejoin. Same (k, rowsPerBand) as the index ⇒ same recall argument
+    * as [[minHashNearDupsIncremental]]'s asymmetric join; q127 verifies
+    * the replay against a from-scratch cross-pair oracle. */
+  def streamNearDupGate(docsStream: DataFrame, index: DataFrame,
+      k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
+    val sets = docSetsLocal(docsStream).filter(col("n_shingles") > 0)
+    val sigs = sets.withColumn("sig", minHashSignatureCol(col("shingles"), k))
+    val newBands = bandRows(sigs, k, rowsPerBand,
+      carry = Seq("shingles", "n_shingles"))
+    val idxBands = bandRows(index, k, rowsPerBand,
+      carry = Seq("shingles", "n_shingles"))
+      .select(col("doc_id").as("ref_id"), col("shingles").as("ref_shingles"),
+        col("n_shingles").as("ref_n"), col("band"), col("band_key"))
+    newBands.join(idxBands, Seq("band", "band_key"))
+      .filter(col("doc_id") =!= col("ref_id"))
+      .filter(least(col("n_shingles"), col("ref_n")) >=
+        lit(threshold) * greatest(col("n_shingles"), col("ref_n")) - lit(1e-9))
+      .withColumn("n_common", graft.functions.SetCols
+        .sortedIntersectSize(col("shingles"), col("ref_shingles")))
+      .withColumn("jaccard", col("n_common").cast(DoubleType) /
+        (col("n_shingles") + col("ref_n") - col("n_common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_id").as("new_id"), col("ref_id"), col("jaccard"))
+      .dropDuplicates("new_id", "ref_id")
   }
 
   /** Exact Jaccard evaluated only on the given candidate (doc_a, doc_b)

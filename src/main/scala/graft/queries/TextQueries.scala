@@ -536,6 +536,60 @@ object TextQueries {
       WHERE bit_count(xor(a.simhash, b.simhash)) <= 5""")
   )
 
+  /** Batch 2 (odd doc_ids) staged as a stream-readable parquet dir once
+    * per sf dir — q127's unbounded-ingest stand-in. */
+  private val stagedDocsStream =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def docsStreamDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedDocsStream.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-docs-stream")
+      Tables.load(spark, dir, "documents").filter(col("doc_id") % 2 =!= 0)
+        .write.mode("overwrite").parquet(t)
+      t
+    })
+
+  /** STREAMING dedup gate ([[Dedup.streamNearDupGate]]): batch 2 arrives
+    * as an unbounded document stream and is checked AT INGEST against
+    * batch 1's persisted MinHash index — stateless row-local signing +
+    * banding, one stream-static band join, inline exact verify. The
+    * q118 cadence moved from weekly batch to continuous: same index
+    * artifact, same recall argument, and the oracle recomputes the
+    * cross-batch pair set from scratch (new-vs-new pairs are out of
+    * scope by design — the gate answers "is this NEW doc already in the
+    * corpus", not intra-batch dedup, which q118/q26 cover). */
+  val q127 = Q(
+    "q127_stream_dedup_gate",
+    (spark, dir) => {
+      val idx = spark.read.parquet(minHashIndexDir(spark, dir))
+      val schema = Tables.load(spark, dir, "documents").schema
+      val stream = spark.readStream.schema(schema)
+        .parquet(docsStreamDir(spark, dir))
+      graft.streaming.EventsStream.replayToMemory(
+        Dedup.streamNearDupGate(stream, idx, k = 32, rowsPerBand = 4,
+          threshold = 0.5),
+        "q127_stream_dedup_gate_sink",
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+        statePartitions = Some(8))
+      spark.table("q127_stream_dedup_gate_sink")
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id, unnest(list_distinct($sqlShingles)) AS shingle
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT b.doc_id AS new_id, a.doc_id AS ref_id, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+        GROUP BY 1, 2)
+    SELECT new_id, ref_id,
+      CAST(n_common AS DOUBLE) / (nn.n + nr.n - n_common) AS jaccard
+    FROM inter
+      JOIN sizes nn ON nn.doc_id = new_id
+      JOIN sizes nr ON nr.doc_id = ref_id
+    WHERE CAST(n_common AS DOUBLE) / (nn.n + nr.n - n_common) >= 0.5""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q35, q43, q44, q75, q77, q81, q83, q118, q126)
+    q35, q43, q44, q75, q77, q81, q83, q118, q126, q127)
 }

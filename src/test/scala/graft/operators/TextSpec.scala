@@ -167,6 +167,34 @@ class TextSpec extends SparkSpec {
       k = 32, rowsPerBand = 4, threshold = 0.5).count() === 0L)
   }
 
+  test("row-local minhash signature equals the one-pass aggregate, and " +
+      "the streaming gate equals its batch cross-pair result") {
+    val docs = Tables.load(spark, sf, "documents")
+    // signature identity: same xxhash64(seed=i) family, bit-for-bit
+    val viaAgg = Dedup.minHashSignatures(docs, k = 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaCol = Dedup.docSetsLocal(docs).filter(col("n_shingles") > 0)
+      .select(col("doc_id"),
+        Dedup.minHashSignatureCol(col("shingles"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaCol === viaAgg)
+    // gate parity on a BATCH frame (the transform is engine-agnostic):
+    // equals the incremental operator's cross pairs at the same params
+    val idxPath = tmpDir("graft-gate-idx")
+    Dedup.writeMinHashIndex(docs.filter(col("doc_id") % 2 === 0), k = 32,
+      path = idxPath)
+    val idx = spark.read.parquet(idxPath)
+    val gate = Dedup.streamNearDupGate(
+        docs.filter(col("doc_id") % 2 =!= 0), idx, 32, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val incPairs: Set[(Long, Long)] = Dedup.minHashNearDupsIncremental(
+        docs.filter(col("doc_id") % 2 =!= 0), idx, 32, 4, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = incPairs.filter(p => (p._1 % 2 == 0) != (p._2 % 2 == 0))
+      .map(p => if (p._1 % 2 == 1) (p._1, p._2) else (p._2, p._1))
+    assert(gate === cross)
+  }
+
   test("simhash: 64-bit signatures, deterministic, one per doc") {
     val a = Dedup.simHash(Tables.load(spark, sf, "documents")).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
