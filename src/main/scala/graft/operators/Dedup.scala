@@ -633,6 +633,27 @@ object Dedup {
     jaccardPairs0(sets, cand, threshold)
   }
 
+  /** INCREMENTAL connected components: the clustering layer of
+    * incremental dedup. The prior batch's CONVERGED labels re-enter as
+    * (node → label) edges — one edge per non-singleton node, already the
+    * star shape contraction converges to — and only `newPairs` (the
+    * delta's near-dup pairs, e.g. [[minHashNearDupsIncremental]]'s
+    * output) add structure, so [[dupClustersStar]] spends its O(log n)
+    * rounds on NEW merge chains only. The prior batch's PAIR relation —
+    * the thing that grows with corpus size — never recomputes and never
+    * re-enters; labels are O(nodes). Result contract: identical to
+    * clustering the UNION pair set from scratch (label edges encode
+    * exactly the old components' connectivity), which q128's
+    * transitive-closure oracle checks corpus-wide. */
+  def dupClustersIncremental(docs: DataFrame, newPairs: DataFrame,
+      oldLabels: DataFrame): DataFrame = {
+    val labelEdges = oldLabels
+      .filter(col("doc_id") =!= col("cluster"))
+      .select(col("doc_id").as("doc_a"), col("cluster").as("doc_b"))
+    dupClustersStar(docs,
+      newPairs.select(col("doc_a"), col("doc_b")).union(labelEdges))
+  }
+
   /** STREAMING near-dup gate: an unbounded stream of documents checked
     * against a STATIC [[writeMinHashIndex]] reference relation, emitting
     * (new_id, ref_id, jaccard) for every exact-verified match — the

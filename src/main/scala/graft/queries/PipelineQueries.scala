@@ -327,5 +327,51 @@ object PipelineQueries {
       GROUP BY d.source""")
   )
 
-  val all: Seq[Q] = Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91)
+  /** Batch 1's dedup state, persisted once per sf dir: the MinHash index
+    * (signatures + sets) AND the converged cluster labels of batch 1's
+    * own near-dup pairs — everything a later export needs, with batch 1's
+    * text never touched again. */
+  private val stagedDedupState =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def dedupStateDirs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    stagedDedupState.getOrElseUpdate(dir, {
+      val idxDir = ParityQueries.scratchDir("graft-cc-mh-index")
+      val labelDir = ParityQueries.scratchDir("graft-cc-labels")
+      val even = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
+      Dedup.writeMinHashIndex(even, k = 32, path = idxDir)
+      Dedup.dupClustersStar(even.select(col("doc_id")),
+          Dedup.jaccardPairsPrefixHash(even, 0.5))
+        .write.mode("overwrite").parquet(labelDir)
+      (idxDir, labelDir)
+    })
+
+  /** The FULL incremental dedup pipeline (q118's pairs + q51's clusters,
+    * incrementalized end-to-end): batch 2's near-dup pairs come from the
+    * persisted MinHash index ([[Dedup.minHashNearDupsIncremental]] —
+    * batch 1 never re-tokenized), and corpus-wide components come from
+    * [[Dedup.dupClustersIncremental]] — batch 1's converged labels
+    * re-enter as already-star-shaped (node → label) edges, so the
+    * contraction pays O(log) rounds only on NEW merge chains and batch
+    * 1's pair relation never recomputes. The oracle is q51's from-scratch
+    * transitive closure over the WHOLE corpus pair set: equality proves
+    * the incremental path loses nothing — including components merged
+    * ACROSS batches by a new pair bridging two old clusters. */
+  val q128 = Q(
+    "q128_incremental_clusters",
+    (spark, dir) => {
+      val (idxDir, labelDir) = dedupStateDirs(spark, dir)
+      val docs = Tables.load(spark, dir, "documents")
+      val newPairs = Dedup.minHashNearDupsIncremental(
+        docs.filter(col("doc_id") % 2 =!= 0),
+        spark.read.parquet(idxDir), k = 32, rowsPerBand = 4, threshold = 0.5)
+      Dedup.dupClustersIncremental(docs.select(col("doc_id")), newPairs,
+        spark.read.parquet(labelDir))
+    },
+    Some(clustersOracle)
+  )
+
+  val all: Seq[Q] =
+    Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128)
 }

@@ -195,6 +195,27 @@ class TextSpec extends SparkSpec {
     assert(gate === cross)
   }
 
+  test("incremental clustering: label edges reproduce old components, new " +
+      "pairs bridge ACROSS old clusters, result equals from-scratch CC") {
+    import spark.implicits._
+    // batch 1 components: {0,1,2} (labeled 0), {3,4} (labeled 3), {5} solo
+    val oldLabels = Seq((0L, 0L), (1L, 0L), (2L, 0L), (3L, 3L), (4L, 3L),
+      (5L, 5L)).toDF("doc_id", "cluster")
+    val docs = (0L to 7L).toDF("doc_id")
+    // batch 2: 6 joins {3,4}; 7 BRIDGES the two old clusters via 2 and 4
+    val newPairs = Seq((6L, 3L), (7L, 2L), (7L, 4L)).toDF("doc_a", "doc_b")
+    val inc = Dedup.dupClustersIncremental(docs, newPairs, oldLabels)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // from-scratch reference: CC over old-structure pairs + new pairs
+    val oldPairs = Seq((0L, 1L), (1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")
+    val full = Dedup.dupClustersStar(docs, oldPairs.union(newPairs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+    // the bridge genuinely merged everything except the singletons
+    assert((0L to 4L).forall(inc(_) == 0L) && inc(6L) == 0L && inc(7L) == 0L)
+    assert(inc(5L) === 5L)
+  }
+
   test("simhash: 64-bit signatures, deterministic, one per doc") {
     val a = Dedup.simHash(Tables.load(spark, sf, "documents")).collect()
       .map(r => r.getLong(0) -> r.getAs[Long]("simhash")).toMap
