@@ -849,7 +849,63 @@ object Relational {
     q115.oracle
   )
 
+  /** Bucketed twin tables for q129, created once per sf dir in the
+    * session warehouse (names carry a dir digest so sf dirs don't
+    * collide). Staging: the bucketed write is the amortized index-build
+    * cost; q129 measures the co-located read side. */
+  private val stagedBuckets =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def bucketedTablesFor(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    stagedBuckets.getOrElseUpdate(dir, {
+      val tag = java.security.MessageDigest.getInstance("MD5")
+        .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      val ordT = s"graft_orders_b_$tag"
+      val liT = s"graft_lineitem_b_$tag"
+      graft.etl.Sinks.bucketedTable(
+        Tables.load(spark, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority")),
+        ordT, "o_orderkey", 8)
+      graft.etl.Sinks.bucketedTable(
+        Tables.load(spark, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_extendedprice")),
+        liT, "l_orderkey", 8)
+      (ordT, liT)
+    })
+
+  /** The THIRD physical strategy for the q115 contract: both sides
+    * pre-bucketed on their join key (8 buckets, sorted), so the join
+    * runs SHUFFLE-FREE on co-located buckets — no exchange before the
+    * join at any data size, the layout-level answer where q115 salts and
+    * q120 lets AQE split. Broadcast is disabled for the query's duration
+    * (and restored) so the bucket co-location is what executes; the one
+    * remaining exchange is the rollup's own. Same oracle as q115/q120:
+    * three physical plans, one semantic contract. LayoutSpec separately
+    * asserts the no-Exchange join plan. */
+  val q129 = Q(
+    "q129_bucketed_join",
+    (spark, dir) => {
+      import spark.implicits._
+      val (ordT, liT) = bucketedTablesFor(spark, dir)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.table(liT)
+          .join(spark.table(ordT), $"l_orderkey" === $"o_orderkey")
+          .groupBy($"o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            dsum($"l_extendedprice").as("total_price"))
+          // materialize the plan under the disabled-broadcast conf: the
+          // conf is restored before the driver executes the query, and a
+          // lazily-planned broadcast would defeat the bucket test
+          .localCheckpoint(true)
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    },
+    q115.oracle
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
-    q47, q48, q49, q80, q82, q109, q110, q111, q112, q113, q115, q120)
+    q47, q48, q49, q80, q82, q109, q110, q111, q112, q113, q115, q120,
+    q129)
 }
