@@ -862,6 +862,19 @@ object Relational {
         .digest(dir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
       val ordT = s"graft_orders_b_$tag"
       val liT = s"graft_lineitem_b_$tag"
+      // the warehouse DIRECTORY outlives the JVM but the in-memory
+      // catalog does not: a previous run's leftover location would fail
+      // the managed-table create, so drop both catalog entry and files
+      Seq(ordT, liT).foreach { t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new java.io.File(
+          new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, t)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete()
+        }
+        rm(loc)
+      }
       graft.etl.Sinks.bucketedTable(
         Tables.load(spark, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority")),
