@@ -917,8 +917,40 @@ object Relational {
     q115.oracle
   )
 
+  /** FULL OUTER reconciliation — the one join type the registry lacked:
+    * per-customer order totals against the positive-balance customer
+    * roster. All three row classes are populated by construction
+    * (matched; order-side-only = negative-balance customers WITH orders;
+    * roster-side-only = positive-balance customers WITHOUT orders — the
+    * q10 anti-join set), so both NULL-extension directions are
+    * hash-checked, not just the inner overlap. One shuffle per side on
+    * the key + the join — the reconciliation shape (ledger vs ledger)
+    * that degrades to a sort-merge join at any scale. */
+  val q130 = Q(
+    "q130_full_outer_reconcile",
+    (spark, dir) => {
+      import spark.implicits._
+      val o = Tables.load(spark, dir, "orders")
+        .groupBy($"o_custkey")
+        .agg(count(lit(1)).as("n_orders"), dsum($"o_totalprice").as("total_spent"))
+      val c = Tables.load(spark, dir, "customer")
+        .filter($"c_acctbal" > 0).select($"c_custkey", $"c_acctbal")
+      o.join(c, $"o_custkey" === $"c_custkey", "full_outer")
+        .select(coalesce($"o_custkey", $"c_custkey").as("custkey"),
+          $"n_orders", $"total_spent", $"c_acctbal".as("acctbal"))
+    },
+    Some(s"""SELECT COALESCE(o.o_custkey, c.c_custkey) AS custkey,
+        o.n_orders, o.total_spent, c.c_acctbal AS acctbal
+      FROM (SELECT o_custkey, COUNT(*) AS n_orders,
+              ${sqlSum("o_totalprice")} AS total_spent
+            FROM orders GROUP BY 1) o
+      FULL OUTER JOIN
+        (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 0) c
+        ON o.o_custkey = c.c_custkey""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
     q47, q48, q49, q80, q82, q109, q110, q111, q112, q113, q115, q120,
-    q129)
+    q129, q130)
 }
