@@ -463,4 +463,70 @@ object Corpus {
         (num / when(den =!= 0.0, den)).as("zipf_slope")
       })
   }
+
+  /** Okapi BM25 retrieval for a fixed bag of query `terms`: the global
+    * top-`k` documents by Σ_t idf(t)·tf·(k1+1)/(tf + k1·(1−b + b·dl/avgdl)),
+    * with Lucene's always-positive idf variant ln((N−df+½)/(df+½)+1) —
+    * the standard keyword-retrieval scorer a training-data pipeline uses
+    * for targeted corpus slicing and hybrid (lexical+vector) search.
+    *
+    * Single-shuffle shape: because the query terms are a small FIXED
+    * literal set, per-term tf is a conditional-sum COLUMN of one
+    * per-document aggregate over the exploded token relation — map-side
+    * partial aggregation collapses each document's tokens before the
+    * exchange, so the only wide shuffle carries one row per document.
+    * Every corpus statistic the score needs (N, Σdl for avgdl, per-term
+    * df) then derives from a 1-row aggregate of that per-document
+    * relation, folded back in as a broadcast cross join; there is no join
+    * against the token relation and no second corpus pass. Ranking is a
+    * TakeOrderedAndProject (orderBy+limit — no global sort), with the
+    * k-row window ranking only the already-pruned result.
+    *
+    * Exactness contract (the q93/q108 discipline): each term's
+    * contribution is a fixed scalar expression tree over deterministic
+    * ints and ratios of exact integer aggregates, quantized to integer
+    * micros BEFORE the cross-term sum, so FP summation order can never
+    * flip a rank; ties break on doc_id, a total order. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "terms must be non-empty")
+    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    require(k > 0, s"k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val tfAggs = count(lit(1)).as("dl") +:
+      terms.map(t => sum(when(col("token") === t, 1L).otherwise(0L))
+        .as(s"tf_$t"))
+    val perDoc = docs
+      .select(col("doc_id"), col("source"),
+        explode(TA.tokens(col("text"))).as("token"))
+      .groupBy(col("doc_id"), col("source"))
+      .agg(tfAggs.head, tfAggs.tail: _*)
+    val statAggs =
+      count(lit(1)).cast(DoubleType).as("n") +:
+        sum(col("dl")).as("total_dl") +:
+        terms.map(t => sum(when(col(s"tf_$t") > 0L, 1L).otherwise(0L))
+          .as(s"df_$t"))
+    val stats = perDoc.agg(statAggs.head, statAggs.tail: _*)
+    val contribs = terms.map { t =>
+      val tf = col(s"tf_$t")
+      val df = col(s"df_$t")
+      val idf = log((col("n") - df + lit(0.5)) / (df + lit(0.5)) + lit(1.0))
+      val denom = tf + lit(k1) *
+        (lit(1.0 - b) + lit(b) * col("dl") / (col("total_dl") / col("n")))
+      when(tf > 0L,
+        round(idf * tf * lit(k1 + 1.0) / denom * lit(1e6)).cast(LongType))
+        .otherwise(0L)
+    }
+    val nTerms = terms.map(t => when(col(s"tf_$t") > 0L, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val scored = perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("source"), col("dl").as("n_tokens"),
+        nTerms.cast(LongType).as("n_terms"),
+        contribs.reduce(_ + _).as("bm25_1e6"))
+      .filter(col("n_terms") > 0L)
+    val ord = Seq(col("bm25_1e6").desc, col("doc_id").asc)
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast(IntegerType))
+  }
 }

@@ -409,7 +409,59 @@ object CorpusQueries {
       WHERE t.doc_id % 2 = 1""")
   )
 
+  /** Query-term set for the BM25 / retrieval family: fixed literals with
+    * a real df spread in the synthetic corpus, shared by the Spark side
+    * and the generated oracle so the contract can't drift. */
+  private[queries] val bm25Terms = Seq("spark", "hash", "vector", "stream")
+
+  /** Okapi BM25 top-k retrieval ([[Corpus.bm25TopK]]) for a fixed query
+    * bag. Oracle is GENERATED from the same term list: one per-document
+    * conditional aggregate (dl + per-term tf columns), a 1-row stats CTE
+    * (N, Σdl, per-term df), and per-term contributions quantized to
+    * integer micros before the cross-term sum — the exact expression tree
+    * the Spark side evaluates, so scores hash-match bit-for-bit. */
+  val q131 = Q(
+    "q131_bm25_topk",
+    (spark, dir) =>
+      Corpus.bm25TopK(Tables.load(spark, dir, "documents"), bm25Terms, 25),
+    Some {
+      val tfCols = bm25Terms.map(t =>
+        s"SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n          ")
+      val dfCols = bm25Terms.map(t =>
+        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n          ")
+      val contribs = bm25Terms.map(t =>
+        s"""CASE WHEN tf_$t > 0 THEN CAST(ROUND(
+           |            ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+           |            * tf_$t * 2.2
+           |            / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_dl / n)))
+           |            * 1000000.0) AS BIGINT) ELSE 0 END""".stripMargin)
+        .mkString(" + ")
+      val nTerms = bm25Terms.map(t =>
+        s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH perdoc AS (
+        SELECT doc_id, source, COUNT(*) AS dl,
+          $tfCols
+        FROM (SELECT doc_id, source, unnest($sqlToks) AS token FROM documents)
+        GROUP BY 1, 2),
+      stats AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl,
+          $dfCols
+        FROM perdoc),
+      sc AS (
+        SELECT doc_id, source, dl AS n_tokens,
+          CAST($nTerms AS BIGINT) AS n_terms,
+          $contribs AS bm25_1e6
+        FROM perdoc CROSS JOIN stats),
+      rk AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY bm25_1e6 DESC, doc_id ASC) AS INTEGER) AS rank
+        FROM sc WHERE n_terms > 0)
+      SELECT doc_id, source, n_tokens, n_terms, bm25_1e6, rank
+      FROM rk WHERE rank <= 25"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125)
+      q117, q125, q131)
 }

@@ -317,4 +317,34 @@ class CorpusSpec extends SparkSpec {
       .collect()
     assert(planted.length === 1 && planted.head.getInt(2) === -1)
   }
+
+  test("bm25TopK: ranking invariants and hand-computed score on a tiny corpus") {
+    import spark.implicits._
+    val rows = Corpus.bm25TopK(docs, Seq("spark", "hash"), 10).collect()
+    assert(rows.length === 10)
+    val scores = rows.map(_.getAs[Long]("bm25_1e6"))
+    assert(scores.sameElements(scores.sortBy(-_)))
+    assert(rows.map(_.getAs[Int]("rank")).toSeq === (1 to 10))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_terms") >= 1L && r.getAs[Long]("n_terms") <= 2L)
+      assert(r.getAs[Long]("bm25_1e6") > 0L)
+    }
+    // hand-computed check: 3 docs, query "a"; doc 3 has no match → absent
+    val tiny = Seq(
+      (1L, "a a b", "s"), (2L, "a b b b", "s"), (3L, "b b", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Corpus.bm25TopK(tiny, Seq("a"), 10)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("bm25_1e6"))
+      .toMap
+    assert(!out.contains(3L))
+    def bm25(tf: Long, dl: Long): Long = {
+      val n = 3.0; val df = 2.0; val avgdl = 9.0 / 3.0
+      val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+      math.round(idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1e6)
+    }
+    assert(out(1L) === bm25(2L, 3L))
+    assert(out(2L) === bm25(1L, 4L))
+    // more occurrences in a shorter doc must strictly outrank
+    assert(out(1L) > out(2L))
+  }
 }
