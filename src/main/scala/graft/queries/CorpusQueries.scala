@@ -420,45 +420,51 @@ object CorpusQueries {
     * (N, Σdl, per-term df), and per-term contributions quantized to
     * integer micros before the cross-term sum — the exact expression tree
     * the Spark side evaluates, so scores hash-match bit-for-bit. */
-  val q131 = Q(
-    "q131_bm25_topk",
-    (spark, dir) =>
-      Corpus.bm25TopK(Tables.load(spark, dir, "documents"), bm25Terms, 25),
-    Some {
-      val tfCols = bm25Terms.map(t =>
-        s"SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n          ")
-      val dfCols = bm25Terms.map(t =>
-        s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n          ")
-      val contribs = bm25Terms.map(t =>
-        s"""CASE WHEN tf_$t > 0 THEN CAST(ROUND(
-           |            ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
-           |            * tf_$t * 2.2
-           |            / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_dl / n)))
-           |            * 1000000.0) AS BIGINT) ELSE 0 END""".stripMargin)
-        .mkString(" + ")
-      val nTerms = bm25Terms.map(t =>
-        s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
-      s"""WITH perdoc AS (
+  /** The BM25 ranking as a reusable oracle CTE chain ending in `bmrk`
+    * (doc_id, source, n_tokens, n_terms, bm25_1e6, rank) — q131 selects
+    * from it directly; the hybrid-search oracle (q132) prunes it to a
+    * retriever list and fuses it with the cosine ranking. */
+  private[queries] val bm25RankedCtes: String = {
+    val tfCols = bm25Terms.map(t =>
+      s"SUM(CASE WHEN token = '$t' THEN 1 ELSE 0 END) AS tf_$t").mkString(",\n          ")
+    val dfCols = bm25Terms.map(t =>
+      s"SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS df_$t").mkString(",\n          ")
+    val contribs = bm25Terms.map(t =>
+      s"""CASE WHEN tf_$t > 0 THEN CAST(ROUND(
+         |            ln((n - df_$t + 0.5) / (df_$t + 0.5) + 1.0)
+         |            * tf_$t * 2.2
+         |            / (tf_$t + 1.2 * (1.0 - 0.75 + 0.75 * dl / (total_dl / n)))
+         |            * 1000000.0) AS BIGINT) ELSE 0 END""".stripMargin)
+      .mkString(" + ")
+    val nTerms = bm25Terms.map(t =>
+      s"CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END").mkString(" + ")
+    s"""perdoc AS (
         SELECT doc_id, source, COUNT(*) AS dl,
           $tfCols
         FROM (SELECT doc_id, source, unnest($sqlToks) AS token FROM documents)
         GROUP BY 1, 2),
-      stats AS (
+      bmstats AS (
         SELECT CAST(COUNT(*) AS DOUBLE) AS n, CAST(SUM(dl) AS BIGINT) AS total_dl,
           $dfCols
         FROM perdoc),
-      sc AS (
+      bmsc AS (
         SELECT doc_id, source, dl AS n_tokens,
           CAST($nTerms AS BIGINT) AS n_terms,
           $contribs AS bm25_1e6
-        FROM perdoc CROSS JOIN stats),
-      rk AS (
+        FROM perdoc CROSS JOIN bmstats),
+      bmrk AS (
         SELECT *, CAST(ROW_NUMBER() OVER (
             ORDER BY bm25_1e6 DESC, doc_id ASC) AS INTEGER) AS rank
-        FROM sc WHERE n_terms > 0)
+        FROM bmsc WHERE n_terms > 0)"""
+  }
+
+  val q131 = Q(
+    "q131_bm25_topk",
+    (spark, dir) =>
+      Corpus.bm25TopK(Tables.load(spark, dir, "documents"), bm25Terms, 25),
+    Some(s"""WITH $bm25RankedCtes
       SELECT doc_id, source, n_tokens, n_terms, bm25_1e6, rank
-      FROM rk WHERE rank <= 25"""
-    }
+      FROM bmrk WHERE rank <= 25""")
   )
 
   val all: Seq[Q] =

@@ -766,7 +766,62 @@ object VectorQueries {
     Some(q34Oracle)
   )
 
+  /** Hybrid lexical+vector retrieval: BM25 top-50 (q131's ranking,
+    * [[graft.operators.Corpus.bm25TopK]]) and cosine top-50 around vec_id
+    * 0's embedding (q30's ranking), fused by Reciprocal Rank Fusion
+    * ([[graft.operators.Retrieval.rrfFuse]], k0=60) — the
+    * production-default hybrid-search shape (RAG corpus serving).
+    *
+    * Exactness: both input rankings are already cross-engine deterministic
+    * (integer-quantized BM25 scores; the q30 cosine contract), and RRF
+    * fuses INTEGER ranks via per-list micro-quantized contributions summed
+    * as integers — no normalization, no FP-order sensitivity. The oracle
+    * mirrors the union+conditional-min aggregate, not an outer join, so
+    * NULL handling is identical by construction. */
+  val q132 = Q(
+    "q132_hybrid_rrf",
+    (spark, dir) => {
+      val lex = graft.operators.Corpus
+        .bm25TopK(Tables.load(spark, dir, "documents"),
+          CorpusQueries.bm25Terms, 50)
+        .select(col("doc_id").as("id"), col("rank"))
+      val vec = ranked(Similarity.cosineTopK(
+        Tables.load(spark, dir, "embeddings"), queryVec(spark, dir), k = 50,
+        excludeId = 0L))
+        .select(col("vec_id").as("id"), col("rank"))
+      graft.operators.Retrieval
+        .rrfFuse(Seq("lex" -> lex, "vec" -> vec), k = 20)
+        .select(col("id").as("doc_id"), col("rank_lex"), col("rank_vec"),
+          col("rrf_1e6"), col("rank"))
+    },
+    Some(s"""WITH $cosineCtes,
+      vr AS (
+        SELECT vec_id AS id, CAST(ROW_NUMBER() OVER (
+            ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id) AS INTEGER) AS rank
+        FROM cs, qn WHERE cs.vec_id <> 0
+        ORDER BY rank LIMIT 50),
+      ${CorpusQueries.bm25RankedCtes},
+      lr AS (SELECT doc_id AS id, rank FROM bmrk WHERE rank <= 50),
+      un AS (
+        SELECT id, 'lex' AS src, rank FROM lr
+        UNION ALL
+        SELECT id, 'vec' AS src, rank FROM vr),
+      fu AS (
+        SELECT id,
+          MIN(CASE WHEN src = 'lex' THEN rank END) AS rank_lex,
+          MIN(CASE WHEN src = 'vec' THEN rank END) AS rank_vec,
+          CAST(SUM(CAST(ROUND(1000000.0 / (60 + rank)) AS BIGINT)) AS BIGINT)
+            AS rrf_1e6
+        FROM un GROUP BY id),
+      fr AS (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            ORDER BY rrf_1e6 DESC, id ASC) AS INTEGER) AS rank
+        FROM fu)
+      SELECT id AS doc_id, rank_lex, rank_vec, rrf_1e6, rank
+      FROM fr WHERE rank <= 20""")
+  )
+
   val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119,
-      q124)
+      q124, q132)
 }
