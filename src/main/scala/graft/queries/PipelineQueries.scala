@@ -372,6 +372,68 @@ object PipelineQueries {
     Some(clustersOracle)
   )
 
+  /** Pristine month-partitioned orders table (o_month=yyyy-MM directory
+    * per month), staged once per sf dir — the q133 merge target. The
+    * merge batch is idempotent (absolute-valued upserts derived from the
+    * PRISTINE table), so Bench's repeated samples re-merge to the same
+    * state. */
+  private val stagedOrders =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def partitionedOrdersDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedOrders.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-merge-orders")
+      Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(t)
+      t
+    })
+
+  /** Lakehouse MERGE INTO over the month-partitioned orders table
+    * ([[graft.operators.Merge.upsertPartitioned]]): 1997 orders with key
+    * ≡ 0 (mod 7) are updated (status 'R', +100.0), and key ≡ 0 (mod 97)
+    * 1998 orders re-enter as inserts under shifted keys (status 'N') —
+    * so the merge touches only the 24 partitions of 1997/1998 out of the
+    * table's ~80 months, and MergeSpec proves the other partitions'
+    * files are not rewritten. The oracle recomputes the full merged
+    * table as upserts ∪ (base ∖ matched keys), so the returned relation
+    * hash-checks row-for-row, including the untouched partitions'
+    * passthrough. */
+  val q133 = Q(
+    "q133_merge_upsert",
+    (spark, dir) => {
+      val baseDir = partitionedOrdersDir(spark, dir)
+      val orders = Tables.load(spark, dir, "orders")
+      val upd = orders
+        .filter(col("o_orderkey") % 7 === 0 && year(col("o_orderdate")) === 1997)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      val ins = orders
+        .filter(col("o_orderkey") % 97 === 0 && year(col("o_orderdate")) === 1998)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      val ups = upd.unionByName(ins)
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.operators.Merge
+        .upsertPartitioned(spark, baseDir, ups, "o_orderkey", "o_month")
+    },
+    Some("""WITH ups AS (
+        SELECT o_orderkey, o_custkey, 'R' AS o_orderstatus,
+          o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 7 = 0 AND year(o_orderdate) = 1997
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice,
+          o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1998)
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        o_orderpriority, strftime(o_orderdate, '%Y-%m') AS o_month
+      FROM ups
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate,
+        o_orderpriority, strftime(o_orderdate, '%Y-%m') AS o_month
+      FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)""")
+  )
+
   val all: Seq[Q] =
-    Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128)
+    Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133)
 }

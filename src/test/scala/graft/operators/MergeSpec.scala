@@ -1,0 +1,71 @@
+package graft.operators
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Copy-on-write MERGE invariants: correctness of the merged row set,
+  * physical non-rewrite of untouched partitions, cross-partition key
+  * moves, and idempotency of a fixed upsert batch. */
+class MergeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def baseRows = Seq(
+    (1L, "p1", 10.0), (2L, "p1", 20.0),
+    (3L, "p2", 30.0), (4L, "p2", 40.0),
+    (5L, "p3", 50.0))
+
+  private def stage(): String = {
+    val dir = tmpDir("merge-base")
+    baseRows.toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    dir
+  }
+
+  private def files(dir: String, part: String): Map[String, Long] =
+    Files.list(Paths.get(dir, s"part=$part")).iterator().asScala
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+      .map(p => p.getFileName.toString -> Files.getLastModifiedTime(p).toMillis)
+      .toMap
+
+  test("upsertPartitioned: updates+inserts land, untouched partition files survive") {
+    val dir = stage()
+    val p3Before = files(dir, "p3")
+    // update id=1 in place, insert id=9 into p2
+    val ups = Seq((1L, "p1", 11.0), (9L, "p2", 90.0)).toDF("id", "part", "v")
+    val out = Merge.upsertPartitioned(spark, dir, ups, "id", "part")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Double]("v"))).toMap
+    assert(out === Map(1L -> 11.0, 2L -> 20.0, 3L -> 30.0, 4L -> 40.0,
+      5L -> 50.0, 9L -> 90.0))
+    // p3 was never touched: same file names, same mtimes
+    assert(files(dir, "p3") === p3Before)
+  }
+
+  test("upsertPartitioned: a key moving partitions leaves no stale copy behind") {
+    val dir = stage()
+    val ups = Seq((3L, "p1", 33.0)).toDF("id", "part", "v") // p2 → p1
+    Merge.upsertPartitioned(spark, dir, ups, "id", "part")
+    val back = spark.read.parquet(dir)
+    assert(back.filter(col("id") === 3L).select("part", "v")
+      .as[(String, Double)].collect().toSeq === Seq(("p1", 33.0)))
+    assert(back.count() === 5) // no duplicate under the old partition
+    // p2 (the OLD home) was rewritten to drop the row; p3 untouched
+    assert(spark.read.parquet(dir).filter(col("part") === "p2")
+      .select("id").as[Long].collect().sorted.toSeq === Seq(4L))
+  }
+
+  test("upsertPartitioned: idempotent for a fixed batch") {
+    val dir = stage()
+    val ups = Seq((2L, "p1", 22.0), (8L, "p3", 80.0)).toDF("id", "part", "v")
+    val first = Merge.upsertPartitioned(spark, dir, ups, "id", "part")
+      .orderBy("id").collect().toSeq
+    val second = Merge.upsertPartitioned(spark, dir, ups, "id", "part")
+      .orderBy("id").collect().toSeq
+    assert(first === second)
+    assert(first.map(_.getAs[Long]("id")) === Seq(1L, 2L, 3L, 4L, 5L, 8L))
+  }
+}
