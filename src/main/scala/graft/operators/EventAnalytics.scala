@@ -375,4 +375,32 @@ object EventAnalytics {
       .select(col(idCol), col(keyCol), col(valueCol), z.as("z"))
       .filter(abs(col("z")) > threshold)
   }
+
+  /** Slowly-Changing-Dimension Type-2 build from an event log: per key,
+    * each RUN of consecutive identical attribute values becomes one
+    * versioned validity interval — `valid_from` at the run's first event,
+    * half-open `valid_to` at the next run's start (NULL on the current
+    * run, flagged `is_current`), `version` counting runs from 1. This is
+    * the dimension-table maintenance step a warehouse derives from a
+    * change stream: collapse repeats, open an interval per change.
+    *
+    * Shape at scale: one shuffle on the key; the run-collapse lag, the
+    * interval-closing lead, and the version row_number all ride the SAME
+    * (key, ts, tie) ordering, so Catalyst plans them in one exchange with
+    * in-partition sorts — no second wide shuffle, no self-join against
+    * the change rows. The tie column makes the order total, so intervals
+    * are deterministic even under equal timestamps. */
+  def scd2Intervals(events: DataFrame, keyCol: String = "user_id",
+      attrCol: String = "event_type", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    events.select(col(keyCol), col(attrCol), col(tsCol), col(tieCol))
+      .withColumn("prev", lag(col(attrCol), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col(attrCol))
+      .select(col(keyCol), col(attrCol).as("attr"),
+        col(tsCol).as("valid_from"),
+        lead(col(tsCol), 1).over(w).as("valid_to"),
+        row_number().over(w).cast(IntegerType).as("version"))
+      .withColumn("is_current", col("valid_to").isNull)
+  }
 }

@@ -257,5 +257,34 @@ object EventQueries {
     Some(ParityQueries.sessionsOracle)
   )
 
-  val all: Seq[Q] = Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105)
+  /** SCD Type-2 dimension build ([[EventAnalytics.scd2Intervals]]): each
+    * user's event_type history collapsed into versioned half-open
+    * validity intervals. The oracle mirrors the run-collapse lag + lead +
+    * row_number over the identical total order (ts, event_id), so
+    * interval bounds, versions, and the is_current flag all hash-check;
+    * timestamps ride the µs-parity contract the other event queries
+    * use. */
+  val q134 = Q(
+    "q134_scd2_intervals",
+    (spark, dir) =>
+      EventAnalytics.scd2Intervals(Tables.load(spark, dir, "events")),
+    Some("""WITH o AS (
+        SELECT user_id, event_type, ts, event_id,
+          lag(event_type) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS prev
+        FROM events),
+      c AS (SELECT user_id, event_type, ts, event_id FROM o
+            WHERE prev IS NULL OR prev <> event_type)
+      SELECT user_id, event_type AS attr, ts AS valid_from,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS valid_to,
+        CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+          ORDER BY ts, event_id) AS INTEGER) AS version,
+        lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+          AS is_current
+      FROM c""")
+  )
+
+  val all: Seq[Q] =
+    Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105, q134)
 }

@@ -265,4 +265,46 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.head.getDouble(2) === 100.0)
     assert(out.head.getDouble(3) > 3.0)
   }
+
+  test("scd2Intervals: runs collapse, intervals chain, one current row per key") {
+    val rows = ev(
+      (1L, "view", "2024-01-01 00:00:00", 0.0),
+      (1L, "view", "2024-01-01 00:05:00", 0.0),  // same run
+      (1L, "click", "2024-01-01 00:10:00", 0.0), // change → v2
+      (1L, "view", "2024-01-01 00:20:00", 0.0),  // back → v3 (runs, not distinct)
+      (2L, "buy", "2024-01-01 01:00:00", 0.0))
+    val out = EventAnalytics.scd2Intervals(rows).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("version")) ->
+        (r.getAs[String]("attr"), r.getAs[java.sql.Timestamp]("valid_from"),
+          Option(r.getAs[java.sql.Timestamp]("valid_to")),
+          r.getAs[Boolean]("is_current"))).toMap
+    assert(out.size === 4)
+    assert(out((1L, 1)) === (("view", ts("2024-01-01 00:00:00"),
+      Some(ts("2024-01-01 00:10:00")), false)))
+    assert(out((1L, 2)) === (("click", ts("2024-01-01 00:10:00"),
+      Some(ts("2024-01-01 00:20:00")), false)))
+    assert(out((1L, 3)) === (("view", ts("2024-01-01 00:20:00"), None, true)))
+    assert(out((2L, 1)) === (("buy", ts("2024-01-01 01:00:00"), None, true)))
+    // intervals chain exactly: each close equals the next open (asserted
+    // above per row), and every key has exactly one open interval
+    assert(out.count(_._2._4) === 2)
+  }
+
+  test("scd2Intervals: plans a single exchange (lag/lead/version share one sort)") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+    def countShuffles(p: SparkPlan): Int = p match {
+      case a: AdaptiveSparkPlanExec => countShuffles(a.executedPlan)
+      case s: QueryStageExec => countShuffles(s.plan)
+      case _: ReusedExchangeExec => 0
+      case e: ShuffleExchangeLike => 1 + e.children.map(countShuffles).sum
+      case _ => p.children.map(countShuffles).sum
+    }
+    val df = EventAnalytics.scd2Intervals(
+      ev((1L, "view", "2024-01-01 00:00:00", 0.0)))
+    df.collect() // materialize so AQE's final plan is in place
+    assert(countShuffles(df.queryExecution.executedPlan) === 1,
+      df.queryExecution.executedPlan.toString)
+  }
 }
