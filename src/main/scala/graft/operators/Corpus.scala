@@ -529,4 +529,66 @@ object Corpus {
       .withColumn("rank",
         row_number().over(Window.orderBy(ord: _*)).cast(IntegerType))
   }
+
+  /** TextRank keyword scoring (Mihalcea & Tarau '04): weighted PageRank
+    * over the corpus's directed bigram-adjacency graph — nodes are
+    * tokens, edge u→v weighs how often "u v" occurs. The stationary
+    * score surfaces structurally-central vocabulary (keyword extraction /
+    * corpus characterization), the graph-centrality companion to the
+    * frequency-only [[tfidfTopTerms]].
+    *
+    * INTEGER-ARITHMETIC power iteration: ranks live in 1e-9 units
+    * (r₀ = 10⁹ div N), and one iteration is
+    *   r'(v) = (15·10⁷ div N) + ((Σᵤ (r(u)·w(u,v)) div wout(u)) · 85) div 100
+    * — every operation is 64-bit integer multiply/floor-divide/sum, so
+    * there is NO floating point anywhere: cross-engine exact by
+    * construction, no quantization epsilon to reason about, and the
+    * per-node inflow sum is partition-order independent. (Damping 0.85 as
+    * the 85/100 rational; dangling mass leaks, identically on both
+    * sides. At r·w beyond 2⁶³ — ~10⁹ corpus bigram repeats — widen to
+    * decimal; far past any real vocabulary graph.)
+    *
+    * Shape at scale: ONE corpus-sized shuffle builds the bigram edge
+    * relation; everything after is vocab²-bounded (the q106 model-size
+    * argument). Each iteration is one edge⋈wout⋈rank join + one dst-key
+    * aggregate over that bounded relation — the GraphX message-passing
+    * shape without per-round corpus rescans (edges/nodes are
+    * localCheckpoint-pinned). The node count is collected once as the
+    * teleport base — an index-artifact scalar, not per-row driver work. */
+  def textRank(docs: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters=$iters")
+    import org.apache.spark.sql.expressions.Window
+    val toksed = docs.select(TA.tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val edges = toksed.select(
+      explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
+      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val nodes = edges.select(col("src").as("token"))
+      .union(edges.select(col("dst"))).distinct().localCheckpoint()
+    val nCount = nodes.count()
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
+      .localCheckpoint()
+    var rank = nodes.select(col("token"), lit(1000000000L / nCount).as("r"))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(wout, Seq("src"))
+        .join(rank.withColumnRenamed("token", "src"), Seq("src"))
+        .select(col("dst"), expr("(r * w) div wout").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      rank = nodes
+        .join(inflow.withColumnRenamed("dst", "token"), Seq("token"), "left")
+        .select(col("token"),
+          (lit(150000000L / nCount) +
+            expr("(coalesce(inflow, cast(0 as bigint)) * 85) div 100"))
+            .as("r"))
+        .localCheckpoint()
+    }
+    rank.select(col("token"), col("r").as("rank_1e9"),
+      row_number().over(Window.orderBy(col("r").desc, col("token").asc))
+        .cast(IntegerType).as("pos"))
+  }
 }

@@ -467,7 +467,47 @@ object CorpusQueries {
       FROM bmrk WHERE rank <= 25""")
   )
 
+  /** TextRank keyword centrality ([[Corpus.textRank]], 3 power-iteration
+    * rounds). The oracle UNROLLS the same integer-arithmetic iteration as
+    * chained CTEs — ranks in 1e-9 units, damping as the 85/100 rational,
+    * floor divisions only — so the graph build, the teleport base, and
+    * all three rounds are hash-checked with zero floating point on either
+    * engine. */
+  val q135 = Q(
+    "q135_textrank",
+    (spark, dir) =>
+      Corpus.textRank(Tables.load(spark, dir, "documents"), iters = 3),
+    Some {
+      val iterCtes = (1 to 3).map { i =>
+        val prev = if (i == 1) "r0" else s"r${i - 1}"
+        s"""i$i AS (
+        SELECT e.dst AS token, CAST(SUM((r.r * e.w) // o.wout) AS BIGINT) AS inflow
+        FROM edges e JOIN wout o ON e.src = o.src
+          JOIN $prev r ON r.token = e.src
+        GROUP BY 1),
+      r$i AS (
+        SELECT n.token,
+          (150000000 // nc.n) + ((COALESCE(i$i.inflow, 0) * 85) // 100) AS r
+        FROM nodes n LEFT JOIN i$i ON i$i.token = n.token, nc)"""
+      }.mkString(",\n      ")
+      s"""WITH big AS (
+        SELECT toks[i] AS src, toks[i + 1] AS dst
+        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM (SELECT $sqlToks AS toks FROM documents))),
+      edges AS (SELECT src, dst, COUNT(*) AS w FROM big GROUP BY 1, 2),
+      nodes AS (SELECT src AS token FROM edges
+                UNION SELECT dst FROM edges),
+      nc AS (SELECT COUNT(*) AS n FROM nodes),
+      wout AS (SELECT src, CAST(SUM(w) AS BIGINT) AS wout FROM edges GROUP BY 1),
+      r0 AS (SELECT token, 1000000000 // nc.n AS r FROM nodes, nc),
+      $iterCtes
+      SELECT token, CAST(r AS BIGINT) AS rank_1e9,
+        CAST(ROW_NUMBER() OVER (ORDER BY r DESC, token ASC) AS INTEGER) AS pos
+      FROM r3"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125, q131)
+      q117, q125, q131, q135)
 }

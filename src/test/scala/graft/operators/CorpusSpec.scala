@@ -347,4 +347,29 @@ class CorpusSpec extends SparkSpec {
     // more occurrences in a shorter doc must strictly outrank
     assert(out(1L) > out(2L))
   }
+
+  test("textRank: hand-computed integer iteration and stationary symmetric graph") {
+    import spark.implicits._
+    // a⇄b with all mass cycling: 1e9/2 each is stationary under 85/100
+    // damping + teleport base (75e6 + floor(.85·5e8/1)... = 5e8 exactly)
+    val sym = Seq("a b", "b a", "a b").toDF("text")
+    val symOut = Corpus.textRank(sym, iters = 4).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("rank_1e9"), r.getAs[Int]("pos")))
+      .toMap
+    assert(symOut === Map("a" -> (500000000L, 1), "b" -> (500000000L, 2)))
+    // one iteration on a→b, b→b, b→c (wout a=1, b=2), hand-traced floors
+    val out1 = Corpus.textRank(Seq("a b b c").toDF("text"), iters = 1)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rank_1e9")).toMap
+    assert(out1 === Map(
+      "a" -> 50000000L, "b" -> 474999999L, "c" -> 191666666L))
+  }
+
+  test("textRank: corpus ranks are positive, pos is a permutation, mass bounded") {
+    val rows = Corpus.textRank(docs, iters = 3).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Int]("pos")).sorted.toSeq === (1 to rows.length))
+    assert(rows.forall(_.getAs[Long]("rank_1e9") > 0L))
+    val mass = rows.map(_.getAs[Long]("rank_1e9")).sum
+    assert(mass <= 1000000000L && mass >= 500000000L, s"mass=$mass")
+  }
 }
