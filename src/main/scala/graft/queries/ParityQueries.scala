@@ -730,7 +730,44 @@ object ParityQueries {
     Some(sessionsOracle)
   )
 
+  /** Streaming upsert sink ([[EventsStream.replayToUpsert]]): the sliced
+    * multi-batch replay drives an Update-mode last-event-per-user
+    * aggregation (max over the (ts, event_id, event_type) struct — a
+    * total order, ts ties broken by event_id) whose changed keys MERGE
+    * into a user-bucketed parquet table every micro-batch via the q133
+    * copy-on-write operator. The oracle recomputes the final
+    * last-write-wins state from the raw log, so batch sequencing, merge
+    * idempotency, and the aggregation's total order all hash-check. */
+  val q136 = Q(
+    "q136_stream_upsert",
+    (spark, dir) => {
+      val tmp = stagedSlicedEventsDir(spark, dir)
+      val tableDir = scratchDir("graft-upsert-table")
+      val ck = scratchDir("graft-upsert-ck")
+      // 3 files/trigger → 3 micro-batches (6 slices + sentinel): one
+      // table-create + two genuine merges exercises the upsert path at
+      // ~half the per-batch fixed cost of the 4-batch q104 cadence
+      val agg = EventsStream.fromParquetDir(spark, tmp, maxFilesPerTrigger = Some(3))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("last"))
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          pmod(col("user_id"), lit(8L)).cast("string").as("part"))
+      EventsStream.replayToUpsert(agg, tableDir, ck,
+        keyCol = "user_id", partCol = "part", statePartitions = Some(8))
+      spark.read.parquet(tableDir).filter(col("user_id") >= 0)
+        .select(col("user_id"), col("last_ts"), col("last_event_id"),
+          col("last_type"))
+    },
+    Some("""SELECT user_id, max(ts) AS last_ts,
+        arg_max(event_id, ts) AS last_event_id,
+        arg_max(event_type, ts) AS last_type
+      FROM events GROUP BY user_id""")
+  )
+
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107, q122, q123)
+      q86, q89, q90, q104, q107, q122, q123, q136)
 }

@@ -360,6 +360,43 @@ object EventsStream {
         .outputMode(OutputMode.Append())
     }
 
+  /** Replay to a KEYED UPSERT TABLE: every micro-batch MERGEs into a
+    * partitioned parquet table through
+    * [[graft.operators.Merge.upsertPartitioned]] under `foreachBatch` —
+    * the streaming→lakehouse pattern where an Update-mode aggregation
+    * emits only the keys each batch changed and the sink applies them as
+    * last-write-wins upserts. The table stays queryable between batches
+    * (readers see complete partitions), and because the upstream
+    * aggregation state carries the TOTAL per-key value, replaying a batch
+    * (failure/restart inside the checkpointed trigger) re-merges the same
+    * rows — idempotent by construction, the exactly-once story a keyed
+    * sink needs without a transactional log.
+    *
+    * The first non-empty batch creates the table (plain partitioned
+    * write); later batches take the copy-on-write merge path, rewriting
+    * only partitions holding changed keys. */
+  def replayToUpsert(df: DataFrame, baseDir: String, checkpointDir: String,
+      keyCol: String, partCol: String,
+      statePartitions: Option[Int] = None): Unit =
+    replay(df, statePartitions, noDataBatch = true) { ws =>
+      ws.outputMode(OutputMode.Update())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            val root = new java.io.File(baseDir)
+            val exists = root.exists &&
+              Option(root.listFiles).exists(_.exists(f =>
+                f.isDirectory || f.getName.endsWith(".parquet")))
+            if (!exists)
+              batch.write.mode("overwrite").partitionBy(partCol).parquet(baseDir)
+            else
+              graft.operators.Merge.upsertPartitioned(
+                batch.sparkSession, baseDir, batch, keyCol, partCol)
+          }
+          ()
+        }
+    }
+
   /** The shared replay harness: conf handling (state sizing, no-data-batch
     * suppression, state-store provider, restoration) around an
     * AvailableNow run of whatever sink `configure` sets up. */

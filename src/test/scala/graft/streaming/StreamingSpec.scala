@@ -416,4 +416,42 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((7L, 3L, 6.0)))
     assert(rows.contains((8L, 1L, 5.0)))
   }
+
+  test("replayToUpsert: multi-batch upsert table equals the batch last-per-key, " +
+      "and a fresh-checkpoint re-replay converges to the same table") {
+    import spark.implicits._
+    val srcDir = tmpDir("graft-upsert-src")
+    def slice(rows: (Long, String, Long, String)*): Unit = {
+      rows.map { case (id, at, u, ty) =>
+        (id, java.sql.Timestamp.valueOf(at), u, ty) }
+        .toDF("event_id", "ts", "user_id", "event_type")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      stampNewFiles(srcDir)
+    }
+    // batch 1 creates the table; batch 2 updates user 1, inserts user 3
+    slice((1L, "2024-01-01 00:00:00", 1L, "view"),
+      (2L, "2024-01-01 00:01:00", 2L, "click"))
+    slice((3L, "2024-01-01 00:02:00", 1L, "purchase"),
+      (4L, "2024-01-01 00:03:00", 3L, "view"))
+    def agg(dir: String) = EventsStream
+      .fromParquetDir(spark, dir, maxFilesPerTrigger = Some(1))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts"), col("event_id"), col("event_type"))).as("last"))
+      .select(col("user_id"), col("last.ts").as("last_ts"),
+        col("last.event_type").as("last_type"),
+        pmod(col("user_id"), lit(2L)).cast("string").as("part"))
+    val tableDir = tmpDir("graft-upsert-table")
+    EventsStream.replayToUpsert(agg(srcDir), tableDir, tmpDir("ck1"),
+      keyCol = "user_id", partCol = "part")
+    def state(): Set[(Long, String)] =
+      spark.read.parquet(tableDir)
+        .select("user_id", "last_type").as[(Long, String)].collect().toSet
+    val expected = Set(1L -> "purchase", 2L -> "click", 3L -> "view")
+    assert(state() === expected)
+    // re-replay the whole source with a FRESH checkpoint against the
+    // EXISTING table: every merge re-applies, final state is unchanged
+    EventsStream.replayToUpsert(agg(srcDir), tableDir, tmpDir("ck2"),
+      keyCol = "user_id", partCol = "part")
+    assert(state() === expected)
+  }
 }
