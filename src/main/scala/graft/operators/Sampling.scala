@@ -124,4 +124,35 @@ object Sampling {
       .select(col("stratum"), posexplode(col("picks")).as(Seq("pos", "id")))
       .select(col("stratum"), (col("pos") + 1).cast("int").as("sample_rank"),
         col("id"))
+
+  /** Deterministic WEIGHTED sample (Efraimidis–Spirakis A-ES): up to `n`
+    * rows per stratum with inclusion probability proportional to
+    * `weight` — the quality-weighted subsampling step of corpus curation
+    * ("keep 10k docs per source, preferring long/high-quality ones"),
+    * reproducible from content alone like every sampler here.
+    *
+    * A-ES ranks rows by u^(1/w) descending (u uniform per row); this
+    * implementation ranks by the order-equivalent −ln(u)/w ASCENDING,
+    * quantized to integer nano-units so the cross-engine contract is the
+    * usual one-libm-call-then-round (q93 discipline). u is EXACT dyadic:
+    * (k₅₂ + ½) / 2⁵², with k₅₂ the [[orderKey53]] 52-bit md5 prefix —
+    * the add and the power-of-two division are lossless in doubles, so
+    * both engines feed ln the identical value.
+    *
+    * Same map-side-TopKAgg shape as [[stratifiedSample]]: no per-stratum
+    * window over the corpus, one shuffle of partitions × strata × n
+    * buffered rows. */
+  def weightedSample(df: DataFrame, stratum: Column, id: Column,
+      key: Column, weight: Column, n: Int): DataFrame = {
+    val u = (orderKey53(key) + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val esKey = round((lit(-1.0) * log(u)) / weight * lit(1e9)).cast("long")
+    df.filter(key.isNotNull && weight > 0)
+      .select(stratum.as("stratum"), id.as("id"),
+        (-esKey).cast("double").as("neg_key")) // smallest −ln(u)/w wins
+      .groupBy(col("stratum"))
+      .agg(graft.functions.TopKAgg.topk(col("neg_key"), col("id"), n).as("picks"))
+      .select(col("stratum"), posexplode(col("picks")).as(Seq("pos", "id")))
+      .select(col("stratum"), (col("pos") + 1).cast("int").as("sample_rank"),
+        col("id"))
+  }
 }

@@ -434,6 +434,30 @@ object PipelineQueries {
       FROM orders WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ups)""")
   )
 
+  /** Weighted per-source sample ([[Sampling.weightedSample]], weights =
+    * n_chars): A-ES priority sampling, 15 docs per source. The oracle
+    * ranks by the identical quantized −ln(u)/w key with the identical
+    * exact-dyadic u, so the weighted selection itself — not just row
+    * counts — is hash-checked. */
+  val q137 = Q(
+    "q137_weighted_sample",
+    (spark, dir) => Sampling.weightedSample(
+      Tables.load(spark, dir, "documents"),
+      col("source"), col("doc_id"), col("text"), col("n_chars"), n = 15),
+    Some("""WITH r AS (
+        SELECT source AS stratum, doc_id,
+          CAST(ROUND((-1.0 * ln((('0x' || substr(md5(text), 1, 13))::BIGINT + 0.5)
+              / 4503599627370496.0)) / n_chars * 1000000000.0) AS BIGINT) AS k
+        FROM documents WHERE text IS NOT NULL AND n_chars > 0),
+      rk AS (
+        SELECT stratum, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY stratum ORDER BY k, doc_id) AS rk
+        FROM r)
+      SELECT stratum, CAST(rk AS INTEGER) AS sample_rank, doc_id AS id
+      FROM rk WHERE rk <= 15""")
+  )
+
   val all: Seq[Q] =
-    Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133)
+    Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
+      q137)
 }

@@ -110,4 +110,30 @@ class SamplingSpec extends SparkSpec {
     // partitioning must not change the sample (map-side buffers merge)
     assert(run(docs.repartition(13)) === got)
   }
+
+  test("weightedSample: weight dominates selection, same-content ties order by weight") {
+    import spark.implicits._
+    val rows = (1L to 10L).map(i => (i, s"doc-$i", "s", 1L)) :+
+      (99L, "heavy", "s", 1000000000000L) // w=1e12 → key ≈ 0 → rank 1
+    val df = rows.toDF("doc_id", "text", "source", "w")
+    val out = Sampling.weightedSample(df, col("source"), col("doc_id"),
+        col("text"), col("w"), n = 5)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(out.size === 5)
+    assert(out(1) === 99L)
+    // identical text (same u), different weights: higher weight must
+    // rank strictly earlier (−ln(u)/w shrinks with w)
+    val dup = Seq((1L, "same", "s", 1L), (2L, "same", "s", 100L))
+      .toDF("doc_id", "text", "source", "w")
+    val dupOut = Sampling.weightedSample(dup, col("source"), col("doc_id"),
+        col("text"), col("w"), n = 2)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(dupOut === Map(1 -> 2L, 2 -> 1L))
+    // zero/negative weights are excluded, not sampled
+    val z = Seq((1L, "a", "s", 0L), (2L, "b", "s", 3L))
+      .toDF("doc_id", "text", "source", "w")
+    val zOut = Sampling.weightedSample(z, col("source"), col("doc_id"),
+        col("text"), col("w"), n = 5).collect()
+    assert(zOut.map(_.getLong(2)).toSeq === Seq(2L))
+  }
 }
