@@ -591,4 +591,38 @@ object Corpus {
       row_number().over(Window.orderBy(col("r").desc, col("token").asc))
         .cast(IntegerType).as("pos"))
   }
+
+  /** Subword seed-vocabulary induction: the top-`k` within-token character
+    * n-grams (lengths `minN`..`maxN`) by corpus occurrence count — the
+    * seed-vocab step of SentencePiece/unigram-LM tokenizer training
+    * (candidate pieces are frequent substrings; training then prunes).
+    *
+    * The scale move: substrings are generated from the TOKEN-COUNT
+    * relation, not the corpus — each distinct token explodes once,
+    * carrying its corpus count as a weight, so the explode is
+    * vocab-bounded (Heaps' law) while occurrence totals stay exact
+    * (Σ count(token) · occurrences-in-token). The corpus itself pays only
+    * the one partial-aggregated token shuffle every Corpus operator
+    * shares. Counts are BIGINT sums — exact under any partitioning — and
+    * the (count desc, ngram asc) ranking is total, so the top-k cutoff is
+    * deterministic; orderBy+limit plans as TakeOrderedAndProject. */
+  def subwordSeedVocab(docs: DataFrame, minN: Int, maxN: Int,
+      k: Int): DataFrame = {
+    require(minN >= 1 && maxN >= minN && k > 0, s"minN=$minN maxN=$maxN k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val tc = docs.select(explode(TA.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+    // sequence(1, stop) DESCENDS when stop < 1 — the IF guards short tokens
+    val subs = tc.select(col("n"), explode(expr(
+      s"""flatten(transform(sequence($minN, $maxN), l ->
+         IF(length(tok) >= l,
+            transform(sequence(1, length(tok) - l + 1),
+                      i -> substring(tok, i, l)),
+            array())))""")).as("ngram"))
+    val agg = subs.groupBy(col("ngram")).agg(sum(col("n")).as("n_occ"))
+    val ord = Seq(col("n_occ").desc, col("ngram").asc)
+    agg.orderBy(ord: _*).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast(IntegerType))
+  }
 }

@@ -507,7 +507,34 @@ object CorpusQueries {
     }
   )
 
+  /** Subword seed vocabulary ([[Corpus.subwordSeedVocab]], 2–5-char
+    * pieces, top 50). The oracle regenerates the weighted substring
+    * relation from the same token-count CTE (two chained lateral
+    * unnests), so the vocab-relation generation trick — not just the
+    * final counts — is semantically pinned. */
+  val q138 = Q(
+    "q138_subword_seed_vocab",
+    (spark, dir) => Corpus.subwordSeedVocab(
+      Tables.load(spark, dir, "documents"), minN = 2, maxN = 5, k = 50),
+    Some(s"""WITH tc AS (
+        SELECT tok, COUNT(*) AS n
+        FROM (SELECT unnest($sqlToks) AS tok FROM documents)
+        GROUP BY tok),
+      lv AS (SELECT tok, n, unnest([2, 3, 4, 5]) AS l FROM tc),
+      sv AS (
+        SELECT substr(tok, CAST(s AS INTEGER), CAST(l AS INTEGER)) AS ngram, n
+        FROM (SELECT tok, n, l,
+                unnest(generate_series(1, length(tok) - l + 1)) AS s
+              FROM lv)),
+      ag AS (SELECT ngram, CAST(SUM(n) AS BIGINT) AS n_occ
+             FROM sv GROUP BY ngram),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY n_occ DESC, ngram ASC) AS INTEGER) AS rank
+             FROM ag)
+      SELECT ngram, n_occ, rank FROM rk WHERE rank <= 50""")
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125, q131, q135)
+      q117, q125, q131, q135, q138)
 }

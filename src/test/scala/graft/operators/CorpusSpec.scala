@@ -364,6 +364,21 @@ class CorpusSpec extends SparkSpec {
       "a" -> 50000000L, "b" -> 474999999L, "c" -> 191666666L))
   }
 
+  test("subwordSeedVocab: weighted substring counts, hand-computed tiny corpus") {
+    import spark.implicits._
+    // tokens: "abc" ×2 (one per doc), "bc" ×1 → 2..3-grams:
+    // bc = 2(from abc)+1 = 3; ab = 2; abc = 2
+    val tiny = Seq("abc bc", "abc").toDF("text")
+    val out = Corpus.subwordSeedVocab(tiny, minN = 2, maxN = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("n_occ"),
+        r.getAs[Int]("rank")))
+    assert(out.toSet === Set(("bc", 3L, 1), ("ab", 2L, 2), ("abc", 2L, 3)))
+    // tokens shorter than minN contribute nothing (guarded sequence)
+    val short = Corpus.subwordSeedVocab(Seq("a b").toDF("text"), 2, 3, 5)
+      .collect()
+    assert(short.isEmpty)
+  }
+
   test("textRank: corpus ranks are positive, pos is a permutation, mass bounded") {
     val rows = Corpus.textRank(docs, iters = 3).collect()
     assert(rows.nonEmpty)
