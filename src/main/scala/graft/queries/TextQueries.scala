@@ -590,6 +590,55 @@ object TextQueries {
     WHERE CAST(n_common AS DOUBLE) / (nn.n + nr.n - n_common) >= 0.5""")
   )
 
+  /** Sequence-level near-dup verification: the q26 set-similarity pair
+    * relation cross-checked with EXACT edit distance — the two standard
+    * near-dup lenses (bag-of-shingles vs character sequence) agreeing is
+    * the high-precision dedup signal; pairs passing Jaccard but failing
+    * the edit bound would be shuffled-content false friends. Levenshtein
+    * runs only on the VERIFIED pair relation (tiny by contract), never on
+    * candidates — the quadratic-cost scalar stays off the wide path. Both
+    * engines' `levenshtein` is the unit-cost classic, so `n_edits` is an
+    * exact integer on each side. */
+  val q139 = Q(
+    "q139_editdist_near_dups",
+    (spark, dir) => {
+      val docs = Tables.load(spark, dir, "documents")
+      val t = docs.select(col("doc_id"), col("text"))
+      Dedup.jaccardPairsPrefixHash(docs, 0.5)
+        .join(t.select(col("doc_id").as("doc_a"), col("text").as("text_a")),
+          "doc_a")
+        .join(t.select(col("doc_id").as("doc_b"), col("text").as("text_b")),
+          "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("jaccard"),
+          levenshtein(col("text_a"), col("text_b")).as("n_edits"),
+          greatest(length(col("text_a")), length(col("text_b")))
+            .as("max_len"))
+        .filter(col("n_edits") <= 10)
+    },
+    Some(s"""WITH sh AS (
+        SELECT doc_id, unnest(list_distinct($sqlShingles)) AS shingle
+        FROM documents),
+      sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2),
+      pj AS (
+        SELECT doc_a, doc_b,
+          CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) AS jaccard
+        FROM inter
+          JOIN sizes na ON na.doc_id = doc_a
+          JOIN sizes nb ON nb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (na.n + nb.n - n_common) >= 0.5)
+      SELECT doc_a, doc_b, jaccard,
+        CAST(levenshtein(ta.text, tb.text) AS INTEGER) AS n_edits,
+        CAST(greatest(length(ta.text), length(tb.text)) AS INTEGER) AS max_len
+      FROM pj
+        JOIN documents ta ON ta.doc_id = doc_a
+        JOIN documents tb ON tb.doc_id = doc_b
+      WHERE levenshtein(ta.text, tb.text) <= 10""")
+  )
+
   val all: Seq[Q] = Seq(q20, q21, q22, q23, q24, q25, q26, q27, q28, q29,
-    q35, q43, q44, q75, q77, q81, q83, q118, q126, q127)
+    q35, q43, q44, q75, q77, q81, q83, q118, q126, q127, q139)
 }
