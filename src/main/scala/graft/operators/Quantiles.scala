@@ -64,4 +64,33 @@ object Quantiles {
     ranked.groupBy(col(groupCol))
       .agg(max(col("n")).as("n"), picks: _*)
   }
+
+  /** GLOBAL quantile bucketing: each row gets the 1-based bucket of its
+    * value under exact nearest-rank cuts at p = i/nBuckets — the
+    * distributed histogram-equalization shape ("decile by quality, then
+    * weight/sample per decile"). Bucket = 1 + #{cuts < value}: values
+    * equal to a cut close the LOWER bucket, matching the nearest-rank
+    * cut definition (smallest value with cum ≥ ceil(p·n)), so bucket
+    * populations are as even as ties allow and the mapping is total.
+    *
+    * Shape at scale: the cut computation is [[exactGroupQuantiles]] on a
+    * constant group — it compresses to the value DOMAIN before its
+    * window, so "global" costs a domain-sized sort, not a corpus sort —
+    * and the cut row broadcasts back as a 1-row cross join; assignment is
+    * a row-local comparison fan-out. No window, no shuffle of the
+    * assigned relation. */
+  def bucketByGlobalQuantiles(df: DataFrame, valueCol: String,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets=$nBuckets")
+    val ps = (1 until nBuckets).map(_.toDouble / nBuckets)
+    val cutCols = ps.map(pLabel)
+    val cuts = exactGroupQuantiles(
+      df.select(col(valueCol), lit(1).as("_g")), "_g", valueCol, ps)
+      .drop("_g", "n")
+    df.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        cutCols.map(c => (col(valueCol) > col(c)).cast("int"))
+          .reduce(_ + _) + lit(1))
+      .drop(cutCols: _*)
+  }
 }

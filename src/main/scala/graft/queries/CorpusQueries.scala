@@ -534,7 +534,48 @@ object CorpusQueries {
       SELECT ngram, n_occ, rank FROM rk WHERE rank <= 50""")
   )
 
+  /** Global octile bucketing of document length
+    * ([[graft.operators.Quantiles.bucketByGlobalQuantiles]], 8 buckets)
+    * with per-bucket population stats — the histogram-equalization step
+    * of curriculum/quality binning. The ps are DYADIC (i/8), hence
+    * binary-exact in both engines' ceil(p·n) rank arithmetic — no
+    * decimal-vs-double literal semantics in the contract. The oracle
+    * recomputes cuts from the same compressed histogram window and
+    * assigns buckets with the same cuts-below count. */
+  val q140 = Q(
+    "q140_length_octiles",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions._
+      graft.operators.Quantiles.bucketByGlobalQuantiles(
+        Tables.load(spark, dir, "documents").select(col("n_chars")),
+        "n_chars", nBuckets = 8)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+    },
+    Some {
+      val cuts = (1 until 8).map(i =>
+        s"MIN(CASE WHEN cum >= ceil(${i / 8.0} * n) THEN n_chars END) AS c$i")
+        .mkString(",\n          ")
+      val below = (1 until 8).map(i =>
+        s"(CASE WHEN d.n_chars > c$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH h AS (SELECT n_chars, COUNT(*) AS c FROM documents GROUP BY 1),
+      w AS (SELECT *, SUM(c) OVER (ORDER BY n_chars) AS cum,
+              SUM(c) OVER () AS n FROM h),
+      cuts AS (
+        SELECT
+          $cuts
+        FROM w),
+      b AS (SELECT d.n_chars,
+              CAST($below + 1 AS INTEGER) AS bucket
+            FROM documents d CROSS JOIN cuts)
+      SELECT bucket, COUNT(*) AS n_docs, MIN(n_chars) AS min_chars,
+        MAX(n_chars) AS max_chars
+      FROM b GROUP BY 1"""
+    }
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125, q131, q135, q138)
+      q117, q125, q131, q135, q138, q140)
 }

@@ -36,4 +36,20 @@ class QuantilesSpec extends SparkSpec {
       Quantiles.exactGroupQuantiles(Seq(("g", 1L)).toDF("g", "v"), "g", "v",
         Seq(1.5)))
   }
+
+  test("bucketByGlobalQuantiles: even quartiles on 1..8, ties close the lower bucket") {
+    val df = (1L to 8L).toDF("v")
+    val out = Quantiles.bucketByGlobalQuantiles(df, "v", 4)
+      .collect().map(r => r.getAs[Long]("v") -> r.getAs[Int]("bucket")).toMap
+    assert(out === Map(1L -> 1, 2L -> 1, 3L -> 2, 4L -> 2,
+      5L -> 3, 6L -> 3, 7L -> 4, 8L -> 4))
+    // all-equal values: every row lands in bucket 1 (cut equals the value)
+    val ties = Quantiles.bucketByGlobalQuantiles(
+      Seq(5L, 5L, 5L, 5L).toDF("v"), "v", 2)
+      .collect().map(_.getAs[Int]("bucket"))
+    assert(ties.toSet === Set(1))
+    // cut helper columns must not leak into the output schema
+    assert(Quantiles.bucketByGlobalQuantiles(df, "v", 4).columns.toSeq
+      === Seq("v", "bucket"))
+  }
 }
