@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph statistics beyond connectivity (the connected-
+  * components family lives in [[Dedup]]): triangle counting by
+  * degree-ORIENTED wedge join — the motif-counting primitive behind
+  * clustering coefficients and dense-duplicate-cluster diagnostics.
+  *
+  * Why orientation matters at scale: the naive wedge join explodes every
+  * high-degree node into deg² candidate pairs — a power-law hub with
+  * deg 10⁶ contributes 10¹² wedges. Orienting each edge from its
+  * (deg, id)-smaller endpoint to the larger caps every node's OUT-degree
+  * at O(√m) (a classic arboricity bound), so the self-join cost drops to
+  * Σ outdeg² = O(m^{3/2}) regardless of skew, and each triangle is
+  * counted exactly once — at its (deg, id)-minimum vertex, whose two
+  * out-edges form the wedge and whose opposite edge is checked in
+  * CANONICAL (a<b) form via a plain equi-join (no OR-join, no broadcast
+  * of the full edge set).
+  */
+object Graph {
+
+  /** One-row statistics of the simple undirected graph given as edge rows
+    * (`a`, `b`): node/edge counts, wedge count Σ d(d−1)/2, and the exact
+    * triangle count. Input edges are canonicalized (a<b, dedup'd), so any
+    * orientation/duplication in the input is tolerated. */
+  def triangleStats(edges0: DataFrame): DataFrame = {
+    val edges = edges0.select(
+        least(col("a"), col("b")).cast("long").as("a"),
+        greatest(col("a"), col("b")).cast("long").as("b"))
+      .filter(col("a") < col("b")).distinct()
+      .localCheckpoint() // reused 4× (degrees, orientation, closure probe)
+    val deg = edges.select(col("a").as("v"))
+      .union(edges.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val aFirst = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .withColumn("fwd",
+        col("da") < col("db") ||
+          (col("da") === col("db") && col("a") < col("b")))
+    val oriented = aFirst.select(
+        when(col("fwd"), col("a")).otherwise(col("b")).as("src"),
+        when(col("fwd"), col("b")).otherwise(col("a")).as("dst"))
+      .localCheckpoint() // the wedge self-join reads it twice
+    val wedgePairs = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.src") === col("e2.src"))
+      .filter(col("e1.dst") < col("e2.dst"))
+      .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
+    val triangles = wedgePairs.join(edges, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    val nodesEdges = edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+        sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+    nodesEdges.crossJoin(triangles)
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+  }
+}

@@ -457,7 +457,35 @@ object PipelineQueries {
       FROM rk WHERE rk <= 15""")
   )
 
+  /** Triangle statistics of the near-dup pair graph
+    * ([[graft.operators.Graph.triangleStats]] over the q26 relation):
+    * node/edge/wedge/triangle counts — the cluster-density diagnostic
+    * next to the q51/q64 component labelings (components say WHICH docs
+    * group; triangles/wedges say how DENSE the groups are, the signal
+    * that separates true duplicate cliques from chained false
+    * positives). The oracle recounts triangles with the textbook
+    * three-way a<b<c edge join — shape-independent of the operator's
+    * degree-oriented plan, so the orientation trick itself is
+    * falsifiable. */
+  val q141 = Q(
+    "q141_dup_triangles",
+    (spark, dir) => graft.operators.Graph.triangleStats(
+      Dedup.jaccardPairsPrefixHash(Tables.load(spark, dir, "documents"), 0.5)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))),
+    Some(s"""WITH $sqlPairCtes,
+      e AS (SELECT doc_a AS a, doc_b AS b FROM pairs),
+      deg AS (SELECT v, COUNT(*) AS d
+              FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+              GROUP BY 1)
+      SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+        (SELECT COUNT(*) FROM e) AS n_edges,
+        (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+        (SELECT COUNT(*)
+         FROM e xy JOIN e yz ON yz.a = xy.b
+           JOIN e xz ON xz.a = xy.a AND xz.b = yz.b) AS n_triangles""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137)
+      q137, q141)
 }
