@@ -61,4 +61,45 @@ object Merge {
     }
     spark.read.parquet(baseDir)
   }
+
+  /** Targeted DELETE by key set — the right-to-be-forgotten / GDPR path,
+    * copy-on-write at the same partition granularity as the upsert:
+    * partitions holding a doomed key are found with the column-pruned
+    * discovery join, ONLY those are read back and rewritten minus the
+    * matched rows, and everything else is untouched. Deleting keys not
+    * present (including a re-run of the same delete) touches zero
+    * partitions and writes nothing. Returns the table re-read. */
+  def deletePartitioned(spark: SparkSession, baseDir: String,
+      keys: DataFrame, keyCol: String, partCol: String): DataFrame = {
+    val base = spark.read.parquet(baseDir)
+    val delKeys = keys.select(col(keyCol)).distinct()
+    val affected = base.join(broadcast(delKeys), Seq(keyCol))
+      .select(col(partCol)).distinct().collect().map(_.getString(0)).sorted
+    if (affected.nonEmpty) {
+      val survivors = base.filter(col(partCol).isin(affected.toSeq: _*))
+        .join(broadcast(delKeys), Seq(keyCol), "left_anti")
+        .localCheckpoint()
+      val conf = spark.conf
+      val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+      conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try survivors.write.mode("overwrite").partitionBy(partCol)
+        .parquet(baseDir)
+      finally prev match {
+        case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
+        case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
+      // dynamic overwrite replaces only partitions PRESENT in the written
+      // data — a partition whose every row was deleted has no survivors
+      // and would silently keep its stale files; drop those directories
+      // explicitly (the step a table format's metadata commit does)
+      val present = survivors.select(col(partCol)).distinct()
+        .collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(baseDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      affected.filterNot(present).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$partCol=$p"), true)
+      }
+    }
+    spark.read.parquet(baseDir)
+  }
 }

@@ -485,7 +485,48 @@ object PipelineQueries {
            JOIN e xz ON xz.a = xy.a AND xz.b = yz.b) AS n_triangles""")
   )
 
+  /** Separate pristine month-partitioned orders copy for the DELETE query
+    * (q133's merge target mutates under upserts; each CRUD query owns its
+    * table). */
+  private val stagedDeleteOrders =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def deleteOrdersDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedDeleteOrders.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-delete-orders")
+      Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .write.mode("overwrite").partitionBy("o_month").parquet(t)
+      t
+    })
+
+  /** Targeted key deletion ([[graft.operators.Merge.deletePartitioned]]):
+    * the right-to-be-forgotten path — 1999 orders of every 50th customer
+    * are deleted by key list, rewriting only the 12 partitions of 1999.
+    * Re-running the same delete is a no-op (no matched keys → zero
+    * partitions touched). The oracle is the table minus the doomed rows,
+    * so the deletion AND the untouched-partition passthrough hash-check
+    * row-for-row; MergeSpec covers the fully-emptied-partition edge the
+    * oracle can't reach on this data. */
+  val q142 = Q(
+    "q142_targeted_delete",
+    (spark, dir) => {
+      val baseDir = deleteOrdersDir(spark, dir)
+      val doomed = Tables.load(spark, dir, "orders")
+        .filter(col("o_custkey") % 50 === 0 &&
+          year(col("o_orderdate")) === 1999)
+        .select(col("o_orderkey"))
+      graft.operators.Merge.deletePartitioned(spark, baseDir, doomed,
+        "o_orderkey", "o_month")
+    },
+    Some("""SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        o_orderdate, o_orderpriority,
+        strftime(o_orderdate, '%Y-%m') AS o_month
+      FROM orders
+      WHERE NOT (o_custkey % 50 = 0 AND year(o_orderdate) = 1999)""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141)
+      q137, q141, q142)
 }

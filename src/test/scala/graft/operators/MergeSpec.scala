@@ -58,6 +58,36 @@ class MergeSpec extends SparkSpec {
       .select("id").as[Long].collect().sorted.toSeq === Seq(4L))
   }
 
+  test("deletePartitioned: doomed keys vanish, emptied partitions drop, re-delete is a no-op") {
+    val dir = stage()
+    val p1Before = files(dir, "p1")
+    // delete BOTH rows of p2 (partition empties) and nothing from p1/p3
+    val doomed = Seq(3L, 4L).toDF("id")
+    val out = Merge.deletePartitioned(spark, dir, doomed, "id", "part")
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 5L))
+    // p2's directory is GONE (not just overwritten with stale survivors)
+    assert(!Files.exists(Paths.get(dir, "part=p2")))
+    // p1 untouched physically
+    assert(files(dir, "p1") === p1Before)
+    // re-deleting the same keys: no partitions touched, state unchanged
+    val p1Mid = files(dir, "p1"); val p3Mid = files(dir, "p3")
+    val again = Merge.deletePartitioned(spark, dir, doomed, "id", "part")
+    assert(again.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 2L, 5L))
+    assert(files(dir, "p1") === p1Mid && files(dir, "p3") === p3Mid)
+  }
+
+  test("deletePartitioned: partial deletion rewrites only the holding partition") {
+    val dir = stage()
+    val p3Before = files(dir, "p3")
+    Merge.deletePartitioned(spark, dir, Seq(1L).toDF("id"), "id", "part")
+    val back = spark.read.parquet(dir)
+    assert(back.select("id").as[Long].collect().sorted.toSeq
+      === Seq(2L, 3L, 4L, 5L))
+    assert(back.filter(col("part") === "p1").select("id").as[Long]
+      .collect().toSeq === Seq(2L))
+    assert(files(dir, "p3") === p3Before)
+  }
+
   test("upsertPartitioned: idempotent for a fixed batch") {
     val dir = stage()
     val ups = Seq((2L, "p1", 22.0), (8L, "p3", 80.0)).toDF("id", "part", "v")
