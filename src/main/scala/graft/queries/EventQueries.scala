@@ -285,6 +285,46 @@ object EventQueries {
       FROM c""")
   )
 
+  /** Session concurrency via the bucketed interval-overlap join
+    * ([[graft.operators.IntervalJoin.overlapCounts]] over q105's session
+    * intervals, 1-hour buckets): for every session, how many OTHER
+    * sessions (any user) overlap it in time. The oracle recounts with
+    * the NAIVE n² range self-join — shape-independent of the bucketed
+    * plan, so bucket-boundary handling (half-open ends, the
+    * first-shared-bucket pair dedup) is falsifiable, not assumed. */
+  val q143 = Q(
+    "q143_session_overlap",
+    (spark, dir) => graft.operators.IntervalJoin.overlapCounts(
+      EventAnalytics.sessionize(Tables.load(spark, dir, "events"),
+        gapMinutes = 30),
+      idCols = Seq("user_id", "session_start"),
+      startCol = "session_start", endCol = "session_end"),
+    Some("""WITH o AS (
+        SELECT user_id, ts,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (
+        SELECT user_id, ts,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o),
+      sess AS (
+        SELECT user_id, MIN(ts) AS session_start,
+          MAX(ts) + INTERVAL '30 minutes' AS session_end
+        FROM g GROUP BY user_id, grp)
+      SELECT s1.user_id, s1.session_start, s1.session_end,
+        COUNT(s2.user_id) AS n_overlaps
+      FROM sess s1 LEFT JOIN sess s2
+        ON NOT (s2.user_id = s1.user_id
+                AND s2.session_start = s1.session_start)
+          AND s1.session_start < s2.session_end
+          AND s2.session_start < s1.session_end
+      GROUP BY 1, 2, 3""")
+  )
+
   val all: Seq[Q] =
-    Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105, q134)
+    Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105, q134, q143)
 }
