@@ -376,6 +376,66 @@ object EventAnalytics {
       .filter(abs(col("z")) > threshold)
   }
 
+  /** Market-basket pair associations over SESSION baskets: each
+    * gaps-and-islands session (the [[sessionize]] grouping) is a basket
+    * of the DISTINCT event types it contains; for every type pair a<b the
+    * operator reports co-occurrence, both directed confidences, and lift
+    * — the association-rule layer of behavioral analytics ("users who X
+    * in a session also Y").
+    *
+    * Exactness: counts are BIGINT; lift = 10⁶·(N·c_ab)/(c_a·c_b) and the
+    * confidences are single double divisions of exact integer products,
+    * rounded to integer micros (the q93 discipline; the products stay
+    * well inside 2⁵³ for any basket corpus that fits an engine — beyond
+    * that, swap the cast to DECIMAL).
+    *
+    * Shape at scale: one user-key exchange builds baskets (the q105
+    * sessionize shuffle); the distinct item relation is baskets ×
+    * item-domain — domain-BOUNDED, so the within-basket pair self-join is
+    * quadratic only in the small per-basket domain; item counts and the
+    * basket total are tiny broadcast relations. No corpus-sized join
+    * anywhere. */
+  def basketPairAssociations(events: DataFrame, gapMinutes: Int = 30,
+      userCol: String = "user_id", tsCol: String = "ts",
+      itemCol: String = "event_type"): DataFrame = {
+    require(gapMinutes >= 1, s"gapMinutes=$gapMinutes")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
+    val brk = when(
+      prev.isNull || unix_micros(col(tsCol)) - prev >= gapUs, 1L)
+      .otherwise(0L)
+    val items = events.select(col(userCol), col(tsCol), col(itemCol))
+      .withColumn("grp", sum(brk).over(run))
+      .select(col(userCol), col("grp"), col(itemCol)).distinct()
+    val nBaskets = items.select(col(userCol), col("grp")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+    val itemCounts = items.groupBy(col(itemCol)).agg(count(lit(1)).as("c"))
+    val pairs = items.as("a")
+      .join(items.as("b"),
+        col(s"a.$userCol") === col(s"b.$userCol") &&
+          col("a.grp") === col("b.grp") &&
+          col(s"a.$itemCol") < col(s"b.$itemCol"))
+      .groupBy(col(s"a.$itemCol").as("item_a"),
+        col(s"b.$itemCol").as("item_b"))
+      .agg(count(lit(1)).as("c_both"))
+    pairs
+      .join(broadcast(itemCounts.select(col(itemCol).as("item_a"),
+        col("c").as("c_a"))), "item_a")
+      .join(broadcast(itemCounts.select(col(itemCol).as("item_b"),
+        col("c").as("c_b"))), "item_b")
+      .crossJoin(broadcast(nBaskets))
+      .select(col("item_a"), col("item_b"), col("n_baskets"),
+        col("c_a"), col("c_b"), col("c_both"),
+        round(lit(1e6) * (col("n_baskets") * col("c_both"))
+          / (col("c_a") * col("c_b"))).cast("long").as("lift_1e6"),
+        round(lit(1e6) * col("c_both") / col("c_a")).cast("long")
+          .as("conf_a_b_1e6"),
+        round(lit(1e6) * col("c_both") / col("c_b")).cast("long")
+          .as("conf_b_a_1e6"))
+  }
+
   /** Slowly-Changing-Dimension Type-2 build from an event log: per key,
     * each RUN of consecutive identical attribute values becomes one
     * versioned validity interval — `valid_from` at the run's first event,

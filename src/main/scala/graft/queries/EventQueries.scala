@@ -325,6 +325,49 @@ object EventQueries {
       GROUP BY 1, 2, 3""")
   )
 
+  /** Session-basket association rules
+    * ([[EventAnalytics.basketPairAssociations]]): distinct-event-type
+    * baskets per 30-minute session, pairwise co-occurrence with both
+    * confidences and lift in integer micros. The oracle rebuilds baskets
+    * from the same gaps-and-islands ladder and mirrors the exact product/
+    * division/round order. */
+  val q144 = Q(
+    "q144_event_associations",
+    (spark, dir) => EventAnalytics.basketPairAssociations(
+      Tables.load(spark, dir, "events"), gapMinutes = 30),
+    Some("""WITH o AS (
+        SELECT user_id, ts, event_type,
+          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                 OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL '30 minutes'
+               THEN 1 ELSE 0 END AS brk
+        FROM events),
+      g AS (
+        SELECT user_id, event_type,
+          SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS grp
+        FROM o),
+      it AS (SELECT DISTINCT user_id, grp, event_type FROM g),
+      nb AS (SELECT COUNT(*) AS n_baskets
+             FROM (SELECT DISTINCT user_id, grp FROM it)),
+      ic AS (SELECT event_type, COUNT(*) AS c FROM it GROUP BY 1),
+      pr AS (
+        SELECT a.event_type AS item_a, b.event_type AS item_b,
+          COUNT(*) AS c_both
+        FROM it a JOIN it b
+          ON a.user_id = b.user_id AND a.grp = b.grp
+            AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT item_a, item_b, nb.n_baskets, ca.c AS c_a, cb.c AS c_b, c_both,
+        CAST(ROUND(1000000.0 * (nb.n_baskets * c_both) / (ca.c * cb.c))
+          AS BIGINT) AS lift_1e6,
+        CAST(ROUND(1000000.0 * c_both / ca.c) AS BIGINT) AS conf_a_b_1e6,
+        CAST(ROUND(1000000.0 * c_both / cb.c) AS BIGINT) AS conf_b_a_1e6
+      FROM pr, nb
+        JOIN ic ca ON ca.event_type = pr.item_a
+        JOIN ic cb ON cb.event_type = pr.item_b""")
+  )
+
   val all: Seq[Q] =
-    Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105, q134, q143)
+    Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105, q134, q143, q144)
 }

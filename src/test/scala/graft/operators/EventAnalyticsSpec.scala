@@ -290,6 +290,30 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.count(_._2._4) === 2)
   }
 
+  test("basketPairAssociations: hand-computed baskets, lift and confidences") {
+    val rows = ev(
+      // u1 session 1: {view, click}; session 2 (2h later): {view}
+      (1L, "view", "2024-01-01 00:00:00", 0.0),
+      (1L, "click", "2024-01-01 00:10:00", 0.0),
+      (1L, "view", "2024-01-01 00:12:00", 0.0), // duplicate item in basket
+      (1L, "view", "2024-01-01 02:00:00", 0.0),
+      // u2 session: {click, buy}
+      (2L, "click", "2024-01-01 01:00:00", 0.0),
+      (2L, "buy", "2024-01-01 01:05:00", 0.0))
+    val out = EventAnalytics.basketPairAssociations(rows)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_baskets"), r.getAs[Long]("c_a"),
+          r.getAs[Long]("c_b"), r.getAs[Long]("c_both"),
+          r.getAs[Long]("lift_1e6"), r.getAs[Long]("conf_a_b_1e6"),
+          r.getAs[Long]("conf_b_a_1e6"))).toMap
+    assert(out.size === 2)
+    // 3 baskets; c(view)=2, c(click)=2, c(buy)=1
+    // (click, view): c_both=1, lift = 3·1/(2·2) = 0.75
+    assert(out(("click", "view")) === ((3L, 2L, 2L, 1L, 750000L, 500000L, 500000L)))
+    // (buy, click): c_both=1, lift = 3·1/(1·2) = 1.5
+    assert(out(("buy", "click")) === ((3L, 1L, 2L, 1L, 1500000L, 1000000L, 500000L)))
+  }
+
   test("scd2Intervals: plans a single exchange (lag/lead/version share one sort)") {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
