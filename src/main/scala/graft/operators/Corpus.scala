@@ -592,6 +592,56 @@ object Corpus {
         .cast(IntegerType).as("pos"))
   }
 
+  /** Collocation mining: the top-`k` adjacent token pairs by pointwise
+    * mutual information, PMI = ln(p(w₁w₂) / (p(w₁)·p(w₂))) with bigram
+    * probability over the bigram total N and unigram probabilities over
+    * the token total T — the phrase-detection step (word2vec-style
+    * "new_york" merging) of corpus preprocessing. A `minCount` floor
+    * keeps the rare-pair PMI explosion out (the classic PMI failure
+    * mode).
+    *
+    * Exactness: the score is ln((c₁₂·T²)/(N·c₁·c₂)) — integer products
+    * (exact in BIGINT, and exact again as doubles while < 2⁵³; swap to
+    * DECIMAL beyond ~10¹⁵-token corpora), ONE division, one ln, rounded
+    * to integer micros (q93 discipline). Ranking is total (pmi desc,
+    * pair asc).
+    *
+    * Shape at scale: the same one corpus shuffle as every token
+    * aggregate; the bigram and unigram count relations are vocab²- and
+    * vocab-bounded, and the final join runs entirely on those bounded
+    * relations with broadcast totals. */
+  def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
+    require(minCount >= 1 && k > 0, s"minCount=$minCount k=$k")
+    import org.apache.spark.sql.expressions.Window
+    val toksed = docs.select(TA.tokens(col("text")).as("toks"))
+    val n = size(col("toks"))
+    val bigrams = toksed.select(
+      explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+    val uni = toksed.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val totals = uni.agg(sum(col("c")).as("t_tokens"))
+      .crossJoin(bigrams.agg(count(lit(1)).as("n_bigrams")))
+    val scored = c12
+      .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
+      .crossJoin(broadcast(totals))
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") * col("t_tokens") * col("t_tokens"))
+            / (col("n_bigrams") * col("c1") * col("c2")))
+          * lit(1e6)).cast(LongType).as("pmi_1e6"))
+    val ord = Seq(col("pmi_1e6").desc, col("w1").asc, col("w2").asc)
+    scored.orderBy(ord: _*).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(ord: _*)).cast(IntegerType))
+  }
+
   /** Subword seed-vocabulary induction: the top-`k` within-token character
     * n-grams (lengths `minN`..`maxN`) by corpus occurrence count — the
     * seed-vocab step of SentencePiece/unigram-LM tokenizer training

@@ -376,6 +376,42 @@ object EventAnalytics {
       .filter(abs(col("z")) > threshold)
   }
 
+  /** ROBUST per-group outliers by modified z-score: median/MAD instead of
+    * mean/σ — the Iglewicz–Hoaglin screen, immune to the masking that
+    * makes [[valueOutliers]]'s moment statistics miss outliers in
+    * heavy-tailed telemetry (one huge value inflates σ enough to hide
+    * the rest; it cannot move the median). Flags rows with
+    * |0.6745·(x − med)/MAD| > threshold; MAD = 0 groups (over half the
+    * group constant) flag nothing, deterministically, via a NULLed
+    * denominator — the q100 degenerate-group discipline.
+    *
+    * Exactness: median and MAD are exact nearest-rank DATA VALUES from
+    * [[Quantiles.exactGroupQuantiles]]' compress-then-rank histograms (no
+    * interpolation, no FP aggregation), and the score is a fixed
+    * subtract/multiply/divide sequence both engines evaluate identically.
+    *
+    * Shape at scale: two compress-then-rank passes (values, then absolute
+    * deviations — each sorts the value DOMAIN, not rows), each median
+    * relation broadcast back onto the stream; no window over raw events,
+    * no second corpus shuffle beyond the two histograms. */
+  def madOutliers(events: DataFrame, threshold: Double = 3.5,
+      keyCol: String = "event_type", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    val med = Quantiles.exactGroupQuantiles(
+      events.select(col(keyCol), col(valueCol)), keyCol, valueCol, Seq(0.5))
+      .select(col(keyCol), col("p50").as("med"))
+    val devs = events.join(broadcast(med), Seq(keyCol))
+      .select(col(keyCol), abs(col(valueCol) - col("med")).as("dev"))
+    val mad = Quantiles.exactGroupQuantiles(devs, keyCol, "dev", Seq(0.5))
+      .select(col(keyCol), col("p50").as("mad"))
+    val mz = lit(0.6745) * (col(valueCol) - col("med")) /
+      when(col("mad") > 0.0, col("mad"))
+    events.join(broadcast(med), Seq(keyCol))
+      .join(broadcast(mad), Seq(keyCol))
+      .select(col(idCol), col(keyCol), col(valueCol), mz.as("mz"))
+      .filter(abs(col("mz")) > threshold)
+  }
+
   /** Market-basket pair associations over SESSION baskets: each
     * gaps-and-islands session (the [[sessionize]] grouping) is a basket
     * of the DISTINCT event types it contains; for every type pair a<b the

@@ -575,7 +575,39 @@ object CorpusQueries {
     }
   )
 
+  /** PMI collocation mining ([[Corpus.collocations]], min count 5, top
+    * 20). The oracle mirrors the exact integer-product/single-division/
+    * ln/micro-round pipeline over the same bigram and unigram count
+    * CTEs. */
+  val q145 = Q(
+    "q145_collocations",
+    (spark, dir) => Corpus.collocations(
+      Tables.load(spark, dir, "documents"), minCount = 5L, k = 20),
+    Some(s"""WITH big AS (
+        SELECT toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM (SELECT $sqlToks AS toks FROM documents))),
+      c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM big GROUP BY 1, 2
+              HAVING COUNT(*) >= 5),
+      uni AS (SELECT tok, COUNT(*) AS c
+              FROM (SELECT unnest($sqlToks) AS tok FROM documents)
+              GROUP BY 1),
+      tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_tokens FROM uni),
+      nb AS (SELECT COUNT(*) AS n_bigrams FROM big),
+      sc AS (
+        SELECT w1, w2, c12,
+          CAST(ROUND(ln((c12 * t_tokens * t_tokens)
+              / (n_bigrams * u1.c * u2.c)) * 1000000) AS BIGINT) AS pmi_1e6
+        FROM c12
+          JOIN uni u1 ON u1.tok = w1
+          JOIN uni u2 ON u2.tok = w2, tot, nb),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY pmi_1e6 DESC, w1 ASC, w2 ASC) AS INTEGER) AS rank
+             FROM sc)
+      SELECT w1, w2, c12, pmi_1e6, rank FROM rk WHERE rank <= 20""")
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125, q131, q135, q138, q140)
+      q117, q125, q131, q135, q138, q140, q145)
 }

@@ -368,6 +368,47 @@ object EventQueries {
         JOIN ic cb ON cb.event_type = pr.item_b""")
   )
 
+  /** Robust MAD outliers ([[EventAnalytics.madOutliers]]): the
+    * median/MAD modified z-score twin of q100's moment-based screen. The
+    * oracle rebuilds both exact nearest-rank medians through the same
+    * histogram-window ladder and mirrors the fixed score op order, with
+    * the MAD = 0 NULL guard on both sides. */
+  val q146 = Q(
+    "q146_mad_outliers",
+    (spark, dir) => EventAnalytics.madOutliers(
+      Tables.load(spark, dir, "events"), threshold = 3.5),
+    Some("""WITH h AS (
+        SELECT event_type, value, COUNT(*) AS c FROM events GROUP BY 1, 2),
+      w AS (SELECT *,
+          SUM(c) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+          SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM h),
+      med AS (
+        SELECT event_type,
+          MIN(CASE WHEN cum >= ceil(0.5 * n) THEN value END) AS med
+        FROM w GROUP BY 1),
+      dh AS (
+        SELECT e.event_type, abs(e.value - m.med) AS dev, COUNT(*) AS c
+        FROM events e JOIN med m USING (event_type) GROUP BY 1, 2),
+      dw AS (SELECT *,
+          SUM(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum,
+          SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM dh),
+      mad AS (
+        SELECT event_type,
+          MIN(CASE WHEN cum >= ceil(0.5 * n) THEN dev END) AS mad
+        FROM dw GROUP BY 1)
+      SELECT e.event_id, e.event_type, e.value,
+        CAST(0.6745 AS DOUBLE) * (e.value - m.med)
+          / (CASE WHEN d.mad > 0.0 THEN d.mad END) AS mz
+      FROM events e
+        JOIN med m USING (event_type)
+        JOIN mad d USING (event_type)
+      WHERE abs(CAST(0.6745 AS DOUBLE) * (e.value - m.med)
+          / (CASE WHEN d.mad > 0.0 THEN d.mad END)) > 3.5""")
+  )
+
   val all: Seq[Q] =
-    Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105, q134, q143, q144)
+    Seq(q94, q95, q96, q97, q98, q99, q100, q103, q105, q134, q143, q144,
+      q146)
 }

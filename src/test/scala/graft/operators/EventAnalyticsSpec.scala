@@ -290,6 +290,21 @@ class EventAnalyticsSpec extends SparkSpec {
     assert(out.count(_._2._4) === 2)
   }
 
+  test("madOutliers: flags via median/MAD, MAD-zero groups flag nothing") {
+    val base = (1 to 9).map(i =>
+      (1L, "view", f"2024-01-01 00:${i}%02d:00", i.toDouble)) :+
+      (1L, "view", "2024-01-01 00:10:00", 1000.0) :+ // the outlier
+      (2L, "click", "2024-01-01 00:01:00", 5.0) :+   // MAD=0 group
+      (2L, "click", "2024-01-01 00:02:00", 5.0)
+    val out = EventAnalytics.madOutliers(ev(base: _*), threshold = 3.5)
+      .collect()
+    // med=5, MAD=2 → mz(1000) = .6745·995/2 ≈ 335; everything else ≤ 1.35
+    assert(out.length === 1)
+    assert(out.head.getString(1) === "view")
+    assert(out.head.getDouble(2) === 1000.0)
+    assert(math.abs(out.head.getDouble(3) - 0.6745 * 995.0 / 2.0) < 1e-9)
+  }
+
   test("basketPairAssociations: hand-computed baskets, lift and confidences") {
     val rows = ev(
       // u1 session 1: {view, click}; session 2 (2h later): {view}
