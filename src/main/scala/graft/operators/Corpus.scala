@@ -333,29 +333,46 @@ object Corpus {
     * — the usual case; sort-merge on the bigram key beyond that), and the
     * per-doc total is ONE partial-aggregated doc-key shuffle. No driver
     * materialization anywhere. */
-  def bigramLogProb(docs: DataFrame): DataFrame = {
-    val toksed = docs.select(col("doc_id"), TA.tokens(col("text")).as("toks"))
-    val n = size(col("toks"))
-    val bigrams = toksed.select(col("doc_id"),
-      explode(zip_with(
-        slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bigrams.groupBy(col("w1"), col("w2"))
+  def bigramLogProb(docs: DataFrame): DataFrame =
+    bigramLogProbScored(docs, docs)
+
+  /** [[bigramLogProb]] with the MODEL corpus and the SCORED corpus
+    * decoupled — the held-out evaluation shape (fit on train, score
+    * val/test; q147 splits on doc parity). Scored bigrams absent from
+    * the model take the Laplace floor ((0+1)/(0+|V|) at worst — both
+    * counts COALESCE to 0 through left joins), so unseen-token documents
+    * score finitely and deterministically. When `modelDocs eq scoreDocs`
+    * every join hits and this is exactly the self-scored q106 semantics
+    * (the LEFT joins degenerate to inner). */
+  def bigramLogProbScored(modelDocs: DataFrame,
+      scoreDocs: DataFrame): DataFrame = {
+    def toBigrams(d: DataFrame): DataFrame = {
+      val toksed = d.select(col("doc_id"), TA.tokens(col("text")).as("toks"))
+      val n = size(col("toks"))
+      toksed.select(col("doc_id"),
+        explode(zip_with(
+          slice(col("toks"), lit(1), n - 1),
+          slice(col("toks"), lit(2), n - 1),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    }
+    val c12 = toBigrams(modelDocs).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
-    val vocab = toksed.select(explode(col("toks")).as("tok"))
+    val vocab = modelDocs
+      .select(explode(TA.tokens(col("text"))).as("tok"))
       .agg(countDistinct(col("tok")).as("vocab"))
-    val lp = round(log((col("n12") + lit(1.0)) / (col("n1") + col("vocab")))
+    val lp = round(log(
+        (coalesce(col("n12"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("n1"), lit(0L)) + col("vocab")))
       * lit(1000000.0)).cast(LongType)
-    val scored = bigrams
-      .join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    val scored = toBigrams(scoreDocs)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"), sum(lp).as("logprob_micros"))
-    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+    scoreDocs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("logprob_micros"), lit(0L)).as("logprob_micros"))

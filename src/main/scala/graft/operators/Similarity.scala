@@ -274,6 +274,24 @@ object Similarity {
       .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
   }
 
+  /** INCREMENTAL index maintenance: append a new vector batch to a
+    * [[writeIvfIndex]] artifact under the FROZEN coarse quantizer — the
+    * weekly-ingest path of a served ANN index (the q125/q118
+    * frozen-artifact discipline, for vectors). The batch is assigned with
+    * the centroids read back from the index's own sidecar (never
+    * recomputed — a re-fit would silently shift every existing cell) and
+    * lands `partitionBy(cell)` in append mode, so existing cell files are
+    * untouched and serving sees the union immediately; partition pruning
+    * keeps working because the directory layout is the index. */
+  def appendToIvfIndex(emb: DataFrame, path: String): Unit = {
+    val spark = emb.sparkSession
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
   /** ANN top-k served FROM a [[writeIvfIndex]] artifact: load the
     * centroid sidecar (nCells×dim doubles — index metadata, not data),
     * pick the `nProbe` max-dot cells for the query, and scan ONLY those

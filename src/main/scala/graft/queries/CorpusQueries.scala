@@ -607,7 +607,50 @@ object CorpusQueries {
       SELECT w1, w2, c12, pmi_1e6, rank FROM rk WHERE rank <= 20""")
   )
 
+  /** HELD-OUT bigram-LM scoring ([[Corpus.bigramLogProbScored]]): the
+    * model fits on even doc_ids only, odd docs are scored against it —
+    * q106's self-scored contract turned into the train/validation
+    * evaluation a pipeline actually runs (the q125 frozen-artifact
+    * discipline, for the LM). Unseen bigrams take the Laplace floor via
+    * COALESCEd left joins on both engines. */
+  val q147 = Q(
+    "q147_heldout_logprob",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val docs = Tables.load(spark, dir, "documents")
+      Corpus.bigramLogProbScored(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    },
+    Some(s"""WITH big AS (
+        SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+        FROM (SELECT doc_id, toks,
+                unnest(generate_series(1, len(toks) - 1)) AS i
+              FROM (SELECT doc_id, $sqlToks AS toks FROM documents))),
+      c12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big
+              WHERE doc_id % 2 = 0 GROUP BY 1, 2),
+      c1 AS (SELECT w1, CAST(SUM(n12) AS BIGINT) AS n1 FROM c12 GROUP BY 1),
+      v AS (SELECT COUNT(DISTINCT tok) AS vocab
+            FROM (SELECT doc_id, unnest($sqlToks) AS tok FROM documents)
+            WHERE doc_id % 2 = 0),
+      scored AS (SELECT b.doc_id,
+          CAST(ROUND(ln((COALESCE(n12, 0) + 1.0)
+              / (COALESCE(n1, 0) + vocab)) * 1000000) AS BIGINT) AS lp
+        FROM big b
+          LEFT JOIN c12 USING (w1, w2)
+          LEFT JOIN c1 USING (w1), v
+        WHERE b.doc_id % 2 = 1),
+      per_doc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+          CAST(SUM(lp) AS BIGINT) AS logprob_micros
+        FROM scored GROUP BY 1)
+      SELECT d.doc_id,
+        COALESCE(n_bigrams, CAST(0 AS BIGINT)) AS n_bigrams,
+        COALESCE(logprob_micros, CAST(0 AS BIGINT)) AS logprob_micros
+      FROM documents d LEFT JOIN per_doc USING (doc_id)
+      WHERE d.doc_id % 2 = 1""")
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125, q131, q135, q138, q140, q145)
+      q117, q125, q131, q135, q138, q140, q145, q147)
 }

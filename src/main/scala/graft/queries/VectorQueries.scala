@@ -766,6 +766,39 @@ object VectorQueries {
     Some(q34Oracle)
   )
 
+  /** Two-batch IVF index: built from EVEN vec_ids, then the odd batch
+    * APPENDED under the frozen sidecar centroids
+    * ([[Similarity.appendToIvfIndex]]). Staged once per dir — the append
+    * is NOT idempotent (append mode), which is exactly why it lives in
+    * the memoized staging, not the measured query. */
+  private val stagedIncrIvfIndex =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def incrIvfIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedIncrIvfIndex.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-ivf-incr")
+      val emb = Tables.load(spark, dir, "embeddings")
+      Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+        first8(spark, dir), t)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), t)
+      t
+    })
+
+  /** ANN served from the INCREMENTALLY-built index: batch 1 (even ids)
+    * wrote the index, batch 2 (odd ids) appended under the frozen
+    * quantizer, and the query must see the union exactly as if the index
+    * had been built in one shot — so q34's self-referential full-corpus
+    * oracle verifies this path verbatim. A drifted append (re-fit
+    * centroids, mis-assigned cells, clobbered batch-1 files) would
+    * change cell membership or lose rows and hash-mismatch. */
+  val q148 = Q(
+    "q148_ivf_index_append",
+    (spark, dir) => ranked(Similarity.ivfTopKFromIndex(
+      spark, incrIvfIndexDir(spark, dir), queryVec(spark, dir), k = 10,
+      nProbe = 2, excludeId = 0L)),
+    Some(q34Oracle)
+  )
+
   /** Hybrid lexical+vector retrieval: BM25 top-50 (q131's ranking,
     * [[graft.operators.Corpus.bm25TopK]]) and cosine top-50 around vec_id
     * 0's embedding (q30's ranking), fused by Reciprocal Rank Fusion
@@ -823,5 +856,5 @@ object VectorQueries {
 
   val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119,
-      q124, q132)
+      q124, q132, q148)
 }

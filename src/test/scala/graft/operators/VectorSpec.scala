@@ -354,4 +354,27 @@ class VectorSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
       s"cell not in PartitionFilters:\n$plan")
   }
+
+  test("appendToIvfIndex: two-batch build equals the one-shot index, batch-1 " +
+      "files untouched") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.load(spark, sf, "embeddings")
+    val centroids = Similarity.firstNCentroids(emb, 8)
+    val incr = tmpDir("ivf-incr"); val full = tmpDir("ivf-full")
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0), centroids, incr)
+    val before = new java.io.File(s"$incr/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified())).toMap
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") % 2 =!= 0), incr)
+    Similarity.writeIvfIndex(emb, centroids, full)
+    def content(p: String) = spark.read.parquet(s"$p/cells")
+      .select("vec_id", "cell").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(content(incr) === content(full))
+    // append added files; it must not have rewritten batch 1's
+    before.foreach { case (path, mtime) =>
+      val f = new java.io.File(path)
+      assert(f.exists && f.lastModified() === mtime, path)
+    }
+  }
 }
