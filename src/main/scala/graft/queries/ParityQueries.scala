@@ -364,6 +364,33 @@ object ParityQueries {
        AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE""")
   )
 
+  /** FULL OUTER stream-stream join ([[EventsStream.followWithinFull]]):
+    * q107's lead-follow interval join with BOTH null-extension
+    * directions — unmatched leads AND unmatched follows each emit on
+    * watermark passage (the q65 sentinel advances the final horizon).
+    * The sentinel surfaces on either side of the output, so the filter
+    * NULL-safely drops negative ids on both columns; the oracle is the
+    * batch FULL JOIN under the identical interval predicate. */
+  val q149 = Q(
+    "q149_stream_follow_full",
+    (spark, dir) => {
+      val tmp = stagedSentinelEventsDir(spark, dir)
+      val src = EventsStream.fromParquetDir(spark, tmp)
+      EventsStream.replayToMemory(
+        EventsStream.followWithinFull(src,
+          EventsStream.fromParquetDir(spark, tmp)),
+        "q149_stream_follow_full_sink", OutputMode.Append(),
+        statePartitions = Some(8))
+      spark.table("q149_stream_follow_full_sink")
+        .filter(coalesce(col("lead_id"), lit(0L)) >= 0 &&
+          coalesce(col("follow_id"), lit(0L)) >= 0)
+    },
+    Some("""SELECT a.event_id AS lead_id, b.event_id AS follow_id
+      FROM events a FULL JOIN events b
+        ON a.user_id = b.user_id
+       AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 5 MINUTE""")
+  )
+
   /** Salted two-phase aggregation over the (low-cardinality, therefore
     * skew-prone) event_type key — result-identical to the direct groupBy,
     * which is exactly what the oracle verifies. */
@@ -769,5 +796,5 @@ object ParityQueries {
 
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107, q122, q123, q136)
+      q86, q89, q90, q104, q107, q122, q123, q136, q149)
 }

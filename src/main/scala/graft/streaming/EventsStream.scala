@@ -155,6 +155,31 @@ object EventsStream {
       .select(col("lead_id"), col("follow_id"))
   }
 
+  /** FULL OUTER variant of [[followWithin]]: matched pairs, leads with no
+    * follow (follow_id NULL), AND follows with no lead inside the
+    * horizon (lead_id NULL) — the complete reconciliation of the two
+    * streams, q130's batch full-outer contract carried to streaming.
+    * Both null-extension directions are watermark-GATED emissions: an
+    * unmatched row on either side emits only once the watermark proves
+    * no counterpart can still arrive, so state stays bounded exactly as
+    * in the left-outer case, symmetrically on both buffers. */
+  def followWithinFull(lead: DataFrame, follow: DataFrame,
+      horizon: String = "5 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val l = lead.withWatermark("ts", watermark)
+      .select(col("event_id").as("lead_id"), col("user_id").as("lead_user"),
+        col("ts").as("lead_ts"))
+    val f = follow.withWatermark("ts", watermark)
+      .select(col("event_id").as("follow_id"), col("user_id").as("follow_user"),
+        col("ts").as("follow_ts"))
+    l.join(f,
+      col("lead_user") === col("follow_user") &&
+        col("follow_ts") > col("lead_ts") &&
+        col("follow_ts") <= col("lead_ts") + expr(s"INTERVAL $horizon"),
+      "fullOuter")
+      .select(col("lead_id"), col("follow_id"))
+  }
+
   /** Stream-static enrichment: join each event against a broadcast
     * dimension relation, then roll up per (tumbling window, dimension
     * attribute). The static side is re-planned per micro-batch (so a dim
