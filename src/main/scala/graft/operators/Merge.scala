@@ -102,4 +102,38 @@ object Merge {
     }
     spark.read.parquet(baseDir)
   }
+
+  /** Snapshot DIFF: classify every key across two table versions as
+    * added / removed / changed / unchanged and count which columns
+    * changed — the audit a pipeline runs between two exports (and the
+    * natural verification of a merge: diff(before, applied-merge) must
+    * equal the merge batch exactly). One full-outer key join; comparisons
+    * are row-local; the output is a single summary row of exact BIGINT
+    * counts, with one changed-count column per compared attribute.
+    * NULL-safe equality (`<=>`) so NULL→value transitions count as
+    * changes, not as equality with the absent. */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+      compareCols: Seq[String]): DataFrame = {
+    require(compareCols.nonEmpty, "compareCols must be non-empty")
+    val b = before.select((keyCol +: compareCols).map(c =>
+      col(c).as(s"b_$c")): _*)
+    val a = after.select((keyCol +: compareCols).map(c =>
+      col(c).as(s"a_$c")): _*)
+    val j = b.join(a, col(s"b_$keyCol") === col(s"a_$keyCol"), "full_outer")
+    val added = col(s"b_$keyCol").isNull
+    val removed = col(s"a_$keyCol").isNull
+    val anyChanged = compareCols.map(c =>
+      !(col(s"b_$c") <=> col(s"a_$c"))).reduce(_ || _)
+    val aggs =
+      sum(when(added, 1L).otherwise(0L)).as("n_added") +:
+        sum(when(removed, 1L).otherwise(0L)).as("n_removed") +:
+        sum(when(!added && !removed && anyChanged, 1L).otherwise(0L))
+          .as("n_changed") +:
+        sum(when(!added && !removed && !anyChanged, 1L).otherwise(0L))
+          .as("n_unchanged") +:
+        compareCols.map(c =>
+          sum(when(!added && !removed && !(col(s"b_$c") <=> col(s"a_$c")), 1L)
+            .otherwise(0L)).as(s"changed_$c"))
+    j.agg(aggs.head, aggs.tail: _*)
+  }
 }

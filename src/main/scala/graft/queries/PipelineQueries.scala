@@ -526,7 +526,77 @@ object PipelineQueries {
       WHERE NOT (o_custkey % 50 = 0 AND year(o_orderdate) = 1999)""")
   )
 
+  /** Data-quality constraint audit
+    * ([[graft.operators.QualityAudit.audit]]): the Deequ-style export
+    * gate as one aggregation pass — completeness, key uniqueness, bounds,
+    * and domain membership over `documents`, each an exact BIGINT count
+    * with a pass verdict. The oracle computes the same counts in one
+    * aggregate and unions the report rows. */
+  val q150 = Q(
+    "q150_quality_audit",
+    (spark, dir) => {
+      import graft.operators.QualityAudit._
+      audit(Tables.load(spark, dir, "documents"), Seq(
+        Complete("text"), Complete("lang"), Unique(Seq("doc_id")),
+        Bounds("n_chars", 1, 100000),
+        InSet("lang", Seq("de", "en", "es", "fr", "zh"))))
+    },
+    Some("""WITH m AS (
+        SELECT COUNT(*) AS n, COUNT(text) AS c_text, COUNT(lang) AS c_lang,
+          COUNT(DISTINCT doc_id) AS d_id, COUNT(n_chars) AS c_chars,
+          CAST(SUM(CASE WHEN n_chars IS NULL THEN 0
+                WHEN n_chars >= 1 AND n_chars <= 100000 THEN 1
+                ELSE 0 END) AS BIGINT) AS b_chars,
+          CAST(SUM(CASE WHEN lang IS NULL THEN 0
+                WHEN lang IN ('de', 'en', 'es', 'fr', 'zh') THEN 1
+                ELSE 0 END) AS BIGINT) AS s_lang
+        FROM documents)
+      SELECT 'complete_text' AS check, c_text AS n_observed, n AS n_expected,
+        c_text = n AS pass FROM m
+      UNION ALL SELECT 'complete_lang', c_lang, n, c_lang = n FROM m
+      UNION ALL SELECT 'unique_doc_id', d_id, n, d_id = n FROM m
+      UNION ALL SELECT 'bounds_n_chars', b_chars, c_chars,
+        b_chars = c_chars FROM m
+      UNION ALL SELECT 'inset_lang', s_lang, c_lang, s_lang = c_lang FROM m""")
+  )
+
+  /** Snapshot diff as merge verification
+    * ([[graft.operators.Merge.snapshotDiff]]): diff the PRISTINE
+    * month-partitioned orders against the q133 post-merge table — the
+    * diff must equal the merge batch exactly (21 inserts added, every
+    * update changed in status and totalprice, nothing removed). Running
+    * q133's merge first is part of the query (idempotent, so repeat runs
+    * diff the same states); the oracle derives the expected counts
+    * directly from the upsert rules. */
+  val q151 = Q(
+    "q151_snapshot_diff",
+    (spark, dir) => {
+      val after = q133.run(spark, dir) // applies (or re-applies) the merge
+      val before = Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      graft.operators.Merge.snapshotDiff(before, after, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_month"))
+    },
+    Some("""WITH upd AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 7 = 0 AND year(o_orderdate) = 1997),
+      ins AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1998)
+      SELECT
+        (SELECT COUNT(*) FROM ins) AS n_added,
+        CAST(0 AS BIGINT) AS n_removed,
+        (SELECT COUNT(*) FROM upd) AS n_changed,
+        (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM upd)
+          AS n_unchanged,
+        CAST(0 AS BIGINT) AS changed_o_custkey,
+        (SELECT CAST(SUM(CASE WHEN o_orderstatus <> 'R' THEN 1 ELSE 0 END)
+           AS BIGINT) FROM upd) AS changed_o_orderstatus,
+        (SELECT COUNT(*) FROM upd) AS changed_o_totalprice,
+        CAST(0 AS BIGINT) AS changed_o_month""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141, q142)
+      q137, q141, q142, q150, q151)
 }

@@ -88,6 +88,25 @@ class MergeSpec extends SparkSpec {
     assert(files(dir, "p3") === p3Before)
   }
 
+  test("snapshotDiff: added/removed/changed classification with NULL-safe compares") {
+    val before = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 1.0), (2L, "b", null), (3L, "c", 3.0), (4L, "d", 4.0))
+      .toDF("id", "s", "v")
+    val after = Seq[(Long, String, java.lang.Double)](
+      (1L, "a", 1.0),   // unchanged
+      (2L, "b", 2.0),   // NULL → value must count as changed
+      (3L, "cc", 3.0),  // s changed
+      (5L, "e", 5.0))   // added; 4 removed
+      .toDF("id", "s", "v")
+    val r = Merge.snapshotDiff(before, after, "id", Seq("s", "v"))
+      .collect().head
+    assert((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+      r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"))
+      === ((1L, 1L, 2L, 1L)))
+    assert(r.getAs[Long]("changed_s") === 1L)
+    assert(r.getAs[Long]("changed_v") === 1L)
+  }
+
   test("upsertPartitioned: idempotent for a fixed batch") {
     val dir = stage()
     val ups = Seq((2L, "p1", 22.0), (8L, "p3", 80.0)).toDF("id", "part", "v")
