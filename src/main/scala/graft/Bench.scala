@@ -104,6 +104,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus))
       .getOrCreate()
+    GraftSession.installOptimizations(spark)
     spark.sparkContext.setLogLevel("WARN")
     // Warm the session (codegen, parquet footer cache, shuffle machinery)
     // so the first timed query isn't charged for JVM/session init.

@@ -29,5 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FunctionIdentifier("list_element"),
       info("list_element"),
       (args: Seq[Expression]) => ElementAt(args.head, args(1), None, failOnError = false)))
+    // optimizer surface: the lossless bounded-edit-distance prefilter
+    // (same rule GraftSession.installOptimizations adds imperatively)
+    ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
   }
 }

@@ -65,8 +65,21 @@ object GraftSession {
     Tables.registerAll(spark, dataDir)
     GraftFunctions.register(spark)
     SqlTransform.registerDialect(spark)
+    installOptimizations(spark)
     spark
   }
+
+  /** Install graft's optimizer rules on an EXISTING session (the
+    * imperative twin of the `graft.GraftExtensions` injection):
+    * currently the lossless Levenshtein length-bound prefilter. Guarded
+    * against double-install, so every entry path may call it. */
+  def installOptimizations(spark: SparkSession): Unit =
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.LevenshteinPrefilter)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.LevenshteinPrefilter
+    }
 
   /** Schema introspection (SURVEY.md §2.8 M1/M2): column names + types of
     * any result — the DESCRIBE surface the reference's converter uses. */
