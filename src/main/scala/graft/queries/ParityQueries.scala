@@ -690,6 +690,31 @@ object ParityQueries {
       FROM g GROUP BY user_id, grp""")
   )
 
+  /** q90's custom sessionization on Spark 4's `transformWithState` API
+    * ([[EventsStream.SessionProcessor]]): named typed state + explicit
+    * moved-on-extension horizon timers instead of the fMGWS GroupState
+    * blob, under the RocksDB store the new API requires. SAME oracle as
+    * q90 — the fifth verified path through the one session contract
+    * (q59 Complete, q65 Append, q90 fMGWS, q104/q122 multi-batch, this).
+    */
+  val q152 = Q(
+    "q152_stream_sessions_tws",
+    (spark, dir) => {
+      import spark.implicits._
+      val tmp = stagedSentinelEventsDir(spark, dir)
+      EventsStream.replayToMemory(
+        EventsStream.closedSessionsTws(
+          EventsStream.fromParquetDir(spark, tmp).as[EventsStream.Event],
+          gapMinutes = 30, watermark = "1 hour").toDF(),
+        "q152_stream_sessions_tws_sink", OutputMode.Append(),
+        statePartitions = Some(8),
+        stateStoreProvider = Some(EventsStream.RocksDbProvider))
+      spark.table("q152_stream_sessions_tws_sink")
+        .filter(col("user_id") >= 0)
+    },
+    q90.oracle
+  )
+
   /** Two-generation evolving parquet table, staged once per sf dir:
     * generation 1 = even doc_ids under the original 5-column documents
     * schema; generation 2 = odd doc_ids with an ADDED quality_score
@@ -796,5 +821,5 @@ object ParityQueries {
 
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107, q122, q123, q136, q149)
+      q86, q89, q90, q104, q107, q122, q123, q136, q149, q152)
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming surface over the events table (SURVEY.md §7: the
@@ -328,6 +328,95 @@ object EventsStream {
             closed.result().iterator
           }
       }
+  }
+
+  /** [[closedSessions]] on Spark 4's `transformWithState` API — the
+    * arbitrary-state successor to mapGroups/flatMapGroupsWithState, with
+    * EXPLICIT typed state handles and first-class timers instead of the
+    * single implicit GroupState blob. Same session semantics, same output
+    * contract (q90's oracle verifies both), but the state model is the
+    * one new pipelines should target: named ValueState (more stores
+    * compose — a processor can hold several typed states), timers are
+    * registered/deleted individually (here: one gap-horizon timer per
+    * open session, MOVED on every extension rather than re-derived), and
+    * the runtime requires the RocksDB provider — executor-local disk
+    * state with changelog checkpoints, the unbounded-deployment store.
+    *
+    * The timer discipline is the part worth copying: extending a session
+    * deletes the stale horizon timer and registers the new one, so
+    * exactly one timer is live per open session and `handleExpiredTimer`
+    * can close unconditionally — no watermark re-checks, no stale-timer
+    * filtering. */
+  class SessionProcessor(gapMinutes: Int)
+      extends StatefulProcessor[Long, Event, ClosedSession] {
+    private val gapUs = gapMinutes.toLong * 60 * 1000000
+    @transient private var open: ValueState[OpenSession] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[OpenSession]("open",
+        org.apache.spark.sql.Encoders.product[OpenSession], TTLConfig.NONE)
+
+    private def horizonMs(s: OpenSession): Long = (s.lastUs + gapUs) / 1000
+
+    private def close(userId: Long, s: OpenSession): ClosedSession =
+      ClosedSession(userId, fromMicros(s.startUs),
+        fromMicros(s.lastUs + gapUs), s.n, s.firstType, s.lastType)
+
+    override def handleInputRows(key: Long, rows: Iterator[Event],
+        tv: TimerValues): Iterator[ClosedSession] = {
+      val sorted = rows.toSeq.sortBy(e => toMicros(e.ts))
+      val closed = Seq.newBuilder[ClosedSession]
+      var cur = if (open.exists()) { // a live timer guards this state
+        getHandle.deleteTimer(horizonMs(open.get()))
+        Some(open.get())
+      } else None
+      for (e <- sorted) {
+        val t = toMicros(e.ts)
+        cur match {
+          case Some(s) if t - s.lastUs < gapUs =>
+            cur = Some(s.copy(
+              startUs = math.min(s.startUs, t),
+              lastUs = math.max(s.lastUs, t), n = s.n + 1,
+              lastType = if (t >= s.lastUs) e.event_type else s.lastType))
+          case Some(s) =>
+            closed += close(key, s)
+            cur = Some(OpenSession(t, t, 1, e.event_type, e.event_type))
+          case None =>
+            cur = Some(OpenSession(t, t, 1, e.event_type, e.event_type))
+        }
+      }
+      cur.foreach { s =>
+        if (tv.getCurrentWatermarkInMs() >= horizonMs(s)) {
+          closed += close(key, s) // already past the horizon: final now
+          open.clear()
+        } else {
+          open.update(s)
+          getHandle.registerTimer(horizonMs(s))
+        }
+      }
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, tv: TimerValues,
+        info: ExpiredTimerInfo): Iterator[ClosedSession] = {
+      // one live timer per open session ⇒ expiry is exactly the horizon
+      val out = if (open.exists()) Iterator(close(key, open.get())) else Iterator.empty
+      open.clear()
+      out
+    }
+  }
+
+  /** The [[closedSessions]] dataflow on [[SessionProcessor]]. Requires the
+    * RocksDB state store (the transformWithState runtime's requirement —
+    * pass [[RocksDbProvider]] to the replay helpers). */
+  def closedSessionsTws(events: Dataset[Event],
+      gapMinutes: Int = 30, watermark: String = "1 hour"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(gapMinutes),
+        TimeMode.EventTime(), OutputMode.Append())
   }
 
   /** Run any of the streaming transforms to completion over a static

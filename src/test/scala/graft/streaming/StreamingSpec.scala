@@ -417,6 +417,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((8L, 1L, 5.0)))
   }
 
+  test("transformWithState sessions equal flatMapGroupsWithState sessions " +
+      "on a multi-batch replay (incl. timer-driven closes)") {
+    import spark.implicits._
+    val srcDir = tmpDir("graft-tws-src")
+    def slice(rows: (Long, String, Long)*): Unit = {
+      rows.map { case (id, at, u) =>
+        (id, java.sql.Timestamp.valueOf(at), u, "view", 0.0, "{}") }
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.mode("append").parquet(srcDir)
+      stampNewFiles(srcDir)
+    }
+    // user 1: two sessions split by a >30min gap spanning batches;
+    // sentinel (user -1, far future) advances the final watermark
+    slice((1L, "2024-01-01 00:00:00", 1L), (2L, "2024-01-01 00:10:00", 1L))
+    slice((3L, "2024-01-01 01:00:00", 1L), (4L, "2024-01-01 01:05:00", 2L))
+    slice((99L, "2024-03-01 00:00:00", -1L))
+    def run(name: String, tws: Boolean): Set[(Long, String, String, Long)] = {
+      val src = EventsStream.fromParquetDir(spark, srcDir,
+        maxFilesPerTrigger = Some(1)).as[EventsStream.Event]
+      val sessions =
+        if (tws) EventsStream.closedSessionsTws(src, 30, "1 hour")
+        else EventsStream.closedSessions(src, 30, "1 hour")
+      EventsStream.replayToMemory(sessions.toDF(), name, OutputMode.Append(),
+        statePartitions = Some(2),
+        stateStoreProvider =
+          if (tws) Some(EventsStream.RocksDbProvider) else None)
+      spark.table(name).filter(col("user_id") >= 0)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          r.getAs[java.sql.Timestamp]("session_start").toString,
+          r.getAs[java.sql.Timestamp]("session_end").toString,
+          r.getAs[Long]("n_events"))).toSet
+    }
+    val fmgws = run("tws_parity_a", tws = false)
+    val tws = run("tws_parity_b", tws = true)
+    assert(tws === fmgws)
+    assert(tws.exists(_._1 === 1L) && tws.exists(_._1 === 2L))
+    // the two user-1 events in batch 1 and the one in batch 2 form TWO
+    // sessions (>30min apart) — the first closed by a moved timer
+    assert(tws.count(_._1 === 1L) === 2)
+  }
+
   test("replayToUpsert: multi-batch upsert table equals the batch last-per-key, " +
       "and a fresh-checkpoint re-replay converges to the same table") {
     import spark.implicits._
