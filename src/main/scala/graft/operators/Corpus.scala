@@ -513,11 +513,17 @@ object Corpus {
     val tfAggs = count(lit(1)).as("dl") +:
       terms.map(t => sum(when(col("token") === t, 1L).otherwise(0L))
         .as(s"tf_$t"))
+    // localCheckpoint: the per-document relation feeds BOTH the 1-row
+    // stats aggregate and the scoring projection — without pinning it,
+    // Catalyst plans two independent corpus scans (exchange reuse only
+    // catches one pair); pinned, the corpus is tokenized exactly once
+    // and everything downstream reads N_docs rows
     val perDoc = docs
       .select(col("doc_id"), col("source"),
         explode(TA.tokens(col("text"))).as("token"))
       .groupBy(col("doc_id"), col("source"))
       .agg(tfAggs.head, tfAggs.tail: _*)
+      .localCheckpoint()
     val statAggs =
       count(lit(1)).cast(DoubleType).as("n") +:
         sum(col("dl")).as("total_dl") +:
@@ -638,13 +644,17 @@ object Corpus {
         slice(col("toks"), lit(2), n - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    val c12 = bigrams.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("c12"))
-      .filter(col("c12") >= minCount)
+    // two corpus passes total (bigram counts, unigram counts), both
+    // pinned: N derives from the UNFILTERED vocab²-bounded bigram-count
+    // relation (Σc₁₂ ≡ the bigram total) and T from the unigram counts —
+    // a third corpus-sized count(*) pass would be pure waste
+    val c12All = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12")).localCheckpoint()
+    val c12 = c12All.filter(col("c12") >= minCount)
     val uni = toksed.select(explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c")).localCheckpoint()
     val totals = uni.agg(sum(col("c")).as("t_tokens"))
-      .crossJoin(bigrams.agg(count(lit(1)).as("n_bigrams")))
+      .crossJoin(c12All.agg(sum(col("c12")).as("n_bigrams")))
     val scored = c12
       .join(broadcast(uni.select(col("tok").as("w1"), col("c").as("c1"))), "w1")
       .join(broadcast(uni.select(col("tok").as("w2"), col("c").as("c2"))), "w2")
