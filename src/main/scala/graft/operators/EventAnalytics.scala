@@ -442,9 +442,13 @@ object EventAnalytics {
     val brk = when(
       prev.isNull || unix_micros(col(tsCol)) - prev >= gapUs, 1L)
       .otherwise(0L)
+    // pinned: the basket item relation (baskets × bounded item domain)
+    // feeds the pair self-join (twice), the item counts, and the basket
+    // total — unpinned, each consumer replays the corpus window pass
     val items = events.select(col(userCol), col(tsCol), col(itemCol))
       .withColumn("grp", sum(brk).over(run))
       .select(col(userCol), col("grp"), col(itemCol)).distinct()
+      .localCheckpoint()
     val nBaskets = items.select(col(userCol), col("grp")).distinct()
       .agg(count(lit(1)).as("n_baskets"))
     val itemCounts = items.groupBy(col(itemCol)).agg(count(lit(1)).as("c"))

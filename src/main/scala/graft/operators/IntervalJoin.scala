@@ -35,11 +35,16 @@ object IntervalJoin {
     require(bucketMicros > 0, s"bucketMicros=$bucketMicros")
     val iv = intervals.select(struct(idCols.map(col): _*).as("iid"),
       col(startCol).as("s"), col(endCol).as("e"))
+    // pinned: the bucket-exploded relation is read twice by the pair
+    // self-join; it is intervals × buckets-per-interval — far smaller
+    // than whatever corpus the intervals were derived from, so
+    // materializing beats replaying the upstream derivation twice
     val exploded = iv
       .withColumn("sb", expr(s"unix_micros(s) div $bucketMicros"))
       .withColumn("eb", expr(s"(unix_micros(e) - 1) div $bucketMicros"))
       .select(col("iid"), col("s"), col("e"), col("sb"),
         explode(sequence(col("sb"), col("eb"))).as("bk"))
+      .localCheckpoint()
     val pairs = exploded.as("x").join(exploded.as("y"),
       col("x.bk") === col("y.bk") &&
         col("x.iid") =!= col("y.iid") &&
