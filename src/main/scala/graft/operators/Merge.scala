@@ -47,9 +47,16 @@ object Merge {
     val affected = fromUpdates.union(fromBase).distinct()
       .collect().map(_.getString(0)).sorted
     val current = base.filter(col(partCol).isin(affected.toSeq: _*))
+    // repartition on the partition column BEFORE the partitioned write:
+    // without it every shuffle task emits a file into every partition
+    // directory it holds rows for (tasks × partitions small files per
+    // merge — file-count churn that degrades the table and, under
+    // repeated benching, the host); with it each rewritten partition
+    // gets one task's worth of files — the compaction-aware write shape
     val merged = updates.unionByName(
       current.join(broadcast(updKeys), Seq(keyCol), "left_anti")
         .select(updates.columns.map(col).toSeq: _*))
+      .repartition(col(partCol))
       .localCheckpoint()
     val conf = spark.conf
     val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
@@ -78,6 +85,7 @@ object Merge {
     if (affected.nonEmpty) {
       val survivors = base.filter(col(partCol).isin(affected.toSeq: _*))
         .join(broadcast(delKeys), Seq(keyCol), "left_anti")
+        .repartition(col(partCol)) // one task per rewritten partition
         .localCheckpoint()
       val conf = spark.conf
       val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")

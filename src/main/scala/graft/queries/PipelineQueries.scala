@@ -385,6 +385,7 @@ object PipelineQueries {
       val t = ParityQueries.scratchDir("graft-merge-orders")
       Tables.load(spark, dir, "orders")
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("o_month")) // one file per month dir, not one per task
         .write.mode("overwrite").partitionBy("o_month").parquet(t)
       t
     })
@@ -496,6 +497,7 @@ object PipelineQueries {
       val t = ParityQueries.scratchDir("graft-delete-orders")
       Tables.load(spark, dir, "orders")
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        .repartition(col("o_month")) // one file per month dir, not one per task
         .write.mode("overwrite").partitionBy("o_month").parquet(t)
       t
     })

@@ -502,7 +502,8 @@ object EventsStream {
               Option(root.listFiles).exists(_.exists(f =>
                 f.isDirectory || f.getName.endsWith(".parquet")))
             if (!exists)
-              batch.write.mode("overwrite").partitionBy(partCol).parquet(baseDir)
+              batch.repartition(col(partCol)) // one task per partition dir
+                .write.mode("overwrite").partitionBy(partCol).parquet(baseDir)
             else
               graft.operators.Merge.upsertPartitioned(
                 batch.sparkSession, baseDir, batch, keyCol, partCol)
