@@ -949,8 +949,43 @@ object Relational {
         ON o.o_custkey = c.c_custkey""")
   )
 
+  /** Grid-bucketed geospatial radius self-join
+    * ([[graft.operators.Geo.radiusPairs]]): all customer pairs within 2°
+    * of each other under deterministic hash-derived coordinates
+    * ([[graft.operators.Geo.hashCoord]] — exact dyadic uniforms, so both
+    * engines place every point identically). The oracle recounts with
+    * the naive n² join under the same distance expression — the grid
+    * candidate generation (radius-sized cells, 3×3 explode, single-home
+    * dedup) must be exactly lossless or pairs go missing. */
+  val q153 = Q(
+    "q153_geo_radius_join",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val pts = Tables.load(spark, dir, "customer").select(
+        col("c_custkey").as("id"),
+        graft.operators.Geo.hashCoord(col("c_custkey"), "lat:", 180.0, 90.0)
+          .as("lat"),
+        graft.operators.Geo.hashCoord(col("c_custkey"), "lng:", 360.0, 180.0)
+          .as("lng"))
+      graft.operators.Geo.radiusPairs(pts, radiusDeg = 2.0)
+    },
+    Some("""WITH p AS (
+        SELECT c_custkey AS id,
+          (('0x' || substr(md5('lat:' || CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT
+             / 4503599627370496.0) * 180 - 90 AS lat,
+          (('0x' || substr(md5('lng:' || CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT
+             / 4503599627370496.0) * 360 - 180 AS lng
+        FROM customer)
+      SELECT a.id AS id_a, b.id AS id_b,
+        (a.lng - b.lng) * (a.lng - b.lng)
+          + (a.lat - b.lat) * (a.lat - b.lat) AS dist2
+      FROM p a JOIN p b ON a.id < b.id
+        AND (a.lng - b.lng) * (a.lng - b.lng)
+          + (a.lat - b.lat) * (a.lat - b.lat) <= 4.0""")
+  )
+
   val all: Seq[Q] = Seq(q01, q02, q03, q04, q05, q06, q07, q08, q09,
     q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q36, q37,
     q47, q48, q49, q80, q82, q109, q110, q111, q112, q113, q115, q120,
-    q129, q130)
+    q129, q130, q153)
 }
