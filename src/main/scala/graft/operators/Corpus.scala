@@ -344,18 +344,25 @@ object Corpus {
     * score finitely and deterministically. When `modelDocs eq scoreDocs`
     * every join hits and this is exactly the self-scored q106 semantics
     * (the LEFT joins degenerate to inner). */
+  /** Adjacent-token (w1, w2) pairs — the ONE bigram relation the LM
+    * scoring, TextRank, and collocation operators all consume (a
+    * tokenizer or windowing change lands here once). `carryDocId` keeps
+    * the document key for per-doc scoring; the corpus-level consumers
+    * drop it before their aggregates. */
+  private def bigramRows(docs: DataFrame, carryDocId: Boolean): DataFrame = {
+    val keep = if (carryDocId) Seq(col("doc_id")) else Nil
+    val toksed = docs.select(keep :+ TA.tokens(col("text")).as("toks"): _*)
+    val n = size(col("toks"))
+    toksed.select(keep :+ explode(zip_with(
+        slice(col("toks"), lit(1), n - 1),
+        slice(col("toks"), lit(2), n - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"): _*)
+      .select(keep ++ Seq(col("bg.w1").as("w1"), col("bg.w2").as("w2")): _*)
+  }
+
   def bigramLogProbScored(modelDocs: DataFrame,
       scoreDocs: DataFrame): DataFrame = {
-    def toBigrams(d: DataFrame): DataFrame = {
-      val toksed = d.select(col("doc_id"), TA.tokens(col("text")).as("toks"))
-      val n = size(col("toks"))
-      toksed.select(col("doc_id"),
-        explode(zip_with(
-          slice(col("toks"), lit(1), n - 1),
-          slice(col("toks"), lit(2), n - 1),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-        .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
-    }
+    def toBigrams(d: DataFrame): DataFrame = bigramRows(d, carryDocId = true)
     val c12 = toBigrams(modelDocs).groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n12"))
     val c1 = c12.groupBy(col("w1")).agg(sum(col("n12")).as("n1"))
@@ -507,7 +514,13 @@ object Corpus {
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "terms must be non-empty")
-    require(terms.distinct == terms, s"duplicate query terms: $terms")
+    // terms become column-name suffixes (tf_<t>, df_<t>): dots/backticks
+    // would break column resolution, and Spark's case-insensitive
+    // resolver would report case-only-distinct terms as ambiguous
+    require(terms.forall(_.matches("[A-Za-z0-9_]+")),
+      s"query terms must be word-like (they name columns): $terms")
+    require(terms.map(_.toLowerCase).distinct.size == terms.size,
+      s"terms must be case-insensitively distinct: $terms")
     require(k > 0, s"k=$k")
     import org.apache.spark.sql.expressions.Window
     val tfAggs = count(lit(1)).as("dl") +:
@@ -581,19 +594,15 @@ object Corpus {
   def textRank(docs: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1, s"iters=$iters")
     import org.apache.spark.sql.expressions.Window
-    val toksed = docs.select(TA.tokens(col("text")).as("toks"))
-    val n = size(col("toks"))
-    val edges = toksed.select(
-      explode(zip_with(
-        slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
-      .groupBy(col("e.src").as("src"), col("e.dst").as("dst"))
+    val edges = bigramRows(docs, carryDocId = false)
+      .groupBy(col("w1").as("src"), col("w2").as("dst"))
       .agg(count(lit(1)).as("w"))
       .localCheckpoint()
     val nodes = edges.select(col("src").as("token"))
       .union(edges.select(col("dst"))).distinct().localCheckpoint()
     val nCount = nodes.count()
+    require(nCount > 0,
+      "textRank: corpus yields no bigram edges (every document has < 2 tokens)")
     val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wout"))
       .localCheckpoint()
     var rank = nodes.select(col("token"), lit(1000000000L / nCount).as("r"))
@@ -636,14 +645,7 @@ object Corpus {
   def collocations(docs: DataFrame, minCount: Long, k: Int): DataFrame = {
     require(minCount >= 1 && k > 0, s"minCount=$minCount k=$k")
     import org.apache.spark.sql.expressions.Window
-    val toksed = docs.select(TA.tokens(col("text")).as("toks"))
-    val n = size(col("toks"))
-    val bigrams = toksed.select(
-      explode(zip_with(
-        slice(col("toks"), lit(1), n - 1),
-        slice(col("toks"), lit(2), n - 1),
-        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
-      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bigrams = bigramRows(docs, carryDocId = false)
     // two corpus passes total (bigram counts, unigram counts), both
     // pinned: N derives from the UNFILTERED vocab²-bounded bigram-count
     // relation (Σc₁₂ ≡ the bigram total) and T from the unigram counts —
@@ -651,7 +653,7 @@ object Corpus {
     val c12All = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12")).localCheckpoint()
     val c12 = c12All.filter(col("c12") >= minCount)
-    val uni = toksed.select(explode(col("toks")).as("tok"))
+    val uni = docs.select(explode(TA.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c")).localCheckpoint()
     val totals = uni.agg(sum(col("c")).as("t_tokens"))
       .crossJoin(c12All.agg(sum(col("c12")).as("n_bigrams")))

@@ -155,10 +155,15 @@ object EventAnalytics {
     * keys extend the window's partition key), so Catalyst plans a single
     * exchange — the same bound the streaming sessionizer's state shuffle
     * carries. */
-  def sessionize(events: DataFrame, gapMinutes: Int = 30,
-      userCol: String = "user_id", tsCol: String = "ts",
-      valueCol: String = "value"): DataFrame = {
-    import graft.queries.Exact
+  /** The gaps-and-islands session-id ladder shared by [[sessionize]] and
+    * [[basketPairAssociations]]: the input columns plus a per-user `grp`
+    * session ordinal (break on inter-event gap ≥ `gapMinutes`). ONE
+    * exchange on the user key; keeping it single-sourced means a change
+    * to the gap rule (boundary inclusivity, µs conversion) cannot
+    * silently diverge the two consumers — whose oracles share the same
+    * SQL ladder. */
+  private def sessionGroups(events: DataFrame, gapMinutes: Int,
+      userCol: String, tsCol: String, carryCols: Seq[String]): DataFrame = {
     require(gapMinutes >= 1, s"gapMinutes=$gapMinutes")
     val gapUs = gapMinutes * 60L * 1000000L
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
@@ -168,8 +173,15 @@ object EventAnalytics {
       prev.isNull || unix_micros(col(tsCol)) - prev >= gapUs, 1L)
       .otherwise(0L)
     events
-      .select(col(userCol), col(tsCol), col(valueCol))
+      .select((userCol +: tsCol +: carryCols).map(col): _*)
       .withColumn("grp", sum(brk).over(run))
+  }
+
+  def sessionize(events: DataFrame, gapMinutes: Int = 30,
+      userCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import graft.queries.Exact
+    sessionGroups(events, gapMinutes, userCol, tsCol, Seq(valueCol))
       .groupBy(col(userCol), col("grp"))
       .agg(
         min(col(tsCol)).as("session_start"),
@@ -434,19 +446,10 @@ object EventAnalytics {
   def basketPairAssociations(events: DataFrame, gapMinutes: Int = 30,
       userCol: String = "user_id", tsCol: String = "ts",
       itemCol: String = "event_type"): DataFrame = {
-    require(gapMinutes >= 1, s"gapMinutes=$gapMinutes")
-    val gapUs = gapMinutes * 60L * 1000000L
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol))
-    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val prev = lag(unix_micros(col(tsCol)), 1).over(w)
-    val brk = when(
-      prev.isNull || unix_micros(col(tsCol)) - prev >= gapUs, 1L)
-      .otherwise(0L)
     // pinned: the basket item relation (baskets × bounded item domain)
     // feeds the pair self-join (twice), the item counts, and the basket
     // total — unpinned, each consumer replays the corpus window pass
-    val items = events.select(col(userCol), col(tsCol), col(itemCol))
-      .withColumn("grp", sum(brk).over(run))
+    val items = sessionGroups(events, gapMinutes, userCol, tsCol, Seq(itemCol))
       .select(col(userCol), col("grp"), col(itemCol)).distinct()
       .localCheckpoint()
     val nBaskets = items.select(col(userCol), col("grp")).distinct()

@@ -40,12 +40,19 @@ object Merge {
   def upsertPartitioned(spark: SparkSession, baseDir: String,
       updates: DataFrame, keyCol: String, partCol: String): DataFrame = {
     val base = spark.read.parquet(baseDir)
-    val updKeys = updates.select(col(keyCol)).distinct()
-    val fromUpdates = updates.select(col(partCol)).distinct()
+    // pinned: the updates batch feeds key discovery, target partitions,
+    // the anti-join, and the merged union — four actions that would each
+    // replay its upstream plan (for the streaming sink: the whole
+    // micro-batch aggregation) without the checkpoint
+    val ups = updates.localCheckpoint()
+    val updKeys = ups.select(col(keyCol)).distinct()
+    val fromUpdates = ups.select(col(partCol)).distinct()
     val fromBase = base.join(broadcast(updKeys), Seq(keyCol))
       .select(col(partCol)).distinct()
+    // partition values as raw Any: partition-type inference may read the
+    // column back as int/date/... even when it was written from strings
     val affected = fromUpdates.union(fromBase).distinct()
-      .collect().map(_.getString(0)).sorted
+      .collect().map(_.get(0))
     val current = base.filter(col(partCol).isin(affected.toSeq: _*))
     // repartition on the partition column BEFORE the partitioned write:
     // without it every shuffle task emits a file into every partition
@@ -53,9 +60,9 @@ object Merge {
     // merge — file-count churn that degrades the table and, under
     // repeated benching, the host); with it each rewritten partition
     // gets one task's worth of files — the compaction-aware write shape
-    val merged = updates.unionByName(
+    val merged = ups.unionByName(
       current.join(broadcast(updKeys), Seq(keyCol), "left_anti")
-        .select(updates.columns.map(col).toSeq: _*))
+        .select(ups.columns.map(col).toSeq: _*))
       .repartition(col(partCol))
       .localCheckpoint()
     val conf = spark.conf
@@ -66,7 +73,26 @@ object Merge {
       case Some(v) => conf.set("spark.sql.sources.partitionOverwriteMode", v)
       case None => conf.unset("spark.sql.sources.partitionOverwriteMode")
     }
+    // a key MOVING partitions can empty its source partition entirely;
+    // dynamic overwrite only replaces partitions present in the written
+    // data, so an emptied source would keep its stale file (and the key
+    // would surface twice). Drop those directories explicitly — the same
+    // metadata-commit step the delete path performs.
+    dropEmptiedPartitions(spark, baseDir, partCol, affected, merged)
     spark.read.parquet(baseDir)
+  }
+
+  /** Remove `partCol=<v>` directories for affected partition values that
+    * the rewritten data no longer contains. */
+  private def dropEmptiedPartitions(spark: SparkSession, baseDir: String,
+      partCol: String, affected: Seq[Any], written: DataFrame): Unit = {
+    val present = written.select(col(partCol)).distinct()
+      .collect().map(_.get(0).toString).toSet
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    affected.map(_.toString).filterNot(present).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$partCol=$p"), true)
+    }
   }
 
   /** Targeted DELETE by key set — the right-to-be-forgotten / GDPR path,
@@ -79,9 +105,10 @@ object Merge {
   def deletePartitioned(spark: SparkSession, baseDir: String,
       keys: DataFrame, keyCol: String, partCol: String): DataFrame = {
     val base = spark.read.parquet(baseDir)
-    val delKeys = keys.select(col(keyCol)).distinct()
+    val delKeys = keys.select(col(keyCol)).distinct().localCheckpoint()
+    // raw Any partition values — inference may type them non-string
     val affected = base.join(broadcast(delKeys), Seq(keyCol))
-      .select(col(partCol)).distinct().collect().map(_.getString(0)).sorted
+      .select(col(partCol)).distinct().collect().map(_.get(0))
     if (affected.nonEmpty) {
       val survivors = base.filter(col(partCol).isin(affected.toSeq: _*))
         .join(broadcast(delKeys), Seq(keyCol), "left_anti")
@@ -100,13 +127,7 @@ object Merge {
       // data — a partition whose every row was deleted has no survivors
       // and would silently keep its stale files; drop those directories
       // explicitly (the step a table format's metadata commit does)
-      val present = survivors.select(col(partCol)).distinct()
-        .collect().map(_.getString(0)).toSet
-      val fs = new org.apache.hadoop.fs.Path(baseDir)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      affected.filterNot(present).foreach { p =>
-        fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$partCol=$p"), true)
-      }
+      dropEmptiedPartitions(spark, baseDir, partCol, affected, survivors)
     }
     spark.read.parquet(baseDir)
   }

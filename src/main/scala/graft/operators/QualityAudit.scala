@@ -26,38 +26,35 @@ object QualityAudit {
     def expected: Column
   }
   /** Column is never NULL. */
-  final case class Complete(col: String) extends Check {
-    val name = s"complete_$col"
-    def observed: Column = count(org.apache.spark.sql.functions.col(col))
+  final case class Complete(column: String) extends Check {
+    val name = s"complete_$column"
+    def observed: Column = count(col(column))
     def expected: Column = count(lit(1))
   }
   /** Column (combination) is unique across rows. */
-  final case class Unique(cols: Seq[String]) extends Check {
-    val name = s"unique_${cols.mkString("_")}"
+  final case class Unique(columns: Seq[String]) extends Check {
+    val name = s"unique_${columns.mkString("_")}"
     def observed: Column =
-      countDistinct(org.apache.spark.sql.functions.col(cols.head),
-        cols.tail.map(org.apache.spark.sql.functions.col): _*)
+      countDistinct(col(columns.head), columns.tail.map(col): _*)
     def expected: Column = count(lit(1))
   }
   /** Every non-NULL value inside [lo, hi]. */
-  final case class Bounds(col: String, lo: Double, hi: Double) extends Check {
-    val name = s"bounds_$col"
+  final case class Bounds(column: String, lo: Double, hi: Double) extends Check {
+    val name = s"bounds_$column"
     def observed: Column = sum(
-      when(org.apache.spark.sql.functions.col(col).isNull, 0L)
-        .when(org.apache.spark.sql.functions.col(col) >= lo &&
-          org.apache.spark.sql.functions.col(col) <= hi, 1L)
+      when(col(column).isNull, 0L)
+        .when(col(column) >= lo && col(column) <= hi, 1L)
         .otherwise(0L))
-    def expected: Column = count(org.apache.spark.sql.functions.col(col))
+    def expected: Column = count(col(column))
   }
   /** Every non-NULL value drawn from the allowed set. */
-  final case class InSet(col: String, values: Seq[String]) extends Check {
-    val name = s"inset_$col"
+  final case class InSet(column: String, values: Seq[String]) extends Check {
+    val name = s"inset_$column"
     def observed: Column = sum(
-      when(org.apache.spark.sql.functions.col(col).isNull, 0L)
-        .when(org.apache.spark.sql.functions.col(col)
-          .isin(values.map(v => v: Any): _*), 1L)
+      when(col(column).isNull, 0L)
+        .when(col(column).isin(values.map(v => v: Any): _*), 1L)
         .otherwise(0L))
-    def expected: Column = count(org.apache.spark.sql.functions.col(col))
+    def expected: Column = count(col(column))
   }
 
   /** Run the suite: one row per check — (check, n_observed, n_expected,
@@ -66,9 +63,12 @@ object QualityAudit {
     require(checks.nonEmpty, "empty check suite")
     require(checks.map(_.name).distinct.size == checks.size,
       s"duplicate check names: ${checks.map(_.name)}")
+    // coalesce: sum() over an empty table is NULL, and a NULL observed
+    // would make `pass` three-valued — an empty table must PASS a
+    // 0-expected check, boolean-cleanly
     val aggs = checks.flatMap(c => Seq(
-      c.observed.cast("long").as(s"obs_${c.name}"),
-      c.expected.cast("long").as(s"exp_${c.name}")))
+      coalesce(c.observed.cast("long"), lit(0L)).as(s"obs_${c.name}"),
+      coalesce(c.expected.cast("long"), lit(0L)).as(s"exp_${c.name}")))
     val one = df.agg(aggs.head, aggs.tail: _*)
     val report = checks.map(c =>
       struct(lit(c.name).as("check"),

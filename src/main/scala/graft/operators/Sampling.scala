@@ -141,7 +141,13 @@ object Sampling {
     *
     * Same map-side-TopKAgg shape as [[stratifiedSample]]: no per-stratum
     * window over the corpus, one shuffle of partitions × strata × n
-    * buffered rows. */
+    * buffered rows.
+    *
+    * Weight range: the nano-quantized key stays exactly representable in
+    * the ranking double while |key| < 2⁵³, i.e. weights ≳ 4·10⁻⁷ (−ln u ≤
+    * 36 · 10⁹ nano-units). Rescale tiny weights (the selection is
+    * scale-invariant: A-ES only uses weight RATIOS) rather than feeding
+    * sub-micro values. */
   def weightedSample(df: DataFrame, stratum: Column, id: Column,
       key: Column, weight: Column, n: Int): DataFrame = {
     val u = (orderKey53(key) + lit(0.5)) / lit(4503599627370496.0) // 2^52

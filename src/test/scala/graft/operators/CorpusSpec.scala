@@ -379,6 +379,18 @@ class CorpusSpec extends SparkSpec {
     assert(short.isEmpty)
   }
 
+  test("bm25TopK and textRank reject degenerate inputs with clear messages") {
+    import spark.implicits._
+    // terms become column names: dots and case-collisions must fail fast
+    intercept[IllegalArgumentException](
+      Corpus.bm25TopK(docs, Seq("u.s"), 5))
+    intercept[IllegalArgumentException](
+      Corpus.bm25TopK(docs, Seq("Spark", "spark"), 5))
+    // an edge-free corpus (every doc < 2 tokens) cannot seed the teleport
+    intercept[IllegalArgumentException](
+      Corpus.textRank(Seq("a", "b").toDF("text")))
+  }
+
   test("textRank: corpus ranks are positive, pos is a permutation, mass bounded") {
     val rows = Corpus.textRank(docs, iters = 3).collect()
     assert(rows.nonEmpty)

@@ -88,6 +88,35 @@ class MergeSpec extends SparkSpec {
     assert(files(dir, "p3") === p3Before)
   }
 
+  test("upsertPartitioned: a key move that EMPTIES its source partition drops the stale dir") {
+    val dir = tmpDir("merge-empty-src")
+    Seq((1L, "p1", 10.0), (2L, "p2", 20.0))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    // id=2 is p2's ONLY row; the update moves it to p1
+    val out = Merge.upsertPartitioned(spark, dir,
+      Seq((2L, "p1", 22.0)).toDF("id", "part", "v"), "id", "part")
+    assert(out.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("part"), r.getAs[Double]("v"))).toSet
+      === Set((1L, "p1", 10.0), (2L, "p1", 22.0)))
+    assert(!Files.exists(Paths.get(dir, "part=p2"))) // no stale duplicate left
+  }
+
+  test("deletePartitioned handles non-string inferred partition types") {
+    // numeric-looking partition values are read back as ints by partition
+    // inference — exactly the layout the streaming upsert sink produces
+    val dir = tmpDir("merge-int-part")
+    Seq((1L, "0", 1.0), (2L, "1", 2.0), (3L, "1", 3.0))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    val out = Merge.deletePartitioned(spark, dir,
+      Seq(2L).toDF("id"), "id", "part")
+    assert(out.select("id").as[Long].collect().sorted.toSeq === Seq(1L, 3L))
+    // delete the last row of partition 0 too: emptied int-typed dir drops
+    Merge.deletePartitioned(spark, dir, Seq(1L).toDF("id"), "id", "part")
+    assert(!Files.exists(Paths.get(dir, "part=0")))
+  }
+
   test("snapshotDiff: added/removed/changed classification with NULL-safe compares") {
     val before = Seq[(Long, String, java.lang.Double)](
       (1L, "a", 1.0), (2L, "b", null), (3L, "c", 3.0), (4L, "d", 4.0))

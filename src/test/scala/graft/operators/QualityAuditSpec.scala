@@ -41,4 +41,17 @@ class QualityAuditSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       QualityAudit.audit(df, Seq(Complete("lang"), Complete("lang"))))
   }
+
+  test("audit: an EMPTY table passes with boolean (not NULL) verdicts") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "lang", "v")
+    val out = QualityAudit.audit(empty, Seq(
+      Complete("lang"), Unique(Seq("id")), Bounds("v", 0.0, 1.0),
+      InSet("lang", Seq("en")))).collect()
+    assert(out.length === 4)
+    out.foreach { r =>
+      assert(!r.isNullAt(3), r.toString) // pass is a real boolean
+      assert(r.getBoolean(3), r.toString)
+      assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
+    }
+  }
 }
