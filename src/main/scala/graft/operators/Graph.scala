@@ -52,7 +52,10 @@ object Graph {
       .agg(count(lit(1)).as("n_triangles"))
     val nodesEdges = edges.agg(count(lit(1)).as("n_edges"))
       .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
-        sum(expr("deg * (deg - 1) div 2")).as("n_wedges")))
+        // coalesce: sum over an EMPTY degree relation is NULL, and an
+        // edgeless graph must report 0 wedges, not a NULL
+        coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
+          .as("n_wedges")))
     nodesEdges.crossJoin(triangles)
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Keyed MERGE-upsert into a partitioned parquet table, copy-on-write at
@@ -153,15 +153,18 @@ object Merge {
     val removed = col(s"a_$keyCol").isNull
     val anyChanged = compareCols.map(c =>
       !(col(s"b_$c") <=> col(s"a_$c"))).reduce(_ || _)
+    // coalesce: sum over an empty join (both snapshots empty) is NULL,
+    // and an empty diff must report zeros, not NULLs
+    def zsum(c: Column): Column = coalesce(sum(c), lit(0L))
     val aggs =
-      sum(when(added, 1L).otherwise(0L)).as("n_added") +:
-        sum(when(removed, 1L).otherwise(0L)).as("n_removed") +:
-        sum(when(!added && !removed && anyChanged, 1L).otherwise(0L))
+      zsum(when(added, 1L).otherwise(0L)).as("n_added") +:
+        zsum(when(removed, 1L).otherwise(0L)).as("n_removed") +:
+        zsum(when(!added && !removed && anyChanged, 1L).otherwise(0L))
           .as("n_changed") +:
-        sum(when(!added && !removed && !anyChanged, 1L).otherwise(0L))
+        zsum(when(!added && !removed && !anyChanged, 1L).otherwise(0L))
           .as("n_unchanged") +:
         compareCols.map(c =>
-          sum(when(!added && !removed && !(col(s"b_$c") <=> col(s"a_$c")), 1L)
+          zsum(when(!added && !removed && !(col(s"b_$c") <=> col(s"a_$c")), 1L)
             .otherwise(0L)).as(s"changed_$c"))
     j.agg(aggs.head, aggs.tail: _*)
   }

@@ -31,6 +31,15 @@ class GraphSpec extends SparkSpec {
     assert(messy === r)
   }
 
+  test("edgeless graph reports zero counts, not NULLs") {
+    val r = Graph.triangleStats(
+      Seq.empty[(Long, Long)].toDF("a", "b")).collect().head
+    assert((r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+      r.getAs[Long]("n_wedges"), r.getAs[Long]("n_triangles"))
+      === ((0L, 0L, 0L, 0L)))
+    assert((0 until 4).forall(!r.isNullAt(_)))
+  }
+
   test("pseudo-random graph: oriented count equals the naive 3-join count") {
     // deterministic LCG edge set — skewed enough to exercise orientation
     var s = 12345L

@@ -136,6 +136,17 @@ class MergeSpec extends SparkSpec {
     assert(r.getAs[Long]("changed_v") === 1L)
   }
 
+  test("snapshotDiff of two empty snapshots is all zeros, not NULLs") {
+    val empty = Seq.empty[(Long, String, Double)].toDF("id", "s", "v")
+    val r = Merge.snapshotDiff(empty, empty, "id", Seq("s", "v"))
+      .collect().head
+    assert((0 until 6).forall(!r.isNullAt(_)), r.toString)
+    assert((r.getAs[Long]("n_added"), r.getAs[Long]("n_removed"),
+      r.getAs[Long]("n_changed"), r.getAs[Long]("n_unchanged"),
+      r.getAs[Long]("changed_s"), r.getAs[Long]("changed_v"))
+      === ((0L, 0L, 0L, 0L, 0L, 0L)))
+  }
+
   test("upsertPartitioned: idempotent for a fixed batch") {
     val dir = stage()
     val ups = Seq((2L, "p1", 22.0), (8L, "p3", 80.0)).toDF("id", "part", "v")
