@@ -418,7 +418,8 @@ object Corpus {
       .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("n"))
     val tot = st.groupBy(col("source")).agg(sum(col("n")).as("nt"))
     val pairs = tot.select(col("source").as("sa"), col("nt").as("na_t"))
-      .crossJoin(tot.select(col("source").as("sb"), col("nt").as("nb_t")))
+      .crossJoin(broadcast(
+        tot.select(col("source").as("sb"), col("nt").as("nb_t"))))
       .filter(col("sa") < col("sb"))
     val p = col("na") / col("na_t")
     val q = col("nb") / col("nb_t")

@@ -50,13 +50,15 @@ object Graph {
       .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
     val triangles = wedgePairs.join(edges, Seq("a", "b"))
       .agg(count(lit(1)).as("n_triangles"))
+    // broadcast-hinted 1-row sides: AQE would pick BroadcastNLJ anyway,
+    // but the hint pins the plan independent of runtime stats
     val nodesEdges = edges.agg(count(lit(1)).as("n_edges"))
-      .crossJoin(deg.agg(count(lit(1)).as("n_nodes"),
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_nodes"),
         // coalesce: sum over an EMPTY degree relation is NULL, and an
         // edgeless graph must report 0 wedges, not a NULL
         coalesce(sum(expr("deg * (deg - 1) div 2")), lit(0L))
-          .as("n_wedges")))
-    nodesEdges.crossJoin(triangles)
+          .as("n_wedges"))))
+    nodesEdges.crossJoin(broadcast(triangles))
       .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
         col("n_triangles"))
   }

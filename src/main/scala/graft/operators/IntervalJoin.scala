@@ -35,11 +35,19 @@ object IntervalJoin {
     require(bucketMicros > 0, s"bucketMicros=$bucketMicros")
     val iv = intervals.select(struct(idCols.map(col): _*).as("iid"),
       col(startCol).as("s"), col(endCol).as("e"))
+    // Degenerate intervals (end <= start) are EMPTY under the half-open
+    // contract: they overlap nothing, so they take no part in pair
+    // generation (they still surface in the output with n_overlaps = 0
+    // via the final left join). The filter is also what keeps
+    // sequence(sb, eb) well-formed — with eb < sb Spark generates a
+    // DESCENDING sequence, which would explode an empty interval into
+    // spurious buckets.
+    val nonEmpty = iv.filter(col("s") < col("e"))
     // pinned: the bucket-exploded relation is read twice by the pair
     // self-join; it is intervals × buckets-per-interval — far smaller
     // than whatever corpus the intervals were derived from, so
     // materializing beats replaying the upstream derivation twice
-    val exploded = iv
+    val exploded = nonEmpty
       .withColumn("sb", expr(s"unix_micros(s) div $bucketMicros"))
       .withColumn("eb", expr(s"(unix_micros(e) - 1) div $bucketMicros"))
       .select(col("iid"), col("s"), col("e"), col("sb"),

@@ -53,6 +53,7 @@ object Merge {
     // column back as int/date/... even when it was written from strings
     val affected = fromUpdates.union(fromBase).distinct()
       .collect().map(_.get(0))
+    requireNoNullPartition(affected, partCol)
     val current = base.filter(col(partCol).isin(affected.toSeq: _*))
     // repartition on the partition column BEFORE the partitioned write:
     // without it every shuffle task emits a file into every partition
@@ -82,16 +83,35 @@ object Merge {
     spark.read.parquet(baseDir)
   }
 
+  /** NULL partition values have no `partCol=<v>` directory identity in
+    * this copy-on-write scheme: `isin(affected)` would silently skip them
+    * during the read-back (a moved key's stale row survives and the key
+    * surfaces twice) and `dropEmptiedPartitions` would NPE AFTER the
+    * overwrite landed. Fail fast BEFORE any write instead — a general
+    * lakehouse layer models NULL as `__HIVE_DEFAULT_PARTITION__`, a
+    * contract this parquet-native path deliberately does not enter. */
+  private def requireNoNullPartition(affected: Seq[Any],
+      partCol: String): Unit =
+    require(!affected.contains(null),
+      s"NULL value in partition column '$partCol': partition-granular " +
+        "merge/delete cannot address the null partition; filter or " +
+        "default the partition value upstream")
+
   /** Remove `partCol=<v>` directories for affected partition values that
-    * the rewritten data no longer contains. */
+    * the rewritten data no longer contains. Directory names use Hive
+    * partition-path escaping (the same encoding Spark's dynamic partition
+    * writer used to CREATE them), so values containing '/', ':', spaces
+    * etc. resolve to the real directory rather than a phantom path. */
   private def dropEmptiedPartitions(spark: SparkSession, baseDir: String,
       partCol: String, affected: Seq[Any], written: DataFrame): Unit = {
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
     val present = written.select(col(partCol)).distinct()
       .collect().map(_.get(0).toString).toSet
     val fs = new org.apache.hadoop.fs.Path(baseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     affected.map(_.toString).filterNot(present).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(baseDir, s"$partCol=$p"), true)
+      val dir = s"$partCol=${ExternalCatalogUtils.escapePathName(p)}"
+      fs.delete(new org.apache.hadoop.fs.Path(baseDir, dir), true)
     }
   }
 
@@ -109,6 +129,7 @@ object Merge {
     // raw Any partition values — inference may type them non-string
     val affected = base.join(broadcast(delKeys), Seq(keyCol))
       .select(col(partCol)).distinct().collect().map(_.get(0))
+    requireNoNullPartition(affected, partCol)
     if (affected.nonEmpty) {
       val survivors = base.filter(col(partCol).isin(affected.toSeq: _*))
         .join(broadcast(delKeys), Seq(keyCol), "left_anti")

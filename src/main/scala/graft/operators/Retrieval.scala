@@ -35,9 +35,17 @@ object Retrieval {
     require(lists.nonEmpty, "need at least one ranking")
     require(lists.map(_._1).distinct.size == lists.size, "duplicate list names")
     require(k > 0 && k0 >= 0, s"k=$k k0=$k0")
+    // Normalize each list to at most ONE row per id (best = min rank)
+    // before the union: a list carrying an id twice would otherwise
+    // contribute 1/(k0+rank) once per duplicate row to the fused sum
+    // while rank_<name> showed only the min — silently double-counted
+    // scores. The lists are contractually tiny top-k relations, so the
+    // per-list dedup aggregate is free.
     val tagged = lists.map { case (name, df) =>
       df.select(col("id").cast(LongType).as("id"),
-        col("rank").cast(IntegerType).as("rank"), lit(name).as("src"))
+        col("rank").cast(IntegerType).as("rank"))
+        .groupBy(col("id")).agg(min(col("rank")).as("rank"))
+        .withColumn("src", lit(name))
     }.reduce(_ unionByName _)
     val rankCols = lists.map { case (name, _) =>
       min(when(col("src") === name, col("rank"))).as(s"rank_$name")

@@ -31,15 +31,22 @@ object LevenshteinPrefilter extends Rule[LogicalPlan] {
   private def bound(l: Expression, r: Expression, k: Expression): Expression =
     LessThanOrEqual(Abs(Subtract(Length(l), Length(r))), k)
 
-  /** Rewrite every qualifying conjunct in a predicate tree. */
+  /** Rewrite every qualifying conjunct in a predicate tree. The rule
+    * DUPLICATES the levenshtein arguments into the companion conjunct, so
+    * it must only fire when both are deterministic — a non-deterministic
+    * argument (rand(), uuid()…) would be re-evaluated independently in
+    * the bound and could reject rows the original predicate accepts
+    * (the standard Catalyst guard for expression-duplicating rewrites). */
   private def addBounds(cond: Expression): Expression = {
     val conjuncts = splitConjuncts(cond)
     val additions = conjuncts.collect {
       case LessThanOrEqual(Levenshtein(l, r, None), k @ Literal(_, IntegerType))
-          if !conjuncts.exists(_.semanticEquals(bound(l, r, k))) =>
+          if l.deterministic && r.deterministic &&
+            !conjuncts.exists(_.semanticEquals(bound(l, r, k))) =>
         bound(l, r, k)
       case LessThan(Levenshtein(l, r, None), k @ Literal(_, IntegerType))
-          if !conjuncts.exists(_.semanticEquals(bound(l, r, k))) =>
+          if l.deterministic && r.deterministic &&
+            !conjuncts.exists(_.semanticEquals(bound(l, r, k))) =>
         bound(l, r, k)
     }
     if (additions.isEmpty) cond

@@ -813,10 +813,14 @@ object ParityQueries {
         .select(col("user_id"), col("last_ts"), col("last_event_id"),
           col("last_type"))
     },
-    Some("""SELECT user_id, max(ts) AS last_ts,
-        arg_max(event_id, ts) AS last_event_id,
-        arg_max(event_type, ts) AS last_type
-      FROM events GROUP BY user_id""")
+    // explicit tie-break (ts DESC, event_id DESC) mirroring the Spark
+    // side's max(struct(ts, event_id, …)) — DuckDB's arg_max(x, ts) is
+    // unspecified on equal ts, so the oracle must pin the composite order
+    Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        event_type AS last_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1""")
   )
 
   val all: Seq[Q] =

@@ -36,6 +36,15 @@ class IntervalJoinSpec extends SparkSpec {
     assert(out2 === Map(1L -> 1L, 2L -> 1L))
   }
 
+  test("degenerate intervals (end <= start) are empty: overlap nothing, kept at 0") {
+    // b is empty (e == s) strictly INSIDE a; c is inverted (e < s) —
+    // under half-open semantics both overlap nothing and must neither
+    // count nor explode spurious descending-sequence buckets
+    val out = run(Seq((1L, 0L, 600L), (2L, 300L, 300L), (3L, 500L, 100L),
+      (4L, 100L, 200L)))
+    assert(out === Map(1L -> 1L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+  }
+
   test("pseudo-random intervals: bucketed count equals the naive quadratic count") {
     var s = 99L
     def next(): Long = { s = (s * 1103515245L + 12345L) % 2147483648L; s }

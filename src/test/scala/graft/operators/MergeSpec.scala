@@ -147,6 +147,54 @@ class MergeSpec extends SparkSpec {
       === ((0L, 0L, 0L, 0L, 0L, 0L)))
   }
 
+  test("NULL partition values are rejected BEFORE any write lands") {
+    val dir = stage()
+    val before = spark.read.parquet(dir).orderBy("id").collect().toSeq
+    val ups = Seq[(java.lang.Long, String, java.lang.Double)](
+      (6L, null, 60.0)).toDF("id", "part", "v")
+    val ex = intercept[IllegalArgumentException] {
+      Merge.upsertPartitioned(spark, dir, ups, "id", "part")
+    }
+    assert(ex.getMessage.contains("NULL value in partition column"))
+    intercept[IllegalArgumentException] {
+      // a base row carrying a NULL partition would poison the delete path
+      // (__HIVE_DEFAULT_PARTITION__ is read back as a NULL part value)
+      val dir2 = tmpDir("merge-null-base")
+      Seq((1L, 1.0)).toDF("id", "v")
+        .write.mode("overwrite").parquet(dir2 + "/part=__HIVE_DEFAULT_PARTITION__")
+      Merge.deletePartitioned(spark, dir2, Seq(1L).toDF("id"), "id", "part")
+    }
+    // table untouched by the failed upsert
+    assert(spark.read.parquet(dir).orderBy("id").collect().toSeq === before)
+  }
+
+  test("emptied partitions with path-escaped values (space, colon) still drop") {
+    val dir = tmpDir("merge-escaped-part")
+    Seq((1L, "a b:c", 1.0), (2L, "plain", 2.0))
+      .toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir)
+    // Spark writes 'a b:c' as an escaped directory name
+    val escaped = Files.list(Paths.get(dir)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part=")).toSeq
+    assert(escaped.exists(n => n != "part=plain" && n.contains("%")), escaped)
+    // move id=1 out of the escaped partition: its dir must be DELETED,
+    // which requires reconstructing the escaped path, not `part=a b:c`
+    val out = Merge.upsertPartitioned(spark, dir,
+      Seq((1L, "plain", 11.0)).toDF("id", "part", "v"), "id", "part")
+    assert(out.collect().map(r => (r.getAs[Long]("id"),
+      r.getAs[String]("part"))).toSet === Set((1L, "plain"), (2L, "plain")))
+    assert(!Files.list(Paths.get(dir)).iterator().asScala
+      .exists(_.getFileName.toString.contains("%")))
+    // same via the delete path
+    val dir2 = tmpDir("merge-escaped-del")
+    Seq((1L, "x/y", 1.0), (2L, "p", 2.0)).toDF("id", "part", "v")
+      .write.mode("overwrite").partitionBy("part").parquet(dir2)
+    Merge.deletePartitioned(spark, dir2, Seq(1L).toDF("id"), "id", "part")
+    assert(Files.list(Paths.get(dir2)).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("part=")).toSeq
+      === Seq("part=p"))
+  }
+
   test("upsertPartitioned: idempotent for a fixed batch") {
     val dir = stage()
     val ups = Seq((2L, "p1", 22.0), (8L, "p3", 80.0)).toDF("id", "part", "v")

@@ -41,6 +41,22 @@ class RetrievalSpec extends SparkSpec {
       === (1L to 5L))
   }
 
+  test("rrfFuse: duplicate id WITHIN a list contributes once, at its best rank") {
+    // id=1 appears twice on list a (ranks 1 and 3); the fused score must
+    // count only the min-rank contribution, matching rank_a = 1 — not
+    // silently sum both rows
+    val a = list(1L -> 1, 2L -> 2, 1L -> 3)
+    val clean = list(1L -> 1, 2L -> 2)
+    val dup = Retrieval.rrfFuse(Seq("a" -> a), k = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank_a"),
+        r.getAs[Long]("rrf_1e6"))).sortBy(_._1).toSeq
+    val ref = Retrieval.rrfFuse(Seq("a" -> clean), k = 10)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Int]("rank_a"),
+        r.getAs[Long]("rrf_1e6"))).sortBy(_._1).toSeq
+    assert(dup === ref)
+    assert(dup.find(_._1 == 1L).get._3 === math.round(1e6 / 61))
+  }
+
   test("rrfFuse: equal-score ties break on ascending id") {
     // two disjoint lists, same ranks → identical scores pairwise
     val a = list(10L -> 1, 11L -> 2)

@@ -55,6 +55,22 @@ class LevenshteinPrefilterSpec extends SparkSpec {
     assert(joined.select(col("sb")).as[String].collect().toSeq === Seq("abd"))
   }
 
+  test("non-deterministic levenshtein arguments are NOT rewritten") {
+    // duplicating a rand()-bearing argument into the companion bound
+    // would re-evaluate it independently and can reject surviving rows;
+    // the rule must leave such predicates alone
+    val df = Seq("abc").toDF("w")
+    val nd = df.filter(
+      levenshtein(concat(col("w"), (rand() * 0).cast("string")), lit("abd")) <= 2)
+    val before = nd.queryExecution.analyzed
+    assert(LevenshteinPrefilter(before) fastEquals before)
+    // a deterministic sibling in the same shape still rewrites
+    val det = df.filter(
+      levenshtein(concat(col("w"), lit("")), lit("abd")) <= 2)
+    assert(LevenshteinPrefilter(det.queryExecution.analyzed)
+      .toString.contains("abs"))
+  }
+
   test("strict < and non-levenshtein predicates: only the former rewritten") {
     val df = Seq("x").toDF("w")
     val lt = df.filter(levenshtein(col("w"), lit("y")) < 3)
