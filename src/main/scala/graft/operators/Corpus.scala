@@ -686,6 +686,93 @@ object Corpus {
     * shares. Counts are BIGINT sums — exact under any partitioning — and
     * the (count desc, ngram asc) ranking is total, so the top-k cutoff is
     * deterministic; orderBy+limit plans as TakeOrderedAndProject. */
+  /** Distinct-word frequency relation (word, freq) — the input BPE
+    * training actually needs. One partial-aggregated token shuffle over
+    * the corpus, after which every training round is bounded by the
+    * DISTINCT vocabulary (Heaps' law), never the corpus. */
+  def bpeWordFreqs(docs: DataFrame): DataFrame =
+    docs.select(explode(TA.tokens(col("text"))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** A word as its BPE symbol-sequence STRING under the invariant
+    * `' s1  s2  …  sn '` — two spaces between adjacent symbols, one at
+    * each end, symbols never containing spaces. The invariant makes the
+    * greedy left-to-right non-overlapping pair merge expressible as a
+    * single literal `replace(' l  r ' → ' lr ')`: each match consumes one
+    * boundary space from each side and the replacement restores them, so
+    * consecutive occurrences (`a a a a` under pair `(a,a)`) all merge in
+    * one pass, partial-symbol matches are impossible, and — crucially for
+    * the oracle contract — Spark and DuckDB `replace` agree exactly. */
+  private def bpeSeq(word: Column): Column =
+    regexp_replace(word, "(.)", " $1 ")
+
+  private def bpeMergeOnce(s: Column, l: String, r: String): Column =
+    call_function("replace", s, lit(s" $l  $r "), lit(s" $l$r "))
+
+  /** Adjacent-pair counts of the current symbolization, weighted by word
+    * frequency (overlapping repeats count per position, the standard BPE
+    * convention). One shuffle on the vocab-bounded word relation. */
+  private def bpePairCounts(cur: DataFrame): DataFrame =
+    cur.select(split(trim(col("s")), "  ").as("syms"), col("freq"))
+      // the size guard also keeps sequence() ascending (it DESCENDS when
+      // stop < start — single-symbol words must not explode)
+      .filter(size(col("syms")) >= 2)
+      .select(col("freq"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i-1] AS l, syms[i] AS r))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("freq")).as("n"))
+
+  /** Iterative BPE merge-loop TRAINING (Sennrich et al., ACL'16): start
+    * from characters, and for each of `nMerges` rounds count adjacent
+    * symbol pairs across the (frequency-weighted) distinct-word relation,
+    * pick the argmax pair under the total order (count desc, left asc,
+    * right asc), and merge it corpus-wide. Returns the learned merge
+    * table (rank, left_sym, right_sym, pair_n) — the tokenizer artifact a
+    * training pipeline freezes and ships.
+    *
+    * Scale shape: the corpus is touched exactly once (the token shuffle
+    * inside [[bpeWordFreqs]], checkpointed here); every round after that
+    * is explode+aggregate over DISTINCT words — vocab-bounded work, with
+    * one deliberately driver-held row per round (the argmax pair; N rows
+    * total, the same contractual bound as k-means centroids). Round k
+    * re-derives the symbolization as k nested literal replaces over the
+    * checkpointed base — O(N²·vocab) string work total, which at any
+    * corpus scale is noise next to the one corpus scan. */
+  def bpeTrain(words: DataFrame, nMerges: Int): DataFrame = {
+    require(nMerges > 0, s"nMerges=$nMerges")
+    val spark = words.sparkSession
+    val base = words.select(bpeSeq(col("word")).as("s"), col("freq"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var cur = base
+    var exhausted = false
+    while (merges.length < nMerges && !exhausted) {
+      val best = bpePairCounts(cur)
+        .orderBy(col("n").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true // every word fully merged
+      else {
+        val (l, r, n) = (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+        merges += ((merges.length + 1, l, r, n))
+        cur = cur.withColumn("s", bpeMergeOnce(col("s"), l, r))
+      }
+    }
+    spark.createDataFrame(merges.toSeq)
+      .toDF("rank", "left_sym", "right_sym", "pair_n")
+  }
+
+  /** Encode a word under a FROZEN ordered merge list: the symbol string
+    * after replaying every learned merge in rank order — one codegen'd
+    * chain of literal replaces, entirely row-local (no shuffle, no state;
+    * the merge table is driver-held, bounded by nMerges). Returns the
+    * symbol array. */
+  def bpeEncode(word: Column, merges: Seq[(String, String)]): Column =
+    split(trim(merges.foldLeft(bpeSeq(word)) {
+      case (s, (l, r)) => bpeMergeOnce(s, l, r)
+    }), "  ")
+
   def subwordSeedVocab(docs: DataFrame, minN: Int, maxN: Int,
       k: Int): DataFrame = {
     require(minN >= 1 && maxN >= minN && k > 0, s"minN=$minN maxN=$maxN k=$k")

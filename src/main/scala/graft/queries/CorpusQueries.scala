@@ -650,7 +650,154 @@ object CorpusQueries {
       WHERE d.doc_id % 2 = 1""")
   )
 
+  /** Number of BPE merge rounds for q154/q155 — small enough that the
+    * oracle's per-round CTE unroll stays tractable in DuckDB, large
+    * enough that learned symbols chain (merges built on earlier merges'
+    * outputs). */
+  private val bpeRounds = 12
+
+  /** The BPE training loop as an oracle CTE chain (the q135 unroll
+    * pattern): `w`/`s0` are the even-split word frequencies and their
+    * character symbolizations under the double-space invariant
+    * ([[Corpus.bpeTrain]] scaladoc), then per round k: `p{k}` counts
+    * adjacent pairs, `b{k}` picks the argmax under (n desc, l, r), `s{k}`
+    * applies the merge with the same literal `replace` the Spark side
+    * uses. With `withTarget`, the ODD split (`wt`/`t0`…`t{N}`) is
+    * threaded through the identical per-round replace so the encode
+    * oracle applies learned merges without re-deriving them.
+    *
+    * Every multiply-referenced CTE is `AS MATERIALIZED`: DuckDB inlines
+    * CTEs per REFERENCE, and with s{k}/b{k} each read twice the unrolled
+    * plan doubles per round — 2^N copies of the whole chain. Pinning
+    * each round makes the oracle linear in N, like the Spark side. */
+  private def bpeCtes(withTarget: Boolean): String = {
+    val sb = new StringBuilder
+    sb ++= s"""WITH w AS (
+        SELECT tok AS word, COUNT(*) AS freq
+        FROM (SELECT unnest($sqlToks) AS tok FROM documents
+              WHERE doc_id % 2 = 0)
+        GROUP BY tok),
+      s0 AS MATERIALIZED (
+        SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, freq
+        FROM w)"""
+    if (withTarget) sb ++= s""",
+      wt AS (
+        SELECT tok AS word, COUNT(*) AS freq
+        FROM (SELECT unnest($sqlToks) AS tok FROM documents
+              WHERE doc_id % 2 = 1)
+        GROUP BY tok),
+      t0 AS MATERIALIZED (
+        SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, freq
+        FROM wt)"""
+    for (k <- 1 to bpeRounds) {
+      val p = k - 1
+      sb ++= s""",
+      p$k AS (
+        SELECT syms[i] AS l, syms[i + 1] AS r, CAST(SUM(freq) AS BIGINT) AS n
+        FROM (SELECT syms, freq,
+                unnest(generate_series(1, len(syms) - 1)) AS i
+              FROM (SELECT string_split(trim(s), '  ') AS syms, freq
+                    FROM s$p))
+        GROUP BY 1, 2),
+      b$k AS MATERIALIZED (
+        SELECT l, r, n FROM p$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+      s$k AS MATERIALIZED (
+        SELECT replace(s, ' ' || l || '  ' || r || ' ',
+                       ' ' || l || r || ' ') AS s, freq
+        FROM s$p CROSS JOIN b$k)"""
+      if (withTarget) sb ++= s""",
+      t$k AS MATERIALIZED (
+        SELECT replace(s, ' ' || l || '  ' || r || ' ',
+                       ' ' || l || r || ' ') AS s, freq
+        FROM t$p CROSS JOIN b$k)"""
+    }
+    sb.result()
+  }
+
+  /** BPE merge-loop tokenizer TRAINING ([[Corpus.bpeTrain]]) on the even
+    * doc_id split: 12 rounds of count-adjacent-pairs → argmax → merge,
+    * emitting the learned merge table. The oracle unrolls every round as
+    * CTEs and recomputes the argmax chain from scratch — a wrong pair
+    * count, tie-break, or merge application in ANY round derails every
+    * later round and hash-mismatches. */
+  val q154 = Q(
+    "q154_bpe_train",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      Corpus.bpeTrain(
+        Corpus.bpeWordFreqs(Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)),
+        nMerges = bpeRounds)
+    },
+    Some {
+      val rows = (1 to bpeRounds).map(k =>
+        s"""SELECT CAST($k AS INTEGER) AS rank, l AS left_sym,
+           r AS right_sym, n AS pair_n FROM b$k""")
+        .mkString("\n      UNION ALL ")
+      s"""${bpeCtes(withTarget = false)}
+      $rows"""
+    }
+  )
+
+  /** The FROZEN BPE merge table: trained on the even split once per sf
+    * dir and persisted — q155 measures the ENCODE side, which must never
+    * re-train (the q125 frozen-artifact contract, for the subword
+    * tokenizer). */
+  private val stagedBpe =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def frozenBpeDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedBpe.getOrElseUpdate(dir, {
+      import org.apache.spark.sql.functions.col
+      val t = ParityQueries.scratchDir("graft-frozen-bpe")
+      Corpus.bpeTrain(
+        Corpus.bpeWordFreqs(Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 2 === 0)),
+        nMerges = bpeRounds)
+        .write.mode("overwrite").parquet(t)
+      t
+    })
+
+  /** Encode-under-learned-merges: the odd split's distinct words replay
+    * the frozen merge list in rank order ([[Corpus.bpeEncode]] — a
+    * row-local chain of literal replaces; the merge table itself is the
+    * only driver-held piece, bounded by the round count), then subword
+    * occurrence totals rank the top 50. Encoding works on DISTINCT words
+    * weighted by occurrence count — the corpus pays one token shuffle,
+    * never a per-occurrence replay. The oracle re-derives the merges AND
+    * the odd-split encode in one CTE chain. */
+  val q155 = Q(
+    "q155_bpe_encode",
+    (spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.IntegerType
+      val merges = spark.read.parquet(frozenBpeDir(spark, dir))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        .toSeq
+      val enc = Corpus.bpeWordFreqs(Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") % 2 =!= 0))
+        .select(explode(Corpus.bpeEncode(col("word"), merges)).as("subword"),
+          col("freq"))
+        .groupBy(col("subword")).agg(sum(col("freq")).as("n_occ"))
+      val ord = Seq(col("n_occ").desc, col("subword").asc)
+      enc.orderBy(ord: _*).limit(50)
+        .withColumn("rank",
+          row_number().over(Window.orderBy(ord: _*)).cast(IntegerType))
+    },
+    Some(s"""${bpeCtes(withTarget = true)},
+      enc AS (SELECT unnest(string_split(trim(s), '  ')) AS subword, freq
+              FROM t$bpeRounds),
+      ag AS (SELECT subword, CAST(SUM(freq) AS BIGINT) AS n_occ
+             FROM enc GROUP BY 1),
+      rk AS (SELECT *, CAST(ROW_NUMBER() OVER (
+               ORDER BY n_occ DESC, subword ASC) AS INTEGER) AS rank
+             FROM ag)
+      SELECT subword, n_occ, rank FROM rk WHERE rank <= 50""")
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125, q131, q135, q138, q140, q145, q147)
+      q117, q125, q131, q135, q138, q140, q145, q147, q154, q155)
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** BPE merge-loop training invariants: a hand-traced merge sequence,
+  * greedy left-to-right non-overlapping merge semantics on repeats,
+  * frequency weighting, deterministic tie-breaks, early exhaustion, and
+  * train/encode agreement under a frozen merge table. */
+class BpeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def words(rows: (String, Long)*) =
+    rows.toDF("word", "freq")
+
+  private def trained(rows: Seq[(String, Long)], n: Int) =
+    Corpus.bpeTrain(words(rows: _*), n).orderBy("rank").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_n"))).toSeq
+
+  test("hand-traced training: merges chain on earlier merges' outputs") {
+    // 'abab' x3, 'ab' x2: round 1 pair (a,b) n = 3*2 + 2*1 = 8;
+    // round 2: words are [ab,ab] x3, [ab] x2 -> pair (ab,ab) n = 3;
+    // round 3: [abab] x3, [ab] x2 -> no pairs left, training exhausts
+    val m = trained(Seq("abab" -> 3L, "ab" -> 2L), 5)
+    assert(m === Seq((1, "a", "b", 8L), (2, "ab", "ab", 3L)))
+  }
+
+  test("repeat runs merge greedily left-to-right, counts overlap per position") {
+    // 'aaaa' x1: pairs (a,a) at 3 positions -> n=3; after merging,
+    // greedy non-overlap gives [aa, aa] -> round 2 pair (aa,aa) n=1
+    val m = trained(Seq("aaaa" -> 1L), 2)
+    assert(m === Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)))
+    // odd run: 'aaa' -> [aa, a] -> round 2 is (aa, a)
+    val m3 = trained(Seq("aaa" -> 1L), 2)
+    assert(m3 === Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)))
+  }
+
+  test("frequency outweighs type count; ties break on (left, right) ascending") {
+    // (x,y) appears in one word type with freq 5; (p,q) in two types freq 2
+    val m = trained(Seq("xy" -> 5L, "pq" -> 2L, "pqr" -> 2L), 1)
+    assert(m.head === ((1, "x", "y", 5L)))
+    // exact tie on count: 'ab' and 'aa' both n=2 -> (a,a) < (a,b)
+    val t = trained(Seq("ab" -> 2L, "aa" -> 2L), 1)
+    assert(t.head === ((1, "a", "a", 2L)))
+  }
+
+  test("training exhausts early when no pairs remain; single chars train nothing") {
+    assert(trained(Seq("a" -> 10L, "b" -> 3L), 4) === Seq.empty)
+    val m = trained(Seq("ab" -> 1L), 10)
+    assert(m === Seq((1, "a", "b", 1L)))
+  }
+
+  test("bpeEncode replays the learned merges: encoding train words reproduces the final symbolization") {
+    val corpus = Seq("abab" -> 3L, "ab" -> 2L, "cab" -> 4L, "z" -> 1L)
+    val table = Corpus.bpeTrain(words(corpus: _*), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+      .toSeq
+    val enc = words(corpus: _*)
+      .select(col("word"), Corpus.bpeEncode(col("word"), table).as("syms"))
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getSeq[String](1).toList).toMap
+    // learned order: (a,b) n=12, then (c,ab) n=4, then (ab,ab) n=3
+    assert(enc("abab") === List("abab"))
+    assert(enc("ab") === List("ab"))
+    assert(enc("z") === List("z"))
+    assert(enc("cab") === List("cab"))
+    // encoding with an EMPTY merge list is plain characters
+    val chars = words("abc" -> 1L)
+      .select(Corpus.bpeEncode(col("word"), Seq.empty).as("syms"))
+      .collect().head.getSeq[String](0).toList
+    assert(chars === List("a", "b", "c"))
+  }
+
+  test("encode is per-type deterministic: same word, same symbols, regardless of freq") {
+    val table = Seq(("a", "b"), ("ab", "c"))
+    val out = words("abc" -> 1L, "xabcx" -> 7L)
+      .select(col("word"), Corpus.bpeEncode(col("word"), table).as("syms"))
+      .collect().map(r => r.getAs[String]("word") ->
+        r.getSeq[String](1).toList).toMap
+    assert(out("abc") === List("abc"))
+    assert(out("xabcx") === List("x", "abc", "x"))
+  }
+}
