@@ -525,8 +525,9 @@ object Dedup {
   /** (doc_id, band, band_key [, carried…]) banding rows for a
     * (doc_id, sig, …) relation — the LSH bucket keys, computed
     * row-locally. `carry` names extra columns to keep on each band row
-    * (the streaming gate carries the shingle set so verification never
-    * needs a second join back to the stream). */
+    * (the streaming gate carries the STREAM doc's shingle set so its
+    * verification never needs a stateful join back to the stream; static
+    * relations re-join their payloads by id instead). */
   private def bandRows(sigs: DataFrame, k: Int, rowsPerBand: Int,
       carry: Seq[String] = Nil): DataFrame = {
     require(k % rowsPerBand == 0,
@@ -666,32 +667,48 @@ object Dedup {
     * ([[minHashSignatureCol]] — bit-identical to the index's aggregate
     * signatures), and the band explode. Candidates come from a
     * stream-STATIC equi-join on (band, band_key) — no watermarks, no
-    * join state — and each candidate row carries both shingle arrays, so
-    * the exact [[graft.functions.SortedIntersectSize]] verify runs
-    * inline; a pair sharing several bands is collapsed by the final
-    * streaming dropDuplicates. State story: ONLY the dropDuplicates
-    * keeps state (one (new_id, ref_id) key per emitted match — bounded
-    * by true matches, not input; a deployment with an event-time column
-    * would add a watermark to age it). Carrying the doc's shingle array
-    * onto its nBands band rows is the price of statelessness — doc-sized
-    * rows ×nBands within one micro-batch, vs a stateful stream-stream
-    * rejoin. Same (k, rowsPerBand) as the index ⇒ same recall argument
-    * as [[minHashNearDupsIncremental]]'s asymmetric join; q127 verifies
-    * the replay against a from-scratch cross-pair oracle. */
+    * join state. The INDEX side of that band join is signature-only —
+    * (ref_id, ref_n, band, band_key), the asymmetric shape of
+    * [[minHashNearDupsIncremental]] — because the static relation is
+    * re-planned EVERY micro-batch: banding it with shingle payloads
+    * would ship nBands copies of the whole reference corpus per trigger.
+    * The reference shingle sets enter once, through an id-keyed
+    * stream-static equi-join against the size-prefiltered candidates,
+    * and only then does the exact
+    * [[graft.functions.SortedIntersectSize]] verify run; a pair sharing
+    * several bands is collapsed by the final streaming dropDuplicates.
+    * State story: ONLY the dropDuplicates keeps state (one (new_id,
+    * ref_id) key per emitted match — bounded by true matches, not input;
+    * a deployment with an event-time column would add a watermark to age
+    * it). The STREAM side still carries its own shingle array onto its
+    * nBands band rows — that is the price of statelessness (re-joining
+    * the stream against itself would be a stateful stream-stream join),
+    * and it is bounded by the micro-batch, not the corpus. Same (k,
+    * rowsPerBand) as the index ⇒ same recall argument as
+    * [[minHashNearDupsIncremental]]'s asymmetric join; q127 verifies the
+    * replay against a from-scratch cross-pair oracle, and TextSpec
+    * asserts pair-set identity with the incremental operator's cross
+    * pairs. */
   def streamNearDupGate(docsStream: DataFrame, index: DataFrame,
       k: Int, rowsPerBand: Int, threshold: Double): DataFrame = {
     val sets = docSetsLocal(docsStream).filter(col("n_shingles") > 0)
     val sigs = sets.withColumn("sig", minHashSignatureCol(col("shingles"), k))
     val newBands = bandRows(sigs, k, rowsPerBand,
       carry = Seq("shingles", "n_shingles"))
-    val idxBands = bandRows(index, k, rowsPerBand,
-      carry = Seq("shingles", "n_shingles"))
-      .select(col("doc_id").as("ref_id"), col("shingles").as("ref_shingles"),
-        col("n_shingles").as("ref_n"), col("band"), col("band_key"))
+    val idxBands = bandRows(
+      index.select(col("doc_id"), col("sig"), col("n_shingles")),
+      k, rowsPerBand, carry = Seq("n_shingles"))
+      .select(col("doc_id").as("ref_id"), col("n_shingles").as("ref_n"),
+        col("band"), col("band_key"))
+    val refSets = index.select(col("doc_id").as("ref_id"),
+      col("shingles").as("ref_shingles"))
     newBands.join(idxBands, Seq("band", "band_key"))
       .filter(col("doc_id") =!= col("ref_id"))
       .filter(least(col("n_shingles"), col("ref_n")) >=
         lit(threshold) * greatest(col("n_shingles"), col("ref_n")) - lit(1e-9))
+      .select(col("doc_id"), col("shingles"), col("n_shingles"),
+        col("ref_id"), col("ref_n"))
+      .join(refSets, Seq("ref_id"))
       .withColumn("n_common", graft.functions.SetCols
         .sortedIntersectSize(col("shingles"), col("ref_shingles")))
       .withColumn("jaccard", col("n_common").cast(DoubleType) /

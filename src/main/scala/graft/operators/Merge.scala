@@ -90,7 +90,7 @@ object Merge {
     * overwrite landed. Fail fast BEFORE any write instead — a general
     * lakehouse layer models NULL as `__HIVE_DEFAULT_PARTITION__`, a
     * contract this parquet-native path deliberately does not enter. */
-  private def requireNoNullPartition(affected: Seq[Any],
+  private[operators] def requireNoNullPartition(affected: Seq[Any],
       partCol: String): Unit =
     require(!affected.contains(null),
       s"NULL value in partition column '$partCol': partition-granular " +

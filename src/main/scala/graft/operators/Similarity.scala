@@ -316,6 +316,52 @@ object Similarity {
       .limit(k)
   }
 
+  /** SEMANTIC decontamination against a persisted [[writeIvfIndex]]
+    * train-split index: every eval vector whose cosine to some indexed
+    * train vector reaches `threshold` — the embedding-space counterpart
+    * of the shingle-overlap decontamination (q63/q88), catching
+    * benchmark leakage that paraphrasing hides from lexical overlap.
+    *
+    * Shape: probe selection is row-local (the centroid sidecar rides the
+    * plan as nCells×dim literals — index metadata), each eval row
+    * explodes to its `nProbe` max-dot cells, and candidates come from an
+    * EQUI-join on `cell` against the indexed corpus — cell-bucketed
+    * shuffle keys, never a cartesian. Every candidate is then verified
+    * with the EXACT cosine, so output pairs are true contamination; the
+    * probe count only governs recall. `nProbe = nCells` degenerates to
+    * exhaustive coverage — the exact contamination relation computed
+    * with the SAME join plan, which is what lets a caller pin the
+    * low-probe recall in-band (the q119 discipline) without any
+    * all-pairs operator existing. A train vector lives in exactly one
+    * cell and an eval row probes distinct cells, so each pair meets at
+    * most once — no dedup stage. Returns (eval_id, train_id). */
+  def contaminationFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, evalDf: DataFrame, threshold: Double,
+      nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe=$nProbe out of [1, ${centroids.size}]")
+    // nProbe nearest cells per row: sort struct(-dot, cell) ascending =
+    // dot desc with min-cell tiebreak — the knnJoinBucketed idiom, and
+    // the same order ivfAssign's position-of-max induces for the top-1
+    val cellDots = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-dotWithLit(col("embedding"), c)).as("nd"),
+        lit(i).as("cell"))
+    }: _*)
+    val ev = evalDf.select(col("vec_id").as("eval_id"),
+        col("embedding").as("ev"),
+        explode(slice(array_sort(cellDots), 1, nProbe)).as("p"))
+      .select(col("eval_id"), col("ev"), col("p.cell").as("cell"))
+    spark.read.parquet(s"$path/cells")
+      .select(col("vec_id").as("train_id"), col("embedding").as("tv"),
+        col("cell"))
+      .join(ev, Seq("cell"))
+      .filter(VecCols.cosine(col("ev"), col("tv")) >= threshold)
+      .select(col("eval_id"), col("train_id"))
+  }
+
   /** The SQ8 codebook scalar: the largest |coordinate| of any
     * L2-NORMALIZED corpus vector. Symmetric (zero-preserving) quantization
     * of normalized vectors is what makes an integer code dot approximate

@@ -1,0 +1,197 @@
+package graft.operators
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.functions._
+
+/** VERSIONED copy-on-write table — the minimal Delta-log idea on plain
+  * parquet: data files are append-only under `baseDir/data/`, and each
+  * commit writes a manifest (`baseDir/_graft_log/<N>.manifest`, a sorted
+  * newline-separated list of the data files constituting version N). A
+  * version is its manifest's file list, nothing else: `readVersion`
+  * reads exactly those files, so EVERY committed version stays readable
+  * after later commits — the property the in-place [[Merge]] path cannot
+  * offer, because dynamic partition overwrite physically deletes the
+  * files an old version would need. Snapshot diffs between versions
+  * therefore need no re-run of any merge: two manifest reads and one
+  * [[Merge.snapshotDiff]].
+  *
+  * Commit mechanics mirror a real table format scaled to essentials:
+  *   - writes never mutate: a merge APPENDS the rewritten partitions'
+  *     rows as new uniquely-named part files, and the new manifest is
+  *     (previous manifest minus affected partitions' files) + the files
+  *     just written. Untouched partitions' files carry over by NAME —
+  *     zero data movement, byte-identical across versions.
+  *   - an emptied partition simply contributes no files to the new
+  *     manifest; nothing is physically deleted (time travel is why).
+  *     Reclaiming files no manifest references is a VACUUM, deliberately
+  *     out of scope.
+  *   - the manifest is created with `FileSystem.create(overwrite=false)`
+  *     — two writers racing to commit the same version: exactly one
+  *     wins, the loser gets an error, the optimistic-concurrency
+  *     primitive every log-structured format builds on. (The operator
+  *     contract is single-writer; the exclusive create is the guard
+  *     rail, not a transaction manager.)
+  *
+  * Scale shape: identical to [[Merge.upsertPartitioned]] — the pruned
+  * discovery join bounds the rewrite by the batch's partition spread;
+  * the driver holds only the affected-partition values and the
+  * manifest's file list (file-count-bounded metadata, the same thing a
+  * Delta commit holds). Reads are manifest-pruned: `readVersion` hands
+  * Spark the exact file list, so planning never lists the directory. */
+object TimeTravel {
+
+  private def hadoopFs(spark: SparkSession, baseDir: String): FileSystem =
+    new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataDir(baseDir: String) = new Path(baseDir, "data")
+  private def logDir(baseDir: String) = new Path(baseDir, "_graft_log")
+
+  /** Relative (to data/) paths of all parquet data files currently on
+    * disk — used to compute "files this write just created" by listing
+    * before and after (sound under the documented single-writer
+    * contract). */
+  private def listDataFiles(fs: FileSystem, baseDir: String): Set[String] = {
+    val root = fs.makeQualified(dataDir(baseDir))
+    if (!fs.exists(root)) Set.empty
+    else {
+      // qualify BOTH sides before relativizing: listFiles returns
+      // scheme-qualified URIs (file:/…), and relativize against a
+      // scheme-less root silently returns the absolute URI unchanged
+      val it = fs.listFiles(root, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = fs.makeQualified(it.next().getPath)
+        if (f.getName.endsWith(".parquet"))
+          b += root.toUri.relativize(f.toUri).getPath
+      }
+      b.result()
+    }
+  }
+
+  /** Latest committed version, 0 if the table has no log yet. */
+  def latestVersion(spark: SparkSession, baseDir: String): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    val ld = logDir(baseDir)
+    if (!fs.exists(ld)) 0
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".manifest") =>
+        n.stripSuffix(".manifest").toInt }
+      .foldLeft(0)(math.max)
+  }
+
+  private def readManifest(fs: FileSystem, baseDir: String,
+      version: Int): Seq[String] = {
+    val p = new Path(logDir(baseDir), s"$version.manifest")
+    require(fs.exists(p), s"version $version has no manifest under $baseDir")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(_.nonEmpty).toList
+    finally in.close()
+  }
+
+  /** Commit `files` (relative data paths) as `version`. Exclusive
+    * create: committing an already-committed version throws. */
+  private def writeManifest(fs: FileSystem, baseDir: String, version: Int,
+      files: Seq[String]): Unit = {
+    fs.mkdirs(logDir(baseDir))
+    val p = new Path(logDir(baseDir), s"$version.manifest")
+    val out = fs.create(p, false) // never overwrite a committed version
+    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The table AS OF `version`: exactly the manifest's files, with the
+    * partition column recovered via basePath. */
+  def readVersion(spark: SparkSession, baseDir: String,
+      version: Int): DataFrame = {
+    val fs = hadoopFs(spark, baseDir)
+    val files = readManifest(fs, baseDir, version)
+    require(files.nonEmpty, s"version $version of $baseDir is empty — " +
+      "schemaless empty snapshots are not representable on plain parquet")
+    val root = dataDir(baseDir).toString
+    spark.read.option("basePath", root)
+      .parquet(files.map(f => s"$root/$f"): _*)
+  }
+
+  /** Create the table: write `df` partitioned by `partCol`, commit v1. */
+  def init(spark: SparkSession, baseDir: String, df: DataFrame,
+      partCol: String): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    require(latestVersion(spark, baseDir) == 0,
+      s"$baseDir already has commits")
+    df.repartition(col(partCol)) // one task's files per partition dir
+      .write.mode("append").partitionBy(partCol)
+      .parquet(dataDir(baseDir).toString)
+    writeManifest(fs, baseDir, 1, listDataFiles(fs, baseDir).toSeq)
+    1
+  }
+
+  /** The escaped `partCol=<v>` directory prefix for each affected
+    * partition value — how manifest entries are matched to partitions. */
+  private def affectedDirs(partCol: String, affected: Seq[Any]): Set[String] =
+    affected.map(v =>
+      s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}").toSet
+
+  private def commitRewrite(spark: SparkSession, baseDir: String,
+      partCol: String, affected: Seq[Any], prev: Int,
+      rewritten: DataFrame): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    val before = listDataFiles(fs, baseDir)
+    rewritten.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol)
+      .parquet(dataDir(baseDir).toString)
+    val newFiles = (listDataFiles(fs, baseDir) -- before).toSeq
+    val dirs = affectedDirs(partCol, affected)
+    val kept = readManifest(fs, baseDir, prev)
+      .filterNot(f => dirs.exists(d => f.startsWith(d + "/")))
+    writeManifest(fs, baseDir, prev + 1, kept ++ newFiles)
+    prev + 1
+  }
+
+  /** MERGE INTO as a new version: same pruned-discovery semantics as
+    * [[Merge.upsertPartitioned]] (update-by-key, insert-new-keys,
+    * cross-partition key moves covered), but the prior version remains
+    * readable. Returns the committed version number. */
+  def upsert(spark: SparkSession, baseDir: String, updates: DataFrame,
+      keyCol: String, partCol: String): Int = {
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val base = readVersion(spark, baseDir, prev)
+    val ups = updates.localCheckpoint()
+    val updKeys = ups.select(col(keyCol)).distinct()
+    val affected = ups.select(col(partCol)).distinct()
+      .union(base.join(broadcast(updKeys), Seq(keyCol))
+        .select(col(partCol)).distinct())
+      .distinct().collect().map(_.get(0)).toSeq
+    Merge.requireNoNullPartition(affected, partCol)
+    val current = base.filter(col(partCol).isin(affected: _*))
+    val merged = ups.unionByName(
+      current.join(broadcast(updKeys), Seq(keyCol), "left_anti")
+        .select(ups.columns.map(col).toSeq: _*))
+      .localCheckpoint() // don't re-plan the discovery work in the write
+    commitRewrite(spark, baseDir, partCol, affected, prev, merged)
+  }
+
+  /** Targeted DELETE as a new version. Deleting keys not present commits
+    * nothing and returns the current version (a recorded no-op would
+    * carry an identical manifest — noise in the log). */
+  def delete(spark: SparkSession, baseDir: String, keys: DataFrame,
+      keyCol: String, partCol: String): Int = {
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val base = readVersion(spark, baseDir, prev)
+    val delKeys = keys.select(col(keyCol)).distinct().localCheckpoint()
+    val affected = base.join(broadcast(delKeys), Seq(keyCol))
+      .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+    Merge.requireNoNullPartition(affected, partCol)
+    if (affected.isEmpty) prev
+    else {
+      val survivors = base.filter(col(partCol).isin(affected: _*))
+        .join(broadcast(delKeys), Seq(keyCol), "left_anti")
+        .localCheckpoint()
+      commitRewrite(spark, baseDir, partCol, affected, prev, survivors)
+    }
+  }
+}

@@ -598,7 +598,144 @@ object PipelineQueries {
         CAST(0 AS BIGINT) AS changed_o_month""")
   )
 
+  /** Versioned orders table ([[graft.operators.TimeTravel]]), staged once
+    * per sf dir with three commits: v1 = the pristine month-partitioned
+    * table, v2 = the q133 upsert batch, v3 = the q142 delete batch. The
+    * commits are staging — q156 measures reading versions back, which
+    * must never re-run a merge. */
+  private val stagedVersioned =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def versionedOrdersDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedVersioned.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-orders")
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      TimeTravel.init(spark, t, orders, "o_month")
+      val upd = orders
+        .filter(col("o_orderkey") % 7 === 0 &&
+          year(col("o_orderdate")) === 1997)
+        .withColumn("o_orderstatus", lit("R"))
+        .withColumn("o_totalprice", col("o_totalprice") + lit(100.0))
+      val ins = orders
+        .filter(col("o_orderkey") % 97 === 0 &&
+          year(col("o_orderdate")) === 1998)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+        .withColumn("o_orderstatus", lit("N"))
+      TimeTravel.upsert(spark, t, upd.unionByName(ins),
+        "o_orderkey", "o_month")
+      TimeTravel.delete(spark, t,
+        Tables.load(spark, dir, "orders")
+          .filter(col("o_custkey") % 50 === 0 &&
+            year(col("o_orderdate")) === 1999)
+          .select(col("o_orderkey")),
+        "o_orderkey", "o_month")
+      t
+    })
+
+  /** Time travel over the versioned table
+    * ([[graft.operators.TimeTravel.readVersion]]): diff v1 → v3 of the
+    * staged three-commit orders table purely from the per-commit
+    * manifests — two manifest-pruned reads and one
+    * [[graft.operators.Merge.snapshotDiff]], with no merge re-run (the
+    * commits happened once, at staging). The oracle derives the expected
+    * counts straight from the three batch definitions: the inserts of v2
+    * are the added keys, the v3 deletions the removed (1997 updates and
+    * 1999 deletions are disjoint by year; inserted keys are shifted
+    * beyond the key domain), updates change status and totalprice but
+    * never custkey or month. A stale manifest, a file leaking across
+    * versions, or a version reading its neighbor's partitions all shift
+    * the counts and hash-mismatch. */
+  val q156 = Q(
+    "q156_time_travel_diff",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = versionedOrdersDir(spark, dir)
+      graft.operators.Merge.snapshotDiff(
+        TimeTravel.readVersion(spark, t, 1),
+        TimeTravel.readVersion(spark, t, 3), "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_month"))
+    },
+    Some("""WITH upd AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 7 = 0 AND year(o_orderdate) = 1997),
+      ins AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1998),
+      del AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey % 50 = 0 AND year(o_orderdate) = 1999)
+      SELECT
+        (SELECT COUNT(*) FROM ins) AS n_added,
+        (SELECT COUNT(*) FROM del) AS n_removed,
+        (SELECT COUNT(*) FROM upd) AS n_changed,
+        (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM upd)
+          - (SELECT COUNT(*) FROM del) AS n_unchanged,
+        CAST(0 AS BIGINT) AS changed_o_custkey,
+        (SELECT CAST(SUM(CASE WHEN o_orderstatus <> 'R' THEN 1 ELSE 0 END)
+           AS BIGINT) FROM upd) AS changed_o_orderstatus,
+        (SELECT COUNT(*) FROM upd) AS changed_o_totalprice,
+        CAST(0 AS BIGINT) AS changed_o_month""")
+  )
+
+  /** Deliberately FRAGMENTED lineitem copy (64 tiny files — the
+    * small-file problem a streaming ingest or over-parallel write
+    * leaves), staged once per sf dir as the q158 compaction input; plus
+    * a stable per-dir output path (the compacted write is
+    * mode-overwrite, so Bench's repeated samples converge). */
+  private val stagedFragmented =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+  private def fragmentedDirs(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String) =
+    stagedFragmented.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-fragmented")
+      Tables.load(spark, dir, "lineitem").repartition(64)
+        .write.mode("overwrite").parquet(t)
+      (t, ParityQueries.scratchDir("graft-compacted"))
+    })
+
+  /** Size-targeted compaction ([[graft.operators.Layout.compact]]) as a
+    * declared query: rewrite the 64-file fragmented lineitem copy at a
+    * 4 MiB file target and emit the exact content aggregates of the
+    * COMPACTED table plus two in-band verdicts (file count strictly
+    * reduced; file count within the ceil(bytes/target) + headroom
+    * bound) — the q91/q42 in-band-verdict pattern, since the exact
+    * post-compaction file count is stats-dependent and no oracle should
+    * pin it. The oracle recomputes the content aggregates from the raw
+    * table and expects both verdicts TRUE, so dropped/duplicated rows in
+    * the rewrite — or a compaction that didn't actually compact — both
+    * hash-mismatch. */
+  val q158 = Q(
+    "q158_compaction",
+    (spark, dir) => {
+      val (frag, out) = fragmentedDirs(spark, dir)
+      graft.operators.Layout
+        .compact(spark.read.parquet(frag), targetBytes = 4L << 20)
+        .write.mode("overwrite").parquet(out)
+      def nFiles(p: String) = new java.io.File(p).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      val before = nFiles(frag)
+      val after = nFiles(out)
+      spark.read.parquet(out).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_orderkey"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .select(col("n_rows"), col("sum_orderkey"), col("sum_qty"),
+          col("n_orders"),
+          lit(after < before).as("files_reduced"),
+          lit(after <= 8).as("files_bounded"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+        ${Exact.sqlSum("l_quantity")} AS sum_qty,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        TRUE AS files_reduced, TRUE AS files_bounded
+      FROM lineitem""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141, q142, q150, q151)
+      q137, q141, q142, q150, q151, q156, q158)
 }

@@ -854,7 +854,101 @@ object VectorQueries {
       FROM fr WHERE rank <= 20""")
   )
 
+  /** The train-split (even vec_ids) IVF index under the first-8 frozen
+    * quantizer, staged once per sf dir — the q157 serving artifact. */
+  private val stagedSemIndex =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def semIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedSemIndex.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-sem-index")
+      Similarity.writeIvfIndex(
+        Tables.load(spark, dir, "embeddings")
+          .filter(col("vec_id") % 2 === 0),
+        first8(spark, dir), t)
+      t
+    })
+
+  /** Embedding-space decontamination
+    * ([[Similarity.contaminationFromIndex]]): odd-id eval vectors checked
+    * against the even-id train index at cosine ≥ 0.4 — the semantic
+    * benchmark-leak sweep next to the shingle-overlap q63/q88. Both the
+    * 2-probe production path and the exhaustive nProbe=nCells baseline
+    * run the SAME cell-equi-join operator, and the output pins the
+    * per-eval match counts of both (n_ivf ≤ n_exact by construction —
+    * candidates verify with the exact cosine), so the ANN path's recall
+    * is hash-checked in-band (the q119 discipline), not spec-asserted.
+    * The oracle recomputes the exact cross-split threshold pairs from
+    * raw dot products, the first-8 assignment of the train side, and the
+    * 2-probe selection of the eval side — drifted cells, probe order, or
+    * threshold FP drift all mismatch. */
+  val q157 = Q(
+    "q157_semantic_decontam",
+    (spark, dir) => {
+      val ev = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") % 2 =!= 0)
+      val idx = semIndexDir(spark, dir)
+      val exact = Similarity
+        .contaminationFromIndex(spark, idx, ev, 0.4, nProbe = 8)
+        .groupBy(col("eval_id")).agg(count(lit(1)).as("n_exact"))
+      val ivf = Similarity
+        .contaminationFromIndex(spark, idx, ev, 0.4, nProbe = 2)
+        .groupBy(col("eval_id")).agg(count(lit(1)).as("n_ivf"))
+      exact.join(ivf, Seq("eval_id"), "left")
+        .select(col("eval_id").as("vec_id"), col("n_exact"),
+          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"))
+    },
+    Some("""WITH cent AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+            AS cell, embedding AS ce
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)),
+      cu2 AS (SELECT e.vec_id, c.cell, unnest(e.embedding) AS ev,
+                unnest(c.ce) AS cv
+              FROM embeddings e CROSS JOIN cent c),
+      cd AS (SELECT vec_id, cell,
+               SUM(CAST(ev AS DOUBLE) * CAST(cv AS DOUBLE)) AS dot
+             FROM cu2 GROUP BY 1, 2),
+      tasg AS (
+        SELECT d.vec_id, MIN(d.cell) AS cell
+        FROM cd d JOIN (SELECT vec_id, MAX(dot) AS md FROM cd GROUP BY 1) m
+          ON d.vec_id = m.vec_id AND d.dot = m.md
+        WHERE d.vec_id % 2 = 0
+        GROUP BY 1),
+      eprob AS (
+        SELECT vec_id, cell FROM (
+          SELECT vec_id, cell, ROW_NUMBER() OVER (
+            PARTITION BY vec_id ORDER BY dot DESC, cell) AS rn
+          FROM cd WHERE vec_id % 2 = 1)
+        WHERE rn <= 2),
+      pu AS (SELECT vec_id, unnest(embedding) AS ev,
+               unnest(generate_series(1, len(embedding))) AS pos
+             FROM embeddings),
+      nrm AS (SELECT vec_id,
+                SQRT(SUM(CAST(ev AS DOUBLE) * CAST(ev AS DOUBLE))) AS nm
+              FROM pu GROUP BY 1),
+      pd AS (
+        SELECT a.vec_id AS ea, b.vec_id AS tb,
+          SUM(CAST(a.ev AS DOUBLE) * CAST(b.ev AS DOUBLE)) AS dot
+        FROM pu a JOIN pu b ON a.pos = b.pos
+        WHERE a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+        GROUP BY 1, 2),
+      exact AS (
+        SELECT ea, tb FROM pd
+          JOIN nrm na ON na.vec_id = ea
+          JOIN nrm nb ON nb.vec_id = tb
+        WHERE dot / (na.nm * nb.nm) >= 0.4),
+      iv AS (
+        SELECT ea, tb FROM exact
+          JOIN eprob p ON p.vec_id = ea
+          JOIN tasg t ON t.vec_id = tb AND t.cell = p.cell),
+      ne AS (SELECT ea, COUNT(*) AS n_exact FROM exact GROUP BY 1),
+      ni AS (SELECT ea, COUNT(*) AS n_ivf FROM iv GROUP BY 1)
+      SELECT ne.ea AS vec_id, ne.n_exact,
+        COALESCE(ni.n_ivf, CAST(0 AS BIGINT)) AS n_ivf
+      FROM ne LEFT JOIN ni ON ni.ea = ne.ea""")
+  )
+
   val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119,
-      q124, q132, q148)
+      q124, q132, q148, q157)
 }

@@ -1,0 +1,131 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Versioned-table invariants: every committed version stays readable
+  * after later commits, untouched partitions carry over by file name,
+  * emptied partitions vanish from the manifest without physical deletes,
+  * commits are exclusive-create, and diffs come from manifests alone. */
+class TimeTravelSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def stage(): String = {
+    val dir = tmpDir("tt-base")
+    TimeTravel.init(spark,
+      dir,
+      Seq((1L, "p1", 10.0), (2L, "p1", 20.0), (3L, "p2", 30.0),
+        (4L, "p2", 40.0), (5L, "p3", 50.0)).toDF("id", "part", "v"),
+      "part")
+    dir
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame) =
+    df.select("id", "part", "v").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("part"),
+        r.getAs[Double]("v"))).toSet
+
+  test("old versions stay readable and unchanged after later commits") {
+    val dir = stage()
+    val v1 = rows(TimeTravel.readVersion(spark, dir, 1))
+    val v2 = TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0), (9L, "p2", 90.0)).toDF("id", "part", "v"),
+      "id", "part")
+    assert(v2 === 2)
+    val v3 = TimeTravel.delete(spark, dir, Seq(3L, 4L).toDF("id"),
+      "id", "part")
+    assert(v3 === 3)
+    // v1 still reads its ORIGINAL state — the whole point
+    assert(rows(TimeTravel.readVersion(spark, dir, 1)) === v1)
+    assert(rows(TimeTravel.readVersion(spark, dir, 2)) ===
+      v1 - ((1L, "p1", 10.0)) + ((1L, "p1", 11.0)) + ((9L, "p2", 90.0)))
+    assert(rows(TimeTravel.readVersion(spark, dir, 3)) ===
+      Set((1L, "p1", 11.0), (2L, "p1", 20.0), (9L, "p2", 90.0),
+        (5L, "p3", 50.0)))
+    assert(TimeTravel.latestVersion(spark, dir) === 3)
+  }
+
+  test("untouched partitions carry over by file NAME; nothing is physically deleted") {
+    val dir = stage()
+    def manifest(n: Int) = Files.readAllLines(
+      Paths.get(dir, "_graft_log", s"$n.manifest"))
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part")
+    val m1 = manifest(1); val m2 = manifest(2)
+    // p2/p3 files identical entries across versions; p1 files replaced
+    assert(m1.stream.filter(f => !f.startsWith("part=p1/")).toArray.toSet
+      === m2.stream.filter(f => !f.startsWith("part=p1/")).toArray.toSet)
+    assert(m1.stream.filter(_.startsWith("part=p1/")).toArray.toSet
+      .intersect(m2.stream.filter(_.startsWith("part=p1/")).toArray.toSet)
+      .isEmpty)
+    // every v1 file still exists on disk (no vacuum)
+    m1.forEach(f => assert(Files.exists(Paths.get(dir, "data", f)), f))
+  }
+
+  test("emptying a partition drops it from the manifest only; key moves leave no stale copy") {
+    val dir = stage()
+    // move 5 (p3's only row) to p1: p3 empties in v2
+    TimeTravel.upsert(spark, dir,
+      Seq((5L, "p1", 55.0)).toDF("id", "part", "v"), "id", "part")
+    val v2 = TimeTravel.readVersion(spark, dir, 2)
+    assert(rows(v2).count(_._1 == 5L) === 1)
+    assert(v2.filter(col("part") === "p3").count() === 0)
+    // v1 still sees p3
+    assert(TimeTravel.readVersion(spark, dir, 1)
+      .filter(col("part") === "p3").count() === 1)
+    // delete every p2 row: p2 gone from v3, present in v1/v2
+    TimeTravel.delete(spark, dir, Seq(3L, 4L).toDF("id"), "id", "part")
+    assert(TimeTravel.readVersion(spark, dir, 3)
+      .filter(col("part") === "p2").count() === 0)
+    assert(TimeTravel.readVersion(spark, dir, 2)
+      .filter(col("part") === "p2").count() === 2)
+  }
+
+  test("no-op delete commits nothing; double init and replayed commits fail") {
+    val dir = stage()
+    assert(TimeTravel.delete(spark, dir, Seq(99L).toDF("id"),
+      "id", "part") === 1)
+    assert(TimeTravel.latestVersion(spark, dir) === 1)
+    intercept[IllegalArgumentException] {
+      TimeTravel.init(spark, dir, Seq((1L, "p1", 1.0)).toDF("id", "part", "v"),
+        "part")
+    }
+    // exclusive create: a manifest for an existing version can't be
+    // re-committed (simulate the losing writer directly on the log)
+    intercept[java.io.IOException] {
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.create(new org.apache.hadoop.fs.Path(dir, "_graft_log/1.manifest"),
+        false).close()
+    }
+  }
+
+  test("NULL partition values are rejected before any commit") {
+    val dir = stage()
+    intercept[IllegalArgumentException] {
+      TimeTravel.upsert(spark, dir,
+        Seq[(java.lang.Long, String, java.lang.Double)]((7L, null, 7.0))
+          .toDF("id", "part", "v"), "id", "part")
+    }
+    assert(TimeTravel.latestVersion(spark, dir) === 1)
+  }
+
+  test("snapshotDiff across versions from manifests alone matches the applied batches") {
+    val dir = stage()
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0), (9L, "p2", 90.0)).toDF("id", "part", "v"),
+      "id", "part")
+    TimeTravel.delete(spark, dir, Seq(3L).toDF("id"), "id", "part")
+    val d = Merge.snapshotDiff(
+      TimeTravel.readVersion(spark, dir, 1),
+      TimeTravel.readVersion(spark, dir, 3), "id", Seq("part", "v"))
+      .collect().head
+    assert((d.getAs[Long]("n_added"), d.getAs[Long]("n_removed"),
+      d.getAs[Long]("n_changed"), d.getAs[Long]("n_unchanged"))
+      === ((1L, 1L, 1L, 3L)))
+  }
+}

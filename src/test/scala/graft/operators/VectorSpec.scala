@@ -377,4 +377,34 @@ class VectorSpec extends SparkSpec {
       assert(f.exists && f.lastModified() === mtime, path)
     }
   }
+
+  test("contaminationFromIndex: exhaustive probes equal brute force; fewer " +
+      "probes are a subset (recall, never precision)") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Similarity.firstNCentroids(emb, 8)
+    val idx = tmpDir("sem-idx")
+    Similarity.writeIvfIndex(emb.filter(col("vec_id") % 2 === 0),
+      centroids, idx)
+    val ev = emb.filter(col("vec_id") % 2 =!= 0)
+    val tau = 0.3 // low enough to yield pairs on the tiny sf
+    def pairs(nProbe: Int) = Similarity
+      .contaminationFromIndex(spark, idx, ev, tau, nProbe)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exhaustive = pairs(8)
+    // driver-side brute force over every cross-split pair
+    val brute = (for {
+      (ei, evv) <- local.toSeq if ei % 2 == 1
+      (ti, tvv) <- local.toSeq if ti % 2 == 0
+      if cosine(evv, tvv) >= tau
+    } yield (ei, ti)).toSet
+    assert(exhaustive === brute)
+    assert(brute.nonEmpty, "threshold found no pairs — weak test data")
+    // candidate pruning only loses pairs, never invents them
+    val probed = pairs(2)
+    assert(probed.subsetOf(exhaustive))
+    // every emitted pair is exactly verified regardless of probe count
+    probed.foreach { case (e, t) =>
+      assert(cosine(local(e), local(t)) >= tau)
+    }
+  }
 }
