@@ -96,3 +96,83 @@ object MinHashAgg {
   def minhash(c: Column, k: Int): Column =
     column(MinHashAgg(expression(c), k).toAggregateExpression())
 }
+
+/** ROW-LOCAL MinHash signature over an ARRAY<STRING>: all `numHashes`
+  * minima in ONE pass over the array — the scalar twin of [[MinHashAgg]],
+  * same `XxHash64Function.hash(s, seed = i)` arithmetic, so signatures
+  * are bit-identical to both the aggregate path and the compositional
+  * `array_min(transform(...))` formulation it replaces (DedupSpec asserts
+  * the agg parity). The compositional form evaluates k interpreted
+  * higher-order lambdas per row — k array allocations and k passes; on
+  * the streaming dedup gate (q127), where every arriving doc signs
+  * itself, that interpreted k× loop WAS the row cost. Here the hash loop
+  * runs inside whole-stage codegen via a bound method call.
+  *
+  * Null elements are skipped (the [[MinHashAgg]] convention; the dedup
+  * pipeline's arrays are null-free by construction). An EMPTY array
+  * yields k NULL minima — exactly what `array_min` over an empty
+  * transform produced, so the `n_shingles > 0` caller contract is
+  * unchanged. */
+case class MinHashSig(child: Expression, numHashes: Int)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  require(numHashes > 0, "numHashes must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName expects ARRAY<STRING>, got ${other.simpleString}")
+    }
+
+  /** Shared by eval and codegen: one pass, k running minima. */
+  def compute(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](numHashes))
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val s = a.getUTF8String(i)
+      if (s != null) {
+        var k = 0
+        while (k < numHashes) {
+          val h = XxHash64Function.hash(s, StringType, k.toLong)
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      i += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("minhashSig", this,
+        classOf[MinHashSig].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+
+  /** Column API: minhash_sig(arrayCol, k) → ARRAY<BIGINT> of k minima. */
+  def minhashSig(c: Column, k: Int): Column =
+    column(MinHashSig(expression(c), k))
+}

@@ -78,6 +78,75 @@ case class SortedIntersectSize(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** text → ASC-SORTED DISTINCT 3-gram shingle array, in ONE compiled pass —
+  * the native form of the dedup pipeline's
+  * `array_sort(array_distinct(shingles3(tokens(text))))` chain.
+  *
+  * The compositional chain is four stacked higher-order functions, every
+  * one evaluated by interpreted lambdas (`transform` with 3 element_at
+  * derefs per shingle, `array_distinct`, `array_sort` with a per-compare
+  * lambda) — measured ~3.5 s just to shingle 2 500 docs at sf0.1, which
+  * made per-micro-batch shingling THE cost of the streaming dedup gate
+  * (q127), where nothing can be persisted between arrivals. This
+  * expression does the same work in plain Java: regex split, string
+  * concat, TreeSet dedup+sort — and leaves the row inside whole-stage
+  * codegen via a bound method call.
+  *
+  * Semantics pinned to the chain it replaces (TextSpec asserts equality):
+  * trim is Spark's space-only `StringTrim`; the split is the same Java
+  * regex `\s+` with limit −1 that `split()` delegates to (a leading
+  * tab/newline still yields the leading empty token); fewer than 3 tokens
+  * → empty array; shingles are space-joined token triples; ordering is
+  * UTF8String BINARY order (NOT Java String UTF-16 order — they differ
+  * off the BMP), exactly `array_sort`'s. */
+case class SortedShingles3(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "sorted_shingles3"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects STRING, got ${child.dataType.simpleString}")
+
+  def compute(s: Any): ArrayData = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks = SortedShingles3.Whitespace
+      .split(s.asInstanceOf[UTF8String].trim().toString, -1)
+    if (toks.length < 3)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[Any])
+    val set = new java.util.TreeSet[UTF8String]()
+    var i = 0
+    while (i <= toks.length - 3) {
+      set.add(UTF8String.fromString(
+        toks(i) + " " + toks(i + 1) + " " + toks(i + 2)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      set.toArray(new Array[AnyRef](set.size)))
+  }
+
+  override def nullSafeEval(s: Any): Any = compute(s)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val ref = ctx.addReferenceObj("sortedShingles3", this,
+        classOf[SortedShingles3].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.compute($s);"
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): SortedShingles3 = copy(child = newChild)
+}
+
+object SortedShingles3 {
+  /** The exact pattern `tokens()`'s split uses. */
+  private[functions] val Whitespace = java.util.regex.Pattern.compile("\\s+")
+}
+
 /** Column-API wrapper. */
 object SetCols {
   import org.apache.spark.sql.Column
@@ -85,4 +154,7 @@ object SetCols {
 
   def sortedIntersectSize(a: Column, b: Column): Column =
     column(SortedIntersectSize(expression(a), expression(b)))
+
+  def sortedShingles3(text: Column): Column =
+    column(SortedShingles3(expression(text)))
 }

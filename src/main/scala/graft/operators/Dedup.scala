@@ -177,12 +177,14 @@ object Dedup {
     else docs.repartition(parallelism, col("doc_id"))
   }
 
-  /** Distinct 3-gram shingles per doc: (doc_id, shingle). The token array
-    * is projected first so the regex split runs once per row. */
+  /** Distinct 3-gram shingles per doc: (doc_id, shingle), via the native
+    * one-pass [[graft.functions.SortedShingles3]] (same contents as the
+    * old tokens→shingles3→distinct chain; the extra sort is free and
+    * irrelevant post-explode). */
   def shingleRows(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        explode(array_distinct(shingles3(col("toks")))).as("shingle"))
+    docs.select(col("doc_id"),
+      explode(graft.functions.SetCols.sortedShingles3(col("text")))
+        .as("shingle"))
 
   /** Exact pairwise Jaccard (on distinct 3-gram shingle sets) for every
     * pair of docs sharing at least one shingle, thresholded.
@@ -410,16 +412,19 @@ object Dedup {
     * docs with zero shingles (n_shingles = 0); they produce no inverted-
     * index rows, so candidate paths never see them.
     *
-    * Each stage is its own projection so the previous step binds to an
-    * attribute: `shingles3`'s transform lambda dereferences the token
-    * array ~3× per shingle, and inlined that re-runs the regex split per
-    * reference (measured 7× the whole stage's cost; CollapseProject keeps
-    * multi-referenced non-cheap projections apart, so the split runs once
-    * per row). */
+    * The set is built by the native one-pass
+    * [[graft.functions.SortedShingles3]] rather than the compositional
+    * tokens→shingles3→distinct→sort chain: four stacked interpreted
+    * higher-order lambdas made shingling ITSELF the dominant cost of any
+    * consumer that cannot persist the sets (the streaming gate re-derives
+    * them every micro-batch), and Catalyst freely duplicates the chain
+    * through filters/projections, multiplying that cost. The native
+    * expression is cheap enough that even a duplicated evaluation is
+    * noise, and TextSpec pins its output to the old chain element for
+    * element. */
   def docSetsLocal(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        array_sort(array_distinct(shingles3(col("toks")))).as("shingles"))
+    docs.select(col("doc_id"),
+        graft.functions.SetCols.sortedShingles3(col("text")).as("shingles"))
       .select(col("doc_id"), col("shingles"),
         size(col("shingles")).cast(LongType).as("n_shingles"))
 
@@ -446,9 +451,9 @@ object Dedup {
   def crossContaminationWithin(docs: DataFrame, isReference: Column,
       minShared: Long): DataFrame = {
     val sh = persisted(parallelized(docs)
-      .select(col("doc_id"), isReference.as("is_ref"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("is_ref"),
-        explode(array_distinct(shingles3(col("toks")))).as("shingle")))
+      .select(col("doc_id"), isReference.as("is_ref"),
+        explode(graft.functions.SetCols.sortedShingles3(col("text")))
+          .as("shingle")))
     crossContamination0(
       sh.filter(!col("is_ref")).select(col("doc_id").as("cand_id"), col("shingle")),
       sh.filter(col("is_ref")).select(col("doc_id").as("ref_id"), col("shingle")),
@@ -486,9 +491,9 @@ object Dedup {
       minShared: Long, fpp: Double = 0.01): DataFrame = {
     import graft.functions.BloomCols
     val sh = persisted(parallelized(docs)
-      .select(col("doc_id"), isReference.as("is_ref"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("is_ref"),
-        explode(array_distinct(shingles3(col("toks")))).as("shingle")))
+      .select(col("doc_id"), isReference.as("is_ref"),
+        explode(graft.functions.SetCols.sortedShingles3(col("text")))
+          .as("shingle")))
     val ref = sh.filter(col("is_ref"))
       .select(col("doc_id").as("ref_id"), col("shingle"))
     // row count upper-bounds distinct keys: an oversized filter only
@@ -553,7 +558,15 @@ object Dedup {
     * static index built by the batch path. Empty arrays yield NULL mins
     * (such docs produce no signature rows in the batch path either —
     * callers filter n_shingles > 0). */
-  def minHashSignatureCol(shingles: Column, k: Int): Column = {
+  def minHashSignatureCol(shingles: Column, k: Int): Column =
+    graft.functions.MinHashSig.minhashSig(shingles, k)
+
+  /** The pre-round-9 compositional formulation of [[minHashSignatureCol]],
+    * kept for the spec that pins the native expression to it: k separate
+    * interpreted transform+array_min passes (that k× interpreted loop was
+    * the q127 row cost the native [[graft.functions.MinHashSig]] removes). */
+  private[operators] def minHashSignatureColCompositional(
+      shingles: Column, k: Int): Column = {
     import org.apache.spark.sql.GraftColumnBridge.{column, expression}
     array((0 until k).map { i =>
       array_min(transform(shingles, s =>

@@ -174,6 +174,36 @@ object TimeTravel {
     commitRewrite(spark, baseDir, partCol, affected, prev, merged)
   }
 
+  /** VACUUM: physically reclaim data files that no RETAINED version
+    * references — the retention boundary every log-structured format
+    * pairs with time travel (old versions are free until you choose to
+    * stop paying for them). Versions `keepFrom..latest` stay fully
+    * readable; manifests below `keepFrom` are dropped so no surviving
+    * manifest can reference a deleted file (vacuuming data out from
+    * under a live manifest is the one unforgivable state). A file shared
+    * by old and retained versions survives — membership is decided
+    * against the UNION of retained manifests, never per-version.
+    * Driver cost: the manifest file lists (file-count-bounded metadata).
+    * Returns (files deleted, manifests dropped). */
+  def vacuum(spark: SparkSession, baseDir: String,
+      keepFrom: Int): (Int, Int) = {
+    val fs = hadoopFs(spark, baseDir)
+    val latest = latestVersion(spark, baseDir)
+    require(keepFrom >= 1 && keepFrom <= latest,
+      s"keepFrom=$keepFrom out of [1, $latest]")
+    val kept = (keepFrom to latest)
+      .flatMap(v => readManifest(fs, baseDir, v)).toSet
+    val doomed = (listDataFiles(fs, baseDir) -- kept).toSeq.sorted
+    doomed.foreach(f => fs.delete(new Path(dataDir(baseDir), f), false))
+    // drop the now-unservable manifests AFTER the files: a crash between
+    // the two leaves dangling manifests (readVersion fails loudly), never
+    // a manifest silently missing data
+    val dropped = (1 until keepFrom).count { v =>
+      fs.delete(new Path(logDir(baseDir), s"$v.manifest"), false)
+    }
+    (doomed.size, dropped)
+  }
+
   /** Targeted DELETE as a new version. Deleting keys not present commits
     * nothing and returns the current version (a recorded no-op would
     * carry an identical manifest — noise in the log). */

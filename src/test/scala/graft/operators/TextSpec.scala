@@ -178,6 +178,30 @@ class TextSpec extends SparkSpec {
         Dedup.minHashSignatureCol(col("shingles"), 16).as("sig"))
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
     assert(viaCol === viaAgg)
+    // the native one-pass expression is bit-identical to the k-pass
+    // compositional transform+array_min formulation it replaced
+    val viaComp = Dedup.docSetsLocal(docs).filter(col("n_shingles") > 0)
+      .select(col("doc_id"),
+        Dedup.minHashSignatureColCompositional(col("shingles"), 16).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaCol === viaComp)
+    // native sorted-shingle builder equals the compositional chain it
+    // replaced, element for element — on real docs AND edge strings
+    // (empty, <3 tokens, leading tab keeping its empty token, repeats)
+    import spark.implicits._
+    val edge = Seq("", "one two", "\ta b c", "x y z x y z x y z",
+      "  padded   out  ", "solo").toDF("text")
+      .withColumn("doc_id", monotonically_increasing_id())
+    val both = docs.select(col("doc_id"), col("text")).unionByName(edge)
+    val viaNative = both.select(col("doc_id"),
+        graft.functions.SetCols.sortedShingles3(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val viaChain = both
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_sort(array_distinct(
+        TextAnalysis.shingles3(col("toks")))).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(viaNative === viaChain)
     // gate parity on a BATCH frame (the transform is engine-agnostic):
     // equals the incremental operator's cross pairs at the same params
     val idxPath = tmpDir("graft-gate-idx")

@@ -1,6 +1,7 @@
 package graft.operators
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 
@@ -112,6 +113,38 @@ class TimeTravelSpec extends SparkSpec {
           .toDF("id", "part", "v"), "id", "part")
     }
     assert(TimeTravel.latestVersion(spark, dir) === 1)
+  }
+
+  test("vacuum reclaims only files no retained version references") {
+    val dir = stage()
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part") // v2: p1 rewritten
+    TimeTravel.delete(spark, dir, Seq(3L).toDF("id"), "id", "part") // v3: p2 rewritten
+    val v2Rows = TimeTravel.readVersion(spark, dir, 2)
+      .orderBy("id").collect().toSeq
+    val filesBefore = Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .count(_.toString.endsWith(".parquet"))
+    val (deleted, dropped) = TimeTravel.vacuum(spark, dir, keepFrom = 2)
+    assert(dropped === 1) // v1's manifest gone
+    assert(deleted > 0)   // v1's p1 files were only referenced by v1
+    // retained versions fully intact
+    assert(TimeTravel.readVersion(spark, dir, 2)
+      .orderBy("id").collect().toSeq === v2Rows)
+    assert(TimeTravel.readVersion(spark, dir, 3).count() === 4)
+    // v1 now fails LOUDLY, not with silent partial data
+    intercept[IllegalArgumentException] {
+      TimeTravel.readVersion(spark, dir, 1)
+    }
+    // disk now holds exactly the union of retained manifests
+    val retained = (2 to 3).flatMap(v => Files.readAllLines(
+      Paths.get(dir, "_graft_log", s"$v.manifest")).asScala).toSet
+    val onDisk = Files.walk(Paths.get(dir, "data")).iterator().asScala
+      .filter(_.toString.endsWith(".parquet"))
+      .map(p => Paths.get(dir, "data").relativize(p).toString).toSet
+    assert(onDisk === retained)
+    assert(onDisk.size < filesBefore)
+    // vacuuming at the floor that keeps everything is a no-op
+    assert(TimeTravel.vacuum(spark, dir, keepFrom = 2) === ((0, 0)))
   }
 
   test("snapshotDiff across versions from manifests alone matches the applied batches") {
