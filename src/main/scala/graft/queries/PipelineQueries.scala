@@ -735,7 +735,88 @@ object PipelineQueries {
       FROM lineitem""")
   )
 
+  /** Versioned supplier table with a VACUUM applied at staging: v1 =
+    * init, v2 = acctbal bump for every 7th key, v3 = delete every 10th
+    * key, then `TimeTravel.vacuum(keepFrom = 2)`. The vacuum is staging
+    * (it is one-shot by nature — a second run reclaims nothing), so the
+    * measured query reads a STABLE post-vacuum table. */
+  private val stagedVacuumed =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def vacuumedSupplierDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedVacuumed.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-vac-supplier")
+      val sup = Tables.load(spark, dir, "supplier")
+        .withColumn("part", pmod(col("s_nationkey"), lit(5)).cast("string"))
+      TimeTravel.init(spark, t, sup, "part")
+      TimeTravel.upsert(spark, t,
+        sup.filter(col("s_suppkey") % 7 === 0)
+          .withColumn("s_acctbal", col("s_acctbal") + lit(100.0)),
+        "s_suppkey", "part")
+      TimeTravel.delete(spark, t,
+        Tables.load(spark, dir, "supplier")
+          .filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey")),
+        "s_suppkey", "part")
+      TimeTravel.vacuum(spark, t, keepFrom = 2)
+      t
+    })
+
+  /** Post-VACUUM state of the versioned table
+    * ([[graft.operators.TimeTravel.vacuum]], retention floor v2): the
+    * retained versions' exact content aggregates plus in-band verdicts —
+    * v1's manifest is gone (reading it throws), and the data directory
+    * holds EXACTLY the union of the retained manifests' files (nothing a
+    * live manifest needs was reclaimed; nothing unreferenced survived).
+    * The oracle re-derives both versions' aggregates from the batch
+    * rules and expects both verdicts TRUE — a vacuum that deleted a
+    * shared file breaks the v2 aggregates, one that left v1's files
+    * breaks the disk verdict. */
+  val q159 = Q(
+    "q159_vacuum_retention",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = vacuumedSupplierDir(spark, dir)
+      val v1Gone =
+        try { TimeTravel.readVersion(spark, t, 1); false }
+        catch { case _: IllegalArgumentException => true }
+      val retained = (2 to 3).flatMap(v =>
+        java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get(t, "_graft_log", s"$v.manifest"))
+          .toArray.map(_.toString)).toSet
+      val onDisk = {
+        val base = java.nio.file.Paths.get(t, "data")
+        val stream = java.nio.file.Files.walk(base)
+        try stream.toArray().collect {
+          case p: java.nio.file.Path if p.toString.endsWith(".parquet") =>
+            base.relativize(p).toString
+        }.toSet
+        finally stream.close()
+      }
+      def agg(v: Int) = TimeTravel.readVersion(spark, t, v)
+        .agg(count(lit(1)).as("n"), Exact.dsum(col("s_acctbal")).as("bal"))
+      agg(2).select(col("n").as("n_v2"), col("bal").as("bal_v2"))
+        .crossJoin(broadcast(agg(3)
+          .select(col("n").as("n_v3"), col("bal").as("bal_v3"))))
+        .select(col("n_v2"), col("bal_v2"), col("n_v3"), col("bal_v3"),
+          lit(v1Gone).as("v1_reclaimed"),
+          lit(onDisk == retained).as("disk_matches_manifests"))
+    },
+    Some(s"""WITH v2 AS (
+        SELECT s_suppkey,
+          CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 100.0
+               ELSE s_acctbal END AS bal
+        FROM supplier)
+      SELECT
+        (SELECT COUNT(*) FROM v2) AS n_v2,
+        (SELECT ${Exact.sqlSum("bal")} FROM v2) AS bal_v2,
+        (SELECT COUNT(*) FROM v2 WHERE s_suppkey % 10 <> 0) AS n_v3,
+        (SELECT ${Exact.sqlSum("bal")} FROM v2
+         WHERE s_suppkey % 10 <> 0) AS bal_v3,
+        TRUE AS v1_reclaimed, TRUE AS disk_matches_manifests""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141, q142, q150, q151, q156, q158)
+      q137, q141, q142, q150, q151, q156, q158, q159)
 }
