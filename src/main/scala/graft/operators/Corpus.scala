@@ -704,7 +704,11 @@ object Corpus {
     * one pass, partial-symbol matches are impossible, and — crucially for
     * the oracle contract — Spark and DuckDB `replace` agree exactly. */
   private def bpeSeq(word: Column): Column =
-    regexp_replace(word, "(.)", " $1 ")
+    // (?s): Java's '.' skips U+2028/U+2029/U+0085 (which \s+ tokenizing
+    // does NOT strip), RE2's '.' skips only \n — DOTALL makes both wrap
+    // every code point, keeping the invariant and the oracle aligned on
+    // any input
+    regexp_replace(word, "(?s)(.)", " $1 ")
 
   private def bpeMergeOnce(s: Column, l: String, r: String): Column =
     call_function("replace", s, lit(s" $l  $r "), lit(s" $l$r "))

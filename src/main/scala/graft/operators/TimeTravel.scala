@@ -102,8 +102,34 @@ object TimeTravel {
     finally out.close()
   }
 
+  /** Manifest entries are matched to partitions by DIRECTORY TEXT, so a
+    * partition value must round-trip identically: written dir name →
+    * read-back value → re-escaped dir name. Partition-type INFERENCE
+    * breaks that round trip (a string "01" written as `part=01` reads
+    * back as int 1 and re-renders as `part=1` — the kept-file filter then
+    * misses the old directory and a delete silently resurrects rows). The
+    * versioned table therefore pins the contract both ways: the partition
+    * column must be STRING at every write, and reads disable inference so
+    * directory text comes back verbatim. */
+  private def requireStringPartCol(df: DataFrame, partCol: String): Unit =
+    require(df.schema(partCol).dataType ==
+      org.apache.spark.sql.types.StringType,
+      s"partition column '$partCol' must be STRING: manifest matching " +
+        "round-trips partition values as directory text")
+
+  private def withoutPartitionInference[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try f finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   /** The table AS OF `version`: exactly the manifest's files, with the
-    * partition column recovered via basePath. */
+    * partition column recovered (as STRING — see
+    * [[requireStringPartCol]]) via basePath. */
   def readVersion(spark: SparkSession, baseDir: String,
       version: Int): DataFrame = {
     val fs = hadoopFs(spark, baseDir)
@@ -111,16 +137,25 @@ object TimeTravel {
     require(files.nonEmpty, s"version $version of $baseDir is empty — " +
       "schemaless empty snapshots are not representable on plain parquet")
     val root = dataDir(baseDir).toString
-    spark.read.option("basePath", root)
-      .parquet(files.map(f => s"$root/$f"): _*)
+    withoutPartitionInference(spark) {
+      spark.read.option("basePath", root)
+        .parquet(files.map(f => s"$root/$f"): _*)
+    }
   }
 
-  /** Create the table: write `df` partitioned by `partCol`, commit v1. */
+  /** Create the table: write `df` partitioned by `partCol`, commit v1.
+    * The partition column must be STRING and NULL-free — NULLs would
+    * write `__HIVE_DEFAULT_PARTITION__` rows that the (deliberately
+    * NULL-rejecting) upsert/delete paths could never touch again. */
   def init(spark: SparkSession, baseDir: String, df: DataFrame,
       partCol: String): Int = {
     val fs = hadoopFs(spark, baseDir)
     require(latestVersion(spark, baseDir) == 0,
       s"$baseDir already has commits")
+    requireStringPartCol(df, partCol)
+    require(df.filter(col(partCol).isNull).isEmpty,
+      s"NULL values in partition column '$partCol': such rows could " +
+        "never be updated or deleted — default the value upstream")
     df.repartition(col(partCol)) // one task's files per partition dir
       .write.mode("append").partitionBy(partCol)
       .parquet(dataDir(baseDir).toString)
@@ -146,6 +181,14 @@ object TimeTravel {
     val dirs = affectedDirs(partCol, affected)
     val kept = readManifest(fs, baseDir, prev)
       .filterNot(f => dirs.exists(d => f.startsWith(d + "/")))
+    // refuse BEFORE the manifest lands: an all-rows-gone commit would be
+    // an empty manifest — unreadable on plain parquet (no schema source)
+    // and, as the latest version, it would block every later commit. The
+    // table stays at `prev`; the just-appended files are unreferenced
+    // orphans a vacuum reclaims.
+    require(kept.nonEmpty || newFiles.nonEmpty,
+      "commit would empty the table — an empty version is not " +
+        "representable on plain parquet; drop the table instead")
     writeManifest(fs, baseDir, prev + 1, kept ++ newFiles)
     prev + 1
   }
@@ -158,6 +201,7 @@ object TimeTravel {
       keyCol: String, partCol: String): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
+    requireStringPartCol(updates, partCol)
     val base = readVersion(spark, baseDir, prev)
     val ups = updates.localCheckpoint()
     val updKeys = ups.select(col(keyCol)).distinct()
@@ -166,6 +210,7 @@ object TimeTravel {
         .select(col(partCol)).distinct())
       .distinct().collect().map(_.get(0)).toSeq
     Merge.requireNoNullPartition(affected, partCol)
+    if (affected.isEmpty) return prev // empty batch: nothing to commit
     val current = base.filter(col(partCol).isin(affected: _*))
     val merged = ups.unionByName(
       current.join(broadcast(updKeys), Seq(keyCol), "left_anti")

@@ -669,7 +669,15 @@ object CorpusQueries {
     * Every multiply-referenced CTE is `AS MATERIALIZED`: DuckDB inlines
     * CTEs per REFERENCE, and with s{k}/b{k} each read twice the unrolled
     * plan doubles per round — 2^N copies of the whole chain. Pinning
-    * each round makes the oracle linear in N, like the Spark side. */
+    * each round makes the oracle linear in N, like the Spark side.
+    *
+    * Early EXHAUSTION (a corpus supporting fewer than N merges): an
+    * empty b{k} would cross-join the word relation to nothing and wipe
+    * every later round, so `bs{k}` substitutes the sentinel pair ('','')
+    * whose pattern (four spaces) can never occur under the double-space
+    * invariant — later rounds no-op, exactly like the Spark loop's
+    * break; the merge-table output reads from the raw b{k}, so exhausted
+    * rounds contribute no rows on either engine. */
   private def bpeCtes(withTarget: Boolean): String = {
     val sb = new StringBuilder
     sb ++= s"""WITH w AS (
@@ -678,7 +686,7 @@ object CorpusQueries {
               WHERE doc_id % 2 = 0)
         GROUP BY tok),
       s0 AS MATERIALIZED (
-        SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, freq
+        SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS s, freq
         FROM w)"""
     if (withTarget) sb ++= s""",
       wt AS (
@@ -687,7 +695,7 @@ object CorpusQueries {
               WHERE doc_id % 2 = 1)
         GROUP BY tok),
       t0 AS MATERIALIZED (
-        SELECT regexp_replace(word, '(.)', ' \\1 ', 'g') AS s, freq
+        SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS s, freq
         FROM wt)"""
     for (k <- 1 to bpeRounds) {
       val p = k - 1
@@ -701,15 +709,19 @@ object CorpusQueries {
         GROUP BY 1, 2),
       b$k AS MATERIALIZED (
         SELECT l, r, n FROM p$k ORDER BY n DESC, l ASC, r ASC LIMIT 1),
+      bs$k AS MATERIALIZED (
+        SELECT l, r FROM b$k
+        UNION ALL
+        SELECT '', '' WHERE NOT EXISTS (SELECT 1 FROM b$k)),
       s$k AS MATERIALIZED (
         SELECT replace(s, ' ' || l || '  ' || r || ' ',
                        ' ' || l || r || ' ') AS s, freq
-        FROM s$p CROSS JOIN b$k)"""
+        FROM s$p CROSS JOIN bs$k)"""
       if (withTarget) sb ++= s""",
       t$k AS MATERIALIZED (
         SELECT replace(s, ' ' || l || '  ' || r || ' ',
                        ' ' || l || r || ' ') AS s, freq
-        FROM t$p CROSS JOIN b$k)"""
+        FROM t$p CROSS JOIN bs$k)"""
     }
     sb.result()
   }

@@ -113,6 +113,55 @@ class TimeTravelSpec extends SparkSpec {
           .toDF("id", "part", "v"), "id", "part")
     }
     assert(TimeTravel.latestVersion(spark, dir) === 1)
+    // NULLs refused at CREATION too: such rows could never be touched by
+    // the (NULL-rejecting) upsert/delete paths again
+    intercept[IllegalArgumentException] {
+      TimeTravel.init(spark, tmpDir("tt-null-init"),
+        Seq[(java.lang.Long, String, java.lang.Double)]((1L, null, 1.0))
+          .toDF("id", "part", "v"), "part")
+    }
+  }
+
+  test("numeric-looking STRING partition values round-trip (no inference rewrite)") {
+    // '01' must NOT be read back as int 1: the manifest matcher works on
+    // directory text, and a re-rendered 'part=1' would miss 'part=01/'
+    // entries — stale rows would survive a delete
+    val dir = tmpDir("tt-numeric-part")
+    TimeTravel.init(spark, dir,
+      Seq((1L, "01", 1.0), (2L, "01", 2.0), (3L, "2", 3.0))
+        .toDF("id", "part", "v"), "part")
+    TimeTravel.delete(spark, dir, Seq(1L).toDF("id"), "id", "part")
+    val v2 = rows(TimeTravel.readVersion(spark, dir, 2))
+    assert(v2 === Set((2L, "01", 2.0), (3L, "2", 3.0)))
+    // and an update in the zero-padded partition replaces, not duplicates
+    TimeTravel.upsert(spark, dir,
+      Seq((2L, "01", 22.0)).toDF("id", "part", "v"), "id", "part")
+    assert(rows(TimeTravel.readVersion(spark, dir, 3))
+      === Set((2L, "01", 22.0), (3L, "2", 3.0)))
+    // a non-string partition column is refused up front
+    intercept[IllegalArgumentException] {
+      TimeTravel.init(spark, tmpDir("tt-int-part"),
+        Seq((1L, 1, 1.0)).toDF("id", "part", "v"), "part")
+    }
+  }
+
+  test("a commit that would empty the table is refused; the table stays intact") {
+    val dir = tmpDir("tt-empty-del")
+    TimeTravel.init(spark, dir,
+      Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("id", "part", "v"), "part")
+    val ex = intercept[IllegalArgumentException] {
+      TimeTravel.delete(spark, dir, Seq(1L, 2L).toDF("id"), "id", "part")
+    }
+    assert(ex.getMessage.contains("empty the table"))
+    // no bricked latest version: v1 still serves and commits still work
+    assert(TimeTravel.latestVersion(spark, dir) === 1)
+    assert(rows(TimeTravel.readVersion(spark, dir, 1)).size === 2)
+    assert(TimeTravel.delete(spark, dir, Seq(1L).toDF("id"),
+      "id", "part") === 2)
+    // an EMPTY upsert batch is a no-op, not a duplicate commit
+    assert(TimeTravel.upsert(spark, dir,
+      Seq.empty[(Long, String, Double)].toDF("id", "part", "v"),
+      "id", "part") === 2)
   }
 
   test("vacuum reclaims only files no retained version references") {
