@@ -60,12 +60,12 @@ object Corpus {
     * by nSources², independent of corpus size. Pairs sharing zero
     * shingles are (correctly) absent. */
   def vocabOverlap(docs: DataFrame): DataFrame = {
-    // two-stage projection as in ngramTopK: bind the token array to an
-    // attribute before shingles3 multi-references it
+    // native one-pass shingle builder (distinct by construction; the
+    // sort is irrelevant pre-explode) — no interpreted lambda chain
     val byShingle = docs
-      .select(col("source"), TA.tokens(col("text")).as("toks"))
       .select(col("source"),
-        explode(array_distinct(TA.shingles3(col("toks")))).as("tok"))
+        explode(graft.functions.SetCols.sortedShingles3(col("text")))
+          .as("tok"))
       .groupBy(col("tok"))
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
     // DIMENSION COLLAPSE before pair expansion: distinct source-LISTS are
@@ -776,6 +776,23 @@ object Corpus {
     split(trim(merges.foldLeft(bpeSeq(word)) {
       case (s, (l, r)) => bpeMergeOnce(s, l, r)
     }), "  ")
+
+  /** Per-document token counts under a FROZEN BPE merge list — the
+    * length accounting a packing/budgeting stage needs once the learned
+    * tokenizer is in force. Scale shape: DISTINCT words encode once
+    * (vocab-bounded, broadcast), the corpus pays one token explode +
+    * broadcast join + one doc-key shuffle — never a per-occurrence
+    * replay of the merge chain. */
+  def bpeDocTokenCounts(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val wordLens = docs
+      .select(explode(TA.tokens(col("text"))).as("word")).distinct()
+      .select(col("word"),
+        size(bpeEncode(col("word"), merges)).cast(LongType).as("wlen"))
+    docs.select(col("doc_id"), explode(TA.tokens(col("text"))).as("word"))
+      .join(broadcast(wordLens), Seq("word"))
+      .groupBy(col("doc_id")).agg(sum(col("wlen")).as("n_tokens"))
+  }
 
   def subwordSeedVocab(docs: DataFrame, minN: Int, maxN: Int,
       k: Int): DataFrame = {

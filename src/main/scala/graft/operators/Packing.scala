@@ -67,15 +67,28 @@ object Packing {
     * pretraining loader needs. Output: (doc_id, shard, pos, n_tokens,
     * bin). */
   def packSequences(docs: DataFrame, nShards: Int, seed: Long,
+      tokenBudget: Int): DataFrame =
+    // token counts ride the same projection as the shuffle key inside
+    // packByCounts: one scan, one shuffle (the shard window) — not a
+    // second scan + doc_id join
+    packByCounts(docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast(LongType).as("n_tokens")),
+      nShards, seed, tokenBudget)
+
+  /** [[packSequences]] generalized to EXTERNAL per-doc token counts —
+    * the packing a real loader runs once a tokenizer exists: `counts` is
+    * (doc_id, n_tokens) with counts from whatever tokenizer is in force
+    * (e.g. learned-BPE lengths via
+    * [[Corpus.bpeDocTokenCounts]]), binned under the identical
+    * deterministic shard order and one-window cumulative rule. */
+  def packByCounts(counts: DataFrame, nShards: Int, seed: Long,
       tokenBudget: Int): DataFrame = {
     require(nShards >= 1, s"nShards=$nShards must be >= 1")
     require(tokenBudget >= 1, s"tokenBudget=$tokenBudget must be >= 1")
-    // token counts ride the same projection as the shuffle key: one scan,
-    // one shuffle (the shard window) — not a second scan + doc_id join
     val (shard, key) = shardCols(nShards, seed)
-    docs
+    counts
       .select(col("doc_id"), shard.as("shard"), key.as("skey"),
-        size(tokens(col("text"))).cast(LongType).as("n_tokens"))
+        col("n_tokens").cast(LongType).as("n_tokens"))
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("shard")).orderBy(col("skey"), col("doc_id"))))
       .withColumn("cum", sum(col("n_tokens")).over(

@@ -695,7 +695,8 @@ object CorpusQueries {
               WHERE doc_id % 2 = 1)
         GROUP BY tok),
       t0 AS MATERIALIZED (
-        SELECT regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS s, freq
+        SELECT word, regexp_replace(word, '(?s)(.)', ' \\1 ', 'g') AS s,
+          freq
         FROM wt)"""
     for (k <- 1 to bpeRounds) {
       val p = k - 1
@@ -719,8 +720,8 @@ object CorpusQueries {
         FROM s$p CROSS JOIN bs$k)"""
       if (withTarget) sb ++= s""",
       t$k AS MATERIALIZED (
-        SELECT replace(s, ' ' || l || '  ' || r || ' ',
-                       ' ' || l || r || ' ') AS s, freq
+        SELECT word, replace(s, ' ' || l || '  ' || r || ' ',
+                             ' ' || l || r || ' ') AS s, freq
         FROM t$p CROSS JOIN bs$k)"""
     }
     sb.result()
@@ -809,7 +810,59 @@ object CorpusQueries {
       SELECT subword, n_occ, rank FROM rk WHERE rank <= 50""")
   )
 
+  /** End-to-end tokenizer → loader composition: pack the odd split into
+    * token-budget bins where token counts come from the LEARNED BPE
+    * tokenizer, not whitespace — the packing a real pretraining loader
+    * runs ([[graft.operators.Corpus.bpeDocTokenCounts]] feeding
+    * [[graft.operators.Packing.packByCounts]]). Distinct words encode
+    * once under the frozen q155 merge artifact (vocab-bounded,
+    * broadcast); the corpus pays one token explode + one doc-key shuffle
+    * + the shard window. The oracle re-derives the merges, every word's
+    * encoded LENGTH, the per-doc sums, and the md5 shard/cum/bin
+    * arithmetic in one chain — a drifted merge table shifts token counts
+    * and re-bins downstream docs, so the whole composition is
+    * hash-checked. */
+  val q160 = Q(
+    "q160_bpe_packing",
+    (spark, dir) => {
+      import org.apache.spark.sql.functions.col
+      val merges = spark.read.parquet(frozenBpeDir(spark, dir))
+        .orderBy(col("rank")).collect()
+        .map(r => (r.getAs[String]("left_sym"), r.getAs[String]("right_sym")))
+        .toSeq
+      val odd = Tables.load(spark, dir, "documents")
+        .filter(col("doc_id") % 2 =!= 0)
+      graft.operators.Packing.packByCounts(
+        Corpus.bpeDocTokenCounts(odd, merges),
+        nShards = 4, seed = 11L, tokenBudget = 256)
+    },
+    Some(s"""${bpeCtes(withTarget = true)},
+      wl AS (SELECT word,
+               CAST(len(string_split(trim(s), '  ')) AS BIGINT) AS wlen
+             FROM t$bpeRounds),
+      dtok AS (SELECT doc_id, unnest($sqlToks) AS word
+               FROM documents WHERE doc_id % 2 = 1),
+      dc AS (SELECT doc_id, CAST(SUM(wlen) AS BIGINT) AS n_tokens
+             FROM dtok JOIN wl USING (word) GROUP BY 1),
+      shk AS (SELECT doc_id, n_tokens,
+               md5(concat('11:', CAST(doc_id AS VARCHAR))) AS skey
+             FROM dc),
+      sha AS (SELECT doc_id, n_tokens, skey,
+               CAST(('0x' || substr(skey, 1, 7))::BIGINT % 4 AS INTEGER)
+                 AS shard
+             FROM shk),
+      win AS (SELECT doc_id, shard, n_tokens,
+               CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                 ORDER BY skey, doc_id) AS INTEGER) AS pos,
+               SUM(n_tokens) OVER (PARTITION BY shard
+                 ORDER BY skey, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+             FROM sha)
+      SELECT doc_id, shard, pos, n_tokens,
+        GREATEST(CAST(CEIL(CAST(cum AS DOUBLE) / 256) AS INTEGER), 1) AS bin
+      FROM win""")
+  )
+
   val all: Seq[Q] =
     Seq(q66, q67, q68, q69, q78, q92, q93, q101, q102, q106, q108, q114,
-      q117, q125, q131, q135, q138, q140, q145, q147, q154, q155)
+      q117, q125, q131, q135, q138, q140, q145, q147, q154, q155, q160)
 }

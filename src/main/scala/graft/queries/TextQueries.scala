@@ -131,12 +131,12 @@ object TextQueries {
   val q25 = Q(
     "q25_shingle_fingerprint",
     (spark, dir) => {
+      // native sorted-distinct shingles (spec-pinned to the old chain)
       Tables.load(spark, dir, "documents")
-        .select(col("doc_id"), toks.as("toks"))
         .select(col("doc_id"),
-          array_distinct(TA.shingles3(col("toks"))).as("sh"))
+          graft.functions.SetCols.sortedShingles3(col("text")).as("sh"))
         .select(col("doc_id"),
-          md5(concat_ws("|", array_sort(col("sh")))).as("fingerprint"),
+          md5(concat_ws("|", col("sh"))).as("fingerprint"),
           size(col("sh")).as("n_shingles"))
     },
     Some(s"""SELECT doc_id,

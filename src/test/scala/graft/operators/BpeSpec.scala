@@ -75,6 +75,47 @@ class BpeSpec extends SparkSpec {
     assert(chars === List("a", "b", "c"))
   }
 
+  test("bpeDocTokenCounts equals per-doc sums of encoded word lengths") {
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val docs = Seq(
+      (1L, "abc abc xyz"),   // abc->1 symbol each, xyz->3 => 1+1+3 = 5
+      (2L, "ab abc"),        // ab->[ab]? (a,b) merges: "ab"->1; abc->1 => 2
+      (3L, ""),              // single empty token -> 1 symbol
+      (4L, "q")              // single char -> 1
+    ).toDF("doc_id", "text")
+    val got = Corpus.bpeDocTokenCounts(docs, merges)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_tokens")).toMap
+    assert(got === Map(1L -> 5L, 2L -> 2L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("packByCounts: hand-traced bins, oversized doc closes its own pack") {
+    // single shard (nShards=1) so order is the md5 pseudo-shuffle of ids
+    val counts = Seq((1L, 100L), (2L, 300L), (3L, 50L), (4L, 120L))
+      .toDF("doc_id", "n_tokens")
+    val out = Packing.packByCounts(counts, nShards = 1, seed = 3L,
+        tokenBudget = 200)
+      .orderBy("pos").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Int]("bin")))
+    // bins follow the cumulative rule in the deterministic order
+    var cum = 0L
+    out.foreach { case (_, n, bin) =>
+      cum += n
+      assert(bin === math.max(1, math.ceil(cum / 200.0).toInt))
+    }
+    // and packSequences == packByCounts over whitespace counts
+    val docs = Seq((1L, "a b c"), (2L, "d e"), (3L, "f")).toDF("doc_id", "text")
+    val viaSeq = Packing.packSequences(docs, 2, 7L, 2)
+      .collect().map(_.toSeq).toSet
+    val viaCnt = Packing.packByCounts(
+        docs.select(col("doc_id"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens")),
+        2, 7L, 2)
+      .collect().map(_.toSeq).toSet
+    assert(viaSeq === viaCnt)
+  }
+
   test("encode is per-type deterministic: same word, same symbols, regardless of freq") {
     val table = Seq(("a", "b"), ("ab", "c"))
     val out = words("abc" -> 1L, "xabcx" -> 7L)
