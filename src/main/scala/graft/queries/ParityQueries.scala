@@ -823,7 +823,52 @@ object ParityQueries {
       WHERE rn = 1""")
   )
 
+  /** Streaming ingest into the VERSIONED table
+    * ([[graft.streaming.EventsStream.replayToVersioned]]): q136's
+    * last-per-key micro-batch cadence, but every batch lands as its own
+    * [[graft.operators.TimeTravel]] COMMIT — v1 = the first batch's
+    * init, v2/v3 = the later batches' copy-on-write merges — so the
+    * stream's history is time-travelable from manifests. The query reads
+    * the LATEST version back (manifest-pruned, never a directory
+    * listing) and verifies against the same from-raw-log last-write-wins
+    * oracle as q136: batch sequencing, per-commit manifest integrity,
+    * and the merge arithmetic all hash-check; an intermediate version
+    * leaking into the final manifest (or a lost commit) shifts rows.
+    * StreamingSpec additionally proves the intermediate versions stay
+    * readable and the final content equals the mutable-sink replay. */
+  val q161 = Q(
+    "q161_stream_versioned",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val tmp = stagedSlicedEventsDir(spark, dir)
+      val tableDir = scratchDir("graft-versioned-table")
+      val ck = scratchDir("graft-versioned-ck")
+      val agg = EventsStream.fromParquetDir(spark, tmp, maxFilesPerTrigger = Some(3))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type")))
+          .as("last"))
+        .select(col("user_id"), col("last.ts").as("last_ts"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_type"),
+          pmod(col("user_id"), lit(8L)).cast("string").as("part"))
+      EventsStream.replayToVersioned(agg, tableDir, ck,
+        keyCol = "user_id", partCol = "part", statePartitions = Some(8))
+      TimeTravel.readVersion(spark, tableDir,
+          TimeTravel.latestVersion(spark, tableDir))
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("last_ts"), col("last_event_id"),
+          col("last_type"))
+    },
+    // same contract as q136: last-write-wins per user with the explicit
+    // (ts DESC, event_id DESC) composite tie-break
+    Some("""SELECT user_id, ts AS last_ts, event_id AS last_event_id,
+        event_type AS last_type
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+      WHERE rn = 1""")
+  )
+
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107, q122, q123, q136, q149, q152)
+      q86, q89, q90, q104, q107, q122, q123, q136, q149, q152, q161)
 }

@@ -512,6 +512,36 @@ object EventsStream {
         }
     }
 
+  /** Streaming ingest as VERSIONED commits
+    * ([[graft.operators.TimeTravel]]): every non-empty micro-batch lands
+    * as its own upsert COMMIT — the first batch inits v1, each later one
+    * commits v(n+1) — so the stream's WHOLE HISTORY stays
+    * time-travelable from the per-commit manifests and a reader can pin
+    * a version while ingest continues (the streaming-lakehouse contract
+    * a mutable-directory sink cannot give; [[replayToUpsert]] keeps only
+    * the latest state). Upstream is the same Update-mode totals-carrying
+    * aggregation, so a replayed trigger re-commits the same rows — the
+    * CONTENT converges identically; only the commit count reflects the
+    * replay, which is exactly what a commit log should record. */
+  def replayToVersioned(df: DataFrame, baseDir: String,
+      checkpointDir: String, keyCol: String, partCol: String,
+      statePartitions: Option[Int] = None): Unit =
+    replay(df, statePartitions, noDataBatch = true) { ws =>
+      ws.outputMode(OutputMode.Update())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          if (!batch.isEmpty) {
+            import graft.operators.TimeTravel
+            if (TimeTravel.latestVersion(batch.sparkSession, baseDir) == 0)
+              TimeTravel.init(batch.sparkSession, baseDir, batch, partCol)
+            else
+              TimeTravel.upsert(batch.sparkSession, baseDir, batch,
+                keyCol, partCol)
+          }
+          ()
+        }
+    }
+
   /** The shared replay harness: conf handling (state sizing, no-data-batch
     * suppression, state-store provider, restoration) around an
     * AvailableNow run of whatever sink `configure` sets up. */

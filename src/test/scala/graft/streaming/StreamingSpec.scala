@@ -494,5 +494,20 @@ class StreamingSpec extends SparkSpec {
     EventsStream.replayToUpsert(agg(srcDir), tableDir, tmpDir("ck2"),
       keyCol = "user_id", partCol = "part")
     assert(state() === expected)
+
+    // VERSIONED sink over the same source: one commit per micro-batch,
+    // latest content identical to the mutable sink, and the
+    // INTERMEDIATE version stays readable — batch 1's state before
+    // user 1's purchase and user 3's arrival
+    import graft.operators.TimeTravel
+    val vDir = tmpDir("graft-versioned-table")
+    EventsStream.replayToVersioned(agg(srcDir), vDir, tmpDir("ck3"),
+      keyCol = "user_id", partCol = "part")
+    assert(TimeTravel.latestVersion(spark, vDir) === 2)
+    def vstate(n: Int): Set[(Long, String)] =
+      TimeTravel.readVersion(spark, vDir, n)
+        .select("user_id", "last_type").as[(Long, String)].collect().toSet
+    assert(vstate(2) === expected)
+    assert(vstate(1) === Set(1L -> "view", 2L -> "click"))
   }
 }
