@@ -109,10 +109,12 @@ object MinHashAgg {
   * runs inside whole-stage codegen via a bound method call.
   *
   * Null elements are skipped (the [[MinHashAgg]] convention; the dedup
-  * pipeline's arrays are null-free by construction). An EMPTY array
-  * yields k NULL minima — exactly what `array_min` over an empty
-  * transform produced, so the `n_shingles > 0` caller contract is
-  * unchanged. */
+  * pipeline's arrays are null-free by construction). An EMPTY array —
+  * or one whose elements are ALL null, so no hash was ever computed —
+  * yields k NULL minima: exactly what `array_min` over an empty (or
+  * all-null) transform produces, keeping the claimed bit-parity with
+  * the compositional form on every input, not just null-free ones, and
+  * never leaking Long.MaxValue sentinels as real minima. */
 case class MinHashSig(child: Expression, numHashes: Int)
   extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
@@ -133,13 +135,13 @@ case class MinHashSig(child: Expression, numHashes: Int)
   /** Shared by eval and codegen: one pass, k running minima. */
   def compute(a: ArrayData): ArrayData = {
     val n = a.numElements()
-    if (n == 0) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      new Array[Any](numHashes))
     val mins = Array.fill(numHashes)(Long.MaxValue)
+    var seen = false // any non-null element hashed?
     var i = 0
     while (i < n) {
       val s = a.getUTF8String(i)
       if (s != null) {
+        seen = true
         var k = 0
         while (k < numHashes) {
           val h = XxHash64Function.hash(s, StringType, k.toLong)
@@ -149,7 +151,10 @@ case class MinHashSig(child: Expression, numHashes: Int)
       }
       i += 1
     }
-    ArrayData.toArrayData(mins)
+    if (!seen) // empty OR all-null: k NULLs, never MaxValue sentinels
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](numHashes))
+    else ArrayData.toArrayData(mins)
   }
 
   override def nullSafeEval(a: Any): Any = compute(a.asInstanceOf[ArrayData])

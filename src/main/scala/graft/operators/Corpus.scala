@@ -740,9 +740,13 @@ object Corpus {
     * is explode+aggregate over DISTINCT words — vocab-bounded work, with
     * one deliberately driver-held row per round (the argmax pair; N rows
     * total, the same contractual bound as k-means centroids). Round k
-    * re-derives the symbolization as k nested literal replaces over the
-    * checkpointed base — O(N²·vocab) string work total, which at any
-    * corpus scale is noise next to the one corpus scan. */
+    * re-derives the symbolization as nested literal replaces over the
+    * LAST materialization — `cur` is re-checkpointed every
+    * [[bpeCheckpointRounds]] merges, so plan depth and per-round
+    * re-derivation stay bounded by a CONSTANT (≤ R replaces over a
+    * vocab-bounded relation) no matter how large `nMerges` grows; a
+    * production-scale 32k–100k-merge run is nMerges sequential
+    * vocab-bounded jobs, never an nMerges-deep expression chain. */
   def bpeTrain(words: DataFrame, nMerges: Int): DataFrame = {
     require(nMerges > 0, s"nMerges=$nMerges")
     val spark = words.sparkSession
@@ -750,6 +754,7 @@ object Corpus {
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = base
+    var depth = 0 // replaces stacked on the last materialization
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
       val best = bpePairCounts(cur)
@@ -761,11 +766,25 @@ object Corpus {
           best.head.getLong(2))
         merges += ((merges.length + 1, l, r, n))
         cur = cur.withColumn("s", bpeMergeOnce(col("s"), l, r))
+        depth += 1
+        if (depth >= bpeCheckpointRounds) {
+          // pin the symbolization: each round's pair count replays at
+          // most R replaces, and Catalyst never sees an unbounded chain
+          cur = cur.localCheckpoint()
+          depth = 0
+        }
       }
     }
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "left_sym", "right_sym", "pair_n")
   }
+
+  /** Re-materialize the training symbolization every this-many merge
+    * rounds: the ceiling on expression-chain depth (and on how many
+    * replaces any single round re-derives). The checkpointed relation is
+    * the distinct-word vocabulary — small — so the trade is a cheap
+    * materialization per R rounds against unbounded plan growth. */
+  private val bpeCheckpointRounds = 16
 
   /** Encode a word under a FROZEN ordered merge list: the symbol string
     * after replaying every learned merge in rank order — one codegen'd

@@ -33,21 +33,38 @@ import org.apache.spark.sql.functions._
   */
 object Merge {
 
+  /** Key-count ceiling for broadcasting a merge batch's key set: ~4M
+    * long keys ≈ tens of MB built once per executor — comfortably under
+    * typical driver/executor memory; beyond it the discovery and anti
+    * joins fall back to shuffle joins (slower, but they complete). */
+  val DefaultBroadcastKeyLimit: Long = 4L * 1000 * 1000
+
+  /** Broadcast `keys` only when the batch is plausibly build-side-sized;
+    * a backfill-scale key set (billions of keys at 100 TB) must degrade
+    * to a shuffle join, not force a driver-side broadcast build and OOM.
+    * The count is one column-pruned pass over the (already checkpointed)
+    * batch — the driver holds 8 bytes, not the keys. */
+  private[operators] def gateBroadcast(keys: DataFrame,
+      limit: Long): DataFrame =
+    if (keys.count() <= limit) broadcast(keys) else keys
+
   /** Full-row upsert of `updates` (same schema as the table, partition
     * column included) into the partitioned parquet table at `baseDir`,
     * keyed on `keyCol`. Idempotent for a fixed updates batch. Returns the
     * merged table re-read from `baseDir`. */
   def upsertPartitioned(spark: SparkSession, baseDir: String,
-      updates: DataFrame, keyCol: String, partCol: String): DataFrame = {
+      updates: DataFrame, keyCol: String, partCol: String,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
     val base = spark.read.parquet(baseDir)
     // pinned: the updates batch feeds key discovery, target partitions,
     // the anti-join, and the merged union — four actions that would each
     // replay its upstream plan (for the streaming sink: the whole
     // micro-batch aggregation) without the checkpoint
     val ups = updates.localCheckpoint()
-    val updKeys = ups.select(col(keyCol)).distinct()
+    val updKeys = gateBroadcast(ups.select(col(keyCol)).distinct(),
+      broadcastKeyLimit)
     val fromUpdates = ups.select(col(partCol)).distinct()
-    val fromBase = base.join(broadcast(updKeys), Seq(keyCol))
+    val fromBase = base.join(updKeys, Seq(keyCol))
       .select(col(partCol)).distinct()
     // partition values as raw Any: partition-type inference may read the
     // column back as int/date/... even when it was written from strings
@@ -62,7 +79,7 @@ object Merge {
     // repeated benching, the host); with it each rewritten partition
     // gets one task's worth of files — the compaction-aware write shape
     val merged = ups.unionByName(
-      current.join(broadcast(updKeys), Seq(keyCol), "left_anti")
+      current.join(updKeys, Seq(keyCol), "left_anti")
         .select(ups.columns.map(col).toSeq: _*))
       .repartition(col(partCol))
       .localCheckpoint()
@@ -123,16 +140,19 @@ object Merge {
     * present (including a re-run of the same delete) touches zero
     * partitions and writes nothing. Returns the table re-read. */
   def deletePartitioned(spark: SparkSession, baseDir: String,
-      keys: DataFrame, keyCol: String, partCol: String): DataFrame = {
+      keys: DataFrame, keyCol: String, partCol: String,
+      broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
     val base = spark.read.parquet(baseDir)
-    val delKeys = keys.select(col(keyCol)).distinct().localCheckpoint()
+    val delKeys = gateBroadcast(
+      keys.select(col(keyCol)).distinct().localCheckpoint(),
+      broadcastKeyLimit)
     // raw Any partition values — inference may type them non-string
-    val affected = base.join(broadcast(delKeys), Seq(keyCol))
+    val affected = base.join(delKeys, Seq(keyCol))
       .select(col(partCol)).distinct().collect().map(_.get(0))
     requireNoNullPartition(affected, partCol)
     if (affected.nonEmpty) {
       val survivors = base.filter(col(partCol).isin(affected.toSeq: _*))
-        .join(broadcast(delKeys), Seq(keyCol), "left_anti")
+        .join(delKeys, Seq(keyCol), "left_anti")
         .repartition(col(partCol)) // one task per rewritten partition
         .localCheckpoint()
       val conf = spark.conf

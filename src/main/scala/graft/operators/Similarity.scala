@@ -111,22 +111,38 @@ object Similarity {
   def knnJoinBucketed(emb: DataFrame, queries: DataFrame, k: Int,
       centroids: Seq[Seq[Double]], nProbe: Int,
       saltBuckets: Int = 0): DataFrame = {
-    require(nProbe >= 1 && nProbe <= centroids.size,
-      s"nProbe=$nProbe out of [1, ${centroids.size}]")
-    require(saltBuckets >= 0, s"saltBuckets=$saltBuckets must be >= 0")
-    // per-query nProbe nearest cells, computed inside the row: sort
-    // struct(-dot, cell) ascending = dot desc with min-cell tiebreak, the
-    // same order ivfAssign's array_position-of-max induces for the top-1
-    val cellDots = array(centroids.zipWithIndex.map { case (c, i) =>
-      struct((-VecCols.dot(col("qv"), litVec(c))).as("nd"), lit(i).as("cell"))
-    }: _*)
-    val probes = queries
-      .select(col("query_id"), col("qv"),
-        explode(slice(array_sort(cellDots), 1, nProbe)).as("p"))
-      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
     val cells = emb
       .select(col("vec_id"), col("embedding"),
         ivfAssign(col("embedding"), centroids).as("cell"))
+    rankSameCell(cells, probeCells(queries, centroids, nProbe), k,
+      saltBuckets)
+  }
+
+  /** Per-query nProbe nearest cells, computed inside the row: sort
+    * struct(-dot, cell) ascending = dot desc with min-cell tiebreak, the
+    * same order ivfAssign's array_position-of-max induces for the top-1.
+    * Probe selection is row-local — centroids ride the plan as nCells ×
+    * dim literals, so the query side never shuffles to pick cells. */
+  private def probeCells(queries: DataFrame, centroids: Seq[Seq[Double]],
+      nProbe: Int): DataFrame = {
+    require(nProbe >= 1 && nProbe <= centroids.size,
+      s"nProbe=$nProbe out of [1, ${centroids.size}]")
+    val cellDots = array(centroids.zipWithIndex.map { case (c, i) =>
+      struct((-VecCols.dot(col("qv"), litVec(c))).as("nd"), lit(i).as("cell"))
+    }: _*)
+    queries
+      .select(col("query_id"), col("qv"),
+        explode(slice(array_sort(cellDots), 1, nProbe)).as("p"))
+      .select(col("query_id"), col("qv"), col("p.cell").as("cell"))
+  }
+
+  /** The same-cell candidate join + map-side top-k ranking shared by the
+    * live ([[knnJoinBucketed]]) and index-serving ([[knnJoinFromIndex]])
+    * kNN joins — broadcast probes by default, salted shuffle join on
+    * (cell, salt) when the probe relation outgrows a broadcast. */
+  private def rankSameCell(cells: DataFrame, probes: DataFrame, k: Int,
+      saltBuckets: Int): DataFrame = {
+    require(saltBuckets >= 0, s"saltBuckets=$saltBuckets must be >= 0")
     val candidates =
       if (saltBuckets == 0) cells.join(broadcast(probes), Seq("cell"))
       else {
@@ -144,6 +160,41 @@ object Similarity {
       .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "vec_id")))
       .select(col("query_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
         col("vec_id"))
+  }
+
+  /** The centroid sidecar of a [[writeIvfIndex]] artifact — nCells × dim
+    * doubles, index METADATA (the same driver-held bound as the inline
+    * centroid variants). */
+  private def indexCentroids(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[Seq[Double]] =
+    spark.read.parquet(s"$path/centroids")
+      .orderBy(col("cell")).collect()
+      .map(r => r.getSeq[Double](1).toSeq).toSeq
+
+  /** Batch kNN JOIN served FROM a persisted [[writeIvfIndex]] artifact —
+    * the production serving shape: an UNBOUNDED query relation probes
+    * the index, and the corpus scan is PHYSICALLY pruned to the probed
+    * cells. The union of probed cells across all queries is collected
+    * first (≤ nCells values — index metadata, not data) and applied as a
+    * static partition filter, so the scan plan carries real
+    * PartitionFilters (VectorSpec asserts it): at 100 TB the join reads
+    * only the probed cell directories, never the corpus, no matter how
+    * many queries ride in the batch. Results are identical to
+    * [[knnJoinBucketed]] over the live corpus under the same centroids
+    * (assignment was computed by the same expression at build time), so
+    * the live path's oracle verifies serving verbatim; `saltBuckets`
+    * carries the same hot-cell fallback contract. */
+  def knnJoinFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, queries: DataFrame, k: Int, nProbe: Int,
+      saltBuckets: Int = 0): DataFrame = {
+    val centroids = indexCentroids(spark, path)
+    val probes = probeCells(queries, centroids, nProbe)
+    val probed = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probed: _*))
+      .select(col("vec_id"), col("embedding"), col("cell"))
+    rankSameCell(cells, probes, k, saltBuckets)
   }
 
   /** Deterministic random hyperplanes: nPlanes × dim gaussians from a
@@ -284,10 +335,7 @@ object Similarity {
     * untouched and serving sees the union immediately; partition pruning
     * keeps working because the directory layout is the index. */
   def appendToIvfIndex(emb: DataFrame, path: String): Unit = {
-    val spark = emb.sparkSession
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val centroids = indexCentroids(emb.sparkSession, path)
     emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
       .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
   }
@@ -301,9 +349,7 @@ object Similarity {
     * which is what lets q124 reuse q34's oracle verbatim. */
   def ivfTopKFromIndex(spark: org.apache.spark.sql.SparkSession, path: String,
       q: Seq[Double], k: Int, nProbe: Int, excludeId: Long = -1L): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val centroids = indexCentroids(spark, path)
     val qDots = centroids.map(c => c.zip(q).map { case (a, b) =>
       a.toFloat.toDouble * b.toFloat.toDouble
     }.sum)
@@ -338,9 +384,7 @@ object Similarity {
   def contaminationFromIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, evalDf: DataFrame, threshold: Double,
       nProbe: Int): DataFrame = {
-    val centroids = spark.read.parquet(s"$path/centroids")
-      .orderBy(col("cell")).collect()
-      .map(r => r.getSeq[Double](1).toSeq).toSeq
+    val centroids = indexCentroids(spark, path)
     require(nProbe >= 1 && nProbe <= centroids.size,
       s"nProbe=$nProbe out of [1, ${centroids.size}]")
     // nProbe nearest cells per row: sort struct(-dot, cell) ascending =

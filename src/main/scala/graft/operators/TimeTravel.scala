@@ -7,98 +7,209 @@ import org.apache.spark.sql.functions._
 
 /** VERSIONED copy-on-write table — the minimal Delta-log idea on plain
   * parquet: data files are append-only under `baseDir/data/`, and each
-  * commit writes a manifest (`baseDir/_graft_log/<N>.manifest`, a sorted
-  * newline-separated list of the data files constituting version N). A
-  * version is its manifest's file list, nothing else: `readVersion`
-  * reads exactly those files, so EVERY committed version stays readable
-  * after later commits — the property the in-place [[Merge]] path cannot
+  * commit writes a LOG RECORD under `baseDir/_graft_log/`. A version is
+  * the file set its log resolves to, nothing else: `readVersion` reads
+  * exactly those files, so EVERY committed version stays readable after
+  * later commits — the property the in-place [[Merge]] path cannot
   * offer, because dynamic partition overwrite physically deletes the
   * files an old version would need. Snapshot diffs between versions
-  * therefore need no re-run of any merge: two manifest reads and one
+  * therefore need no re-run of any merge: two log resolutions and one
   * [[Merge.snapshotDiff]].
+  *
+  * The log is INCREMENTAL — the shape that survives a long-lived stream
+  * committing once per micro-batch on a 100 TB table:
+  *   - `<N>.delta` is the commit record for version N (N ≥ 2): the
+  *     files the commit ADDED (`+path` lines) and the previous
+  *     version's files it REMOVED (`-path` lines). Its size is O(files
+  *     touched by the batch), never O(table).
+  *   - `<N>.manifest` is a CHECKPOINT: the full resolved file list of
+  *     version N. `init` writes one for v1 (the only version with no
+  *     predecessor), every `checkpointEvery`-th commit writes one after
+  *     its delta (pure read acceleration — the delta remains the
+  *     authoritative commit record), and VACUUM writes one at the
+  *     retention floor so dropping older records never strands a chain.
+  *   - resolving version N = nearest checkpoint at or below N, plus the
+  *     deltas up to N — O(checkpointEvery) log reads, each
+  *     batch-bounded except the one checkpoint.
   *
   * Commit mechanics mirror a real table format scaled to essentials:
   *   - writes never mutate: a merge APPENDS the rewritten partitions'
-  *     rows as new uniquely-named part files, and the new manifest is
-  *     (previous manifest minus affected partitions' files) + the files
-  *     just written. Untouched partitions' files carry over by NAME —
+  *     rows as new uniquely-named part files. New-file discovery lists
+  *     ONLY the affected `partCol=<v>` directories (before/after the
+  *     append), so commit cost is bounded by the batch's partition
+  *     spread — never a full-table listing. Untouched partitions' files
+  *     carry over by NAME implicitly (the delta doesn't mention them) —
   *     zero data movement, byte-identical across versions.
-  *   - an emptied partition simply contributes no files to the new
-  *     manifest; nothing is physically deleted (time travel is why).
-  *     Reclaiming files no manifest references is a VACUUM, deliberately
-  *     out of scope.
-  *   - the manifest is created with `FileSystem.create(overwrite=false)`
-  *     — two writers racing to commit the same version: exactly one
-  *     wins, the loser gets an error, the optimistic-concurrency
-  *     primitive every log-structured format builds on. (The operator
-  *     contract is single-writer; the exclusive create is the guard
-  *     rail, not a transaction manager.)
+  *   - an emptied partition simply contributes `-` lines; nothing is
+  *     physically deleted (time travel is why). Reclaiming files no
+  *     retained version references is [[vacuum]].
+  *   - the delta is created with `FileSystem.create(overwrite=false)` —
+  *     two writers racing to commit the same version: exactly one wins,
+  *     the loser gets an error, the optimistic-concurrency primitive
+  *     every log-structured format builds on. (The operator contract is
+  *     single-writer; the exclusive create is the guard rail, not a
+  *     transaction manager.)
   *
-  * Scale shape: identical to [[Merge.upsertPartitioned]] — the pruned
-  * discovery join bounds the rewrite by the batch's partition spread;
-  * the driver holds only the affected-partition values and the
-  * manifest's file list (file-count-bounded metadata, the same thing a
-  * Delta commit holds). Reads are manifest-pruned: `readVersion` hands
-  * Spark the exact file list, so planning never lists the directory. */
+  * Scale shape: the driver holds only the affected-partition values,
+  * the current version's file list (file-count-bounded metadata, the
+  * same thing a Delta snapshot holds) and the batch-bounded delta.
+  * Reads are log-pruned: `readVersion` hands Spark the exact file list,
+  * so planning never lists the directory. Full-table listings survive
+  * in exactly two places, both inherently table-scale by contract:
+  * `init` (everything is new) and `vacuum` (orphan discovery IS its
+  * job). */
 object TimeTravel {
+
+  /** Write a full checkpoint manifest every this-many versions. Between
+    * checkpoints a read replays at most this many batch-bounded deltas;
+    * a higher value trades read-time log replay for fewer full lists
+    * written. */
+  private val checkpointEvery = 10
+
+  /** Telemetry for the most recent commit in this JVM — the observable
+    * contract that commit cost is bounded by the BATCH: `dirsListed`
+    * are the only directories the commit enumerated (the affected
+    * partitions), and `nAdded`/`nRemoved` are the delta's size.
+    * Spec-asserted (TimeTravelSpec) and useful for ops logging. */
+  final case class CommitStats(version: Int, dirsListed: Set[String],
+      nAdded: Int, nRemoved: Int, checkpointed: Boolean)
+  @volatile private[graft] var lastCommitStats: Option[CommitStats] = None
 
   private def hadoopFs(spark: SparkSession, baseDir: String): FileSystem =
     new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dataDir(baseDir: String) = new Path(baseDir, "data")
   private def logDir(baseDir: String) = new Path(baseDir, "_graft_log")
+  private def manifestPath(baseDir: String, v: Int) =
+    new Path(logDir(baseDir), s"$v.manifest")
+  private def deltaPath(baseDir: String, v: Int) =
+    new Path(logDir(baseDir), s"$v.delta")
 
-  /** Relative (to data/) paths of all parquet data files currently on
-    * disk — used to compute "files this write just created" by listing
-    * before and after (sound under the documented single-writer
-    * contract). */
+  /** Relative (to data/) paths of ALL parquet data files on disk — the
+    * table-scale listing, used only where table scale is the contract:
+    * `init` (fresh table, everything is new) and `vacuum` (orphans are
+    * by definition not in any log). Commits use [[listFilesUnder]]. */
   private def listDataFiles(fs: FileSystem, baseDir: String): Set[String] = {
     val root = fs.makeQualified(dataDir(baseDir))
     if (!fs.exists(root)) Set.empty
-    else {
-      // qualify BOTH sides before relativizing: listFiles returns
-      // scheme-qualified URIs (file:/…), and relativize against a
-      // scheme-less root silently returns the absolute URI unchanged
-      val it = fs.listFiles(root, true)
-      val b = Set.newBuilder[String]
-      while (it.hasNext) {
-        val f = fs.makeQualified(it.next().getPath)
-        if (f.getName.endsWith(".parquet"))
-          b += root.toUri.relativize(f.toUri).getPath
-      }
-      b.result()
+    else relativeParquetFiles(fs, root, root)
+  }
+
+  /** Relative (to data/) paths of parquet files under ONLY the given
+    * escaped `partCol=<v>` directories — the batch-bounded listing the
+    * commit path uses for new-file discovery. A directory that does not
+    * exist yet (brand-new partition value) contributes nothing. */
+  private def listFilesUnder(fs: FileSystem, baseDir: String,
+      dirs: Set[String]): Set[String] = {
+    val root = fs.makeQualified(dataDir(baseDir))
+    dirs.flatMap { d =>
+      val p = new Path(root, d)
+      if (!fs.exists(p)) Set.empty[String]
+      else relativeParquetFiles(fs, root, p)
     }
   }
 
-  /** Latest committed version, 0 if the table has no log yet. */
-  def latestVersion(spark: SparkSession, baseDir: String): Int = {
-    val fs = hadoopFs(spark, baseDir)
-    val ld = logDir(baseDir)
-    if (!fs.exists(ld)) 0
-    else fs.listStatus(ld).map(_.getPath.getName)
-      .collect { case n if n.endsWith(".manifest") =>
-        n.stripSuffix(".manifest").toInt }
-      .foldLeft(0)(math.max)
+  private def relativeParquetFiles(fs: FileSystem, root: Path,
+      under: Path): Set[String] = {
+    // qualify BOTH sides before relativizing: listFiles returns
+    // scheme-qualified URIs (file:/…), and relativize against a
+    // scheme-less root silently returns the absolute URI unchanged
+    val it = fs.listFiles(under, true)
+    val b = Set.newBuilder[String]
+    while (it.hasNext) {
+      val f = fs.makeQualified(it.next().getPath)
+      if (f.getName.endsWith(".parquet"))
+        b += root.toUri.relativize(f.toUri).getPath
+    }
+    b.result()
   }
 
-  private def readManifest(fs: FileSystem, baseDir: String,
-      version: Int): Seq[String] = {
-    val p = new Path(logDir(baseDir), s"$version.manifest")
-    require(fs.exists(p), s"version $version has no manifest under $baseDir")
+  /** Latest committed version, 0 if the table has no log yet. */
+  def latestVersion(spark: SparkSession, baseDir: String): Int =
+    logEntries(hadoopFs(spark, baseDir), baseDir).keys
+      .foldLeft(0)(math.max)
+
+  /** version → (has checkpoint manifest, has delta) from ONE log-dir
+    * listing. The log dir holds O(versions) small files — metadata
+    * scale, like a Delta `_delta_log`. */
+  private def logEntries(fs: FileSystem,
+      baseDir: String): Map[Int, (Boolean, Boolean)] = {
+    val ld = logDir(baseDir)
+    if (!fs.exists(ld)) Map.empty
+    else fs.listStatus(ld).map(_.getPath.getName)
+      .flatMap { n =>
+        if (n.endsWith(".manifest"))
+          Some(n.stripSuffix(".manifest").toInt -> true)
+        else if (n.endsWith(".delta"))
+          Some(n.stripSuffix(".delta").toInt -> false)
+        else None
+      }
+      .groupBy(_._1)
+      .map { case (v, kinds) =>
+        v -> (kinds.exists(_._2), kinds.exists(!_._2)) }
+  }
+
+  private def readLogLines(fs: FileSystem, p: Path): List[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
   }
 
-  /** Commit `files` (relative data paths) as `version`. Exclusive
-    * create: committing an already-committed version throws. */
+  /** The (adds, removes) of version `v`'s commit record. */
+  private def readDelta(fs: FileSystem, baseDir: String,
+      v: Int): (Seq[String], Seq[String]) = {
+    val lines = readLogLines(fs, deltaPath(baseDir, v))
+    (lines.collect { case l if l.startsWith("+") => l.tail },
+      lines.collect { case l if l.startsWith("-") => l.tail })
+  }
+
+  /** Resolve the exact data-file set (relative paths) of `version`:
+    * nearest checkpoint at or below it plus the deltas up to it. Fails
+    * loudly (IllegalArgumentException) for a version whose log records
+    * were vacuumed or never committed — never silent partial data. */
+  def filesAt(spark: SparkSession, baseDir: String,
+      version: Int): Seq[String] = {
+    val fs = hadoopFs(spark, baseDir)
+    val entries = logEntries(fs, baseDir)
+    val ckpt = entries.collect {
+      case (v, (hasManifest, _)) if hasManifest && v <= version => v }
+      .foldLeft(0)(math.max)
+    require(ckpt >= 1,
+      s"version $version of $baseDir is not resolvable: no checkpoint " +
+        "at or below it (vacuumed away, or never committed)")
+    var files = readLogLines(fs, manifestPath(baseDir, ckpt)).toSet
+    ((ckpt + 1) to version).foreach { v =>
+      require(entries.get(v).exists(_._2),
+        s"version $v of $baseDir has no commit record (vacuumed away, " +
+          "or never committed)")
+      val (adds, removes) = readDelta(fs, baseDir, v)
+      files = files -- removes ++ adds
+    }
+    files.toSeq.sorted
+  }
+
+  /** Full checkpoint for `version`. Exclusive create for commit records
+    * (init's v1); vacuum may re-materialize a floor checkpoint, which
+    * skips the write when one already exists. */
   private def writeManifest(fs: FileSystem, baseDir: String, version: Int,
       files: Seq[String]): Unit = {
     fs.mkdirs(logDir(baseDir))
-    val p = new Path(logDir(baseDir), s"$version.manifest")
-    val out = fs.create(p, false) // never overwrite a committed version
+    val out = fs.create(manifestPath(baseDir, version), false)
     try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Commit record for `version` — adds then removes, each sorted.
+    * Exclusive create: committing an already-committed version throws
+    * (the losing writer of a race gets this error). */
+  private def writeDelta(fs: FileSystem, baseDir: String, version: Int,
+      adds: Seq[String], removes: Seq[String]): Unit = {
+    fs.mkdirs(logDir(baseDir))
+    val out = fs.create(deltaPath(baseDir, version), false)
+    try out.write(
+      (adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -127,15 +238,8 @@ object TimeTravel {
     }
   }
 
-  /** The table AS OF `version`: exactly the manifest's files, with the
-    * partition column recovered (as STRING — see
-    * [[requireStringPartCol]]) via basePath. */
-  def readVersion(spark: SparkSession, baseDir: String,
-      version: Int): DataFrame = {
-    val fs = hadoopFs(spark, baseDir)
-    val files = readManifest(fs, baseDir, version)
-    require(files.nonEmpty, s"version $version of $baseDir is empty — " +
-      "schemaless empty snapshots are not representable on plain parquet")
+  private def readFiles(spark: SparkSession, baseDir: String,
+      files: Seq[String]): DataFrame = {
     val root = dataDir(baseDir).toString
     withoutPartitionInference(spark) {
       spark.read.option("basePath", root)
@@ -143,10 +247,27 @@ object TimeTravel {
     }
   }
 
-  /** Create the table: write `df` partitioned by `partCol`, commit v1.
-    * The partition column must be STRING and NULL-free — NULLs would
-    * write `__HIVE_DEFAULT_PARTITION__` rows that the (deliberately
-    * NULL-rejecting) upsert/delete paths could never touch again. */
+  /** The table AS OF `version`: exactly the resolved files, with the
+    * partition column recovered (as STRING — see
+    * [[requireStringPartCol]]) via basePath. */
+  def readVersion(spark: SparkSession, baseDir: String,
+      version: Int): DataFrame = {
+    val files = filesAt(spark, baseDir, version)
+    require(files.nonEmpty, s"version $version of $baseDir is empty — " +
+      "schemaless empty snapshots are not representable on plain parquet")
+    readFiles(spark, baseDir, files)
+  }
+
+  /** Create the table: write `df` partitioned by `partCol`, commit v1
+    * as the table's first checkpoint. The partition column must be
+    * STRING and NULL-free — NULLs would write
+    * `__HIVE_DEFAULT_PARTITION__` rows that the (deliberately
+    * NULL-rejecting) upsert/delete paths could never touch again. An
+    * EMPTY df is refused BEFORE any manifest lands: an empty v1 would
+    * permanently brick the table (readVersion(1) and every later
+    * commit read the previous version, which would throw forever) —
+    * the same refusal [[commitRewrite]] applies to table-emptying
+    * commits. */
   def init(spark: SparkSession, baseDir: String, df: DataFrame,
       partCol: String): Int = {
     val fs = hadoopFs(spark, baseDir)
@@ -159,12 +280,18 @@ object TimeTravel {
     df.repartition(col(partCol)) // one task's files per partition dir
       .write.mode("append").partitionBy(partCol)
       .parquet(dataDir(baseDir).toString)
-    writeManifest(fs, baseDir, 1, listDataFiles(fs, baseDir).toSeq)
+    val files = listDataFiles(fs, baseDir).toSeq
+    require(files.nonEmpty, "init with an EMPTY DataFrame — an empty v1 " +
+      "is not representable on plain parquet and would brick every " +
+      "later commit; create the table from its first real batch instead")
+    writeManifest(fs, baseDir, 1, files)
+    lastCommitStats = Some(CommitStats(1, Set.empty, files.size, 0,
+      checkpointed = true))
     1
   }
 
   /** The escaped `partCol=<v>` directory prefix for each affected
-    * partition value — how manifest entries are matched to partitions. */
+    * partition value — how log entries are matched to partitions. */
   private def affectedDirs(partCol: String, affected: Seq[Any]): Set[String] =
     affected.map(v =>
       s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}").toSet
@@ -173,24 +300,77 @@ object TimeTravel {
       partCol: String, affected: Seq[Any], prev: Int,
       rewritten: DataFrame): Int = {
     val fs = hadoopFs(spark, baseDir)
-    val before = listDataFiles(fs, baseDir)
+    val dirs = affectedDirs(partCol, affected)
+    val prevFiles = filesAt(spark, baseDir, prev)
+    // new-file discovery scoped to the AFFECTED directories only:
+    // `rewritten` holds exclusively affected partitions' rows, so the
+    // partitioned append cannot create files anywhere else — commit
+    // cost is O(files touched), independent of table size
+    val before = listFilesUnder(fs, baseDir, dirs)
     rewritten.repartition(col(partCol))
       .write.mode("append").partitionBy(partCol)
       .parquet(dataDir(baseDir).toString)
-    val newFiles = (listDataFiles(fs, baseDir) -- before).toSeq
-    val dirs = affectedDirs(partCol, affected)
-    val kept = readManifest(fs, baseDir, prev)
-      .filterNot(f => dirs.exists(d => f.startsWith(d + "/")))
-    // refuse BEFORE the manifest lands: an all-rows-gone commit would be
-    // an empty manifest — unreadable on plain parquet (no schema source)
+    val adds = (listFilesUnder(fs, baseDir, dirs) -- before).toSeq.sorted
+    val removes = prevFiles
+      .filter(f => dirs.exists(d => f.startsWith(d + "/")))
+    // refuse BEFORE the record lands: an all-rows-gone commit would be
+    // an empty version — unreadable on plain parquet (no schema source)
     // and, as the latest version, it would block every later commit. The
     // table stays at `prev`; the just-appended files are unreferenced
     // orphans a vacuum reclaims.
-    require(kept.nonEmpty || newFiles.nonEmpty,
+    require(prevFiles.size - removes.size + adds.size > 0,
       "commit would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
-    writeManifest(fs, baseDir, prev + 1, kept ++ newFiles)
-    prev + 1
+    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes)
+  }
+
+  /** Land the commit record for `version` (delta always; checkpoint on
+    * cadence) and publish [[lastCommitStats]]. The cadence checkpoint
+    * resolves through the just-written delta — one metadata-scale log
+    * replay, paid on 1-in-`checkpointEvery` commits. */
+  private def logCommit(spark: SparkSession, fs: FileSystem,
+      baseDir: String, version: Int, dirs: Set[String],
+      adds: Seq[String], removes: Seq[String]): Int = {
+    writeDelta(fs, baseDir, version, adds, removes)
+    val checkpoint = version % checkpointEvery == 0
+    if (checkpoint)
+      writeManifest(fs, baseDir, version, filesAt(spark, baseDir, version))
+    lastCommitStats = Some(CommitStats(version, dirs, adds.size,
+      removes.size, checkpoint))
+    version
+  }
+
+  /** Blind APPEND as a new version — the insert-only ingest commit (no
+    * key merge, no partition rewrite): the batch's rows land as new
+    * files and the delta records ONLY adds. No discovery join, no
+    * read-back of the previous version — the cheapest commit there is,
+    * O(files written), which is why a high-rate insert-only stream
+    * should land through it rather than paying [[upsert]]'s
+    * partition-rewrite per micro-batch. The price is the classic one:
+    * repeated appends accumulate small files per partition in the
+    * CURRENT version — [[compact]] is the paired maintenance op.
+    * Duplicate keys are the CALLER's contract here, exactly as in any
+    * append-mode table. An empty batch commits nothing. */
+  def append(spark: SparkSession, baseDir: String, rows: DataFrame,
+      partCol: String): Int = {
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    requireStringPartCol(rows, partCol)
+    require(rows.filter(col(partCol).isNull).isEmpty,
+      s"NULL values in partition column '$partCol': such rows could " +
+        "never be updated or deleted — default the value upstream")
+    val batch = rows.localCheckpoint() // distinct-collect + write: 2 actions
+    val affected = batch.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    if (affected.isEmpty) return prev
+    val fs = hadoopFs(spark, baseDir)
+    val dirs = affectedDirs(partCol, affected)
+    val before = listFilesUnder(fs, baseDir, dirs)
+    batch.repartition(col(partCol))
+      .write.mode("append").partitionBy(partCol)
+      .parquet(dataDir(baseDir).toString)
+    val adds = (listFilesUnder(fs, baseDir, dirs) -- before).toSeq.sorted
+    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, Nil)
   }
 
   /** MERGE INTO as a new version: same pruned-discovery semantics as
@@ -198,75 +378,127 @@ object TimeTravel {
     * cross-partition key moves covered), but the prior version remains
     * readable. Returns the committed version number. */
   def upsert(spark: SparkSession, baseDir: String, updates: DataFrame,
-      keyCol: String, partCol: String): Int = {
+      keyCol: String, partCol: String,
+      broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     requireStringPartCol(updates, partCol)
     val base = readVersion(spark, baseDir, prev)
     val ups = updates.localCheckpoint()
-    val updKeys = ups.select(col(keyCol)).distinct()
+    val updKeys = Merge.gateBroadcast(ups.select(col(keyCol)).distinct(),
+      broadcastKeyLimit)
     val affected = ups.select(col(partCol)).distinct()
-      .union(base.join(broadcast(updKeys), Seq(keyCol))
+      .union(base.join(updKeys, Seq(keyCol))
         .select(col(partCol)).distinct())
       .distinct().collect().map(_.get(0)).toSeq
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev // empty batch: nothing to commit
     val current = base.filter(col(partCol).isin(affected: _*))
     val merged = ups.unionByName(
-      current.join(broadcast(updKeys), Seq(keyCol), "left_anti")
+      current.join(updKeys, Seq(keyCol), "left_anti")
         .select(ups.columns.map(col).toSeq: _*))
       .localCheckpoint() // don't re-plan the discovery work in the write
     commitRewrite(spark, baseDir, partCol, affected, prev, merged)
+  }
+
+  /** Targeted DELETE as a new version. Deleting keys not present commits
+    * nothing and returns the current version (a recorded no-op would
+    * carry an identical file set — noise in the log). */
+  def delete(spark: SparkSession, baseDir: String, keys: DataFrame,
+      keyCol: String, partCol: String,
+      broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit): Int = {
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val base = readVersion(spark, baseDir, prev)
+    val delKeys = Merge.gateBroadcast(
+      keys.select(col(keyCol)).distinct().localCheckpoint(),
+      broadcastKeyLimit)
+    val affected = base.join(delKeys, Seq(keyCol))
+      .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+    Merge.requireNoNullPartition(affected, partCol)
+    if (affected.isEmpty) prev
+    else {
+      val survivors = base.filter(col(partCol).isin(affected: _*))
+        .join(delKeys, Seq(keyCol), "left_anti")
+        .localCheckpoint()
+      commitRewrite(spark, baseDir, partCol, affected, prev, survivors)
+    }
+  }
+
+  /** OPTIMIZE: version-preserving small-file compaction — the
+    * maintenance op a per-micro-batch streaming ingest makes mandatory
+    * (every trigger lands its own small files, and time travel keeps
+    * them forever). Partitions of the CURRENT version holding more than
+    * `maxFilesPerDir` files are rewritten as one consolidated file set
+    * in a NEW commit; content is identical by construction (a pure
+    * read-rewrite of exactly those files), every older version still
+    * reads its original files, and untouched partitions carry over by
+    * name. Already-compact tables commit nothing. The freed small files
+    * become vacuum-reclaimable once retention passes the pre-compaction
+    * versions. Returns the committed (or current, if no-op) version. */
+  def compact(spark: SparkSession, baseDir: String, partCol: String,
+      maxFilesPerDir: Int = 1): Int = {
+    require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val byDir = filesAt(spark, baseDir, prev)
+      .groupBy(f => f.substring(0, f.indexOf('/')))
+    val fragmented = byDir.filter(_._2.size > maxFilesPerDir)
+    if (fragmented.isEmpty) return prev
+    val affected = fragmented.keys.toSeq.map(d =>
+      ExternalCatalogUtils.unescapePathName(d.stripPrefix(s"$partCol=")))
+    // read back ONLY the fragmented partitions' files; commitRewrite's
+    // repartition(partCol) lands one task's consolidated files per dir
+    val rows = readFiles(spark, baseDir,
+      fragmented.values.flatten.toSeq.sorted)
+    commitRewrite(spark, baseDir, partCol, affected, prev, rows)
   }
 
   /** VACUUM: physically reclaim data files that no RETAINED version
     * references — the retention boundary every log-structured format
     * pairs with time travel (old versions are free until you choose to
     * stop paying for them). Versions `keepFrom..latest` stay fully
-    * readable; manifests below `keepFrom` are dropped so no surviving
-    * manifest can reference a deleted file (vacuuming data out from
-    * under a live manifest is the one unforgivable state). A file shared
-    * by old and retained versions survives — membership is decided
-    * against the UNION of retained manifests, never per-version.
-    * Driver cost: the manifest file lists (file-count-bounded metadata).
-    * Returns (files deleted, manifests dropped). */
+    * readable; log records below `keepFrom` are dropped so no surviving
+    * version can resolve to a deleted file (vacuuming data out from
+    * under a live version is the one unforgivable state). A file shared
+    * by old and retained versions survives: the retained-file union is
+    * the floor version's resolved set plus every later delta's adds —
+    * exact, because files enter the table only through adds and every
+    * version above the floor is retained. Before older records drop,
+    * the floor version gets a full checkpoint (if it doesn't have one)
+    * so it stays resolvable without its ancestors. Driver cost: the log
+    * records (metadata) plus one table listing — orphan discovery is
+    * inherently table-scale; that is vacuum's job, not the commit
+    * path's. Returns (files deleted, log versions dropped), counting
+    * only deletions the filesystem confirmed. */
   def vacuum(spark: SparkSession, baseDir: String,
       keepFrom: Int): (Int, Int) = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom=$keepFrom out of [1, $latest]")
-    val kept = (keepFrom to latest)
-      .flatMap(v => readManifest(fs, baseDir, v)).toSet
+    val floor = filesAt(spark, baseDir, keepFrom).toSet
+    val laterAdds = ((keepFrom + 1) to latest)
+      .flatMap(v => readDelta(fs, baseDir, v)._1)
+    val kept = floor ++ laterAdds
+    // self-contain the floor BEFORE anything is deleted: a crash at any
+    // later point leaves every retained version resolvable
+    if (!fs.exists(manifestPath(baseDir, keepFrom)))
+      writeManifest(fs, baseDir, keepFrom, floor.toSeq)
     val doomed = (listDataFiles(fs, baseDir) -- kept).toSeq.sorted
-    doomed.foreach(f => fs.delete(new Path(dataDir(baseDir), f), false))
-    // drop the now-unservable manifests AFTER the files: a crash between
-    // the two leaves dangling manifests (readVersion fails loudly), never
-    // a manifest silently missing data
+    val nDeleted = doomed.count(f =>
+      fs.delete(new Path(dataDir(baseDir), f), false))
+    // drop the now-unservable records AFTER the files: a crash between
+    // the two leaves dangling records (readVersion fails loudly), never
+    // a version silently missing data
     val dropped = (1 until keepFrom).count { v =>
-      fs.delete(new Path(logDir(baseDir), s"$v.manifest"), false)
+      val m = fs.delete(manifestPath(baseDir, v), false)
+      val d = fs.delete(deltaPath(baseDir, v), false)
+      m || d
     }
-    (doomed.size, dropped)
-  }
-
-  /** Targeted DELETE as a new version. Deleting keys not present commits
-    * nothing and returns the current version (a recorded no-op would
-    * carry an identical manifest — noise in the log). */
-  def delete(spark: SparkSession, baseDir: String, keys: DataFrame,
-      keyCol: String, partCol: String): Int = {
-    val prev = latestVersion(spark, baseDir)
-    require(prev >= 1, s"$baseDir has no commits — call init first")
-    val base = readVersion(spark, baseDir, prev)
-    val delKeys = keys.select(col(keyCol)).distinct().localCheckpoint()
-    val affected = base.join(broadcast(delKeys), Seq(keyCol))
-      .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
-    Merge.requireNoNullPartition(affected, partCol)
-    if (affected.isEmpty) prev
-    else {
-      val survivors = base.filter(col(partCol).isin(affected: _*))
-        .join(broadcast(delKeys), Seq(keyCol), "left_anti")
-        .localCheckpoint()
-      commitRewrite(spark, baseDir, partCol, affected, prev, survivors)
-    }
+    // the floor's delta is redundant once its checkpoint exists and its
+    // ancestors are gone; dropping it is log hygiene, not a version drop
+    fs.delete(deltaPath(baseDir, keepFrom), false)
+    (nDeleted, dropped)
   }
 }

@@ -788,9 +788,7 @@ object PipelineQueries {
         try { TimeTravel.readVersion(spark, t, 1); false }
         catch { case _: IllegalArgumentException => true }
       val retained = (2 to 3).flatMap(v =>
-        java.nio.file.Files.readAllLines(
-          java.nio.file.Paths.get(t, "_graft_log", s"$v.manifest"))
-          .toArray.map(_.toString)).toSet
+        TimeTravel.filesAt(spark, t, v)).toSet
       val onDisk = {
         val base = java.nio.file.Paths.get(t, "data")
         val stream = java.nio.file.Files.walk(base)
@@ -823,7 +821,76 @@ object PipelineQueries {
         TRUE AS v1_reclaimed, TRUE AS disk_matches_manifests""")
   )
 
+  /** Versioned lineitem table with a q161-style multi-commit history,
+    * staged once per sf dir: v1 = init with linenumbers 1–3, v2–v5 =
+    * one blind APPEND per remaining linenumber (each lands its own
+    * small files into every l_returnflag partition — the per-micro-batch
+    * fragmentation an insert-only stream accumulates), v6 =
+    * `TimeTravel.compact` consolidating each partition in a NEW commit.
+    * All one-shot by nature, so they are staging; the measured query
+    * reads the stable post-compaction table. */
+  private val stagedCompacted =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def compactedVersionedDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCompacted.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-compact")
+      val li = Tables.load(spark, dir, "lineitem")
+        .withColumn("part", col("l_returnflag"))
+      TimeTravel.init(spark, t, li.filter(col("l_linenumber") <= 3), "part")
+      (4 to 7).foreach { n =>
+        TimeTravel.append(spark, t, li.filter(col("l_linenumber") === n),
+          "part")
+      }
+      TimeTravel.compact(spark, t, "part")
+      t
+    })
+
+  /** Version-preserving OPTIMIZE ([[graft.operators.TimeTravel.compact]])
+    * over the appended history: the compacted latest version's exact
+    * content aggregates (they must equal the WHOLE lineitem table — init
+    * plus every append, nothing dropped or duplicated by the rewrite)
+    * plus three in-band verdicts — the commit actually consolidated
+    * (file count strictly reduced), each partition now holds exactly one
+    * file, and the PRE-compaction version is still fully readable with
+    * identical row count (time travel survives maintenance — the
+    * property [[graft.operators.Layout.compact]]'s in-place rewrite
+    * q158 cannot offer). File counts come from the commit log
+    * ([[graft.operators.TimeTravel.filesAt]]), metadata-scale, never a
+    * directory listing. */
+  val q162 = Q(
+    "q162_versioned_compaction",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = compactedVersionedDir(spark, dir)
+      val latest = TimeTravel.latestVersion(spark, t)
+      val filesNow = TimeTravel.filesAt(spark, t, latest)
+      val filesPre = TimeTravel.filesAt(spark, t, latest - 1)
+      val onePerDir = filesNow.groupBy(f => f.substring(0, f.indexOf('/')))
+        .values.forall(_.size == 1)
+      val preCount = TimeTravel.readVersion(spark, t, latest - 1).count()
+      TimeTravel.readVersion(spark, t, latest).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_orderkey"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_orderkey")).as("n_orders"))
+        .select(col("n_rows"), col("sum_orderkey"), col("sum_qty"),
+          col("n_orders"),
+          lit(filesNow.size < filesPre.size).as("files_reduced"),
+          lit(onePerDir).as("one_file_per_partition"),
+          (col("n_rows") === preCount).as("history_intact"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+        ${Exact.sqlSum("l_quantity")} AS sum_qty,
+        COUNT(DISTINCT l_orderkey) AS n_orders,
+        TRUE AS files_reduced, TRUE AS one_file_per_partition,
+        TRUE AS history_intact
+      FROM lineitem""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141, q142, q150, q151, q156, q158, q159)
+      q137, q141, q142, q150, q151, q156, q158, q159, q162)
 }

@@ -799,6 +799,33 @@ object VectorQueries {
     Some(q34Oracle)
   )
 
+  /** Batch kNN join served FROM the persisted two-batch IVF index
+    * ([[Similarity.knnJoinFromIndex]]) — the production serving shape
+    * q72 and q124 each cover half of: q72's UNBOUNDED query relation
+    * (the first 16 vectors, 2-probe, top-3) probing q148's
+    * incrementally-built artifact, with the corpus scan PHYSICALLY
+    * pruned to the union of probed cells (a static partition filter
+    * from ≤ nCells driver-held values; VectorSpec asserts the
+    * PartitionFilters). The index holds every vector under the same
+    * first-8 quantizer as q72's live-corpus join, so q72's oracle —
+    * corpus cell assignment, probe selection, in-cell cosine ranking,
+    * all re-derived from the table — verifies the serving path
+    * verbatim: a stale appended batch, drifted sidecar centroids, or
+    * over-pruned cells all hash-mismatch. */
+  val q163 = Q(
+    "q163_knn_join_from_index",
+    (spark, dir) => {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.knnJoinFromIndex(spark, incrIvfIndexDir(spark, dir),
+          queries, k = 3, nProbe = 2)
+        .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        .select(col("query_id"), col("rank"), col("vec_id"), col("label"))
+    },
+    q72.oracle
+  )
+
   /** Hybrid lexical+vector retrieval: BM25 top-50 (q131's ranking,
     * [[graft.operators.Corpus.bm25TopK]]) and cosine top-50 around vec_id
     * 0's embedding (q30's ranking), fused by Reciprocal Rank Fusion
@@ -950,5 +977,5 @@ object VectorQueries {
 
   val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119,
-      q124, q132, q148, q157)
+      q124, q132, q148, q157, q163)
 }

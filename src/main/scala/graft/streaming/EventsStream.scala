@@ -1,5 +1,7 @@
 package graft.streaming
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
@@ -488,29 +490,62 @@ object EventsStream {
     *
     * The first non-empty batch creates the table (plain partitioned
     * write); later batches take the copy-on-write merge path, rewriting
-    * only partitions holding changed keys. */
+    * only partitions holding changed keys.
+    *
+    * Returns per-micro-batch COMMIT TELEMETRY — the wall time each
+    * foreachBatch commit took (the decodeImageIOWithMetrics discipline,
+    * applied to the commit path): replay totals alone can't show where
+    * a streaming-lakehouse sink spends its time, and the commit path is
+    * exactly where table-format design flaws (full-listing discovery,
+    * manifest rewrite growth) would surface as per-trigger latency
+    * creep. foreachBatch runs on the driver, so a plain builder
+    * suffices — no accumulator needed. */
   def replayToUpsert(df: DataFrame, baseDir: String, checkpointDir: String,
       keyCol: String, partCol: String,
-      statePartitions: Option[Int] = None): Unit =
+      statePartitions: Option[Int] = None): Seq[CommitTiming] = {
+    val timings = newTimings
     replay(df, statePartitions, noDataBatch = true) { ws =>
       ws.outputMode(OutputMode.Update())
         .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            val root = new java.io.File(baseDir)
-            val exists = root.exists &&
-              Option(root.listFiles).exists(_.exists(f =>
-                f.isDirectory || f.getName.endsWith(".parquet")))
-            if (!exists)
-              batch.repartition(col(partCol)) // one task per partition dir
-                .write.mode("overwrite").partitionBy(partCol).parquet(baseDir)
-            else
-              graft.operators.Merge.upsertPartitioned(
-                batch.sparkSession, baseDir, batch, keyCol, partCol)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          timed(timings, batchId) {
+            if (batch.isEmpty) false
+            else {
+              val root = new java.io.File(baseDir)
+              val exists = root.exists &&
+                Option(root.listFiles).exists(_.exists(f =>
+                  f.isDirectory || f.getName.endsWith(".parquet")))
+              if (!exists)
+                batch.repartition(col(partCol)) // one task per partition dir
+                  .write.mode("overwrite").partitionBy(partCol).parquet(baseDir)
+              else
+                graft.operators.Merge.upsertPartitioned(
+                  batch.sparkSession, baseDir, batch, keyCol, partCol)
+              true
+            }
           }
-          ()
         }
     }
+    timings.asScala.toSeq
+  }
+
+  /** One micro-batch's commit cost: foreachBatch wall time on the
+    * driver, and whether the batch actually committed table work
+    * (non-empty) or was skipped. */
+  final case class CommitTiming(batchId: Long, millis: Long,
+      committed: Boolean)
+
+  private def newTimings =
+    new java.util.concurrent.ConcurrentLinkedQueue[CommitTiming]()
+
+  private def timed(q: java.util.concurrent.ConcurrentLinkedQueue[CommitTiming],
+      batchId: Long)(body: => Boolean): Unit = {
+    val t0 = System.nanoTime()
+    val committed = body
+    q.add(CommitTiming(batchId, (System.nanoTime() - t0) / 1000000L,
+      committed))
+    ()
+  }
 
   /** Streaming ingest as VERSIONED commits
     * ([[graft.operators.TimeTravel]]): every non-empty micro-batch lands
@@ -525,22 +560,28 @@ object EventsStream {
     * replay, which is exactly what a commit log should record. */
   def replayToVersioned(df: DataFrame, baseDir: String,
       checkpointDir: String, keyCol: String, partCol: String,
-      statePartitions: Option[Int] = None): Unit =
+      statePartitions: Option[Int] = None): Seq[CommitTiming] = {
+    val timings = newTimings
     replay(df, statePartitions, noDataBatch = true) { ws =>
       ws.outputMode(OutputMode.Update())
         .option("checkpointLocation", checkpointDir)
-        .foreachBatch { (batch: DataFrame, _: Long) =>
-          if (!batch.isEmpty) {
-            import graft.operators.TimeTravel
-            if (TimeTravel.latestVersion(batch.sparkSession, baseDir) == 0)
-              TimeTravel.init(batch.sparkSession, baseDir, batch, partCol)
-            else
-              TimeTravel.upsert(batch.sparkSession, baseDir, batch,
-                keyCol, partCol)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          timed(timings, batchId) {
+            if (batch.isEmpty) false
+            else {
+              import graft.operators.TimeTravel
+              if (TimeTravel.latestVersion(batch.sparkSession, baseDir) == 0)
+                TimeTravel.init(batch.sparkSession, baseDir, batch, partCol)
+              else
+                TimeTravel.upsert(batch.sparkSession, baseDir, batch,
+                  keyCol, partCol)
+              true
+            }
           }
-          ()
         }
     }
+    timings.asScala.toSeq
+  }
 
   /** The shared replay harness: conf handling (state sizing, no-data-batch
     * suppression, state-store provider, restoration) around an

@@ -35,4 +35,36 @@ class MinHashAggSpec extends SparkSpec {
     val agree = m(1L).zip(m(3L)).count { case (a, b) => a == b }
     assert(agree > 0 && agree < 32)
   }
+
+  test("MinHashSig matches the compositional array_min form on empty, all-null, and mixed arrays") {
+    // the compositional formulation MinHashSig claims bit-parity with:
+    // array_min over transform(...xxhash64-ish...) yields NULL per seed
+    // when nothing hashed — the native loop must never leak MaxValue
+    val df = Seq(
+      (1L, Seq("a", "b", "c")),
+      (2L, Seq.empty[String]),
+      (3L, Seq[String](null, null)),   // all-null elements
+      (4L, Seq("a", null, "c")))       // null skipped, not poisoning
+      .toDF("id", "arr")
+    val k = 8
+    val got = df.select(col("id"),
+        MinHashSig.minhashSig(col("arr"), k).as("sig"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) null else r.getSeq[java.lang.Long](1))).toMap
+    assert(got(1L).length === k)
+    assert(got(1L).forall(_ != null))
+    // empty and all-null both yield k NULLs (no sentinel leakage)
+    assert(got(2L) === Seq.fill(k)(null))
+    assert(got(3L) === Seq.fill(k)(null))
+    assert(got(3L).forall(_ != Long.MaxValue))
+    // nulls among real elements are skipped: equals the null-free set
+    val clean = df.filter(col("id") === 1L)
+      .select(MinHashSig.minhashSig(col("arr"), k))
+      .collect().head.getSeq[java.lang.Long](0)
+    val mixed = Seq((0L, Seq[String]("a", null, "b", "c", null)))
+      .toDF("id", "arr")
+      .select(MinHashSig.minhashSig(col("arr"), k))
+      .collect().head.getSeq[java.lang.Long](0)
+    assert(mixed === clean)
+  }
 }

@@ -53,6 +53,61 @@ class BpeSpec extends SparkSpec {
     assert(m === Seq((1, "a", "b", 1L)))
   }
 
+  /** Driver-side reference BPE trainer: per-position adjacent-pair
+    * counting, argmax under (count desc, left asc, right asc), greedy
+    * left-to-right non-overlapping merge — the exact semantics
+    * [[Corpus.bpeTrain]]'s replace-invariant encodes, in plain Scala. */
+  private def refBpe(ws: Seq[(String, Long)],
+      nMerges: Int): Seq[(Int, String, String, Long)] = {
+    var cur: Seq[(Vector[String], Long)] =
+      ws.map { case (w, f) => (w.map(_.toString).toVector, f) }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long)]
+    var stop = false
+    while (out.length < nMerges && !stop) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      cur.foreach { case (syms, f) =>
+        (0 until syms.length - 1).foreach { i =>
+          val k = (syms(i), syms(i + 1))
+          counts(k) = counts.getOrElse(k, 0L) + f
+        }
+      }
+      if (counts.isEmpty) stop = true
+      else {
+        val ((l, r), n) = counts.toSeq
+          .minBy { case ((pl, pr), pn) => (-pn, pl, pr) }
+        out += ((out.length + 1, l, r, n))
+        cur = cur.map { case (syms, f) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("256-merge training matches the driver-side reference loop exactly (plan depth stays bounded)") {
+    // a corpus rich enough to sustain >256 merges, deterministic seed;
+    // crossing the internal re-checkpoint cadence ~16 times proves the
+    // depth-bounding materialization never perturbs a single argmax
+    val rnd = new scala.util.Random(42)
+    val alpha = "abcdef"
+    val corpus = Iterator.continually {
+        val len = 4 + rnd.nextInt(9)
+        (1 to len).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      }.distinct.take(150).map(w => w -> (1L + rnd.nextInt(9))).toSeq
+    val got = trained(corpus, 256)
+    val want = refBpe(corpus, 256)
+    assert(got.length === want.length)
+    got.zip(want).foreach { case (g, w) => assert(g === w, s"rank ${w._1}") }
+  }
+
   test("bpeEncode replays the learned merges: encoding train words reproduces the final symbolization") {
     val corpus = Seq("abab" -> 3L, "ab" -> 2L, "cab" -> 4L, "z" -> 1L)
     val table = Corpus.bpeTrain(words(corpus: _*), 3)

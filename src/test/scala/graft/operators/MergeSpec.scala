@@ -45,6 +45,25 @@ class MergeSpec extends SparkSpec {
     assert(files(dir, "p3") === p3Before)
   }
 
+  test("upsertPartitioned above the broadcast key limit takes the shuffle path with identical results") {
+    // two identical tables, one merged with the hint gated off: a
+    // backfill-scale batch must degrade to shuffle joins, not change
+    // results (or OOM the driver building a broadcast)
+    val bDir = stage(); val sDir = stage()
+    val ups = Seq((1L, "p1", 11.0), (3L, "p1", 33.0), (9L, "p2", 90.0))
+      .toDF("id", "part", "v")
+    val viaBroadcast = Merge.upsertPartitioned(spark, bDir, ups, "id", "part")
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("part"),
+        r.getAs[Double]("v"))).toSet
+    val viaShuffle = Merge.upsertPartitioned(spark, sDir, ups, "id", "part",
+      broadcastKeyLimit = 0L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[String]("part"),
+        r.getAs[Double]("v"))).toSet
+    assert(viaShuffle === viaBroadcast)
+    assert(Merge.deletePartitioned(spark, sDir, Seq(9L).toDF("id"),
+      "id", "part", broadcastKeyLimit = 0L).count() === 5)
+  }
+
   test("upsertPartitioned: a key moving partitions leaves no stale copy behind") {
     val dir = stage()
     val ups = Seq((3L, "p1", 33.0)).toDF("id", "part", "v") // p2 → p1

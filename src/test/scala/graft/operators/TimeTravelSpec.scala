@@ -52,19 +52,69 @@ class TimeTravelSpec extends SparkSpec {
 
   test("untouched partitions carry over by file NAME; nothing is physically deleted") {
     val dir = stage()
-    def manifest(n: Int) = Files.readAllLines(
-      Paths.get(dir, "_graft_log", s"$n.manifest"))
     TimeTravel.upsert(spark, dir,
       Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part")
-    val m1 = manifest(1); val m2 = manifest(2)
+    val m1 = TimeTravel.filesAt(spark, dir, 1).toSet
+    val m2 = TimeTravel.filesAt(spark, dir, 2).toSet
     // p2/p3 files identical entries across versions; p1 files replaced
-    assert(m1.stream.filter(f => !f.startsWith("part=p1/")).toArray.toSet
-      === m2.stream.filter(f => !f.startsWith("part=p1/")).toArray.toSet)
-    assert(m1.stream.filter(_.startsWith("part=p1/")).toArray.toSet
-      .intersect(m2.stream.filter(_.startsWith("part=p1/")).toArray.toSet)
-      .isEmpty)
+    assert(m1.filterNot(_.startsWith("part=p1/"))
+      === m2.filterNot(_.startsWith("part=p1/")))
+    assert(m1.filter(_.startsWith("part=p1/"))
+      .intersect(m2.filter(_.startsWith("part=p1/"))).isEmpty)
     // every v1 file still exists on disk (no vacuum)
-    m1.forEach(f => assert(Files.exists(Paths.get(dir, "data", f)), f))
+    m1.foreach(f => assert(Files.exists(Paths.get(dir, "data", f)), f))
+  }
+
+  test("a commit lists ONLY the affected partition dirs and logs a batch-bounded delta") {
+    // many partitions, one touched: the O(files touched) commit contract
+    val dir = tmpDir("tt-scoped")
+    TimeTravel.init(spark, dir,
+      (1 to 40).map(i => (i.toLong, s"p${i % 20}", i.toDouble))
+        .toDF("id", "part", "v"), "part")
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 111.0)).toDF("id", "part", "v"), "id", "part")
+    val stats = TimeTravel.lastCommitStats.get
+    assert(stats.version === 2)
+    // discovery never left the affected directory — 1 of 20 partitions
+    assert(stats.dirsListed === Set("part=p1"))
+    // v2's commit record is a DELTA naming only p1's files, not a full
+    // 20-partition manifest
+    assert(!Files.exists(Paths.get(dir, "_graft_log", "2.manifest")))
+    val delta = Files.readAllLines(Paths.get(dir, "_graft_log", "2.delta"))
+      .stream.toArray.map(_.toString)
+    assert(delta.nonEmpty)
+    assert(delta.forall(l => (l.startsWith("+") || l.startsWith("-"))
+      && l.tail.startsWith("part=p1/")), delta.mkString(","))
+    assert(stats.nAdded === delta.count(_.startsWith("+")))
+    assert(stats.nRemoved === delta.count(_.startsWith("-")))
+    // and the resolved version is still exactly right
+    assert(TimeTravel.readVersion(spark, dir, 2)
+      .filter(col("id") === 1L).select("v").as[Double].head() === 111.0)
+    assert(TimeTravel.readVersion(spark, dir, 2).count() === 40)
+  }
+
+  test("checkpoint cadence: every 10th version gets a full manifest; resolution replays deltas from the nearest checkpoint") {
+    val dir = tmpDir("tt-ckpt")
+    TimeTravel.init(spark, dir,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v"), "part")
+    (2 to 12).foreach { i =>
+      TimeTravel.upsert(spark, dir,
+        Seq((1L, "a", i.toDouble)).toDF("id", "part", "v"), "id", "part")
+    }
+    assert(TimeTravel.latestVersion(spark, dir) === 12)
+    def hasManifest(v: Int) =
+      Files.exists(Paths.get(dir, "_graft_log", s"$v.manifest"))
+    def hasDelta(v: Int) =
+      Files.exists(Paths.get(dir, "_graft_log", s"$v.delta"))
+    assert(hasManifest(1) && !hasDelta(1))      // init = first checkpoint
+    assert(hasManifest(10) && hasDelta(10))     // cadence checkpoint
+    assert((2 to 12).filter(_ != 10).forall(v => hasDelta(v) && !hasManifest(v)))
+    // v11/v12 resolve through checkpoint 10, and every version is exact
+    (1 to 12).foreach { v =>
+      val expect = if (v == 1) 1.0 else v.toDouble
+      assert(rows(TimeTravel.readVersion(spark, dir, v))
+        === Set((1L, "a", expect), (2L, "b", 2.0)), s"version $v")
+    }
   }
 
   test("emptying a partition drops it from the manifest only; key moves leave no stale copy") {
@@ -184,9 +234,9 @@ class TimeTravelSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeTravel.readVersion(spark, dir, 1)
     }
-    // disk now holds exactly the union of retained manifests
-    val retained = (2 to 3).flatMap(v => Files.readAllLines(
-      Paths.get(dir, "_graft_log", s"$v.manifest")).asScala).toSet
+    // disk now holds exactly the union of retained versions' file sets
+    val retained = (2 to 3).flatMap(v =>
+      TimeTravel.filesAt(spark, dir, v)).toSet
     val onDisk = Files.walk(Paths.get(dir, "data")).iterator().asScala
       .filter(_.toString.endsWith(".parquet"))
       .map(p => Paths.get(dir, "data").relativize(p).toString).toSet
@@ -194,6 +244,97 @@ class TimeTravelSpec extends SparkSpec {
     assert(onDisk.size < filesBefore)
     // vacuuming at the floor that keeps everything is a no-op
     assert(TimeTravel.vacuum(spark, dir, keepFrom = 2) === ((0, 0)))
+  }
+
+  test("init with an empty DataFrame is refused and does not brick the table dir") {
+    val dir = tmpDir("tt-empty-init")
+    val ex = intercept[IllegalArgumentException] {
+      TimeTravel.init(spark, dir,
+        Seq.empty[(Long, String, Double)].toDF("id", "part", "v"), "part")
+    }
+    assert(ex.getMessage.contains("EMPTY"))
+    // no v1 manifest landed: the dir is still initializable for real
+    assert(TimeTravel.latestVersion(spark, dir) === 0)
+    assert(TimeTravel.init(spark, dir,
+      Seq((1L, "p1", 1.0)).toDF("id", "part", "v"), "part") === 1)
+    assert(rows(TimeTravel.readVersion(spark, dir, 1))
+      === Set((1L, "p1", 1.0)))
+  }
+
+  test("append commits only adds (no read-back, no removes); duplicate files never") {
+    val dir = stage()
+    val v2 = TimeTravel.append(spark, dir,
+      Seq((10L, "p1", 100.0), (11L, "p9", 110.0)).toDF("id", "part", "v"),
+      "part")
+    assert(v2 === 2)
+    val stats = TimeTravel.lastCommitStats.get
+    assert(stats.nRemoved === 0)
+    assert(stats.dirsListed === Set("part=p1", "part=p9")) // incl. brand-new dir
+    assert(rows(TimeTravel.readVersion(spark, dir, 2))
+      === rows(TimeTravel.readVersion(spark, dir, 1))
+        + ((10L, "p1", 100.0)) + ((11L, "p9", 110.0)))
+    // v1's p1 files carried over by NAME (append never rewrites)
+    assert(TimeTravel.filesAt(spark, dir, 1).toSet
+      .subsetOf(TimeTravel.filesAt(spark, dir, 2).toSet))
+    // empty batch: no commit
+    assert(TimeTravel.append(spark, dir,
+      Seq.empty[(Long, String, Double)].toDF("id", "part", "v"),
+      "part") === 2)
+  }
+
+  test("compact consolidates fragmented partitions in a NEW commit; content and history intact") {
+    val dir = tmpDir("tt-compact")
+    TimeTravel.init(spark, dir,
+      Seq((1L, "p1", 1.0), (2L, "p2", 2.0)).toDF("id", "part", "v"), "part")
+    // three appends land three separate file sets into p1 (the
+    // per-micro-batch small-file pattern of an insert-only stream)
+    (1 to 3).foreach { i =>
+      TimeTravel.append(spark, dir,
+        Seq((10L + i, "p1", 10.0 * i)).toDF("id", "part", "v"), "part")
+    }
+    val v4 = rows(TimeTravel.readVersion(spark, dir, 4))
+    def p1Files(v: Int) = TimeTravel.filesAt(spark, dir, v)
+      .count(_.startsWith("part=p1/"))
+    assert(p1Files(4) > 1) // genuinely fragmented before
+    val v5 = TimeTravel.compact(spark, dir, "part")
+    assert(v5 === 5)
+    assert(p1Files(5) === 1) // consolidated after
+    // content identity, untouched partition carried by name, history alive
+    assert(rows(TimeTravel.readVersion(spark, dir, 5)) === v4)
+    assert(TimeTravel.filesAt(spark, dir, 5).filter(_.startsWith("part=p2/"))
+      === TimeTravel.filesAt(spark, dir, 1).filter(_.startsWith("part=p2/")))
+    assert(rows(TimeTravel.readVersion(spark, dir, 4)) === v4)
+    assert(TimeTravel.lastCommitStats.get.dirsListed === Set("part=p1"))
+    // already-compact: no-op, no new version
+    assert(TimeTravel.compact(spark, dir, "part") === 5)
+    assert(TimeTravel.latestVersion(spark, dir) === 5)
+    // the freed small files reclaim under the normal retention rule
+    val (deleted, _) = TimeTravel.vacuum(spark, dir, keepFrom = 5)
+    assert(deleted > 0)
+    assert(rows(TimeTravel.readVersion(spark, dir, 5)) === v4)
+  }
+
+  test("a backfill-scale key set degrades to a shuffle join (no broadcast hint) with identical results") {
+    // the hint is present under the limit and absent above it
+    val keys = Seq(1L, 2L).toDF("id")
+    def hasHint(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collect {
+        case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
+      }.nonEmpty
+    assert(hasHint(Merge.gateBroadcast(keys, limit = 10)))
+    assert(!hasHint(Merge.gateBroadcast(keys, limit = 1)))
+    // end-to-end: forcing the shuffle path produces the same versions
+    val bDir = stage(); val sDir = stage()
+    val ups = Seq((1L, "p1", 11.0), (9L, "p2", 90.0)).toDF("id", "part", "v")
+    TimeTravel.upsert(spark, bDir, ups, "id", "part")
+    TimeTravel.delete(spark, bDir, Seq(3L).toDF("id"), "id", "part")
+    TimeTravel.upsert(spark, sDir, ups, "id", "part", broadcastKeyLimit = 0L)
+    TimeTravel.delete(spark, sDir, Seq(3L).toDF("id"), "id", "part",
+      broadcastKeyLimit = 0L)
+    (1 to 3).foreach { v =>
+      assert(rows(TimeTravel.readVersion(spark, bDir, v))
+        === rows(TimeTravel.readVersion(spark, sDir, v)), s"version $v")
+    }
   }
 
   test("snapshotDiff across versions from manifests alone matches the applied batches") {

@@ -355,6 +355,32 @@ class VectorSpec extends SparkSpec {
       s"cell not in PartitionFilters:\n$plan")
   }
 
+  test("knnJoinFromIndex: serving the persisted index equals the live " +
+      "bucketed join, with partition-pruned cell scans") {
+    import org.apache.spark.sql.functions.col
+    val centroids = Similarity.firstNCentroids(emb, 8)
+    val idx = tmpDir("ivf-join-idx")
+    Similarity.writeIvfIndex(emb, centroids, idx)
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("query_id"),
+        r.getAs[Int]("rank"), r.getAs[Long]("vec_id"))).toSet
+    val live = rows(Similarity.knnJoinBucketed(emb, queries, k = 3,
+      centroids, nProbe = 2))
+    val served = Similarity.knnJoinFromIndex(spark, idx, queries, k = 3,
+      nProbe = 2)
+    assert(rows(served) === live)
+    // salted fallback serves identically too
+    assert(rows(Similarity.knnJoinFromIndex(spark, idx, queries, k = 3,
+      nProbe = 2, saltBuckets = 4)) === live)
+    // the probed-cell union reached the index scan as a PARTITION
+    // filter: only probed cell directories are read, Q-independent
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in PartitionFilters:\n$plan")
+  }
+
   test("appendToIvfIndex: two-batch build equals the one-shot index, batch-1 " +
       "files untouched") {
     import org.apache.spark.sql.functions.col

@@ -501,9 +501,19 @@ class StreamingSpec extends SparkSpec {
     // user 1's purchase and user 3's arrival
     import graft.operators.TimeTravel
     val vDir = tmpDir("graft-versioned-table")
-    EventsStream.replayToVersioned(agg(srcDir), vDir, tmpDir("ck3"),
-      keyCol = "user_id", partCol = "part")
+    val t0 = System.nanoTime()
+    val timings = EventsStream.replayToVersioned(agg(srcDir), vDir,
+      tmpDir("ck3"), keyCol = "user_id", partCol = "part")
+    val wallMs = (System.nanoTime() - t0) / 1000000L
     assert(TimeTravel.latestVersion(spark, vDir) === 2)
+    // commit telemetry: one entry per foreachBatch invocation, exactly
+    // the committing batches flagged, and the measured commit time is a
+    // real, bounded share of the replay wall time
+    assert(timings.count(_.committed) === 2)
+    assert(timings.map(_.batchId).distinct.size === timings.size)
+    assert(timings.forall(_.millis >= 0))
+    assert(timings.filter(_.committed).map(_.millis).sum > 0)
+    assert(timings.map(_.millis).sum <= wallMs)
     def vstate(n: Int): Set[(Long, String)] =
       TimeTravel.readVersion(spark, vDir, n)
         .select("user_id", "last_type").as[(Long, String)].collect().toSet
