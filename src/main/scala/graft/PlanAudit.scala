@@ -42,20 +42,37 @@ object PlanAudit {
       import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
       import org.apache.spark.sql.execution.exchange.{BroadcastExchangeExec, ReusedExchangeExec}
       import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+      // row-bounded = the broadcast content carries a row-count contract
+      // independent of data scale: an aggregate (grouped on a bounded
+      // domain or global), a limit, a literal local relation, or a
+      // literal range — never an arbitrary table that merely fits the
+      // broadcast threshold at THIS scale factor
       def rowBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
         p.collectFirst {
           case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => ()
           case _: org.apache.spark.sql.execution.BaseLimitExec => ()
           case _: org.apache.spark.sql.execution.CollectLimitExec => ()
+          case _: org.apache.spark.sql.execution.LocalTableScanExec => ()
+          case _: org.apache.spark.sql.execution.RangeExec => ()
         }.isDefined
+      // codegen boundaries (InputAdapter/WholeStageCodegen) sit between
+      // the join and its exchange; strip them before shape-matching
+      def strip(p: org.apache.spark.sql.execution.SparkPlan)
+          : org.apache.spark.sql.execution.SparkPlan = p match {
+        case i: org.apache.spark.sql.execution.InputAdapter => strip(i.child)
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          strip(w.child)
+        case other => other
+      }
       plan.foreach {
         case j: BroadcastNestedLoopJoinExec =>
-          val build = j.buildSide match {
+          val build = strip(j.buildSide match {
             case BuildLeft => j.left
             case BuildRight => j.right
-          }
-          // the IMMEDIATE child must be the broadcast (or a reuse of
-          // one), and what it broadcasts must carry a row bound
+          })
+          // the (codegen-stripped) IMMEDIATE child must be the broadcast
+          // (or a reuse of one), and what it broadcasts must carry a row
+          // bound
           val bounded = build match {
             case b: BroadcastExchangeExec => rowBounded(b.child)
             case r: ReusedExchangeExec
@@ -63,9 +80,17 @@ object PlanAudit {
               rowBounded(r.child.asInstanceOf[BroadcastExchangeExec].child)
             case _ => false
           }
-          if (!bounded)
+          if (!bounded) {
+            val inside = build match {
+              case b: BroadcastExchangeExec =>
+                b.child.collect { case p => p.nodeName }.take(8)
+                  .mkString(" <- ")
+              case other => other.nodeName
+            }
             violations += s"$name: BroadcastNestedLoopJoin whose build " +
-              "side is not a row-bounded (aggregate/limit) broadcast"
+              s"side is not a row-bounded (aggregate/limit/literal) " +
+              s"broadcast — builds from: $inside"
+          }
         case _: CartesianProductExec =>
           violations += s"$name: CartesianProduct in physical plan"
         case _ =>
