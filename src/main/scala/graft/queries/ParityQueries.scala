@@ -868,7 +868,51 @@ object ParityQueries {
       WHERE rn = 1""")
   )
 
+  /** APPEND-ONLY streaming ingest into the versioned table
+    * ([[graft.streaming.EventsStream.replayToVersionedAppend]] →
+    * [[graft.operators.TimeTravel.append]]): the raw event stream lands
+    * one blind append COMMIT per micro-batch — no merge, no partition
+    * rewrite, per-trigger cost independent of table size (the
+    * insert-only production twin of q161's merge-per-batch sink). The
+    * query reads the LATEST version back and hash-checks every event
+    * row against the raw table — a lost batch, a double-delivered
+    * batch, or an append that clobbered earlier files all shift rows —
+    * plus two in-band verdicts: the replay landed as MULTIPLE commits
+    * (streaming, not one big write) and at least one partition holds
+    * several files (the genuine small-file accumulation
+    * [[graft.operators.TimeTravel.compact]] exists to fold — q162
+    * proves the fold; this proves the accumulation is real). The
+    * sentinel row (user_id −1) steers only the slicing and is filtered
+    * like the other replay queries. */
+  val q164 = Q(
+    "q164_stream_append_versioned",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val tmp = stagedSlicedEventsDir(spark, dir)
+      val tableDir = scratchDir("graft-append-table")
+      val ck = scratchDir("graft-append-ck")
+      val src = EventsStream
+        .fromParquetDir(spark, tmp, maxFilesPerTrigger = Some(3))
+        .withColumn("part", pmod(col("user_id"), lit(8L)).cast("string"))
+      EventsStream.replayToVersionedAppend(src, tableDir, ck,
+        partCol = "part")
+      val latest = TimeTravel.latestVersion(spark, tableDir)
+      val fragmented = TimeTravel.filesAt(spark, tableDir, latest)
+        .groupBy(f => f.substring(0, f.indexOf('/')))
+        .values.exists(_.size > 1)
+      TimeTravel.readVersion(spark, tableDir, latest)
+        .filter(col("user_id") >= 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"),
+          lit(latest >= 2).as("multi_commit"),
+          lit(fragmented).as("fragmented_before_compact"))
+    },
+    Some("""SELECT event_id, ts, user_id, event_type,
+        TRUE AS multi_commit, TRUE AS fragmented_before_compact
+      FROM events""")
+  )
+
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107, q122, q123, q136, q149, q152, q161)
+      q86, q89, q90, q104, q107, q122, q123, q136, q149, q152, q161, q164)
 }

@@ -583,6 +583,44 @@ object EventsStream {
     timings.asScala.toSeq
   }
 
+  /** Streaming ingest as APPEND-ONLY versioned commits
+    * ([[graft.operators.TimeTravel.append]]): the insert-only twin of
+    * [[replayToVersioned]] for streams that never update keys — the raw
+    * event firehose, the overwhelmingly common ingest shape. Every
+    * non-empty micro-batch lands as a blind append commit: no discovery
+    * join, no partition rewrite, commit cost O(files written) and
+    * INDEPENDENT of table size — where the merge sink pays a
+    * partition-granular copy-on-write per trigger. The price is
+    * append's contract: duplicate keys are upstream's business, and
+    * small files accumulate per partition until
+    * [[graft.operators.TimeTravel.compact]] folds them into a new
+    * commit (history intact). Exactly-once comes from the source side:
+    * the checkpointed AvailableNow replay delivers each input file to
+    * exactly one batch, and a batch is one commit. */
+  def replayToVersionedAppend(df: DataFrame, baseDir: String,
+      checkpointDir: String, partCol: String,
+      statePartitions: Option[Int] = None): Seq[CommitTiming] = {
+    val timings = newTimings
+    replay(df, statePartitions, noDataBatch = true) { ws =>
+      ws.outputMode(OutputMode.Append())
+        .option("checkpointLocation", checkpointDir)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          timed(timings, batchId) {
+            if (batch.isEmpty) false
+            else {
+              import graft.operators.TimeTravel
+              if (TimeTravel.latestVersion(batch.sparkSession, baseDir) == 0)
+                TimeTravel.init(batch.sparkSession, baseDir, batch, partCol)
+              else
+                TimeTravel.append(batch.sparkSession, baseDir, batch, partCol)
+              true
+            }
+          }
+        }
+    }
+    timings.asScala.toSeq
+  }
+
   /** The shared replay harness: conf handling (state sizing, no-data-batch
     * suppression, state-store provider, restoration) around an
     * AvailableNow run of whatever sink `configure` sets up. */

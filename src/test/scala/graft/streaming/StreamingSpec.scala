@@ -519,5 +519,27 @@ class StreamingSpec extends SparkSpec {
         .select("user_id", "last_type").as[(Long, String)].collect().toSet
     assert(vstate(2) === expected)
     assert(vstate(1) === Set(1L -> "view", 2L -> "click"))
+
+    // APPEND-ONLY versioned sink: raw passthrough, one commit per batch,
+    // every source row lands exactly once — no merge, no dedup (4 events
+    // survive, where the upsert sink keeps 3 last-per-key rows)
+    val aDir = tmpDir("graft-append-table")
+    val rawSrc = EventsStream
+      .fromParquetDir(spark, srcDir, maxFilesPerTrigger = Some(1))
+      .withColumn("part", pmod(col("user_id"), lit(2L)).cast("string"))
+    val at = EventsStream.replayToVersionedAppend(rawSrc, aDir,
+      tmpDir("ck4"), partCol = "part")
+    assert(at.count(_.committed) === 2)
+    assert(TimeTravel.latestVersion(spark, aDir) === 2)
+    assert(TimeTravel.readVersion(spark, aDir, 2).count() === 4)
+    assert(TimeTravel.readVersion(spark, aDir, 1).count() === 2) // batch 1 only
+    assert(TimeTravel.readVersion(spark, aDir, 2)
+      .select("event_id").as[Long].collect().toSet === Set(1L, 2L, 3L, 4L))
+    // the accumulated per-partition files fold in a NEW commit,
+    // content and history intact
+    val v3 = TimeTravel.compact(spark, aDir, "part")
+    assert(v3 === 3)
+    assert(TimeTravel.readVersion(spark, aDir, 3).count() === 4)
+    assert(TimeTravel.readVersion(spark, aDir, 1).count() === 2)
   }
 }
