@@ -44,17 +44,37 @@ object PlanAudit {
       import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
       // row-bounded = the broadcast content carries a row-count contract
       // independent of data scale: an aggregate (grouped on a bounded
-      // domain or global), a limit, a literal local relation, or a
-      // literal range — never an arbitrary table that merely fits the
-      // broadcast threshold at THIS scale factor
+      // domain or global), a GLOBAL limit, a literal local relation, or
+      // a literal range — never an arbitrary table that merely fits the
+      // broadcast threshold at THIS scale factor. The walk descends ONLY
+      // through row-non-increasing unary nodes (project/filter/sort/
+      // exchange/codegen wrappers), so an aggregate buried under a join
+      // against a table-scale relation does NOT launder the bound —
+      // collectFirst over the whole subtree would. (LocalLimit bounds
+      // rows per partition, not globally, so it does not qualify.)
       def rowBounded(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-        p.collectFirst {
-          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => ()
-          case _: org.apache.spark.sql.execution.BaseLimitExec => ()
-          case _: org.apache.spark.sql.execution.CollectLimitExec => ()
-          case _: org.apache.spark.sql.execution.LocalTableScanExec => ()
-          case _: org.apache.spark.sql.execution.RangeExec => ()
-        }.isDefined
+        p match {
+          case _: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => true
+          case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+          case _: org.apache.spark.sql.execution.CollectLimitExec => true
+          case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+          case _: org.apache.spark.sql.execution.RangeExec => true
+          case _: org.apache.spark.sql.execution.ProjectExec |
+               _: org.apache.spark.sql.execution.FilterExec |
+               _: org.apache.spark.sql.execution.SortExec |
+               _: org.apache.spark.sql.execution.InputAdapter |
+               _: org.apache.spark.sql.execution.WholeStageCodegenExec |
+               _: org.apache.spark.sql.execution.exchange.Exchange =>
+            rowBounded(p.children.head)
+          case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec =>
+            rowBounded(r.child)
+          // a nested loop of two row-bounded sides is itself row-bounded
+          // (the 1-row-totals × 1-row-verdict cross — q145's shape);
+          // a hash/merge join is NOT, its streamed side is table-scale
+          case j: BroadcastNestedLoopJoinExec =>
+            rowBounded(j.left) && rowBounded(j.right)
+          case _ => false
+        }
       // codegen boundaries (InputAdapter/WholeStageCodegen) sit between
       // the join and its exchange; strip them before shape-matching
       def strip(p: org.apache.spark.sql.execution.SparkPlan)

@@ -42,11 +42,16 @@ object Merge {
   /** Broadcast `keys` only when the batch is plausibly build-side-sized;
     * a backfill-scale key set (billions of keys at 100 TB) must degrade
     * to a shuffle join, not force a driver-side broadcast build and OOM.
-    * The count is one column-pruned pass over the (already checkpointed)
-    * batch — the driver holds 8 bytes, not the keys. */
-  private[operators] def gateBroadcast(keys: DataFrame,
-      limit: Long): DataFrame =
-    if (keys.count() <= limit) broadcast(keys) else keys
+    * `upperBound` is a CHEAP over-estimate the caller already has (the
+    * checkpointed batch's row count — one pass over materialized
+    * partitions, no shuffle): when it clears the limit, the common
+    * small-batch case decides without ever running the distinct
+    * aggregation; only an over-limit bound pays the exact distinct
+    * count before falling back to a shuffle join. */
+  private[operators] def gateBroadcast(keys: DataFrame, limit: Long,
+      upperBound: => Long): DataFrame =
+    if (upperBound <= limit || keys.count() <= limit) broadcast(keys)
+    else keys
 
   /** Full-row upsert of `updates` (same schema as the table, partition
     * column included) into the partitioned parquet table at `baseDir`,
@@ -62,7 +67,7 @@ object Merge {
     // micro-batch aggregation) without the checkpoint
     val ups = updates.localCheckpoint()
     val updKeys = gateBroadcast(ups.select(col(keyCol)).distinct(),
-      broadcastKeyLimit)
+      broadcastKeyLimit, ups.count())
     val fromUpdates = ups.select(col(partCol)).distinct()
     val fromBase = base.join(updKeys, Seq(keyCol))
       .select(col(partCol)).distinct()
@@ -143,9 +148,10 @@ object Merge {
       keys: DataFrame, keyCol: String, partCol: String,
       broadcastKeyLimit: Long = DefaultBroadcastKeyLimit): DataFrame = {
     val base = spark.read.parquet(baseDir)
-    val delKeys = gateBroadcast(
-      keys.select(col(keyCol)).distinct().localCheckpoint(),
-      broadcastKeyLimit)
+    val checkpointedKeys = keys.select(col(keyCol)).distinct()
+      .localCheckpoint()
+    val delKeys = gateBroadcast(checkpointedKeys, broadcastKeyLimit,
+      checkpointedKeys.count())
     // raw Any partition values — inference may type them non-string
     val affected = base.join(delKeys, Seq(keyCol))
       .select(col(partCol)).distinct().collect().map(_.get(0))

@@ -188,7 +188,10 @@ object Similarity {
       path: String, queries: DataFrame, k: Int, nProbe: Int,
       saltBuckets: Int = 0): DataFrame = {
     val centroids = indexCentroids(spark, path)
-    val probes = probeCells(queries, centroids, nProbe)
+    // pinned: the probe relation feeds both the probed-cell collect and
+    // the serving join — without the checkpoint the query relation is
+    // scanned (and its nCells dot products recomputed) twice
+    val probes = probeCells(queries, centroids, nProbe).localCheckpoint()
     val probed = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val cells = spark.read.parquet(s"$path/cells")

@@ -66,14 +66,19 @@ object TimeTravel {
     * written. */
   private val checkpointEvery = 10
 
-  /** Telemetry for the most recent commit in this JVM — the observable
+  /** Telemetry for the most recent commit PER TABLE — the observable
     * contract that commit cost is bounded by the BATCH: `dirsListed`
     * are the only directories the commit enumerated (the affected
     * partitions), and `nAdded`/`nRemoved` are the delta's size.
-    * Spec-asserted (TimeTravelSpec) and useful for ops logging. */
+    * Keyed by baseDir so concurrent sinks on different tables (a merge
+    * stream and an append stream in one JVM) never clobber each other's
+    * stats. Spec-asserted (TimeTravelSpec) and useful for ops logging. */
   final case class CommitStats(version: Int, dirsListed: Set[String],
       nAdded: Int, nRemoved: Int, checkpointed: Boolean)
-  @volatile private[graft] var lastCommitStats: Option[CommitStats] = None
+  private[graft] val commitStats =
+    scala.collection.concurrent.TrieMap.empty[String, CommitStats]
+  private[graft] def lastCommitStats(baseDir: String): Option[CommitStats] =
+    commitStats.get(baseDir)
 
   private def hadoopFs(spark: SparkSession, baseDir: String): FileSystem =
     new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -149,7 +154,16 @@ object TimeTravel {
         v -> (kinds.exists(_._2), kinds.exists(!_._2)) }
   }
 
+  /** Log-record lines, metadata (`#`-prefixed, e.g. the txn marker)
+    * excluded — resolution sees only file paths. */
   private def readLogLines(fs: FileSystem, p: Path): List[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
+    finally in.close()
+  }
+
+  private def readRawLines(fs: FileSystem, p: Path): List[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
@@ -162,6 +176,36 @@ object TimeTravel {
     val lines = readLogLines(fs, deltaPath(baseDir, v))
     (lines.collect { case l if l.startsWith("+") => l.tail },
       lines.collect { case l if l.startsWith("-") => l.tail })
+  }
+
+  /** Transactional batch identity, the Delta `txn` action scaled to
+    * essentials: a commit may carry `#txn=<urlenc streamId>:<batchId>`
+    * INSIDE its record — atomic with the commit itself, which is the
+    * whole point (a side file written after the commit reopens the
+    * crash window it exists to close). An at-least-once writer (a
+    * streaming foreachBatch sink re-delivering a batch after a
+    * crash-restart) asks [[lastCommittedTxn]] whether the batch already
+    * landed and skips it — exactly-once for NON-idempotent commits like
+    * the blind append (the merge sinks are last-write-wins idempotent
+    * and don't need it). */
+  private def txnLine(txn: (String, Long)): String =
+    s"#txn=${java.net.URLEncoder.encode(txn._1, "UTF-8")}:${txn._2}"
+
+  /** Highest batchId the log records for `streamId`, scanning commit
+    * records newest→oldest and stopping at the first hit (batchIds are
+    * monotone per stream). O(versions) metadata reads in the worst
+    * case, paid once per stream RESTART — never on the commit path. */
+  def lastCommittedTxn(spark: SparkSession, baseDir: String,
+      streamId: String): Option[Long] = {
+    val fs = hadoopFs(spark, baseDir)
+    val prefix = s"#txn=${java.net.URLEncoder.encode(streamId, "UTF-8")}:"
+    val entries = logEntries(fs, baseDir)
+    entries.keys.toSeq.sorted.reverse.iterator.flatMap { v =>
+      val (hasManifest, hasDelta) = entries(v)
+      val p = if (hasDelta) deltaPath(baseDir, v) else manifestPath(baseDir, v)
+      readRawLines(fs, p).collectFirst {
+        case l if l.startsWith(prefix) => l.stripPrefix(prefix).toLong }
+    }.nextOption()
   }
 
   /** Resolve the exact data-file set (relative paths) of `version`:
@@ -193,22 +237,26 @@ object TimeTravel {
     * (init's v1); vacuum may re-materialize a floor checkpoint, which
     * skips the write when one already exists. */
   private def writeManifest(fs: FileSystem, baseDir: String, version: Int,
-      files: Seq[String]): Unit = {
+      files: Seq[String], txn: Option[(String, Long)] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(manifestPath(baseDir, version), false)
-    try out.write(files.sorted.mkString("\n").getBytes("UTF-8"))
+    try out.write((txn.map(txnLine).toSeq ++ files.sorted)
+      .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
-  /** Commit record for `version` — adds then removes, each sorted.
-    * Exclusive create: committing an already-committed version throws
-    * (the losing writer of a race gets this error). */
+  /** Commit record for `version` — optional txn marker, then adds and
+    * removes, each sorted. Exclusive create: committing an
+    * already-committed version throws (the losing writer of a race gets
+    * this error). */
   private def writeDelta(fs: FileSystem, baseDir: String, version: Int,
-      adds: Seq[String], removes: Seq[String]): Unit = {
+      adds: Seq[String], removes: Seq[String],
+      txn: Option[(String, Long)] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(deltaPath(baseDir, version), false)
     try out.write(
-      (adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
+      (txn.map(txnLine).toSeq ++ adds.sorted.map("+" + _) ++
+        removes.sorted.map("-" + _))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -251,8 +299,12 @@ object TimeTravel {
     * partition column recovered (as STRING — see
     * [[requireStringPartCol]]) via basePath. */
   def readVersion(spark: SparkSession, baseDir: String,
-      version: Int): DataFrame = {
-    val files = filesAt(spark, baseDir, version)
+      version: Int): DataFrame =
+    readFilesNonEmpty(spark, baseDir, version,
+      filesAt(spark, baseDir, version))
+
+  private def readFilesNonEmpty(spark: SparkSession, baseDir: String,
+      version: Int, files: Seq[String]): DataFrame = {
     require(files.nonEmpty, s"version $version of $baseDir is empty — " +
       "schemaless empty snapshots are not representable on plain parquet")
     readFiles(spark, baseDir, files)
@@ -269,7 +321,7 @@ object TimeTravel {
     * the same refusal [[commitRewrite]] applies to table-emptying
     * commits. */
   def init(spark: SparkSession, baseDir: String, df: DataFrame,
-      partCol: String): Int = {
+      partCol: String, txn: Option[(String, Long)] = None): Int = {
     val fs = hadoopFs(spark, baseDir)
     require(latestVersion(spark, baseDir) == 0,
       s"$baseDir already has commits")
@@ -284,8 +336,8 @@ object TimeTravel {
     require(files.nonEmpty, "init with an EMPTY DataFrame — an empty v1 " +
       "is not representable on plain parquet and would brick every " +
       "later commit; create the table from its first real batch instead")
-    writeManifest(fs, baseDir, 1, files)
-    lastCommitStats = Some(CommitStats(1, Set.empty, files.size, 0,
+    writeManifest(fs, baseDir, 1, files, txn)
+    commitStats.put(baseDir, CommitStats(1, Set.empty, files.size, 0,
       checkpointed = true))
     1
   }
@@ -296,12 +348,14 @@ object TimeTravel {
     affected.map(v =>
       s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}").toSet
 
+  /** `prevFiles` is version `prev`'s ALREADY-RESOLVED file set — every
+    * caller has just resolved it (to read the version back or pick the
+    * fragmented dirs), so commitRewrite never re-reads the log. */
   private def commitRewrite(spark: SparkSession, baseDir: String,
       partCol: String, affected: Seq[Any], prev: Int,
-      rewritten: DataFrame): Int = {
+      prevFiles: Seq[String], rewritten: DataFrame): Int = {
     val fs = hadoopFs(spark, baseDir)
     val dirs = affectedDirs(partCol, affected)
-    val prevFiles = filesAt(spark, baseDir, prev)
     // new-file discovery scoped to the AFFECTED directories only:
     // `rewritten` holds exclusively affected partitions' rows, so the
     // partitioned append cannot create files anywhere else — commit
@@ -321,21 +375,26 @@ object TimeTravel {
     require(prevFiles.size - removes.size + adds.size > 0,
       "commit would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
-    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes)
+    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
+      prevFiles, None)
   }
 
   /** Land the commit record for `version` (delta always; checkpoint on
-    * cadence) and publish [[lastCommitStats]]. The cadence checkpoint
-    * resolves through the just-written delta — one metadata-scale log
-    * replay, paid on 1-in-`checkpointEvery` commits. */
+    * cadence) and publish [[commitStats]]. The cadence checkpoint is
+    * computed from the in-hand previous file set + this delta — no log
+    * re-read. */
   private def logCommit(spark: SparkSession, fs: FileSystem,
       baseDir: String, version: Int, dirs: Set[String],
-      adds: Seq[String], removes: Seq[String]): Int = {
-    writeDelta(fs, baseDir, version, adds, removes)
+      adds: Seq[String], removes: Seq[String], prevFiles: Seq[String],
+      txn: Option[(String, Long)]): Int = {
+    writeDelta(fs, baseDir, version, adds, removes, txn)
     val checkpoint = version % checkpointEvery == 0
-    if (checkpoint)
-      writeManifest(fs, baseDir, version, filesAt(spark, baseDir, version))
-    lastCommitStats = Some(CommitStats(version, dirs, adds.size,
+    if (checkpoint) {
+      val removed = removes.toSet
+      writeManifest(fs, baseDir, version,
+        prevFiles.filterNot(removed) ++ adds)
+    }
+    commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
     version
   }
@@ -350,18 +409,21 @@ object TimeTravel {
     * repeated appends accumulate small files per partition in the
     * CURRENT version — [[compact]] is the paired maintenance op.
     * Duplicate keys are the CALLER's contract here, exactly as in any
-    * append-mode table. An empty batch commits nothing. */
+    * append-mode table. An empty batch commits nothing. A `txn`
+    * (streamId, batchId) rides inside the commit record so an
+    * at-least-once writer can make the NON-idempotent append
+    * exactly-once via [[lastCommittedTxn]]. NULL partition values are
+    * refused from the collected affected set — driver-held metadata,
+    * no extra scan of the batch. */
   def append(spark: SparkSession, baseDir: String, rows: DataFrame,
-      partCol: String): Int = {
+      partCol: String, txn: Option[(String, Long)] = None): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     requireStringPartCol(rows, partCol)
-    require(rows.filter(col(partCol).isNull).isEmpty,
-      s"NULL values in partition column '$partCol': such rows could " +
-        "never be updated or deleted — default the value upstream")
     val batch = rows.localCheckpoint() // distinct-collect + write: 2 actions
     val affected = batch.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
+    Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev
     val fs = hadoopFs(spark, baseDir)
     val dirs = affectedDirs(partCol, affected)
@@ -370,7 +432,11 @@ object TimeTravel {
       .write.mode("append").partitionBy(partCol)
       .parquet(dataDir(baseDir).toString)
     val adds = (listFilesUnder(fs, baseDir, dirs) -- before).toSeq.sorted
-    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, Nil)
+    // prevFiles only matter for a cadence checkpoint; resolve lazily
+    // there (appends never remove, so the checkpoint is prev ++ adds)
+    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, Nil,
+      if ((prev + 1) % checkpointEvery == 0) filesAt(spark, baseDir, prev)
+      else Nil, txn)
   }
 
   /** MERGE INTO as a new version: same pruned-discovery semantics as
@@ -383,10 +449,11 @@ object TimeTravel {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     requireStringPartCol(updates, partCol)
-    val base = readVersion(spark, baseDir, prev)
+    val prevFiles = filesAt(spark, baseDir, prev) // resolved ONCE per commit
+    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles)
     val ups = updates.localCheckpoint()
     val updKeys = Merge.gateBroadcast(ups.select(col(keyCol)).distinct(),
-      broadcastKeyLimit)
+      broadcastKeyLimit, ups.count())
     val affected = ups.select(col(partCol)).distinct()
       .union(base.join(updKeys, Seq(keyCol))
         .select(col(partCol)).distinct())
@@ -398,7 +465,8 @@ object TimeTravel {
       current.join(updKeys, Seq(keyCol), "left_anti")
         .select(ups.columns.map(col).toSeq: _*))
       .localCheckpoint() // don't re-plan the discovery work in the write
-    commitRewrite(spark, baseDir, partCol, affected, prev, merged)
+    commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
+      merged)
   }
 
   /** Targeted DELETE as a new version. Deleting keys not present commits
@@ -409,10 +477,12 @@ object TimeTravel {
       broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    val base = readVersion(spark, baseDir, prev)
-    val delKeys = Merge.gateBroadcast(
-      keys.select(col(keyCol)).distinct().localCheckpoint(),
-      broadcastKeyLimit)
+    val prevFiles = filesAt(spark, baseDir, prev) // resolved ONCE per commit
+    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles)
+    val checkpointedKeys = keys.select(col(keyCol)).distinct()
+      .localCheckpoint()
+    val delKeys = Merge.gateBroadcast(checkpointedKeys, broadcastKeyLimit,
+      checkpointedKeys.count())
     val affected = base.join(delKeys, Seq(keyCol))
       .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
     Merge.requireNoNullPartition(affected, partCol)
@@ -421,7 +491,8 @@ object TimeTravel {
       val survivors = base.filter(col(partCol).isin(affected: _*))
         .join(delKeys, Seq(keyCol), "left_anti")
         .localCheckpoint()
-      commitRewrite(spark, baseDir, partCol, affected, prev, survivors)
+      commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
+        survivors)
     }
   }
 
@@ -441,8 +512,8 @@ object TimeTravel {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    val byDir = filesAt(spark, baseDir, prev)
-      .groupBy(f => f.substring(0, f.indexOf('/')))
+    val prevFiles = filesAt(spark, baseDir, prev) // resolved ONCE
+    val byDir = prevFiles.groupBy(f => f.substring(0, f.indexOf('/')))
     val fragmented = byDir.filter(_._2.size > maxFilesPerDir)
     if (fragmented.isEmpty) return prev
     val affected = fragmented.keys.toSeq.map(d =>
@@ -451,7 +522,7 @@ object TimeTravel {
     // repartition(partCol) lands one task's consolidated files per dir
     val rows = readFiles(spark, baseDir,
       fragmented.values.flatten.toSeq.sorted)
-    commitRewrite(spark, baseDir, partCol, affected, prev, rows)
+    commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles, rows)
   }
 
   /** VACUUM: physically reclaim data files that no RETAINED version

@@ -594,25 +594,45 @@ object EventsStream {
     * append's contract: duplicate keys are upstream's business, and
     * small files accumulate per partition until
     * [[graft.operators.TimeTravel.compact]] folds them into a new
-    * commit (history intact). Exactly-once comes from the source side:
-    * the checkpointed AvailableNow replay delivers each input file to
-    * exactly one batch, and a batch is one commit. */
+    * commit (history intact).
+    *
+    * Exactly-once: foreachBatch delivery is AT-LEAST-once (a crash
+    * between the table commit and the streaming checkpoint re-delivers
+    * the batch on restart), and a blind append — unlike the
+    * last-write-wins merge sinks — is not idempotent, so each commit
+    * carries its (streamId=checkpointDir, batchId) transaction marker
+    * INSIDE the commit record and re-delivered batches at or below the
+    * log's recorded high-water mark are skipped — the Delta streaming
+    * sink's txn discipline. The watermark is read once at stream start
+    * (recovery time), never on the commit path. */
   def replayToVersionedAppend(df: DataFrame, baseDir: String,
       checkpointDir: String, partCol: String,
       statePartitions: Option[Int] = None): Seq[CommitTiming] = {
+    import graft.operators.TimeTravel
     val timings = newTimings
+    val spark = df.sparkSession
+    // recovery: highest batchId this (table, stream) pair already
+    // committed — re-delivered batches at/below it are duplicates
+    val committedUpTo = new java.util.concurrent.atomic.AtomicLong(
+      if (new java.io.File(baseDir).exists)
+        TimeTravel.lastCommittedTxn(spark, baseDir, checkpointDir)
+          .getOrElse(-1L)
+      else -1L)
     replay(df, statePartitions, noDataBatch = true) { ws =>
       ws.outputMode(OutputMode.Append())
         .option("checkpointLocation", checkpointDir)
         .foreachBatch { (batch: DataFrame, batchId: Long) =>
           timed(timings, batchId) {
-            if (batch.isEmpty) false
+            if (batch.isEmpty || batchId <= committedUpTo.get()) false
             else {
-              import graft.operators.TimeTravel
+              val txn = Some(checkpointDir -> batchId)
               if (TimeTravel.latestVersion(batch.sparkSession, baseDir) == 0)
-                TimeTravel.init(batch.sparkSession, baseDir, batch, partCol)
+                TimeTravel.init(batch.sparkSession, baseDir, batch,
+                  partCol, txn)
               else
-                TimeTravel.append(batch.sparkSession, baseDir, batch, partCol)
+                TimeTravel.append(batch.sparkSession, baseDir, batch,
+                  partCol, txn)
+              committedUpTo.set(batchId)
               true
             }
           }

@@ -73,7 +73,7 @@ class TimeTravelSpec extends SparkSpec {
         .toDF("id", "part", "v"), "part")
     TimeTravel.upsert(spark, dir,
       Seq((1L, "p1", 111.0)).toDF("id", "part", "v"), "id", "part")
-    val stats = TimeTravel.lastCommitStats.get
+    val stats = TimeTravel.lastCommitStats(dir).get
     assert(stats.version === 2)
     // discovery never left the affected directory — 1 of 20 partitions
     assert(stats.dirsListed === Set("part=p1"))
@@ -267,7 +267,7 @@ class TimeTravelSpec extends SparkSpec {
       Seq((10L, "p1", 100.0), (11L, "p9", 110.0)).toDF("id", "part", "v"),
       "part")
     assert(v2 === 2)
-    val stats = TimeTravel.lastCommitStats.get
+    val stats = TimeTravel.lastCommitStats(dir).get
     assert(stats.nRemoved === 0)
     assert(stats.dirsListed === Set("part=p1", "part=p9")) // incl. brand-new dir
     assert(rows(TimeTravel.readVersion(spark, dir, 2))
@@ -280,6 +280,31 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.append(spark, dir,
       Seq.empty[(Long, String, Double)].toDF("id", "part", "v"),
       "part") === 2)
+  }
+
+  test("txn markers ride inside commit records; lastCommittedTxn reads the per-stream high-water mark") {
+    val dir = stage()
+    val batch = Seq((10L, "p1", 100.0)).toDF("id", "part", "v")
+    assert(TimeTravel.lastCommittedTxn(spark, dir, "ckpt-A") === None)
+    val v2 = TimeTravel.append(spark, dir, batch, "part",
+      txn = Some("ckpt-A" -> 0L))
+    assert(v2 === 2)
+    // the marker is IN the delta (atomic with the commit), invisible to
+    // file resolution, and scoped to its stream id
+    assert(Files.readAllLines(Paths.get(dir, "_graft_log", "2.delta"))
+      .stream.toArray.map(_.toString).count(_.startsWith("#txn=")) === 1)
+    assert(TimeTravel.lastCommittedTxn(spark, dir, "ckpt-A") === Some(0L))
+    assert(TimeTravel.lastCommittedTxn(spark, dir, "ckpt-B") === None)
+    assert(TimeTravel.readVersion(spark, dir, 2).count() === 6)
+    // later batches advance the watermark; init can carry one too (the
+    // stream's very first batch creates the table)
+    TimeTravel.append(spark, dir, batch, "part", txn = Some("ckpt-A" -> 3L))
+    assert(TimeTravel.lastCommittedTxn(spark, dir, "ckpt-A") === Some(3L))
+    val d2 = tmpDir("tt-txn-init")
+    TimeTravel.init(spark, d2, batch, "part", txn = Some("ck" -> 0L))
+    assert(TimeTravel.lastCommittedTxn(spark, d2, "ck") === Some(0L))
+    assert(rows(TimeTravel.readVersion(spark, d2, 1))
+      === Set((10L, "p1", 100.0)))
   }
 
   test("compact consolidates fragmented partitions in a NEW commit; content and history intact") {
@@ -304,7 +329,7 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.filesAt(spark, dir, 5).filter(_.startsWith("part=p2/"))
       === TimeTravel.filesAt(spark, dir, 1).filter(_.startsWith("part=p2/")))
     assert(rows(TimeTravel.readVersion(spark, dir, 4)) === v4)
-    assert(TimeTravel.lastCommitStats.get.dirsListed === Set("part=p1"))
+    assert(TimeTravel.lastCommitStats(dir).get.dirsListed === Set("part=p1"))
     // already-compact: no-op, no new version
     assert(TimeTravel.compact(spark, dir, "part") === 5)
     assert(TimeTravel.latestVersion(spark, dir) === 5)
@@ -321,8 +346,8 @@ class TimeTravelSpec extends SparkSpec {
       df.queryExecution.analyzed.collect {
         case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint => h
       }.nonEmpty
-    assert(hasHint(Merge.gateBroadcast(keys, limit = 10)))
-    assert(!hasHint(Merge.gateBroadcast(keys, limit = 1)))
+    assert(hasHint(Merge.gateBroadcast(keys, limit = 10, upperBound = 2L)))
+    assert(!hasHint(Merge.gateBroadcast(keys, limit = 1, upperBound = 2L)))
     // end-to-end: forcing the shuffle path produces the same versions
     val bDir = stage(); val sDir = stage()
     val ups = Seq((1L, "p1", 11.0), (9L, "p2", 90.0)).toDF("id", "part", "v")

@@ -541,5 +541,28 @@ class StreamingSpec extends SparkSpec {
     assert(v3 === 3)
     assert(TimeTravel.readVersion(spark, aDir, 3).count() === 4)
     assert(TimeTravel.readVersion(spark, aDir, 1).count() === 2)
+
+    // CRASH-WINDOW recovery: the table already holds batch 0's commit
+    // (it landed, the streaming checkpoint didn't — the at-least-once
+    // gap) — the restarted stream must SKIP the re-delivered batch via
+    // the txn watermark, not append it twice
+    val rDir = tmpDir("graft-append-recover")
+    val rck = tmpDir("ck5")
+    val b0 = Seq(
+        (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view"),
+        (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "click"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("part", pmod(col("user_id"), lit(2L)).cast("string"))
+    TimeTravel.init(spark, rDir, b0, "part", txn = Some(rck -> 0L))
+    val rt = EventsStream.replayToVersionedAppend(
+      EventsStream.fromParquetDir(spark, srcDir, maxFilesPerTrigger = Some(1))
+        .withColumn("part", pmod(col("user_id"), lit(2L)).cast("string")),
+      rDir, rck, partCol = "part")
+    assert(rt.count(_.committed) === 1) // batch 0 skipped, batch 1 landed
+    assert(TimeTravel.latestVersion(spark, rDir) === 2)
+    assert(TimeTravel.readVersion(spark, rDir, 2).count() === 4) // no dups
+    assert(TimeTravel.readVersion(spark, rDir, 2)
+      .select("event_id").as[Long].collect().sorted.toSeq
+      === Seq(1L, 2L, 3L, 4L))
   }
 }
