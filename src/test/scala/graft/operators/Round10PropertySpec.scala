@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Randomized model check of the versioned table's delta log: a random
+  * commit sequence (upsert / delete / append / compact) is mirrored in a
+  * driver-side multiset model, and EVERY committed version — resolved
+  * through checkpoint + delta replay, across cadence checkpoints — must
+  * reproduce its model snapshot exactly, both right after the run and
+  * again after a mid-history VACUUM. Catches the whole class of log
+  * bugs hand-written cases miss: a delta recording the wrong removes, a
+  * checkpoint folding a stale file list, resolution picking the wrong
+  * base, vacuum reclaiming a shared file. */
+class Round10PropertySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private type Row3 = (Long, String, Double)
+
+  private def df(rows: Seq[Row3]) = rows.toDF("id", "part", "v")
+
+  /** Multiset compare: sorted sequences, not sets — append can
+    * legitimately duplicate keys and a lost duplicate must fail. */
+  private def content(d: org.apache.spark.sql.DataFrame): Seq[Row3] =
+    d.select("id", "part", "v").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("part"),
+        r.getAs[Double]("v"))).toSeq.sorted
+
+  // the operator's documented semantics, in plain Scala
+  private def upsertModel(all: Vector[Row3], batch: Vector[Row3]): Vector[Row3] = {
+    val keys = batch.map(_._1).toSet
+    val parts = batch.map(_._2).toSet ++
+      all.filter(r => keys(r._1)).map(_._2)
+    batch ++ all.filterNot(r => parts(r._2) && keys(r._1))
+  }
+  private def deleteModel(all: Vector[Row3], keys: Set[Long]): Vector[Row3] =
+    all.filterNot(r => keys(r._1))
+
+  test("random upsert/delete/append/compact sequences: every version equals the driver-side model, before and after vacuum") {
+    val rnd = new scala.util.Random(7)
+    val dir = tmpDir("tt-model")
+    def someRows(n: Int): Vector[Row3] =
+      Vector.fill(n)((rnd.nextInt(30).toLong, s"p${rnd.nextInt(5)}",
+        rnd.nextInt(100).toDouble))
+
+    var current = someRows(8).distinctBy(_._1)
+    TimeTravel.init(spark, dir, df(current), "part")
+    val history = scala.collection.mutable.ArrayBuffer(current)
+
+    (1 to 11).foreach { _ =>
+      val prevVersion = TimeTravel.latestVersion(spark, dir)
+      val next = rnd.nextInt(4) match {
+        case 0 => // upsert a small batch (updates + inserts, distinct keys)
+          val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
+          TimeTravel.upsert(spark, dir, df(batch), "id", "part")
+          upsertModel(current, batch)
+        case 1 => // delete up to 2 keys, but never empty the table
+          val keys = Vector.fill(1 + rnd.nextInt(2))(rnd.nextInt(30).toLong)
+            .toSet
+          val survivors = deleteModel(current, keys)
+          if (survivors.isEmpty) current // would be refused; skip
+          else { TimeTravel.delete(spark, dir, keys.toSeq.toDF("id"),
+            "id", "part"); survivors }
+        case 2 => // blind append (duplicate keys allowed by contract)
+          val batch = someRows(1 + rnd.nextInt(3))
+          TimeTravel.append(spark, dir, df(batch), "part")
+          current ++ batch
+        case _ => // compact: content identity, commits only if fragmented
+          TimeTravel.compact(spark, dir, "part")
+          current
+      }
+      // record a snapshot only if a version actually committed (no-op
+      // deletes, empty appends, already-compact compacts stay at prev)
+      if (TimeTravel.latestVersion(spark, dir) > prevVersion)
+        history += next
+      current = next
+    }
+
+    val latest = TimeTravel.latestVersion(spark, dir)
+    assert(latest === history.length, "one snapshot per committed version")
+    (1 to latest).foreach { v =>
+      assert(content(TimeTravel.readVersion(spark, dir, v))
+        === history(v - 1).sorted, s"version $v diverged from the model")
+    }
+
+    // vacuum at a mid-history floor: retained versions still exact,
+    // pre-floor versions loudly gone, disk == union of retained files
+    val floor = math.max(2, latest / 2)
+    TimeTravel.vacuum(spark, dir, keepFrom = floor)
+    (floor to latest).foreach { v =>
+      assert(content(TimeTravel.readVersion(spark, dir, v))
+        === history(v - 1).sorted, s"version $v broken by vacuum")
+    }
+    intercept[IllegalArgumentException] {
+      TimeTravel.readVersion(spark, dir, floor - 1)
+    }
+    val retained = (floor to latest)
+      .flatMap(v => TimeTravel.filesAt(spark, dir, v)).toSet
+    val onDisk = {
+      val base = java.nio.file.Paths.get(dir, "data")
+      val stream = java.nio.file.Files.walk(base)
+      try stream.toArray().collect {
+        case p: java.nio.file.Path if p.toString.endsWith(".parquet") =>
+          base.relativize(p).toString
+      }.toSet
+      finally stream.close()
+    }
+    assert(onDisk === retained)
+  }
+}
