@@ -191,6 +191,54 @@ object TimeTravel {
   private def txnLine(txn: (String, Long)): String =
     s"#txn=${java.net.URLEncoder.encode(txn._1, "UTF-8")}:${txn._2}"
 
+  /** The table schema AS OF each commit rides in the log too
+    * (`#schema=<DataType json>` — json is newline-free, so one line),
+    * the Delta mechanism that buys three things at once: reads never
+    * INFER schema (no footer sampling over the file list — at 100 TB,
+    * planning cost), SCHEMA EVOLUTION is well-defined (a commit that
+    * adds columns records the widened schema; older files simply lack
+    * the new columns and the reader fills NULLs), and schema TIME
+    * TRAVEL falls out (readVersion(v) returns exactly the columns v was
+    * committed with — a capability footer-merging cannot give, since it
+    * unions every file it sees). Every commit record and checkpoint
+    * carries the line, so any resolution window contains one. */
+  private def schemaLine(schema: org.apache.spark.sql.types.StructType): String =
+    s"#schema=${schema.json}"
+
+  /** The committed schema of `version` — resolved in [[resolveAt]]'s
+    * walk. None only for pre-schema-line logs (reads fall back to
+    * inference). */
+  def schemaAt(spark: SparkSession, baseDir: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] =
+    resolveAt(spark, baseDir, version)._2
+
+  /** Fast path for the commit-time schema check: every commit record
+    * carries its own `#schema=`, so `version`'s schema is ONE record
+    * read — no log walk. (None only on pre-schema-line logs, where the
+    * check degrades to unchecked, matching their read behavior.) */
+  private def schemaOfRecord(fs: FileSystem, baseDir: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] =
+    Seq(deltaPath(baseDir, version), manifestPath(baseDir, version))
+      .iterator.filter(fs.exists(_))
+      .flatMap(p => schemaFrom(readRawLines(fs, p)))
+      .nextOption()
+
+  private def parseTxn(l: String): (String, Long) = {
+    val body = l.stripPrefix("#txn=")
+    val i = body.lastIndexOf(':')
+    (java.net.URLDecoder.decode(body.substring(0, i), "UTF-8"),
+      body.substring(i + 1).toLong)
+  }
+
+  /** All txn markers recorded for `v` (its delta and/or checkpoint —
+    * a vacuum floor checkpoint may carry several streams' marks). */
+  private def txnsIn(fs: FileSystem, baseDir: String,
+      v: Int): Seq[(String, Long)] =
+    Seq(deltaPath(baseDir, v), manifestPath(baseDir, v))
+      .filter(fs.exists(_))
+      .flatMap(p => readRawLines(fs, p)
+        .filter(_.startsWith("#txn=")).map(parseTxn))
+
   /** Highest batchId the log records for `streamId`, scanning commit
     * records newest→oldest and stopping at the first hit (batchIds are
     * monotone per stream). O(versions) metadata reads in the worst
@@ -198,13 +246,10 @@ object TimeTravel {
   def lastCommittedTxn(spark: SparkSession, baseDir: String,
       streamId: String): Option[Long] = {
     val fs = hadoopFs(spark, baseDir)
-    val prefix = s"#txn=${java.net.URLEncoder.encode(streamId, "UTF-8")}:"
     val entries = logEntries(fs, baseDir)
     entries.keys.toSeq.sorted.reverse.iterator.flatMap { v =>
-      val (hasManifest, hasDelta) = entries(v)
-      val p = if (hasDelta) deltaPath(baseDir, v) else manifestPath(baseDir, v)
-      readRawLines(fs, p).collectFirst {
-        case l if l.startsWith(prefix) => l.stripPrefix(prefix).toLong }
+      txnsIn(fs, baseDir, v).collect {
+        case (s, id) if s == streamId => id }.maxOption
     }.nextOption()
   }
 
@@ -213,7 +258,23 @@ object TimeTravel {
     * loudly (IllegalArgumentException) for a version whose log records
     * were vacuumed or never committed — never silent partial data. */
   def filesAt(spark: SparkSession, baseDir: String,
-      version: Int): Seq[String] = {
+      version: Int): Seq[String] =
+    resolveAt(spark, baseDir, version)._1
+
+  private def schemaFrom(lines: Seq[String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    lines.collectFirst {
+      case l if l.startsWith("#schema=") =>
+        org.apache.spark.sql.types.DataType
+          .fromJson(l.stripPrefix("#schema="))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
+
+  /** ONE log walk yields both the file set and the committed schema of
+    * `version` (last `#schema=` seen wins — a later evolution commit
+    * overrides the checkpoint's). */
+  private def resolveAt(spark: SparkSession, baseDir: String, version: Int)
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
     val fs = hadoopFs(spark, baseDir)
     val entries = logEntries(fs, baseDir)
     val ckpt = entries.collect {
@@ -222,26 +283,33 @@ object TimeTravel {
     require(ckpt >= 1,
       s"version $version of $baseDir is not resolvable: no checkpoint " +
         "at or below it (vacuumed away, or never committed)")
-    var files = readLogLines(fs, manifestPath(baseDir, ckpt)).toSet
+    val ckptLines = readRawLines(fs, manifestPath(baseDir, ckpt))
+    var schema = schemaFrom(ckptLines)
+    var files = ckptLines.filterNot(_.startsWith("#")).toSet
     ((ckpt + 1) to version).foreach { v =>
       require(entries.get(v).exists(_._2),
         s"version $v of $baseDir has no commit record (vacuumed away, " +
           "or never committed)")
-      val (adds, removes) = readDelta(fs, baseDir, v)
-      files = files -- removes ++ adds
+      val lines = readRawLines(fs, deltaPath(baseDir, v))
+      schemaFrom(lines).foreach(s => schema = Some(s))
+      files = files --
+        lines.collect { case l if l.startsWith("-") => l.tail } ++
+        lines.collect { case l if l.startsWith("+") => l.tail }
     }
-    files.toSeq.sorted
+    (files.toSeq.sorted, schema)
   }
 
   /** Full checkpoint for `version`. Exclusive create for commit records
     * (init's v1); vacuum may re-materialize a floor checkpoint, which
     * skips the write when one already exists. */
   private def writeManifest(fs: FileSystem, baseDir: String, version: Int,
-      files: Seq[String], txn: Option[(String, Long)] = None): Unit = {
+      files: Seq[String], txns: Seq[(String, Long)] = Nil,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(manifestPath(baseDir, version), false)
-    try out.write((txn.map(txnLine).toSeq ++ files.sorted)
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write(
+      (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++ files.sorted)
+        .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -251,12 +319,13 @@ object TimeTravel {
     * this error). */
   private def writeDelta(fs: FileSystem, baseDir: String, version: Int,
       adds: Seq[String], removes: Seq[String],
-      txn: Option[(String, Long)] = None): Unit = {
+      txn: Option[(String, Long)] = None,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(deltaPath(baseDir, version), false)
     try out.write(
-      (txn.map(txnLine).toSeq ++ adds.sorted.map("+" + _) ++
-        removes.sorted.map("-" + _))
+      (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
+        adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -287,27 +356,37 @@ object TimeTravel {
   }
 
   private def readFiles(spark: SparkSession, baseDir: String,
-      files: Seq[String]): DataFrame = {
+      files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
     val root = dataDir(baseDir).toString
     withoutPartitionInference(spark) {
-      spark.read.option("basePath", root)
+      val reader = spark.read.option("basePath", root)
+      // the LOG's schema, never inference: no footer sampling at plan
+      // time, files written before an evolution read their missing
+      // columns as NULL, and the partition column's type comes from the
+      // schema (STRING by contract)
+      schema.fold(reader)(reader.schema)
         .parquet(files.map(f => s"$root/$f"): _*)
     }
   }
 
-  /** The table AS OF `version`: exactly the resolved files, with the
-    * partition column recovered (as STRING — see
-    * [[requireStringPartCol]]) via basePath. */
+  /** The table AS OF `version`: exactly the resolved files under
+    * exactly the resolved SCHEMA — readVersion(v) returns the columns v
+    * was committed with, even after later commits widened the table
+    * (schema time travel). */
   def readVersion(spark: SparkSession, baseDir: String,
-      version: Int): DataFrame =
-    readFilesNonEmpty(spark, baseDir, version,
-      filesAt(spark, baseDir, version))
+      version: Int): DataFrame = {
+    val (files, schema) = resolveAt(spark, baseDir, version)
+    readFilesNonEmpty(spark, baseDir, version, files, schema)
+  }
 
   private def readFilesNonEmpty(spark: SparkSession, baseDir: String,
-      version: Int, files: Seq[String]): DataFrame = {
+      version: Int, files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     require(files.nonEmpty, s"version $version of $baseDir is empty — " +
       "schemaless empty snapshots are not representable on plain parquet")
-    readFiles(spark, baseDir, files)
+    readFiles(spark, baseDir, files, schema)
   }
 
   /** Create the table: write `df` partitioned by `partCol`, commit v1
@@ -336,11 +415,37 @@ object TimeTravel {
     require(files.nonEmpty, "init with an EMPTY DataFrame — an empty v1 " +
       "is not representable on plain parquet and would brick every " +
       "later commit; create the table from its first real batch instead")
-    writeManifest(fs, baseDir, 1, files, txn)
+    writeManifest(fs, baseDir, 1, files, txn.toSeq, Some(df.schema))
     commitStats.put(baseDir, CommitStats(1, Set.empty, files.size, 0,
       checkpointed = true))
     1
   }
+
+  /** Batch-vs-table schema contract: identical column (name, type) sets
+    * by default; with `evolve`, the batch may be a SUPERSET (columns
+    * added, never dropped or retyped) — the committed schema widens and
+    * files written before the evolution read their missing columns as
+    * NULL. Name/type comparison is order- and nullability-insensitive
+    * (column order is presentation; nullability is advisory on
+    * parquet). */
+  private def checkSchema(batch: org.apache.spark.sql.types.StructType,
+      table: Option[org.apache.spark.sql.types.StructType],
+      evolve: Boolean, op: String): Unit =
+    table.foreach { t =>
+      val tCols = t.fields.map(f => (f.name, f.dataType)).toSet
+      val bCols = batch.fields.map(f => (f.name, f.dataType)).toSet
+      if (evolve)
+        require(tCols.subsetOf(bCols),
+          s"$op with evolveSchema=true: the batch schema must be a " +
+            s"superset of the table's (columns can be ADDED, never " +
+            s"dropped or retyped); table ${t.simpleString}, batch " +
+            s"${batch.simpleString}")
+      else
+        require(tCols == bCols,
+          s"$op: batch schema differs from the table's — pass " +
+            s"evolveSchema=true to add columns; table ${t.simpleString}, " +
+            s"batch ${batch.simpleString}")
+    }
 
   /** The escaped `partCol=<v>` directory prefix for each affected
     * partition value — how log entries are matched to partitions. */
@@ -376,7 +481,7 @@ object TimeTravel {
       "commit would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
     logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
-      prevFiles, None)
+      prevFiles, None, Some(rewritten.schema))
   }
 
   /** Land the commit record for `version` (delta always; checkpoint on
@@ -386,13 +491,14 @@ object TimeTravel {
   private def logCommit(spark: SparkSession, fs: FileSystem,
       baseDir: String, version: Int, dirs: Set[String],
       adds: Seq[String], removes: Seq[String], prevFiles: Seq[String],
-      txn: Option[(String, Long)]): Int = {
-    writeDelta(fs, baseDir, version, adds, removes, txn)
+      txn: Option[(String, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType]): Int = {
+    writeDelta(fs, baseDir, version, adds, removes, txn, schema)
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
       writeManifest(fs, baseDir, version,
-        prevFiles.filterNot(removed) ++ adds)
+        prevFiles.filterNot(removed) ++ adds, Nil, schema)
     }
     commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
@@ -416,16 +522,19 @@ object TimeTravel {
     * refused from the collected affected set — driver-held metadata,
     * no extra scan of the batch. */
   def append(spark: SparkSession, baseDir: String, rows: DataFrame,
-      partCol: String, txn: Option[(String, Long)] = None): Int = {
+      partCol: String, txn: Option[(String, Long)] = None,
+      evolveSchema: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     requireStringPartCol(rows, partCol)
+    val fs = hadoopFs(spark, baseDir)
+    checkSchema(rows.schema, schemaOfRecord(fs, baseDir, prev),
+      evolveSchema, "append")
     val batch = rows.localCheckpoint() // distinct-collect + write: 2 actions
     val affected = batch.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev
-    val fs = hadoopFs(spark, baseDir)
     val dirs = affectedDirs(partCol, affected)
     val before = listFilesUnder(fs, baseDir, dirs)
     batch.repartition(col(partCol))
@@ -436,7 +545,7 @@ object TimeTravel {
     // there (appends never remove, so the checkpoint is prev ++ adds)
     logCommit(spark, fs, baseDir, prev + 1, dirs, adds, Nil,
       if ((prev + 1) % checkpointEvery == 0) filesAt(spark, baseDir, prev)
-      else Nil, txn)
+      else Nil, txn, Some(batch.schema))
   }
 
   /** MERGE INTO as a new version: same pruned-discovery semantics as
@@ -445,12 +554,16 @@ object TimeTravel {
     * readable. Returns the committed version number. */
   def upsert(spark: SparkSession, baseDir: String, updates: DataFrame,
       keyCol: String, partCol: String,
-      broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit): Int = {
+      broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit,
+      evolveSchema: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     requireStringPartCol(updates, partCol)
-    val prevFiles = filesAt(spark, baseDir, prev) // resolved ONCE per commit
-    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles)
+    // resolved ONCE per commit: file set AND committed schema
+    val (prevFiles, prevSchema) = resolveAt(spark, baseDir, prev)
+    checkSchema(updates.schema, prevSchema, evolveSchema, "upsert")
+    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles,
+      prevSchema)
     val ups = updates.localCheckpoint()
     val updKeys = Merge.gateBroadcast(ups.select(col(keyCol)).distinct(),
       broadcastKeyLimit, ups.count())
@@ -461,9 +574,11 @@ object TimeTravel {
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev // empty batch: nothing to commit
     val current = base.filter(col(partCol).isin(affected: _*))
+    // allowMissingColumns: under evolution the kept rows lack the new
+    // columns and read as NULL — the standard add-column semantics
     val merged = ups.unionByName(
-      current.join(updKeys, Seq(keyCol), "left_anti")
-        .select(ups.columns.map(col).toSeq: _*))
+      current.join(updKeys, Seq(keyCol), "left_anti"),
+        allowMissingColumns = true)
       .localCheckpoint() // don't re-plan the discovery work in the write
     commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
       merged)
@@ -477,8 +592,9 @@ object TimeTravel {
       broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    val prevFiles = filesAt(spark, baseDir, prev) // resolved ONCE per commit
-    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles)
+    val (prevFiles, prevSchema) = resolveAt(spark, baseDir, prev)
+    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles,
+      prevSchema)
     val checkpointedKeys = keys.select(col(keyCol)).distinct()
       .localCheckpoint()
     val delKeys = Merge.gateBroadcast(checkpointedKeys, broadcastKeyLimit,
@@ -512,16 +628,18 @@ object TimeTravel {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    val prevFiles = filesAt(spark, baseDir, prev) // resolved ONCE
+    val (prevFiles, prevSchema) = resolveAt(spark, baseDir, prev)
     val byDir = prevFiles.groupBy(f => f.substring(0, f.indexOf('/')))
     val fragmented = byDir.filter(_._2.size > maxFilesPerDir)
     if (fragmented.isEmpty) return prev
     val affected = fragmented.keys.toSeq.map(d =>
       ExternalCatalogUtils.unescapePathName(d.stripPrefix(s"$partCol=")))
-    // read back ONLY the fragmented partitions' files; commitRewrite's
+    // read back ONLY the fragmented partitions' files, under the
+    // COMMITTED schema — pre-evolution files consolidate with NULLs in
+    // the added columns, exactly as a read would see them; commitRewrite's
     // repartition(partCol) lands one task's consolidated files per dir
     val rows = readFiles(spark, baseDir,
-      fragmented.values.flatten.toSeq.sorted)
+      fragmented.values.flatten.toSeq.sorted, prevSchema)
     commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles, rows)
   }
 
@@ -548,14 +666,22 @@ object TimeTravel {
     val latest = latestVersion(spark, baseDir)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom=$keepFrom out of [1, $latest]")
-    val floor = filesAt(spark, baseDir, keepFrom).toSet
+    val (floorFiles, floorSchema) = resolveAt(spark, baseDir, keepFrom)
+    val floor = floorFiles.toSet
     val laterAdds = ((keepFrom + 1) to latest)
       .flatMap(v => readDelta(fs, baseDir, v)._1)
     val kept = floor ++ laterAdds
     // self-contain the floor BEFORE anything is deleted: a crash at any
-    // later point leaves every retained version resolvable
+    // later point leaves every retained version resolvable. The
+    // checkpoint carries the floor's SCHEMA (dropping its ancestors
+    // would lose it) and each stream's txn HIGH-WATER MARK from the
+    // records about to drop — or a restarting append stream whose last
+    // commit predates the floor could re-append its crash-window batch
+    val carried = (1 to keepFrom).flatMap(v => txnsIn(fs, baseDir, v))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).max }.toSeq
     if (!fs.exists(manifestPath(baseDir, keepFrom)))
-      writeManifest(fs, baseDir, keepFrom, floor.toSeq)
+      writeManifest(fs, baseDir, keepFrom, floor.toSeq, carried,
+        floorSchema)
     val doomed = (listDataFiles(fs, baseDir) -- kept).toSeq.sorted
     val nDeleted = doomed.count(f =>
       fs.delete(new Path(dataDir(baseDir), f), false))
@@ -571,5 +697,33 @@ object TimeTravel {
     // ancestors are gone; dropping it is log hygiene, not a version drop
     fs.delete(deltaPath(baseDir, keepFrom), false)
     (nDeleted, dropped)
+  }
+
+  /** One commit still in the log. `nAdded`/`nRemoved` are the record's
+    * file counts (for a checkpoint-only floor, the full retained list
+    * counts as adds — it IS the resolvable content there). */
+  final case class CommitInfo(version: Int, nAdded: Int, nRemoved: Int,
+      txn: Option[(String, Long)], checkpointed: Boolean)
+
+  /** DESCRIBE HISTORY: one row per commit the log still holds, newest
+    * first — version, recorded file adds/removes, the txn marker if the
+    * commit carried one, and whether a checkpoint exists at that
+    * version. Pure log metadata: O(retained versions) small reads, no
+    * data access. */
+  def history(spark: SparkSession, baseDir: String): Seq[CommitInfo] = {
+    val fs = hadoopFs(spark, baseDir)
+    val entries = logEntries(fs, baseDir)
+    entries.keys.toSeq.sorted.reverse.map { v =>
+      val (hasManifest, hasDelta) = entries(v)
+      val lines = readRawLines(fs,
+        if (hasDelta) deltaPath(baseDir, v) else manifestPath(baseDir, v))
+      val txn = lines.collectFirst {
+        case l if l.startsWith("#txn=") => parseTxn(l) }
+      val nAdded =
+        if (hasDelta) lines.count(_.startsWith("+"))
+        else lines.count(l => !l.startsWith("#"))
+      val nRemoved = if (hasDelta) lines.count(_.startsWith("-")) else 0
+      CommitInfo(v, nAdded, nRemoved, txn, hasManifest)
+    }
   }
 }

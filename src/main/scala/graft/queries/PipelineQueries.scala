@@ -890,7 +890,66 @@ object PipelineQueries {
       FROM lineitem""")
   )
 
+  /** Versioned orders table with a SCHEMA-EVOLUTION commit, staged once
+    * per sf dir: v1 = the month-partitioned table under the original
+    * columns, v2 = an upsert of every 11th 1996 order carrying a NEW
+    * `o_audit` column (`evolveSchema = true`) — the widened schema is
+    * recorded in the commit log, so reads never infer. */
+  private val stagedEvolved =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def evolvedOrdersDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedEvolved.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-evolve")
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      TimeTravel.init(spark, t, orders, "o_month")
+      TimeTravel.upsert(spark, t,
+        orders.filter(col("o_orderkey") % 11 === 0 &&
+            year(col("o_orderdate")) === 1996)
+          .withColumn("o_audit", lit("flagged")),
+        "o_orderkey", "o_month", evolveSchema = true)
+      t
+    })
+
+  /** Schema evolution on the versioned table
+    * ([[graft.operators.TimeTravel]] `evolveSchema`): the widening
+    * commit records the new schema IN the log (the Delta mechanism), so
+    * the latest version reads the added `o_audit` column with NULLs
+    * filled for every file written before the evolution — no footer
+    * merging, no inference — while v1 still reads with its ORIGINAL
+    * columns (schema time travel, which footer-merge readers cannot
+    * give). The query hash-checks the widened read's exact aggregates —
+    * total rows (the upsert replaces, never duplicates), flagged-row
+    * count (exactly the evolution batch), and the untouched totalprice
+    * sum — plus in-band verdicts that v1 lacks the column and v2 has
+    * it. */
+  val q165 = Q(
+    "q165_schema_evolution_versioned",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = evolvedOrdersDir(spark, dir)
+      val v1Cols = TimeTravel.readVersion(spark, t, 1).columns.toSet
+      val v2 = TimeTravel.readVersion(spark, t, 2)
+      v2.agg(
+          count(lit(1)).as("n_rows"),
+          count(col("o_audit")).as("n_flagged"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("n_rows"), col("n_flagged"), col("sum_price"),
+          lit(!v1Cols.contains("o_audit")).as("v1_lacks_column"),
+          lit(v2.columns.contains("o_audit")).as("v2_has_column"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CASE WHEN o_orderkey % 11 = 0
+          AND year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_flagged,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS v1_lacks_column, TRUE AS v2_has_column
+      FROM orders""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141, q142, q150, q151, q156, q158, q159, q162)
+      q137, q141, q142, q150, q151, q156, q158, q159, q162, q165)
 }

@@ -82,11 +82,13 @@ class TimeTravelSpec extends SparkSpec {
     assert(!Files.exists(Paths.get(dir, "_graft_log", "2.manifest")))
     val delta = Files.readAllLines(Paths.get(dir, "_graft_log", "2.delta"))
       .stream.toArray.map(_.toString)
-    assert(delta.nonEmpty)
-    assert(delta.forall(l => (l.startsWith("+") || l.startsWith("-"))
+    // file lines name only p1; '#' lines are commit metadata (schema/txn)
+    val fileLines = delta.filterNot(_.startsWith("#"))
+    assert(fileLines.nonEmpty)
+    assert(fileLines.forall(l => (l.startsWith("+") || l.startsWith("-"))
       && l.tail.startsWith("part=p1/")), delta.mkString(","))
-    assert(stats.nAdded === delta.count(_.startsWith("+")))
-    assert(stats.nRemoved === delta.count(_.startsWith("-")))
+    assert(stats.nAdded === fileLines.count(_.startsWith("+")))
+    assert(stats.nRemoved === fileLines.count(_.startsWith("-")))
     // and the resolved version is still exactly right
     assert(TimeTravel.readVersion(spark, dir, 2)
       .filter(col("id") === 1L).select("v").as[Double].head() === 111.0)
@@ -305,6 +307,69 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.lastCommittedTxn(spark, d2, "ck") === Some(0L))
     assert(rows(TimeTravel.readVersion(spark, d2, 1))
       === Set((10L, "p1", 100.0)))
+  }
+
+  test("schema evolution: widening commits record the schema in the log; old versions keep THEIR columns") {
+    val dir = stage()
+    val widened = Seq((1L, "p1", 11.0, "gold"))
+      .toDF("id", "part", "v", "tier")
+    // default contract: a differing batch schema is refused with guidance
+    val ex = intercept[IllegalArgumentException] {
+      TimeTravel.upsert(spark, dir, widened, "id", "part")
+    }
+    assert(ex.getMessage.contains("evolveSchema"))
+    // opt-in evolution: columns can be ADDED
+    val v2 = TimeTravel.upsert(spark, dir, widened, "id", "part",
+      evolveSchema = true)
+    val r2 = TimeTravel.readVersion(spark, dir, v2)
+    assert(r2.columns.toSet === Set("id", "part", "v", "tier"))
+    val tiers = r2.select("id", "tier").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(tiers(1L) === Some("gold"))
+    assert(tiers(5L) === None) // p3 untouched: v1's file, NULL-filled
+    // schema TIME TRAVEL: v1 reads with its ORIGINAL columns, not the union
+    assert(TimeTravel.readVersion(spark, dir, 1).columns.toSet
+      === Set("id", "part", "v"))
+    // never dropped or retyped — even under evolveSchema
+    intercept[IllegalArgumentException] {
+      TimeTravel.append(spark, dir, Seq((9L, "p1")).toDF("id", "part"),
+        "part", evolveSchema = true)
+    }
+    // compact consolidates MIXED-schema files under the committed schema
+    TimeTravel.append(spark, dir,
+      Seq((20L, "p3", 3.0, "silver")).toDF("id", "part", "v", "tier"),
+      "part")
+    val vc = TimeTravel.compact(spark, dir, "part")
+    val rc = TimeTravel.readVersion(spark, dir, vc)
+    assert(rc.filter(col("id") === 5L).select("tier")
+      .collect().head.isNullAt(0))
+    assert(rc.filter(col("id") === 20L).select("tier")
+      .as[String].head() === "silver")
+    // the schema survives a vacuum (floor checkpoint carries it)
+    TimeTravel.vacuum(spark, dir, keepFrom = vc)
+    assert(TimeTravel.readVersion(spark, dir, vc).columns.toSet
+      === Set("id", "part", "v", "tier"))
+    assert(rows(TimeTravel.readVersion(spark, dir, vc).drop("tier")).size === 6)
+  }
+
+  test("history lists commits newest-first; txn high-water marks survive vacuum via the floor checkpoint") {
+    val dir = stage()
+    TimeTravel.append(spark, dir,
+      Seq((10L, "p1", 1.0)).toDF("id", "part", "v"), "part",
+      txn = Some("s" -> 5L))
+    TimeTravel.delete(spark, dir, Seq(2L).toDF("id"), "id", "part")
+    val h = TimeTravel.history(spark, dir)
+    assert(h.map(_.version) === Seq(3, 2, 1))
+    assert(h.find(_.version == 2).get.txn === Some("s" -> 5L))
+    assert(h.find(_.version == 1).get.checkpointed)
+    assert(h.find(_.version == 3).get.nRemoved > 0)
+    // vacuum past the marker's own record: the floor checkpoint carries
+    // the stream's high-water mark, so a restarting append stream still
+    // sees its last committed batch
+    TimeTravel.vacuum(spark, dir, keepFrom = 3)
+    assert(TimeTravel.lastCommittedTxn(spark, dir, "s") === Some(5L))
+    assert(TimeTravel.lastCommittedTxn(spark, dir, "other") === None)
+    assert(TimeTravel.history(spark, dir).map(_.version) === Seq(3))
   }
 
   test("compact consolidates fragmented partitions in a NEW commit; content and history intact") {

@@ -552,6 +552,10 @@ class StreamingSpec extends SparkSpec {
         (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "view"),
         (2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2L, "click"))
       .toDF("event_id", "ts", "user_id", "event_type")
+      // match the stream's enforced events schema (the schema check now
+      // refuses silently-divergent batches)
+      .withColumn("value", lit(null).cast("double"))
+      .withColumn("props", lit(null).cast("string"))
       .withColumn("part", pmod(col("user_id"), lit(2L)).cast("string"))
     TimeTravel.init(spark, rDir, b0, "part", txn = Some(rck -> 0L))
     val rt = EventsStream.replayToVersionedAppend(
