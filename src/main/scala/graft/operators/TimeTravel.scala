@@ -205,6 +205,23 @@ object TimeTravel {
   private def schemaLine(schema: org.apache.spark.sql.types.StructType): String =
     s"#schema=${schema.json}"
 
+  /** Commit-kind and wall-clock metadata lines. The `#op=` kind is what
+    * lets a log CONSUMER reason about a commit without reading its data:
+    * [[readAppendsSince]] delivers `append` adds, skips `compact` adds
+    * (a pure rewrite of already-delivered rows — Delta's
+    * `dataChange=false`), and refuses rewrite kinds. `#ts=` (epoch
+    * millis, the commit's wall-clock) powers [[versionAsOf]] — advisory
+    * like Delta's file-mtime timestamps: version numbers are the
+    * authoritative history, timestamps the human-friendly index. */
+  private def opLine(op: String): String = s"#op=$op"
+  private def tsLine(): String = s"#ts=${System.currentTimeMillis()}"
+  private def opFrom(lines: Seq[String]): Option[String] =
+    lines.collectFirst {
+      case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
+  private def tsFrom(lines: Seq[String]): Option[Long] =
+    lines.collectFirst {
+      case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong }
+
   /** The committed schema of `version` — resolved in [[resolveAt]]'s
     * walk. None only for pre-schema-line logs (reads fall back to
     * inference). */
@@ -304,11 +321,13 @@ object TimeTravel {
     * skips the write when one already exists. */
   private def writeManifest(fs: FileSystem, baseDir: String, version: Int,
       files: Seq[String], txns: Seq[(String, Long)] = Nil,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: Option[String] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(manifestPath(baseDir, version), false)
     try out.write(
-      (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++ files.sorted)
+      (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
+        op.map(opLine).toSeq ++ Seq(tsLine()) ++ files.sorted)
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
   }
@@ -320,11 +339,13 @@ object TimeTravel {
   private def writeDelta(fs: FileSystem, baseDir: String, version: Int,
       adds: Seq[String], removes: Seq[String],
       txn: Option[(String, Long)] = None,
-      schema: Option[org.apache.spark.sql.types.StructType] = None): Unit = {
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: Option[String] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(deltaPath(baseDir, version), false)
     try out.write(
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
+        op.map(opLine).toSeq ++ Seq(tsLine()) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
@@ -415,7 +436,8 @@ object TimeTravel {
     require(files.nonEmpty, "init with an EMPTY DataFrame — an empty v1 " +
       "is not representable on plain parquet and would brick every " +
       "later commit; create the table from its first real batch instead")
-    writeManifest(fs, baseDir, 1, files, txn.toSeq, Some(df.schema))
+    writeManifest(fs, baseDir, 1, files, txn.toSeq, Some(df.schema),
+      Some("init"))
     commitStats.put(baseDir, CommitStats(1, Set.empty, files.size, 0,
       checkpointed = true))
     1
@@ -458,7 +480,7 @@ object TimeTravel {
     * fragmented dirs), so commitRewrite never re-reads the log. */
   private def commitRewrite(spark: SparkSession, baseDir: String,
       partCol: String, affected: Seq[Any], prev: Int,
-      prevFiles: Seq[String], rewritten: DataFrame): Int = {
+      prevFiles: Seq[String], rewritten: DataFrame, op: String): Int = {
     val fs = hadoopFs(spark, baseDir)
     val dirs = affectedDirs(partCol, affected)
     // new-file discovery scoped to the AFFECTED directories only:
@@ -481,7 +503,7 @@ object TimeTravel {
       "commit would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
     logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
-      prevFiles, None, Some(rewritten.schema))
+      prevFiles, None, Some(rewritten.schema), op)
   }
 
   /** Land the commit record for `version` (delta always; checkpoint on
@@ -492,13 +514,14 @@ object TimeTravel {
       baseDir: String, version: Int, dirs: Set[String],
       adds: Seq[String], removes: Seq[String], prevFiles: Seq[String],
       txn: Option[(String, Long)],
-      schema: Option[org.apache.spark.sql.types.StructType]): Int = {
-    writeDelta(fs, baseDir, version, adds, removes, txn, schema)
+      schema: Option[org.apache.spark.sql.types.StructType],
+      op: String): Int = {
+    writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op))
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
       writeManifest(fs, baseDir, version,
-        prevFiles.filterNot(removed) ++ adds, Nil, schema)
+        prevFiles.filterNot(removed) ++ adds, Nil, schema, Some(op))
     }
     commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
@@ -545,7 +568,7 @@ object TimeTravel {
     // there (appends never remove, so the checkpoint is prev ++ adds)
     logCommit(spark, fs, baseDir, prev + 1, dirs, adds, Nil,
       if ((prev + 1) % checkpointEvery == 0) filesAt(spark, baseDir, prev)
-      else Nil, txn, Some(batch.schema))
+      else Nil, txn, Some(batch.schema), "append")
   }
 
   /** MERGE INTO as a new version: same pruned-discovery semantics as
@@ -581,7 +604,7 @@ object TimeTravel {
         allowMissingColumns = true)
       .localCheckpoint() // don't re-plan the discovery work in the write
     commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
-      merged)
+      merged, "upsert")
   }
 
   /** Targeted DELETE as a new version. Deleting keys not present commits
@@ -608,7 +631,7 @@ object TimeTravel {
         .join(delKeys, Seq(keyCol), "left_anti")
         .localCheckpoint()
       commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
-        survivors)
+        survivors, "delete")
     }
   }
 
@@ -640,7 +663,8 @@ object TimeTravel {
     // repartition(partCol) lands one task's consolidated files per dir
     val rows = readFiles(spark, baseDir,
       fragmented.values.flatten.toSeq.sorted, prevSchema)
-    commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles, rows)
+    commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
+      rows, "compact")
   }
 
   /** VACUUM: physically reclaim data files that no RETAINED version
@@ -681,7 +705,7 @@ object TimeTravel {
       .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).max }.toSeq
     if (!fs.exists(manifestPath(baseDir, keepFrom)))
       writeManifest(fs, baseDir, keepFrom, floor.toSeq, carried,
-        floorSchema)
+        floorSchema, Some("floor"))
     val doomed = (listDataFiles(fs, baseDir) -- kept).toSeq.sorted
     val nDeleted = doomed.count(f =>
       fs.delete(new Path(dataDir(baseDir), f), false))
@@ -701,15 +725,20 @@ object TimeTravel {
 
   /** One commit still in the log. `nAdded`/`nRemoved` are the record's
     * file counts (for a checkpoint-only floor, the full retained list
-    * counts as adds — it IS the resolvable content there). */
+    * counts as adds — it IS the resolvable content there). `op` is the
+    * commit kind (`init`/`append`/`upsert`/`delete`/`compact`, `floor`
+    * for a vacuum-rematerialized floor checkpoint); `timestampMs` the
+    * commit's recorded wall-clock. Both None only on pre-metadata
+    * logs. */
   final case class CommitInfo(version: Int, nAdded: Int, nRemoved: Int,
-      txn: Option[(String, Long)], checkpointed: Boolean)
+      txn: Option[(String, Long)], checkpointed: Boolean,
+      op: Option[String] = None, timestampMs: Option[Long] = None)
 
   /** DESCRIBE HISTORY: one row per commit the log still holds, newest
     * first — version, recorded file adds/removes, the txn marker if the
-    * commit carried one, and whether a checkpoint exists at that
-    * version. Pure log metadata: O(retained versions) small reads, no
-    * data access. */
+    * commit carried one, whether a checkpoint exists at that version,
+    * the commit kind, and its wall-clock. Pure log metadata:
+    * O(retained versions) small reads, no data access. */
   def history(spark: SparkSession, baseDir: String): Seq[CommitInfo] = {
     val fs = hadoopFs(spark, baseDir)
     val entries = logEntries(fs, baseDir)
@@ -723,7 +752,90 @@ object TimeTravel {
         if (hasDelta) lines.count(_.startsWith("+"))
         else lines.count(l => !l.startsWith("#"))
       val nRemoved = if (hasDelta) lines.count(_.startsWith("-")) else 0
-      CommitInfo(v, nAdded, nRemoved, txn, hasManifest)
+      CommitInfo(v, nAdded, nRemoved, txn, hasManifest,
+        opFrom(lines), tsFrom(lines))
     }
+  }
+
+  /** Timestamp-based time travel: the latest version whose recorded
+    * commit wall-clock is at or before `tsMillis` — `readVersion(
+    * versionAsOf(...))` is the AS OF TIMESTAMP read. Timestamps are
+    * forced monotone over versions before comparing (a clock that
+    * stepped backwards between commits cannot make a LATER version
+    * resolve to an EARLIER time — Delta applies the same
+    * monotonization), and a pre-metadata record inherits its
+    * predecessor's effective time. Version numbers stay the
+    * authoritative history; this is the human-friendly index over it.
+    * Throws when every retained commit is later than `tsMillis`. */
+  def versionAsOf(spark: SparkSession, baseDir: String,
+      tsMillis: Long): Int = {
+    val commits = history(spark, baseDir).reverse // oldest first
+    require(commits.nonEmpty, s"$baseDir has no commits")
+    var eff = Long.MinValue
+    val eligible = commits.flatMap { c =>
+      eff = math.max(eff, c.timestampMs.getOrElse(eff))
+      if (eff <= tsMillis) Some(c.version) else None
+    }
+    require(eligible.nonEmpty,
+      s"no version of $baseDir committed at or before $tsMillis " +
+        s"(earliest retained commit: ${commits.head.timestampMs})")
+    eligible.max
+  }
+
+  /** Insert-only CHANGE FEED — the incremental-consumption shape a
+    * downstream pipeline wants from an append-mode table (the Delta
+    * streaming-source/`readChangeFeed` idea on this log): exactly the
+    * rows versions `(sinceVersion, endVersion]` APPENDED, read from the
+    * `#op=append` deltas' add files alone — no snapshot scan, cost
+    * O(rows appended in the window) however large the table. A consumer
+    * keeps a version cursor: bootstrap from `readVersion(v0)`, then
+    * repeatedly `readAppendsSince(cursor)` + advance the cursor to
+    * [[latestVersion]] — windows compose exactly (`(a,b] ++ (b,c] =
+    * (a,c]`). `compact` commits are skipped whole: a compaction rewrites
+    * already-delivered rows without changing content (Delta's
+    * `dataChange=false` files), so delivering its adds would duplicate.
+    * Rewrite commits (`upsert`/`delete`) are REFUSED loudly — an
+    * insert-only feed cannot represent updates; consumers of mutable
+    * tables re-read a full version instead (q151's snapshotDiff is the
+    * batch diff for that case). A vacuumed-away record in the window
+    * also fails loudly: restart from a fresh snapshot. Rows come back
+    * under `endVersion`'s committed schema (earlier appends NULL-fill
+    * columns added since — same semantics as reading the table). */
+  def readAppendsSince(spark: SparkSession, baseDir: String,
+      sinceVersion: Int, endVersion: Int = Int.MaxValue): DataFrame = {
+    val fs = hadoopFs(spark, baseDir)
+    val latest = latestVersion(spark, baseDir)
+    val end = if (endVersion == Int.MaxValue) latest else endVersion
+    require(sinceVersion >= 1 && sinceVersion <= end && end <= latest,
+      s"window ($sinceVersion, $end] out of range for $baseDir " +
+        s"(latest: $latest)")
+    val entries = logEntries(fs, baseDir)
+    val addFiles = ((sinceVersion + 1) to end).flatMap { v =>
+      require(entries.get(v).exists(_._2),
+        s"version $v of $baseDir has no commit record (vacuumed away): " +
+          "the incremental window is not reconstructible — restart from " +
+          "a full readVersion snapshot")
+      val lines = readRawLines(fs, deltaPath(baseDir, v))
+      val adds = lines.collect { case l if l.startsWith("+") => l.tail }
+      val removes = lines.collect { case l if l.startsWith("-") => l.tail }
+      opFrom(lines) match {
+        case Some("append") => adds
+        case Some("compact") => Nil // dataChange=false: already delivered
+        case None if removes.isEmpty => adds // pre-#op log, provably adds-only
+        case other => throw new IllegalArgumentException(
+          s"version $v of $baseDir is a " +
+            s"${other.getOrElse("pre-metadata rewrite")} commit: an " +
+            "insert-only change feed cannot represent updates or " +
+            "deletes — re-read the full version (or snapshotDiff) instead")
+      }
+    }
+    val schema = schemaOfRecord(fs, baseDir, end)
+    if (addFiles.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(
+        s"empty window ($sinceVersion, $end] of $baseDir has no logged " +
+          "schema to type an empty result with"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else readFiles(spark, baseDir, addFiles.sorted, schema)
   }
 }

@@ -890,6 +890,49 @@ object PipelineQueries {
       FROM lineitem""")
   )
 
+  /** Insert-only CHANGE FEED from the versioned table
+    * ([[graft.operators.TimeTravel.readAppendsSince]]) — incremental
+    * consumption over the SAME staged history q162 compacts (v1 init,
+    * v2–v5 blind appends, v6 compaction; staging is memoized and both
+    * queries only read): the feed over `(1, latest]` must deliver
+    * EXACTLY the four appended batches' rows (linenumbers 4–7) read
+    * from the `#op=append` deltas' add files alone — the init snapshot
+    * never re-delivered, the compaction commit skipped whole (its adds
+    * rewrite already-delivered rows: Delta's `dataChange=false`), cost
+    * O(rows appended), never a table scan. In-band verdicts: two cursor
+    * windows `(1,3] ++ (3,latest]` compose to the full feed (the
+    * consumer's resume contract), and the skipped compaction really
+    * sits inside the window. A feed that re-delivered compacted rows
+    * would double `n_rows`; one that leaked init rows would shift every
+    * aggregate; both hash-mismatch. */
+  val q166 = Q(
+    "q166_change_feed_versioned",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = compactedVersionedDir(spark, dir)
+      val latest = TimeTravel.latestVersion(spark, t)
+      val compactInWindow = TimeTravel.history(spark, t)
+        .exists(_.op.contains("compact"))
+      val composed = TimeTravel.readAppendsSince(spark, t, 1, 3).count() +
+        TimeTravel.readAppendsSince(spark, t, 3, latest).count()
+      TimeTravel.readAppendsSince(spark, t, 1).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_orderkey"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_linenumber")).as("n_linenumbers"))
+        .select(col("n_rows"), col("sum_orderkey"), col("sum_qty"),
+          col("n_linenumbers"),
+          (col("n_rows") === composed).as("windows_compose"),
+          lit(compactInWindow).as("compact_skipped"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+        ${Exact.sqlSum("l_quantity")} AS sum_qty,
+        COUNT(DISTINCT l_linenumber) AS n_linenumbers,
+        TRUE AS windows_compose, TRUE AS compact_skipped
+      FROM lineitem WHERE l_linenumber BETWEEN 4 AND 7""")
+  )
+
   /** Versioned orders table with a SCHEMA-EVOLUTION commit, staged once
     * per sf dir: v1 = the month-partitioned table under the original
     * columns, v2 = an upsert of every 11th 1996 order carrying a NEW
@@ -951,5 +994,5 @@ object PipelineQueries {
 
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141, q142, q150, q151, q156, q158, q159, q162, q165)
+      q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166)
 }

@@ -372,6 +372,73 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.history(spark, dir).map(_.version) === Seq(3))
   }
 
+  test("insert-only change feed: windows compose, compaction delivers nothing, rewrites refuse") {
+    val dir = stage() // v1: 5 rows
+    TimeTravel.append(spark, dir,
+      Seq((10L, "p1", 1.0), (11L, "p2", 2.0)).toDF("id", "part", "v"),
+      "part") // v2
+    TimeTravel.append(spark, dir,
+      Seq((12L, "p1", 3.0)).toDF("id", "part", "v"), "part") // v3
+    val vc = TimeTravel.compact(spark, dir, "part") // v4: p1 had 3 files
+    assert(vc === 4)
+    TimeTravel.append(spark, dir,
+      Seq((13L, "p3", 4.0)).toDF("id", "part", "v"), "part") // v5
+    val appended = Set((10L, "p1", 1.0), (11L, "p2", 2.0),
+      (12L, "p1", 3.0), (13L, "p3", 4.0))
+    // the full window delivers exactly the appended rows — the compact
+    // commit's (rewritten, already-delivered) adds are skipped
+    assert(rows(TimeTravel.readAppendsSince(spark, dir, 1)) === appended)
+    // windows COMPOSE: (1,3] ++ (3,5] = (1,5]
+    assert(rows(TimeTravel.readAppendsSince(spark, dir, 1, 3)) ++
+      rows(TimeTravel.readAppendsSince(spark, dir, 3)) === appended)
+    // an empty window is empty, typed by the logged schema
+    val empty = TimeTravel.readAppendsSince(spark, dir, 5)
+    assert(empty.columns.toSet === Set("id", "part", "v"))
+    assert(empty.isEmpty)
+    // a rewrite commit inside the window refuses loudly
+    TimeTravel.upsert(spark, dir,
+      Seq((10L, "p1", 9.0)).toDF("id", "part", "v"), "id", "part") // v6
+    val ex = intercept[IllegalArgumentException] {
+      TimeTravel.readAppendsSince(spark, dir, 5).collect()
+    }
+    assert(ex.getMessage.contains("upsert"))
+    // ...but a window that STOPS before it still reads
+    assert(rows(TimeTravel.readAppendsSince(spark, dir, 4, 5))
+      === Set((13L, "p3", 4.0)))
+    // a vacuumed-away record in the window refuses loudly
+    TimeTravel.vacuum(spark, dir, keepFrom = 6)
+    val ex2 = intercept[IllegalArgumentException] {
+      TimeTravel.readAppendsSince(spark, dir, 1, 5)
+    }
+    assert(ex2.getMessage.contains("vacuumed"))
+  }
+
+  test("versionAsOf resolves the latest commit at or before a timestamp") {
+    val dir = stage()
+    Thread.sleep(5)
+    TimeTravel.append(spark, dir,
+      Seq((10L, "p1", 1.0)).toDF("id", "part", "v"), "part")
+    Thread.sleep(5)
+    TimeTravel.append(spark, dir,
+      Seq((11L, "p2", 2.0)).toDF("id", "part", "v"), "part")
+    val h = TimeTravel.history(spark, dir).reverse // oldest first
+    assert(h.flatMap(_.timestampMs).size === 3)
+    val Seq(t1, t2, t3) = h.flatMap(_.timestampMs)
+    assert(t1 <= t2 && t2 <= t3)
+    intercept[IllegalArgumentException] {
+      TimeTravel.versionAsOf(spark, dir, t1 - 1) // before every commit
+    }
+    assert(TimeTravel.versionAsOf(spark, dir, t1) === 1 || t2 === t1)
+    assert(TimeTravel.versionAsOf(spark, dir, t3) === 3)
+    assert(TimeTravel.versionAsOf(spark, dir, t3 + 60000) === 3)
+    // between v2 and v3 (when the clock separates them): exactly v2
+    if (t3 > t2)
+      assert(TimeTravel.versionAsOf(spark, dir, t3 - 1) === 2)
+    // op kinds are recorded
+    assert(h.map(_.op) === Seq(Some("init"), Some("append"),
+      Some("append")))
+  }
+
   test("compact consolidates fragmented partitions in a NEW commit; content and history intact") {
     val dir = tmpDir("tt-compact")
     TimeTravel.init(spark, dir,
