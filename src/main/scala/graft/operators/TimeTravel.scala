@@ -170,13 +170,18 @@ object TimeTravel {
     finally in.close()
   }
 
-  /** The (adds, removes) of version `v`'s commit record. */
-  private def readDelta(fs: FileSystem, baseDir: String,
-      v: Int): (Seq[String], Seq[String]) = {
-    val lines = readLogLines(fs, deltaPath(baseDir, v))
+  /** The single place that knows the delta-line grammar: `+path` adds,
+    * `-path` removes, `#` metadata (ignored here). Every reader of a
+    * commit record's file lines goes through this. */
+  private def addsRemovesFrom(lines: Seq[String])
+      : (Seq[String], Seq[String]) =
     (lines.collect { case l if l.startsWith("+") => l.tail },
       lines.collect { case l if l.startsWith("-") => l.tail })
-  }
+
+  /** The (adds, removes) of version `v`'s commit record. */
+  private def readDelta(fs: FileSystem, baseDir: String,
+      v: Int): (Seq[String], Seq[String]) =
+    addsRemovesFrom(readLogLines(fs, deltaPath(baseDir, v)))
 
   /** Transactional batch identity, the Delta `txn` action scaled to
     * essentials: a commit may carry `#txn=<urlenc streamId>:<batchId>`
@@ -247,14 +252,20 @@ object TimeTravel {
       body.substring(i + 1).toLong)
   }
 
-  /** All txn markers recorded for `v` (its delta and/or checkpoint —
-    * a vacuum floor checkpoint may carry several streams' marks). */
+  /** All txn markers recorded for `v` — from its DELTA when one exists
+    * (the authoritative commit record, batch-bounded), else its
+    * manifest (v1's init record, or a vacuum floor checkpoint carrying
+    * several streams' marks). Never both: cadence checkpoints are
+    * table-scale file lists written with no txns, so reading them here
+    * would cost O(files) lines per 10th version for nothing. */
   private def txnsIn(fs: FileSystem, baseDir: String,
-      v: Int): Seq[(String, Long)] =
-    Seq(deltaPath(baseDir, v), manifestPath(baseDir, v))
-      .filter(fs.exists(_))
-      .flatMap(p => readRawLines(fs, p)
-        .filter(_.startsWith("#txn=")).map(parseTxn))
+      v: Int): Seq[(String, Long)] = {
+    val d = deltaPath(baseDir, v)
+    val p = if (fs.exists(d)) Some(d)
+      else Some(manifestPath(baseDir, v)).filter(fs.exists(_))
+    p.toSeq.flatMap(readRawLines(fs, _)
+      .filter(_.startsWith("#txn=")).map(parseTxn))
+  }
 
   /** Highest batchId the log records for `streamId`, scanning commit
     * records newest→oldest and stopping at the first hit (batchIds are
@@ -309,9 +320,8 @@ object TimeTravel {
           "or never committed)")
       val lines = readRawLines(fs, deltaPath(baseDir, v))
       schemaFrom(lines).foreach(s => schema = Some(s))
-      files = files --
-        lines.collect { case l if l.startsWith("-") => l.tail } ++
-        lines.collect { case l if l.startsWith("+") => l.tail }
+      val (adds, removes) = addsRemovesFrom(lines)
+      files = files -- removes ++ adds
     }
     (files.toSeq.sorted, schema)
   }
@@ -319,16 +329,24 @@ object TimeTravel {
   /** Full checkpoint for `version`. Exclusive create for commit records
     * (init's v1); vacuum may re-materialize a floor checkpoint, which
     * skips the write when one already exists. */
+  private def manifestContent(files: Seq[String],
+      txns: Seq[(String, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      op: Option[String], ts: Option[Long]): Array[Byte] =
+    (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
+      op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
+      files.sorted).mkString("\n").getBytes("UTF-8")
+
+  /** `ts`: pass the ORIGINAL commit's wall-clock when re-materializing
+    * an existing version's checkpoint (vacuum's floor) — stamping a
+    * fresh time would rewrite history under [[versionAsOf]]. */
   private def writeManifest(fs: FileSystem, baseDir: String, version: Int,
       files: Seq[String], txns: Seq[(String, Long)] = Nil,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: Option[String] = None): Unit = {
+      op: Option[String] = None, ts: Option[Long] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(manifestPath(baseDir, version), false)
-    try out.write(
-      (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
-        op.map(opLine).toSeq ++ Seq(tsLine()) ++ files.sorted)
-        .mkString("\n").getBytes("UTF-8"))
+    try out.write(manifestContent(files, txns, schema, op, ts))
     finally out.close()
   }
 
@@ -698,14 +716,45 @@ object TimeTravel {
     // self-contain the floor BEFORE anything is deleted: a crash at any
     // later point leaves every retained version resolvable. The
     // checkpoint carries the floor's SCHEMA (dropping its ancestors
-    // would lose it) and each stream's txn HIGH-WATER MARK from the
+    // would lose it), each stream's txn HIGH-WATER MARK from the
     // records about to drop — or a restarting append stream whose last
-    // commit predates the floor could re-append its crash-window batch
+    // commit predates the floor could re-append its crash-window
+    // batch — and the floor commit's ORIGINAL kind and wall-clock, so
+    // versionAsOf keeps answering pre-vacuum timestamps truthfully.
     val carried = (1 to keepFrom).flatMap(v => txnsIn(fs, baseDir, v))
-      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).max }.toSeq
-    if (!fs.exists(manifestPath(baseDir, keepFrom)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).max }
+      .toSeq.sortBy(_._1)
+    val origLines =
+      Seq(deltaPath(baseDir, keepFrom), manifestPath(baseDir, keepFrom))
+        .find(fs.exists(_)).map(readRawLines(fs, _)).getOrElse(Nil)
+    val mPath = manifestPath(baseDir, keepFrom)
+    if (!fs.exists(mPath))
       writeManifest(fs, baseDir, keepFrom, floor.toSeq, carried,
-        floorSchema, Some("floor"))
+        floorSchema, opFrom(origLines).orElse(Some("floor")),
+        tsFrom(origLines))
+    else {
+      // the floor may already have a CADENCE checkpoint — written at
+      // commit time with no txn marks. The marks living only in the
+      // about-to-drop records must not die with them: rewrite the
+      // checkpoint (tmp + rename) when any carried mark isn't already
+      // covered. Crash-safe: until the rename lands, the floor's delta
+      // and ancestors are all still present, so nothing is unresolvable.
+      val existing = readRawLines(fs, mPath)
+        .filter(_.startsWith("#txn=")).map(parseTxn).toMap
+      val covered = carried.forall { case (s, id) =>
+        existing.get(s).exists(_ >= id) }
+      if (!covered) {
+        val tmp = new Path(logDir(baseDir), s"$keepFrom.manifest.tmp")
+        fs.delete(tmp, false)
+        val out = fs.create(tmp, true)
+        try out.write(manifestContent(floor.toSeq.sorted, carried,
+          floorSchema, opFrom(origLines), tsFrom(origLines)))
+        finally out.close()
+        fs.delete(mPath, false)
+        require(fs.rename(tmp, mPath),
+          s"failed to install rewritten floor checkpoint $mPath")
+      }
+    }
     val doomed = (listDataFiles(fs, baseDir) -- kept).toSeq.sorted
     val nDeleted = doomed.count(f =>
       fs.delete(new Path(dataDir(baseDir), f), false))
@@ -725,13 +774,16 @@ object TimeTravel {
 
   /** One commit still in the log. `nAdded`/`nRemoved` are the record's
     * file counts (for a checkpoint-only floor, the full retained list
-    * counts as adds — it IS the resolvable content there). `op` is the
-    * commit kind (`init`/`append`/`upsert`/`delete`/`compact`, `floor`
-    * for a vacuum-rematerialized floor checkpoint); `timestampMs` the
-    * commit's recorded wall-clock. Both None only on pre-metadata
-    * logs. */
+    * counts as adds — it IS the resolvable content there). `txns` are
+    * ALL the record's transaction markers, stream-id-sorted — one for a
+    * live commit, possibly several for a vacuum floor checkpoint
+    * carrying multiple streams' high-water marks. `op` is the commit
+    * kind (`init`/`append`/`upsert`/`delete`/`compact`; a vacuum floor
+    * keeps its ORIGINAL kind, `floor` only on pre-metadata logs);
+    * `timestampMs` the commit's recorded wall-clock (vacuum preserves
+    * the original). op/ts None only on pre-metadata logs. */
   final case class CommitInfo(version: Int, nAdded: Int, nRemoved: Int,
-      txn: Option[(String, Long)], checkpointed: Boolean,
+      txns: Seq[(String, Long)], checkpointed: Boolean,
       op: Option[String] = None, timestampMs: Option[Long] = None)
 
   /** DESCRIBE HISTORY: one row per commit the log still holds, newest
@@ -746,13 +798,13 @@ object TimeTravel {
       val (hasManifest, hasDelta) = entries(v)
       val lines = readRawLines(fs,
         if (hasDelta) deltaPath(baseDir, v) else manifestPath(baseDir, v))
-      val txn = lines.collectFirst {
-        case l if l.startsWith("#txn=") => parseTxn(l) }
+      val txns = lines.filter(_.startsWith("#txn="))
+        .map(parseTxn).sortBy(_._1)
       val nAdded =
         if (hasDelta) lines.count(_.startsWith("+"))
         else lines.count(l => !l.startsWith("#"))
       val nRemoved = if (hasDelta) lines.count(_.startsWith("-")) else 0
-      CommitInfo(v, nAdded, nRemoved, txn, hasManifest,
+      CommitInfo(v, nAdded, nRemoved, txns, hasManifest,
         opFrom(lines), tsFrom(lines))
     }
   }
@@ -763,8 +815,10 @@ object TimeTravel {
     * forced monotone over versions before comparing (a clock that
     * stepped backwards between commits cannot make a LATER version
     * resolve to an EARLIER time — Delta applies the same
-    * monotonization), and a pre-metadata record inherits its
-    * predecessor's effective time. Version numbers stay the
+    * monotonization). A pre-metadata record with a timestamped ancestor
+    * inherits that ancestor's effective time; one with NO timestamped
+    * ancestor is never eligible (there is no evidence of when it was
+    * committed — fail loudly, don't guess). Version numbers stay the
     * authoritative history; this is the human-friendly index over it.
     * Throws when every retained commit is later than `tsMillis`. */
   def versionAsOf(spark: SparkSession, baseDir: String,
@@ -773,12 +827,15 @@ object TimeTravel {
     require(commits.nonEmpty, s"$baseDir has no commits")
     var eff = Long.MinValue
     val eligible = commits.flatMap { c =>
-      eff = math.max(eff, c.timestampMs.getOrElse(eff))
-      if (eff <= tsMillis) Some(c.version) else None
+      c.timestampMs.foreach(t => eff = math.max(eff, t))
+      if (eff != Long.MinValue && eff <= tsMillis) Some(c.version)
+      else None
     }
     require(eligible.nonEmpty,
-      s"no version of $baseDir committed at or before $tsMillis " +
-        s"(earliest retained commit: ${commits.head.timestampMs})")
+      s"no version of $baseDir has a recorded commit time at or " +
+        s"before $tsMillis (earliest retained timestamp: " +
+        s"${commits.flatMap(_.timestampMs).headOption}) — pre-metadata " +
+        "commits are never timestamp-addressable; use readVersion")
     eligible.max
   }
 
@@ -816,8 +873,7 @@ object TimeTravel {
           "the incremental window is not reconstructible — restart from " +
           "a full readVersion snapshot")
       val lines = readRawLines(fs, deltaPath(baseDir, v))
-      val adds = lines.collect { case l if l.startsWith("+") => l.tail }
-      val removes = lines.collect { case l if l.startsWith("-") => l.tail }
+      val (adds, removes) = addsRemovesFrom(lines)
       opFrom(lines) match {
         case Some("append") => adds
         case Some("compact") => Nil // dataChange=false: already delivered

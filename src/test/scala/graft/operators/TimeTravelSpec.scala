@@ -360,7 +360,7 @@ class TimeTravelSpec extends SparkSpec {
     TimeTravel.delete(spark, dir, Seq(2L).toDF("id"), "id", "part")
     val h = TimeTravel.history(spark, dir)
     assert(h.map(_.version) === Seq(3, 2, 1))
-    assert(h.find(_.version == 2).get.txn === Some("s" -> 5L))
+    assert(h.find(_.version == 2).get.txns === Seq("s" -> 5L))
     assert(h.find(_.version == 1).get.checkpointed)
     assert(h.find(_.version == 3).get.nRemoved > 0)
     // vacuum past the marker's own record: the floor checkpoint carries
@@ -370,6 +370,32 @@ class TimeTravelSpec extends SparkSpec {
     assert(TimeTravel.lastCommittedTxn(spark, dir, "s") === Some(5L))
     assert(TimeTravel.lastCommittedTxn(spark, dir, "other") === None)
     assert(TimeTravel.history(spark, dir).map(_.version) === Seq(3))
+  }
+
+  test("vacuum at a CADENCE-checkpoint floor still carries txn marks and the original commit time") {
+    val dir = stage() // v1
+    // nine appends drive the table to v10 — the cadence-checkpoint
+    // version (checkpointEvery = 10), whose manifest was written at
+    // commit time with NO txn marks
+    (0 to 8).foreach { b =>
+      TimeTravel.append(spark, dir,
+        Seq((100L + b, "p1", b.toDouble)).toDF("id", "part", "v"),
+        "part", txn = Some("ck" -> b.toLong))
+    }
+    assert(TimeTravel.latestVersion(spark, dir) === 10)
+    val pre = TimeTravel.history(spark, dir).find(_.version == 10).get
+    assert(pre.checkpointed) // the cadence checkpoint exists
+    val t10 = pre.timestampMs.get
+    TimeTravel.vacuum(spark, dir, keepFrom = 10)
+    // the stream's high-water mark survived the drop of v2..v9's records
+    assert(TimeTravel.lastCommittedTxn(spark, dir, "ck") === Some(8L))
+    // ...and the floor kept its ORIGINAL wall-clock: pre-vacuum
+    // timestamps still resolve instead of being rewritten to vacuum time
+    assert(TimeTravel.versionAsOf(spark, dir, t10) === 10)
+    val post = TimeTravel.history(spark, dir).find(_.version == 10).get
+    assert(post.timestampMs === Some(t10))
+    assert(post.txns.contains("ck" -> 8L))
+    assert(rows(TimeTravel.readVersion(spark, dir, 10)).size === 14)
   }
 
   test("insert-only change feed: windows compose, compaction delivers nothing, rewrites refuse") {
