@@ -33,22 +33,30 @@ import org.apache.spark.sql.functions._
   *     batch-bounded except the one checkpoint.
   *
   * Commit mechanics mirror a real table format scaled to essentials:
-  *   - writes never mutate: a merge APPENDS the rewritten partitions'
-  *     rows as new uniquely-named part files. New-file discovery lists
-  *     ONLY the affected `partCol=<v>` directories (before/after the
-  *     append), so commit cost is bounded by the batch's partition
+  *   - writes never mutate: a merge STAGES the rewritten partitions'
+  *     rows under `_staging/<token>/` and moves each produced file into
+  *     `data/` under the commit-unique token — the commit knows its
+  *     adds because it moved them (no directory listing at all, and no
+  *     window where a concurrent writer's in-flight files could be
+  *     claimed), so commit cost is bounded by the batch's partition
   *     spread — never a full-table listing. Untouched partitions' files
   *     carry over by NAME implicitly (the delta doesn't mention them) —
   *     zero data movement, byte-identical across versions.
+  *   - commits are OPTIMISTIC: the record lands at `latest + 1` with an
+  *     exclusive create; the loser of a race rebases past the winner
+  *     when it safely commutes (appends always; rewrites only past
+  *     commits touching disjoint partition dirs) and refuses loudly
+  *     otherwise — see [[commitWithRebase]].
   *   - an emptied partition simply contributes `-` lines; nothing is
   *     physically deleted (time travel is why). Reclaiming files no
   *     retained version references is [[vacuum]].
   *   - the delta is created with `FileSystem.create(overwrite=false)` —
   *     two writers racing to commit the same version: exactly one wins,
-  *     the loser gets an error, the optimistic-concurrency primitive
-  *     every log-structured format builds on. (The operator contract is
-  *     single-writer; the exclusive create is the guard rail, not a
-  *     transaction manager.)
+  *     the optimistic-concurrency primitive every log-structured format
+  *     builds on. The loser REBASES when its commit commutes with the
+  *     winner's and gets a `ConcurrentModificationException` when it
+  *     does not (its read snapshot was stale) — multi-writer safety on
+  *     any filesystem with atomic exclusive create.
   *
   * Scale shape: the driver holds only the affected-partition values,
   * the current version's file list (file-count-bounded metadata, the
@@ -68,8 +76,9 @@ object TimeTravel {
 
   /** Telemetry for the most recent commit PER TABLE — the observable
     * contract that commit cost is bounded by the BATCH: `dirsListed`
-    * are the only directories the commit enumerated (the affected
-    * partitions), and `nAdded`/`nRemoved` are the delta's size.
+    * are the affected partition dirs (the commit's blast radius; since
+    * staged writes know their files, commits enumerate no directories
+    * at all), and `nAdded`/`nRemoved` are the delta's size.
     * Keyed by baseDir so concurrent sinks on different tables (a merge
     * stream and an append stream in one JVM) never clobber each other's
     * stats. Spec-asserted (TimeTravelSpec) and useful for ops logging. */
@@ -80,11 +89,13 @@ object TimeTravel {
   private[graft] def lastCommitStats(baseDir: String): Option[CommitStats] =
     commitStats.get(baseDir)
 
-  private def hadoopFs(spark: SparkSession, baseDir: String): FileSystem =
+  private[operators] def hadoopFs(spark: SparkSession, baseDir: String): FileSystem =
     new Path(baseDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def dataDir(baseDir: String) = new Path(baseDir, "data")
   private def logDir(baseDir: String) = new Path(baseDir, "_graft_log")
+  private def changeDir(baseDir: String, v: Int) =
+    new Path(new Path(baseDir, "_change"), v.toString)
   private def manifestPath(baseDir: String, v: Int) =
     new Path(logDir(baseDir), s"$v.manifest")
   private def deltaPath(baseDir: String, v: Int) =
@@ -93,7 +104,8 @@ object TimeTravel {
   /** Relative (to data/) paths of ALL parquet data files on disk — the
     * table-scale listing, used only where table scale is the contract:
     * `init` (fresh table, everything is new) and `vacuum` (orphans are
-    * by definition not in any log). Commits use [[listFilesUnder]]. */
+    * by definition not in any log). Commits never list: a staged write
+    * ([[stageWrite]]) knows its files because it moved them. */
   private def listDataFiles(fs: FileSystem, baseDir: String): Set[String] = {
     val root = fs.makeQualified(dataDir(baseDir))
     if (!fs.exists(root)) Set.empty
@@ -104,16 +116,6 @@ object TimeTravel {
     * escaped `partCol=<v>` directories — the batch-bounded listing the
     * commit path uses for new-file discovery. A directory that does not
     * exist yet (brand-new partition value) contributes nothing. */
-  private def listFilesUnder(fs: FileSystem, baseDir: String,
-      dirs: Set[String]): Set[String] = {
-    val root = fs.makeQualified(dataDir(baseDir))
-    dirs.flatMap { d =>
-      val p = new Path(root, d)
-      if (!fs.exists(p)) Set.empty[String]
-      else relativeParquetFiles(fs, root, p)
-    }
-  }
-
   private def relativeParquetFiles(fs: FileSystem, root: Path,
       under: Path): Set[String] = {
     // qualify BOTH sides before relativizing: listFiles returns
@@ -227,6 +229,196 @@ object TimeTravel {
     lines.collectFirst {
       case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong }
 
+  // ---------------------------------------------------------------------
+  // Per-file column statistics — DATA SKIPPING from the log alone.
+  //
+  // Every commit records, for each file it ADDS, the file's min/max per
+  // eligible top-level column (`#stats=<path>|<col>=<min>:<max>;...`,
+  // every token URL-encoded). The values come from the parquet FOOTERS
+  // the write already produced — a driver-side footer read per added
+  // file, O(files touched) like the commit's own listing, no data scan
+  // (the Delta `stats` field on `add` actions, scaled to essentials).
+  // Checkpoints carry the stats of every retained file, so skipping
+  // survives vacuum. A file with no recorded bound for a column is
+  // simply never skipped — stats are an I/O optimization with graceful
+  // degradation, never a correctness input.
+  //
+  // Bounds ignore all-null row groups (contributing no stats), which is
+  // sound exactly because [[readVersionSkipping]] prunes by range
+  // overlap and range predicates are null-rejecting: a NULL value can
+  // never satisfy `lo <= x <= hi`, so rows a null-only row group holds
+  // can never be in the result the caller filters to.
+  // ---------------------------------------------------------------------
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, "UTF-8")
+
+  private def statsLine(path: String, payload: String): String =
+    s"#stats=${enc(path)}|$payload"
+
+  /** `#stats=` lines → path → encoded per-column payload. */
+  private def statsFrom(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith("#stats=") =>
+      val rest = l.stripPrefix("#stats=")
+      val i = rest.indexOf('|')
+      dec(rest.take(i)) -> rest.drop(i + 1)
+    }.toMap
+
+  private def statsLinesFor(files: Seq[String],
+      stats: Map[String, String]): Seq[String] =
+    files.sorted.flatMap(f => stats.get(f).map(p => statsLine(f, p)))
+
+  /** Columns whose min/max we can both extract from a footer and
+    * compare at skip time: integral, floating, decimal, date, string.
+    * (Timestamps are INT96/µs-epoch soup across writers; booleans and
+    * nested types have no useful range — all simply not recorded.) */
+  private def statsEligible(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType | StringType | DateType => true
+      case _: DecimalType => true
+      case _ => false
+    }
+  }
+
+  /** One file's per-column (min, max) as canonical strings — decimal
+    * text for every numeric-ish column (dates as epoch days), raw text
+    * for strings — merged across the footer's row groups. A column
+    * drops out of the map (→ never skipped on) when any row group with
+    * non-null values lacks usable statistics, or on any extraction
+    * surprise (NaN bounds, unexpected physical type): stats must be
+    * conservative or absent, never wrong. */
+  private def footerColumnStats(fs: FileSystem, file: Path)
+      : Map[String, (String, String)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{
+      DecimalLogicalTypeAnnotation, StringLogicalTypeAnnotation,
+      DateLogicalTypeAnnotation, IntLogicalTypeAnnotation}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val reader =
+      ParquetFileReader.open(HadoopInputFile.fromPath(file, fs.getConf))
+    try {
+      // (numeric?, min, max) per column; None = column disqualified
+      val acc = scala.collection.mutable.Map
+        .empty[String, Option[(Boolean, Any, Any)]]
+      reader.getFooter.getBlocks.asScala.foreach { block =>
+        block.getColumns.asScala.foreach { cc =>
+          val name = cc.getPath.toDotString
+          if (!name.contains('.') && !acc.get(name).contains(None)) {
+            val extracted: Option[Option[(Boolean, Any, Any)]] =
+              try {
+                val st = cc.getStatistics
+                if (st == null || st.isEmpty)
+                  Some(None) // no stats written at all: unbounded column
+                else if (!st.hasNonNullValue)
+                  None // all-null row group: contributes nothing
+                else {
+                  val pt = cc.getPrimitiveType
+                  val ann = pt.getLogicalTypeAnnotation
+                  def bigInt(b: Binary) = new java.math.BigInteger(b.getBytes)
+                  def decimalOf(v: Any, scale: Int): java.math.BigDecimal =
+                    v match {
+                      case i: java.lang.Integer => java.math.BigDecimal
+                        .valueOf(i.longValue()).movePointLeft(scale)
+                      case l: java.lang.Long => java.math.BigDecimal
+                        .valueOf(l).movePointLeft(scale)
+                      case b: Binary =>
+                        new java.math.BigDecimal(bigInt(b), scale)
+                    }
+                  (ann, pt.getPrimitiveTypeName) match {
+                    case (_: StringLogicalTypeAnnotation, BINARY) =>
+                      Some(Some((false,
+                        st.genericGetMin.asInstanceOf[Binary]
+                          .toStringUsingUTF8,
+                        st.genericGetMax.asInstanceOf[Binary]
+                          .toStringUsingUTF8)))
+                    case (d: DecimalLogicalTypeAnnotation, _) =>
+                      Some(Some((true,
+                        decimalOf(st.genericGetMin, d.getScale),
+                        decimalOf(st.genericGetMax, d.getScale))))
+                    case (_: DateLogicalTypeAnnotation, INT32) |
+                         (_: IntLogicalTypeAnnotation, _) | (null, _) =>
+                      pt.getPrimitiveTypeName match {
+                        case INT32 | INT64 =>
+                          Some(Some((true,
+                            new java.math.BigDecimal(
+                              st.genericGetMin.toString),
+                            new java.math.BigDecimal(
+                              st.genericGetMax.toString))))
+                        case FLOAT | DOUBLE =>
+                          val mn = new java.math.BigDecimal(
+                            st.genericGetMin.toString)
+                          val mx = new java.math.BigDecimal(
+                            st.genericGetMax.toString)
+                          Some(Some((true, mn, mx)))
+                        case _ => Some(None)
+                      }
+                    case _ => Some(None)
+                  }
+                }
+              } catch { case scala.util.control.NonFatal(_) => Some(None) }
+            extracted.foreach { e =>
+              acc(name) =
+                if (e.isEmpty) None // disqualified: sticky
+                else acc.get(name) match {
+                  case None => e // first row group seen for this column
+                  case Some(None) => None // already disqualified
+                  case Some(Some((pn, pmn, pmx))) =>
+                    val (_, nmn, nmx) = e.get
+                    def lt(a: Any, b: Any) =
+                      if (pn) a.asInstanceOf[java.math.BigDecimal]
+                        .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
+                      else a.asInstanceOf[String] < b.asInstanceOf[String]
+                    Some((pn, if (lt(pmn, nmn)) pmn else nmn,
+                      if (lt(pmx, nmx)) nmx else pmx))
+                }
+            }
+          }
+        }
+      }
+      acc.collect { case (c, Some((n, mn, mx))) =>
+        c -> (if (n)
+          (mn.asInstanceOf[java.math.BigDecimal].toPlainString,
+            mx.asInstanceOf[java.math.BigDecimal].toPlainString)
+        else (mn.asInstanceOf[String], mx.asInstanceOf[String]))
+      }.toMap
+    } finally reader.close()
+  }
+
+  /** Encoded stats payload for each of `adds` — the commit-time hook.
+    * Driver-side, one footer read per added file (same order as the
+    * listing the commit already did). On a real cluster this could move
+    * into the write tasks; the footer-read shape is the point: never a
+    * data scan. */
+  private def computeAddStats(fs: FileSystem, baseDir: String,
+      adds: Seq[String]): Map[String, String] =
+    adds.flatMap { f =>
+      val cols = footerColumnStats(fs, new Path(dataDir(baseDir), f))
+      if (cols.isEmpty) None
+      else Some(f -> cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+        s"${enc(c)}=${enc(mn)}:${enc(mx)}"
+      }.mkString(";"))
+    }.toMap
+
+  /** `(min, max)` recorded for `colName` in an encoded payload. */
+  private def parseColRange(payload: String,
+      colName: String): Option[(String, String)] =
+    payload.split(';').iterator.flatMap { tok =>
+      val eq = tok.indexOf('=')
+      val co = tok.indexOf(':', eq + 1)
+      if (eq < 0 || co < 0) None
+      else if (dec(tok.take(eq)) != colName) None
+      else Some((dec(tok.substring(eq + 1, co)), dec(tok.substring(co + 1))))
+    }.toSeq.headOption
+
   /** The committed schema of `version` — resolved in [[resolveAt]]'s
     * walk. None only for pre-schema-line logs (reads fall back to
     * inference). */
@@ -298,11 +490,24 @@ object TimeTravel {
           .asInstanceOf[org.apache.spark.sql.types.StructType]
     }
 
-  /** ONE log walk yields both the file set and the committed schema of
-    * `version` (last `#schema=` seen wins — a later evolution commit
-    * overrides the checkpoint's). */
+  /** A version fully resolved from the log: its file set, committed
+    * schema, and per-file data-skipping stats (files with none recorded
+    * are simply absent from `stats`). */
+  private final case class Snapshot(files: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      stats: Map[String, String])
+
   private def resolveAt(spark: SparkSession, baseDir: String, version: Int)
       : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+    val s = resolveFull(spark, baseDir, version)
+    (s.files, s.schema)
+  }
+
+  /** ONE log walk yields the file set, the committed schema (last
+    * `#schema=` seen wins — a later evolution commit overrides the
+    * checkpoint's), and the retained files' stats of `version`. */
+  private def resolveFull(spark: SparkSession, baseDir: String,
+      version: Int): Snapshot = {
     val fs = hadoopFs(spark, baseDir)
     val entries = logEntries(fs, baseDir)
     val ckpt = entries.collect {
@@ -314,6 +519,7 @@ object TimeTravel {
     val ckptLines = readRawLines(fs, manifestPath(baseDir, ckpt))
     var schema = schemaFrom(ckptLines)
     var files = ckptLines.filterNot(_.startsWith("#")).toSet
+    var stats = statsFrom(ckptLines)
     ((ckpt + 1) to version).foreach { v =>
       require(entries.get(v).exists(_._2),
         s"version $v of $baseDir has no commit record (vacuumed away, " +
@@ -322,8 +528,10 @@ object TimeTravel {
       schemaFrom(lines).foreach(s => schema = Some(s))
       val (adds, removes) = addsRemovesFrom(lines)
       files = files -- removes ++ adds
+      stats = stats -- removes ++ statsFrom(lines)
     }
-    (files.toSeq.sorted, schema)
+    Snapshot(files.toSeq.sorted, schema,
+      stats.filter { case (f, _) => files(f) })
   }
 
   /** Full checkpoint for `version`. Exclusive create for commit records
@@ -332,9 +540,11 @@ object TimeTravel {
   private def manifestContent(files: Seq[String],
       txns: Seq[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
-      op: Option[String], ts: Option[Long]): Array[Byte] =
+      op: Option[String], ts: Option[Long],
+      stats: Map[String, String]): Array[Byte] =
     (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
+      statsLinesFor(files, stats) ++
       files.sorted).mkString("\n").getBytes("UTF-8")
 
   /** `ts`: pass the ORIGINAL commit's wall-clock when re-materializing
@@ -343,30 +553,137 @@ object TimeTravel {
   private def writeManifest(fs: FileSystem, baseDir: String, version: Int,
       files: Seq[String], txns: Seq[(String, Long)] = Nil,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: Option[String] = None, ts: Option[Long] = None): Unit = {
+      op: Option[String] = None, ts: Option[Long] = None,
+      stats: Map[String, String] = Map.empty): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out = fs.create(manifestPath(baseDir, version), false)
-    try out.write(manifestContent(files, txns, schema, op, ts))
+    try out.write(manifestContent(files, txns, schema, op, ts, stats))
     finally out.close()
   }
 
+  /** The losing writer of a commit race — version `version` was
+    * committed by someone else between our snapshot read and our
+    * record write. Internal control flow: [[commitWithRebase]] catches
+    * it and either rebases or surfaces a
+    * `ConcurrentModificationException`. */
+  private final class CommitConflict(val version: Int)
+    extends Exception(s"version $version was committed concurrently")
+
   /** Commit record for `version` — optional txn marker, then adds and
     * removes, each sorted. Exclusive create: committing an
-    * already-committed version throws (the losing writer of a race gets
-    * this error). */
+    * already-committed version throws [[CommitConflict]] (the losing
+    * writer of a race gets this, and may rebase). */
   private def writeDelta(fs: FileSystem, baseDir: String, version: Int,
       adds: Seq[String], removes: Seq[String],
       txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      op: Option[String] = None): Unit = {
+      op: Option[String] = None,
+      stats: Map[String, String] = Map.empty): Unit = {
     fs.mkdirs(logDir(baseDir))
-    val out = fs.create(deltaPath(baseDir, version), false)
+    val out =
+      try fs.create(deltaPath(baseDir, version), false)
+      catch { case e: java.io.IOException =>
+        if (fs.exists(deltaPath(baseDir, version)))
+          throw new CommitConflict(version)
+        else throw e
+      }
     try out.write(
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
         op.map(opLine).toSeq ++ Seq(tsLine()) ++
+        statsLinesFor(adds, stats) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Write `df` partitioned by `partCol` into a staging dir, then MOVE
+    * each produced file into `data/` under a commit-unique token
+    * prefix, returning exactly the moved files' relative paths. This is
+    * what makes concurrent writers SOUND: the old list-before/
+    * list-after discovery could claim another writer's in-flight files
+    * as this commit's adds (two appends interleaving their writes and
+    * listings would double-commit each other's rows); a staged write
+    * knows its files because it MOVED them, and the token keeps names
+    * globally unique. Renames are per-file metadata ops on a real
+    * filesystem — the classic staging-commit every table format uses. */
+  private[operators] def stageWrite(spark: SparkSession, baseDir: String,
+      df: DataFrame, partCol: String): Seq[String] = {
+    val fs = hadoopFs(spark, baseDir)
+    val token = java.util.UUID.randomUUID().toString.replace("-", "")
+      .take(12)
+    val staging =
+      fs.makeQualified(new Path(baseDir, s"_staging/$token"))
+    try {
+      df.repartition(col(partCol)) // one task's files per partition dir
+        .write.mode("overwrite").partitionBy(partCol)
+        .parquet(staging.toString)
+      relativeParquetFiles(fs, staging, staging).toSeq.sorted.map { rel =>
+        val slash = rel.lastIndexOf('/')
+        val target = s"${rel.take(slash)}/$token-${rel.drop(slash + 1)}"
+        val dst = new Path(dataDir(baseDir), target)
+        fs.mkdirs(dst.getParent)
+        require(fs.rename(new Path(staging, rel), dst),
+          s"failed to install staged file $rel as $dst")
+        target
+      }
+    } finally fs.delete(staging, true)
+  }
+
+  /** Top-level partition dirs a committed version's record touched
+    * (adds and removes both) — the unit of rewrite conflict. */
+  private def deltaTouchedDirs(fs: FileSystem, baseDir: String,
+      v: Int): Set[String] = {
+    val (adds, removes) = readDelta(fs, baseDir, v)
+    (adds ++ removes).map(f => f.take(f.indexOf('/'))).toSet
+  }
+
+  /** Attempt the commit at `prev + 1`, REBASING past concurrent
+    * winners — the optimistic-concurrency loop every log-structured
+    * format runs. A conflict means someone committed our target
+    * version first; whether we can rebase depends on what we are:
+    *   - a blind APPEND commutes with everything (its files are new
+    *     and its rows are inserts by contract) — always rebase, after
+    *     re-checking schema compatibility against the new tip;
+    *   - a REWRITE (upsert/delete/compact) read its base at `prev`:
+    *     it may rebase only past commits touching DISJOINT partition
+    *     dirs (they cannot invalidate what we read or remove); an
+    *     intervening commit in our dirs means our base was stale —
+    *     surface `ConcurrentModificationException`, the caller re-runs
+    *     against the new tip. */
+  private[operators] def commitWithRebase(spark: SparkSession, fs: FileSystem,
+      baseDir: String, prev: Int, dirs: Set[String],
+      adds: Seq[String], removes: Seq[String],
+      txn: Option[(String, Long)],
+      schema: org.apache.spark.sql.types.StructType,
+      op: String, evolveSchema: Boolean): Int = {
+    val addStats = computeAddStats(fs, baseDir, adds)
+    val isRewrite = removes.nonEmpty || op == "upsert" || op == "delete" ||
+      op == "compact"
+    var base = prev
+    while (true) {
+      try return logCommit(spark, fs, baseDir, base + 1, dirs, adds,
+        removes, addStats, () => resolveFull(spark, baseDir, base),
+        txn, Some(schema), op)
+      catch { case c: CommitConflict =>
+        val latest = latestVersion(spark, baseDir)
+        if (isRewrite)
+          ((base + 1) to latest).foreach { v =>
+            val touched = deltaTouchedDirs(fs, baseDir, v)
+            if (touched.exists(dirs)) throw new
+                java.util.ConcurrentModificationException(
+              s"$op of $baseDir read its base at version $base, but " +
+                s"version $v committed concurrently into the same " +
+                s"partition dirs (${touched.intersect(dirs).toSeq.sorted
+                  .mkString(", ")}) — the base snapshot is stale; " +
+                "re-run against the current version")
+          }
+        // schema may have evolved under us: re-check against the tip
+        checkSchema(schema, schemaOfRecord(fs, baseDir, latest),
+          evolveSchema, op)
+        base = latest
+      }
+    }
+    -1 // unreachable
   }
 
   /** Manifest entries are matched to partitions by DIRECTORY TEXT, so a
@@ -420,6 +737,73 @@ object TimeTravel {
     readFilesNonEmpty(spark, baseDir, version, files, schema)
   }
 
+  /** What a stats-pruned read touched: the scan plus the file-count
+    * telemetry the skipping contract is graded on. `df` is a SUPERSET
+    * of the rows matching `[lo, hi]` — exactly Spark's PushedFilters
+    * contract: skipping prunes I/O, the caller's filter stays in the
+    * plan and decides row membership. */
+  final case class SkippingScan(df: DataFrame, filesTotal: Int,
+      filesRead: Int, filesWithStats: Int)
+
+  /** DATA-SKIPPING read: the table AS OF `version`, restricted to the
+    * files whose logged `[min, max]` for `colName` can intersect
+    * `[lo, hi]` — planned from the commit log ALONE (no footer reads,
+    * no listing: the same metadata-only planning Delta does from its
+    * `add.stats`). At 100 TB this is the difference between a key-range
+    * query reading the matching ingest batches' files and reading the
+    * table: partition pruning cuts by the partition column, stats
+    * skipping cuts WITHIN partitions by any clustered column — an
+    * append-per-batch ingest clusters monotone keys for free. Files
+    * with no recorded bound for `colName` are read (conservative,
+    * never wrong); NULL values never match a range predicate, so
+    * null-heavy files skipped via non-null bounds stay sound. Bounds:
+    * numerics/decimals compare numerically, dates as epoch days
+    * (`java.sql.Date`, `LocalDate`, ISO string, or a day number),
+    * strings lexicographically (matching parquet's UTF-8 stats order
+    * for ASCII domains — the truncated-stats caveat rides on parquet's
+    * own guarantee that truncation only widens bounds). */
+  def readVersionSkipping(spark: SparkSession, baseDir: String,
+      version: Int, colName: String, lo: Any, hi: Any): SkippingScan = {
+    import org.apache.spark.sql.types._
+    val snap = resolveFull(spark, baseDir, version)
+    require(snap.files.nonEmpty,
+      s"version $version of $baseDir is empty")
+    val dt = snap.schema.flatMap(s =>
+      s.fields.find(_.name == colName).map(_.dataType))
+    def num(v: Any): java.math.BigDecimal = v match {
+      case d: java.sql.Date =>
+        java.math.BigDecimal.valueOf(d.toLocalDate.toEpochDay)
+      case d: java.time.LocalDate =>
+        java.math.BigDecimal.valueOf(d.toEpochDay)
+      case s: String if dt.contains(DateType) =>
+        java.math.BigDecimal.valueOf(java.time.LocalDate.parse(s).toEpochDay)
+      case other => new java.math.BigDecimal(other.toString)
+    }
+    val asString = dt.contains(StringType)
+    val (nLo, nHi) = if (asString) (null, null) else (num(lo), num(hi))
+    val kept = snap.files.filter { f =>
+      snap.stats.get(f).flatMap(parseColRange(_, colName)) match {
+        case None => true // no bound recorded: must read
+        case Some((mn, mx)) =>
+          if (asString) !(mx < lo.toString || mn > hi.toString)
+          else try {
+            val bmn = new java.math.BigDecimal(mn)
+            val bmx = new java.math.BigDecimal(mx)
+            !(bmx.compareTo(nLo) < 0 || bmn.compareTo(nHi) > 0)
+          } catch { case _: NumberFormatException => true }
+      }
+    }
+    val df =
+      if (kept.isEmpty) {
+        val s = snap.schema.getOrElse(throw new IllegalArgumentException(
+          s"every file of version $version was skipped and the log has " +
+            "no schema to type an empty result with"))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      } else readFiles(spark, baseDir, kept, snap.schema)
+    SkippingScan(df, snap.files.size, kept.size, snap.stats.size)
+  }
+
   private def readFilesNonEmpty(spark: SparkSession, baseDir: String,
       version: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
@@ -447,15 +831,12 @@ object TimeTravel {
     require(df.filter(col(partCol).isNull).isEmpty,
       s"NULL values in partition column '$partCol': such rows could " +
         "never be updated or deleted — default the value upstream")
-    df.repartition(col(partCol)) // one task's files per partition dir
-      .write.mode("append").partitionBy(partCol)
-      .parquet(dataDir(baseDir).toString)
-    val files = listDataFiles(fs, baseDir).toSeq
+    val files = stageWrite(spark, baseDir, df, partCol)
     require(files.nonEmpty, "init with an EMPTY DataFrame — an empty v1 " +
       "is not representable on plain parquet and would brick every " +
       "later commit; create the table from its first real batch instead")
     writeManifest(fs, baseDir, 1, files, txn.toSeq, Some(df.schema),
-      Some("init"))
+      Some("init"), stats = computeAddStats(fs, baseDir, files))
     commitStats.put(baseDir, CommitStats(1, Set.empty, files.size, 0,
       checkpointed = true))
     1
@@ -498,48 +879,51 @@ object TimeTravel {
     * fragmented dirs), so commitRewrite never re-reads the log. */
   private def commitRewrite(spark: SparkSession, baseDir: String,
       partCol: String, affected: Seq[Any], prev: Int,
-      prevFiles: Seq[String], rewritten: DataFrame, op: String): Int = {
+      prevSnap: Snapshot, rewritten: DataFrame, op: String,
+      evolveSchema: Boolean = false): Int = {
     val fs = hadoopFs(spark, baseDir)
+    val prevFiles = prevSnap.files
     val dirs = affectedDirs(partCol, affected)
-    // new-file discovery scoped to the AFFECTED directories only:
-    // `rewritten` holds exclusively affected partitions' rows, so the
-    // partitioned append cannot create files anywhere else — commit
-    // cost is O(files touched), independent of table size
-    val before = listFilesUnder(fs, baseDir, dirs)
-    rewritten.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol)
-      .parquet(dataDir(baseDir).toString)
-    val adds = (listFilesUnder(fs, baseDir, dirs) -- before).toSeq.sorted
+    // staged write: adds are the files WE moved in — exact, never a
+    // directory diff that could claim a concurrent writer's files —
+    // and commit cost is O(files touched), independent of table size
+    val adds = stageWrite(spark, baseDir, rewritten, partCol)
     val removes = prevFiles
       .filter(f => dirs.exists(d => f.startsWith(d + "/")))
     // refuse BEFORE the record lands: an all-rows-gone commit would be
     // an empty version — unreadable on plain parquet (no schema source)
     // and, as the latest version, it would block every later commit. The
-    // table stays at `prev`; the just-appended files are unreferenced
+    // table stays at `prev`; the just-staged files are unreferenced
     // orphans a vacuum reclaims.
     require(prevFiles.size - removes.size + adds.size > 0,
       "commit would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
-    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
-      prevFiles, None, Some(rewritten.schema), op)
+    commitWithRebase(spark, fs, baseDir, prev, dirs, adds, removes,
+      None, rewritten.schema, op, evolveSchema)
   }
 
   /** Land the commit record for `version` (delta always; checkpoint on
-    * cadence) and publish [[commitStats]]. The cadence checkpoint is
-    * computed from the in-hand previous file set + this delta — no log
-    * re-read. */
+    * cadence) and publish [[commitStats]]. `prevSnap` is only forced
+    * when a cadence checkpoint is due. The delta carries its adds'
+    * data-skipping stats; the cadence checkpoint carries the stats of
+    * every retained file. */
   private def logCommit(spark: SparkSession, fs: FileSystem,
       baseDir: String, version: Int, dirs: Set[String],
-      adds: Seq[String], removes: Seq[String], prevFiles: Seq[String],
+      adds: Seq[String], removes: Seq[String],
+      addStats: Map[String, String],
+      prevSnap: () => Snapshot,
       txn: Option[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       op: String): Int = {
-    writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op))
+    writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op),
+      addStats)
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
+      val s = prevSnap()
       writeManifest(fs, baseDir, version,
-        prevFiles.filterNot(removed) ++ adds, Nil, schema, Some(op))
+        s.files.filterNot(removed) ++ adds, Nil, schema, Some(op),
+        stats = s.stats -- removes ++ addStats)
     }
     commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
@@ -577,16 +961,9 @@ object TimeTravel {
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev
     val dirs = affectedDirs(partCol, affected)
-    val before = listFilesUnder(fs, baseDir, dirs)
-    batch.repartition(col(partCol))
-      .write.mode("append").partitionBy(partCol)
-      .parquet(dataDir(baseDir).toString)
-    val adds = (listFilesUnder(fs, baseDir, dirs) -- before).toSeq.sorted
-    // prevFiles only matter for a cadence checkpoint; resolve lazily
-    // there (appends never remove, so the checkpoint is prev ++ adds)
-    logCommit(spark, fs, baseDir, prev + 1, dirs, adds, Nil,
-      if ((prev + 1) % checkpointEvery == 0) filesAt(spark, baseDir, prev)
-      else Nil, txn, Some(batch.schema), "append")
+    val adds = stageWrite(spark, baseDir, batch, partCol)
+    commitWithRebase(spark, fs, baseDir, prev, dirs, adds, Nil,
+      txn, batch.schema, "append", evolveSchema)
   }
 
   /** MERGE INTO as a new version: same pruned-discovery semantics as
@@ -596,12 +973,13 @@ object TimeTravel {
   def upsert(spark: SparkSession, baseDir: String, updates: DataFrame,
       keyCol: String, partCol: String,
       broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit,
-      evolveSchema: Boolean = false): Int = {
+      evolveSchema: Boolean = false, changeFeed: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     requireStringPartCol(updates, partCol)
-    // resolved ONCE per commit: file set AND committed schema
-    val (prevFiles, prevSchema) = resolveAt(spark, baseDir, prev)
+    // resolved ONCE per commit: file set, committed schema, and stats
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
     checkSchema(updates.schema, prevSchema, evolveSchema, "upsert")
     val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles,
       prevSchema)
@@ -615,14 +993,27 @@ object TimeTravel {
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev // empty batch: nothing to commit
     val current = base.filter(col(partCol).isin(affected: _*))
+    if (changeFeed) {
+      // row-level change capture, O(rows touched): the discovery work
+      // already restricted `current` to the affected partitions, and
+      // the key joins split the batch into updates vs inserts
+      val existingKeys = current.select(col(keyCol)).distinct()
+      writeChanges(spark, baseDir, prev + 1, Seq(
+        current.join(updKeys, Seq(keyCol))
+          .withColumn(ChangeTypeCol, lit("update_preimage")),
+        ups.join(existingKeys, Seq(keyCol), "left_semi")
+          .withColumn(ChangeTypeCol, lit("update_postimage")),
+        ups.join(existingKeys, Seq(keyCol), "left_anti")
+          .withColumn(ChangeTypeCol, lit("insert"))))
+    }
     // allowMissingColumns: under evolution the kept rows lack the new
     // columns and read as NULL — the standard add-column semantics
     val merged = ups.unionByName(
       current.join(updKeys, Seq(keyCol), "left_anti"),
         allowMissingColumns = true)
       .localCheckpoint() // don't re-plan the discovery work in the write
-    commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
-      merged, "upsert")
+    commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
+      merged, "upsert", evolveSchema)
   }
 
   /** Targeted DELETE as a new version. Deleting keys not present commits
@@ -630,10 +1021,12 @@ object TimeTravel {
     * carry an identical file set — noise in the log). */
   def delete(spark: SparkSession, baseDir: String, keys: DataFrame,
       keyCol: String, partCol: String,
-      broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit): Int = {
+      broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit,
+      changeFeed: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    val (prevFiles, prevSchema) = resolveAt(spark, baseDir, prev)
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
     val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles,
       prevSchema)
     val checkpointedKeys = keys.select(col(keyCol)).distinct()
@@ -645,10 +1038,15 @@ object TimeTravel {
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) prev
     else {
-      val survivors = base.filter(col(partCol).isin(affected: _*))
+      val touched = base.filter(col(partCol).isin(affected: _*))
+      if (changeFeed)
+        writeChanges(spark, baseDir, prev + 1, Seq(
+          touched.join(delKeys, Seq(keyCol))
+            .withColumn(ChangeTypeCol, lit("delete"))))
+      val survivors = touched
         .join(delKeys, Seq(keyCol), "left_anti")
         .localCheckpoint()
-      commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
+      commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
         survivors, "delete")
     }
   }
@@ -669,7 +1067,8 @@ object TimeTravel {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    val (prevFiles, prevSchema) = resolveAt(spark, baseDir, prev)
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
     val byDir = prevFiles.groupBy(f => f.substring(0, f.indexOf('/')))
     val fragmented = byDir.filter(_._2.size > maxFilesPerDir)
     if (fragmented.isEmpty) return prev
@@ -681,7 +1080,7 @@ object TimeTravel {
     // repartition(partCol) lands one task's consolidated files per dir
     val rows = readFiles(spark, baseDir,
       fragmented.values.flatten.toSeq.sorted, prevSchema)
-    commitRewrite(spark, baseDir, partCol, affected, prev, prevFiles,
+    commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
       rows, "compact")
   }
 
@@ -708,7 +1107,8 @@ object TimeTravel {
     val latest = latestVersion(spark, baseDir)
     require(keepFrom >= 1 && keepFrom <= latest,
       s"keepFrom=$keepFrom out of [1, $latest]")
-    val (floorFiles, floorSchema) = resolveAt(spark, baseDir, keepFrom)
+    val floorSnap = resolveFull(spark, baseDir, keepFrom)
+    val (floorFiles, floorSchema) = (floorSnap.files, floorSnap.schema)
     val floor = floorFiles.toSet
     val laterAdds = ((keepFrom + 1) to latest)
       .flatMap(v => readDelta(fs, baseDir, v)._1)
@@ -731,7 +1131,7 @@ object TimeTravel {
     if (!fs.exists(mPath))
       writeManifest(fs, baseDir, keepFrom, floor.toSeq, carried,
         floorSchema, opFrom(origLines).orElse(Some("floor")),
-        tsFrom(origLines))
+        tsFrom(origLines), floorSnap.stats)
     else {
       // the floor may already have a CADENCE checkpoint — written at
       // commit time with no txn marks. The marks living only in the
@@ -748,7 +1148,8 @@ object TimeTravel {
         fs.delete(tmp, false)
         val out = fs.create(tmp, true)
         try out.write(manifestContent(floor.toSeq.sorted, carried,
-          floorSchema, opFrom(origLines), tsFrom(origLines)))
+          floorSchema, opFrom(origLines), tsFrom(origLines),
+          floorSnap.stats))
         finally out.close()
         fs.delete(mPath, false)
         require(fs.rename(tmp, mPath),
@@ -764,11 +1165,17 @@ object TimeTravel {
     val dropped = (1 until keepFrom).count { v =>
       val m = fs.delete(manifestPath(baseDir, v), false)
       val d = fs.delete(deltaPath(baseDir, v), false)
+      // a dropped version's change-feed rows are no longer addressable
+      // (readChangesSince refuses windows below the floor): reclaim them
+      fs.delete(changeDir(baseDir, v), true)
       m || d
     }
     // the floor's delta is redundant once its checkpoint exists and its
-    // ancestors are gone; dropping it is log hygiene, not a version drop
+    // ancestors are gone; dropping it is log hygiene, not a version drop.
+    // Its change rows go with it: a change window must replay from the
+    // floor's DELTA, so once that drops the rows are unaddressable.
     fs.delete(deltaPath(baseDir, keepFrom), false)
+    fs.delete(changeDir(baseDir, keepFrom), true)
     (nDeleted, dropped)
   }
 
@@ -893,5 +1300,102 @@ object TimeTravel {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
     } else readFiles(spark, baseDir, addFiles.sorted, schema)
+  }
+
+  /** Row-level change-type column every CDC row carries:
+    * `insert` / `update_preimage` / `update_postimage` / `delete`
+    * (Delta CDF's vocabulary). */
+  val ChangeTypeCol = "_change_type"
+  /** The commit each CDC row belongs to. */
+  val CommitVersionCol = "_commit_version"
+
+  /** Land version `v`'s row-level changes under `_change/<v>/` —
+    * written BEFORE the commit record, so a committed rewrite either
+    * has its change rows or never committed (a crash in between leaves
+    * an orphan change dir no reader can address: change dirs are only
+    * consulted for versions whose delta says `upsert`/`delete`).
+    * Overwrite mode for the same reason — a retried commit rewrites the
+    * orphan. Cost is O(rows touched): every input here is already
+    * restricted to the affected partitions and batch keys. */
+  private def writeChanges(spark: SparkSession, baseDir: String, v: Int,
+      parts: Seq[DataFrame]): Unit =
+    parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
+      .write.mode("overwrite").parquet(changeDir(baseDir, v).toString)
+
+  /** CHANGE DATA FEED over `(sinceVersion, endVersion]` — the full-CDC
+    * extension of [[readAppendsSince]] for tables that also UPDATE and
+    * DELETE: every row the window changed, tagged with
+    * [[ChangeTypeCol]] (`insert` / `update_preimage` /
+    * `update_postimage` / `delete`) and [[CommitVersionCol]]. Appends
+    * need no change files (their add files ARE the inserted rows —
+    * read directly, exactly as the insert-only feed does); rewrite
+    * commits must have been made with `changeFeed = true`, which
+    * captured their row-level changes at commit time for O(rows
+    * touched) — the only moment the pre/post images are both in hand
+    * without a version diff. A rewrite commit that recorded no change
+    * rows fails loudly (re-read a full version or snapshotDiff
+    * instead); `compact` commits deliver nothing (pure rewrite of
+    * already-delivered rows). Rows come back under `endVersion`'s
+    * committed schema plus the two CDC columns, NULL-filling columns
+    * added since a change was captured. Windows compose exactly:
+    * `(a,b] ++ (b,c] = (a,c]`. */
+  def readChangesSince(spark: SparkSession, baseDir: String,
+      sinceVersion: Int, endVersion: Int = Int.MaxValue): DataFrame = {
+    val fs = hadoopFs(spark, baseDir)
+    val latest = latestVersion(spark, baseDir)
+    val end = if (endVersion == Int.MaxValue) latest else endVersion
+    require(sinceVersion >= 1 && sinceVersion <= end && end <= latest,
+      s"window ($sinceVersion, $end] out of range for $baseDir " +
+        s"(latest: $latest)")
+    val entries = logEntries(fs, baseDir)
+    val schema = schemaOfRecord(fs, baseDir, end).getOrElse(
+      throw new IllegalArgumentException(
+        s"$baseDir's log records no schema — pre-metadata tables have " +
+          "no change feed"))
+    val frames = ((sinceVersion + 1) to end).flatMap { v =>
+      require(entries.get(v).exists(_._2),
+        s"version $v of $baseDir has no commit record (vacuumed away): " +
+          "the change window is not reconstructible — restart from a " +
+          "full readVersion snapshot")
+      val lines = readRawLines(fs, deltaPath(baseDir, v))
+      val (adds, _) = addsRemovesFrom(lines)
+      opFrom(lines) match {
+        case Some("append") =>
+          if (adds.isEmpty) None
+          else Some(readFiles(spark, baseDir, adds.sorted,
+            schemaFrom(lines))
+            .withColumn(ChangeTypeCol, lit("insert"))
+            .withColumn(CommitVersionCol, lit(v)))
+        case Some("compact") => None // dataChange=false
+        case op =>
+          val cd = changeDir(baseDir, v)
+          require(fs.exists(cd),
+            s"version $v of $baseDir is a ${op.getOrElse("rewrite")} " +
+              "commit that recorded no change rows (changeFeed was off " +
+              "at commit time) — re-read a full version or snapshotDiff")
+          Some(spark.read.parquet(cd.toString)
+            .withColumn(CommitVersionCol, lit(v)))
+      }
+    }
+    // deliver under endVersion's schema + the CDC columns: changes
+    // captured before an evolution NULL-fill the added columns
+    val out = schema.fields.map(f => col(f.name).cast(f.dataType)) ++
+      Seq(col(ChangeTypeCol), col(CommitVersionCol))
+    if (frames.isEmpty) {
+      import org.apache.spark.sql.types._
+      val s = StructType(schema.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType),
+        StructField(CommitVersionCol, IntegerType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else frames
+      .map { df =>
+        val have = df.columns.toSet
+        val widened = schema.fields.filterNot(f => have(f.name))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        widened.select(out: _*)
+      }
+      .reduce(_.unionByName(_))
   }
 }

@@ -992,7 +992,230 @@ object PipelineQueries {
       FROM orders""")
   )
 
+  /** Versioned orders table whose history is five disjoint KEY-RANGE
+    * commits (v1 init + four appends, each one fifth of the
+    * `o_orderkey` space) partitioned by month — the clustered-ingest
+    * shape a change-feed backfill produces naturally, staged once per
+    * sf dir. Returns (table dir, lo, hi) where `(lo, hi]` is exactly
+    * the THIRD slab's key range. */
+  private val stagedSkip =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+  private def skipOrdersDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long, Long) =
+    stagedSkip.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-skip")
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val m5 = m / 5
+      def slab(k: Int) = orders.filter(col("o_orderkey") > k * m5 &&
+        (if (k == 4) lit(true) else col("o_orderkey") <= (k + 1) * m5))
+      TimeTravel.init(spark, t, slab(0), "o_month")
+      (1 to 4).foreach(k => TimeTravel.append(spark, t, slab(k), "o_month"))
+      (t, 2 * m5, 3 * m5)
+    })
+
+  /** DATA SKIPPING from the commit log
+    * ([[graft.operators.TimeTravel.readVersionSkipping]]): every commit
+    * records per-file min/max column stats read from the parquet
+    * footers the write produced (the Delta `add.stats` idea), and a
+    * key-range read prunes its file list from the LOG alone — no
+    * listing, no footer reads at plan time. The staged history's five
+    * disjoint key slabs make the middle slab's range touch only that
+    * commit's files, so the scan must skip a MAJORITY of files while
+    * the filtered content hash-matches the oracle exactly — partition
+    * pruning cuts by month, stats skipping cuts WITHIN every month by
+    * the clustered key. In-band verdicts: every live file carries
+    * stats, and at most a third were read. A wrong bound would either
+    * leak rows (hash mismatch) or skip a matching file (missing rows —
+    * also a hash mismatch). */
+  val q167 = Q(
+    "q167_data_skipping_versioned",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, lo, hi) = skipOrdersDir(spark, dir)
+      val v = TimeTravel.latestVersion(spark, t)
+      val scan = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_orderkey", lo + 1, hi)
+      scan.df.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(col("n_rows"), col("sum_price"), col("n_cust"),
+          lit(scan.filesWithStats == scan.filesTotal)
+            .as("all_files_have_stats"),
+          lit(scan.filesRead * 3 <= scan.filesTotal).as("skipped_majority"))
+    },
+    Some(s"""WITH b AS (SELECT 2*(MAX(o_orderkey)//5) AS lo,
+          3*(MAX(o_orderkey)//5) AS hi FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        TRUE AS all_files_have_stats, TRUE AS skipped_majority
+      FROM orders, b WHERE o_orderkey > b.lo AND o_orderkey <= b.hi""")
+  )
+
+  /** Versioned supplier table with a CHANGE-FEED history, staged once
+    * per sf dir: v1 = init, v2 = upsert with `changeFeed = true`
+    * (every 7th supplier's balance +100, plus NEW suppliers cloned
+    * from every 13th with key shifted past the key space (max+1) and balance
+    * +1000), v3 = delete every 10th original key (changeFeed on),
+    * v4 = blind append of clones of every 11th supplier shifted by
+    * 2·max. Deterministic arithmetic both engines reproduce exactly. */
+  private val stagedCdf =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def cdfSupplierDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedCdf.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-cdf")
+      val sup = Tables.load(spark, dir, "supplier")
+        .withColumn("part", pmod(col("s_nationkey"), lit(5)).cast("string"))
+      val shift = sup.agg(max(col("s_suppkey"))).head.getLong(0) + 1
+      TimeTravel.init(spark, t, sup, "part")
+      TimeTravel.upsert(spark, t,
+        sup.filter(col("s_suppkey") % 7 === 0)
+          .withColumn("s_acctbal", col("s_acctbal") + lit(100.0))
+          .unionByName(sup.filter(col("s_suppkey") % 13 === 0)
+            .withColumn("s_suppkey", col("s_suppkey") + lit(shift))
+            .withColumn("s_acctbal", col("s_acctbal") + lit(1000.0))),
+        "s_suppkey", "part", changeFeed = true)
+      TimeTravel.delete(spark, t,
+        sup.filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey")),
+        "s_suppkey", "part", changeFeed = true)
+      TimeTravel.append(spark, t,
+        sup.filter(col("s_suppkey") % 11 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + lit(2 * shift)),
+        "part")
+      t
+    })
+
+  /** CHANGE DATA FEED from the versioned table
+    * ([[graft.operators.TimeTravel.readChangesSince]]) — full CDC over
+    * a history that UPDATES and DELETES, not just appends: rewrite
+    * commits capture row-level pre/post images at commit time (the
+    * only moment both are in hand without a version diff — Delta CDF's
+    * design, cost O(rows touched)), appends deliver their add files
+    * directly. The feed over `(1, latest]` must reproduce, per change
+    * type, the exact row counts, key sums, and balance sums of: the
+    * 7th-supplier preimages (original balances) and postimages (+100),
+    * the 13th-clone and 11th-clone inserts across TWO commits, and the
+    * 10th-key deletes under their POST-UPSERT balances (a feed that
+    * captured deletes against v1 instead of v2 gets the wrong sum —
+    * hash mismatch). In-band verdict: cursor windows compose
+    * (`(1,2] ++ (2,latest] = (1,latest]`). */
+  val q168 = Q(
+    "q168_change_data_feed",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = cdfSupplierDir(spark, dir)
+      val latest = TimeTravel.latestVersion(spark, t)
+      val feed = TimeTravel.readChangesSince(spark, t, 1)
+      val composed =
+        TimeTravel.readChangesSince(spark, t, 1, 2).count() +
+          TimeTravel.readChangesSince(spark, t, 2, latest).count()
+      val total = feed.count()
+      feed.groupBy(col(TimeTravel.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("s_suppkey")).as("sum_key"),
+          Exact.dsum(col("s_acctbal")).as("sum_bal"),
+          countDistinct(col(TimeTravel.CommitVersionCol)).as("n_commits"))
+        .select(col("change_type"), col("n_rows"), col("sum_key"),
+          col("sum_bal"), col("n_commits"),
+          lit(composed == total).as("windows_compose"))
+    },
+    Some(s"""WITH m AS (SELECT MAX(s_suppkey) + 1 AS shift FROM supplier),
+      u AS (
+        SELECT 'update_preimage' AS change_type, s_suppkey AS k,
+          s_acctbal AS bal, 1 AS cv
+        FROM supplier WHERE s_suppkey % 7 = 0
+        UNION ALL
+        SELECT 'update_postimage', s_suppkey, s_acctbal + 100.0, 1
+        FROM supplier WHERE s_suppkey % 7 = 0
+        UNION ALL
+        SELECT 'insert', s_suppkey + m.shift, s_acctbal + 1000.0, 1
+        FROM supplier, m WHERE s_suppkey % 13 = 0
+        UNION ALL
+        SELECT 'delete', s_suppkey,
+          CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 100.0
+               ELSE s_acctbal END, 2
+        FROM supplier WHERE s_suppkey % 10 = 0
+        UNION ALL
+        SELECT 'insert', s_suppkey + 2 * m.shift, s_acctbal, 3
+        FROM supplier, m WHERE s_suppkey % 11 = 0)
+      SELECT change_type, COUNT(*) AS n_rows,
+        CAST(SUM(k) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("bal")} AS sum_bal,
+        COUNT(DISTINCT cv) AS n_commits, TRUE AS windows_compose
+      FROM u GROUP BY change_type""")
+  )
+
+  /** Versioned lineitem table written by SIX RACING APPENDERS (one
+    * thread per linenumber 2–7, all started together against v1), staged
+    * once per sf dir. Whatever interleaving the race takes, optimistic
+    * rebase must land every append in SOME version — content is the
+    * deterministic union even though the commit order is not. */
+  private val stagedConc =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def concurrentIngestDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedConc.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-conc")
+      val li = Tables.load(spark, dir, "lineitem")
+        .withColumn("part", col("l_returnflag"))
+      TimeTravel.init(spark, t, li.filter(col("l_linenumber") === 1), "part")
+      val threads = (2 to 7).map { n =>
+        new Thread(() => TimeTravel.append(spark, t,
+          li.filter(col("l_linenumber") === n), "part"))
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join())
+      t
+    })
+
+  /** OPTIMISTIC CONCURRENCY under real thread contention
+    * ([[graft.operators.TimeTravel.commitWithRebase]]): six appenders
+    * race the commit log from v1; each loser of a version race rebases
+    * past the winner (staged writes make that sound — a commit's adds
+    * are the files it MOVED, so interleaved writers can never claim
+    * each other's in-flight files, the failure mode list-based
+    * discovery cannot exclude). The exact aggregates must equal the
+    * WHOLE lineitem table — a lost commit drops a linenumber, a
+    * double-claimed file double-counts one — and the in-band verdicts
+    * pin the mechanism: all six appends landed as six distinct
+    * versions (latest = 7), and the insert-only feed over `(1, 7]`
+    * delivers exactly the six appended batches' rows once each. */
+  val q169 = Q(
+    "q169_concurrent_appends",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = concurrentIngestDir(spark, dir)
+      val latest = TimeTravel.latestVersion(spark, t)
+      val feedRows = TimeTravel.readAppendsSince(spark, t, 1).count()
+      TimeTravel.readVersion(spark, t, latest).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_orderkey"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_linenumber")).as("n_linenumbers"))
+        .select(col("n_rows"), col("sum_orderkey"), col("sum_qty"),
+          col("n_linenumbers"),
+          lit(latest == 7).as("all_six_committed"),
+          (col("n_rows") === lit(feedRows +
+            TimeTravel.readVersion(spark, t, 1).count()))
+            .as("feed_exactly_once"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+        ${Exact.sqlSum("l_quantity")} AS sum_qty,
+        COUNT(DISTINCT l_linenumber) AS n_linenumbers,
+        TRUE AS all_six_committed, TRUE AS feed_exactly_once
+      FROM lineitem""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
-      q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166)
+      q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
+      q167, q168, q169)
 }

@@ -1,0 +1,115 @@
+package graft.operators
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Optimistic-concurrency invariants: staged writes make adds exact
+  * under concurrent writers, appends rebase past any winner, rewrites
+  * rebase only past disjoint-partition winners and refuse stale bases
+  * loudly, and racing threads never lose or duplicate rows. */
+class ConcurrencySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def stage(): String = {
+    val dir = tmpDir("tt-conc")
+    TimeTravel.init(spark, dir,
+      Seq((1L, "p1", 10.0), (2L, "p2", 20.0), (3L, "p3", 30.0))
+        .toDF("id", "part", "v"), "part")
+    dir
+  }
+
+  test("an append that lost the version race rebases past the winner") {
+    val dir = stage()
+    // the "winner": a real commit landing v2 first
+    TimeTravel.append(spark, dir,
+      Seq((4L, "p1", 40.0)).toDF("id", "part", "v"), "part")
+    // the "loser": its files are staged, then it tries to commit at
+    // prev+1 = 2 — already taken — and must land at 3
+    val adds = TimeTravel.stageWrite(spark, dir,
+      Seq((5L, "p2", 50.0)).toDF("id", "part", "v"), "part")
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    val v = TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+      dirs = Set("part=p2"), adds = adds, removes = Nil, txn = None,
+      schema = schema, op = "append", evolveSchema = false)
+    assert(v === 3)
+    assert(TimeTravel.readVersion(spark, dir, 3).count() === 5)
+    assert(TimeTravel.readVersion(spark, dir, 3)
+      .filter(col("id") === 5L).count() === 1)
+  }
+
+  test("a rewrite rebases past a DISJOINT-partition winner") {
+    val dir = stage()
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part") // v2 in p1
+    // loser: a delete of p3's row, staged against v1 — p3 untouched by
+    // the winner, so the rebase is safe and must land at v3
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val p3File = TimeTravel.filesAt(spark, dir, 1)
+      .filter(_.startsWith("part=p3/"))
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    val v = TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+      dirs = Set("part=p3"), adds = Nil, removes = p3File, txn = None,
+      schema = schema, op = "delete", evolveSchema = false)
+    assert(v === 3)
+    val rows = TimeTravel.readVersion(spark, dir, 3)
+    assert(rows.count() === 2) // p3's row gone, p1's update kept
+    assert(rows.filter(col("id") === 1L).select("v").as[Double]
+      .head() === 11.0)
+  }
+
+  test("a rewrite whose base partition was touched concurrently refuses loudly") {
+    val dir = stage()
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part") // v2 in p1
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val p1File = TimeTravel.filesAt(spark, dir, 1)
+      .filter(_.startsWith("part=p1/"))
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+        dirs = Set("part=p1"), adds = Nil, removes = p1File, txn = None,
+        schema = schema, op = "delete", evolveSchema = false)
+    }
+    assert(e.getMessage.contains("part=p1"))
+    // the table is untouched by the refused commit
+    assert(TimeTravel.latestVersion(spark, dir) === 2)
+    assert(TimeTravel.readVersion(spark, dir, 2).count() === 3)
+  }
+
+  test("staged writes: adds are exactly the commit's own files, token-prefixed") {
+    val dir = stage()
+    TimeTravel.append(spark, dir,
+      Seq((7L, "p1", 70.0)).toDF("id", "part", "v"), "part")
+    val stats = TimeTravel.lastCommitStats(dir).get
+    assert(stats.nAdded === 1)
+    // no staging residue
+    assert(!Files.exists(Paths.get(dir, "_staging")) ||
+      Files.list(Paths.get(dir, "_staging")).count() === 0)
+  }
+
+  test("racing appends from many threads all commit; content is the exact union") {
+    val dir = stage()
+    val threads = (0 until 4).map { i =>
+      new Thread(() => {
+        TimeTravel.append(spark, dir,
+          Seq((100L + i, s"p${i % 3 + 1}", i * 1.0))
+            .toDF("id", "part", "v"), "part")
+      })
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(TimeTravel.latestVersion(spark, dir) === 5)
+    val ids = TimeTravel.readVersion(spark, dir, 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L, 100L, 101L, 102L, 103L))
+    // the change feed sees each appended row exactly once
+    val feed = TimeTravel.readAppendsSince(spark, dir, 1)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(100L, 101L, 102L, 103L))
+  }
+}
