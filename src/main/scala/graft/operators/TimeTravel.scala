@@ -94,8 +94,18 @@ object TimeTravel {
 
   private def dataDir(baseDir: String) = new Path(baseDir, "data")
   private def logDir(baseDir: String) = new Path(baseDir, "_graft_log")
-  private def changeDir(baseDir: String, v: Int) =
-    new Path(new Path(baseDir, "_change"), v.toString)
+  private def changeRoot(baseDir: String) = new Path(baseDir, "_change")
+  /** Change dirs are keyed by the commit's unique TOKEN, never by a
+    * version number: a commit's version is only known once its record
+    * lands (a rebase moves it past the predicted `prev + 1`), and an
+    * ABORTED commit's change rows must never be addressable by a later
+    * commit that happens to land at the same number. The record's
+    * `#cdc=<token>` line is the one source of truth binding a version
+    * to its change rows. */
+  private def changeDir(baseDir: String, token: String) =
+    new Path(changeRoot(baseDir), token)
+  private[operators] def newToken(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
   private def manifestPath(baseDir: String, v: Int) =
     new Path(logDir(baseDir), s"$v.manifest")
   private def deltaPath(baseDir: String, v: Int) =
@@ -112,10 +122,11 @@ object TimeTravel {
     else relativeParquetFiles(fs, root, root)
   }
 
-  /** Relative (to data/) paths of parquet files under ONLY the given
-    * escaped `partCol=<v>` directories — the batch-bounded listing the
-    * commit path uses for new-file discovery. A directory that does not
-    * exist yet (brand-new partition value) contributes nothing. */
+  /** Recursive parquet listing under `under`, returned as paths
+    * relative to `root`. Used by [[listDataFiles]] (the two table-scale
+    * contracts: init, vacuum) and by [[stageWrite]] to enumerate the
+    * files a staged write just produced — commits themselves never
+    * list. */
   private def relativeParquetFiles(fs: FileSystem, root: Path,
       under: Path): Set[String] = {
     // qualify BOTH sides before relativizing: listFiles returns
@@ -222,6 +233,12 @@ object TimeTravel {
     * authoritative history, timestamps the human-friendly index. */
   private def opLine(op: String): String = s"#op=$op"
   private def tsLine(): String = s"#ts=${System.currentTimeMillis()}"
+  /** `#cdc=<token>`: the commit's captured change rows live under
+    * `_change/<token>/` — see [[changeDir]]. */
+  private def cdcLine(token: String): String = s"#cdc=$token"
+  private def cdcFrom(lines: Seq[String]): Option[String] =
+    lines.collectFirst {
+      case l if l.startsWith("#cdc=") => l.stripPrefix("#cdc=") }
   private def opFrom(lines: Seq[String]): Option[String] =
     lines.collectFirst {
       case l if l.startsWith("#op=") => l.stripPrefix("#op=") }
@@ -354,11 +371,23 @@ object TimeTravel {
                             new java.math.BigDecimal(
                               st.genericGetMax.toString))))
                         case FLOAT | DOUBLE =>
-                          val mn = new java.math.BigDecimal(
-                            st.genericGetMin.toString)
-                          val mx = new java.math.BigDecimal(
-                            st.genericGetMax.toString)
-                          Some(Some((true, mn, mx)))
+                          // EXACT binary expansion via the double
+                          // constructor, widening floats exactly as
+                          // Spark's comparisons do. toString would
+                          // round-trip SHORTEST (Float "0.1" ↛ the
+                          // float's true value 0.10000000149…), and a
+                          // bound that understates max / overstates min
+                          // is a WRONG skip. NaN/Infinity throw here →
+                          // the NonFatal catch disqualifies the column.
+                          def exact(v: Any): java.math.BigDecimal =
+                            v match {
+                              case f: java.lang.Float =>
+                                new java.math.BigDecimal(f.doubleValue())
+                              case d: java.lang.Double =>
+                                new java.math.BigDecimal(d.doubleValue())
+                            }
+                          Some(Some((true, exact(st.genericGetMin),
+                            exact(st.genericGetMax))))
                         case _ => Some(None)
                       }
                     case _ => Some(None)
@@ -407,6 +436,26 @@ object TimeTravel {
         s"${enc(c)}=${enc(mn)}:${enc(mx)}"
       }.mkString(";"))
     }.toMap
+
+  /** Unsigned lexicographic UTF-8 byte order — the order parquet
+    * computes string min/max in AND the order Spark's UTF8String
+    * comparisons use. Java's `String` compares UTF-16 code units,
+    * which DISAGREES beyond the BMP: a supplementary character's lead
+    * surrogate (0xD800–0xDBFF) sorts below BMP code points 0xE000+
+    * in UTF-16, but its UTF-8 bytes (0xF0–0xF4) sort above theirs
+    * (0xEE–0xEF) — comparing bounds in UTF-16 order would wrongly skip
+    * files holding non-BMP strings. */
+  private def utf8Lt(a: String, b: String): Boolean = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 
   /** `(min, max)` recorded for `colName` in an encoded payload. */
   private def parseColRange(payload: String,
@@ -556,7 +605,7 @@ object TimeTravel {
       op: Option[String] = None, ts: Option[Long] = None,
       stats: Map[String, String] = Map.empty): Unit = {
     fs.mkdirs(logDir(baseDir))
-    val out = fs.create(manifestPath(baseDir, version), false)
+    val out = createExclusive(fs, manifestPath(baseDir, version))
     try out.write(manifestContent(files, txns, schema, op, ts, stats))
     finally out.close()
   }
@@ -578,22 +627,48 @@ object TimeTravel {
       txn: Option[(String, Long)] = None,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None,
-      stats: Map[String, String] = Map.empty): Unit = {
+      stats: Map[String, String] = Map.empty,
+      cdc: Option[String] = None): Unit = {
     fs.mkdirs(logDir(baseDir))
     val out =
-      try fs.create(deltaPath(baseDir, version), false)
-      catch { case e: java.io.IOException =>
-        if (fs.exists(deltaPath(baseDir, version)))
+      try createExclusive(fs, deltaPath(baseDir, version))
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
           throw new CommitConflict(version)
-        else throw e
+        case e: java.io.IOException =>
+          if (fs.exists(deltaPath(baseDir, version)))
+            throw new CommitConflict(version)
+          else throw e
       }
     try out.write(
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
-        op.map(opLine).toSeq ++ Seq(tsLine()) ++
+        op.map(opLine).toSeq ++ cdc.map(cdcLine).toSeq ++ Seq(tsLine()) ++
         statsLinesFor(adds, stats) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
         .mkString("\n").getBytes("UTF-8"))
     finally out.close()
+  }
+
+  /** Truly ATOMIC exclusive create — the primitive optimistic
+    * concurrency stands on. Hadoop's `create(path, overwrite = false)`
+    * on the LOCAL filesystem is a non-atomic exists-check followed by a
+    * truncating open (TOCTOU: two racing writers can both pass the
+    * check, the second silently truncating the first's record — a lost
+    * commit). For `file:` paths this routes through NIO's `CREATE_NEW`
+    * (`O_EXCL`, kernel-atomic); on HDFS-like filesystems the create
+    * itself is atomic in the namespace and is used directly. Object
+    * stores without atomic create-if-absent (plain S3) would need an
+    * external log-commit service here — exactly Delta's LogStore
+    * contract. */
+  private def createExclusive(fs: FileSystem,
+      p: Path): java.io.OutputStream = {
+    val q = fs.makeQualified(p)
+    if (q.toUri.getScheme == "file") {
+      val local = java.nio.file.Paths.get(q.toUri)
+      java.nio.file.Files.createDirectories(local.getParent)
+      java.nio.file.Files.newOutputStream(local,
+        java.nio.file.StandardOpenOption.CREATE_NEW)
+    } else fs.create(p, false)
   }
 
   /** Write `df` partitioned by `partCol` into a staging dir, then MOVE
@@ -607,15 +682,27 @@ object TimeTravel {
     * globally unique. Renames are per-file metadata ops on a real
     * filesystem — the classic staging-commit every table format uses. */
   private[operators] def stageWrite(spark: SparkSession, baseDir: String,
-      df: DataFrame, partCol: String): Seq[String] = {
+      df: DataFrame, partCol: String,
+      clusterBy: Option[(String, Int)] = None): Seq[String] = {
     val fs = hadoopFs(spark, baseDir)
-    val token = java.util.UUID.randomUUID().toString.replace("-", "")
-      .take(12)
+    val token = newToken()
     val staging =
       fs.makeQualified(new Path(baseDir, s"_staging/$token"))
     try {
-      df.repartition(col(partCol)) // one task's files per partition dir
-        .write.mode("overwrite").partitionBy(partCol)
+      val arranged = clusterBy match {
+        // CLUSTERED layout: k range buckets over the cluster key, each
+        // bucket writing one file per partition dir it holds rows of —
+        // so every dir's files cover DISJOINT key ranges and the
+        // footer stats the commit records stay selective (see
+        // [[compact]]'s clusterBy doc). sortWithinPartitions keeps
+        // row-group stats monotone and gives the dynamic-partition
+        // writer sequential dir runs.
+        case Some((ck, k)) => df.repartitionByRange(k, col(ck))
+          .sortWithinPartitions(col(partCol), col(ck))
+        case None => // one task's files per partition dir
+          df.repartition(col(partCol))
+      }
+      arranged.write.mode("overwrite").partitionBy(partCol)
         .parquet(staging.toString)
       relativeParquetFiles(fs, staging, staging).toSeq.sorted.map { rel =>
         val slash = rel.lastIndexOf('/')
@@ -655,7 +742,8 @@ object TimeTravel {
       adds: Seq[String], removes: Seq[String],
       txn: Option[(String, Long)],
       schema: org.apache.spark.sql.types.StructType,
-      op: String, evolveSchema: Boolean): Int = {
+      op: String, evolveSchema: Boolean,
+      cdc: Option[String] = None): Int = {
     val addStats = computeAddStats(fs, baseDir, adds)
     val isRewrite = removes.nonEmpty || op == "upsert" || op == "delete" ||
       op == "compact"
@@ -663,7 +751,7 @@ object TimeTravel {
     while (true) {
       try return logCommit(spark, fs, baseDir, base + 1, dirs, adds,
         removes, addStats, () => resolveFull(spark, baseDir, base),
-        txn, Some(schema), op)
+        txn, Some(schema), op, cdc)
       catch { case c: CommitConflict =>
         val latest = latestVersion(spark, baseDir)
         if (isRewrite)
@@ -701,15 +789,24 @@ object TimeTravel {
       s"partition column '$partCol' must be STRING: manifest matching " +
         "round-trips partition values as directory text")
 
-  private def withoutPartitionInference[A](spark: SparkSession)(f: => A): A = {
-    val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key, "false")
-    try f finally prev match {
-      case Some(v) => spark.conf.set(key, v)
-      case None => spark.conf.unset(key)
+  /** Serialized: the toggle mutates SHARED session conf, and this
+    * table is multi-writer — two concurrent reads interleaving their
+    * toggle/restore could re-enable inference mid-resolution (partition
+    * discovery runs eagerly at DataFrame CREATION, which is all that
+    * happens under the lock — the lazy execution afterwards doesn't
+    * read the conf). Plan-construction is driver-side metadata work;
+    * serializing it costs nothing at scale. */
+  private val inferenceLock = new Object
+  private def withoutPartitionInference[A](spark: SparkSession)(f: => A): A =
+    inferenceLock.synchronized {
+      val key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key, "false")
+      try f finally prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
     }
-  }
 
   private def readFiles(spark: SparkSession, baseDir: String,
       files: Seq[String],
@@ -780,13 +877,25 @@ object TimeTravel {
       case other => new java.math.BigDecimal(other.toString)
     }
     val asString = dt.contains(StringType)
-    val (nLo, nHi) = if (asString) (null, null) else (num(lo), num(hi))
+    // query bounds that don't convert to a comparable (a timestamp or
+    // boolean column — types stats are never recorded for — or any
+    // unexpected object) mean no skipping DECISION can be made: degrade
+    // to reading every file. Stats are an I/O optimization, never a
+    // correctness gate; the failure mode must be "read more", not throw.
+    val bounds: Option[(java.math.BigDecimal, java.math.BigDecimal)] =
+      if (asString) None
+      else try Some((num(lo), num(hi)))
+      catch { case scala.util.control.NonFatal(_) => None }
+    val canSkip = asString || bounds.isDefined
     val kept = snap.files.filter { f =>
-      snap.stats.get(f).flatMap(parseColRange(_, colName)) match {
+      if (!canSkip) true
+      else snap.stats.get(f).flatMap(parseColRange(_, colName)) match {
         case None => true // no bound recorded: must read
         case Some((mn, mx)) =>
-          if (asString) !(mx < lo.toString || mn > hi.toString)
+          if (asString)
+            !(utf8Lt(mx, lo.toString) || utf8Lt(hi.toString, mn))
           else try {
+            val (nLo, nHi) = bounds.get
             val bmn = new java.math.BigDecimal(mn)
             val bmx = new java.math.BigDecimal(mx)
             !(bmx.compareTo(nLo) < 0 || bmn.compareTo(nHi) > 0)
@@ -880,14 +989,15 @@ object TimeTravel {
   private def commitRewrite(spark: SparkSession, baseDir: String,
       partCol: String, affected: Seq[Any], prev: Int,
       prevSnap: Snapshot, rewritten: DataFrame, op: String,
-      evolveSchema: Boolean = false): Int = {
+      evolveSchema: Boolean = false, cdc: Option[String] = None,
+      clusterBy: Option[(String, Int)] = None): Int = {
     val fs = hadoopFs(spark, baseDir)
     val prevFiles = prevSnap.files
     val dirs = affectedDirs(partCol, affected)
     // staged write: adds are the files WE moved in — exact, never a
     // directory diff that could claim a concurrent writer's files —
     // and commit cost is O(files touched), independent of table size
-    val adds = stageWrite(spark, baseDir, rewritten, partCol)
+    val adds = stageWrite(spark, baseDir, rewritten, partCol, clusterBy)
     val removes = prevFiles
       .filter(f => dirs.exists(d => f.startsWith(d + "/")))
     // refuse BEFORE the record lands: an all-rows-gone commit would be
@@ -899,7 +1009,7 @@ object TimeTravel {
       "commit would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
     commitWithRebase(spark, fs, baseDir, prev, dirs, adds, removes,
-      None, rewritten.schema, op, evolveSchema)
+      None, rewritten.schema, op, evolveSchema, cdc)
   }
 
   /** Land the commit record for `version` (delta always; checkpoint on
@@ -914,9 +1024,9 @@ object TimeTravel {
       prevSnap: () => Snapshot,
       txn: Option[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
-      op: String): Int = {
+      op: String, cdc: Option[String]): Int = {
     writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op),
-      addStats)
+      addStats, cdc)
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
@@ -993,12 +1103,16 @@ object TimeTravel {
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev // empty batch: nothing to commit
     val current = base.filter(col(partCol).isin(affected: _*))
-    if (changeFeed) {
+    val cdcToken = if (changeFeed) Some(newToken()) else None
+    cdcToken.foreach { tok =>
       // row-level change capture, O(rows touched): the discovery work
       // already restricted `current` to the affected partitions, and
-      // the key joins split the batch into updates vs inserts
+      // the key joins split the batch into updates vs inserts. The key
+      // set is checkpointed so the three branches don't each re-scan
+      // the affected partitions to rebuild it.
       val existingKeys = current.select(col(keyCol)).distinct()
-      writeChanges(spark, baseDir, prev + 1, Seq(
+        .localCheckpoint()
+      writeChanges(spark, baseDir, tok, Seq(
         current.join(updKeys, Seq(keyCol))
           .withColumn(ChangeTypeCol, lit("update_preimage")),
         ups.join(existingKeys, Seq(keyCol), "left_semi")
@@ -1013,7 +1127,7 @@ object TimeTravel {
         allowMissingColumns = true)
       .localCheckpoint() // don't re-plan the discovery work in the write
     commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
-      merged, "upsert", evolveSchema)
+      merged, "upsert", evolveSchema, cdcToken)
   }
 
   /** Targeted DELETE as a new version. Deleting keys not present commits
@@ -1039,15 +1153,16 @@ object TimeTravel {
     if (affected.isEmpty) prev
     else {
       val touched = base.filter(col(partCol).isin(affected: _*))
-      if (changeFeed)
-        writeChanges(spark, baseDir, prev + 1, Seq(
+      val cdcToken = if (changeFeed) Some(newToken()) else None
+      cdcToken.foreach(tok =>
+        writeChanges(spark, baseDir, tok, Seq(
           touched.join(delKeys, Seq(keyCol))
-            .withColumn(ChangeTypeCol, lit("delete"))))
+            .withColumn(ChangeTypeCol, lit("delete")))))
       val survivors = touched
         .join(delKeys, Seq(keyCol), "left_anti")
         .localCheckpoint()
       commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
-        survivors, "delete")
+        survivors, "delete", cdc = cdcToken)
     }
   }
 
@@ -1062,26 +1177,40 @@ object TimeTravel {
     * name. Already-compact tables commit nothing. The freed small files
     * become vacuum-reclaimable once retention passes the pre-compaction
     * versions. Returns the committed (or current, if no-op) version. */
+  /** `clusterBy = Some((key, k))` makes the consolidation CLUSTERED:
+    * instead of one file per partition dir, each rewritten dir gets up
+    * to `k` files covering DISJOINT ranges of `key` (range-repartition
+    * over the key, then the dynamic-partition write splits each bucket
+    * by dir). Plain compaction DESTROYS data skipping — merging an
+    * ingest history's range-disjoint small files into one file per dir
+    * widens every recorded bound to the whole partition, so a key-range
+    * read is back to reading everything; clustered compaction is the
+    * maintenance op that KEEPS [[readVersionSkipping]] selective while
+    * still folding the small-files accumulation (Delta's OPTIMIZE
+    * ZORDER BY, scaled to the 1-column essentials). */
   def compact(spark: SparkSession, baseDir: String, partCol: String,
-      maxFilesPerDir: Int = 1): Int = {
+      maxFilesPerDir: Int = 1,
+      clusterBy: Option[(String, Int)] = None): Int = {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
+    clusterBy.foreach { case (_, k) =>
+      require(k >= 1, "clusterBy bucket count must be >= 1") }
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val prevSnap = resolveFull(spark, baseDir, prev)
     val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
     val byDir = prevFiles.groupBy(f => f.substring(0, f.indexOf('/')))
-    val fragmented = byDir.filter(_._2.size > maxFilesPerDir)
+    val threshold = math.max(maxFilesPerDir, clusterBy.fold(0)(_._2))
+    val fragmented = byDir.filter(_._2.size > threshold)
     if (fragmented.isEmpty) return prev
     val affected = fragmented.keys.toSeq.map(d =>
       ExternalCatalogUtils.unescapePathName(d.stripPrefix(s"$partCol=")))
     // read back ONLY the fragmented partitions' files, under the
     // COMMITTED schema — pre-evolution files consolidate with NULLs in
-    // the added columns, exactly as a read would see them; commitRewrite's
-    // repartition(partCol) lands one task's consolidated files per dir
+    // the added columns, exactly as a read would see them
     val rows = readFiles(spark, baseDir,
       fragmented.values.flatten.toSeq.sorted, prevSchema)
     commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
-      rows, "compact")
+      rows, "compact", clusterBy = clusterBy)
   }
 
   /** VACUUM: physically reclaim data files that no RETAINED version
@@ -1165,17 +1294,22 @@ object TimeTravel {
     val dropped = (1 until keepFrom).count { v =>
       val m = fs.delete(manifestPath(baseDir, v), false)
       val d = fs.delete(deltaPath(baseDir, v), false)
-      // a dropped version's change-feed rows are no longer addressable
-      // (readChangesSince refuses windows below the floor): reclaim them
-      fs.delete(changeDir(baseDir, v), true)
       m || d
     }
     // the floor's delta is redundant once its checkpoint exists and its
-    // ancestors are gone; dropping it is log hygiene, not a version drop.
-    // Its change rows go with it: a change window must replay from the
-    // floor's DELTA, so once that drops the rows are unaddressable.
+    // ancestors are gone; dropping it is log hygiene, not a version drop
     fs.delete(deltaPath(baseDir, keepFrom), false)
-    fs.delete(changeDir(baseDir, keepFrom), true)
+    // change-feed rows are addressable ONLY through a retained record's
+    // #cdc token: reclaim every change dir no retained delta references —
+    // dropped versions' rows, the floor's own (windows start above it),
+    // and aborted commits' orphan captures alike. O(retained versions)
+    // metadata reads + one _change listing (O(rewrite commits) entries).
+    val referenced = ((keepFrom + 1) to latest).flatMap(v =>
+      cdcFrom(readRawLines(fs, deltaPath(baseDir, v)))).toSet
+    val cr = changeRoot(baseDir)
+    if (fs.exists(cr))
+      fs.listStatus(cr).foreach { st =>
+        if (!referenced(st.getPath.getName)) fs.delete(st.getPath, true) }
     (nDeleted, dropped)
   }
 
@@ -1309,18 +1443,20 @@ object TimeTravel {
   /** The commit each CDC row belongs to. */
   val CommitVersionCol = "_commit_version"
 
-  /** Land version `v`'s row-level changes under `_change/<v>/` —
+  /** Land a commit's row-level changes under `_change/<token>/` —
     * written BEFORE the commit record, so a committed rewrite either
-    * has its change rows or never committed (a crash in between leaves
-    * an orphan change dir no reader can address: change dirs are only
-    * consulted for versions whose delta says `upsert`/`delete`).
-    * Overwrite mode for the same reason — a retried commit rewrites the
-    * orphan. Cost is O(rows touched): every input here is already
-    * restricted to the affected partitions and batch keys. */
-  private def writeChanges(spark: SparkSession, baseDir: String, v: Int,
-      parts: Seq[DataFrame]): Unit =
+    * has its change rows or never committed. The TOKEN (not a version
+    * number) is the address: the record's `#cdc=` line binds them, so
+    * a rebase landing the commit at a different version than predicted
+    * still points at the right rows, and an ABORTED commit leaves an
+    * orphan dir no record references (vacuum reclaims it) — never rows
+    * a later commit at the same version number could be confused with.
+    * Cost is O(rows touched): every input here is already restricted
+    * to the affected partitions and batch keys. */
+  private[operators] def writeChanges(spark: SparkSession, baseDir: String,
+      token: String, parts: Seq[DataFrame]): Unit =
     parts.reduce((a, b) => a.unionByName(b, allowMissingColumns = true))
-      .write.mode("overwrite").parquet(changeDir(baseDir, v).toString)
+      .write.mode("overwrite").parquet(changeDir(baseDir, token).toString)
 
   /** CHANGE DATA FEED over `(sinceVersion, endVersion]` — the full-CDC
     * extension of [[readAppendsSince]] for tables that also UPDATE and
@@ -1368,11 +1504,15 @@ object TimeTravel {
             .withColumn(CommitVersionCol, lit(v)))
         case Some("compact") => None // dataChange=false
         case op =>
-          val cd = changeDir(baseDir, v)
+          val tok = cdcFrom(lines).getOrElse(
+            throw new IllegalArgumentException(
+              s"version $v of $baseDir is a ${op.getOrElse("rewrite")} " +
+                "commit that recorded no change rows (changeFeed was off " +
+                "at commit time) — re-read a full version or snapshotDiff"))
+          val cd = changeDir(baseDir, tok)
           require(fs.exists(cd),
-            s"version $v of $baseDir is a ${op.getOrElse("rewrite")} " +
-              "commit that recorded no change rows (changeFeed was off " +
-              "at commit time) — re-read a full version or snapshotDiff")
+            s"version $v of $baseDir references change rows at $cd " +
+              "that no longer exist")
           Some(spark.read.parquet(cd.toString)
             .withColumn(CommitVersionCol, lit(v)))
       }

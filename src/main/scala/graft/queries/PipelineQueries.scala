@@ -1214,8 +1214,83 @@ object PipelineQueries {
       FROM lineitem""")
   )
 
+  /** Versioned orders table fragmented by a 12-slab clustered ingest
+    * (init + 11 appends, each 1/12 of the key space), then CLUSTER-
+    * compacted into 4 range buckets per month dir — staged once per sf
+    * dir. Returns (table dir, lo, hi) where `(lo, hi]` is the sixth
+    * slab's key range (width 1/12 < bucket width 1/4, so it can overlap
+    * at most TWO buckets however the range sampler draws boundaries). */
+  private val stagedClust =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Long, Long)]
+  private def clustOrdersDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Long, Long) =
+    stagedClust.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-clust")
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val w = m / 12
+      def slab(k: Int) = orders.filter(col("o_orderkey") > k * w &&
+        (if (k == 11) lit(true) else col("o_orderkey") <= (k + 1) * w))
+      TimeTravel.init(spark, t, slab(0), "o_month")
+      (1 to 11).foreach(k => TimeTravel.append(spark, t, slab(k), "o_month"))
+      TimeTravel.compact(spark, t, "o_month",
+        clusterBy = Some(("o_orderkey", 4)))
+      (t, 5 * w, 6 * w)
+    })
+
+  /** CLUSTERED COMPACTION keeps data skipping selective
+    * ([[graft.operators.TimeTravel.compact]] with `clusterBy`): plain
+    * compaction folds an ingest history's range-disjoint small files
+    * into ONE file per dir, widening every recorded bound to the whole
+    * partition — a key-range read is back to scanning everything, so
+    * the maintenance op quietly destroys what q167 builds. Clustered
+    * compaction range-repartitions the consolidated rows over the
+    * cluster key instead (Delta's OPTIMIZE ZORDER BY at 1-column
+    * essentials): each month dir folds 12 slab files into at most 4
+    * range-DISJOINT buckets, so the log's footer stats stay selective
+    * THROUGH maintenance. In-band verdicts: every live file carries
+    * stats, a 1/12-width key window reads at most half the files
+    * (it can overlap at most 2 of 4 buckets per dir), every dir is
+    * at most 4 files (genuinely folded from 12), and the
+    * pre-compaction version still reads the same row count (time
+    * travel intact). Content hash-matches the oracle exactly. */
+  val q170 = Q(
+    "q170_clustered_compaction",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, lo, hi) = clustOrdersDir(spark, dir)
+      val v = TimeTravel.latestVersion(spark, t)
+      val perDir = TimeTravel.filesAt(spark, t, v)
+        .groupBy(f => f.take(f.indexOf('/'))).values.map(_.size)
+      val scan = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_orderkey", lo + 1, hi)
+      val prevIntact = TimeTravel.readVersion(spark, t, v - 1).count() ==
+        TimeTravel.readVersion(spark, t, v).count()
+      scan.df.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi)
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(col("n_rows"), col("sum_price"), col("n_cust"),
+          lit(scan.filesWithStats == scan.filesTotal)
+            .as("all_files_have_stats"),
+          lit(scan.filesRead * 2 <= scan.filesTotal).as("skipped_half"),
+          lit(perDir.forall(_ <= 4)).as("clustered_bounded"),
+          lit(prevIntact).as("prev_version_intact"))
+    },
+    Some(s"""WITH b AS (SELECT 5*(MAX(o_orderkey)//12) AS lo,
+          6*(MAX(o_orderkey)//12) AS hi FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        TRUE AS all_files_have_stats, TRUE AS skipped_half,
+        TRUE AS clustered_bounded, TRUE AS prev_version_intact
+      FROM orders, b WHERE o_orderkey > b.lo AND o_orderkey <= b.hi""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
-      q167, q168, q169)
+      q167, q168, q169, q170)
 }

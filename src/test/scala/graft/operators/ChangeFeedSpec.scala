@@ -106,8 +106,73 @@ class ChangeFeedSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeTravel.readChangesSince(spark, dir, 1).collect()
     }
-    // the dropped version's change dir is physically gone
+    // the dropped version's change dir is physically gone: no retained
+    // record references it, so vacuum's token sweep reclaimed it
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(dir, "_change", "2")))
+        java.nio.file.Paths.get(dir, "_change")) ||
+      java.nio.file.Files.list(
+        java.nio.file.Paths.get(dir, "_change")).count() === 0)
+  }
+
+  test("change rows stay bound to their commit across a REBASE") {
+    val dir = stage()
+    // deterministic race: a real append wins v2 AFTER the loser (a CDC
+    // upsert of p1's row) captured its changes and staged its write
+    // against base v1. With version-keyed change dirs the captured rows
+    // would misbind to v2 (the append!); the #cdc token must follow the
+    // commit to wherever the rebase lands it.
+    val tok = TimeTravel.newToken()
+    TimeTravel.writeChanges(spark, dir, tok, Seq(
+      Seq((1L, "p1", 10.0, "update_preimage"),
+        (1L, "p1", 11.0, "update_postimage"))
+        .toDF("id", "part", "v", TimeTravel.ChangeTypeCol)))
+    val adds = TimeTravel.stageWrite(spark, dir,
+      Seq((1L, "p1", 11.0), (2L, "p1", 20.0)).toDF("id", "part", "v"),
+      "part")
+    val removes = TimeTravel.filesAt(spark, dir, 1)
+      .filter(_.startsWith("part=p1/"))
+    TimeTravel.append(spark, dir, // the winner takes v2
+      Seq((8L, "p2", 80.0)).toDF("id", "part", "v"), "part")
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    val v = TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+      dirs = Set("part=p1"), adds = adds, removes = removes, txn = None,
+      schema = schema, op = "upsert", evolveSchema = false,
+      cdc = Some(tok))
+    assert(v === 3) // rebased past the append
+    val feed = TimeTravel.readChangesSince(spark, dir, 2)
+    assert(changes(feed) === Set(
+      (1L, "p1", 10.0, "update_preimage", 3),
+      (1L, "p1", 11.0, "update_postimage", 3)))
+    // the full window sees the append as v2's insert, the upsert as v3
+    assert(changes(TimeTravel.readChangesSince(spark, dir, 1)) ===
+      changes(feed) + ((8L, "p2", 80.0, "insert", 2)))
+  }
+
+  test("an aborted commit's change rows are never served and vacuum reclaims them") {
+    val dir = stage()
+    // force an abort AFTER change capture: delete every row of the
+    // table — commitRewrite refuses table-emptying commits, but the
+    // change rows for the doomed delete were already written
+    intercept[IllegalArgumentException] {
+      TimeTravel.delete(spark, dir, Seq(1L, 2L, 3L).toDF("id"),
+        "id", "part", changeFeed = true)
+    }
+    assert(TimeTravel.latestVersion(spark, dir) === 1)
+    val orphans = java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "_change")).count()
+    assert(orphans === 1) // the aborted capture, unreferenced
+    // a real v2 landing at the aborted commit's predicted version must
+    // NOT serve the orphan rows as its changes
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part")
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.readChangesSince(spark, dir, 1).collect()
+    }
+    assert(e.getMessage.contains("recorded no change rows"))
+    // vacuum sweeps the orphan
+    TimeTravel.vacuum(spark, dir, TimeTravel.latestVersion(spark, dir))
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "_change")).count() === 0)
   }
 }

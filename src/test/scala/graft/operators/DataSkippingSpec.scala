@@ -134,6 +134,83 @@ class DataSkippingSpec extends SparkSpec {
     assert(floor.df.filter(col("id").between(15, 18)).count() === 4)
   }
 
+  test("clustered compaction folds small files AND keeps skipping selective") {
+    val dir = tmpDir("tt-skip-clust")
+    def batch(lo: Long, hi: Long) =
+      (lo to hi).map(i => (i, if (i % 2 == 0) "pA" else "pB", s"n$i"))
+        .toDF("id", "part", "name")
+    TimeTravel.init(spark, dir, batch(1, 100), "part")
+    (1 to 5).foreach(k =>
+      TimeTravel.append(spark, dir, batch(k * 100 + 1, k * 100 + 100),
+        "part"))
+    val v0 = TimeTravel.latestVersion(spark, dir) // 6 files per dir
+    val vc = TimeTravel.compact(spark, dir, "part",
+      clusterBy = Some(("id", 3)))
+    assert(vc === v0 + 1)
+    // per-dir file count is bounded by the bucket count — folded from 6
+    val byDir = TimeTravel.filesAt(spark, dir, vc)
+      .groupBy(f => f.substring(0, f.indexOf('/'))).view.mapValues(_.size)
+    assert(byDir.values.forall(_ <= 3))
+    assert(byDir.values.sum < 12) // genuinely consolidated
+    // a narrow range still prunes: files cover disjoint id ranges
+    val scan = TimeTravel.readVersionSkipping(spark, dir, vc, "id",
+      30L, 80L)
+    assert(scan.filesWithStats === scan.filesTotal)
+    assert(scan.filesRead < scan.filesTotal)
+    assert(scan.df.filter(col("id").between(30, 80)).count() === 51)
+    // content identity and history: the pre-compaction version intact
+    assert(TimeTravel.readVersion(spark, dir, vc).count() === 600)
+    assert(TimeTravel.readVersion(spark, dir, v0).count() === 600)
+    // a dir already at/below the bucket count is NOT rewritten
+    assert(TimeTravel.compact(spark, dir, "part",
+      clusterBy = Some(("id", 3))) === vc)
+  }
+
+  test("a bound that cannot convert degrades to a full read, never a throw") {
+    val dir = tmpDir("tt-skip-ts")
+    val rows = Seq(
+      (1L, "p1", java.sql.Timestamp.valueOf("2024-01-01 00:00:00")),
+      (2L, "p1", java.sql.Timestamp.valueOf("2024-06-01 00:00:00")))
+      .toDF("id", "part", "ts")
+    TimeTravel.init(spark, dir, rows, "part")
+    TimeTravel.append(spark, dir,
+      Seq((3L, "p1", java.sql.Timestamp.valueOf("2024-12-01 00:00:00")))
+        .toDF("id", "part", "ts"), "part")
+    val v = TimeTravel.latestVersion(spark, dir)
+    // timestamps are never stats-eligible AND the bound doesn't parse
+    // as a number: the scan must fall back to every file, not throw
+    val scan = TimeTravel.readVersionSkipping(spark, dir, v, "ts",
+      java.sql.Timestamp.valueOf("2024-05-01 00:00:00"),
+      java.sql.Timestamp.valueOf("2024-07-01 00:00:00"))
+    assert(scan.filesRead === scan.filesTotal)
+    assert(scan.df.filter(col("ts")
+      .between("2024-05-01", "2024-07-01")).count() === 1)
+  }
+
+  test("string bounds compare in UTF-8 byte order, not UTF-16 (non-BMP safe)") {
+    val dir = tmpDir("tt-skip-utf8")
+    // one file holds U+E000 and a non-BMP emoji (U+1F600): in UTF-16
+    // the emoji's lead surrogate 0xD83D sorts BELOW 0xE000, but its
+    // UTF-8 bytes (F0 9F 98 80) sort ABOVE U+E000's (EE 80 80) — so
+    // the file's parquet max (UTF-8 order) is the emoji. A UTF-16
+    // compare would see max(emoji) < lo(U+E000) and wrongly skip the
+    // file that contains the queried value.
+    val pua = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    TimeTravel.init(spark, dir,
+      Seq((1L, "p1", pua), (2L, "p1", emoji))
+        .toDF("id", "part", "s"), "part")
+    TimeTravel.append(spark, dir,
+      Seq((3L, "p1", "aaa")).toDF("id", "part", "s"), "part")
+    val v = TimeTravel.latestVersion(spark, dir)
+    val scan = TimeTravel.readVersionSkipping(spark, dir, v, "s",
+      pua, pua)
+    val hits = scan.df.filter(col("s") === pua)
+    assert(hits.count() === 1) // the row survives the pruned scan
+    // and the all-ASCII file IS skippable under the same ordering
+    assert(scan.filesRead < scan.filesTotal)
+  }
+
   test("decimal and date bounds prune numerically") {
     val dir = tmpDir("tt-skip-dec")
     val sqlc = spark

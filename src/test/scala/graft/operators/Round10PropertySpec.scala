@@ -109,4 +109,96 @@ class Round10PropertySpec extends SparkSpec {
     }
     assert(onDisk === retained)
   }
+
+  test("random histories with changeFeed on: the feed reconstructs every commit's model changes exactly") {
+    val rnd = new scala.util.Random(13)
+    val dir = tmpDir("tt-cdc-model")
+    def someRows(n: Int): Vector[Row3] =
+      Vector.fill(n)((rnd.nextInt(25).toLong, s"p${rnd.nextInt(4)}",
+        rnd.nextInt(100).toDouble))
+
+    var current = someRows(6).distinctBy(_._1)
+    TimeTravel.init(spark, dir, df(current), "part")
+    // expected (version -> change_type -> multiset of rows), from the
+    // operators' documented semantics replayed in plain Scala
+    val expected = scala.collection.mutable.Map
+      .empty[Int, Map[String, Seq[Row3]]]
+
+    (1 to 10).foreach { _ =>
+      val prev = TimeTravel.latestVersion(spark, dir)
+      rnd.nextInt(3) match {
+        case 0 => // CDC upsert
+          val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
+          val v = TimeTravel.upsert(spark, dir, df(batch), "id", "part",
+            changeFeed = true)
+          val existing = current.map(_._1).toSet
+          expected(v) = Map(
+            "update_preimage" ->
+              current.filter(r => batch.exists(_._1 == r._1)),
+            "update_postimage" -> batch.filter(r => existing(r._1)),
+            "insert" -> batch.filterNot(r => existing(r._1)))
+            .filter(_._2.nonEmpty)
+          current = upsertModel(current, batch)
+        case 1 => // CDC delete
+          val keys = Vector.fill(1 + rnd.nextInt(2))(rnd.nextInt(25).toLong)
+            .toSet
+          val survivors = deleteModel(current, keys)
+          val doomed = current.filter(r => keys(r._1))
+          if (survivors.nonEmpty && doomed.nonEmpty) {
+            val v = TimeTravel.delete(spark, dir, keys.toSeq.toDF("id"),
+              "id", "part", changeFeed = true)
+            expected(v) = Map("delete" -> doomed)
+            current = survivors
+          }
+        case _ => // append: its add files ARE the inserts
+          val batch = someRows(1 + rnd.nextInt(3))
+          val v = TimeTravel.append(spark, dir, df(batch), "part")
+          if (v > prev) {
+            expected(v) = Map("insert" -> batch)
+            current = current ++ batch
+          }
+      }
+    }
+
+    val latest = TimeTravel.latestVersion(spark, dir)
+    val feed = TimeTravel.readChangesSince(spark, dir, 1)
+    val got = feed.collect()
+      .map(r => ((r.getAs[Int](TimeTravel.CommitVersionCol),
+        r.getAs[String](TimeTravel.ChangeTypeCol)),
+        (r.getAs[Long]("id"), r.getAs[String]("part"),
+          r.getAs[Double]("v"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val want = expected.toSeq.flatMap { case (v, byType) =>
+      byType.map { case (t, rows) => (v, t) -> rows.sorted } }.toMap
+    assert(got === want)
+    // the final version equals the model — the feed and the table agree
+    assert(content(TimeTravel.readVersion(spark, dir, latest))
+      === current.sorted)
+  }
+
+  test("random key-range probes: the skipping scan's filtered content always equals the full read's") {
+    val rnd = new scala.util.Random(29)
+    val dir = tmpDir("tt-skip-model")
+    def batch(lo: Long, hi: Long): Vector[Row3] =
+      (lo to hi).map(i => (i, s"p${i % 3}", i.toDouble)).toVector
+    // random, possibly-overlapping key slabs — stats bounds overlap too
+    var all = batch(1, 20)
+    TimeTravel.init(spark, dir, df(all), "part")
+    (1 to 6).foreach { _ =>
+      val lo = 1 + rnd.nextInt(180).toLong
+      val b = batch(lo, lo + 5 + rnd.nextInt(30))
+      TimeTravel.append(spark, dir, df(b), "part")
+      all = all ++ b
+    }
+    val v = TimeTravel.latestVersion(spark, dir)
+    (1 to 12).foreach { _ =>
+      val lo = rnd.nextInt(220).toLong
+      val hi = lo + rnd.nextInt(60)
+      val scan = TimeTravel.readVersionSkipping(spark, dir, v, "id", lo, hi)
+      assert(scan.filesRead <= scan.filesTotal)
+      val got = content(scan.df.filter(col("id").between(lo, hi)))
+      assert(got === all.filter(r => r._1 >= lo && r._1 <= hi).sorted,
+        s"probe [$lo, $hi] diverged")
+    }
+  }
 }
