@@ -113,14 +113,69 @@ object TimeTravel {
 
   /** Relative (to data/) paths of ALL parquet data files on disk — the
     * table-scale listing, used only where table scale is the contract:
-    * `init` (fresh table, everything is new) and `vacuum` (orphans are
-    * by definition not in any log). Commits never list: a staged write
-    * ([[stageWrite]]) knows its files because it moved them. */
-  private def listDataFiles(fs: FileSystem, baseDir: String): Set[String] = {
+    * `vacuum` (orphans are by definition not in any log). Commits never
+    * list: a staged write ([[stageWrite]]) knows its files because it
+    * moved them. Above `threshold` partition dirs the per-dir listings
+    * fan out as a Spark job (one driver `listStatus` for the dir set,
+    * then distributed recursion) — a million-file table's orphan sweep
+    * scales with the cluster, not one driver thread. Both paths return
+    * identical sets (spec-pinned). */
+  private[operators] def listDataFiles(spark: SparkSession, fs: FileSystem,
+      baseDir: String,
+      threshold: Int = DistributedFsThreshold): Set[String] = {
     val root = fs.makeQualified(dataDir(baseDir))
     if (!fs.exists(root)) Set.empty
-    else relativeParquetFiles(fs, root, root)
+    else {
+      val entries = fs.listStatus(root)
+      val dirs = entries.filter(_.isDirectory).map(_.getPath)
+      val loose = entries.filter(e => e.isFile &&
+          e.getPath.getName.endsWith(".parquet"))
+        .map(e => root.toUri
+          .relativize(fs.makeQualified(e.getPath).toUri).getPath)
+      val nested: Seq[String] =
+        if (dirs.length <= threshold)
+          dirs.toSeq.flatMap(d => relativeParquetFiles(fs, root, d))
+        else {
+          val confW = new SerializableHadoopConf(
+            spark.sparkContext.hadoopConfiguration)
+          val rootStr = root.toString
+          spark.sparkContext
+            .parallelize(dirs.map(_.toString).toSeq,
+              math.max(1, math.min(dirs.length / 4, 64)))
+            .flatMap { d =>
+              val p = new Path(d)
+              relativeParquetFiles(p.getFileSystem(confW.conf),
+                new Path(rootStr), p)
+            }.collect().toSeq
+        }
+      (loose ++ nested).toSet
+    }
   }
+
+  /** Delete `files` (relative to data/), returning how many the
+    * filesystem confirmed — vacuum's reclamation. Above `threshold`
+    * the deletes fan out as a Spark job: reclaiming a table-scale
+    * orphan set must not serialize through one driver thread. */
+  private[operators] def deleteDataFiles(spark: SparkSession,
+      fs: FileSystem, baseDir: String, files: Seq[String],
+      threshold: Int = DistributedFsThreshold): Int =
+    if (files.size <= threshold)
+      files.count(f => fs.delete(new Path(dataDir(baseDir), f), false))
+    else {
+      val confW = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      val dataStr = fs.makeQualified(dataDir(baseDir)).toString
+      spark.sparkContext
+        .parallelize(files, math.max(1, math.min(files.size / 16, 64)))
+        .map { f =>
+          val p = new Path(s"$dataStr/$f")
+          if (p.getFileSystem(confW.conf).delete(p, false)) 1 else 0
+        }.fold(0)(_ + _)
+    }
+
+  /** Above this many dirs/files, vacuum's filesystem work (listing,
+    * deleting) runs as Spark jobs instead of a driver loop. */
+  private val DistributedFsThreshold = 64
 
   /** Recursive parquet listing under `under`, returned as paths
     * relative to `root`. Used by [[listDataFiles]] (the two table-scale
@@ -309,7 +364,8 @@ object TimeTravel {
     * non-null values lacks usable statistics, or on any extraction
     * surprise (NaN bounds, unexpected physical type): stats must be
     * conservative or absent, never wrong. */
-  private def footerColumnStats(fs: FileSystem, file: Path)
+  private def footerColumnStats(
+      conf: org.apache.hadoop.conf.Configuration, file: Path)
       : Map[String, (String, String)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
@@ -321,7 +377,7 @@ object TimeTravel {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
     val reader =
-      ParquetFileReader.open(HadoopInputFile.fromPath(file, fs.getConf))
+      ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
     try {
       // (numeric?, min, max) per column; None = column disqualified
       val acc = scala.collection.mutable.Map
@@ -422,20 +478,64 @@ object TimeTravel {
     } finally reader.close()
   }
 
+  private def encodeStatsPayload(
+      cols: Map[String, (String, String)]): String =
+    cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s"${enc(c)}=${enc(mn)}:${enc(mx)}"
+    }.mkString(";")
+
+  /** Hadoop `Configuration` is not `Serializable`; this wrapper ships
+    * it to stats tasks via its own wire format (`write`/`readFields`) —
+    * the standard trick for Hadoop-touching closures. */
+  private class SerializableHadoopConf(
+      @transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject(); conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
+  }
+
+  /** Footer reads distribute above this many added files: a normal
+    * micro-batch's handful of footers is cheaper on the driver than a
+    * job launch, but a backfill-scale commit (thousands of files) must
+    * not serialize its metadata reads through one thread. */
+  private val DistributedStatsThreshold = 64
+
   /** Encoded stats payload for each of `adds` — the commit-time hook.
-    * Driver-side, one footer read per added file (same order as the
-    * listing the commit already did). On a real cluster this could move
-    * into the write tasks; the footer-read shape is the point: never a
-    * data scan. */
-  private def computeAddStats(fs: FileSystem, baseDir: String,
-      adds: Seq[String]): Map[String, String] =
-    adds.flatMap { f =>
-      val cols = footerColumnStats(fs, new Path(dataDir(baseDir), f))
-      if (cols.isEmpty) None
-      else Some(f -> cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
-        s"${enc(c)}=${enc(mn)}:${enc(mx)}"
-      }.mkString(";"))
-    }.toMap
+    * One footer read per added file, never a data scan (the point).
+    * Small commits read on the driver; commits adding more than
+    * [[DistributedStatsThreshold]] files fan the footer reads out as a
+    * Spark job (one task per ~bounded slice), so a backfill-sized
+    * commit's stats cost scales with the CLUSTER, not one thread. Both
+    * paths produce identical payloads (spec-pinned). */
+  private[operators] def computeAddStats(spark: SparkSession,
+      fs: FileSystem, baseDir: String, adds: Seq[String],
+      threshold: Int = DistributedStatsThreshold): Map[String, String] =
+    if (adds.size <= threshold)
+      adds.flatMap { f =>
+        val cols = footerColumnStats(fs.getConf,
+          new Path(dataDir(baseDir), f))
+        if (cols.isEmpty) None else Some(f -> encodeStatsPayload(cols))
+      }.toMap
+    else {
+      val confW =
+        new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+      val root = fs.makeQualified(dataDir(baseDir)).toString
+      spark.sparkContext
+        .parallelize(adds, math.max(1, math.min(adds.size / 8, 64)))
+        .map { f =>
+          f -> encodeStatsPayload(
+            footerColumnStats(confW.conf, new Path(s"$root/$f")))
+        }
+        .collect()
+        .collect { case (f, p) if p.nonEmpty => f -> p }
+        .toMap
+    }
 
   /** Unsigned lexicographic UTF-8 byte order — the order parquet
     * computes string min/max in AND the order Spark's UTF8String
@@ -744,7 +844,7 @@ object TimeTravel {
       schema: org.apache.spark.sql.types.StructType,
       op: String, evolveSchema: Boolean,
       cdc: Option[String] = None): Int = {
-    val addStats = computeAddStats(fs, baseDir, adds)
+    val addStats = computeAddStats(spark, fs, baseDir, adds)
     val isRewrite = removes.nonEmpty || op == "upsert" || op == "delete" ||
       op == "compact"
     var base = prev
@@ -859,14 +959,20 @@ object TimeTravel {
     * strings lexicographically (matching parquet's UTF-8 stats order
     * for ASCII domains — the truncated-stats caveat rides on parquet's
     * own guarantee that truncation only widens bounds). */
-  def readVersionSkipping(spark: SparkSession, baseDir: String,
-      version: Int, colName: String, lo: Any, hi: Any): SkippingScan = {
+  /** One conjunct of a skipping read: rows with `col` in `[lo, hi]`. */
+  final case class ColRange(col: String, lo: Any, hi: Any)
+
+  /** The per-file keep decision for ONE range conjunct, from the
+    * snapshot's recorded stats. Conservative throughout: a bound that
+    * doesn't convert, a file with no recorded range, or an unparsable
+    * recorded value all KEEP the file — stats are an I/O optimization,
+    * never a correctness gate; the failure mode must be "read more",
+    * not throw or skip wrong. */
+  private def rangeKeep(snap: Snapshot,
+      pred: ColRange): String => Boolean = {
     import org.apache.spark.sql.types._
-    val snap = resolveFull(spark, baseDir, version)
-    require(snap.files.nonEmpty,
-      s"version $version of $baseDir is empty")
     val dt = snap.schema.flatMap(s =>
-      s.fields.find(_.name == colName).map(_.dataType))
+      s.fields.find(_.name == pred.col).map(_.dataType))
     def num(v: Any): java.math.BigDecimal = v match {
       case d: java.sql.Date =>
         java.math.BigDecimal.valueOf(d.toLocalDate.toEpochDay)
@@ -877,23 +983,18 @@ object TimeTravel {
       case other => new java.math.BigDecimal(other.toString)
     }
     val asString = dt.contains(StringType)
-    // query bounds that don't convert to a comparable (a timestamp or
-    // boolean column — types stats are never recorded for — or any
-    // unexpected object) mean no skipping DECISION can be made: degrade
-    // to reading every file. Stats are an I/O optimization, never a
-    // correctness gate; the failure mode must be "read more", not throw.
     val bounds: Option[(java.math.BigDecimal, java.math.BigDecimal)] =
       if (asString) None
-      else try Some((num(lo), num(hi)))
+      else try Some((num(pred.lo), num(pred.hi)))
       catch { case scala.util.control.NonFatal(_) => None }
     val canSkip = asString || bounds.isDefined
-    val kept = snap.files.filter { f =>
+    f =>
       if (!canSkip) true
-      else snap.stats.get(f).flatMap(parseColRange(_, colName)) match {
+      else snap.stats.get(f).flatMap(parseColRange(_, pred.col)) match {
         case None => true // no bound recorded: must read
         case Some((mn, mx)) =>
           if (asString)
-            !(utf8Lt(mx, lo.toString) || utf8Lt(hi.toString, mn))
+            !(utf8Lt(mx, pred.lo.toString) || utf8Lt(pred.hi.toString, mn))
           else try {
             val (nLo, nHi) = bounds.get
             val bmn = new java.math.BigDecimal(mn)
@@ -901,7 +1002,28 @@ object TimeTravel {
             !(bmx.compareTo(nLo) < 0 || bmn.compareTo(nHi) > 0)
           } catch { case _: NumberFormatException => true }
       }
-    }
+  }
+
+  def readVersionSkipping(spark: SparkSession, baseDir: String,
+      version: Int, colName: String, lo: Any, hi: Any): SkippingScan =
+    readVersionSkippingAll(spark, baseDir, version,
+      Seq(ColRange(colName, lo, hi)))
+
+  /** CONJUNCTIVE data-skipping read: a file is read only if EVERY
+    * range's recorded bounds can intersect it — one disjoint conjunct
+    * proves the file irrelevant to the whole AND, so multi-predicate
+    * queries (the production shape: a key range AND a date window AND
+    * an amount band) prune strictly harder than any single column
+    * could. Same conservative contract per conjunct as the
+    * single-column read. */
+  def readVersionSkippingAll(spark: SparkSession, baseDir: String,
+      version: Int, preds: Seq[ColRange]): SkippingScan = {
+    require(preds.nonEmpty, "at least one column range is required")
+    val snap = resolveFull(spark, baseDir, version)
+    require(snap.files.nonEmpty,
+      s"version $version of $baseDir is empty")
+    val keeps = preds.map(rangeKeep(snap, _))
+    val kept = snap.files.filter(f => keeps.forall(_(f)))
     val df =
       if (kept.isEmpty) {
         val s = snap.schema.getOrElse(throw new IllegalArgumentException(
@@ -945,7 +1067,7 @@ object TimeTravel {
       "is not representable on plain parquet and would brick every " +
       "later commit; create the table from its first real batch instead")
     writeManifest(fs, baseDir, 1, files, txn.toSeq, Some(df.schema),
-      Some("init"), stats = computeAddStats(fs, baseDir, files))
+      Some("init"), stats = computeAddStats(spark, fs, baseDir, files))
     commitStats.put(baseDir, CommitStats(1, Set.empty, files.size, 0,
       checkpointed = true))
     1
@@ -1225,11 +1347,14 @@ object TimeTravel {
     * exact, because files enter the table only through adds and every
     * version above the floor is retained. Before older records drop,
     * the floor version gets a full checkpoint (if it doesn't have one)
-    * so it stays resolvable without its ancestors. Driver cost: the log
-    * records (metadata) plus one table listing — orphan discovery is
-    * inherently table-scale; that is vacuum's job, not the commit
-    * path's. Returns (files deleted, log versions dropped), counting
-    * only deletions the filesystem confirmed. */
+    * so it stays resolvable without its ancestors. Orphan discovery is
+    * inherently table-scale — that is vacuum's job, not the commit
+    * path's — but it doesn't serialize through the driver: above
+    * [[DistributedFsThreshold]] partition dirs the listing fans out as
+    * a Spark job, and so do the deletes. Driver cost: the log records
+    * (metadata) plus the dir-level listStatus. Returns (files deleted,
+    * log versions dropped), counting only deletions the filesystem
+    * confirmed. */
   def vacuum(spark: SparkSession, baseDir: String,
       keepFrom: Int): (Int, Int) = {
     val fs = hadoopFs(spark, baseDir)
@@ -1285,9 +1410,8 @@ object TimeTravel {
           s"failed to install rewritten floor checkpoint $mPath")
       }
     }
-    val doomed = (listDataFiles(fs, baseDir) -- kept).toSeq.sorted
-    val nDeleted = doomed.count(f =>
-      fs.delete(new Path(dataDir(baseDir), f), false))
+    val doomed = (listDataFiles(spark, fs, baseDir) -- kept).toSeq.sorted
+    val nDeleted = deleteDataFiles(spark, fs, baseDir, doomed)
     // drop the now-unservable records AFTER the files: a crash between
     // the two leaves dangling records (readVersion fails loudly), never
     // a version silently missing data

@@ -1005,7 +1005,12 @@ object PipelineQueries {
     stagedSkip.getOrElseUpdate(dir, {
       import graft.operators.TimeTravel
       val t = ParityQueries.scratchDir("graft-tt-skip")
+      // o_orderdate lands as DATE: a date column's epoch-day footer
+      // stats are skip-eligible (q171's date conjunct), timestamps are
+      // not; q167's outputs never read the column, so both queries
+      // share one staged history
       val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_orderdate", col("o_orderdate").cast("date"))
         .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
       val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
       val m5 = m / 5
@@ -1289,8 +1294,68 @@ object PipelineQueries {
       FROM orders, b WHERE o_orderkey > b.lo AND o_orderkey <= b.hi""")
   )
 
+  /** CONJUNCTIVE data skipping
+    * ([[graft.operators.TimeTravel.readVersionSkippingAll]]) — the
+    * production read shape: a key range AND a date window, pruned
+    * together from the log's stats. Over q167's staged table (five
+    * key-slab commits × month dirs), the key conjunct alone keeps the
+    * middle slab's files across EVERY month, the date conjunct alone
+    * keeps a ~3-month stripe across EVERY slab, and their conjunction
+    * isolates the intersection — one disjoint conjunct proves a file
+    * irrelevant to the whole AND, so the combined scan must read at
+    * most a sixth of the files AND no more than either single-column
+    * scan (both pinned in-band). The date bounds prune from FILE stats
+    * even though months are also the partition layout: stats subsume
+    * partition pruning when the partition key is a derived column.
+    * Content hash-matches the oracle's doubly-filtered aggregates. */
+  val q171 = Q(
+    "q171_skipping_conjunction",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, lo, hi) = skipOrdersDir(spark, dir)
+      val v = TimeTravel.latestVersion(spark, t)
+      // external date type depends on the session's java8-API setting
+      val minD = Tables.load(spark, dir, "orders")
+        .agg(min(col("o_orderdate").cast("date"))).head.get(0) match {
+        case d: java.sql.Date => d.toLocalDate
+        case d: java.time.LocalDate => d
+        case other => throw new IllegalStateException(
+          s"unexpected date external type: ${other.getClass}")
+      }
+      val (loD, hiD) = (java.sql.Date.valueOf(minD.plusDays(90)),
+        java.sql.Date.valueOf(minD.plusDays(180)))
+      val byKey = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_orderkey", lo + 1, hi)
+      val byDate = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_orderdate", loD, hiD)
+      val both = TimeTravel.readVersionSkippingAll(spark, t, v, Seq(
+        TimeTravel.ColRange("o_orderkey", lo + 1, hi),
+        TimeTravel.ColRange("o_orderdate", loD, hiD)))
+      both.df.filter(col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderdate").between(lit(loD), lit(hiD)))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(col("n_rows"), col("sum_price"), col("n_cust"),
+          lit(both.filesRead <= math.min(byKey.filesRead,
+            byDate.filesRead)).as("conjunction_tighter"),
+          lit(both.filesRead * 6 <= both.filesTotal).as("skipped_5_of_6"))
+    },
+    Some(s"""WITH b AS (SELECT 2*(MAX(o_orderkey)//5) AS lo,
+          3*(MAX(o_orderkey)//5) AS hi,
+          CAST(MIN(o_orderdate) AS DATE) + 90 AS lo_d,
+          CAST(MIN(o_orderdate) AS DATE) + 180 AS hi_d
+        FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        TRUE AS conjunction_tighter, TRUE AS skipped_5_of_6
+      FROM orders, b WHERE o_orderkey > b.lo AND o_orderkey <= b.hi
+        AND CAST(o_orderdate AS DATE) BETWEEN b.lo_d AND b.hi_d""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
-      q167, q168, q169, q170)
+      q167, q168, q169, q170, q171)
 }

@@ -211,6 +211,68 @@ class DataSkippingSpec extends SparkSpec {
     assert(scan.filesRead < scan.filesTotal)
   }
 
+  test("driver and distributed stats paths produce identical payloads") {
+    val dir = stagedRanges()
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val files = TimeTravel.filesAt(spark, dir,
+      TimeTravel.latestVersion(spark, dir))
+    val onDriver = TimeTravel.computeAddStats(spark, fs, dir, files,
+      threshold = Int.MaxValue)
+    val distributed = TimeTravel.computeAddStats(spark, fs, dir, files,
+      threshold = 0)
+    assert(onDriver.nonEmpty)
+    assert(distributed === onDriver)
+  }
+
+  test("driver and distributed vacuum filesystem paths agree (listing and deletes)") {
+    val dir = stagedRanges()
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val onDriver = TimeTravel.listDataFiles(spark, fs, dir,
+      threshold = Int.MaxValue)
+    val distributed = TimeTravel.listDataFiles(spark, fs, dir,
+      threshold = 0)
+    assert(onDriver.nonEmpty)
+    assert(distributed === onDriver)
+    // distributed deletes confirm exactly the files that existed
+    val victims = onDriver.toSeq.sorted.take(2)
+    val n = TimeTravel.deleteDataFiles(spark, fs, dir, victims,
+      threshold = 0)
+    assert(n === 2)
+    assert(TimeTravel.listDataFiles(spark, fs, dir) ===
+      onDriver -- victims)
+    // a re-delete of already-gone files confirms zero
+    assert(TimeTravel.deleteDataFiles(spark, fs, dir, victims,
+      threshold = 0) === 0)
+  }
+
+  test("conjunctive skipping prunes strictly harder than either column alone") {
+    val dir = tmpDir("tt-skip-conj")
+    // a 3x3 grid of (id-range, amount-range) batches: a conjunction of
+    // one id slab AND one amount band must isolate ~one batch's files,
+    // while either predicate alone keeps a full row or column of the grid
+    def batch(idLo: Long, amtLo: Long) =
+      (0L to 9L).map(i => (idLo + i, "p1", (amtLo + i).toDouble))
+        .toDF("id", "part", "amount")
+    TimeTravel.init(spark, dir, batch(0, 0), "part")
+    (Seq((0L, 100L), (0L, 200L), (100L, 0L), (100L, 100L), (100L, 200L),
+      (200L, 0L), (200L, 100L), (200L, 200L)))
+      .foreach { case (i, a) => TimeTravel.append(spark, dir, batch(i, a),
+        "part") }
+    val v = TimeTravel.latestVersion(spark, dir)
+    val byId = TimeTravel.readVersionSkipping(spark, dir, v, "id",
+      100L, 109L)
+    val byAmt = TimeTravel.readVersionSkipping(spark, dir, v, "amount",
+      100.0, 109.0)
+    val both = TimeTravel.readVersionSkippingAll(spark, dir, v, Seq(
+      TimeTravel.ColRange("id", 100L, 109L),
+      TimeTravel.ColRange("amount", 100.0, 109.0)))
+    assert(byId.filesRead === 3)  // one grid row
+    assert(byAmt.filesRead === 3) // one grid column
+    assert(both.filesRead === 1)  // the intersection cell
+    assert(both.df.filter(col("id").between(100, 109) &&
+      col("amount").between(100, 109)).count() === 10)
+  }
+
   test("decimal and date bounds prune numerically") {
     val dir = tmpDir("tt-skip-dec")
     val sqlc = spark
