@@ -971,6 +971,20 @@ object TimeTravel {
   private def rangeKeep(snap: Snapshot,
       pred: ColRange): String => Boolean = {
     import org.apache.spark.sql.types._
+    // a conjunct on the PARTITION column prunes by DIRECTORY text: the
+    // partition value never appears in file data (no footer stats), but
+    // every file path carries it as `col=value/…` — unescaped and
+    // compared in UTF-8 order, matching the STRING-partition contract.
+    // This folds partition pruning into the same conjunct API: the
+    // caller names columns, not layout.
+    val prefix = pred.col + "="
+    def dirKeep(f: String): Option[Boolean] =
+      if (!f.startsWith(prefix)) None
+      else {
+        val v = ExternalCatalogUtils.unescapePathName(
+          f.substring(prefix.length, f.indexOf('/')))
+        Some(!(utf8Lt(v, pred.lo.toString) || utf8Lt(pred.hi.toString, v)))
+      }
     val dt = snap.schema.flatMap(s =>
       s.fields.find(_.name == pred.col).map(_.dataType))
     def num(v: Any): java.math.BigDecimal = v match {
@@ -988,7 +1002,7 @@ object TimeTravel {
       else try Some((num(pred.lo), num(pred.hi)))
       catch { case scala.util.control.NonFatal(_) => None }
     val canSkip = asString || bounds.isDefined
-    f =>
+    f => dirKeep(f).getOrElse {
       if (!canSkip) true
       else snap.stats.get(f).flatMap(parseColRange(_, pred.col)) match {
         case None => true // no bound recorded: must read
@@ -1002,6 +1016,7 @@ object TimeTravel {
             !(bmx.compareTo(nLo) < 0 || bmn.compareTo(nHi) > 0)
           } catch { case _: NumberFormatException => true }
       }
+    }
   }
 
   def readVersionSkipping(spark: SparkSession, baseDir: String,

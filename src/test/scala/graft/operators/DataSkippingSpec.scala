@@ -273,6 +273,31 @@ class DataSkippingSpec extends SparkSpec {
       col("amount").between(100, 109)).count() === 10)
   }
 
+  test("a conjunct on the PARTITION column prunes by directory text") {
+    val dir = tmpDir("tt-skip-part")
+    def b(month: String, idLo: Long) =
+      (idLo to idLo + 9).map(i => (i, month, s"n$i"))
+        .toDF("id", "month", "name")
+    TimeTravel.init(spark, dir, b("2024-01", 0), "month")
+    Seq("2024-02", "2024-03", "2024-04").zipWithIndex.foreach {
+      case (m, i) => TimeTravel.append(spark, dir, b(m, (i + 1) * 100L),
+        "month") }
+    val v = TimeTravel.latestVersion(spark, dir)
+    // partition values never appear in footer stats, yet the conjunct
+    // prunes: the value rides in every file's directory name
+    val scan = TimeTravel.readVersionSkippingAll(spark, dir, v, Seq(
+      TimeTravel.ColRange("month", "2024-02", "2024-03")))
+    assert(scan.filesRead === 2)
+    assert(scan.df.select("month").distinct().collect()
+      .map(_.getString(0)).sorted.toSeq === Seq("2024-02", "2024-03"))
+    // and it composes with a stats conjunct on a data column
+    val both = TimeTravel.readVersionSkippingAll(spark, dir, v, Seq(
+      TimeTravel.ColRange("month", "2024-02", "2024-03"),
+      TimeTravel.ColRange("id", 100L, 109L)))
+    assert(both.filesRead === 1)
+    assert(both.df.filter(col("id").between(100, 109)).count() === 10)
+  }
+
   test("decimal and date bounds prune numerically") {
     val dir = tmpDir("tt-skip-dec")
     val sqlc = spark
