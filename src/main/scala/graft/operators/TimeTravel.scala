@@ -458,10 +458,15 @@ object TimeTravel {
                   case Some(None) => None // already disqualified
                   case Some(Some((pn, pmn, pmx))) =>
                     val (_, nmn, nmx) = e.get
+                    // strings merge in UTF-8 byte order — the SAME
+                    // order the skip-time compare uses; Java's UTF-16
+                    // `<` disagrees beyond the BMP, and a merged max
+                    // understated in the query's order is a WRONG skip
                     def lt(a: Any, b: Any) =
                       if (pn) a.asInstanceOf[java.math.BigDecimal]
                         .compareTo(b.asInstanceOf[java.math.BigDecimal]) < 0
-                      else a.asInstanceOf[String] < b.asInstanceOf[String]
+                      else utf8Lt(a.asInstanceOf[String],
+                        b.asInstanceOf[String])
                     Some((pn, if (lt(pmn, nmn)) pmn else nmn,
                       if (lt(pmx, nmx)) nmx else pmx))
                 }
@@ -545,8 +550,10 @@ object TimeTravel {
     * in UTF-16, but its UTF-8 bytes (0xF0–0xF4) sort above theirs
     * (0xEE–0xEF) — comparing bounds in UTF-16 order would wrongly skip
     * files holding non-BMP strings. */
-  private def utf8Lt(a: String, b: String): Boolean = {
-    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+  private def utf8Lt(a: String, b: String): Boolean =
+    bytesLt(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  private def bytesLt(x: Array[Byte], y: Array[Byte]): Boolean = {
     val n = math.min(x.length, y.length)
     var i = 0
     while (i < n) {
@@ -938,9 +945,14 @@ object TimeTravel {
     * telemetry the skipping contract is graded on. `df` is a SUPERSET
     * of the rows matching `[lo, hi]` — exactly Spark's PushedFilters
     * contract: skipping prunes I/O, the caller's filter stays in the
-    * plan and decides row membership. */
-  final case class SkippingScan(df: DataFrame, filesTotal: Int,
-      filesRead: Int, filesWithStats: Int)
+    * plan and decides row membership. `df` is LAZY: building a
+    * DataFrame runs partition discovery eagerly, and a caller probing
+    * only the file counts (an in-band verdict comparing prune
+    * selectivity, a planner costing alternatives) shouldn't pay it. */
+  final class SkippingScan(mkDf: => DataFrame, val filesTotal: Int,
+      val filesRead: Int, val filesWithStats: Int) {
+    lazy val df: DataFrame = mkDf
+  }
 
   /** DATA-SKIPPING read: the table AS OF `version`, restricted to the
     * files whose logged `[min, max]` for `colName` can intersect
@@ -978,12 +990,21 @@ object TimeTravel {
     // This folds partition pruning into the same conjunct API: the
     // caller names columns, not layout.
     val prefix = pred.col + "="
+    // hoisted: the query bounds encode once, and a directory's verdict
+    // is computed once however many files it holds — for a partition
+    // conjunct the prune is O(dirs), not O(files)
+    val loB = pred.lo.toString.getBytes("UTF-8")
+    val hiB = pred.hi.toString.getBytes("UTF-8")
+    val dirVerdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
     def dirKeep(f: String): Option[Boolean] =
       if (!f.startsWith(prefix)) None
       else {
-        val v = ExternalCatalogUtils.unescapePathName(
-          f.substring(prefix.length, f.indexOf('/')))
-        Some(!(utf8Lt(v, pred.lo.toString) || utf8Lt(pred.hi.toString, v)))
+        val d = f.substring(0, f.indexOf('/'))
+        Some(dirVerdicts.getOrElseUpdate(d, {
+          val v = ExternalCatalogUtils.unescapePathName(
+            d.substring(prefix.length)).getBytes("UTF-8")
+          !(bytesLt(v, loB) || bytesLt(hiB, v))
+        }))
       }
     val dt = snap.schema.flatMap(s =>
       s.fields.find(_.name == pred.col).map(_.dataType))
@@ -1008,7 +1029,8 @@ object TimeTravel {
         case None => true // no bound recorded: must read
         case Some((mn, mx)) =>
           if (asString)
-            !(utf8Lt(mx, pred.lo.toString) || utf8Lt(pred.hi.toString, mn))
+            !(bytesLt(mx.getBytes("UTF-8"), loB) ||
+              bytesLt(hiB, mn.getBytes("UTF-8")))
           else try {
             val (nLo, nHi) = bounds.get
             val bmn = new java.math.BigDecimal(mn)
@@ -1039,7 +1061,7 @@ object TimeTravel {
       s"version $version of $baseDir is empty")
     val keeps = preds.map(rangeKeep(snap, _))
     val kept = snap.files.filter(f => keeps.forall(_(f)))
-    val df =
+    def mkDf =
       if (kept.isEmpty) {
         val s = snap.schema.getOrElse(throw new IllegalArgumentException(
           s"every file of version $version was skipped and the log has " +
@@ -1047,7 +1069,7 @@ object TimeTravel {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       } else readFiles(spark, baseDir, kept, snap.schema)
-    SkippingScan(df, snap.files.size, kept.size, snap.stats.size)
+    new SkippingScan(mkDf, snap.files.size, kept.size, snap.stats.size)
   }
 
   private def readFilesNonEmpty(spark: SparkSession, baseDir: String,
@@ -1367,11 +1389,23 @@ object TimeTravel {
     * path's — but it doesn't serialize through the driver: above
     * [[DistributedFsThreshold]] partition dirs the listing fans out as
     * a Spark job, and so do the deletes. Driver cost: the log records
-    * (metadata) plus the dir-level listStatus. Returns (files deleted,
-    * log versions dropped), counting only deletions the filesystem
-    * confirmed. */
+    * (metadata) plus the dir-level listStatus.
+    *
+    * MULTI-WRITER safety: an unreferenced file is not necessarily
+    * garbage — a concurrent writer stages files into `data/` BEFORE its
+    * commit record lands, and sweeping those would break the commit
+    * about to reference them. Files referenced by the records being
+    * DROPPED are committed history past retention (reclaimed
+    * unconditionally — no future commit can reference them: commits
+    * only add their own token-named staged files); files in NO record
+    * at all (in-flight stages, aborted commits) are reclaimed only when
+    * older than `orphanMinAgeMs` — Delta's retention-age guard, scaled
+    * to the one class that needs it. The same guard covers unreferenced
+    * `_change` capture dirs (written before their commit record for the
+    * same reason). Returns (files deleted, log versions dropped),
+    * counting only deletions the filesystem confirmed. */
   def vacuum(spark: SparkSession, baseDir: String,
-      keepFrom: Int): (Int, Int) = {
+      keepFrom: Int, orphanMinAgeMs: Long = 3600000L): (Int, Int) = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
     require(keepFrom >= 1 && keepFrom <= latest,
@@ -1426,7 +1460,32 @@ object TimeTravel {
       }
     }
     val doomed = (listDataFiles(spark, fs, baseDir) -- kept).toSeq.sorted
-    val nDeleted = deleteDataFiles(spark, fs, baseDir, doomed)
+    // committed-history files (referenced by the records about to drop)
+    // reclaim unconditionally; files in NO record are possibly a
+    // concurrent writer's in-flight stage — age-guarded (doc above)
+    val priorRefs: Set[String] = (1 until keepFrom).flatMap { v =>
+      val d = deltaPath(baseDir, v)
+      if (fs.exists(d)) readDelta(fs, baseDir, v)._1
+      else {
+        val m = manifestPath(baseDir, v)
+        if (fs.exists(m)) readLogLines(fs, m) else Nil
+      }
+    }.toSet
+    val (committedDoomed, orphans) = doomed.partition(priorRefs)
+    // CDC tokens of the records being dropped — committed history whose
+    // change rows reclaim unconditionally (collected BEFORE the drop)
+    val droppedCdc = (1 to keepFrom).flatMap { v =>
+      val d = deltaPath(baseDir, v)
+      if (fs.exists(d)) cdcFrom(readRawLines(fs, d)) else None
+    }.toSet
+    val cutoff = System.currentTimeMillis() - math.max(0L, orphanMinAgeMs)
+    val oldOrphans = orphans.filter { f =>
+      try fs.getFileStatus(new Path(dataDir(baseDir), f))
+        .getModificationTime <= cutoff
+      catch { case _: java.io.FileNotFoundException => false }
+    }
+    val nDeleted =
+      deleteDataFiles(spark, fs, baseDir, committedDoomed ++ oldOrphans)
     // drop the now-unservable records AFTER the files: a crash between
     // the two leaves dangling records (readVersion fails loudly), never
     // a version silently missing data
@@ -1448,7 +1507,13 @@ object TimeTravel {
     val cr = changeRoot(baseDir)
     if (fs.exists(cr))
       fs.listStatus(cr).foreach { st =>
-        if (!referenced(st.getPath.getName)) fs.delete(st.getPath, true) }
+        val tok = st.getPath.getName
+        // dropped-record tokens are committed history: reclaim. A token
+        // in NO record may be an in-flight CDC commit's capture (written
+        // before its record) — the same age guard as data orphans.
+        if (!referenced(tok) && (droppedCdc(tok) ||
+            st.getModificationTime <= cutoff))
+          fs.delete(st.getPath, true) }
     (nDeleted, dropped)
   }
 

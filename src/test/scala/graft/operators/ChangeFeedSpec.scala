@@ -170,8 +170,14 @@ class ChangeFeedSpec extends SparkSpec {
       TimeTravel.readChangesSince(spark, dir, 1).collect()
     }
     assert(e.getMessage.contains("recorded no change rows"))
-    // vacuum sweeps the orphan
+    // a DEFAULT vacuum preserves the young orphan — it cannot tell an
+    // aborted capture from a concurrent commit's in-flight one (age
+    // guard); past the age threshold (0 here) it sweeps
     TimeTravel.vacuum(spark, dir, TimeTravel.latestVersion(spark, dir))
+    assert(java.nio.file.Files.list(
+      java.nio.file.Paths.get(dir, "_change")).count() === 1)
+    TimeTravel.vacuum(spark, dir, TimeTravel.latestVersion(spark, dir),
+      orphanMinAgeMs = 0L)
     assert(java.nio.file.Files.list(
       java.nio.file.Paths.get(dir, "_change")).count() === 0)
   }

@@ -92,6 +92,37 @@ class ConcurrencySpec extends SparkSpec {
       Files.list(Paths.get(dir, "_staging")).count() === 0)
   }
 
+  test("vacuum never sweeps a concurrent writer's in-flight staged files (age guard)") {
+    val dir = stage()
+    TimeTravel.append(spark, dir,
+      Seq((4L, "p1", 40.0)).toDF("id", "part", "v"), "part") // v2
+    // writer B: files moved into data/, commit record NOT yet landed
+    val inFlight = TimeTravel.stageWrite(spark, dir,
+      Seq((9L, "p2", 90.0)).toDF("id", "part", "v"), "part")
+    // a concurrent default vacuum must NOT reclaim them — unreferenced
+    // but young means possibly in-flight, and deleting them would break
+    // the commit about to reference them
+    TimeTravel.vacuum(spark, dir, keepFrom = 2)
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    assert(inFlight.forall(f => fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/data/$f"))))
+    // writer B's commit still lands and reads back whole
+    val schema = TimeTravel.readVersion(spark, dir, 2).schema
+    val v = TimeTravel.commitWithRebase(spark, fs, dir, prev = 2,
+      dirs = Set("part=p2"), adds = inFlight, removes = Nil, txn = None,
+      schema = schema, op = "append", evolveSchema = false)
+    assert(TimeTravel.readVersion(spark, dir, v)
+      .filter(col("id") === 9L).count() === 1)
+    // an ABANDONED stage (never committed) IS reclaimed past the age
+    // threshold, and every committed version stays intact
+    val abandoned = TimeTravel.stageWrite(spark, dir,
+      Seq((10L, "p3", 100.0)).toDF("id", "part", "v"), "part")
+    TimeTravel.vacuum(spark, dir, keepFrom = 2, orphanMinAgeMs = 0L)
+    assert(abandoned.forall(f => !fs.exists(
+      new org.apache.hadoop.fs.Path(s"$dir/data/$f"))))
+    assert(TimeTravel.readVersion(spark, dir, v).count() === 5)
+  }
+
   test("racing appends from many threads all commit; content is the exact union") {
     val dir = stage()
     val threads = (0 until 4).map { i =>
