@@ -273,6 +273,41 @@ class DataSkippingSpec extends SparkSpec {
       col("amount").between(100, 109)).count() === 10)
   }
 
+  test("MERGE discovery probes only the files whose key bounds intersect the batch envelope") {
+    val dir = stagedRanges() // 3 disjoint key slabs (1-100, 101-200, 201-300)
+    // a delete inside the third slab: discovery probes that slab's two
+    // files (one per partition dir) of the six, and deletes exactly
+    TimeTravel.delete(spark, dir, Seq(250L, 260L).toDF("id"),
+      "id", "part")
+    val (probed, total) = TimeTravel.discoveryStats(dir)
+    assert(total === 6 && probed === 2,
+      s"expected 2 of 6 probed, got $probed of $total")
+    assert(TimeTravel.readVersion(spark, dir,
+      TimeTravel.latestVersion(spark, dir)).count() === 298)
+    // an upsert whose keys live in the middle slab: the envelope skips
+    // the untouched slabs' files, and the merge stays exact — including
+    // the cross-partition move (150 is even → pA, moves to pB)
+    TimeTravel.upsert(spark, dir,
+      Seq((150L, "pB", "moved"), (160L, "pA", "upd"))
+        .toDF("id", "part", "name"), "id", "part")
+    val (probed2, total2) = TimeTravel.discoveryStats(dir)
+    assert(probed2 < total2 && probed2 > 0,
+      s"expected a pruned probe, got $probed2 of $total2")
+    val after = TimeTravel.readVersion(spark, dir,
+      TimeTravel.latestVersion(spark, dir))
+    assert(after.count() === 298) // 2 updates, 0 inserts
+    assert(after.filter(col("id") === 150L).select("part", "name")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ===
+      Seq(("pB", "moved")))
+    // a pure INSERT batch beyond every recorded bound probes NOTHING
+    TimeTravel.upsert(spark, dir,
+      Seq((999L, "pA", "new")).toDF("id", "part", "name"), "id", "part")
+    val (probed3, _) = TimeTravel.discoveryStats(dir)
+    assert(probed3 === 0)
+    assert(TimeTravel.readVersion(spark, dir,
+      TimeTravel.latestVersion(spark, dir)).count() === 299)
+  }
+
   test("a conjunct on the PARTITION column prunes by directory text") {
     val dir = tmpDir("tt-skip-part")
     def b(month: String, idLo: Long) =
