@@ -1242,26 +1242,50 @@ object TimeTravel {
   private[graft] val discoveryStats =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
 
-  /** The files whose recorded `keyCol` bounds can intersect the batch's
-    * key ENVELOPE (its driver-held min/max) — the discovery probe a
-    * MERGE/DELETE scans for affected partitions, instead of the whole
-    * (column-pruned) table. Sound because a file containing any batch
-    * key k has min ≤ k ≤ max and the envelope contains k, so the ranges
-    * intersect and [[rangeKeep]] keeps the file; files without a
-    * recorded bound are probed (conservative). On a key-clustered
-    * table this turns per-commit discovery cost from O(table) into
-    * O(matching slabs) — the difference between a streaming merge that
-    * slows as the table grows and one that doesn't. An all-NULL key
-    * envelope probes nothing: NULL keys cannot match an equi-join. */
-  private def discoveryProbe(spark: SparkSession, baseDir: String,
-      snap: Snapshot, keyCol: String, keys: DataFrame): Seq[String] = {
-    val env = keys.agg(min(col(keyCol)), max(col(keyCol))).head
+  /** The partitions holding rows whose `keyCol` matches `gatedKeys` —
+    * MERGE/DELETE discovery, probing only the files whose recorded key
+    * bounds can intersect the batch's ENVELOPE `[envLo, envHi]` (its
+    * driver-held min/max) instead of the whole (column-pruned) table.
+    * Sound because a file containing any batch key k has min ≤ k ≤ max
+    * and the envelope contains k, so the ranges intersect and
+    * [[rangeKeep]] keeps the file; files without a recorded bound are
+    * probed (conservative). On a key-clustered table this turns
+    * per-commit discovery cost from O(table) into O(matching slabs) —
+    * the difference between a streaming merge that slows as the table
+    * grows and one that doesn't. A NULL `envLo` (all-NULL or empty key
+    * set) probes nothing: NULL keys cannot match an equi-join. */
+  private def discoverAffected(spark: SparkSession, baseDir: String,
+      snap: Snapshot, keyCol: String, partCol: String,
+      envLo: Any, envHi: Any, gatedKeys: DataFrame): Seq[Any] = {
     val probed =
-      if (env.isNullAt(0)) Nil
+      if (envLo == null) Nil
       else snap.files.filter(
-        rangeKeep(snap, ColRange(keyCol, env.get(0), env.get(1))))
+        rangeKeep(snap, ColRange(keyCol, envLo, envHi)))
     discoveryStats.put(baseDir, (probed.size, snap.files.size))
-    probed
+    if (probed.isEmpty) Nil
+    else readFiles(spark, baseDir, probed, snap.schema)
+      .join(gatedKeys, Seq(keyCol)).select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+  }
+
+  /** The affected partitions' rows of the previous version — exactly
+    * `readVersion(prev).filter(partCol isin affected)`, built from the
+    * file subset directly so the plan never constructs the full-table
+    * file index. `affected` values not yet on disk (a batch's brand-new
+    * partitions) contribute no files; all-new means a typed empty
+    * relation (schema-less legacy logs fall back to the full read —
+    * the only schema source there is the files themselves). */
+  private def readAffected(spark: SparkSession, baseDir: String, prev: Int,
+      snap: Snapshot, partCol: String, affected: Seq[Any]): DataFrame = {
+    val dirs = affectedDirs(partCol, affected)
+    val files = snap.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+    if (files.nonEmpty) readFiles(spark, baseDir, files, snap.schema)
+    else snap.schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => readFilesNonEmpty(spark, baseDir, prev, snap.files, None)
+        .filter(col(partCol).isin(affected: _*))
+    }
   }
 
   /** MERGE INTO as a new version: same pruned-discovery semantics as
@@ -1279,24 +1303,22 @@ object TimeTravel {
     requireStringPartCol(updates, partCol)
     // resolved ONCE per commit: file set, committed schema, and stats
     val prevSnap = resolveFull(spark, baseDir, prev)
-    val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
+    val prevSchema = prevSnap.schema
     checkSchema(updates.schema, prevSchema, evolveSchema, "upsert")
-    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles,
-      prevSchema)
     val ups = updates.localCheckpoint()
+    // one action serves the broadcast gate AND the discovery envelope
+    val gate = ups.agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)))
+      .head
     val updKeys = Merge.gateBroadcast(ups.select(col(keyCol)).distinct(),
-      broadcastKeyLimit, ups.count())
-    val probe = discoveryProbe(spark, baseDir, prevSnap, keyCol, ups)
-    val existingAffected =
-      if (probe.isEmpty) Nil
-      else readFiles(spark, baseDir, probe, prevSchema)
-        .join(updKeys, Seq(keyCol)).select(col(partCol)).distinct()
-        .collect().map(_.get(0)).toSeq
+      broadcastKeyLimit, gate.getLong(0))
+    val existingAffected = discoverAffected(spark, baseDir, prevSnap,
+      keyCol, partCol, gate.get(1), gate.get(2), updKeys)
     val affected = (ups.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq ++ existingAffected).distinct
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev // empty batch: nothing to commit
-    val current = base.filter(col(partCol).isin(affected: _*))
+    val current = readAffected(spark, baseDir, prev, prevSnap, partCol,
+      affected)
     val cdcToken = if (changeFeed) Some(newToken()) else None
     cdcToken.foreach { tok =>
       // row-level change capture, O(rows touched): the discovery work
@@ -1334,24 +1356,30 @@ object TimeTravel {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val prevSnap = resolveFull(spark, baseDir, prev)
-    val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
-    val base = readFilesNonEmpty(spark, baseDir, prev, prevFiles,
-      prevSchema)
-    val checkpointedKeys = keys.select(col(keyCol)).distinct()
+    // the keys are interpreted under the TABLE's key type: a caller
+    // handing string keys against a LONG column (CSV-sourced deletes)
+    // would otherwise compute its envelope in STRING order while the
+    // probe compares in the table's order — a silent under-delete.
+    // try_cast (not cast): un-castable values become NULL and match
+    // nothing, like any NULL key in an equi-join, under ANY ANSI mode.
+    val keyedCol = prevSnap.schema
+      .flatMap(_.fields.find(_.name == keyCol).map(_.dataType))
+      .fold(col(keyCol))(t =>
+        expr(s"try_cast(`$keyCol` AS ${t.sql})"))
+    val checkpointedKeys = keys.select(keyedCol.as(keyCol)).distinct()
       .localCheckpoint()
+    // one action serves the broadcast gate AND the discovery envelope
+    val gate = checkpointedKeys
+      .agg(count(lit(1)), min(col(keyCol)), max(col(keyCol))).head
     val delKeys = Merge.gateBroadcast(checkpointedKeys, broadcastKeyLimit,
-      checkpointedKeys.count())
-    val probe = discoveryProbe(spark, baseDir, prevSnap, keyCol,
-      checkpointedKeys)
-    val affected =
-      if (probe.isEmpty) Nil
-      else readFiles(spark, baseDir, probe, prevSchema)
-        .join(delKeys, Seq(keyCol))
-        .select(col(partCol)).distinct().collect().map(_.get(0)).toSeq
+      gate.getLong(0))
+    val affected = discoverAffected(spark, baseDir, prevSnap, keyCol,
+      partCol, gate.get(1), gate.get(2), delKeys)
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) prev
     else {
-      val touched = base.filter(col(partCol).isin(affected: _*))
+      val touched = readAffected(spark, baseDir, prev, prevSnap, partCol,
+        affected)
       val cdcToken = if (changeFeed) Some(newToken()) else None
       cdcToken.foreach(tok =>
         writeChanges(spark, baseDir, tok, Seq(

@@ -308,6 +308,26 @@ class DataSkippingSpec extends SparkSpec {
       TimeTravel.latestVersion(spark, dir)).count() === 299)
   }
 
+  test("delete keys coerce to the TABLE's key type before the envelope is computed") {
+    val dir = stagedRanges() // LONG id column
+    // string keys (a CSV-sourced delete list): STRING min/max order is
+    // ("100","9") — an inverted numeric interval that would skip the
+    // file holding id=9 if the envelope were computed under the keys'
+    // own type. The coercion makes both the envelope and the join
+    // numeric, so both rows delete.
+    TimeTravel.delete(spark, dir, Seq("9", "100").toDF("id"),
+      "id", "part")
+    val after = TimeTravel.readVersion(spark, dir,
+      TimeTravel.latestVersion(spark, dir))
+    assert(after.count() === 298)
+    assert(after.filter(col("id").isin(9L, 100L)).count() === 0)
+    // an un-castable key becomes NULL and matches nothing
+    TimeTravel.delete(spark, dir, Seq("not-a-number").toDF("id"),
+      "id", "part")
+    assert(TimeTravel.readVersion(spark, dir,
+      TimeTravel.latestVersion(spark, dir)).count() === 298)
+  }
+
   test("a conjunct on the PARTITION column prunes by directory text") {
     val dir = tmpDir("tt-skip-part")
     def b(month: String, idLo: Long) =
