@@ -342,21 +342,6 @@ object TimeTravel {
       stats: Map[String, String]): Seq[String] =
     files.sorted.flatMap(f => stats.get(f).map(p => statsLine(f, p)))
 
-  /** Columns whose min/max we can both extract from a footer and
-    * compare at skip time: integral, floating, decimal, date, string.
-    * (Timestamps are INT96/µs-epoch soup across writers; booleans and
-    * nested types have no useful range — all simply not recorded.) */
-  private def statsEligible(dt: org.apache.spark.sql.types.DataType)
-      : Boolean = {
-    import org.apache.spark.sql.types._
-    dt match {
-      case ByteType | ShortType | IntegerType | LongType | FloatType |
-           DoubleType | StringType | DateType => true
-      case _: DecimalType => true
-      case _ => false
-    }
-  }
-
   /** One file's per-column (min, max) as canonical strings — decimal
     * text for every numeric-ish column (dates as epoch days), raw text
     * for strings — merged across the footer's row groups. A column
@@ -872,6 +857,25 @@ object TimeTravel {
                   .mkString(", ")}) — the base snapshot is stale; " +
                 "re-run against the current version")
           }
+        // a txn-marked commit never rebases past a commit carrying the
+        // SAME stream's marker at or above our batchId: a zombie writer
+        // and its crash-restarted replacement can both read the same
+        // high-water mark and race the same batch — one wins the
+        // version, the other must NOT re-land the batch under a new
+        // version (Delta's ConcurrentTransactionException). The loser
+        // surfaces loudly; an idempotent caller re-checks
+        // lastCommittedTxn and skips.
+        txn.foreach { case (streamId, batchId) =>
+          ((base + 1) to latest).foreach { v =>
+            txnsIn(fs, baseDir, v).foreach { case (s, id) =>
+              if (s == streamId && id >= batchId) throw new
+                  java.util.ConcurrentModificationException(
+                s"$op of $baseDir carries txn $streamId:$batchId, but " +
+                  s"version $v committed concurrently with txn $s:$id — " +
+                  "the batch already landed; re-check lastCommittedTxn")
+            }
+          }
+        }
         // schema may have evolved under us: re-check against the tip
         checkSchema(schema, schemaOfRecord(fs, baseDir, latest),
           evolveSchema, op)
@@ -981,6 +985,13 @@ object TimeTravel {
     * never a correctness gate; the failure mode must be "read more",
     * not throw or skip wrong. */
   private def rangeKeep(snap: Snapshot,
+      pred: ColRange): String => Boolean =
+    // a NULL bound gives no decision: keep everything (the documented
+    // degrade-to-read-more contract — never an NPE at plan time)
+    if (pred.lo == null || pred.hi == null) _ => true
+    else rangeKeepDefined(snap, pred)
+
+  private def rangeKeepDefined(snap: Snapshot,
       pred: ColRange): String => Boolean = {
     import org.apache.spark.sql.types._
     // a conjunct on the PARTITION column prunes by DIRECTORY text: the
@@ -1117,12 +1128,35 @@ object TimeTravel {
     * NULL. Name/type comparison is order- and nullability-insensitive
     * (column order is presentation; nullability is advisory on
     * parquet). */
+  /** Nullability stripped RECURSIVELY before comparing: Spark flips
+    * nested struct/array/map nullability routinely (a transformation
+    * marking a NOT NULL nested field nullable), and nullability is
+    * advisory on parquet at every depth — top-level-only stripping
+    * would refuse batches whose only difference is nested flags. */
+  private def nullNormalized(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullNormalized(f.dataType), nullable = true,
+          metadata = Metadata.empty)))
+      case a: ArrayType =>
+        ArrayType(nullNormalized(a.elementType), containsNull = true)
+      case m: MapType => MapType(nullNormalized(m.keyType),
+        nullNormalized(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   private def checkSchema(batch: org.apache.spark.sql.types.StructType,
       table: Option[org.apache.spark.sql.types.StructType],
       evolve: Boolean, op: String): Unit =
     table.foreach { t =>
-      val tCols = t.fields.map(f => (f.name, f.dataType)).toSet
-      val bCols = batch.fields.map(f => (f.name, f.dataType)).toSet
+      val tCols = t.fields.map(f => (f.name, nullNormalized(f.dataType)))
+        .toSet
+      val bCols = batch.fields
+        .map(f => (f.name, nullNormalized(f.dataType))).toSet
       if (evolve)
         require(tCols.subsetOf(bCols),
           s"$op with evolveSchema=true: the batch schema must be a " +
@@ -1582,6 +1616,13 @@ object TimeTravel {
         if (!referenced(tok) && (droppedCdc(tok) ||
             st.getModificationTime <= cutoff))
           fs.delete(st.getPath, true) }
+    // a crashed writer's STAGING dir (files written, the move never ran)
+    // is the same garbage class: a live writer's staging is younger than
+    // the age threshold, a dead one's leaks forever without this sweep
+    val sr = new Path(baseDir, "_staging")
+    if (fs.exists(sr))
+      fs.listStatus(sr).foreach { st =>
+        if (st.getModificationTime <= cutoff) fs.delete(st.getPath, true) }
     (nDeleted, dropped)
   }
 
@@ -1634,20 +1675,41 @@ object TimeTravel {
     * committed — fail loudly, don't guess). Version numbers stay the
     * authoritative history; this is the human-friendly index over it.
     * Throws when every retained commit is later than `tsMillis`. */
+  /** A record's commit wall-clock from its LEADING metadata lines only
+    * — the read stops at the first `#stats=`/file line, so even a
+    * table-scale floor checkpoint costs a few hundred bytes here
+    * (metadata lines are written before stats and files by
+    * construction). */
+  private def commitTimestamp(fs: FileSystem, baseDir: String,
+      v: Int): Option[Long] = {
+    val p = Seq(deltaPath(baseDir, v), manifestPath(baseDir, v))
+      .find(fs.exists(_))
+    p.flatMap { path =>
+      val in = fs.open(path)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .takeWhile(l => l.startsWith("#") && !l.startsWith("#stats="))
+        .collectFirst {
+          case l if l.startsWith("#ts=") => l.stripPrefix("#ts=").toLong }
+      finally in.close()
+    }
+  }
+
   def versionAsOf(spark: SparkSession, baseDir: String,
       tsMillis: Long): Int = {
-    val commits = history(spark, baseDir).reverse // oldest first
-    require(commits.nonEmpty, s"$baseDir has no commits")
+    val fs = hadoopFs(spark, baseDir)
+    val versions = logEntries(fs, baseDir).keys.toSeq.sorted
+    require(versions.nonEmpty, s"$baseDir has no commits")
+    // metadata-only reads: never the table-scale body of a checkpoint
+    val stamps = versions.map(v => v -> commitTimestamp(fs, baseDir, v))
     var eff = Long.MinValue
-    val eligible = commits.flatMap { c =>
-      c.timestampMs.foreach(t => eff = math.max(eff, t))
-      if (eff != Long.MinValue && eff <= tsMillis) Some(c.version)
-      else None
+    val eligible = stamps.flatMap { case (v, ts) =>
+      ts.foreach(t => eff = math.max(eff, t))
+      if (eff != Long.MinValue && eff <= tsMillis) Some(v) else None
     }
     require(eligible.nonEmpty,
       s"no version of $baseDir has a recorded commit time at or " +
         s"before $tsMillis (earliest retained timestamp: " +
-        s"${commits.flatMap(_.timestampMs).headOption}) — pre-metadata " +
+        s"${stamps.flatMap(_._2).headOption}) — pre-metadata " +
         "commits are never timestamp-addressable; use readVersion")
     eligible.max
   }
@@ -1766,9 +1828,11 @@ object TimeTravel {
           "the change window is not reconstructible — restart from a " +
           "full readVersion snapshot")
       val lines = readRawLines(fs, deltaPath(baseDir, v))
-      val (adds, _) = addsRemovesFrom(lines)
+      val (adds, removes) = addsRemovesFrom(lines)
       opFrom(lines) match {
-        case Some("append") =>
+        // pre-#op adds-only records are provably appends — the same
+        // acceptance readAppendsSince gives them
+        case Some("append") | None if removes.isEmpty =>
           if (adds.isEmpty) None
           else Some(readFiles(spark, baseDir, adds.sorted,
             schemaFrom(lines))

@@ -123,6 +123,53 @@ class ConcurrencySpec extends SparkSpec {
     assert(TimeTravel.readVersion(spark, dir, v).count() === 5)
   }
 
+  test("a txn-marked append refuses to rebase past the SAME stream's equal-or-higher batch") {
+    val dir = stage()
+    // the zombie-vs-restart race: both writers read high-water mark 0
+    // and both try to land batch 7. Writer A wins v2 with the marker;
+    // writer B (staged against v1) must NOT re-land the batch at v3.
+    TimeTravel.append(spark, dir,
+      Seq((50L, "p1", 1.0)).toDF("id", "part", "v"), "part",
+      txn = Some(("streamX", 7L)))
+    val adds = TimeTravel.stageWrite(spark, dir,
+      Seq((50L, "p1", 1.0)).toDF("id", "part", "v"), "part")
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+        dirs = Set("part=p1"), adds = adds, removes = Nil,
+        txn = Some(("streamX", 7L)), schema = schema, op = "append",
+        evolveSchema = false)
+    }
+    assert(e.getMessage.contains("streamX:7"))
+    assert(TimeTravel.latestVersion(spark, dir) === 2) // no double-land
+    assert(TimeTravel.readVersion(spark, dir, 2)
+      .filter(col("id") === 50L).count() === 1)
+    // a DIFFERENT stream's marker rebases fine
+    val adds2 = TimeTravel.stageWrite(spark, dir,
+      Seq((60L, "p2", 2.0)).toDF("id", "part", "v"), "part")
+    val v = TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+      dirs = Set("part=p2"), adds = adds2, removes = Nil,
+      txn = Some(("streamY", 7L)), schema = schema, op = "append",
+      evolveSchema = false)
+    assert(v === 3)
+  }
+
+  test("vacuum sweeps a crashed writer's staging dir past the age threshold, never a live one") {
+    val dir = stage()
+    TimeTravel.append(spark, dir,
+      Seq((4L, "p1", 40.0)).toDF("id", "part", "v"), "part")
+    // simulate the crash window: files staged, move never ran
+    val staging = java.nio.file.Paths.get(dir, "_staging", "deadbeef0000")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3))
+    TimeTravel.vacuum(spark, dir, keepFrom = 2) // default age: kept
+    assert(java.nio.file.Files.exists(staging))
+    TimeTravel.vacuum(spark, dir, keepFrom = 2, orphanMinAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(staging))
+  }
+
   test("racing appends from many threads all commit; content is the exact union") {
     val dir = stage()
     val threads = (0 until 4).map { i =>

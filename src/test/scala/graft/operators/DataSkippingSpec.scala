@@ -166,6 +166,41 @@ class DataSkippingSpec extends SparkSpec {
       clusterBy = Some(("id", 3))) === vc)
   }
 
+  test("a NULL bound degrades to a full read, never an NPE") {
+    val dir = stagedRanges()
+    val v = TimeTravel.latestVersion(spark, dir)
+    val scan = TimeTravel.readVersionSkipping(spark, dir, v, "id",
+      null, 100L)
+    assert(scan.filesRead === scan.filesTotal)
+    assert(scan.df.count() === 300)
+  }
+
+  test("schema check ignores NESTED nullability differences") {
+    val dir = tmpDir("tt-nested-null")
+    val spk = spark
+    import org.apache.spark.sql.types._
+    val strict = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("part", StringType),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType, nullable = false))))))
+    def rowsWith(schema: StructType) = spk.createDataFrame(
+      java.util.Arrays.asList(
+        org.apache.spark.sql.Row(1L, "p1", org.apache.spark.sql.Row(5))),
+      schema)
+    TimeTravel.init(spark, dir, rowsWith(strict), "part")
+    // the same shape with the NESTED field relaxed to nullable — Spark
+    // flips these routinely; the commit must not be refused
+    val relaxed = StructType(Seq(
+      StructField("id", LongType),
+      StructField("part", StringType),
+      StructField("s", StructType(Seq(
+        StructField("x", IntegerType, nullable = true))))))
+    val v = TimeTravel.append(spark, dir,
+      rowsWith(relaxed).withColumn("id", col("id") + 1), "part")
+    assert(TimeTravel.readVersion(spark, dir, v).count() === 2)
+  }
+
   test("a bound that cannot convert degrades to a full read, never a throw") {
     val dir = tmpDir("tt-skip-ts")
     val rows = Seq(
