@@ -675,9 +675,9 @@ object TimeTravel {
       stats.filter { case (f, _) => files(f) })
   }
 
-  /** Full checkpoint for `version`. Exclusive create for commit records
-    * (init's v1); vacuum may re-materialize a floor checkpoint, which
-    * skips the write when one already exists. */
+  /** Full checkpoint for `version`. Exclusive install for commit
+    * records (init's v1); vacuum may re-materialize a floor checkpoint,
+    * which skips the write when one already exists. */
   private def manifestContent(files: Seq[String],
       txns: Seq[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
@@ -696,10 +696,8 @@ object TimeTravel {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None, ts: Option[Long] = None,
       stats: Map[String, String] = Map.empty): Unit = {
-    fs.mkdirs(logDir(baseDir))
-    val out = createExclusive(fs, manifestPath(baseDir, version))
-    try out.write(manifestContent(files, txns, schema, op, ts, stats))
-    finally out.close()
+    installExclusive(fs, manifestPath(baseDir, version),
+      manifestContent(files, txns, schema, op, ts, stats))
   }
 
   /** The losing writer of a commit race — version `version` was
@@ -721,46 +719,73 @@ object TimeTravel {
       op: Option[String] = None,
       stats: Map[String, String] = Map.empty,
       cdc: Option[String] = None): Unit = {
-    fs.mkdirs(logDir(baseDir))
-    val out =
-      try createExclusive(fs, deltaPath(baseDir, version))
-      catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          throw new CommitConflict(version)
-        case e: java.io.IOException =>
-          if (fs.exists(deltaPath(baseDir, version)))
-            throw new CommitConflict(version)
-          else throw e
-      }
-    try out.write(
+    val bytes =
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
         op.map(opLine).toSeq ++ cdc.map(cdcLine).toSeq ++ Seq(tsLine()) ++
         statsLinesFor(adds, stats) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
-        .mkString("\n").getBytes("UTF-8"))
-    finally out.close()
+        .mkString("\n").getBytes("UTF-8")
+    try installExclusive(fs, deltaPath(baseDir, version), bytes)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflict(version)
+      case e: java.io.IOException =>
+        if (fs.exists(deltaPath(baseDir, version)))
+          throw new CommitConflict(version)
+        else throw e
+    }
   }
 
-  /** Truly ATOMIC exclusive create — the primitive optimistic
-    * concurrency stands on. Hadoop's `create(path, overwrite = false)`
-    * on the LOCAL filesystem is a non-atomic exists-check followed by a
-    * truncating open (TOCTOU: two racing writers can both pass the
-    * check, the second silently truncating the first's record — a lost
-    * commit). For `file:` paths this routes through NIO's `CREATE_NEW`
-    * (`O_EXCL`, kernel-atomic); on HDFS-like filesystems the create
-    * itself is atomic in the namespace and is used directly. Object
-    * stores without atomic create-if-absent (plain S3) would need an
-    * external log-commit service here — exactly Delta's LogStore
-    * contract. */
-  private def createExclusive(fs: FileSystem,
-      p: Path): java.io.OutputStream = {
+  /** ATOMIC all-or-nothing exclusive install — the primitive optimistic
+    * concurrency stands on, with the stronger contract commit records
+    * need: a record becomes VISIBLE only with its full content. An
+    * exclusive CREATE alone is not enough — the record would appear in
+    * the namespace at open time with its bytes landing later, and a
+    * conflict-losing writer immediately reads the winner's record to
+    * decide whether it may rebase: an empty/partial read (a guaranteed
+    * window on HDFS until close) shows no touched dirs and no txn
+    * marker, so it would wrongly rebase past a conflicting rewrite
+    * (lost update) or re-land a same-stream batch (double delivery).
+    * Plain readers resolving a mid-write tip version hit the same
+    * torn-record window. So: the bytes land in a TEMP file first, then
+    * install atomically —
+    *   - `file:` paths hard-LINK the temp into place
+    *     (`Files.createLink`: kernel-atomic, fails if the target
+    *     exists — the Delta LogStore pattern for local filesystems);
+    *   - HDFS-like filesystems RENAME (atomic in the namespace,
+    *     refuses an existing destination).
+    * Object stores without atomic create-if-absent (plain S3) would
+    * need an external log-commit service here — exactly Delta's
+    * LogStore contract. Temp names never parse as log entries
+    * (`logEntries` matches only `<N>.delta` / `<N>.manifest`). */
+  private def installExclusive(fs: FileSystem, p: Path,
+      bytes: Array[Byte]): Unit = {
     val q = fs.makeQualified(p)
     if (q.toUri.getScheme == "file") {
-      val local = java.nio.file.Paths.get(q.toUri)
-      java.nio.file.Files.createDirectories(local.getParent)
-      java.nio.file.Files.newOutputStream(local,
-        java.nio.file.StandardOpenOption.CREATE_NEW)
-    } else fs.create(p, false)
+      val target = java.nio.file.Paths.get(q.toUri)
+      java.nio.file.Files.createDirectories(target.getParent)
+      val tmp = target.resolveSibling(
+        s".${target.getFileName}.${newToken()}.tmp")
+      java.nio.file.Files.write(tmp, bytes)
+      try java.nio.file.Files.createLink(target, tmp)
+      finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      val tmp = new Path(p.getParent, s".${p.getName}.${newToken()}.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(bytes) finally out.close()
+      val renamed =
+        try fs.rename(tmp, p)
+        catch { case e: java.io.IOException =>
+          fs.delete(tmp, false)
+          if (fs.exists(p))
+            throw new java.nio.file.FileAlreadyExistsException(p.toString)
+          else throw e
+        }
+      if (!renamed) {
+        fs.delete(tmp, false)
+        throw new java.nio.file.FileAlreadyExistsException(p.toString)
+      }
+    }
   }
 
   /** Write `df` partitioned by `partCol` into a staging dir, then MOVE
@@ -1026,6 +1051,19 @@ object TimeTravel {
         java.math.BigDecimal.valueOf(d.toEpochDay)
       case s: String if dt.contains(DateType) =>
         java.math.BigDecimal.valueOf(java.time.LocalDate.parse(s).toEpochDay)
+      // Float/Double bounds expand to their EXACT binary expansion via
+      // the double constructor (floats widened exactly, as Spark's own
+      // comparisons widen them) — matching footerColumnStats' exact()
+      // encoding. toString would round-trip the SHORTEST decimal: a
+      // query bound of 0.1 would compare as "0.1" against a recorded
+      // min of 0.1000000000000000055511151231257827… (the double's true
+      // value), wrongly skipping a file whose min EQUALS the bound —
+      // silently dropped rows in readVersionSkipping, and a missed
+      // discovery probe (duplicate keys / undeleted rows) in
+      // upsert/delete. NaN/Infinity throw here → the NonFatal catch
+      // below degrades to never-skip.
+      case f: java.lang.Float => new java.math.BigDecimal(f.doubleValue())
+      case d: java.lang.Double => new java.math.BigDecimal(d.doubleValue())
       case other => new java.math.BigDecimal(other.toString)
     }
     val asString = dt.contains(StringType)
@@ -1502,12 +1540,21 @@ object TimeTravel {
     * only add their own token-named staged files); files in NO record
     * at all (in-flight stages, aborted commits) are reclaimed only when
     * older than `orphanMinAgeMs` — Delta's retention-age guard, scaled
-    * to the one class that needs it. The same guard covers unreferenced
-    * `_change` capture dirs (written before their commit record for the
-    * same reason). Returns (files deleted, log versions dropped),
-    * counting only deletions the filesystem confirmed. */
-  def vacuum(spark: SparkSession, baseDir: String,
-      keepFrom: Int, orphanMinAgeMs: Long = 3600000L): (Int, Int) = {
+    * to the one class that needs it. The default is Delta's 7 DAYS: a
+    * staged backfill can legitimately run hours between its first file
+    * write and its commit record landing (rename preserves mtime, so a
+    * moved file looks as old as its write), and a guard shorter than
+    * the longest plausible in-flight commit deletes that commit's files
+    * out from under it. The same guard covers unreferenced `_change`
+    * capture dirs and crashed writers' `_staging` dirs (both written
+    * before their commit record for the same reason) — dirs are aged by
+    * their NEWEST descendant's mtime, not the dir's own (a dir's mtime
+    * reflects entry creation, not ongoing writes inside subdirs, so a
+    * long-running stage could look idle while still being written).
+    * Returns (files deleted, log versions dropped), counting only
+    * deletions the filesystem confirmed. */
+  def vacuum(spark: SparkSession, baseDir: String, keepFrom: Int,
+      orphanMinAgeMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
     require(keepFrom >= 1 && keepFrom <= latest,
@@ -1612,9 +1659,10 @@ object TimeTravel {
         val tok = st.getPath.getName
         // dropped-record tokens are committed history: reclaim. A token
         // in NO record may be an in-flight CDC commit's capture (written
-        // before its record) — the same age guard as data orphans.
+        // before its record) — the same age guard as data orphans,
+        // applied to the dir's NEWEST content (see the vacuum doc).
         if (!referenced(tok) && (droppedCdc(tok) ||
-            st.getModificationTime <= cutoff))
+            newestMtime(fs, st) <= cutoff))
           fs.delete(st.getPath, true) }
     // a crashed writer's STAGING dir (files written, the move never ran)
     // is the same garbage class: a live writer's staging is younger than
@@ -1622,8 +1670,22 @@ object TimeTravel {
     val sr = new Path(baseDir, "_staging")
     if (fs.exists(sr))
       fs.listStatus(sr).foreach { st =>
-        if (st.getModificationTime <= cutoff) fs.delete(st.getPath, true) }
+        if (newestMtime(fs, st) <= cutoff) fs.delete(st.getPath, true) }
     (nDeleted, dropped)
+  }
+
+  /** The newest mtime anywhere under `st` (the entry itself or any
+    * descendant) — the age a dir should be GUARDED by: a top-level
+    * dir's own mtime reflects when its immediate entries were created,
+    * not whether a writer is still producing files deeper inside. */
+  private def newestMtime(fs: FileSystem,
+      st: org.apache.hadoop.fs.FileStatus): Long = {
+    var m = st.getModificationTime
+    if (st.isDirectory) {
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+    }
+    m
   }
 
   /** One commit still in the log. `nAdded`/`nRemoved` are the record's

@@ -170,6 +170,71 @@ class ConcurrencySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(staging))
   }
 
+  test("commit records install atomically: never visible before complete, no tmp residue") {
+    val dir = stage()
+    import spark.implicits._
+    // a poller races the committers, snapshotting every record file it
+    // can see the instant it appears; atomic install means NO observed
+    // snapshot may be empty or end mid-record (every record carries a
+    // #ts= metadata line and install is all-or-nothing)
+    val logDir = java.nio.file.Paths.get(dir, "_graft_log")
+    val torn = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val poller = new Thread(() => {
+      while (!stop.get()) {
+        val st = java.nio.file.Files.list(logDir)
+        try st.forEach { path =>
+          val n = path.getFileName.toString
+          if (n.endsWith(".delta") || n.endsWith(".manifest")) {
+            val s = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+            if (!s.contains("#ts=")) torn.incrementAndGet()
+          }
+        } finally st.close()
+        Thread.sleep(1)
+      }
+    })
+    poller.start()
+    val threads = (0 until 6).map { i =>
+      new Thread(() => TimeTravel.append(spark, dir,
+        Seq((100L + i, "p1", i.toDouble)).toDF("id", "part", "v"), "part"))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    stop.set(true); poller.join()
+    assert(torn.get() === 0,
+      s"${torn.get()} torn/partial record snapshots observed")
+    // and the install left no temp files behind
+    val residue = java.nio.file.Files.list(logDir).toArray.map(
+      _.asInstanceOf[java.nio.file.Path].getFileName.toString)
+      .filterNot(n => n.endsWith(".delta") || n.endsWith(".manifest"))
+    assert(residue.isEmpty, s"log-dir residue: ${residue.mkString(", ")}")
+    assert(TimeTravel.latestVersion(spark, dir) === 7)
+  }
+
+  test("staging dirs are aged by their NEWEST descendant, not the dir's own mtime") {
+    val dir = stage()
+    TimeTravel.append(spark, dir,
+      Seq((5L, "p1", 50.0)).toDF("id", "part", "v"), "part")
+    // a long-running writer: the staging dir was CREATED long ago (its
+    // top-level mtime is old) but a file inside was written just now —
+    // an mtime-of-dir guard would sweep it mid-write
+    val staging = java.nio.file.Paths.get(dir, "_staging", "longrunner01")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-0.parquet"),
+      Array[Byte](1, 2, 3)) // fresh file
+    val old = java.nio.file.attribute.FileTime.fromMillis(
+      System.currentTimeMillis() - 48L * 3600 * 1000)
+    java.nio.file.Files.setLastModifiedTime(staging, old)
+    // guard = 1h: dir looks 48h old, but its newest file is fresh → kept
+    TimeTravel.vacuum(spark, dir, keepFrom = 2, orphanMinAgeMs = 3600000L)
+    assert(java.nio.file.Files.exists(staging))
+    // once the CONTENT is old too, it sweeps
+    java.nio.file.Files.setLastModifiedTime(
+      staging.resolve("part-0.parquet"), old)
+    java.nio.file.Files.setLastModifiedTime(staging, old)
+    TimeTravel.vacuum(spark, dir, keepFrom = 2, orphanMinAgeMs = 3600000L)
+    assert(!java.nio.file.Files.exists(staging))
+  }
+
   test("racing appends from many threads all commit; content is the exact union") {
     val dir = stage()
     val threads = (0 until 4).map { i =>

@@ -89,6 +89,52 @@ class DataSkippingSpec extends SparkSpec {
     assert(scan.df.filter(col("maybe").between(0, 100)).count() === 1)
   }
 
+  test("double bounds compare in EXACT binary expansion: a file whose min equals the query's hi is read") {
+    // 0.1's exact double expansion is 0.1000000000000000055…, STRICTLY
+    // ABOVE the shortest-decimal text "0.1". If the query bound were
+    // converted via toString, the recorded min (exact) would compare
+    // greater than the hi bound ("0.1") and the file holding 0.1 would
+    // be wrongly skipped — silently dropping a row that matches
+    // `v <= 0.1` under Spark's own comparison.
+    val dir = tmpDir("tt-skip-dbl")
+    import spark.implicits._
+    TimeTravel.init(spark, dir,
+      Seq((1L, "p1", 0.1), (2L, "p1", 0.2)).toDF("id", "part", "v"), "part")
+    TimeTravel.append(spark, dir,
+      Seq((3L, "p1", 0.5), (4L, "p1", 0.9)).toDF("id", "part", "v"), "part")
+    val v = TimeTravel.latestVersion(spark, dir)
+    val scan = TimeTravel.readVersionSkipping(spark, dir, v, "v", 0.0, 0.1)
+    assert(scan.filesWithStats === scan.filesTotal)
+    assert(scan.df.filter(col("v") <= 0.1).count() === 1)
+    // and the second batch's file IS still skipped (bounds stay useful)
+    assert(scan.filesRead < scan.filesTotal)
+    // float keys widen exactly too (matching Spark's float→double
+    // comparison widening): probing with the FLOAT 0.1f must keep the
+    // file whose doubles bracket 0.1f's widened value 0.100000001490…
+    val scanF = TimeTravel.readVersionSkipping(spark, dir, v, "v",
+      java.lang.Float.valueOf(0.0f), java.lang.Float.valueOf(0.1f))
+    assert(scanF.filesRead >= 1 && scanF.filesRead < scanF.filesTotal)
+  }
+
+  test("delete by double key probes with exact bounds: the matching row actually dies") {
+    // the discovery envelope rides the same num() conversion — a
+    // toString'd 0.1 envelope would miss the file whose recorded min is
+    // the exact expansion, and the delete would silently no-op while
+    // reporting success (the right-to-be-forgotten failure mode).
+    val dir = tmpDir("tt-del-dbl")
+    import spark.implicits._
+    TimeTravel.init(spark, dir,
+      Seq((0.1, "p1", "a"), (0.2, "p1", "b")).toDF("k", "part", "x"), "part")
+    TimeTravel.append(spark, dir,
+      Seq((0.7, "p1", "c")).toDF("k", "part", "x"), "part")
+    val v = TimeTravel.delete(spark, dir,
+      Seq(0.1).toDF("k"), "k", "part")
+    assert(v === 3) // a real commit, not a silent no-op
+    val left = TimeTravel.readVersion(spark, dir, v)
+      .select("x").as[String].collect().sorted
+    assert(left.toSeq === Seq("b", "c"))
+  }
+
   test("rewrites refresh stats: after an upsert the new file's bounds reflect the merged rows") {
     val dir = stagedRanges()
     // move key 150 far out of its batch's range within partition pA
