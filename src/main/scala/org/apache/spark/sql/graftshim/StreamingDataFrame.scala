@@ -1,0 +1,34 @@
+package org.apache.spark.sql.graftshim
+
+import org.apache.spark.sql.catalyst.plans.logical.LocalRelation
+import org.apache.spark.sql.classic.{Dataset, SparkSession}
+import org.apache.spark.sql.execution.LogicalRDD
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.DataFrame
+
+/** The one Spark-internal bridge this library needs: a V1 streaming
+  * `Source.getBatch` must return a DataFrame whose plan reports
+  * `isStreaming = true` (`MicroBatchExecution` asserts it — "did not
+  * have isStreaming=true"), but the public API offers no way to build
+  * one from a batch relation. Delta's streaming source solves it the
+  * same way (`DeltaLog.createDataFrame(..., isStreaming = true)` lives
+  * in an `org.apache.spark.sql.delta` package for exactly this access);
+  * here the batch plan's LEAVES are re-tagged and the Dataset rebuilt
+  * via the `private[sql]` `Dataset.ofRows`. Nothing else in the library
+  * reaches into Spark internals. */
+object StreamingDataFrame {
+
+  /** `df`'s analyzed plan with every leaf relation re-tagged as
+    * streaming, rebuilt as a DataFrame on `df`'s own session. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    val plan = df.queryExecution.analyzed transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = true)
+      case lr: LocalRelation => lr.copy(isStreaming = true)
+      case lr: LogicalRDD =>
+        LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, isStreaming = true)(spark)
+    }
+    Dataset.ofRows(spark, plan)
+  }
+}
