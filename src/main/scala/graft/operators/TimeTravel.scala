@@ -736,56 +736,17 @@ object TimeTravel {
     }
   }
 
-  /** ATOMIC all-or-nothing exclusive install — the primitive optimistic
-    * concurrency stands on, with the stronger contract commit records
-    * need: a record becomes VISIBLE only with its full content. An
-    * exclusive CREATE alone is not enough — the record would appear in
-    * the namespace at open time with its bytes landing later, and a
-    * conflict-losing writer immediately reads the winner's record to
-    * decide whether it may rebase: an empty/partial read (a guaranteed
-    * window on HDFS until close) shows no touched dirs and no txn
-    * marker, so it would wrongly rebase past a conflicting rewrite
-    * (lost update) or re-land a same-stream batch (double delivery).
-    * Plain readers resolving a mid-write tip version hit the same
-    * torn-record window. So: the bytes land in a TEMP file first, then
-    * install atomically —
-    *   - `file:` paths hard-LINK the temp into place
-    *     (`Files.createLink`: kernel-atomic, fails if the target
-    *     exists — the Delta LogStore pattern for local filesystems);
-    *   - HDFS-like filesystems RENAME (atomic in the namespace,
-    *     refuses an existing destination).
-    * Object stores without atomic create-if-absent (plain S3) would
-    * need an external log-commit service here — exactly Delta's
-    * LogStore contract. Temp names never parse as log entries
-    * (`logEntries` matches only `<N>.delta` / `<N>.manifest`). */
+  /** ATOMIC all-or-nothing exclusive install — delegated to the
+    * scheme's [[LogStore]] (local hard-link, HDFS atomic rename, or a
+    * registered external coordinator for object stores without atomic
+    * create-if-absent). See [[LogStore]] for why a plain exclusive
+    * create is not enough (the torn-record rebase race). Temp names
+    * never parse as log entries (`logEntries` matches only `<N>.delta`
+    * / `<N>.manifest`); crash residue is age-swept by [[vacuum]]. */
   private def installExclusive(fs: FileSystem, p: Path,
       bytes: Array[Byte]): Unit = {
     val q = fs.makeQualified(p)
-    if (q.toUri.getScheme == "file") {
-      val target = java.nio.file.Paths.get(q.toUri)
-      java.nio.file.Files.createDirectories(target.getParent)
-      val tmp = target.resolveSibling(
-        s".${target.getFileName}.${newToken()}.tmp")
-      java.nio.file.Files.write(tmp, bytes)
-      try java.nio.file.Files.createLink(target, tmp)
-      finally java.nio.file.Files.deleteIfExists(tmp)
-    } else {
-      val tmp = new Path(p.getParent, s".${p.getName}.${newToken()}.tmp")
-      val out = fs.create(tmp, true)
-      try out.write(bytes) finally out.close()
-      val renamed =
-        try fs.rename(tmp, p)
-        catch { case e: java.io.IOException =>
-          fs.delete(tmp, false)
-          if (fs.exists(p))
-            throw new java.nio.file.FileAlreadyExistsException(p.toString)
-          else throw e
-        }
-      if (!renamed) {
-        fs.delete(tmp, false)
-        throw new java.nio.file.FileAlreadyExistsException(p.toString)
-      }
-    }
+    LogStore.forScheme(q.toUri.getScheme).installExclusive(fs, q, bytes)
   }
 
   /** Write `df` partitioned by `partCol` into a staging dir, then MOVE
@@ -1671,6 +1632,16 @@ object TimeTravel {
     if (fs.exists(sr))
       fs.listStatus(sr).foreach { st =>
         if (newestMtime(fs, st) <= cutoff) fs.delete(st.getPath, true) }
+    // a writer that crashed between its temp write and the atomic
+    // install ([[LogStore]]) leaks `.<name>.<token>.tmp` in the log dir:
+    // never parsed as a log entry, but never reclaimed without this
+    // age-guarded sweep (a LIVE writer's temp is milliseconds old)
+    val ld = logDir(baseDir)
+    if (fs.exists(ld))
+      fs.listStatus(ld).foreach { st =>
+        if (st.isFile && st.getPath.getName.endsWith(".tmp") &&
+            st.getModificationTime <= cutoff)
+          fs.delete(st.getPath, false) }
     (nDeleted, dropped)
   }
 
@@ -1678,12 +1649,21 @@ object TimeTravel {
     * descendant) — the age a dir should be GUARDED by: a top-level
     * dir's own mtime reflects when its immediate entries were created,
     * not whether a writer is still producing files deeper inside. */
-  private def newestMtime(fs: FileSystem,
+  private[operators] def newestMtime(fs: FileSystem,
       st: org.apache.hadoop.fs.FileStatus): Long = {
     var m = st.getModificationTime
     if (st.isDirectory) {
-      val it = fs.listFiles(st.getPath, true)
-      while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+      try {
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext) m = math.max(m, it.next().getModificationTime)
+      } catch {
+        // an entry vanished between the caller's listStatus and this
+        // traversal (stageWrite deletes its _staging/<token> dir in a
+        // finally the moment its move completes): a writer was LIVE
+        // here an instant ago — treat the dir as not sweepable this
+        // pass rather than aborting the whole vacuum
+        case _: java.io.FileNotFoundException => return Long.MaxValue
+      }
     }
     m
   }

@@ -235,6 +235,69 @@ class ConcurrencySpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(staging))
   }
 
+  test("a staging dir that vanishes mid-vacuum is skipped, never fatal") {
+    val dir = stage()
+    // the exact window: vacuum's listStatus saw the dir, then the
+    // writer's finally-delete removed it before the newestMtime
+    // traversal — the stale FileStatus must yield "not sweepable",
+    // not a FileNotFoundException aborting the whole vacuum
+    val staging = java.nio.file.Paths.get(dir, "_staging", "vanisher01")
+    java.nio.file.Files.createDirectories(staging)
+    java.nio.file.Files.write(staging.resolve("part-0.parquet"),
+      Array[Byte](1))
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val stale = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(staging.toUri))
+    fs.delete(new org.apache.hadoop.fs.Path(staging.toUri), true)
+    assert(TimeTravel.newestMtime(fs, stale) === Long.MaxValue)
+  }
+
+  test("vacuum age-sweeps crashed writers' log-dir tmp residue") {
+    val dir = stage()
+    TimeTravel.append(spark, dir,
+      Seq((9L, "p1", 90.0)).toDF("id", "part", "v"), "part")
+    // a writer that died between its temp write and the atomic install
+    val logTmp = java.nio.file.Paths.get(dir, "_graft_log",
+      ".3.delta.deadbeef0000.tmp")
+    java.nio.file.Files.write(logTmp, "half a record".getBytes("UTF-8"))
+    // fresh residue survives the default guard (could be a live writer)
+    TimeTravel.vacuum(spark, dir, keepFrom = 2)
+    assert(java.nio.file.Files.exists(logTmp))
+    // aged residue sweeps; real records and reads are untouched
+    TimeTravel.vacuum(spark, dir, keepFrom = 2, orphanMinAgeMs = 0L)
+    assert(!java.nio.file.Files.exists(logTmp))
+    assert(TimeTravel.readVersion(spark, dir, 2).count() === 4)
+  }
+
+  test("LogStore registry: schemes resolve to their registered store") {
+    assert(LogStore.forScheme("file") === LogStore.LocalLink)
+    assert(LogStore.forScheme("hdfs") === LogStore.AtomicRename)
+    object Mock extends LogStore {
+      override def installExclusive(fs: org.apache.hadoop.fs.FileSystem,
+          target: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = ()
+    }
+    LogStore.register("mocks3", Mock)
+    assert(LogStore.forScheme("mocks3") === Mock)
+  }
+
+  test("AtomicRename installs exclusively and never leaks its temp") {
+    val dir = tmpDir("tt-rename-store")
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val target = new org.apache.hadoop.fs.Path(dir, "2.delta")
+    LogStore.AtomicRename.installExclusive(fs, target,
+      "+part=p1/a.parquet".getBytes("UTF-8"))
+    // the loser of a race: full conflict signal, winner untouched
+    intercept[java.nio.file.FileAlreadyExistsException] {
+      LogStore.AtomicRename.installExclusive(fs, target,
+        "+part=p1/b.parquet".getBytes("UTF-8"))
+    }
+    val content = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "2.delta")), "UTF-8")
+    assert(content === "+part=p1/a.parquet")
+    val residue = new java.io.File(dir).list().filter(_.endsWith(".tmp"))
+    assert(residue.isEmpty)
+  }
+
   test("racing appends from many threads all commit; content is the exact union") {
     val dir = stage()
     val threads = (0 until 4).map { i =>
