@@ -1354,8 +1354,114 @@ object PipelineQueries {
         AND CAST(o_orderdate AS DATE) BETWEEN b.lo_d AND b.hi_d""")
   )
 
+  /** Micro-batches a replayed stream's checkpoint recorded — the
+    * in-band "this really ran as a stream, in several triggers"
+    * verdict for the streaming-source queries. */
+  private def checkpointBatches(ck: String): Int =
+    Option(new java.io.File(ck, "offsets").list())
+      .map(_.count(_.forall(_.isDigit))).getOrElse(0)
+
+  /** STREAMING SOURCE over the versioned table
+    * ([[graft.streaming.VersionedTableSource]]) — q166's insert-only
+    * change feed consumed through `readStream`: the source tails the
+    * commit log over q162/q166's staged history (v1 init, v2–v5 blind
+    * appends, v6 compaction), `sinceVersion = 1` and
+    * `maxVersionsPerTrigger = 2` slicing the tail into THREE
+    * checkpointed micro-batches — `(1,3] (3,5] (5,6]` — whose union
+    * must hash-match the batch feed's oracle exactly: the init
+    * snapshot never delivered, the compaction skipped whole
+    * (dataChange=false), every appended row exactly once however the
+    * trigger boundaries fall. The in-band verdict pins the
+    * multi-batch replay (3 checkpoint offsets — a source that
+    * collapsed to one batch under AvailableNow would fail it).
+    * Restart-resume and gap-refusal are VersionedSourceSpec's. */
+  val q172 = Q(
+    "q172_stream_source_versioned",
+    (spark, dir) => {
+      val t = compactedVersionedDir(spark, dir)
+      val out = ParityQueries.scratchDir("graft-vsrc-out")
+      val ck = ParityQueries.scratchDir("graft-vsrc-ck")
+      graft.streaming.EventsStream.replayToParquet(
+        graft.streaming.VersionedStream.readStream(spark, t,
+          sinceVersion = Some(1), maxVersionsPerTrigger = Some(2)),
+        out, ck)
+      spark.read.parquet(out).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_orderkey")).as("sum_orderkey"),
+          Exact.dsum(col("l_quantity")).as("sum_qty"),
+          countDistinct(col("l_linenumber")).as("n_linenumbers"))
+        .select(col("n_rows"), col("sum_orderkey"), col("sum_qty"),
+          col("n_linenumbers"),
+          lit(checkpointBatches(ck) >= 3).as("multi_batch"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey,
+        ${Exact.sqlSum("l_quantity")} AS sum_qty,
+        COUNT(DISTINCT l_linenumber) AS n_linenumbers,
+        TRUE AS multi_batch
+      FROM lineitem WHERE l_linenumber BETWEEN 4 AND 7""")
+  )
+
+  /** CDC-MODE streaming source (`changeFeed = true`) — q168's full
+    * change data feed consumed through `readStream` over the same
+    * staged supplier history (v2 upsert + v3 delete, both captured
+    * with changeFeed on; v4 blind append), one commit per micro-batch
+    * (`maxVersionsPerTrigger = 1` → three checkpointed triggers). The
+    * streamed rows must reproduce q168's per-change-type aggregates
+    * exactly: pre/post images under the right balances, deletes
+    * against POST-upsert state, both insert commits — a stream that
+    * re-delivered a window, dropped one, or mis-stamped
+    * `_commit_version` shifts a group and hash-mismatches. */
+  val q173 = Q(
+    "q173_stream_source_cdc",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = cdfSupplierDir(spark, dir)
+      val out = ParityQueries.scratchDir("graft-vcdc-out")
+      val ck = ParityQueries.scratchDir("graft-vcdc-ck")
+      graft.streaming.EventsStream.replayToParquet(
+        graft.streaming.VersionedStream.readStream(spark, t,
+          sinceVersion = Some(1), changeFeed = true,
+          maxVersionsPerTrigger = Some(1)),
+        out, ck)
+      spark.read.parquet(out)
+        .groupBy(col(TimeTravel.ChangeTypeCol).as("change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("s_suppkey")).as("sum_key"),
+          Exact.dsum(col("s_acctbal")).as("sum_bal"),
+          countDistinct(col(TimeTravel.CommitVersionCol)).as("n_commits"))
+        .select(col("change_type"), col("n_rows"), col("sum_key"),
+          col("sum_bal"), col("n_commits"),
+          lit(checkpointBatches(ck) >= 3).as("multi_batch"))
+    },
+    Some(s"""WITH m AS (SELECT MAX(s_suppkey) + 1 AS shift FROM supplier),
+      u AS (
+        SELECT 'update_preimage' AS change_type, s_suppkey AS k,
+          s_acctbal AS bal, 1 AS cv
+        FROM supplier WHERE s_suppkey % 7 = 0
+        UNION ALL
+        SELECT 'update_postimage', s_suppkey, s_acctbal + 100.0, 1
+        FROM supplier WHERE s_suppkey % 7 = 0
+        UNION ALL
+        SELECT 'insert', s_suppkey + m.shift, s_acctbal + 1000.0, 1
+        FROM supplier, m WHERE s_suppkey % 13 = 0
+        UNION ALL
+        SELECT 'delete', s_suppkey,
+          CASE WHEN s_suppkey % 7 = 0 THEN s_acctbal + 100.0
+               ELSE s_acctbal END, 2
+        FROM supplier WHERE s_suppkey % 10 = 0
+        UNION ALL
+        SELECT 'insert', s_suppkey + 2 * m.shift, s_acctbal, 3
+        FROM supplier, m WHERE s_suppkey % 11 = 0)
+      SELECT change_type, COUNT(*) AS n_rows,
+        CAST(SUM(k) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("bal")} AS sum_bal,
+        COUNT(DISTINCT cv) AS n_commits, TRUE AS multi_batch
+      FROM u GROUP BY change_type""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
-      q167, q168, q169, q170, q171)
+      q167, q168, q169, q170, q171, q172, q173)
 }

@@ -1,0 +1,137 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TimeTravel
+
+/** The versioned-table streaming source: commit-log offsets, admission
+  * control, snapshot/tail/CDC modes, checkpointed restart-resume with no
+  * re-delivery and no gap, and loud refusal of vacuumed-away windows. */
+class VersionedSourceSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def df(rows: (Long, String, Double)*) =
+    rows.toDF("id", "part", "v")
+
+  private def outIds(out: String): Seq[Long] =
+    spark.read.parquet(out).select("id").as[Long].collect().sorted.toSeq
+
+  private def nBatches(ck: String): Int =
+    Option(new java.io.File(ck, "offsets").list())
+      .map(_.count(_.forall(_.isDigit))).getOrElse(0)
+
+  test("tail mode: append windows deliver per-commit batches; compact " +
+      "commits are skipped; maxVersionsPerTrigger holds under AvailableNow") {
+    val t = tmpDir("vsrc-tail")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)), "part")
+    TimeTravel.append(spark, t, df((3L, "a", 3.0)), "part") // v2
+    TimeTravel.append(spark, t, df((4L, "b", 4.0)), "part") // v3
+    TimeTravel.compact(spark, t, "part") // v4: dataChange=false
+    val out = tmpDir("vsrc-tail-out")
+    val ck = tmpDir("vsrc-tail-ck")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        maxVersionsPerTrigger = Some(1)), out, ck)
+    // only the appended rows; init snapshot and compaction never delivered
+    assert(outIds(out) === Seq(3L, 4L))
+    // one commit per micro-batch: v2, v3, v4 → three batches, proving the
+    // admission-control path survives the AvailableNow trigger (a plain
+    // V1 source would be wrapped and collapse to one batch)
+    assert(nBatches(ck) >= 3)
+  }
+
+  test("restart-resume: a restarted stream continues from its checkpoint " +
+      "with no re-delivery and no gap") {
+    val t = tmpDir("vsrc-resume")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2
+    TimeTravel.append(spark, t, df((3L, "b", 3.0)), "part") // v3
+    val out = tmpDir("vsrc-resume-out")
+    val ck = tmpDir("vsrc-resume-ck")
+    def run(): Unit = EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        maxVersionsPerTrigger = Some(1)), out, ck)
+    run()
+    assert(outIds(out) === Seq(2L, 3L))
+    // the table moves on while the stream is down
+    TimeTravel.append(spark, t, df((4L, "a", 4.0)), "part") // v4
+    TimeTravel.append(spark, t, df((5L, "b", 5.0)), "part") // v5
+    run()
+    // each appended row exactly once across both runs
+    assert(outIds(out) === Seq(2L, 3L, 4L, 5L))
+    // and an idle restart (no new commits) delivers nothing
+    run()
+    assert(outIds(out) === Seq(2L, 3L, 4L, 5L))
+  }
+
+  test("snapshot mode: the first batch is the latest version (upsert " +
+      "history included), then the stream tails appends") {
+    val t = tmpDir("vsrc-snap")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0)), "part")
+    TimeTravel.upsert(spark, t, df((1L, "a", 10.0)), "id", "part") // v2
+    val out = tmpDir("vsrc-snap-out")
+    val ck = tmpDir("vsrc-snap-ck")
+    def run(): Unit = EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t), out, ck)
+    run()
+    val snap = spark.read.parquet(out)
+    assert(snap.count() === 2)
+    // the upserted value, not v1's: the snapshot is the LATEST version
+    assert(snap.filter(col("id") === 1L).select("v").as[Double].head() === 10.0)
+    // resume: appends after the snapshot flow as windows
+    TimeTravel.append(spark, t, df((3L, "a", 3.0)), "part") // v3
+    run()
+    assert(outIds(out) === Seq(1L, 2L, 3L))
+  }
+
+  test("changeFeed mode: the stream delivers exactly the batch CDC feed, " +
+      "pre/post images and commit versions included") {
+    val t = tmpDir("vsrc-cdc")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0), (2L, "b", 2.0),
+      (3L, "a", 3.0)), "part")
+    TimeTravel.upsert(spark, t, df((1L, "a", 10.0)), "id", "part",
+      changeFeed = true) // v2
+    TimeTravel.delete(spark, t, Seq(2L).toDF("id"), "id", "part",
+      changeFeed = true) // v3
+    TimeTravel.append(spark, t, df((4L, "b", 4.0)), "part") // v4
+    val out = tmpDir("vsrc-cdc-out")
+    val ck = tmpDir("vsrc-cdc-ck")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        changeFeed = true, maxVersionsPerTrigger = Some(1)), out, ck)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("id"), r.getAs[Double]("v"),
+        r.getAs[String](TimeTravel.ChangeTypeCol),
+        r.getAs[Int](TimeTravel.CommitVersionCol))
+    val streamed = spark.read.parquet(out).collect().map(key).toSet
+    val batch = TimeTravel.readChangesSince(spark, t, 1)
+      .collect().map(key).toSet
+    assert(streamed === batch)
+    assert(streamed.exists(_._3 == "update_preimage"))
+    assert(streamed.exists(_._3 == "delete"))
+    assert(nBatches(ck) >= 3)
+  }
+
+  test("a vacuumed-away window fails loudly on restart — never a silent gap") {
+    val t = tmpDir("vsrc-vac")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2
+    val out = tmpDir("vsrc-vac-out")
+    val ck = tmpDir("vsrc-vac-ck")
+    def run(): Unit = EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1)), out, ck)
+    run() // cursor now at v2
+    (3 to 12).foreach(i => // past a checkpoint so vacuum can drop v3/v4
+      TimeTravel.append(spark, t, df((i.toLong, "a", i.toDouble)), "part"))
+    TimeTravel.vacuum(spark, t, keepFrom = 10, orphanMinAgeMs = 0L)
+    val e = intercept[Exception](run())
+    def messages(x: Throwable): Seq[String] =
+      Option(x).toSeq.flatMap(t => Option(t.getMessage).toSeq ++
+        messages(t.getCause))
+    assert(messages(e).exists(_.contains("vacuumed away")))
+    // nothing partial was delivered by the failed run
+    assert(outIds(out) === Seq(2L))
+  }
+}
