@@ -260,23 +260,29 @@ object Similarity {
 
   /** Lloyd's k-means refinement of the first-N seed: `iters` rounds of
     * assign (max-dot cell) → per-cell mean. Each round is ONE scan with a
-    * partial-aggregating shuffle of at most nCells×dim running sums per
-    * partition — the shape that holds at 100 TB (centroids live driver-side
-    * as nCells×dim doubles; no per-row driver traffic). An emptied cell
-    * keeps its previous centroid. */
+    * partial-aggregating shuffle of at most nCells×(dim+1) running sums
+    * per partition — the shape that holds at 100 TB (centroids live
+    * driver-side as nCells×dim doubles; no per-row driver traffic). The
+    * per-cell mean is [[graft.functions.CentroidAgg]], folding each
+    * vector into a (count, Σ per dim) buffer IN PLACE — the earlier
+    * `posexplode` + avg formulation shuffled the same bounded volume but
+    * paid a dim× map-side ROW inflation (768× on production embeddings)
+    * before the partial agg collapsed it; arithmetic is identical
+    * (float→double widening, row-order accumulation — VectorSpec pins
+    * centroid parity). An emptied cell keeps its previous centroid. */
   def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): Seq[Seq[Double]] = {
     var centroids = firstNCentroids(emb, nCells)
+    val dim = centroids.headOption.map(_.length).getOrElse(
+      return centroids)
     for (_ <- 0 until iters) {
       val means = emb
         .select(ivfAssign(col("embedding"), centroids).as("cell"),
-          posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cell"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+          col("embedding"))
         .groupBy(col("cell"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+        .agg(graft.functions.CentroidAgg.vecMean(col("embedding"), dim)
+          .as("m"))
         .collect()
-        .map(r => r.getInt(0) ->
-          r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1)).toSeq)
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
         .toMap
       centroids = centroids.indices.map(i => means.getOrElse(i, centroids(i)))
     }

@@ -700,7 +700,15 @@ object VectorQueries {
     * top-k aggregates). The oracle recomputes all five ANN chains AND
     * the exact ranking from the table itself (the five sibling oracles
     * composed, prefix-renamed), so a recall regression in EITHER engine
-    * breaks the hash. */
+    * breaks the hash.
+    *
+    * The exact baseline (q30's brute-force cosine) is the one DELIBERATE
+    * all-pairs scan in the library — it exists to be the in-band ground
+    * truth the five ANN methods are graded against; at production scale
+    * the recall audit SAMPLES its query relation (a bounded probe set
+    * against the corpus — the corpus side streams once per audit, never
+    * corpus × corpus), so the audit stays a fixed-cost health check
+    * rather than a quadratic job. */
   val q119 = Q(
     "q119_ann_recall",
     (spark, dir) => {

@@ -149,6 +149,38 @@ class VectorSpec extends SparkSpec {
     assert(rKm >= rSeed && rKm > 0.0)
   }
 
+  test("CentroidAgg per-cell means equal the exploded-avg formulation " +
+      "and a driver-side reference") {
+    val centroids = Similarity.firstNCentroids(emb, 8)
+    val dim = centroids.head.length
+    val assigned = emb.select(
+      Similarity.ivfAssign(col("embedding"), centroids).as("cell"),
+      col("embedding"))
+    val agg = assigned.groupBy(col("cell"))
+      .agg(graft.functions.CentroidAgg.vecMean(col("embedding"), dim)
+        .as("m"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    // the dim×-row-inflating formulation CentroidAgg replaced — same
+    // float→double widening, same row-order accumulation, one division
+    val exploded = assigned
+      .select(col("cell"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("dims"))
+      .collect().map(r => r.getInt(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.getDouble(1))).toMap
+    assert(agg.keySet === exploded.keySet)
+    for (cell <- agg.keySet; i <- 0 until dim)
+      assert(math.abs(agg(cell)(i) - exploded(cell)(i)) < 1e-12)
+    // and a driver-side reference over the collected vectors
+    val byCell = assigned.collect()
+      .map(r => r.getInt(0) -> r.getSeq[Float](1)).groupBy(_._1)
+    for ((cell, rows) <- byCell; i <- 0 until dim) {
+      val ref = rows.map(_._2(i).toDouble).sum / rows.length
+      assert(math.abs(agg(cell)(i) - ref) < 1e-9)
+    }
+  }
+
   test("near-dup pairs: symmetric-free (a<b), thresholded, true cosines") {
     val pairs = Similarity.cosineNearDupPairs(emb, nPlanes = 3, seed = 7L,
       threshold = 0.30).collect()
