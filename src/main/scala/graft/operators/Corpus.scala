@@ -727,6 +727,11 @@ object Corpus {
       .groupBy(col("p.l").as("l"), col("p.r").as("r"))
       .agg(sum(col("freq")).as("n"))
 
+  /** Pair-count ROUNDS (Spark jobs) the most recent [[bpeTrain]] ran —
+    * the observable contract of merge batching: on a diverse corpus,
+    * rounds ≪ merges (BpeSpec asserts it). */
+  @volatile private[graft] var lastBpeTrainRounds: Int = 0
+
   /** Iterative BPE merge-loop TRAINING (Sennrich et al., ACL'16): start
     * from characters, and for each of `nMerges` rounds count adjacent
     * symbol pairs across the (frequency-weighted) distinct-word relation,
@@ -738,43 +743,96 @@ object Corpus {
     * Scale shape: the corpus is touched exactly once (the token shuffle
     * inside [[bpeWordFreqs]], checkpointed here); every round after that
     * is explode+aggregate over DISTINCT words — vocab-bounded work, with
-    * one deliberately driver-held row per round (the argmax pair; N rows
-    * total, the same contractual bound as k-means centroids). Round k
-    * re-derives the symbolization as nested literal replaces over the
-    * LAST materialization — `cur` is re-checkpointed every
+    * one deliberately driver-held ranked-head fetch per round (the same
+    * contractual bound as k-means centroids). Round k re-derives the
+    * symbolization as nested literal replaces over the LAST
+    * materialization — `cur` is re-checkpointed every
     * [[bpeCheckpointRounds]] merges, so plan depth and per-round
     * re-derivation stay bounded by a CONSTANT (≤ R replaces over a
-    * vocab-bounded relation) no matter how large `nMerges` grows; a
-    * production-scale 32k–100k-merge run is nMerges sequential
-    * vocab-bounded jobs, never an nMerges-deep expression chain. */
-  def bpeTrain(words: DataFrame, nMerges: Int): DataFrame = {
+    * vocab-bounded relation) no matter how large `nMerges` grows.
+    *
+    * MERGE BATCHING: BPE's merge dependency is inherently sequential —
+    * merge k's pair counts depend on merges 1..k-1 — so the baseline is
+    * one driver-held argmax row per merge: a production 32k–100k-merge
+    * run is that many sequential (vocab-bounded) Spark jobs. Batching
+    * cuts that: each round takes the TOP-B prefix of the ranked pair list
+    * and applies every member that PROVABLY gets the same turn under
+    * sequential greedy, so the learned table is BIT-IDENTICAL to
+    * single-merge training (BpeSpec pins parity) while a batchable
+    * corpus pays ~B× fewer rounds. A prefix member p_k is provably
+    * safe when:
+    *   1. it shares no symbol with any earlier batch member's inputs
+    *      OR MERGED OUTPUT (so its own count is untouched by them —
+    *      merging destroys only pairs adjacent to the merged symbols
+    *      and creates only pairs containing the new symbol), and
+    *   2. its count STRICTLY exceeds every pair that interacts with
+    *      the batch's symbols (fetched ones checked directly;
+    *      unfetched ones bounded by the fetch floor): any pair a batch
+    *      merge CREATES arises from an occurrence that was previously
+    *      an interacting pair's occurrence, so its count is bounded by
+    *      an interacting pre-round count — strictly below p_k, it can
+    *      never preempt p_k's greedy turn, even via tie-break.
+    * The batch truncates at the first member either rule rejects
+    * (later members' turns depend on the rejected one); an empty safe
+    * prefix falls back to the plain single argmax, which is exact
+    * greedy unconditionally — interaction-heavy corpora (single-letter
+    * alphabets, where every merge chains on the last) degrade to the
+    * baseline, never to a wrong table. */
+  def bpeTrain(words: DataFrame, nMerges: Int,
+      batchCap: Int = 64): DataFrame = {
     require(nMerges > 0, s"nMerges=$nMerges")
+    require(batchCap >= 1, s"batchCap=$batchCap")
     val spark = words.sparkSession
     val base = words.select(bpeSeq(col("word")).as("s"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var cur = base
     var depth = 0 // replaces stacked on the last materialization
+    var rounds = 0
     var exhausted = false
     while (merges.length < nMerges && !exhausted) {
-      val best = bpePairCounts(cur)
+      val cap = math.min(batchCap, nMerges - merges.length)
+      // enough of the ranked head to check rule 2 against real counts;
+      // anything unfetched is bounded by the last fetched count (floor)
+      val fetchN = 4 * cap + 16
+      val fetched = bpePairCounts(cur)
         .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true // every word fully merged
+        .limit(fetchN).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      rounds += 1
+      if (fetched.isEmpty) exhausted = true // every word fully merged
       else {
-        val (l, r, n) = (best.head.getString(0), best.head.getString(1),
-          best.head.getLong(2))
-        merges += ((merges.length + 1, l, r, n))
-        cur = cur.withColumn("s", bpeMergeOnce(col("s"), l, r))
-        depth += 1
-        if (depth >= bpeCheckpointRounds) {
-          // pin the symbolization: each round's pair count replays at
-          // most R replaces, and Catalyst never sees an unbounded chain
-          cur = cur.localCheckpoint()
-          depth = 0
+        // rule 1: maximal CONSECUTIVE non-interacting prefix, capped
+        val used = scala.collection.mutable.Set.empty[String]
+        val prefix =
+          scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+        var stopped = false
+        for (p @ (l, r, _) <- fetched if !stopped)
+          if (prefix.length >= cap || used(l) || used(r) || used(l + r))
+            stopped = true
+          else { prefix += p; used ++= Seq(l, r, l + r) }
+        // rule 2: strict dominance over every interacting pair's count
+        val floor = if (fetched.length < fetchN) -1L else fetched.last._3
+        val inPrefix = prefix.toSet
+        val mBound = (floor +: fetched.toSeq.filterNot(inPrefix).collect {
+          case (l, r, n) if used(l) || used(r) => n
+        }).max
+        val safe = prefix.takeWhile(_._3 > mBound)
+        val batch = if (safe.isEmpty) prefix.take(1) else safe
+        for ((l, r, n) <- batch) {
+          merges += ((merges.length + 1, l, r, n))
+          cur = cur.withColumn("s", bpeMergeOnce(col("s"), l, r))
+          depth += 1
+          if (depth >= bpeCheckpointRounds) {
+            // pin the symbolization: each round's pair count replays at
+            // most R replaces, and Catalyst never sees an unbounded chain
+            cur = cur.localCheckpoint()
+            depth = 0
+          }
         }
       }
     }
+    lastBpeTrainRounds = rounds
     spark.createDataFrame(merges.toSeq)
       .toDF("rank", "left_sym", "right_sym", "pair_n")
   }

@@ -106,6 +106,67 @@ class BpeSpec extends SparkSpec {
     val want = refBpe(corpus, 256)
     assert(got.length === want.length)
     got.zip(want).foreach { case (g, w) => assert(g === w, s"rank ${w._1}") }
+    // merge batching: identical table, fewer pair-count rounds — on a
+    // SIX-letter alphabet merges chain heavily, so the reduction is
+    // modest (~17%); the disjoint-family test below pins the strong case
+    assert(Corpus.lastBpeTrainRounds < got.length,
+      s"expected batched rounds < ${got.length} merges, " +
+        s"got ${Corpus.lastBpeTrainRounds}")
+  }
+
+  test("disjoint word families batch aggressively: one round covers many " +
+      "merges") {
+    // 32 two-letter words over pairwise-DISJOINT alphabets with strictly
+    // descending freqs: every prefix member shares no symbol and strictly
+    // dominates all interacting counts, so whole prefixes land per round
+    val alpha = ('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')
+    val corpus = (0 until 31).map(i =>
+      s"${alpha(2 * i)}${alpha(2 * i + 1)}" -> (1000L - 10 * i))
+    val got = trained(corpus, 31)
+    assert(got === refBpe(corpus, 31))
+    assert(Corpus.lastBpeTrainRounds <= 3,
+      s"expected ~1 round for 31 disjoint merges, " +
+        s"got ${Corpus.lastBpeTrainRounds}")
+  }
+
+  test("batched training is bit-identical to single-merge training on " +
+      "tie- and interaction-heavy corpora") {
+    // every word of length ≤ 4 over {a, b}, all freq 1: maximal count
+    // ties AND maximal symbol sharing — the corpus class where a naive
+    // top-B batch would deviate from greedy (a merge's new pairs tie
+    // with later batch members), so rule 2's strict-dominance truncation
+    // and the single-merge fallback both get exercised
+    val twoLetter = (1 to 4).flatMap(l => (0 until (1 << l)).map(i =>
+      (0 until l).map(j =>
+        if (((i >> j) & 1) == 0) 'a' else 'b').mkString)).map(_ -> 1L)
+    // three letters with skewed freqs: interactions with unequal counts
+    val rnd = new scala.util.Random(7)
+    val threeLetter = (1 to 3).flatMap(l =>
+      Iterator.continually((1 to l).map(_ =>
+        "abc"(rnd.nextInt(3))).mkString).distinct.take(1 << l).toSeq)
+      .distinct.map(w => w -> (1L + rnd.nextInt(4)))
+    for (corpus <- Seq(twoLetter, threeLetter)) {
+      val batched = trained(corpus, 40)
+      val want = refBpe(corpus, 40)
+      assert(batched === want)
+      val single = Corpus.bpeTrain(words(corpus: _*), 40, batchCap = 1)
+        .orderBy("rank").collect()
+        .map(r => (r.getAs[Int]("rank"), r.getAs[String]("left_sym"),
+          r.getAs[String]("right_sym"), r.getAs[Long]("pair_n"))).toSeq
+      assert(batched === single)
+    }
+  }
+
+  test("a fully chained corpus degrades to one merge per round, never a " +
+      "wrong table") {
+    // 16 a's: each merge's pair is built from the previous merge's
+    // output — nothing is ever batchable
+    val corpus = Seq("aaaaaaaaaaaaaaaa" -> 1L)
+    val got = trained(corpus, 4)
+    assert(got === refBpe(corpus, 4))
+    assert(got === Seq((1, "a", "a", 15L), (2, "aa", "aa", 7L),
+      (3, "aaaa", "aaaa", 3L), (4, "aaaaaaaa", "aaaaaaaa", 1L)))
+    assert(Corpus.lastBpeTrainRounds === 4)
   }
 
   test("bpeEncode replays the learned merges: encoding train words reproduces the final symbolization") {
