@@ -114,6 +114,25 @@ class VersionedSourceSpec extends SparkSpec {
     assert(nBatches(ck) >= 3)
   }
 
+  test("schema evolution: pre-evolution appends NULL-fill the added " +
+      "column; post-evolution rows carry it") {
+    val t = tmpDir("vsrc-evolve")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2: pre
+    TimeTravel.append(spark, t,
+      Seq((3L, "b", 3.0, "x")).toDF("id", "part", "v", "w"),
+      "part", evolveSchema = true) // v3: adds w
+    val out = tmpDir("vsrc-evolve-out")
+    val ck = tmpDir("vsrc-evolve-ck")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1)), out, ck)
+    val got = spark.read.parquet(out)
+    assert(got.columns.contains("w"))
+    val byId = got.collect()
+      .map(r => r.getAs[Long]("id") -> Option(r.getAs[String]("w"))).toMap
+    assert(byId === Map(2L -> None, 3L -> Some("x")))
+  }
+
   test("a vacuumed-away window fails loudly on restart — never a silent gap") {
     val t = tmpDir("vsrc-vac")
     TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
