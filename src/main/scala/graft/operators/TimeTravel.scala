@@ -1473,6 +1473,64 @@ object TimeTravel {
       rows, "compact", clusterBy = clusterBy)
   }
 
+  /** RESTORE: roll the table back to `toVersion` as a NEW commit (the
+    * Delta `RESTORE TABLE ... TO VERSION AS OF` command) — the undo
+    * button for a bad merge/delete/ingest that keeps history honest:
+    * the mistake stays in the log (auditable, still readable), and the
+    * tip's CONTENT becomes exactly `toVersion`'s again. Pure METADATA:
+    * data files never mutate in this format, so the restore delta is a
+    * file-set diff — re-ADD `toVersion`'s files the later rewrites
+    * removed, REMOVE the files they introduced — zero bytes copied,
+    * cost O(files that differ). The re-added files' skipping stats come
+    * from `toVersion`'s own resolution (no footer re-reads), and the
+    * restored version's SCHEMA is recorded in the commit, so a restore
+    * across an evolution also restores the columns (schema time travel
+    * made writable). Restoring to the current content is a no-op
+    * (returns the current version — a recorded no-op would be log
+    * noise).
+    *
+    * Restore is the one commit that must NOT rebase: its contract is
+    * "the tip equals version N", and rebasing past ANY concurrent
+    * commit — even a disjoint-partition append — would leave that
+    * commit's rows in the tip, silently breaking the contract. A lost
+    * version race therefore surfaces `ConcurrentModificationException`;
+    * re-run against the new tip. Change-feed consumers see a restore
+    * as what it is — a rewrite with no captured row images — so an
+    * incremental window crossing it refuses loudly (re-bootstrap from
+    * a snapshot), exactly like any other uncaptured rewrite.
+    * `toVersion` must still be resolvable (at or above any vacuum
+    * floor — resolution fails loudly otherwise), which also guarantees
+    * every re-added file still exists: vacuum never reclaims a file a
+    * retained version references. */
+  def restore(spark: SparkSession, baseDir: String, toVersion: Int): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — nothing to restore")
+    require(toVersion >= 1 && toVersion <= prev,
+      s"restore target $toVersion out of [1, $prev]")
+    if (toVersion == prev) return prev
+    val target = resolveFull(spark, baseDir, toVersion)
+    val cur = resolveFull(spark, baseDir, prev)
+    val curSet = cur.files.toSet
+    val targetSet = target.files.toSet
+    val adds = (targetSet -- curSet).toSeq.sorted
+    val removes = (curSet -- targetSet).toSeq.sorted
+    if (adds.isEmpty && removes.isEmpty) return prev // content identical
+    val dirs = (adds ++ removes).map(f => f.take(f.indexOf('/'))).toSet
+    val addSet = adds.toSet
+    val addStats = target.stats.filter { case (f, _) => addSet(f) }
+    try logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
+      addStats, () => cur, None, target.schema, "restore", None)
+    catch {
+      case _: CommitConflict =>
+        throw new java.util.ConcurrentModificationException(
+          s"restore of $baseDir to version $toVersion lost a commit " +
+            "race — a restore must see the tip it diffs against (any " +
+            "concurrent commit would survive a rebase and break the " +
+            "restored content); re-run against the new tip")
+    }
+  }
+
   /** VACUUM: physically reclaim data files that no RETAINED version
     * references — the retention boundary every log-structured format
     * pairs with time travel (old versions are free until you choose to

@@ -1505,8 +1505,85 @@ object PipelineQueries {
       GROUP BY l_returnflag""")
   )
 
+  /** Versioned supplier table whose history ends in a RESTORE, staged
+    * once per sf dir: v1 init, v2 upsert (+100 on every 7th balance),
+    * v3 delete (every 10th key), v4 blind append (clones of every 11th
+    * shifted past the key space) — then v5 = `TimeTravel.restore(t, 1)`
+    * rolling the tip back to v1's exact content as a new commit. */
+  private val stagedRestore =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+  private def restoredSupplierDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedRestore.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-restore")
+      val sup = Tables.load(spark, dir, "supplier")
+        .withColumn("part", pmod(col("s_nationkey"), lit(5)).cast("string"))
+      val shift = sup.agg(max(col("s_suppkey"))).head.getLong(0) + 1
+      TimeTravel.init(spark, t, sup, "part")
+      TimeTravel.upsert(spark, t,
+        sup.filter(col("s_suppkey") % 7 === 0)
+          .withColumn("s_acctbal", col("s_acctbal") + lit(100.0)),
+        "s_suppkey", "part")
+      TimeTravel.delete(spark, t,
+        sup.filter(col("s_suppkey") % 10 === 0).select(col("s_suppkey")),
+        "s_suppkey", "part")
+      TimeTravel.append(spark, t,
+        sup.filter(col("s_suppkey") % 11 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + lit(shift)),
+        "part")
+      TimeTravel.restore(spark, t, 1)
+      t
+    })
+
+  /** RESTORE as a new commit ([[graft.operators.TimeTravel.restore]] —
+    * the Delta `RESTORE TABLE ... TO VERSION AS OF` command): the
+    * staged history mutates the table three ways (upsert, delete,
+    * blind append), then rolls back to v1 — and the tip must
+    * hash-match the ORIGINAL supplier table exactly, every mutation
+    * undone, while the mistake stays readable in history (the whole
+    * point of restore over a destructive rollback). Pure metadata:
+    * data files never mutate in this format, so the restore delta is a
+    * file-set diff — the in-band verdicts pin that the restored tip's
+    * file set IS v1's (zero bytes copied), the tip commit is a
+    * `restore`, and the pre-restore version still reads (history
+    * intact, auditable). A restore that missed a rewrite's file, kept
+    * an appended clone, or re-added a stale balance shifts an
+    * aggregate and hash-mismatches. */
+  val q175 = Q(
+    "q175_restore_version",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = restoredSupplierDir(spark, dir)
+      val latest = TimeTravel.latestVersion(spark, t)
+      val filesRestored = TimeTravel.filesAt(spark, t, latest).toSet ==
+        TimeTravel.filesAt(spark, t, 1).toSet
+      val tipIsRestore = TimeTravel.history(spark, t)
+        .head.op.contains("restore")
+      val preRestoreReads =
+        TimeTravel.readVersion(spark, t, latest - 1).count() > 0
+      TimeTravel.readVersion(spark, t, latest).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("s_suppkey")).as("sum_key"),
+          Exact.dsum(col("s_acctbal")).as("sum_bal"),
+          countDistinct(col("s_nationkey")).as("n_nations"))
+        .select(col("n_rows"), col("sum_key"), col("sum_bal"),
+          col("n_nations"),
+          lit(filesRestored).as("files_restored_exactly"),
+          lit(tipIsRestore).as("tip_is_restore"),
+          lit(preRestoreReads).as("mistake_still_readable"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(s_suppkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("s_acctbal")} AS sum_bal,
+        COUNT(DISTINCT s_nationkey) AS n_nations,
+        TRUE AS files_restored_exactly, TRUE AS tip_is_restore,
+        TRUE AS mistake_still_readable
+      FROM supplier""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
-      q167, q168, q169, q170, q171, q172, q173, q174)
+      q167, q168, q169, q170, q171, q172, q173, q174, q175)
 }

@@ -38,7 +38,7 @@ class Round10PropertySpec extends SparkSpec {
   private def deleteModel(all: Vector[Row3], keys: Set[Long]): Vector[Row3] =
     all.filterNot(r => keys(r._1))
 
-  test("random upsert/delete/append/compact sequences: every version equals the driver-side model, before and after vacuum") {
+  test("random upsert/delete/append/compact/restore sequences: every version equals the driver-side model, before and after vacuum") {
     val rnd = new scala.util.Random(7)
     val dir = tmpDir("tt-model")
     def someRows(n: Int): Vector[Row3] =
@@ -49,9 +49,9 @@ class Round10PropertySpec extends SparkSpec {
     TimeTravel.init(spark, dir, df(current), "part")
     val history = scala.collection.mutable.ArrayBuffer(current)
 
-    (1 to 11).foreach { _ =>
+    (1 to 13).foreach { _ =>
       val prevVersion = TimeTravel.latestVersion(spark, dir)
-      val next = rnd.nextInt(4) match {
+      val next = rnd.nextInt(5) match {
         case 0 => // upsert a small batch (updates + inserts, distinct keys)
           val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
           TimeTravel.upsert(spark, dir, df(batch), "id", "part")
@@ -67,9 +67,13 @@ class Round10PropertySpec extends SparkSpec {
           val batch = someRows(1 + rnd.nextInt(3))
           TimeTravel.append(spark, dir, df(batch), "part")
           current ++ batch
-        case _ => // compact: content identity, commits only if fragmented
+        case 3 => // compact: content identity, commits only if fragmented
           TimeTravel.compact(spark, dir, "part")
           current
+        case _ => // restore to a random earlier version: model = its snapshot
+          val target = 1 + rnd.nextInt(prevVersion)
+          TimeTravel.restore(spark, dir, target)
+          history(target - 1)
       }
       // record a snapshot only if a version actually committed (no-op
       // deletes, empty appends, already-compact compacts stay at prev)

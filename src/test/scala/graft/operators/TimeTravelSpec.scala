@@ -520,6 +520,92 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("restore rolls the tip back to an earlier version's exact content " +
+      "as a NEW commit — pure metadata, history intact") {
+    val dir = stage()
+    val v1Rows = rows(TimeTravel.readVersion(spark, dir, 1))
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part") // v2
+    TimeTravel.delete(spark, dir, Seq(3L).toDF("id"), "id", "part") // v3
+    TimeTravel.append(spark, dir,
+      Seq((9L, "p2", 90.0)).toDF("id", "part", "v"), "part") // v4
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val diskBefore = TimeTravel.listDataFiles(spark, fs, dir)
+    val v5 = TimeTravel.restore(spark, dir, 1)
+    assert(v5 === 5)
+    // tip content and file set are exactly v1's again
+    assert(rows(TimeTravel.readVersion(spark, dir, 5)) === v1Rows)
+    assert(TimeTravel.filesAt(spark, dir, 5).toSet ===
+      TimeTravel.filesAt(spark, dir, 1).toSet)
+    // metadata-only: not one data file written
+    assert(TimeTravel.listDataFiles(spark, fs, dir) === diskBefore)
+    // the mistake stays in the log, readable
+    assert(TimeTravel.history(spark, dir).head.op.contains("restore"))
+    assert(rows(TimeTravel.readVersion(spark, dir, 4)).contains(
+      (9L, "p2", 90.0)))
+    // life goes on: a later commit lands on the restored content
+    TimeTravel.append(spark, dir,
+      Seq((7L, "p3", 70.0)).toDF("id", "part", "v"), "part") // v6
+    assert(rows(TimeTravel.readVersion(spark, dir, 6)) ===
+      v1Rows + ((7L, "p3", 70.0)))
+    // restore to the current content is a no-op
+    assert(TimeTravel.restore(spark, dir, 6) === 6)
+    // an incremental feed crossing the restore refuses loudly
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.readAppendsSince(spark, dir, 3, 6))
+    assert(e.getMessage.contains("restore"))
+    // a restore target below the vacuum floor refuses loudly
+    TimeTravel.vacuum(spark, dir, keepFrom = 5)
+    intercept[IllegalArgumentException](TimeTravel.restore(spark, dir, 2))
+  }
+
+  test("restore across a schema evolution restores the narrower columns") {
+    val dir = stage()
+    TimeTravel.append(spark, dir,
+      Seq((8L, "p1", 80.0, "tagged")).toDF("id", "part", "v", "tag"),
+      "part", evolveSchema = true) // v2 widens
+    assert(TimeTravel.readVersion(spark, dir, 2).columns.contains("tag"))
+    val v3 = TimeTravel.restore(spark, dir, 1)
+    val restored = TimeTravel.readVersion(spark, dir, v3)
+    assert(!restored.columns.contains("tag"))
+    assert(rows(restored) === rows(TimeTravel.readVersion(spark, dir, 1)))
+  }
+
+  test("vacuum after a restore keeps the re-added files; the restored tip " +
+      "still reads") {
+    val dir = stage()
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part") // v2
+    TimeTravel.upsert(spark, dir,
+      Seq((2L, "p1", 21.0)).toDF("id", "part", "v"), "id", "part") // v3
+    val v4 = TimeTravel.restore(spark, dir, 1)
+    val v1Rows = rows(TimeTravel.readVersion(spark, dir, 1))
+    TimeTravel.vacuum(spark, dir, keepFrom = v4, orphanMinAgeMs = 0L)
+    // the re-added v1 files survived (the restore delta references them)
+    assert(rows(TimeTravel.readVersion(spark, dir, v4)) === v1Rows)
+    // the dropped rewrites' files are reclaimed
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    assert(TimeTravel.listDataFiles(spark, fs, dir) ===
+      TimeTravel.filesAt(spark, dir, v4).toSet)
+  }
+
+  test("restore stats survive: a skipping read over the restored tip still " +
+      "prunes from the log") {
+    val dir = tmpDir("tt-restore-skip")
+    // three disjoint id slabs in one partition → selective per-file stats
+    TimeTravel.init(spark, dir,
+      (1L to 10L).map(i => (i, "p1", i * 1.0)).toDF("id", "part", "v"), "part")
+    TimeTravel.append(spark, dir,
+      (11L to 20L).map(i => (i, "p1", i * 1.0)).toDF("id", "part", "v"), "part")
+    TimeTravel.append(spark, dir,
+      (21L to 30L).map(i => (i, "p1", i * 1.0)).toDF("id", "part", "v"), "part")
+    TimeTravel.delete(spark, dir, Seq(15L).toDF("id"), "id", "part") // v4
+    val v5 = TimeTravel.restore(spark, dir, 3) // undo the delete
+    val scan = TimeTravel.readVersionSkipping(spark, dir, v5, "id", 12L, 18L)
+    assert(scan.filesRead < scan.filesTotal) // re-added file has stats
+    assert(scan.df.filter(col("id").between(12L, 18L)).count() === 7)
+  }
+
   test("snapshotDiff across versions from manifests alone matches the applied batches") {
     val dir = stage()
     TimeTravel.upsert(spark, dir,
