@@ -912,7 +912,41 @@ object ParityQueries {
       FROM events""")
   )
 
+  /** DECLARATIVE versioned streaming sink
+    * ([[graft.streaming.VersionedTableSink]] — q164's append-ingest
+    * contract through `writeStream.format("graft-versioned")` instead
+    * of a foreachBatch helper): the raw event stream lands one blind
+    * append COMMIT per micro-batch with the (streamId, batchId) txn
+    * marker inside each record, exactly-once under re-delivery, zero
+    * imperative glue. Hash-checks every event row against the raw
+    * table (a lost or double-delivered batch shifts rows) with the
+    * in-band multi-commit verdict; exactly-once restart recovery and
+    * the upsert mode are VersionedSourceSpec's. */
+  val q176 = Q(
+    "q176_stream_sink_versioned",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val tmp = stagedSlicedEventsDir(spark, dir)
+      val tableDir = scratchDir("graft-sink-table")
+      val ck = scratchDir("graft-sink-ck")
+      val src = EventsStream
+        .fromParquetDir(spark, tmp, maxFilesPerTrigger = Some(3))
+        .withColumn("part", pmod(col("user_id"), lit(8L)).cast("string"))
+      graft.streaming.VersionedStream.replayToTable(src, tableDir, ck,
+        partCol = "part")
+      val latest = TimeTravel.latestVersion(spark, tableDir)
+      TimeTravel.readVersion(spark, tableDir, latest)
+        .filter(col("user_id") >= 0)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), lit(latest >= 2).as("multi_commit"))
+    },
+    Some("""SELECT event_id, ts, user_id, event_type,
+        TRUE AS multi_commit
+      FROM events""")
+  )
+
   val all: Seq[Q] =
     Seq(q38, q39, q40, q41, q42, q45, q46, q54, q57, q58, q59, q60, q65, q85,
-      q86, q89, q90, q104, q107, q122, q123, q136, q149, q152, q161, q164)
+      q86, q89, q90, q104, q107, q122, q123, q136, q149, q152, q161, q164,
+      q176)
 }

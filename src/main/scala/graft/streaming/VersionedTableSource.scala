@@ -2,10 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
 import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
-import org.apache.spark.sql.execution.streaming.{Offset, Source}
+import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.StreamingDataFrame
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
+import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
 import graft.operators.TimeTravel
@@ -148,10 +149,58 @@ final case class VersionOffset(version: Int) extends Offset {
   override def json: String = version.toString
 }
 
-/** V1 provider: `spark.readStream.format("graft-versioned")` (registered
-  * via META-INF/services) or the fully-qualified class name. */
+/** V1 streaming SINK into the versioned table — the declarative twin of
+  * the `foreachBatch` helpers ([[EventsStream.replayToVersionedAppend]]/
+  * [[EventsStream.replayToVersioned]]), so a pipeline writes
+  * `df.writeStream.format("graft-versioned")` with zero imperative glue
+  * (the Delta sink shape). Every non-empty micro-batch lands as its own
+  * commit:
+  *   - `mode = append` (default): blind-append commits — no discovery
+  *     join, per-trigger cost independent of table size. Exactly-once:
+  *     each commit carries a `(streamId, batchId)` txn marker INSIDE
+  *     its record, the sink recovers the high-water mark from the log
+  *     at start, and re-delivered batches at or below it are skipped —
+  *     append is not idempotent, so the marker is load-bearing.
+  *   - `mode = upsert` (`keyCol` required): last-write-wins MERGE
+  *     commits for Update-mode aggregations whose state carries per-key
+  *     TOTALS — a re-delivered batch re-merges the same rows, so
+  *     content converges without a marker (idempotent by construction).
+  * `streamId` defaults to the query's `checkpointLocation`; the batch
+  * DataFrame is rebuilt from the micro-batch's physical plan
+  * ([[StreamingDataFrame.asBatch]] — the ForeachBatchSink bridge),
+  * since a V1 sink's input cannot be re-planned directly. */
+class VersionedTableSink(spark: SparkSession, baseDir: String,
+    partCol: String, mode: String, keyCol: Option[String],
+    streamId: String) extends Sink {
+
+  private val committedUpTo = new java.util.concurrent.atomic.AtomicLong(
+    if (TimeTravel.latestVersion(spark, baseDir) >= 1)
+      TimeTravel.lastCommittedTxn(spark, baseDir, streamId).getOrElse(-1L)
+    else -1L)
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    if (mode == "append" && batchId <= committedUpTo.get()) return
+    val batch = StreamingDataFrame.asBatch(data)
+    if (batch.isEmpty) return
+    val txn = if (mode == "append") Some(streamId -> batchId) else None
+    if (TimeTravel.latestVersion(spark, baseDir) == 0)
+      TimeTravel.init(spark, baseDir, batch, partCol, txn)
+    else if (mode == "append")
+      TimeTravel.append(spark, baseDir, batch, partCol, txn)
+    else
+      TimeTravel.upsert(spark, baseDir, batch, keyCol.get, partCol)
+    if (mode == "append") committedUpTo.set(batchId)
+  }
+
+  override def toString: String =
+    s"VersionedTableSink[$baseDir, mode=$mode]"
+}
+
+/** V1 provider: `spark.readStream.format("graft-versioned")` /
+  * `df.writeStream.format("graft-versioned")` (registered via
+  * META-INF/services) or the fully-qualified class name. */
 class VersionedTableSourceProvider extends StreamSourceProvider
-    with DataSourceRegister {
+    with StreamSinkProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
 
@@ -175,6 +224,36 @@ class VersionedTableSourceProvider extends StreamSourceProvider
       VersionedTableSourceProvider.tableSchema(sqlContext.sparkSession,
         opts.path, opts.changeFeed))
   }
+
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val opts = VersionedTableSourceProvider.Opts(parameters)
+    val mode = opts.sinkMode
+    require(mode == "append" || mode == "upsert",
+      s"mode must be 'append' or 'upsert', got '$mode'")
+    require(mode != "upsert" || opts.keyCol.nonEmpty,
+      "upsert mode requires option 'keyCol'")
+    require(partitionColumns.length <= 1,
+      "the versioned table partitions by ONE column; got " +
+        partitionColumns.mkString(", "))
+    // `.partitionBy("col")` on the writer and option("partCol", ...)
+    // are the same declaration; either works, they must not disagree
+    val partCol = (opts.partCol, partitionColumns.headOption) match {
+      case (Some(a), Some(b)) if a != b =>
+        throw new IllegalArgumentException(
+          s"option partCol='$a' disagrees with partitionBy('$b')")
+      case (a, b) => a.orElse(b).getOrElse(
+        throw new IllegalArgumentException(
+          "the table's partition column is required — pass " +
+            "option 'partCol' or .partitionBy(col)"))
+    }
+    new VersionedTableSink(sqlContext.sparkSession, opts.path, partCol,
+      mode, opts.keyCol, opts.streamId.getOrElse(
+        throw new IllegalArgumentException(
+          "option 'streamId' is required when no checkpointLocation " +
+            "is set — append exactly-once needs a stable stream identity")))
+  }
 }
 
 object VersionedTableSourceProvider {
@@ -190,6 +269,12 @@ object VersionedTableSourceProvider {
     val changeFeed: Boolean = m.get("changefeed").exists(_.toBoolean)
     val maxVersionsPerTrigger: Option[Int] =
       m.get("maxversionspertrigger").map(_.toInt)
+    // sink-side options
+    val partCol: Option[String] = m.get("partcol")
+    val sinkMode: String = m.getOrElse("mode", "append")
+    val keyCol: Option[String] = m.get("keycol")
+    val streamId: Option[String] =
+      m.get("streamid").orElse(m.get("checkpointlocation"))
   }
 
   /** The stream's schema: the log's committed schema at the current
@@ -228,5 +313,24 @@ object VersionedStream {
     maxVersionsPerTrigger.foreach(n =>
       r.option("maxVersionsPerTrigger", n.toString))
     r.load()
+  }
+
+  /** Replay `df` to completion into a versioned table through the
+    * declarative sink format — see [[VersionedTableSink]] for mode
+    * semantics. */
+  def replayToTable(df: DataFrame, baseDir: String, checkpointDir: String,
+      partCol: String, mode: String = "append",
+      keyCol: Option[String] = None,
+      outputMode: OutputMode = OutputMode.Append()): Unit = {
+    val w = df.writeStream
+      .format(classOf[VersionedTableSourceProvider].getName)
+      .outputMode(outputMode)
+      .option("path", baseDir)
+      .option("partCol", partCol)
+      .option("mode", mode)
+      .option("checkpointLocation", checkpointDir)
+    keyCol.foreach(k => w.option("keyCol", k))
+    w.trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start().awaitTermination()
   }
 }

@@ -31,4 +31,17 @@ object StreamingDataFrame {
     }
     Dataset.ofRows(spark, plan)
   }
+
+  /** The inverse bridge, for a V1 `Sink.addBatch`: the batch DataFrame
+    * a sink receives is backed by the micro-batch's IncrementalExecution
+    * and cannot be re-planned through arbitrary batch operators; rebuild
+    * it as a plain batch DataFrame over the already-planned physical
+    * RDD — exactly what `ForeachBatchSink` does before handing users
+    * their batch (`LogicalRDD.fromDataset(..., isStreaming = false)`). */
+  def asBatch(df: DataFrame): DataFrame = {
+    val ds = df.asInstanceOf[Dataset[org.apache.spark.sql.Row]]
+    Dataset.ofRows(ds.sparkSession,
+      LogicalRDD.fromDataset(ds.queryExecution.toRdd, ds,
+        isStreaming = false))
+  }
 }

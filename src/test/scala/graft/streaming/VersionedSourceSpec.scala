@@ -133,6 +133,104 @@ class VersionedSourceSpec extends SparkSpec {
     assert(byId === Map(2L -> None, 3L -> Some("x")))
   }
 
+  test("append-mode sink is exactly-once: re-delivered batches skip, a " +
+      "restarted sink recovers its mark from the log") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val t = tmpDir("vsink-eo")
+    val provider = new VersionedTableSourceProvider
+    def mkSink() = provider.createSink(spark.sqlContext,
+      Map("path" -> t, "partCol" -> "part", "streamId" -> "s1"),
+      Nil, OutputMode.Append())
+    val sink = mkSink()
+    sink.addBatch(0, df((1L, "a", 1.0)))
+    sink.addBatch(1, df((2L, "a", 2.0)))
+    sink.addBatch(1, df((2L, "a", 2.0))) // same-instance re-delivery
+    assert(TimeTravel.latestVersion(spark, t) === 2)
+    // a fresh sink (crash-restart) recovers the high-water mark from
+    // the commit records' txn markers, not from JVM state
+    val sink2 = mkSink()
+    sink2.addBatch(1, df((2L, "a", 2.0))) // below the mark: skipped
+    assert(TimeTravel.latestVersion(spark, t) === 2)
+    sink2.addBatch(2, df((3L, "b", 3.0))) // above it: lands
+    val ids = TimeTravel.readVersion(spark, t, 3)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(ids === Seq(1L, 2L, 3L))
+  }
+
+  test("declarative medallion: versioned source into versioned sink, " +
+      "zero foreachBatch glue, incremental on re-run") {
+    val bronze = tmpDir("vsink-bronze")
+    TimeTravel.init(spark, bronze, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, bronze, df((2L, "a", 2.0)), "part") // v2
+    TimeTravel.append(spark, bronze, df((3L, "b", 3.0)), "part") // v3
+    val silver = tmpDir("vsink-silver")
+    val ck = tmpDir("vsink-ck")
+    def run(): Unit = VersionedStream.replayToTable(
+      VersionedStream.readStream(spark, bronze, sinceVersion = Some(1),
+        maxVersionsPerTrigger = Some(1)),
+      silver, ck, partCol = "part")
+    run()
+    def silverIds() = TimeTravel.readVersion(spark, silver,
+        TimeTravel.latestVersion(spark, silver))
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(silverIds() === Seq(2L, 3L))
+    // one commit per micro-batch on the silver side too
+    assert(TimeTravel.latestVersion(spark, silver) === 2)
+    // bronze moves on; the re-run ships exactly the delta
+    TimeTravel.append(spark, bronze, df((4L, "a", 4.0)), "part") // v4
+    run()
+    assert(silverIds() === Seq(2L, 3L, 4L))
+  }
+
+  test("sink accepts .partitionBy as the partition declaration and " +
+      "refuses a disagreeing partCol option") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val provider = new VersionedTableSourceProvider
+    val t = tmpDir("vsink-pby")
+    val sink = provider.createSink(spark.sqlContext,
+      Map("path" -> t, "streamId" -> "s1"), Seq("part"),
+      OutputMode.Append())
+    sink.addBatch(0, df((1L, "a", 1.0)))
+    assert(TimeTravel.latestVersion(spark, t) === 1)
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext,
+        Map("path" -> t, "partCol" -> "other", "streamId" -> "s1"),
+        Seq("part"), OutputMode.Append())
+    }
+    intercept[IllegalArgumentException] {
+      provider.createSink(spark.sqlContext,
+        Map("path" -> t, "streamId" -> "s1"),
+        Seq("a", "b"), OutputMode.Append())
+    }
+  }
+
+  test("upsert-mode sink: Update-mode totals merge per micro-batch; " +
+      "result equals the batch aggregation") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val bronze = tmpDir("vsink-up-bronze")
+    TimeTravel.init(spark, bronze, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, bronze,
+      df((2L, "a", 2.0), (3L, "b", 3.0)), "part") // v2
+    TimeTravel.append(spark, bronze,
+      df((4L, "a", 4.0), (5L, "b", 5.0)), "part") // v3
+    val silver = tmpDir("vsink-up-silver")
+    val ck = tmpDir("vsink-up-ck")
+    val totals = VersionedStream.readStream(spark, bronze,
+        sinceVersion = Some(1), maxVersionsPerTrigger = Some(1))
+      .groupBy(col("part"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("part"), col("n"), col("total"),
+        col("part").as("bucket"))
+    VersionedStream.replayToTable(totals, silver, ck, partCol = "bucket",
+      mode = "upsert", keyCol = Some("part"),
+      outputMode = OutputMode.Update())
+    val got = TimeTravel.readVersion(spark, silver,
+        TimeTravel.latestVersion(spark, silver))
+      .select("part", "n", "total").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === Set(("a", 2L, 6.0), ("b", 2L, 8.0)))
+  }
+
   test("a vacuumed-away window fails loudly on restart — never a silent gap") {
     val t = tmpDir("vsrc-vac")
     TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
