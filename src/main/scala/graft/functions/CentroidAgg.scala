@@ -30,8 +30,9 @@ import org.apache.spark.sql.types._
   * whole; a group with no usable vector evaluates to NULL (never a
   * 0-division NaN). Vectors must carry exactly `dim` non-null elements —
   * the fixed-width embedding contract everything in
-  * [[graft.operators.Similarity]] already assumes; ragged rows fail
-  * loudly rather than skew a centroid. */
+  * [[graft.operators.Similarity]] already assumes; ragged rows AND null
+  * elements fail loudly rather than skew a centroid (ArrayData.getFloat
+  * would silently read a null element as 0.0). */
 case class CentroidAgg(
     child: Expression,
     dim: Int,
@@ -63,6 +64,12 @@ case class CentroidAgg(
       buffer(0) += 1
       var i = 0
       while (i < dim) {
+        // getFloat on a NULL element silently reads 0.0 — which would
+        // skew the mean while still counting the vector; a null element
+        // violates the fixed-width contract, so fail loudly instead
+        require(!arr.isNullAt(i),
+          s"vec_mean: NULL element at position $i — embeddings must be " +
+            "null-free")
         buffer(i + 1) += arr.getFloat(i)
         i += 1
       }

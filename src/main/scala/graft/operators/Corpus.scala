@@ -764,14 +764,19 @@ object Corpus {
     *   1. it shares no symbol with any earlier batch member's inputs
     *      OR MERGED OUTPUT (so its own count is untouched by them —
     *      merging destroys only pairs adjacent to the merged symbols
-    *      and creates only pairs containing the new symbol), and
+    *      and creates only pairs containing the new symbol), AND its
+    *      output is a BRAND-NEW string — not a previous merge's output,
+    *      the only way a string can already live as a symbol — so no
+    *      existing pair can GAIN count from the batch (the
+    *      output-collision count-stacking case stops the batch), and
     *   2. its count STRICTLY exceeds every pair that interacts with
     *      the batch's symbols (fetched ones checked directly;
-    *      unfetched ones bounded by the fetch floor): any pair a batch
-    *      merge CREATES arises from an occurrence that was previously
-    *      an interacting pair's occurrence, so its count is bounded by
-    *      an interacting pre-round count — strictly below p_k, it can
-    *      never preempt p_k's greedy turn, even via tie-break.
+    *      unfetched ones bounded by the fetch floor): with rule 1's
+    *      collision stop, any pair a batch merge CREATES is brand-new
+    *      and every occurrence of it was previously an interacting
+    *      pair's occurrence — count bounded by an interacting
+    *      pre-round count, strictly below p_k, so it can never preempt
+    *      p_k's greedy turn, even via tie-break.
     * The batch truncates at the first member either rule rejects
     * (later members' turns depend on the rejected one); an empty safe
     * prefix falls back to the plain single argmax, which is exact
@@ -786,6 +791,11 @@ object Corpus {
     val base = words.select(bpeSeq(col("word")).as("s"), col("freq"))
       .localCheckpoint()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    // every output string a prior merge created: the ONLY way a merge's
+    // output can pre-exist as a live symbol (symbols are single chars or
+    // previous outputs), i.e. the only way an existing pair can GAIN
+    // count from a batch merge — rule 1's collision stop checks this
+    val priorOutputs = scala.collection.mutable.Set.empty[String]
     var cur = base
     var depth = 0 // replaces stacked on the last materialization
     var rounds = 0
@@ -802,16 +812,31 @@ object Corpus {
       rounds += 1
       if (fetched.isEmpty) exhausted = true // every word fully merged
       else {
-        // rule 1: maximal CONSECUTIVE non-interacting prefix, capped
+        // rule 1: maximal CONSECUTIVE non-interacting prefix, capped.
+        // The collision stop (`priorOutputs(l + r)`) is load-bearing for
+        // rule 2's soundness: if a member's output string ALREADY exists
+        // as a symbol (only possible when a previous merge created it —
+        // live symbols are single chars or prior outputs), an existing
+        // pair containing that symbol would GAIN count from the merge
+        // (post = pre + created), which the dominance bound below does
+        // not cover; stopping there means every batch output is a
+        // brand-new string, so no existing pair can gain — only lose.
         val used = scala.collection.mutable.Set.empty[String]
         val prefix =
           scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
         var stopped = false
         for (p @ (l, r, _) <- fetched if !stopped)
-          if (prefix.length >= cap || used(l) || used(r) || used(l + r))
+          if (prefix.length >= cap || used(l) || used(r) || used(l + r) ||
+              priorOutputs(l + r))
             stopped = true
           else { prefix += p; used ++= Seq(l, r, l + r) }
-        // rule 2: strict dominance over every interacting pair's count
+        // rule 2: strict dominance over every interacting pair's count.
+        // Sound because (given the collision stop) a pair a batch merge
+        // CREATES is a brand-new pair whose every occurrence was
+        // previously an interacting pair's occurrence — count ≤ an
+        // interacting pre-round count — and existing pairs only lose.
+        // Interacting pairs are checked directly among the fetched; the
+        // unfetched tail is bounded by the fetch floor.
         val floor = if (fetched.length < fetchN) -1L else fetched.last._3
         val inPrefix = prefix.toSet
         val mBound = (floor +: fetched.toSeq.filterNot(inPrefix).collect {
@@ -821,6 +846,7 @@ object Corpus {
         val batch = if (safe.isEmpty) prefix.take(1) else safe
         for ((l, r, n) <- batch) {
           merges += ((merges.length + 1, l, r, n))
+          priorOutputs += l + r
           cur = cur.withColumn("s", bpeMergeOnce(col("s"), l, r))
           depth += 1
           if (depth >= bpeCheckpointRounds) {

@@ -87,6 +87,16 @@ object LogStore {
     scala.collection.concurrent.TrieMap[String, LogStore](
       "file" -> LocalLink)
 
+  /** Schemes whose `rename` is known to be copy+delete with NO atomic
+    * fail-if-exists (plain object stores): defaulting them to
+    * [[AtomicRename]] would let two racing writers both "win" a commit,
+    * the second silently overwriting the first's record — the exact
+    * lost update this abstraction exists to prevent. They REFUSE until
+    * a real coordinator is registered. (Azure's abfs/wasb rename IS
+    * atomic in the namespace and stays on the rename default, matching
+    * Delta's store assignments.) */
+  private val renameUnsafe = Set("s3", "s3a", "s3n", "gs", "oss", "cos")
+
   /** Plug a store in for a filesystem scheme — e.g. an external
     * log-commit coordinator for `s3a`, where neither hard links nor
     * rename-fails-if-exists exist. Registration is process-wide, like
@@ -96,8 +106,15 @@ object LogStore {
 
   /** The store for a scheme: local link for `file`, any registered
     * override, atomic rename otherwise (correct on HDFS-semantics
-    * filesystems — which is the assumption plain S3 breaks, hence the
-    * registry). */
+    * filesystems). Known rename-unsafe object-store schemes fail LOUDLY
+    * instead of falling through to a store that would lose commits. */
   def forScheme(scheme: String): LogStore =
-    byScheme.getOrElse(scheme, AtomicRename)
+    byScheme.getOrElse(scheme,
+      if (renameUnsafe(scheme))
+        throw new IllegalStateException(
+          s"scheme '$scheme' has no atomic rename-fails-if-exists: " +
+            "commits through the rename store could silently overwrite " +
+            s"each other — LogStore.register(\"$scheme\", ...) an " +
+            "external log-commit coordinator first")
+      else AtomicRename)
 }

@@ -276,6 +276,10 @@ object Similarity {
       return centroids)
     for (_ <- 0 until iters) {
       val means = emb
+        // NULL embeddings drop here, as the exploded formulation dropped
+        // them (posexplode of NULL emitted no rows) — without the filter
+        // they'd group under a NULL cell and NPE the collect
+        .filter(col("embedding").isNotNull)
         .select(ivfAssign(col("embedding"), centroids).as("cell"),
           col("embedding"))
         .groupBy(col("cell"))

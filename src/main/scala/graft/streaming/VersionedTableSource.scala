@@ -180,7 +180,10 @@ class VersionedTableSink(spark: SparkSession, baseDir: String,
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     if (mode == "append" && batchId <= committedUpTo.get()) return
-    val batch = StreamingDataFrame.asBatch(data)
+    // materialize the micro-batch ONCE: the emptiness probe and the
+    // commit's own staging would otherwise each re-run the incremental
+    // plan (state-store reads included) from scratch
+    val batch = StreamingDataFrame.asBatch(data).localCheckpoint()
     if (batch.isEmpty) return
     val txn = if (mode == "append") Some(streamId -> batchId) else None
     if (TimeTravel.latestVersion(spark, baseDir) == 0)
@@ -234,6 +237,14 @@ class VersionedTableSourceProvider extends StreamSourceProvider
       s"mode must be 'append' or 'upsert', got '$mode'")
     require(mode != "upsert" || opts.keyCol.nonEmpty,
       "upsert mode requires option 'keyCol'")
+    // a blind-append sink under Update/Complete would re-land every
+    // re-emitted aggregate row as NEW rows each trigger — silent
+    // duplication (the txn marker dedups re-delivered batchIds, not
+    // re-emitted rows). The Delta sink refuses the same combination.
+    require(mode != "append" || outputMode == OutputMode.Append(),
+      s"mode=append requires Append output mode (got $outputMode): " +
+        "Update/Complete re-emit rows across triggers, which a blind " +
+        "append would duplicate — use mode=upsert with a keyCol")
     require(partitionColumns.length <= 1,
       "the versioned table partitions by ONE column; got " +
         partitionColumns.mkString(", "))

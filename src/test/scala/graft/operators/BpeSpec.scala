@@ -157,6 +157,22 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("output-collision stress: batched training equals the reference " +
+      "on corpora where a merge's output string pre-exists as a symbol") {
+    // tiny alphabets + long words make later merges' outputs collide
+    // with strings already live as symbols — the case where a pair can
+    // GAIN count from a batch merge (post = pre + created), which rule
+    // 2's 4×-dominance bound must absorb; 5 seeds for coverage
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val corpus = Iterator.continually {
+          val len = 2 + rnd.nextInt(5)
+          (1 to len).map(_ => "ab"(rnd.nextInt(2))).mkString
+        }.distinct.take(40).map(w => w -> (1L + rnd.nextInt(6))).toSeq
+      assert(trained(corpus, 50) === refBpe(corpus, 50), s"seed $seed")
+    }
+  }
+
   test("a fully chained corpus degrades to one merge per round, never a " +
       "wrong table") {
     // 16 a's: each merge's pair is built from the previous merge's

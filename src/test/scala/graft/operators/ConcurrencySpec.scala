@@ -278,6 +278,13 @@ class ConcurrencySpec extends SparkSpec {
     }
     LogStore.register("mocks3", Mock)
     assert(LogStore.forScheme("mocks3") === Mock)
+    // rename-unsafe object stores REFUSE until a coordinator is
+    // registered: falling through to the rename store would let two
+    // racing writers both "win" a commit (lost update)
+    val e = intercept[IllegalStateException](LogStore.forScheme("s3a"))
+    assert(e.getMessage.contains("register"))
+    LogStore.register("s3a", Mock) // registered: resolves
+    assert(LogStore.forScheme("s3a") === Mock)
   }
 
   test("AtomicRename installs exclusively and never leaks its temp") {

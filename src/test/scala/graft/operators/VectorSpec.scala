@@ -181,6 +181,33 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("kmeans drops NULL embeddings (as the exploded form did); " +
+      "CentroidAgg refuses null ELEMENTS loudly") {
+    val base = emb.limit(20).select("vec_id", "label", "embedding")
+      .localCheckpoint()
+    val nullRow = base.limit(1).select(lit(999L).as("vec_id"),
+      lit("x").as("label"),
+      lit(null).cast("array<float>").as("embedding"))
+    // a NULL vector must not NPE the refinement — it simply contributes
+    // to no cell, exactly as posexplode(NULL) contributed no rows
+    val cs = Similarity.kmeansCentroids(base.unionByName(nullRow),
+      nCells = 4, iters = 1)
+    assert(cs.size === 4)
+    assert(cs === Similarity.kmeansCentroids(base, nCells = 4, iters = 1))
+    // a null ELEMENT would silently read as 0.0 and skew the mean —
+    // refused loudly instead (the fixed-width contract)
+    val dim = cs.head.length
+    val ragged = base.limit(1).select(
+      array((lit(null).cast("float") +:
+        Seq.fill(dim - 1)(lit(1.0f))): _*).as("embedding"))
+    val e = intercept[Exception] {
+      ragged.agg(graft.functions.CentroidAgg.vecMean(col("embedding"), dim))
+        .collect()
+    }
+    assert(e.getMessage.contains("null") ||
+      Option(e.getCause).exists(_.getMessage.contains("null")))
+  }
+
   test("near-dup pairs: symmetric-free (a<b), thresholded, true cosines") {
     val pairs = Similarity.cosineNearDupPairs(emb, nPlanes = 3, seed = 7L,
       threshold = 0.30).collect()

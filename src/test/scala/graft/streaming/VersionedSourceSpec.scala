@@ -182,6 +182,25 @@ class VersionedSourceSpec extends SparkSpec {
     assert(silverIds() === Seq(2L, 3L, 4L))
   }
 
+  test("append-mode sink refuses Update/Complete output modes — " +
+      "re-emitted aggregate rows would silently duplicate") {
+    import org.apache.spark.sql.streaming.OutputMode
+    val provider = new VersionedTableSourceProvider
+    for (bad <- Seq(OutputMode.Update(), OutputMode.Complete())) {
+      val e = intercept[IllegalArgumentException] {
+        provider.createSink(spark.sqlContext,
+          Map("path" -> tmpDir("vsink-om"), "partCol" -> "part",
+            "streamId" -> "s1"), Nil, bad)
+      }
+      assert(e.getMessage.contains("mode=upsert"))
+    }
+    // upsert mode accepts Update (the totals-merge shape)
+    provider.createSink(spark.sqlContext,
+      Map("path" -> tmpDir("vsink-om"), "partCol" -> "part",
+        "mode" -> "upsert", "keyCol" -> "id", "streamId" -> "s1"),
+      Nil, OutputMode.Update())
+  }
+
   test("sink accepts .partitionBy as the partition declaration and " +
       "refuses a disagreeing partCol option") {
     import org.apache.spark.sql.streaming.OutputMode
