@@ -278,6 +278,122 @@ object TimeTravel {
   private def schemaLine(schema: org.apache.spark.sql.types.StructType): String =
     s"#schema=${schema.json}"
 
+  // ---------------------------------------------------------------------
+  // CHECK constraints — table-level row invariants (Delta's ALTER TABLE
+  // ADD CONSTRAINT ... CHECK). The active set rides in EVERY commit
+  // record as `#constraint=<enc name>|<enc sqlExpr>` lines (the same
+  // mechanism as `#schema=`), so reading any single record yields the
+  // policy — no log walk on the commit path. Enforcement is SQL-standard
+  // CHECK semantics: a row violates when the expression is FALSE; NULL
+  // (unknown) passes, as in every SQL engine's CHECK. Enforced where
+  // rows ENTER the table (init / append / upsert batches); deletes,
+  // compactions and restores only move rows that already passed.
+  // ---------------------------------------------------------------------
+
+  private def constraintLines(cs: Map[String, String]): Seq[String] =
+    cs.toSeq.sortBy(_._1).map { case (n, e) =>
+      s"#constraint=${enc(n)}|${enc(e)}" }
+
+  private def constraintsFrom(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith("#constraint=") =>
+      val body = l.stripPrefix("#constraint=")
+      val i = body.indexOf('|')
+      dec(body.take(i)) -> dec(body.drop(i + 1))
+    }.toMap
+
+  /** The active constraint set recorded at `version` — one record read
+    * (every record carries the full set). Empty on pre-constraint logs. */
+  def constraintsAt(spark: SparkSession, baseDir: String,
+      version: Int): Map[String, String] = {
+    val fs = hadoopFs(spark, baseDir)
+    activeConstraints(fs, baseDir, version)
+  }
+
+  private def activeConstraints(fs: FileSystem, baseDir: String,
+      version: Int): Map[String, String] =
+    Seq(deltaPath(baseDir, version), manifestPath(baseDir, version))
+      .iterator.filter(fs.exists(_))
+      .map(p => constraintsFrom(readRawLines(fs, p)))
+      .nextOption().getOrElse(Map.empty)
+
+  /** Refuse `batch` rows that violate any active constraint — ONE
+    * combined pass (violations OR'd, limit-1 probe); only the failure
+    * path pays per-constraint probes to NAME the violated one. */
+  private def enforceConstraints(batch: DataFrame,
+      cs: Map[String, String], op: String): Unit =
+    if (cs.nonEmpty) {
+      def violates(e: String) = not(coalesce(expr(e), lit(true)))
+      if (!batch.filter(cs.values.map(violates).reduce(_ || _)).isEmpty) {
+        val name = cs.toSeq.sortBy(_._1).collectFirst {
+          case (n, e) if !batch.filter(violates(e)).isEmpty => s"$n ($e)"
+        }.getOrElse(cs.keys.mkString(", "))
+        throw new IllegalArgumentException(
+          s"$op batch violates CHECK constraint $name — rows must " +
+            "satisfy every table constraint (NULL passes, FALSE refuses)")
+      }
+    }
+
+  /** ADD CONSTRAINT as a metadata-only commit: the whole CURRENT version
+    * must already satisfy `sqlExpr` (one scan — Delta validates the
+    * same way), then the widened set lands in a data-free commit record
+    * every later commit carries forward. On a commit race the loop
+    * re-validates against the NEW tip before retrying — a concurrent
+    * batch must never slip in under a constraint it was not checked
+    * against. Returns the committed version. */
+  def addConstraint(spark: SparkSession, baseDir: String, name: String,
+      sqlExpr: String): Int = {
+    require(name.nonEmpty && sqlExpr.nonEmpty,
+      "constraint name and expression are required")
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — init the table first")
+    while (true) {
+      val cs = activeConstraints(fs, baseDir, prev)
+      require(!cs.contains(name),
+        s"constraint '$name' already exists (${cs(name)}) — drop it first")
+      // existing data must satisfy the new invariant, loudly checked
+      enforceConstraints(readVersion(spark, baseDir, prev),
+        Map(name -> sqlExpr), s"ADD CONSTRAINT $name: existing version " +
+          s"$prev")
+      try {
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
+          schemaOfRecord(fs, baseDir, prev), Some("constraint"),
+          constraints = cs + (name -> sqlExpr))
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** DROP CONSTRAINT: the shrunken set lands in a metadata-only commit.
+    * Dropping an unknown name is a loud error, not a silent no-op. */
+  def dropConstraint(spark: SparkSession, baseDir: String,
+      name: String): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits")
+    while (true) {
+      val cs = activeConstraints(fs, baseDir, prev)
+      require(cs.contains(name), s"no constraint named '$name' " +
+        s"(active: ${cs.keys.toSeq.sorted.mkString(", ")})")
+      try {
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
+          schemaOfRecord(fs, baseDir, prev), Some("constraint"),
+          constraints = cs - name)
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Commit-kind and wall-clock metadata lines. The `#op=` kind is what
     * lets a log CONSUMER reason about a commit without reading its data:
     * [[readAppendsSince]] delivers `append` adds, skips `compact` adds
@@ -682,8 +798,10 @@ object TimeTravel {
       txns: Seq[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       op: Option[String], ts: Option[Long],
-      stats: Map[String, String]): Array[Byte] =
+      stats: Map[String, String],
+      constraints: Map[String, String] = Map.empty): Array[Byte] =
     (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
+      constraintLines(constraints) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
       statsLinesFor(files, stats) ++
       files.sorted).mkString("\n").getBytes("UTF-8")
@@ -695,9 +813,10 @@ object TimeTravel {
       files: Seq[String], txns: Seq[(String, Long)] = Nil,
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None, ts: Option[Long] = None,
-      stats: Map[String, String] = Map.empty): Unit = {
+      stats: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty): Unit = {
     installExclusive(fs, manifestPath(baseDir, version),
-      manifestContent(files, txns, schema, op, ts, stats))
+      manifestContent(files, txns, schema, op, ts, stats, constraints))
   }
 
   /** The losing writer of a commit race — version `version` was
@@ -718,9 +837,11 @@ object TimeTravel {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None,
       stats: Map[String, String] = Map.empty,
-      cdc: Option[String] = None): Unit = {
+      cdc: Option[String] = None,
+      constraints: Map[String, String] = Map.empty): Unit = {
     val bytes =
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
+        constraintLines(constraints) ++
         op.map(opLine).toSeq ++ cdc.map(cdcLine).toSeq ++ Seq(tsLine()) ++
         statsLinesFor(adds, stats) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
@@ -825,11 +946,14 @@ object TimeTravel {
     val addStats = computeAddStats(spark, fs, baseDir, adds)
     val isRewrite = removes.nonEmpty || op == "upsert" || op == "delete" ||
       op == "compact"
+    // the active policy the batch was ENFORCED under (one record read);
+    // carried forward in this commit's record, re-checked on rebase
+    val constraints = activeConstraints(fs, baseDir, prev)
     var base = prev
     while (true) {
       try return logCommit(spark, fs, baseDir, base + 1, dirs, adds,
         removes, addStats, () => resolveFull(spark, baseDir, base),
-        txn, Some(schema), op, cdc)
+        txn, Some(schema), op, cdc, constraints)
       catch { case c: CommitConflict =>
         val latest = latestVersion(spark, baseDir)
         if (isRewrite)
@@ -865,6 +989,15 @@ object TimeTravel {
         // schema may have evolved under us: re-check against the tip
         checkSchema(schema, schemaOfRecord(fs, baseDir, latest),
           evolveSchema, op)
+        // a constraint change landed concurrently: this batch was
+        // enforced under the OLD policy — rebasing would slip
+        // unvalidated rows under the new one. Surface loudly; the
+        // caller re-runs (re-enforcing against the new tip).
+        if (activeConstraints(fs, baseDir, latest) != constraints)
+          throw new java.util.ConcurrentModificationException(
+            s"$op of $baseDir raced a constraint change (version " +
+              s"$latest): the batch was validated under the old " +
+              "policy — re-run against the current version")
         base = latest
       }
     }
@@ -1216,16 +1349,18 @@ object TimeTravel {
       prevSnap: () => Snapshot,
       txn: Option[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
-      op: String, cdc: Option[String]): Int = {
+      op: String, cdc: Option[String],
+      constraints: Map[String, String] = Map.empty): Int = {
     writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op),
-      addStats, cdc)
+      addStats, cdc, constraints)
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
       val s = prevSnap()
       writeManifest(fs, baseDir, version,
         s.files.filterNot(removed) ++ adds, Nil, schema, Some(op),
-        stats = s.stats -- removes ++ addStats)
+        stats = s.stats -- removes ++ addStats,
+        constraints = constraints)
     }
     commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
@@ -1258,6 +1393,8 @@ object TimeTravel {
     checkSchema(rows.schema, schemaOfRecord(fs, baseDir, prev),
       evolveSchema, "append")
     val batch = rows.localCheckpoint() // distinct-collect + write: 2 actions
+    enforceConstraints(batch, activeConstraints(fs, baseDir, prev),
+      "append")
     val affected = batch.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     Merge.requireNoNullPartition(affected, partCol)
@@ -1339,6 +1476,8 @@ object TimeTravel {
     val prevSchema = prevSnap.schema
     checkSchema(updates.schema, prevSchema, evolveSchema, "upsert")
     val ups = updates.localCheckpoint()
+    enforceConstraints(ups,
+      activeConstraints(hadoopFs(spark, baseDir), baseDir, prev), "upsert")
     // one action serves the broadcast gate AND the discovery envelope
     val gate = ups.agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)))
       .head
@@ -1519,8 +1658,11 @@ object TimeTravel {
     val dirs = (adds ++ removes).map(f => f.take(f.indexOf('/'))).toSet
     val addSet = adds.toSet
     val addStats = target.stats.filter { case (f, _) => addSet(f) }
+    // constraints are table POLICY restored with the content, like the
+    // schema: the commit carries toVersion's recorded set
     try logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
-      addStats, () => cur, None, target.schema, "restore", None)
+      addStats, () => cur, None, target.schema, "restore", None,
+      activeConstraints(fs, baseDir, toVersion))
     catch {
       case _: CommitConflict =>
         throw new java.util.ConcurrentModificationException(
@@ -1602,7 +1744,7 @@ object TimeTravel {
     if (!fs.exists(mPath))
       writeManifest(fs, baseDir, keepFrom, floor.toSeq, carried,
         floorSchema, opFrom(origLines).orElse(Some("floor")),
-        tsFrom(origLines), floorSnap.stats)
+        tsFrom(origLines), floorSnap.stats, constraintsFrom(origLines))
     else {
       // the floor may already have a CADENCE checkpoint — written at
       // commit time with no txn marks. The marks living only in the
@@ -1620,7 +1762,7 @@ object TimeTravel {
         val out = fs.create(tmp, true)
         try out.write(manifestContent(floor.toSeq.sorted, carried,
           floorSchema, opFrom(origLines), tsFrom(origLines),
-          floorSnap.stats))
+          floorSnap.stats, constraintsFrom(origLines)))
         finally out.close()
         fs.delete(mPath, false)
         require(fs.rename(tmp, mPath),
@@ -1852,6 +1994,7 @@ object TimeTravel {
       opFrom(lines) match {
         case Some("append") => adds
         case Some("compact") => Nil // dataChange=false: already delivered
+        case Some("constraint") => Nil // metadata-only: no rows to deliver
         case None if removes.isEmpty => adds // pre-#op log, provably adds-only
         case other => throw new IllegalArgumentException(
           s"version $v of $baseDir is a " +
@@ -1939,6 +2082,7 @@ object TimeTravel {
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
         case Some("compact") => None // dataChange=false
+        case Some("constraint") => None // metadata-only commit
         case op =>
           val tok = cdcFrom(lines).getOrElse(
             throw new IllegalArgumentException(

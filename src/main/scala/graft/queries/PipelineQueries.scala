@@ -1582,8 +1582,94 @@ object PipelineQueries {
       FROM supplier""")
   )
 
+  /** Versioned supplier table under a CHECK constraint, staged once per
+    * sf dir: v1 init, v2 = ADD CONSTRAINT `bal_floor` (`s_acctbal >
+    * -1000`, which real TPC-H balances satisfy), v3 = a valid append
+    * (clones of every 9th supplier, key-shifted, balance forced
+    * positive), plus one REFUSED append (balance −5000 — the constraint
+    * must reject it loudly and commit nothing). Returns (dir, whether
+    * the violating append was refused). */
+  private val stagedConstrained =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+  private def constrainedSupplierDir(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, Boolean) =
+    stagedConstrained.getOrElseUpdate(dir, {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir("graft-tt-constraint")
+      val sup = Tables.load(spark, dir, "supplier")
+        .withColumn("part", pmod(col("s_nationkey"), lit(5)).cast("string"))
+      val shift = sup.agg(max(col("s_suppkey"))).head.getLong(0) + 1
+      TimeTravel.init(spark, t, sup, "part")
+      TimeTravel.addConstraint(spark, t, "bal_floor", "s_acctbal > -1000")
+      val refused =
+        try {
+          TimeTravel.append(spark, t,
+            sup.filter(col("s_suppkey") % 9 === 0)
+              .withColumn("s_suppkey", col("s_suppkey") + lit(2 * shift))
+              .withColumn("s_acctbal", lit(-5000.0)), "part")
+          false
+        } catch { case _: IllegalArgumentException => true }
+      TimeTravel.append(spark, t,
+        sup.filter(col("s_suppkey") % 9 === 0)
+          .withColumn("s_suppkey", col("s_suppkey") + lit(shift))
+          .withColumn("s_acctbal", abs(col("s_acctbal")) + lit(1.0)),
+        "part")
+      (t, refused)
+    })
+
+  /** CHECK CONSTRAINTS on the versioned table
+    * ([[graft.operators.TimeTravel.addConstraint]] — Delta's `ALTER
+    * TABLE ADD CONSTRAINT ... CHECK`): the active constraint set rides
+    * in EVERY commit record like the schema, so enforcement reads ONE
+    * record, never walks the log. The staged history proves the whole
+    * contract in-band: the violating append was REFUSED loudly with
+    * nothing committed (the table's content must equal init + only the
+    * valid append — a leaked violating row shifts `n_rows`/`sum_bal`
+    * and hash-mismatches), the valid append landed under the
+    * constraint, the policy is still active at the tip, and the
+    * metadata-only constraint commit is SKIPPED by the incremental
+    * feed (windows compose across it). Enforcement is SQL-standard
+    * CHECK: FALSE refuses, NULL passes (TimeTravelSpec pins the NULL
+    * case, the add-over-violating-data refusal, drop semantics, vacuum
+    * survival via the floor record, and restore carrying the target's
+    * policy). */
+  val q177 = Q(
+    "q177_check_constraints",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, refused) = constrainedSupplierDir(spark, dir)
+      val latest = TimeTravel.latestVersion(spark, t)
+      val active = TimeTravel.constraintsAt(spark, t, latest)
+        .contains("bal_floor")
+      val feedRows = TimeTravel.readAppendsSince(spark, t, 1).count()
+      TimeTravel.readVersion(spark, t, latest).agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("s_suppkey")).as("sum_key"),
+          Exact.dsum(col("s_acctbal")).as("sum_bal"))
+        .select(col("n_rows"), col("sum_key"), col("sum_bal"),
+          lit(refused).as("violating_append_refused"),
+          lit(active).as("constraint_active_at_tip"),
+          (col("n_rows") === lit(feedRows +
+            TimeTravel.readVersion(spark, t, 1).count()))
+            .as("feed_skips_metadata_commits"))
+    },
+    Some(s"""WITH m AS (SELECT MAX(s_suppkey) + 1 AS shift FROM supplier),
+      u AS (
+        SELECT s_suppkey AS k, s_acctbal AS bal FROM supplier
+        UNION ALL
+        SELECT s_suppkey + m.shift, ABS(s_acctbal) + 1.0
+        FROM supplier, m WHERE s_suppkey % 9 = 0)
+      SELECT COUNT(*) AS n_rows, CAST(SUM(k) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("bal")} AS sum_bal,
+        TRUE AS violating_append_refused,
+        TRUE AS constraint_active_at_tip,
+        TRUE AS feed_skips_metadata_commits
+      FROM u""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
-      q167, q168, q169, q170, q171, q172, q173, q174, q175)
+      q167, q168, q169, q170, q171, q172, q173, q174, q175, q177)
 }

@@ -606,6 +606,80 @@ class TimeTravelSpec extends SparkSpec {
     assert(scan.df.filter(col("id").between(12L, 18L)).count() === 7)
   }
 
+  test("CHECK constraints: enforced on append/upsert batches, NULL " +
+      "passes, violating commits leave the table untouched") {
+    val dir = stage()
+    val v2 = TimeTravel.addConstraint(spark, dir, "v_pos", "v > 0")
+    assert(v2 === 2)
+    assert(TimeTravel.constraintsAt(spark, dir, 2) ===
+      Map("v_pos" -> "v > 0"))
+    // violating append: refused loudly, no commit, no orphan rows
+    val e = intercept[IllegalArgumentException] {
+      TimeTravel.append(spark, dir,
+        Seq((9L, "p1", -1.0)).toDF("id", "part", "v"), "part")
+    }
+    assert(e.getMessage.contains("v_pos"))
+    assert(TimeTravel.latestVersion(spark, dir) === 2)
+    // valid append passes and CARRIES the constraint in its record
+    TimeTravel.append(spark, dir,
+      Seq((9L, "p1", 5.0)).toDF("id", "part", "v"), "part") // v3
+    assert(TimeTravel.constraintsAt(spark, dir, 3).contains("v_pos"))
+    // violating upsert: refused
+    intercept[IllegalArgumentException] {
+      TimeTravel.upsert(spark, dir,
+        Seq((1L, "p1", -3.0)).toDF("id", "part", "v"), "id", "part")
+    }
+    // NULL is UNKNOWN, not FALSE: SQL-standard CHECK lets it pass
+    TimeTravel.append(spark, dir,
+      Seq((10L, "p2")).toDF("id", "part")
+        .withColumn("v", lit(null).cast("double"))
+        .select("id", "part", "v"), "part") // v4
+    // adding a constraint the EXISTING data violates is refused
+    intercept[IllegalArgumentException] {
+      TimeTravel.addConstraint(spark, dir, "huge", "v > 100")
+    }
+    // duplicate name refused; unknown drop refused
+    intercept[IllegalArgumentException] {
+      TimeTravel.addConstraint(spark, dir, "v_pos", "v > -5")
+    }
+    intercept[IllegalArgumentException] {
+      TimeTravel.dropConstraint(spark, dir, "nope")
+    }
+    // drop: the forbidden row now lands
+    TimeTravel.dropConstraint(spark, dir, "v_pos") // v5
+    TimeTravel.append(spark, dir,
+      Seq((11L, "p1", -1.0)).toDF("id", "part", "v"), "part") // v6
+    assert(TimeTravel.constraintsAt(spark, dir, 6) === Map.empty)
+    // the insert-only feed composes ACROSS the metadata-only commits
+    val feed = TimeTravel.readAppendsSince(spark, dir, 1)
+    assert(feed.select("id").as[Long].collect().sorted.toSeq ===
+      Seq(9L, 10L, 11L))
+  }
+
+  test("constraints survive vacuum via the floor record and restore " +
+      "carries the target's policy") {
+    val dir = stage()
+    TimeTravel.addConstraint(spark, dir, "v_pos", "v > 0") // v2
+    TimeTravel.append(spark, dir,
+      Seq((9L, "p1", 5.0)).toDF("id", "part", "v"), "part") // v3
+    TimeTravel.vacuum(spark, dir, keepFrom = 3)
+    // the floor checkpoint carries the policy: enforcement continues
+    assert(TimeTravel.constraintsAt(spark, dir, 3).contains("v_pos"))
+    intercept[IllegalArgumentException] {
+      TimeTravel.append(spark, dir,
+        Seq((12L, "p1", -2.0)).toDF("id", "part", "v"), "part")
+    }
+    // restore to a version under the SAME policy keeps enforcing
+    TimeTravel.upsert(spark, dir,
+      Seq((9L, "p1", 7.0)).toDF("id", "part", "v"), "id", "part") // v4
+    val v5 = TimeTravel.restore(spark, dir, 3)
+    assert(TimeTravel.constraintsAt(spark, dir, v5).contains("v_pos"))
+    intercept[IllegalArgumentException] {
+      TimeTravel.append(spark, dir,
+        Seq((13L, "p1", -9.0)).toDF("id", "part", "v"), "part")
+    }
+  }
+
   test("snapshotDiff across versions from manifests alone matches the applied batches") {
     val dir = stage()
     TimeTravel.upsert(spark, dir,

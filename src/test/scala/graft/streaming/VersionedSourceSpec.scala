@@ -182,6 +182,30 @@ class VersionedSourceSpec extends SparkSpec {
     assert(silverIds() === Seq(2L, 3L, 4L))
   }
 
+  test("continuous tailing: a ProcessingTime stream picks up commits " +
+      "landed while it runs — the live deployment shape") {
+    val t = tmpDir("vsrc-live")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2
+    val out = tmpDir("vsrc-live-out")
+    val ck = tmpDir("vsrc-live-ck")
+    val q = VersionedStream.readStream(spark, t, sinceVersion = Some(1))
+      .writeStream.format("parquet")
+      .option("path", out).option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+      .start()
+    try {
+      q.processAllAvailable()
+      assert(outIds(out) === Seq(2L))
+      // the table moves WHILE the stream runs — no restart
+      TimeTravel.append(spark, t, df((3L, "b", 3.0)), "part") // v3
+      TimeTravel.append(spark, t, df((4L, "a", 4.0)), "part") // v4
+      q.processAllAvailable()
+      assert(outIds(out) === Seq(2L, 3L, 4L))
+    } finally q.stop()
+  }
+
   test("append-mode sink refuses Update/Complete output modes — " +
       "re-emitted aggregate rows would silently duplicate") {
     import org.apache.spark.sql.streaming.OutputMode
