@@ -49,9 +49,9 @@ class Round10PropertySpec extends SparkSpec {
     TimeTravel.init(spark, dir, df(current), "part")
     val history = scala.collection.mutable.ArrayBuffer(current)
 
-    (1 to 13).foreach { _ =>
+    (1 to 15).foreach { _ =>
       val prevVersion = TimeTravel.latestVersion(spark, dir)
-      val next = rnd.nextInt(5) match {
+      val next = rnd.nextInt(6) match {
         case 0 => // upsert a small batch (updates + inserts, distinct keys)
           val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
           TimeTravel.upsert(spark, dir, df(batch), "id", "part")
@@ -70,10 +70,18 @@ class Round10PropertySpec extends SparkSpec {
         case 3 => // compact: content identity, commits only if fragmented
           TimeTravel.compact(spark, dir, "part")
           current
-        case _ => // restore to a random earlier version: model = its snapshot
+        case 4 => // restore to a random earlier version: model = its snapshot
           val target = 1 + rnd.nextInt(prevVersion)
           TimeTravel.restore(spark, dir, target)
           history(target - 1)
+        case _ => // add/drop a (vacuously true) constraint: a metadata-only
+          // commit every version must resolve THROUGH without content drift
+          val cs = TimeTravel.constraintsAt(spark, dir, prevVersion)
+          if (cs.isEmpty)
+            TimeTravel.addConstraint(spark, dir, s"c$prevVersion",
+              "v > -1e18")
+          else TimeTravel.dropConstraint(spark, dir, cs.keys.min)
+          current
       }
       // record a snapshot only if a version actually committed (no-op
       // deletes, empty appends, already-compact compacts stay at prev)
