@@ -1713,9 +1713,18 @@ object TimeTravel {
     * reflects entry creation, not ongoing writes inside subdirs, so a
     * long-running stage could look idle while still being written).
     * Returns (files deleted, log versions dropped), counting only
-    * deletions the filesystem confirmed. */
+    * deletions the filesystem confirmed.
+    *
+    * `dryRun = true` REPORTS what a real vacuum would reclaim — (data
+    * files eligible, log versions that would drop) — and mutates
+    * NOTHING: no floor checkpoint, no deletes, no record drops, no
+    * sweeps (the `VACUUM ... DRY RUN` ops tool: size the reclamation
+    * before committing to it). Counts can differ from a later real run
+    * if writers commit in between — it is a report, not a
+    * reservation. */
   def vacuum(spark: SparkSession, baseDir: String, keepFrom: Int,
-      orphanMinAgeMs: Long = 7L * 24 * 3600 * 1000): (Int, Int) = {
+      orphanMinAgeMs: Long = 7L * 24 * 3600 * 1000,
+      dryRun: Boolean = false): (Int, Int) = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
     require(keepFrom >= 1 && keepFrom <= latest,
@@ -1741,7 +1750,8 @@ object TimeTravel {
       Seq(deltaPath(baseDir, keepFrom), manifestPath(baseDir, keepFrom))
         .find(fs.exists(_)).map(readRawLines(fs, _)).getOrElse(Nil)
     val mPath = manifestPath(baseDir, keepFrom)
-    if (!fs.exists(mPath))
+    if (dryRun) () // a report must not self-contain the floor either
+    else if (!fs.exists(mPath))
       writeManifest(fs, baseDir, keepFrom, floor.toSeq, carried,
         floorSchema, opFrom(origLines).orElse(Some("floor")),
         tsFrom(origLines), floorSnap.stats, constraintsFrom(origLines))
@@ -1794,6 +1804,11 @@ object TimeTravel {
         .getModificationTime <= cutoff
       catch { case _: java.io.FileNotFoundException => false }
     }
+    if (dryRun)
+      return (committedDoomed.size + oldOrphans.size,
+        (1 until keepFrom).count(v =>
+          fs.exists(manifestPath(baseDir, v)) ||
+            fs.exists(deltaPath(baseDir, v))))
     val nDeleted =
       deleteDataFiles(spark, fs, baseDir, committedDoomed ++ oldOrphans)
     // drop the now-unservable records AFTER the files: a crash between

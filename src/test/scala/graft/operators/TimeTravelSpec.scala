@@ -606,6 +606,31 @@ class TimeTravelSpec extends SparkSpec {
     assert(scan.df.filter(col("id").between(12L, 18L)).count() === 7)
   }
 
+  test("vacuum dry run reports exactly what the real run then reclaims, " +
+      "and mutates nothing") {
+    val dir = stage()
+    TimeTravel.upsert(spark, dir,
+      Seq((1L, "p1", 11.0)).toDF("id", "part", "v"), "id", "part") // v2
+    TimeTravel.upsert(spark, dir,
+      Seq((2L, "p1", 21.0)).toDF("id", "part", "v"), "id", "part") // v3
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val diskBefore = TimeTravel.listDataFiles(spark, fs, dir)
+    val logBefore = new java.io.File(dir, "_graft_log").list().sorted.toSeq
+    val report = TimeTravel.vacuum(spark, dir, keepFrom = 3,
+      orphanMinAgeMs = 0L, dryRun = true)
+    // nothing moved: data files, log records, and v1 readability intact
+    assert(TimeTravel.listDataFiles(spark, fs, dir) === diskBefore)
+    assert(new java.io.File(dir, "_graft_log").list().sorted.toSeq ===
+      logBefore)
+    assert(rows(TimeTravel.readVersion(spark, dir, 1)).nonEmpty)
+    // the real run reclaims exactly what the report promised
+    val real = TimeTravel.vacuum(spark, dir, keepFrom = 3,
+      orphanMinAgeMs = 0L)
+    assert(real === report)
+    assert(real._1 > 0 && real._2 > 0)
+    intercept[IllegalArgumentException](TimeTravel.readVersion(spark, dir, 1))
+  }
+
   test("CHECK constraints: enforced on append/upsert batches, NULL " +
       "passes, violating commits leave the table untouched") {
     val dir = stage()
