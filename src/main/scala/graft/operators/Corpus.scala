@@ -843,7 +843,14 @@ object Corpus {
           case (l, r, n) if used(l) || used(r) => n
         }).max
         val safe = prefix.takeWhile(_._3 > mBound)
-        val batch = if (safe.isEmpty) prefix.take(1) else safe
+        // progress guarantee: when the safe prefix is empty (which
+        // includes the collision stop firing at position 0, leaving
+        // `prefix` itself empty), fall back to the true argmax. A
+        // SINGLE top-pair merge is unconditionally exact greedy — it
+        // is literally the reference's one-merge-per-round step, and
+        // count-stacking onto an existing symbol is fine when only one
+        // merge applies — so every round advances `merges.length`.
+        val batch = if (safe.isEmpty) fetched.take(1).toSeq else safe
         for ((l, r, n) <- batch) {
           merges += ((merges.length + 1, l, r, n))
           priorOutputs += l + r

@@ -77,8 +77,17 @@ object LogStore {
               .FileAlreadyExistsException(target.toString)
             else throw e
           }
-        if (!renamed) throw new java.nio.file
-          .FileAlreadyExistsException(target.toString)
+        // rename returning false is only a lost commit race when the
+        // target actually exists; otherwise it is a filesystem failure
+        // and reporting it as a conflict would send the commit loop
+        // into a rebase against a phantom winner
+        if (!renamed) {
+          if (fs.exists(target)) throw new java.nio.file
+            .FileAlreadyExistsException(target.toString)
+          else throw new java.io.IOException(
+            s"rename($tmp -> $target) returned false but the target " +
+              "does not exist: filesystem failed to install the record")
+        }
       } finally fs.delete(tmp, false)
     }
   }

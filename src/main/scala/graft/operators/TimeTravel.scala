@@ -1105,9 +1105,15 @@ object TimeTravel {
     * not throw or skip wrong. */
   private def rangeKeep(snap: Snapshot,
       pred: ColRange): String => Boolean =
-    // a NULL bound gives no decision: keep everything (the documented
-    // degrade-to-read-more contract — never an NPE at plan time)
-    if (pred.lo == null || pred.hi == null) _ => true
+    // a conjunct with BOTH sides NULL gives no decision: keep everything
+    // (the documented degrade-to-read-more contract — never an NPE at
+    // plan time). ONE null side means that side is UNBOUNDED — the
+    // defined side still prunes: the batch relation's pushed one-sided
+    // comparisons (`col >= lo`, `col < hi`) land here, and pruning on
+    // the defined side alone is conservative for the same reason the
+    // two-sided test is (a file disjoint from the defined side is
+    // disjoint from the whole conjunct).
+    if (pred.lo == null && pred.hi == null) _ => true
     else rangeKeepDefined(snap, pred)
 
   private def rangeKeepDefined(snap: Snapshot,
@@ -1123,8 +1129,8 @@ object TimeTravel {
     // hoisted: the query bounds encode once, and a directory's verdict
     // is computed once however many files it holds — for a partition
     // conjunct the prune is O(dirs), not O(files)
-    val loB = pred.lo.toString.getBytes("UTF-8")
-    val hiB = pred.hi.toString.getBytes("UTF-8")
+    val loB = Option(pred.lo).map(_.toString.getBytes("UTF-8"))
+    val hiB = Option(pred.hi).map(_.toString.getBytes("UTF-8"))
     val dirVerdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
     def dirKeep(f: String): Option[Boolean] =
       if (!f.startsWith(prefix)) None
@@ -1133,7 +1139,7 @@ object TimeTravel {
         Some(dirVerdicts.getOrElseUpdate(d, {
           val v = ExternalCatalogUtils.unescapePathName(
             d.substring(prefix.length)).getBytes("UTF-8")
-          !(bytesLt(v, loB) || bytesLt(hiB, v))
+          !(loB.exists(l => bytesLt(v, l)) || hiB.exists(h => bytesLt(h, v)))
         }))
       }
     val dt = snap.schema.flatMap(s =>
@@ -1161,9 +1167,10 @@ object TimeTravel {
       case other => new java.math.BigDecimal(other.toString)
     }
     val asString = dt.contains(StringType)
-    val bounds: Option[(java.math.BigDecimal, java.math.BigDecimal)] =
+    val bounds
+        : Option[(Option[java.math.BigDecimal], Option[java.math.BigDecimal])] =
       if (asString) None
-      else try Some((num(pred.lo), num(pred.hi)))
+      else try Some((Option(pred.lo).map(num), Option(pred.hi).map(num)))
       catch { case scala.util.control.NonFatal(_) => None }
     val canSkip = asString || bounds.isDefined
     f => dirKeep(f).getOrElse {
@@ -1172,13 +1179,14 @@ object TimeTravel {
         case None => true // no bound recorded: must read
         case Some((mn, mx)) =>
           if (asString)
-            !(bytesLt(mx.getBytes("UTF-8"), loB) ||
-              bytesLt(hiB, mn.getBytes("UTF-8")))
+            !(loB.exists(l => bytesLt(mx.getBytes("UTF-8"), l)) ||
+              hiB.exists(h => bytesLt(h, mn.getBytes("UTF-8"))))
           else try {
             val (nLo, nHi) = bounds.get
             val bmn = new java.math.BigDecimal(mn)
             val bmx = new java.math.BigDecimal(mx)
-            !(bmx.compareTo(nLo) < 0 || bmn.compareTo(nHi) > 0)
+            !(nLo.exists(l => bmx.compareTo(l) < 0) ||
+              nHi.exists(h => bmn.compareTo(h) > 0))
           } catch { case _: NumberFormatException => true }
       }
     }
@@ -1188,6 +1196,39 @@ object TimeTravel {
       version: Int, colName: String, lo: Any, hi: Any): SkippingScan =
     readVersionSkippingAll(spark, baseDir, version,
       Seq(ColRange(colName, lo, hi)))
+
+  /** Batch-relation planning view of a resolved version — the
+    * [[graft.sources.GraftVersionedFileIndex]] hook: the snapshot's
+    * file list, its committed schema, and a conjunctive stats-keep
+    * evaluator (same per-conjunct contract as
+    * [[readVersionSkippingAll]], plus one-sided ranges for pushed
+    * `>=`/`<=` comparisons). Resolved ONCE at relation construction:
+    * every scan of the relation sees the same consistent version
+    * however many commits land meanwhile. */
+  private[graft] final class ScanPlan(snap: Snapshot,
+      val schema: org.apache.spark.sql.types.StructType) {
+    def files: Seq[String] = snap.files
+    /** Files surviving every conjunct — a SUPERSET of the matching
+      * files (the PushedFilters contract: pruning cuts I/O, the plan's
+      * own Filter decides row membership). */
+    def kept(preds: Seq[ColRange]): Seq[String] =
+      if (preds.isEmpty) snap.files
+      else {
+        val ks = preds.map(rangeKeep(snap, _))
+        snap.files.filter(f => ks.forall(_(f)))
+      }
+  }
+
+  private[graft] def scanPlan(spark: SparkSession, baseDir: String,
+      version: Int): ScanPlan = {
+    val snap = resolveFull(spark, baseDir, version)
+    require(snap.files.nonEmpty,
+      s"version $version of $baseDir is empty")
+    new ScanPlan(snap, snap.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"$baseDir's log records no schema at version $version — " +
+          "pre-metadata tables are not declaratively readable")))
+  }
 
   /** CONJUNCTIVE data-skipping read: a file is read only if EVERY
     * range's recorded bounds can intersect it — one disjoint conjunct

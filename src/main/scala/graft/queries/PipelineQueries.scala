@@ -1668,8 +1668,109 @@ object PipelineQueries {
       FROM u""")
   )
 
+  /** DECLARATIVE batch read of the versioned table
+    * ([[graft.sources.GraftVersionedRelation]]): the Delta read path —
+    * `spark.read.format("graft-versioned")` with `versionAsOf` /
+    * `timestampAsOf` / no option (latest) — over the q156 staged
+    * three-commit orders table, reproducing q156's snapshot diff
+    * EXACTLY but with both endpoints read declaratively instead of via
+    * the Scala API (same oracle: a declarative read that resolved the
+    * wrong file set, leaked a superseded file, or mis-parsed partition
+    * values hash-mismatches). In-band verdict: a `timestampAsOf` read
+    * at v2's recorded commit wall-clock carries the same aggregate
+    * signature as `readVersion(2)` — timestamp resolution lands on
+    * exactly the version boundary. */
+  val q178 = Q(
+    "q178_declarative_read",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = versionedOrdersDir(spark, dir)
+      def read(opts: (String, String)*) =
+        opts.foldLeft(spark.read.format("graft-versioned")
+          .option("path", t))((r, kv) => r.option(kv._1, kv._2)).load()
+      val v1 = read("versionAsOf" -> "1")
+      val tip = read() // no option: the latest version (v3)
+      val tsV2 = TimeTravel.history(spark, t)
+        .find(_.version == 2).flatMap(_.timestampMs).get
+      def sig(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("o_orderkey")),
+          sum(crc32(concat_ws("|", col("o_orderstatus"), col("o_month")))))
+          .head.toSeq
+      val tsMatches =
+        sig(read("timestampAsOf" -> tsV2.toString)) ==
+          sig(TimeTravel.readVersion(spark, t, 2))
+      graft.operators.Merge.snapshotDiff(v1, tip, "o_orderkey",
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_month"))
+        .withColumn("ts_read_matches_v2", lit(tsMatches))
+    },
+    Some("""WITH upd AS (
+        SELECT o_orderkey, o_orderstatus FROM orders
+        WHERE o_orderkey % 7 = 0 AND year(o_orderdate) = 1997),
+      ins AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1998),
+      del AS (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey % 50 = 0 AND year(o_orderdate) = 1999)
+      SELECT
+        (SELECT COUNT(*) FROM ins) AS n_added,
+        (SELECT COUNT(*) FROM del) AS n_removed,
+        (SELECT COUNT(*) FROM upd) AS n_changed,
+        (SELECT COUNT(*) FROM orders) - (SELECT COUNT(*) FROM upd)
+          - (SELECT COUNT(*) FROM del) AS n_unchanged,
+        CAST(0 AS BIGINT) AS changed_o_custkey,
+        (SELECT CAST(SUM(CASE WHEN o_orderstatus <> 'R' THEN 1 ELSE 0 END)
+           AS BIGINT) FROM upd) AS changed_o_orderstatus,
+        (SELECT COUNT(*) FROM upd) AS changed_o_totalprice,
+        CAST(0 AS BIGINT) AS changed_o_month,
+        TRUE AS ts_read_matches_v2""")
+  )
+
+  /** Pushed-filter DATA SKIPPING through the declarative read: q167's
+    * key-range scan, but the pruning comes from Spark's own planner —
+    * the range predicate lands in the FileSourceScanExec's pushed
+    * `dataFilters`, and the log-backed FileIndex turns those conjuncts
+    * into stats-skipping at split-planning time (no imperative
+    * `readVersionSkipping` call anywhere). The in-band verdicts replay
+    * the scan's OWN pushed filters through the index: a majority of
+    * the five disjoint key slabs' files must be pruned before a single
+    * split is planned. Content hash-matches the plain filtered
+    * aggregate, so over- OR under-pruning both fail. */
+  val q179 = Q(
+    "q179_declarative_skipping",
+    (spark, dir) => {
+      val (t, lo, hi) = skipOrdersDir(spark, dir)
+      val base = spark.read.format("graft-versioned")
+        .option("path", t).load()
+      val filtered = base.filter(
+        col("o_orderkey") > lo && col("o_orderkey") <= hi)
+      // pre-AQE physical plan: the scan node with its pushed filters
+      val scan = filtered.queryExecution.sparkPlan.collectFirst {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.get
+      val nSel = scan.relation.location
+        .listFiles(scan.partitionFilters, scan.dataFilters)
+        .map(_.files.length).sum
+      val nTotal = scan.relation.location.inputFiles.length
+      filtered.agg(count(lit(1)).as("n_rows"),
+        Exact.dsum(col("o_totalprice")).as("sum_price"),
+        countDistinct(col("o_custkey")).as("n_cust"))
+        .select(col("n_rows"), col("sum_price"), col("n_cust"),
+          lit(nSel * 3 <= nTotal).as("skipped_majority"),
+          lit(nSel > 0).as("read_some"))
+    },
+    Some(s"""WITH b AS (SELECT 2*(MAX(o_orderkey)//5) AS lo,
+          3*(MAX(o_orderkey)//5) AS hi FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        TRUE AS skipped_majority, TRUE AS read_some
+      FROM orders, b WHERE o_orderkey > b.lo AND o_orderkey <= b.hi""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
-      q167, q168, q169, q170, q171, q172, q173, q174, q175, q177)
+      q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
+      q179)
 }

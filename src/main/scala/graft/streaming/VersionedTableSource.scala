@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, Su
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.StreamingDataFrame
-import org.apache.spark.sql.sources.{DataSourceRegister, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -199,13 +199,24 @@ class VersionedTableSink(spark: SparkSession, baseDir: String,
     s"VersionedTableSink[$baseDir, mode=$mode]"
 }
 
-/** V1 provider: `spark.readStream.format("graft-versioned")` /
+/** V1 provider: `spark.read.format("graft-versioned")` (batch, with
+  * `versionAsOf`/`timestampAsOf` time travel —
+  * [[graft.sources.GraftVersionedRelation]]),
+  * `spark.readStream.format("graft-versioned")` /
   * `df.writeStream.format("graft-versioned")` (registered via
   * META-INF/services) or the fully-qualified class name. */
-class VersionedTableSourceProvider extends StreamSourceProvider
-    with StreamSinkProvider with DataSourceRegister {
+class VersionedTableSourceProvider extends RelationProvider
+    with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
 
   override def shortName(): String = "graft-versioned"
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val opts = VersionedTableSourceProvider.Opts(parameters)
+    graft.sources.GraftVersionedRelation(sqlContext.sparkSession,
+      opts.path, opts.versionAsOf, opts.timestampAsOf)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
@@ -277,6 +288,9 @@ object VersionedTableSourceProvider {
       throw new IllegalArgumentException(
         "option 'path' (the versioned table's base dir) is required"))
     val sinceVersion: Option[Int] = m.get("sinceversion").map(_.toInt)
+    // batch-read time travel (RelationProvider face)
+    val versionAsOf: Option[Int] = m.get("versionasof").map(_.toInt)
+    val timestampAsOf: Option[String] = m.get("timestampasof")
     val changeFeed: Boolean = m.get("changefeed").exists(_.toBoolean)
     val maxVersionsPerTrigger: Option[Int] =
       m.get("maxversionspertrigger").map(_.toInt)

@@ -212,13 +212,26 @@ class DataSkippingSpec extends SparkSpec {
       clusterBy = Some(("id", 3))) === vc)
   }
 
-  test("a NULL bound degrades to a full read, never an NPE") {
+  test("NULL bounds: both-null keeps all; one null side is UNBOUNDED but the defined side still prunes") {
     val dir = stagedRanges()
     val v = TimeTravel.latestVersion(spark, dir)
-    val scan = TimeTravel.readVersionSkipping(spark, dir, v, "id",
+    // both sides null: no decision, full read, never an NPE
+    val all = TimeTravel.readVersionSkipping(spark, dir, v, "id",
+      null, null)
+    assert(all.filesRead === all.filesTotal)
+    assert(all.df.count() === 300)
+    // one-sided (the batch relation's pushed `col <= hi` shape): the
+    // defined side prunes, content stays a superset of the range
+    val hiOnly = TimeTravel.readVersionSkipping(spark, dir, v, "id",
       null, 100L)
-    assert(scan.filesRead === scan.filesTotal)
-    assert(scan.df.count() === 300)
+    assert(hiOnly.filesRead < hiOnly.filesTotal)
+    assert(hiOnly.df.filter(col("id") <= 100).count() ===
+      all.df.filter(col("id") <= 100).count())
+    val loOnly = TimeTravel.readVersionSkipping(spark, dir, v, "id",
+      201L, null)
+    assert(loOnly.filesRead < loOnly.filesTotal)
+    assert(loOnly.df.filter(col("id") >= 201).count() ===
+      all.df.filter(col("id") >= 201).count())
   }
 
   test("schema check ignores NESTED nullability differences") {
