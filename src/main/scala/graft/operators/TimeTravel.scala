@@ -111,6 +111,28 @@ object TimeTravel {
   private def deltaPath(baseDir: String, v: Int) =
     new Path(logDir(baseDir), s"$v.delta")
 
+  /** PARQUET checkpoint sidecar — the file+stats body of a cadence (or
+    * vacuum-floor) checkpoint, one row per retained file. Token-named:
+    * the owning manifest's `#filesbody=parquet:<token>` header is the
+    * one binding (the same reason change dirs are token-keyed — a
+    * racing loser's sidecar must never be addressable by the winner's
+    * version number). Never parsed by [[logEntries]]. */
+  private def checkpointSidecarPath(baseDir: String, v: Int,
+      token: String) =
+    new Path(logDir(baseDir), s"$v.$token.checkpoint.parquet")
+
+  /** Test seam: `false` writes cadence/floor checkpoints as full TEXT
+    * manifests (the pre-parquet format, still fully readable) — the
+    * equivalence spec stages identical histories under both and pins
+    * identical resolution. */
+  @volatile private[operators] var parquetCheckpoints: Boolean = true
+
+  /** Sidecars at or above this size resolve through a Spark scan
+    * (distributed columnar parse); smaller ones through one driver
+    * columnar read — no job-scheduling cost on the metadata-scale
+    * commit path. */
+  private val CheckpointSparkScanBytes = 16L << 20
+
   /** Relative (to data/) paths of ALL parquet data files on disk — the
     * table-scale listing, used only where table scale is the contract:
     * `vacuum` (orphans are by definition not in any log). Commits never
@@ -446,6 +468,14 @@ object TimeTravel {
   private def statsLine(path: String, payload: String): String =
     s"#stats=${enc(path)}|$payload"
 
+  /** The parquet-body marker of a checkpoint manifest header, when the
+    * file+stats body lives in a token-named sidecar. */
+  private def markerFrom(lines: Seq[String]): Option[String] =
+    lines.collectFirst {
+      case l if l.startsWith("#filesbody=parquet:") =>
+        l.stripPrefix("#filesbody=parquet:")
+    }
+
   /** `#stats=` lines → path → encoded per-column payload. */
   private def statsFrom(lines: Seq[String]): Map[String, String] =
     lines.collect { case l if l.startsWith("#stats=") =>
@@ -775,8 +805,14 @@ object TimeTravel {
         "at or below it (vacuumed away, or never committed)")
     val ckptLines = readRawLines(fs, manifestPath(baseDir, ckpt))
     var schema = schemaFrom(ckptLines)
-    var files = ckptLines.filterNot(_.startsWith("#")).toSet
-    var stats = statsFrom(ckptLines)
+    // parquet-body checkpoints keep only metadata in the text manifest;
+    // the file+stats body resolves from the token-named sidecar
+    var (files, stats) = markerFrom(ckptLines) match {
+      case Some(token) =>
+        readCheckpointSidecar(spark, fs, baseDir, ckpt, token)
+      case None =>
+        (ckptLines.filterNot(_.startsWith("#")).toSet, statsFrom(ckptLines))
+    }
     ((ckpt + 1) to version).foreach { v =>
       require(entries.get(v).exists(_._2),
         s"version $v of $baseDir has no commit record (vacuumed away, " +
@@ -818,6 +854,131 @@ object TimeTravel {
     installExclusive(fs, manifestPath(baseDir, version),
       manifestContent(files, txns, schema, op, ts, stats, constraints))
   }
+
+  /** Header-only checkpoint manifest: the metadata lines (txns, schema,
+    * constraints, op, ts) plus the file COUNT and the parquet-body
+    * marker — a few hundred bytes however many files the version
+    * retains, where the text body was O(files) driver-built string.
+    * The body order (metadata first) keeps [[commitTimestamp]]'s
+    * header-only read contract intact. */
+  private def checkpointHeaderContent(token: String, nFiles: Int,
+      txns: Seq[(String, Long)],
+      schema: Option[org.apache.spark.sql.types.StructType],
+      op: Option[String], ts: Option[Long],
+      constraints: Map[String, String]): Array[Byte] =
+    (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
+      constraintLines(constraints) ++
+      op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
+      Seq(s"#nfiles=$nFiles", s"#filesbody=parquet:$token"))
+      .mkString("\n").getBytes("UTF-8")
+
+  /** Write the checkpoint's file+stats body as a parquet sidecar
+    * (Delta's `_checkpoint.parquet` idea): one row per retained file,
+    * `(path, stats)`, streamed through a columnar writer — constant
+    * memory beyond the file list, snappy-compressed, and resolvable as
+    * a distributed Spark scan at table scale where the text body was a
+    * single-threaded driver parse. Written tmp-then-rename; the `.tmp`
+    * name rides vacuum's existing age-guarded residue sweep if a crash
+    * strands it. The sidecar is DERIVED data: it lands before its
+    * manifest header, so a manifest that references a token always
+    * finds its body, and a crash in between leaves only an orphan the
+    * sweep reclaims. */
+  private def writeCheckpointSidecar(fs: FileSystem, baseDir: String,
+      version: Int, token: String, files: Seq[String],
+      stats: Map[String, String]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      "message graft_checkpoint { required binary path (UTF8); " +
+        "optional binary stats (UTF8); }")
+    val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+    GroupWriteSupport.setSchema(schema, conf)
+    val tmp = new Path(logDir(baseDir),
+      s".$version.$token.checkpoint.parquet.tmp")
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(tmp, conf))
+      .withConf(conf).withType(schema)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try files.sorted.foreach { f =>
+      val g = factory.newGroup().append("path", f)
+      stats.get(f).foreach(s => g.append("stats", s))
+      writer.write(g)
+    } finally writer.close()
+    val dest = checkpointSidecarPath(baseDir, version, token)
+    if (!fs.rename(tmp, dest)) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(
+        s"failed to install checkpoint sidecar $dest")
+    }
+  }
+
+  /** Resolve a checkpoint's file+stats body from its parquet sidecar:
+    * a distributed Spark scan at table scale, one driver columnar read
+    * below [[CheckpointSparkScanBytes]] (the commit path resolves a
+    * snapshot per commit — metadata-scale logs must not pay a Spark
+    * job each time). */
+  private def readCheckpointSidecar(spark: SparkSession, fs: FileSystem,
+      baseDir: String, version: Int, token: String)
+      : (Set[String], Map[String, String]) = {
+    val p = checkpointSidecarPath(baseDir, version, token)
+    require(fs.exists(p), s"checkpoint sidecar $p is missing: the log " +
+      "is damaged (sidecars are written before the manifests that " +
+      "reference them)")
+    val files = Set.newBuilder[String]
+    val stats = Map.newBuilder[String, String]
+    if (fs.getFileStatus(p).getLen >= CheckpointSparkScanBytes) {
+      spark.read.parquet(p.toString).select("path", "stats").collect()
+        .foreach { r =>
+          val f = r.getString(0)
+          files += f
+          if (!r.isNullAt(1)) stats += f -> r.getString(1)
+        }
+    } else {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
+      val reader =
+        ParquetReader.builder(new GroupReadSupport(), p).withConf(conf)
+          .build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          val f = g.getString("path", 0)
+          files += f
+          if (g.getFieldRepetitionCount("stats") > 0)
+            stats += f -> g.getString("stats", 0)
+          g = reader.read()
+        }
+      } finally reader.close()
+    }
+    (files.result(), stats.result())
+  }
+
+  /** Checkpoint write honoring the [[parquetCheckpoints]] format: the
+    * parquet sidecar + header manifest by default, the legacy full-text
+    * manifest under the test seam. Same atomic-install contract either
+    * way (the manifest is what makes the checkpoint visible). */
+  private def writeManifestCheckpoint(spark: SparkSession, fs: FileSystem,
+      baseDir: String, version: Int, files: Seq[String],
+      txns: Seq[(String, Long)] = Nil,
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      op: Option[String] = None, ts: Option[Long] = None,
+      stats: Map[String, String] = Map.empty,
+      constraints: Map[String, String] = Map.empty): Unit =
+    if (!parquetCheckpoints)
+      writeManifest(fs, baseDir, version, files, txns, schema, op, ts,
+        stats, constraints)
+    else {
+      val token = newToken()
+      writeCheckpointSidecar(fs, baseDir, version, token, files, stats)
+      installExclusive(fs, manifestPath(baseDir, version),
+        checkpointHeaderContent(token, files.size, txns, schema, op, ts,
+          constraints))
+    }
 
   /** The losing writer of a commit race — version `version` was
     * committed by someone else between our snapshot read and our
@@ -1398,7 +1559,7 @@ object TimeTravel {
     if (checkpoint) {
       val removed = removes.toSet
       val s = prevSnap()
-      writeManifest(fs, baseDir, version,
+      writeManifestCheckpoint(spark, fs, baseDir, version,
         s.files.filterNot(removed) ++ adds, Nil, schema, Some(op),
         stats = s.stats -- removes ++ addStats,
         constraints = constraints)
@@ -1793,8 +1954,8 @@ object TimeTravel {
     val mPath = manifestPath(baseDir, keepFrom)
     if (dryRun) () // a report must not self-contain the floor either
     else if (!fs.exists(mPath))
-      writeManifest(fs, baseDir, keepFrom, floor.toSeq, carried,
-        floorSchema, opFrom(origLines).orElse(Some("floor")),
+      writeManifestCheckpoint(spark, fs, baseDir, keepFrom, floor.toSeq,
+        carried, floorSchema, opFrom(origLines).orElse(Some("floor")),
         tsFrom(origLines), floorSnap.stats, constraintsFrom(origLines))
     else {
       // the floor may already have a CADENCE checkpoint — written at
@@ -1810,10 +1971,26 @@ object TimeTravel {
       if (!covered) {
         val tmp = new Path(logDir(baseDir), s"$keepFrom.manifest.tmp")
         fs.delete(tmp, false)
+        val bytes =
+          if (!parquetCheckpoints)
+            manifestContent(floor.toSeq.sorted, carried,
+              floorSchema, opFrom(origLines), tsFrom(origLines),
+              floorSnap.stats, constraintsFrom(origLines))
+          else {
+            // new sidecar first (derived, token-named — the old one
+            // stays referenced until the header rename lands, so a
+            // crash anywhere leaves a resolvable floor); the old
+            // token's sidecar becomes unreferenced residue the sweep
+            // below (or the next vacuum) reclaims
+            val token = newToken()
+            writeCheckpointSidecar(fs, baseDir, keepFrom, token,
+              floor.toSeq.sorted, floorSnap.stats)
+            checkpointHeaderContent(token, floor.size, carried,
+              floorSchema, opFrom(origLines), tsFrom(origLines),
+              constraintsFrom(origLines))
+          }
         val out = fs.create(tmp, true)
-        try out.write(manifestContent(floor.toSeq.sorted, carried,
-          floorSchema, opFrom(origLines), tsFrom(origLines),
-          floorSnap.stats, constraintsFrom(origLines)))
+        try out.write(bytes)
         finally out.close()
         fs.delete(mPath, false)
         require(fs.rename(tmp, mPath),
@@ -1829,7 +2006,16 @@ object TimeTravel {
       if (fs.exists(d)) readDelta(fs, baseDir, v)._1
       else {
         val m = manifestPath(baseDir, v)
-        if (fs.exists(m)) readLogLines(fs, m) else Nil
+        if (!fs.exists(m)) Nil
+        else {
+          // a parquet-body checkpoint's file refs live in its sidecar
+          val lines = readRawLines(fs, m)
+          markerFrom(lines) match {
+            case Some(tok) =>
+              readCheckpointSidecar(spark, fs, baseDir, v, tok)._1.toSeq
+            case None => lines.filterNot(_.startsWith("#"))
+          }
+        }
       }
     }.toSet
     val (committedDoomed, orphans) = doomed.partition(priorRefs)
@@ -1893,11 +2079,31 @@ object TimeTravel {
     // never parsed as a log entry, but never reclaimed without this
     // age-guarded sweep (a LIVE writer's temp is milliseconds old)
     val ld = logDir(baseDir)
-    if (fs.exists(ld))
+    if (fs.exists(ld)) {
+      // sidecars whose token no retained manifest references: dropped
+      // versions' bodies (their records just went — reclaim now) and
+      // racing losers' / superseded floor-rewrite bodies (age-guarded,
+      // like every possibly-in-flight artifact)
+      val referencedSidecars: Set[String] = (keepFrom to latest).flatMap {
+        v =>
+          val m = manifestPath(baseDir, v)
+          if (!fs.exists(m)) None
+          else markerFrom(readRawLines(fs, m))
+            .map(t => s"$v.$t.checkpoint.parquet")
+      }.toSet
       fs.listStatus(ld).foreach { st =>
-        if (st.isFile && st.getPath.getName.endsWith(".tmp") &&
+        val n = st.getPath.getName
+        if (st.isFile && n.endsWith(".tmp") &&
             st.getModificationTime <= cutoff)
-          fs.delete(st.getPath, false) }
+          fs.delete(st.getPath, false)
+        else if (st.isFile && n.endsWith(".checkpoint.parquet") &&
+            !referencedSidecars(n)) {
+          val v = n.takeWhile(_ != '.').toInt
+          if (v < keepFrom || st.getModificationTime <= cutoff)
+            fs.delete(st.getPath, false)
+        }
+      }
+    }
     (nDeleted, dropped)
   }
 
@@ -1954,7 +2160,11 @@ object TimeTravel {
         .map(parseTxn).sortBy(_._1)
       val nAdded =
         if (hasDelta) lines.count(_.startsWith("+"))
-        else lines.count(l => !l.startsWith("#"))
+        else lines.collectFirst {
+          // parquet-body checkpoint: the header records the file count
+          case l if l.startsWith("#nfiles=") =>
+            l.stripPrefix("#nfiles=").toInt
+        }.getOrElse(lines.count(l => !l.startsWith("#")))
       val nRemoved = if (hasDelta) lines.count(_.startsWith("-")) else 0
       CommitInfo(v, nAdded, nRemoved, txns, hasManifest,
         opFrom(lines), tsFrom(lines))

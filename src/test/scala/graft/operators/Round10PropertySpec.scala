@@ -122,6 +122,115 @@ class Round10PropertySpec extends SparkSpec {
     assert(onDisk === retained)
   }
 
+  test("parquet and text checkpoints resolve identically on random histories, through vacuum, restore and constraints") {
+    // the same seeded op sequence replayed into two tables — one with
+    // parquet checkpoint sidecars (the default), one with legacy
+    // full-text manifests — must agree on EVERY version's content, the
+    // history view, and post-vacuum resolution: format equivalence by
+    // construction, not by parsing symmetry arguments
+    def replay(dir: String, seed: Int): Int = {
+      val rnd = new scala.util.Random(seed)
+      def someRows(n: Int): Vector[Row3] =
+        Vector.fill(n)((rnd.nextInt(30).toLong, s"p${rnd.nextInt(5)}",
+          rnd.nextInt(100).toDouble))
+      var current = someRows(8).distinctBy(_._1)
+      TimeTravel.init(spark, dir, df(current), "part")
+      (1 to 14).foreach { _ =>
+        val prevVersion = TimeTravel.latestVersion(spark, dir)
+        current = rnd.nextInt(6) match {
+          case 0 =>
+            val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
+            TimeTravel.upsert(spark, dir, df(batch), "id", "part")
+            upsertModel(current, batch)
+          case 1 =>
+            val keys = Vector.fill(1 + rnd.nextInt(2))(
+              rnd.nextInt(30).toLong).toSet
+            val survivors = deleteModel(current, keys)
+            if (survivors.isEmpty) current
+            else { TimeTravel.delete(spark, dir, keys.toSeq.toDF("id"),
+              "id", "part"); survivors }
+          case 2 =>
+            val batch = someRows(1 + rnd.nextInt(3))
+            TimeTravel.append(spark, dir, df(batch), "part")
+            current ++ batch
+          case 3 =>
+            TimeTravel.compact(spark, dir, "part"); current
+          case 4 =>
+            val target = 1 + rnd.nextInt(prevVersion)
+            TimeTravel.restore(spark, dir, target)
+            content(TimeTravel.readVersion(spark, dir,
+              TimeTravel.latestVersion(spark, dir)))
+              .toVector
+          case _ =>
+            val cs = TimeTravel.constraintsAt(spark, dir, prevVersion)
+            if (cs.isEmpty)
+              TimeTravel.addConstraint(spark, dir, s"c$prevVersion",
+                "v > -1e18")
+            else TimeTravel.dropConstraint(spark, dir, cs.keys.min)
+            current
+        }
+      }
+      TimeTravel.latestVersion(spark, dir)
+    }
+    def sidecars(dir: String): Seq[String] =
+      Option(new java.io.File(dir, "_graft_log").list()).toSeq.flatten
+        .filter(_.endsWith(".checkpoint.parquet"))
+
+    val pqDir = tmpDir("tt-ckpt-pq")
+    val txtDir = tmpDir("tt-ckpt-txt")
+    val latestPq = replay(pqDir, 47)
+    val latestTxt =
+      try { TimeTravel.parquetCheckpoints = false; replay(txtDir, 47) }
+      finally TimeTravel.parquetCheckpoints = true
+    assert(latestPq === latestTxt)
+    // the formats genuinely diverge on disk...
+    assert(sidecars(pqDir).nonEmpty,
+      "no parquet sidecar written — the cadence never checkpointed?")
+    assert(sidecars(txtDir).isEmpty)
+    // ...but resolve identically at every version
+    (1 to latestPq).foreach { v =>
+      assert(content(TimeTravel.readVersion(spark, pqDir, v))
+        === content(TimeTravel.readVersion(spark, txtDir, v)),
+        s"version $v diverged between checkpoint formats")
+    }
+    // history parity: op kinds and file counts (per-commit metadata)
+    val hPq = TimeTravel.history(spark, pqDir)
+      .map(c => (c.version, c.nAdded, c.nRemoved, c.op))
+    val hTxt = TimeTravel.history(spark, txtDir)
+      .map(c => (c.version, c.nAdded, c.nRemoved, c.op))
+    assert(hPq === hTxt)
+    // vacuum at a mid floor: both formats re-materialize a resolvable
+    // floor, retained versions stay exact, sidecar residue is swept in
+    // the parquet arm (only referenced sidecars survive)
+    val floor = math.max(2, latestPq / 2)
+    TimeTravel.vacuum(spark, pqDir, keepFrom = floor)
+    try {
+      TimeTravel.parquetCheckpoints = false
+      TimeTravel.vacuum(spark, txtDir, keepFrom = floor)
+    } finally TimeTravel.parquetCheckpoints = true
+    (floor to latestPq).foreach { v =>
+      assert(content(TimeTravel.readVersion(spark, pqDir, v))
+        === content(TimeTravel.readVersion(spark, txtDir, v)),
+        s"version $v diverged after vacuum")
+    }
+    val live = sidecars(pqDir)
+    assert(live.forall(n => n.takeWhile(_ != '.').toInt >= floor),
+      s"pre-floor sidecar survived vacuum: $live")
+    // a TEXT-era table vacuumed under the parquet default gets a
+    // parquet floor (forward migration works on old logs)
+    val txt2 = tmpDir("tt-ckpt-txt2")
+    try { TimeTravel.parquetCheckpoints = false; replay(txt2, 53) }
+    finally TimeTravel.parquetCheckpoints = true
+    val latest2 = TimeTravel.latestVersion(spark, txt2)
+    val before = (2 to latest2)
+      .map(v => content(TimeTravel.readVersion(spark, txt2, v)))
+    TimeTravel.vacuum(spark, txt2, keepFrom = 2)
+    (2 to latest2).foreach { v =>
+      assert(content(TimeTravel.readVersion(spark, txt2, v))
+        === before(v - 2), s"migrated version $v diverged")
+    }
+  }
+
   test("random histories with changeFeed on: the feed reconstructs every commit's model changes exactly") {
     val rnd = new scala.util.Random(13)
     val dir = tmpDir("tt-cdc-model")
