@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
 import org.apache.spark.sql.functions._
 
@@ -1358,6 +1358,60 @@ object TimeTravel {
     readVersionSkippingAll(spark, baseDir, version,
       Seq(ColRange(colName, lo, hi)))
 
+  /** Conjuncts of an ANALYZED predicate expression translated to
+    * (possibly one-sided) [[ColRange]]s — the stats-skipping view of a
+    * WHERE clause, shared by the batch relation's pushed filters and
+    * [[deleteWhere]]/[[updateWhere]]'s candidate pruning. Unsupported
+    * shapes translate to nothing: no pruning, never wrong. */
+  private[graft] def predicateRanges(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[ColRange] = {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.catalyst.expressions._
+    def split(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => split(l) ++ split(r)
+      case other => Seq(other)
+    }
+    // the comparison's non-attribute side as an EXTERNAL value: a bare
+    // literal, or any foldable expression (the analyzer wraps literals
+    // in type-widening casts — `k >= 150` on a LONG column analyzes to
+    // `k >= cast(150 as bigint)`, which folds but is not a Literal)
+    def extVal(x: Expression): Option[Any] = x match {
+      case l: Literal =>
+        Some(if (l.value == null) null
+        else CatalystTypeConverters.convertToScala(l.value, l.dataType))
+      case _ if x.foldable && x.deterministic =>
+        val v = x.eval(null)
+        Some(if (v == null) null
+        else CatalystTypeConverters.convertToScala(v, x.dataType))
+      case _ => None
+    }
+    def mk(a: Attribute, lo: Any, hi: Any): Option[ColRange] =
+      if (lo == null && hi == null) None else Some(ColRange(a.name, lo, hi))
+    split(e).flatMap {
+      case EqualTo(a: Attribute, v) => extVal(v).flatMap(x => mk(a, x, x))
+      case EqualTo(v, a: Attribute) => extVal(v).flatMap(x => mk(a, x, x))
+      case GreaterThanOrEqual(a: Attribute, v) =>
+        extVal(v).flatMap(x => mk(a, x, null))
+      case GreaterThan(a: Attribute, v) =>
+        extVal(v).flatMap(x => mk(a, x, null))
+      case LessThanOrEqual(a: Attribute, v) =>
+        extVal(v).flatMap(x => mk(a, null, x))
+      case LessThan(a: Attribute, v) =>
+        extVal(v).flatMap(x => mk(a, null, x))
+      // reversed operand order flips the bounded side
+      case GreaterThanOrEqual(v, a: Attribute) =>
+        extVal(v).flatMap(x => mk(a, null, x))
+      case GreaterThan(v, a: Attribute) =>
+        extVal(v).flatMap(x => mk(a, null, x))
+      case LessThanOrEqual(v, a: Attribute) =>
+        extVal(v).flatMap(x => mk(a, x, null))
+      case LessThan(v, a: Attribute) =>
+        extVal(v).flatMap(x => mk(a, x, null))
+      case _ => Nil
+    }
+  }
+
   /** Batch-relation planning view of a resolved version — the
     * [[graft.sources.GraftVersionedFileIndex]] hook: the snapshot's
     * file list, its committed schema, and a conjunctive stats-keep
@@ -1765,6 +1819,137 @@ object TimeTravel {
       commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
         survivors, "delete", cdc = cdcToken)
     }
+  }
+
+  /** Predicate DELETE (`DELETE WHERE p`) as a new version — the
+    * right-to-be-forgotten path real users actually run is a predicate,
+    * not a key list. Three-phase, none of it table-scale:
+    *   1. PRUNE from the log alone: the predicate's analyzed range/
+    *      equality conjuncts ([[predicateRanges]]) stats-prune the
+    *      version's file list — partition conjuncts cut by directory,
+    *      clustered-column conjuncts by recorded min/max — before any
+    *      data is read;
+    *   2. PROBE only the candidates: one scan finds the files that
+    *      actually HOLD matching rows (matched by the staged writes'
+    *      globally-unique file names, immune to URI-encoding drift);
+    *   3. REWRITE only those files: survivors re-land, every other
+    *      file — including probed-but-clean candidates — carries over
+    *      by name, so the commit is O(files with matches), and older
+    *      versions still read the originals.
+    * Rows where the predicate is NULL survive (SQL DELETE semantics).
+    * Deleting every row is refused like any table-emptying commit. A
+    * predicate matching nothing commits nothing. `changeFeed` captures
+    * the deleted rows as `delete` change images. Discovery telemetry
+    * lands in [[discoveryStats]] (candidates probed vs files total). */
+  def deleteWhere(spark: SparkSession, baseDir: String,
+      predicate: Column, partCol: String,
+      changeFeed: Boolean = false): Int =
+    rewriteWhere(spark, baseDir, predicate, partCol, changeFeed, None)
+
+  /** Predicate UPDATE (`UPDATE SET ... WHERE p`) as a new version —
+    * same three-phase prune/probe/rewrite shape as [[deleteWhere]],
+    * but matching rows are rewritten through `set` (column → new-value
+    * expression, evaluated per row and cast to the column's committed
+    * type) and non-matching rows in the touched files carry through
+    * unchanged. The partition column cannot be SET (a cross-partition
+    * move is an upsert's job); updated rows are re-validated against
+    * the table's active CHECK constraints; `changeFeed` captures
+    * pre/post images. */
+  def updateWhere(spark: SparkSession, baseDir: String,
+      predicate: Column, set: Map[String, Column], partCol: String,
+      changeFeed: Boolean = false): Int = {
+    require(set.nonEmpty, "updateWhere needs at least one SET column")
+    require(!set.contains(partCol),
+      s"SET on the partition column '$partCol' would move rows across " +
+        "partitions — use upsert for key moves")
+    rewriteWhere(spark, baseDir, predicate, partCol, changeFeed, Some(set))
+  }
+
+  private def rewriteWhere(spark: SparkSession, baseDir: String,
+      predicate: Column, partCol: String, changeFeed: Boolean,
+      set: Option[Map[String, Column]]): Int = {
+    val op = if (set.isEmpty) "delete" else "update"
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val fs = hadoopFs(spark, baseDir)
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    val schema = prevSnap.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"$baseDir's log records no schema — predicate $op needs one " +
+          "to analyze the WHERE clause against"))
+    set.foreach(_.keys.foreach(k =>
+      require(schema.fieldNames.contains(k),
+        s"SET column '$k' is not in the table schema")))
+    // 1. analyze the predicate against the committed schema, translate
+    // its conjuncts to stats ranges, prune candidates from the LOG
+    val cond = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"predicate did not analyze to a filter: $predicate"))
+    val keeps = predicateRanges(cond).map(rangeKeep(prevSnap, _))
+    val candidates = prevSnap.files.filter(f => keeps.forall(_(f)))
+    discoveryStats.put(baseDir, (candidates.size, prevSnap.files.size))
+    if (candidates.isEmpty) return prev
+    // 2. probe: the candidate files that actually hold matching rows.
+    // Matched by FILE NAME — staged writes token-prefix every name, so
+    // names are globally unique and immune to URI-encoding differences
+    // between input_file_name() and the log's relative paths.
+    val matchedNames = readFiles(spark, baseDir, candidates, Some(schema))
+      .filter(predicate)
+      .select(input_file_name().as("f")).distinct()
+      .collect()
+      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
+      .toSet
+    val matched = candidates.filter(f =>
+      matchedNames(f.substring(f.lastIndexOf('/') + 1)))
+    if (matched.isEmpty) return prev
+    // 3. rewrite ONLY the matched files. The match verdict is computed
+    // ONCE per row on the ORIGINAL values (a SET that changes a
+    // predicate column must not make the row un-match itself when the
+    // postimage / constraint check needs to find it again).
+    val pred = coalesce(predicate, lit(false)) // NULL predicate: keep
+    val hit = "__graft_rewrite_hit"
+    val touched = readFiles(spark, baseDir, matched, Some(schema))
+      .withColumn(hit, pred)
+    val rewrittenMarked = set match {
+      case None => touched.filter(!col(hit))
+      case Some(s) =>
+        val cols = schema.fieldNames.map { c =>
+          s.get(c).fold(col(c))(e =>
+            when(col(hit), e.cast(schema(c).dataType))
+              .otherwise(col(c)).as(c))
+        }
+        touched.select(cols.toSeq :+ col(hit): _*)
+    }
+    // updated rows must still satisfy the active CHECK policy
+    set.foreach(_ => enforceConstraints(
+      rewrittenMarked.filter(col(hit)).drop(hit),
+      activeConstraints(fs, baseDir, prev), op))
+    val cdcToken = if (changeFeed) Some(newToken()) else None
+    cdcToken.foreach { tok =>
+      val images = set match {
+        case None => Seq(touched.filter(col(hit)).drop(hit)
+          .withColumn(ChangeTypeCol, lit("delete")))
+        case Some(_) => Seq(
+          touched.filter(col(hit)).drop(hit)
+            .withColumn(ChangeTypeCol, lit("update_preimage")),
+          rewrittenMarked.filter(col(hit)).drop(hit)
+            .withColumn(ChangeTypeCol, lit("update_postimage")))
+      }
+      writeChanges(spark, baseDir, tok, images)
+    }
+    val rewritten = rewrittenMarked.drop(hit)
+    val staged = rewritten.localCheckpoint() // probe work runs once
+    val adds = stageWrite(spark, baseDir, staged, partCol)
+    require(prevSnap.files.size - matched.size + adds.size > 0,
+      s"$op would empty the table — an empty version is not " +
+        "representable on plain parquet; drop the table instead")
+    val dirs = matched.map(f => f.take(f.indexOf('/'))).toSet
+    commitWithRebase(spark, fs, baseDir, prev, dirs, adds, matched,
+      None, schema, op, evolveSchema = false, cdcToken)
   }
 
   /** OPTIMIZE: version-preserving small-file compaction — the

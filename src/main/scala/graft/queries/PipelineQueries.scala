@@ -1768,9 +1768,130 @@ object PipelineQueries {
       FROM orders, b WHERE o_orderkey > b.lo AND o_orderkey <= b.hi""")
   )
 
+  /** A five-slab versioned orders table with one PREDICATE REWRITE
+    * applied at staging ([[graft.operators.TimeTravel.deleteWhere]] /
+    * [[graft.operators.TimeTravel.updateWhere]] on the middle key
+    * slab), memoized per sf dir with its pruning verdicts: whether the
+    * untouched slabs' files carried over BY NAME (file-level rewrite
+    * scope — a dir-level rewrite would replace every month's files)
+    * and whether the log-stats prune probed only a minority of files
+    * before any data was read. The mutation runs ONCE per JVM; the
+    * queries below only read. */
+  private val stagedRewriteWhere = scala.collection.concurrent.TrieMap
+    .empty[(String, String), (String, Long, Long, Boolean, Boolean)]
+  private def rewriteWhereDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String, kind: String)
+      : (String, Long, Long, Boolean, Boolean) =
+    stagedRewriteWhere.getOrElseUpdate((dir, kind), {
+      import graft.operators.TimeTravel
+      val t = ParityQueries.scratchDir(s"graft-tt-$kind")
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val m5 = m / 5
+      // slab 0 is unbounded below (a key of 0 exists in some draws —
+      // `> 0` would silently drop it and break the whole-table oracle)
+      def slab(k: Int) = orders.filter(
+        (if (k == 0) lit(true) else col("o_orderkey") > k * m5) &&
+          (if (k == 4) lit(true) else col("o_orderkey") <= (k + 1) * m5))
+      TimeTravel.init(spark, t, slab(0), "o_month")
+      (1 to 4).foreach(k => TimeTravel.append(spark, t, slab(k), "o_month"))
+      val (lo, hi) = (2 * m5, 3 * m5)
+      val before = TimeTravel.latestVersion(spark, t)
+      val preFiles = TimeTravel.filesAt(spark, t, before).toSet
+      val pred = col("o_orderkey") > lo && col("o_orderkey") <= hi
+      val v =
+        if (kind == "delwhere")
+          TimeTravel.deleteWhere(spark, t, pred, "o_month")
+        else
+          TimeTravel.updateWhere(spark, t, pred,
+            Map("o_totalprice" -> (col("o_totalprice") + lit(100.0))),
+            "o_month", changeFeed = true)
+      val (probed, total) = TimeTravel.discoveryStats(t)
+      val postFiles = TimeTravel.filesAt(spark, t, v).toSet
+      val carried = (preFiles & postFiles).size
+      (t, lo, hi,
+        carried * 5 >= preFiles.size * 3, // >= 3/5 of files untouched
+        probed * 3 <= total)              // stats pruned a majority
+    })
+
+  /** Predicate DELETE ([[graft.operators.TimeTravel.deleteWhere]]) —
+    * the right-to-be-forgotten path as a range predicate, not a key
+    * list: DELETE WHERE key in the middle slab of a five-slab ingest
+    * history. The content of the post-delete version hash-matches the
+    * oracle's anti-filter over raw orders; the in-band verdicts pin
+    * the SCALE contract — files of non-matching slabs carried over by
+    * name (rewrite scope is files-with-matches, not partitions), and
+    * the log-stats prune probed only a minority of files before any
+    * data was read. */
+  val q180 = Q(
+    "q180_delete_where",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, _, _, carriedOk, probedOk) =
+        rewriteWhereDir(spark, dir, "delwhere")
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(col("n_rows"), col("sum_price"), col("n_cust"),
+          lit(carriedOk).as("untouched_carry_over"),
+          lit(probedOk).as("probed_minority"))
+    },
+    Some(s"""WITH b AS (SELECT 2*(MAX(o_orderkey)//5) AS lo,
+          3*(MAX(o_orderkey)//5) AS hi FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        TRUE AS untouched_carry_over, TRUE AS probed_minority
+      FROM orders, b
+      WHERE NOT (o_orderkey > b.lo AND o_orderkey <= b.hi)""")
+  )
+
+  /** Predicate UPDATE ([[graft.operators.TimeTravel.updateWhere]]) —
+    * UPDATE SET totalprice += 100 WHERE key in the middle slab, with
+    * the change feed ON: the post-update content hash-matches the
+    * oracle's CASE projection, the CDC window reproduces the exact
+    * pre/post image counts, and the same file-scope + stats-prune
+    * verdicts as q180 pin that an update rewrites only the files that
+    * hold matches. */
+  val q181 = Q(
+    "q181_update_where",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, _, _, carriedOk, probedOk) =
+        rewriteWhereDir(spark, dir, "updwhere")
+      val latest = TimeTravel.latestVersion(spark, t)
+      val feed = TimeTravel.readChangesSince(spark, t, latest - 1, latest)
+      val images = feed.groupBy(col(TimeTravel.ChangeTypeCol))
+        .count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      TimeTravel.readVersion(spark, t, latest)
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("n_rows"), col("sum_price"),
+          lit(images.getOrElse("update_postimage", 0L)).as("n_updated"),
+          lit(images.getOrElse("update_preimage", 0L) ==
+            images.getOrElse("update_postimage", -1L)).as("images_pair"),
+          lit(carriedOk).as("untouched_carry_over"),
+          lit(probedOk).as("probed_minority"))
+    },
+    Some(s"""WITH b AS (SELECT 2*(MAX(o_orderkey)//5) AS lo,
+          3*(MAX(o_orderkey)//5) AS hi FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("CASE WHEN o_orderkey > b.lo AND o_orderkey <= b.hi " +
+          "THEN o_totalprice + 100.0 ELSE o_totalprice END")} AS sum_price,
+        (SELECT COUNT(*) FROM orders o2, b
+         WHERE o2.o_orderkey > b.lo AND o2.o_orderkey <= b.hi)
+          AS n_updated,
+        TRUE AS images_pair,
+        TRUE AS untouched_carry_over, TRUE AS probed_minority
+      FROM orders, b""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179)
+      q179, q180, q181)
 }

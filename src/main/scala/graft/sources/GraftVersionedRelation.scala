@@ -2,9 +2,9 @@ package graft.sources
 
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, Literal, Predicate => CatalystPredicate}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, BoundReference, Expression, Predicate => CatalystPredicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.sources.BaseRelation
@@ -12,7 +12,6 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.TimeTravel
-import graft.operators.TimeTravel.ColRange
 
 /** DECLARATIVE batch read of the [[TimeTravel]] versioned table — the
   * Delta read path (`spark.read.format("delta").option("versionAsOf",
@@ -37,7 +36,7 @@ import graft.operators.TimeTravel.ColRange
   *   - `listFiles` evaluates partition-column predicates against the
   *     directory values (O(dirs), exact — any predicate shape, not
   *     just ranges) and turns data-column range/equality conjuncts
-  *     into [[ColRange]] stats-skipping against the log's per-file
+  *     into [[TimeTravel.ColRange]] stats-skipping against the log's per-file
   *     min/max — files provably disjoint from the predicate are never
   *     even planned as splits, the same metadata-only pruning
   *     [[TimeTravel.readVersionSkippingAll]] does imperatively.
@@ -132,9 +131,14 @@ final class GraftVersionedFileIndex(spark: SparkSession, baseDir: String,
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-    // data-column conjuncts → log-stats skipping (ColRange per
-    // conjunct; unsupported shapes simply don't prune — conservative)
-    val kept = plan.kept(dataFilters.flatMap(toColRange(_, partCol)))
+    // data-column conjuncts → log-stats skipping ([[TimeTravel
+    // .predicateRanges]]; unsupported shapes simply don't prune —
+    // conservative). The partition column is excluded: its values are
+    // not in file stats, and the directory evaluation below prunes it
+    // exactly, any predicate shape.
+    val kept = plan.kept(dataFilters
+      .flatMap(TimeTravel.predicateRanges)
+      .filterNot(_.col == partCol))
     // partition-column predicates → exact evaluation per DIRECTORY
     // value (any predicate shape, evaluated once per dir, not per file)
     val keep: InternalRow => Boolean =
@@ -158,45 +162,6 @@ final class GraftVersionedFileIndex(spark: SparkSession, baseDir: String,
         else Some(PartitionDirectory(row,
           fls.flatMap(statusByFile.get).toArray))
       }.toSeq
-  }
-
-  /** Pushed comparison → a (possibly one-sided) [[ColRange]]. The
-    * partition column is excluded: its values are not in file stats,
-    * and `listFiles` already prunes it exactly. Literal values convert
-    * to their external Scala form (the types `ColRange` documents). */
-  private def toColRange(e: Expression, skipCol: String)
-      : Option[ColRange] = {
-    def ext(l: Literal): Any =
-      if (l.value == null) null
-      else CatalystTypeConverters.convertToScala(l.value, l.dataType)
-    def rng(a: AttributeReference, lo: Literal, hi: Literal)
-        : Option[ColRange] = {
-      if (a.name == skipCol) return None
-      val (l, h) = (Option(lo).map(ext).orNull, Option(hi).map(ext).orNull)
-      if (l == null && h == null) None else Some(ColRange(a.name, l, h))
-    }
-    e match {
-      case EqualTo(a: AttributeReference, l: Literal) => rng(a, l, l)
-      case EqualTo(l: Literal, a: AttributeReference) => rng(a, l, l)
-      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
-        rng(a, l, null)
-      case GreaterThan(a: AttributeReference, l: Literal) =>
-        rng(a, l, null)
-      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
-        rng(a, null, l)
-      case LessThan(a: AttributeReference, l: Literal) =>
-        rng(a, null, l)
-      // reversed operand order: lit OP col flips the bounded side
-      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
-        rng(a, null, l)
-      case GreaterThan(l: Literal, a: AttributeReference) =>
-        rng(a, null, l)
-      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
-        rng(a, l, null)
-      case LessThan(l: Literal, a: AttributeReference) =>
-        rng(a, l, null)
-      case _ => None
-    }
   }
 
   override def inputFiles: Array[String] =
