@@ -1106,7 +1106,7 @@ object TimeTravel {
       cdc: Option[String] = None): Int = {
     val addStats = computeAddStats(spark, fs, baseDir, adds)
     val isRewrite = removes.nonEmpty || op == "upsert" || op == "delete" ||
-      op == "compact"
+      op == "compact" || op == "merge" || op == "update"
     // the active policy the batch was ENFORCED under (one record read);
     // carried forward in this commit's record, re-checked on rebase
     val constraints = activeConstraints(fs, baseDir, prev)
@@ -1819,6 +1819,183 @@ object TimeTravel {
       commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
         survivors, "delete", cdc = cdcToken)
     }
+  }
+
+  /** One WHEN clause of a conditional [[merge]] — the full Delta MERGE
+    * surface. Clause ORDER is semantic: for each row, the first clause
+    * of its kind whose condition holds applies; a matched row no
+    * matched clause accepts passes through UNCHANGED, a source row no
+    * insert clause accepts is DROPPED.
+    *
+    * Condition/SET expression scope:
+    *   - MATCHED clauses see both sides as `tgt.*` / `src.*`
+    *     (`col("tgt.o_totalprice") > col("src.o_totalprice")`);
+    *   - NOT MATCHED conditions see the SOURCE row's bare columns
+    *     (there is no target row to reference — Delta's rule too). */
+  sealed trait MergeClause
+  /** WHEN MATCHED [AND condition] THEN UPDATE SET — an EMPTY `set`
+    * means update-all (every column takes the source row's value). SET
+    * values are cast to the committed column types; the key and
+    * partition columns cannot be SET (key/partition moves are
+    * [[upsert]]'s job). */
+  final case class MatchedUpdate(condition: Option[Column] = None,
+      set: Map[String, Column] = Map.empty) extends MergeClause
+  /** WHEN MATCHED [AND condition] THEN DELETE. */
+  final case class MatchedDelete(condition: Option[Column] = None)
+      extends MergeClause
+  /** WHEN NOT MATCHED [AND condition] THEN INSERT (the source row). */
+  final case class NotMatchedInsert(condition: Option[Column] = None)
+      extends MergeClause
+
+  /** Conditional MERGE INTO as a new version — [[upsert]] generalized
+    * to the full WHEN-clause surface (update/delete/insert, each
+    * optionally guarded, order-sensitive, unmatched rows passing
+    * through). Same scale shape as upsert: source-key-envelope
+    * stats-pruned discovery, affected-partition rewrite, O(files
+    * touched) commit; plus the same CDC capture when `changeFeed` is
+    * on (update pre/post images, delete images, inserts). Source keys
+    * must be UNIQUE — two source rows matching one target row is
+    * ambiguous, and is refused up front (Delta's
+    * `MultipleSourceRowMatches`). Changed rows (update postimages and
+    * inserts) are re-validated against active CHECK constraints. */
+  def merge(spark: SparkSession, baseDir: String, source: DataFrame,
+      keyCol: String, partCol: String, clauses: Seq[MergeClause],
+      broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit,
+      changeFeed: Boolean = false): Int = {
+    require(clauses.nonEmpty, "merge needs at least one WHEN clause")
+    val matchedClauses = clauses.filter {
+      case _: NotMatchedInsert => false
+      case _ => true
+    }
+    val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    requireStringPartCol(source, partCol)
+    val fs = hadoopFs(spark, baseDir)
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    checkSchema(source.schema, prevSnap.schema, evolve = false, "merge")
+    val fields = prevSnap.schema.getOrElse(source.schema)
+    matchedClauses.foreach {
+      case MatchedUpdate(_, set) =>
+        set.keys.foreach { c =>
+          require(fields.fieldNames.contains(c),
+            s"SET column '$c' is not in the table schema")
+          require(c != keyCol && c != partCol,
+            s"SET on '$c' would move the row across keys/partitions — " +
+              "use upsert for moves")
+        }
+      case _ => ()
+    }
+    val src = source.localCheckpoint()
+    require(src.groupBy(col(keyCol)).count()
+        .filter(col("count") > 1).isEmpty,
+      "merge source has duplicate keys: two source rows matching one " +
+        "target row is ambiguous — deduplicate the source first")
+    // discovery: same stats-pruned probe as upsert
+    val gate = src.agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)))
+      .head
+    val srcKeys = Merge.gateBroadcast(src.select(col(keyCol)).distinct(),
+      broadcastKeyLimit, gate.getLong(0))
+    val existingAffected = discoverAffected(spark, baseDir, prevSnap,
+      keyCol, partCol, gate.get(1), gate.get(2), srcKeys)
+    // keys already in the table — complete, because conservative
+    // pruning probes every file whose bounds could hold a source key
+    val existingKeys = readAffected(spark, baseDir, prev, prevSnap,
+      partCol, existingAffected)
+      .join(srcKeys, Seq(keyCol), "left_semi")
+      .select(col(keyCol)).distinct().localCheckpoint()
+    // NOT MATCHED cascade, evaluated on the bare source row: the
+    // accepting clause's index, -1 when none accepts (row dropped)
+    val insActCol = "__graft_merge_ins"
+    val insAct = insertClauses.zipWithIndex
+      .foldRight(lit(-1): Column) { case ((cl, i), acc) =>
+        when(coalesce(cl.condition.getOrElse(lit(true)), lit(false)),
+          lit(i)).otherwise(acc)
+      }
+    val srcMarked = src.withColumn(insActCol, insAct)
+    val inserts = srcMarked.join(existingKeys, Seq(keyCol), "left_anti")
+      .filter(col(insActCol) >= 0)
+    val insertParts = inserts.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    val affected = (existingAffected ++ insertParts).distinct
+    Merge.requireNoNullPartition(affected, partCol)
+    if (affected.isEmpty) return prev
+    val current = readAffected(spark, baseDir, prev, prevSnap, partCol,
+      affected)
+    val joined = current.alias("tgt")
+      .join(srcMarked.alias("src"),
+        col(s"tgt.$keyCol") === col(s"src.$keyCol"), "full_outer")
+      .localCheckpoint() // result + CDC + constraint frames share it
+    val isMatched =
+      col(s"tgt.$keyCol").isNotNull && col(s"src.$keyCol").isNotNull
+    val isTgtOnly = col(s"src.$keyCol").isNull
+    // MATCHED cascade: first clause whose condition holds (1-based
+    // clause index; 0 = no clause, the row passes through unchanged)
+    val actCol = "__graft_merge_act"
+    val mAct = matchedClauses.zipWithIndex
+      .foldRight(lit(0): Column) { case ((cl, i), acc) =>
+        val cond = cl match {
+          case MatchedUpdate(c, _) => c
+          case MatchedDelete(c) => c
+          case _: NotMatchedInsert => None // filtered out above
+        }
+        when(coalesce(cond.getOrElse(lit(true)), lit(false)),
+          lit(i + 1)).otherwise(acc)
+      }
+    val j = joined.withColumn(actCol, when(isMatched, mAct))
+    val deleteActs = matchedClauses.zipWithIndex.collect {
+      case (_: MatchedDelete, i) => i + 1 }
+    val updateActs = matchedClauses.zipWithIndex.collect {
+      case (_: MatchedUpdate, i) => i + 1 }
+    val keep =
+      when(isMatched,
+        if (deleteActs.isEmpty) lit(true)
+        else !col(actCol).isin(deleteActs.map(Integer.valueOf): _*))
+      .when(isTgtOnly, lit(true))
+      .otherwise(col(insActCol) >= 0)
+    def tgtCols = fields.fieldNames.map(c => col(s"tgt.$c").as(c)).toSeq
+    def srcCols = fields.fieldNames.map(c => col(s"src.$c").as(c)).toSeq
+    def valueOf(c: String): Column = {
+      val t = fields(c).dataType
+      val matchedVal = matchedClauses.zipWithIndex
+        .foldLeft(col(s"tgt.$c")) {
+          case (acc, (MatchedUpdate(_, set), i)) =>
+            val v =
+              if (set.isEmpty) col(s"src.$c")
+              else set.get(c).fold(col(s"tgt.$c"))(_.cast(t))
+            when(col(actCol) === (i + 1), v).otherwise(acc)
+          case (acc, _) => acc // delete rows never reach the select
+        }
+      when(isMatched, matchedVal)
+        .when(isTgtOnly, col(s"tgt.$c"))
+        .otherwise(col(s"src.$c")).as(c)
+    }
+    val outCols = fields.fieldNames.map(valueOf).toSeq
+    val isUpdated = isMatched &&
+      (if (updateActs.isEmpty) lit(false)
+       else col(actCol).isin(updateActs.map(Integer.valueOf): _*))
+    val isInserted = !isMatched && !isTgtOnly && col(insActCol) >= 0
+    enforceConstraints(
+      j.filter(isUpdated || isInserted).select(outCols: _*),
+      activeConstraints(fs, baseDir, prev), "merge")
+    val cdcToken = if (changeFeed) Some(newToken()) else None
+    cdcToken.foreach { tok =>
+      writeChanges(spark, baseDir, tok, Seq(
+        j.filter(isUpdated).select(tgtCols: _*)
+          .withColumn(ChangeTypeCol, lit("update_preimage")),
+        j.filter(isUpdated).select(outCols: _*)
+          .withColumn(ChangeTypeCol, lit("update_postimage")),
+        j.filter(isMatched && (
+            if (deleteActs.isEmpty) lit(false)
+            else col(actCol).isin(deleteActs.map(Integer.valueOf): _*)))
+          .select(tgtCols: _*)
+          .withColumn(ChangeTypeCol, lit("delete")),
+        j.filter(isInserted).select(srcCols: _*)
+          .withColumn(ChangeTypeCol, lit("insert"))))
+    }
+    val rewritten = j.filter(keep).select(outCols: _*).localCheckpoint()
+    commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
+      rewritten, "merge", cdc = cdcToken)
   }
 
   /** Predicate DELETE (`DELETE WHERE p`) as a new version — the

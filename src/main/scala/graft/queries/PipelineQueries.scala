@@ -1889,9 +1889,70 @@ object PipelineQueries {
       FROM orders, b""")
   )
 
+  /** Conditional MERGE ([[graft.operators.TimeTravel.merge]]) — the
+    * full WHEN-clause surface in one commit over a versioned orders
+    * table, staged once per sf dir: source = every 5th order (matched
+    * candidates) plus clones of every 7th order shifted past the key
+    * space (insert candidates); clauses = WHEN MATCHED AND status 'F'
+    * UPDATE price += 10, WHEN MATCHED AND status 'P' DELETE, WHEN NOT
+    * MATCHED AND price > 150k INSERT. Matched 'O' rows hit NO clause
+    * and must pass through unchanged — the passthrough contract rides
+    * in the same aggregates. The oracle replays the clause semantics
+    * as plain SQL per status; any clause misfire (wrong order, guard
+    * ignored, unmatched row dropped, rejected insert landing) shifts a
+    * status group and hash-mismatches. */
+  val q182 = Q(
+    "q182_conditional_merge",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      import graft.operators.TimeTravel.{MatchedDelete, MatchedUpdate, NotMatchedInsert}
+      val t = stagedCondMerge.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-cmerge")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        TimeTravel.init(spark, d, orders, "o_month")
+        val shift = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+        val src = orders.filter(col("o_orderkey") % 5 === 0)
+          .unionByName(orders.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(shift))
+            .withColumn("o_orderstatus", lit("N")))
+        TimeTravel.merge(spark, d, src, "o_orderkey", "o_month", Seq(
+          MatchedUpdate(Some(col("tgt.o_orderstatus") === "F"),
+            Map("o_totalprice" -> (col("tgt.o_totalprice") + lit(10.0)))),
+          MatchedDelete(Some(col("tgt.o_orderstatus") === "P")),
+          NotMatchedInsert(Some(col("o_totalprice") > 150000.0))))
+        d
+      })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+    },
+    Some(s"""WITH mx AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders),
+      kept AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 5 = 0 AND o_orderstatus = 'F'
+               THEN o_totalprice + 10.0 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE NOT (o_orderkey % 5 = 0 AND o_orderstatus = 'P')),
+      ins AS (
+        SELECT o_orderkey + mx.shift AS o_orderkey,
+          'N' AS o_orderstatus, o_totalprice AS price
+        FROM orders, mx
+        WHERE o_orderkey % 7 = 0 AND o_totalprice > 150000.0),
+      u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price
+      FROM u GROUP BY 1""")
+  )
+  private val stagedCondMerge =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181)
+      q179, q180, q181, q182)
 }
