@@ -1043,13 +1043,14 @@ object TimeTravel {
     * filesystem — the classic staging-commit every table format uses. */
   private[operators] def stageWrite(spark: SparkSession, baseDir: String,
       df: DataFrame, partCol: String,
-      clusterBy: Option[(String, Int)] = None): Seq[String] = {
+      clusterBy: Option[(String, Int)] = None,
+      zorderBy: Option[((String, String), Int)] = None): Seq[String] = {
     val fs = hadoopFs(spark, baseDir)
     val token = newToken()
     val staging =
       fs.makeQualified(new Path(baseDir, s"_staging/$token"))
     try {
-      val arranged = clusterBy match {
+      val arranged = (clusterBy, zorderBy) match {
         // CLUSTERED layout: k range buckets over the cluster key, each
         // bucket writing one file per partition dir it holds rows of —
         // so every dir's files cover DISJOINT key ranges and the
@@ -1057,9 +1058,28 @@ object TimeTravel {
         // [[compact]]'s clusterBy doc). sortWithinPartitions keeps
         // row-group stats monotone and gives the dynamic-partition
         // writer sequential dir runs.
-        case Some((ck, k)) => df.repartitionByRange(k, col(ck))
+        case (Some((ck, k)), _) => df.repartitionByRange(k, col(ck))
           .sortWithinPartitions(col(partCol), col(ck))
-        case None => // one task's files per partition dir
+        // Z-ORDER layout: k range buckets over the two columns' Morton
+        // interleave ([[Layout.zValue]] — a codegen'd bit_interleave),
+        // so every file covers a small RECTANGLE of the (x, y) space
+        // and its recorded min/max stay narrow on BOTH axes — the
+        // conjunctive-skipping-preserving maintenance layout (Delta's
+        // OPTIMIZE ZORDER BY). One bounds probe over the batch scales
+        // the interleave; z-sorting within buckets keeps row-group
+        // stats tight.
+        case (None, Some(((cx, cy), k))) =>
+          val b = df.agg(
+            min(col(cx)).cast("double"), max(col(cx)).cast("double"),
+            min(col(cy)).cast("double"), max(col(cy)).cast("double"))
+            .head()
+          val z = Layout.zValue(col(cx), col(cy), b.getDouble(0),
+            b.getDouble(1), b.getDouble(2), b.getDouble(3))
+          df.withColumn("__graft_z", z)
+            .repartitionByRange(k, col("__graft_z"))
+            .sortWithinPartitions(col(partCol), col("__graft_z"))
+            .drop("__graft_z")
+        case (None, None) => // one task's files per partition dir
           df.repartition(col(partCol))
       }
       arranged.write.mode("overwrite").partitionBy(partCol)
@@ -1571,14 +1591,16 @@ object TimeTravel {
       partCol: String, affected: Seq[Any], prev: Int,
       prevSnap: Snapshot, rewritten: DataFrame, op: String,
       evolveSchema: Boolean = false, cdc: Option[String] = None,
-      clusterBy: Option[(String, Int)] = None): Int = {
+      clusterBy: Option[(String, Int)] = None,
+      zorderBy: Option[((String, String), Int)] = None): Int = {
     val fs = hadoopFs(spark, baseDir)
     val prevFiles = prevSnap.files
     val dirs = affectedDirs(partCol, affected)
     // staged write: adds are the files WE moved in — exact, never a
     // directory diff that could claim a concurrent writer's files —
     // and commit cost is O(files touched), independent of table size
-    val adds = stageWrite(spark, baseDir, rewritten, partCol, clusterBy)
+    val adds = stageWrite(spark, baseDir, rewritten, partCol, clusterBy,
+      zorderBy)
     val removes = prevFiles
       .filter(f => dirs.exists(d => f.startsWith(d + "/")))
     // refuse BEFORE the record lands: an all-rows-gone commit would be
@@ -2151,18 +2173,32 @@ object TimeTravel {
     * maintenance op that KEEPS [[readVersionSkipping]] selective while
     * still folding the small-files accumulation (Delta's OPTIMIZE
     * ZORDER BY, scaled to the 1-column essentials). */
+  /** `zorderBy = Some(((x, y), k))` is the TWO-column clustered
+    * variant: k global buckets over the columns' Morton interleave
+    * ([[Layout.zValue]]), so every rewritten file covers a small
+    * rectangle of the (x, y) space and conjunctive skipping
+    * ([[readVersionSkippingAll]]) stays selective on BOTH predicate
+    * axes after maintenance — single-column range clustering preserves
+    * one axis and destroys the other (Delta's OPTIMIZE ZORDER BY).
+    * Mutually exclusive with `clusterBy`. */
   def compact(spark: SparkSession, baseDir: String, partCol: String,
       maxFilesPerDir: Int = 1,
-      clusterBy: Option[(String, Int)] = None): Int = {
+      clusterBy: Option[(String, Int)] = None,
+      zorderBy: Option[((String, String), Int)] = None): Int = {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "clusterBy and zorderBy are mutually exclusive")
     clusterBy.foreach { case (_, k) =>
       require(k >= 1, "clusterBy bucket count must be >= 1") }
+    zorderBy.foreach { case (_, k) =>
+      require(k >= 1, "zorderBy bucket count must be >= 1") }
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val prevSnap = resolveFull(spark, baseDir, prev)
     val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
     val byDir = prevFiles.groupBy(f => f.substring(0, f.indexOf('/')))
-    val threshold = math.max(maxFilesPerDir, clusterBy.fold(0)(_._2))
+    val threshold = math.max(maxFilesPerDir,
+      math.max(clusterBy.fold(0)(_._2), zorderBy.fold(0)(_._2)))
     val fragmented = byDir.filter(_._2.size > threshold)
     if (fragmented.isEmpty) return prev
     val affected = fragmented.keys.toSeq.map(d =>
@@ -2173,7 +2209,7 @@ object TimeTravel {
     val rows = readFiles(spark, baseDir,
       fragmented.values.flatten.toSeq.sorted, prevSchema)
     commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
-      rows, "compact", clusterBy = clusterBy)
+      rows, "compact", clusterBy = clusterBy, zorderBy = zorderBy)
   }
 
   /** RESTORE: roll the table back to `toVersion` as a NEW commit (the

@@ -1950,9 +1950,99 @@ object PipelineQueries {
   private val stagedCondMerge =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** Z-ORDER clustered compaction
+    * ([[graft.operators.TimeTravel.compact]] `zorderBy`) — q170's
+    * maintenance contract extended to BOTH predicate axes: a 24-slab
+    * key-range ingest history (fragmented, clustered on o_orderkey
+    * only — a o_custkey window must read everything) is compacted into
+    * 16 Morton-interleave buckets of (o_orderkey, o_custkey), after
+    * which a narrow single-column window on EITHER axis prunes at
+    * least half the files from the log's stats — the property plain or
+    * single-column compaction cannot deliver (one file per dir widens
+    * every bound to the whole partition; single-key clustering keeps
+    * the key axis only). Both windows' filtered aggregates hash-match
+    * the oracle, the pre-compaction version stays intact, and the
+    * per-dir file count is bounded by the bucket count. */
+  val q183 = Q(
+    "q183_zorder_compaction",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, custReadAllBefore) = stagedZorder.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-zorder")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("part", lit("all"))
+        val mm = orders.agg(max(col("o_orderkey")), max(col("o_custkey")))
+          .head
+        val w = mm.getLong(0) / 24
+        def slab(k: Int) = orders.filter(
+          (if (k == 0) lit(true) else col("o_orderkey") > k * w) &&
+            (if (k == 23) lit(true) else col("o_orderkey") <= (k + 1) * w))
+        TimeTravel.init(spark, d, slab(0).repartition(1), "part")
+        (1 to 23).foreach(k =>
+          TimeTravel.append(spark, d, slab(k).repartition(1), "part"))
+        // the CONTRAST: before maintenance the slabs cluster by key
+        // only, so a custkey window's stats prune NOTHING
+        val v0 = TimeTravel.latestVersion(spark, d)
+        val c0 = TimeTravel.readVersionSkipping(spark, d, v0,
+          "o_custkey", 9 * (mm.getLong(1) / 20) + 1, mm.getLong(1) / 2)
+        TimeTravel.compact(spark, d, "part",
+          zorderBy = Some((("o_orderkey", "o_custkey"), 16)))
+        (d, c0.filesRead == c0.filesTotal)
+      })
+      val v = TimeTravel.latestVersion(spark, t)
+      val mk = Tables.load(spark, dir, "orders")
+        .agg(max(col("o_orderkey")), max(col("o_custkey"))).head
+      // NARROW windows (1/24 and 1/20 of each axis) that a Morton
+      // bucket grid prunes hard; the bound is a conservative ≥1/3 of
+      // files pruned on each axis (typical: half to three quarters)
+      val (loK, hiK) = (7 * (mk.getLong(0) / 24), 8 * (mk.getLong(0) / 24))
+      val (loC, hiC) = (9 * (mk.getLong(1) / 20), 10 * (mk.getLong(1) / 20))
+      val scanK = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_orderkey", loK + 1, hiK)
+      val scanC = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_custkey", loC + 1, hiC)
+      val prevIntact = TimeTravel.readVersion(spark, t, v - 1).count() ==
+        TimeTravel.readVersion(spark, t, v).count()
+      val aggK = scanK.df
+        .filter(col("o_orderkey") > loK && col("o_orderkey") <= hiK)
+        .agg(count(lit(1)).as("n_key"),
+          Exact.dsum(col("o_totalprice")).as("price_key"))
+      val aggC = scanC.df
+        .filter(col("o_custkey") > loC && col("o_custkey") <= hiC)
+        .agg(count(lit(1)).as("n_cust"),
+          Exact.dsum(col("o_totalprice")).as("price_cust"))
+      aggK.crossJoin(aggC).select(
+        col("n_key"), col("price_key"), col("n_cust"), col("price_cust"),
+        lit(scanK.filesRead * 3 <= scanK.filesTotal * 2)
+          .as("key_axis_skips"),
+        lit(scanC.filesRead * 3 <= scanC.filesTotal * 2)
+          .as("cust_axis_skips"),
+        lit(custReadAllBefore).as("cust_axis_was_blind_before"),
+        lit(prevIntact).as("prev_version_intact"))
+    },
+    Some(s"""WITH b AS (SELECT 7*(MAX(o_orderkey)//24) AS lok,
+          8*(MAX(o_orderkey)//24) AS hik,
+          9*(MAX(o_custkey)//20) AS loc,
+          10*(MAX(o_custkey)//20) AS hic FROM orders)
+      SELECT
+        (SELECT COUNT(*) FROM orders, b
+         WHERE o_orderkey > b.lok AND o_orderkey <= b.hik) AS n_key,
+        (SELECT ${Exact.sqlSum("o_totalprice")} FROM orders, b
+         WHERE o_orderkey > b.lok AND o_orderkey <= b.hik) AS price_key,
+        (SELECT COUNT(*) FROM orders, b
+         WHERE o_custkey > b.loc AND o_custkey <= b.hic) AS n_cust,
+        (SELECT ${Exact.sqlSum("o_totalprice")} FROM orders, b
+         WHERE o_custkey > b.loc AND o_custkey <= b.hic) AS price_cust,
+        TRUE AS key_axis_skips, TRUE AS cust_axis_skips,
+        TRUE AS cust_axis_was_blind_before,
+        TRUE AS prev_version_intact""")
+  )
+  private val stagedZorder =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181, q182)
+      q179, q180, q181, q182, q183)
 }

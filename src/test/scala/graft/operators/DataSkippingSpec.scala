@@ -212,6 +212,46 @@ class DataSkippingSpec extends SparkSpec {
       clusterBy = Some(("id", 3))) === vc)
   }
 
+  test("zorder compaction folds files AND keeps BOTH axes' skipping selective") {
+    val dir = tmpDir("tt-zorder")
+    val spk = spark
+    import spk.implicits._
+    // 8 ingest slabs clustered on id only: an x2-window read touches
+    // every file before maintenance
+    (0 until 8).foreach { s =>
+      val df = ((s * 100) until (s * 100 + 100)).map { i =>
+        (i.toLong, (i * 37 % 800).toLong, "all", i * 1.0)
+      }.toDF("id", "x2", "part", "v").repartition(1)
+      if (s == 0) TimeTravel.init(spark, dir, df, "part")
+      else TimeTravel.append(spark, dir, df, "part")
+    }
+    val v0 = TimeTravel.latestVersion(spark, dir)
+    val before = TimeTravel.readVersionSkipping(spark, dir, v0,
+      "x2", 100L, 199L)
+    assert(before.filesRead === before.filesTotal,
+      "pre-maintenance x2 window reads everything (id-clustered slabs)")
+    val vc = TimeTravel.compact(spark, dir, "part",
+      zorderBy = Some((("id", "x2"), 4)))
+    assert(vc === v0 + 1)
+    assert(TimeTravel.filesAt(spark, dir, vc).size <= 4)
+    // both axes now prune
+    val idScan = TimeTravel.readVersionSkipping(spark, dir, vc,
+      "id", 0L, 99L)
+    val x2Scan = TimeTravel.readVersionSkipping(spark, dir, vc,
+      "x2", 0L, 99L)
+    assert(idScan.filesRead < idScan.filesTotal, "id axis prunes")
+    assert(x2Scan.filesRead < x2Scan.filesTotal, "x2 axis prunes")
+    // content identity on both windows and the prior version
+    assert(idScan.df.filter(col("id") <= 99).count() === 100)
+    assert(x2Scan.df.filter(col("x2") <= 99).count() ===
+      (0 until 800).count(i => i * 37 % 800 <= 99))
+    assert(TimeTravel.readVersion(spark, dir, v0).count() === 800)
+    // clusterBy and zorderBy together are refused
+    intercept[IllegalArgumentException](TimeTravel.compact(spark, dir,
+      "part", clusterBy = Some(("id", 2)),
+      zorderBy = Some((("id", "x2"), 2))))
+  }
+
   test("NULL bounds: both-null keeps all; one null side is UNBOUNDED but the defined side still prunes") {
     val dir = stagedRanges()
     val v = TimeTravel.latestVersion(spark, dir)
