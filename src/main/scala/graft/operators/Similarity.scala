@@ -270,8 +270,18 @@ object Similarity {
     * before the partial agg collapsed it; arithmetic is identical
     * (float→double widening, row-order accumulation — VectorSpec pins
     * centroid parity). An emptied cell keeps its previous centroid. */
-  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): Seq[Seq[Double]] = {
-    var centroids = firstNCentroids(emb, nCells)
+  def kmeansCentroids(emb: DataFrame, nCells: Int, iters: Int): Seq[Seq[Double]] =
+    kmeansRefine(emb, firstNCentroids(emb, nCells), iters)
+
+  /** Lloyd refinement from EXPLICIT initial centroids — the index
+    * maintenance entry ([[reclusterIvfIndex]] re-trains a drifted
+    * quantizer starting from its CURRENT centroids, not a fresh seed:
+    * warm-started refinement both converges faster and keeps cell
+    * identities roughly stable). Same per-round shape and arithmetic
+    * as [[kmeansCentroids]]. */
+  def kmeansRefine(emb: DataFrame, initial: Seq[Seq[Double]],
+      iters: Int): Seq[Seq[Double]] = {
+    var centroids = initial
     val dim = centroids.headOption.map(_.length).getOrElse(
       return centroids)
     for (_ <- 0 until iters) {
@@ -351,6 +361,33 @@ object Similarity {
     val centroids = indexCentroids(emb.sparkSession, path)
     emb.withColumn("cell", ivfAssign(col("embedding"), centroids))
       .write.partitionBy("cell").mode("append").parquet(s"$path/cells")
+  }
+
+  /** INDEX MAINTENANCE: re-train a DRIFTED coarse quantizer.
+    * [[appendToIvfIndex]] assigns new batches under frozen centroids —
+    * the right serving discipline, but after many appends the corpus
+    * distribution walks away from the quantizer and recall at a fixed
+    * probe budget degrades SILENTLY (the cells still exist; they're
+    * just no longer where the vectors are). This is the paired
+    * maintenance op: re-train the centroids over the index's full
+    * current contents (Lloyd refinement warm-started from the CURRENT
+    * sidecar — [[kmeansRefine]]), then rewrite the cell partitions as a
+    * NEW index generation at `outPath`. The old generation stays fully
+    * readable at `path` (an immutable artifact — serving flips to the
+    * new path when its build completes, the zero-downtime index-swap
+    * every ANN serving stack does). Cost: `iters` scans for the
+    * re-train + one read-rewrite of the corpus; centroids stay
+    * driver-held at nCells×dim. Returns the refined centroids. */
+  def reclusterIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, outPath: String, iters: Int): Seq[Seq[Double]] = {
+    require(outPath != path,
+      "recluster writes a NEW generation — outPath must differ " +
+        "(the old generation stays readable for serving until the swap)")
+    val current = indexCentroids(spark, path)
+    val vecs = spark.read.parquet(s"$path/cells").drop("cell")
+    val refined = kmeansRefine(vecs, current, iters)
+    writeIvfIndex(vecs, refined, outPath)
+    refined
   }
 
   /** ANN top-k served FROM a [[writeIvfIndex]] artifact: load the

@@ -495,9 +495,13 @@ object TimeTravel {
     * non-null values lacks usable statistics, or on any extraction
     * surprise (NaN bounds, unexpected physical type): stats must be
     * conservative or absent, never wrong. */
+  /** Also returns the file's total ROW COUNT (sum of row-group
+    * counts) — recorded in the payload as the reserved `!rows=` token
+    * (a real column name can never collide: `enc` percent-encodes
+    * `!`), feeding the streaming source's row-based admission. */
   private def footerColumnStats(
       conf: org.apache.hadoop.conf.Configuration, file: Path)
-      : Map[String, (String, String)] = {
+      : (Map[String, (String, String)], Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -605,20 +609,33 @@ object TimeTravel {
           }
         }
       }
-      acc.collect { case (c, Some((n, mn, mx))) =>
+      val cols = acc.collect { case (c, Some((n, mn, mx))) =>
         c -> (if (n)
           (mn.asInstanceOf[java.math.BigDecimal].toPlainString,
             mx.asInstanceOf[java.math.BigDecimal].toPlainString)
         else (mn.asInstanceOf[String], mx.asInstanceOf[String]))
       }.toMap
+      val rows = reader.getFooter.getBlocks.asScala
+        .map(_.getRowCount.toLong).sum
+      (cols, rows)
     } finally reader.close()
   }
 
   private def encodeStatsPayload(
-      cols: Map[String, (String, String)]): String =
-    cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
+      cols: Map[String, (String, String)], rows: Long): String =
+    (cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
       s"${enc(c)}=${enc(mn)}:${enc(mx)}"
-    }.mkString(";")
+    } :+ s"!rows=$rows").mkString(";")
+
+  /** The `!rows=` token of a stats payload — absent on records written
+    * before row counts were recorded (consumers degrade: the streaming
+    * source's row admission treats an unknown-count file as
+    * budget-exhausting, never wrong). */
+  private def parseRowCount(payload: String): Option[Long] =
+    payload.split(';').collectFirst {
+      case tok if tok.startsWith("!rows=") =>
+        tok.stripPrefix("!rows=").toLong
+    }
 
   /** Hadoop `Configuration` is not `Serializable`; this wrapper ships
     * it to stats tasks via its own wire format (`write`/`readFields`) —
@@ -653,10 +670,10 @@ object TimeTravel {
       fs: FileSystem, baseDir: String, adds: Seq[String],
       threshold: Int = DistributedStatsThreshold): Map[String, String] =
     if (adds.size <= threshold)
-      adds.flatMap { f =>
-        val cols = footerColumnStats(fs.getConf,
+      adds.map { f =>
+        val (cols, rows) = footerColumnStats(fs.getConf,
           new Path(dataDir(baseDir), f))
-        if (cols.isEmpty) None else Some(f -> encodeStatsPayload(cols))
+        f -> encodeStatsPayload(cols, rows)
       }.toMap
     else {
       val confW =
@@ -665,11 +682,11 @@ object TimeTravel {
       spark.sparkContext
         .parallelize(adds, math.max(1, math.min(adds.size / 8, 64)))
         .map { f =>
-          f -> encodeStatsPayload(
-            footerColumnStats(confW.conf, new Path(s"$root/$f")))
+          val (cols, rows) =
+            footerColumnStats(confW.conf, new Path(s"$root/$f"))
+          f -> encodeStatsPayload(cols, rows)
         }
         .collect()
-        .collect { case (f, p) if p.nonEmpty => f -> p }
         .toMap
     }
 
@@ -2641,21 +2658,41 @@ object TimeTravel {
     * columns added since — same semantics as reading the table). */
   def readAppendsSince(spark: SparkSession, baseDir: String,
       sinceVersion: Int, endVersion: Int = Int.MaxValue): DataFrame = {
-    val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
     val end = if (endVersion == Int.MaxValue) latest else endVersion
-    require(sinceVersion >= 1 && sinceVersion <= end && end <= latest,
-      s"window ($sinceVersion, $end] out of range for $baseDir " +
+    val addFiles = appendWindowAdds(spark, baseDir, sinceVersion, end)
+      .flatMap(_._2)
+    readAddFiles(spark, baseDir, addFiles, end,
+      s"empty window ($sinceVersion, $end] of $baseDir has no logged " +
+        "schema to type an empty result with")
+  }
+
+  /** The per-version ADD-FILE lists of an append window `(since, end]`
+    * — the same acceptance/refusal contract as [[readAppendsSince]]
+    * (appends deliver, compact/constraint commits contribute nothing,
+    * rewrites refuse loudly, vacuumed windows refuse loudly), exposed
+    * at file granularity for consumers that need sub-commit windows
+    * (the streaming source's row-based admission). File order within a
+    * version is the record's sorted order — stable across reads, which
+    * is what makes a mid-version offset meaningful. */
+  private[graft] def appendWindowAdds(spark: SparkSession,
+      baseDir: String, sinceVersion: Int, endVersion: Int)
+      : Seq[(Int, Seq[String])] = {
+    val fs = hadoopFs(spark, baseDir)
+    val latest = latestVersion(spark, baseDir)
+    require(sinceVersion >= 1 && sinceVersion <= endVersion &&
+      endVersion <= latest,
+      s"window ($sinceVersion, $endVersion] out of range for $baseDir " +
         s"(latest: $latest)")
     val entries = logEntries(fs, baseDir)
-    val addFiles = ((sinceVersion + 1) to end).flatMap { v =>
+    ((sinceVersion + 1) to endVersion).map { v =>
       require(entries.get(v).exists(_._2),
         s"version $v of $baseDir has no commit record (vacuumed away): " +
           "the incremental window is not reconstructible — restart from " +
           "a full readVersion snapshot")
       val lines = readRawLines(fs, deltaPath(baseDir, v))
       val (adds, removes) = addsRemovesFrom(lines)
-      opFrom(lines) match {
+      v -> (opFrom(lines) match {
         case Some("append") => adds
         case Some("compact") => Nil // dataChange=false: already delivered
         case Some("constraint") => Nil // metadata-only: no rows to deliver
@@ -2665,16 +2702,35 @@ object TimeTravel {
             s"${other.getOrElse("pre-metadata rewrite")} commit: an " +
             "insert-only change feed cannot represent updates or " +
             "deletes — re-read the full version (or snapshotDiff) instead")
-      }
+      })
     }
-    val schema = schemaOfRecord(fs, baseDir, end)
-    if (addFiles.isEmpty) {
-      val s = schema.getOrElse(throw new IllegalArgumentException(
-        s"empty window ($sinceVersion, $end] of $baseDir has no logged " +
-          "schema to type an empty result with"))
+  }
+
+  /** Version `v`'s add files paired with their RECORDED row counts
+    * (the stats payload's `!rows=` token; None on pre-row-count
+    * records), in the record's stable order — the streaming source's
+    * row-admission walk. One metadata read, no data access. */
+  private[graft] def addRowCounts(spark: SparkSession, baseDir: String,
+      v: Int): Seq[(String, Option[Long])] = {
+    val fs = hadoopFs(spark, baseDir)
+    val lines = readRawLines(fs, deltaPath(baseDir, v))
+    val stats = statsFrom(lines)
+    addsRemovesFrom(lines)._1
+      .map(f => f -> stats.get(f).flatMap(parseRowCount))
+  }
+
+  /** Read a set of add files under the window-END version's committed
+    * schema (an empty set types as an empty frame). */
+  private[graft] def readAddFiles(spark: SparkSession, baseDir: String,
+      files: Seq[String], schemaVersion: Int,
+      emptyMsg: String): DataFrame = {
+    val fs = hadoopFs(spark, baseDir)
+    val schema = schemaOfRecord(fs, baseDir, schemaVersion)
+    if (files.isEmpty) {
+      val s = schema.getOrElse(throw new IllegalArgumentException(emptyMsg))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else readFiles(spark, baseDir, addFiles.sorted, schema)
+    } else readFiles(spark, baseDir, files.sorted, schema)
   }
 
   /** Row-level change-type column every CDC row carries:

@@ -983,7 +983,85 @@ object VectorQueries {
       FROM ne LEFT JOIN ni ON ni.ea = ne.ea""")
   )
 
+  /** Drifted two-batch index + its RECLUSTERED new generation, staged
+    * once per sf dir, with the recall audit computed AT STAGING (the
+    * kNN joins run once; the query re-reads only the serving path):
+    * batch 1 = the low half of vec_ids with its OWN first-8 quantizer,
+    * batch 2 = the high half appended under those frozen (now stale)
+    * centroids, then [[Similarity.reclusterIvfIndex]] re-trains over
+    * the union and writes generation 2 at a NEW path — generation 1
+    * stays fully readable (pinned in-band). Recall@10 over the first
+    * 16 vectors as queries, against the exact [[Similarity.knnJoin]]
+    * ground truth, before vs after. */
+  private val stagedRecluster = new scala.collection.concurrent.TrieMap[
+    String, (String, String, Seq[Seq[Double]], Long, Long, Long)]()
+  private def reclusterState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (String, String, Seq[Seq[Double]], Long, Long, Long) =
+    stagedRecluster.getOrElseUpdate(dir, {
+      val emb = Tables.load(spark, dir, "embeddings")
+      val t0 = ParityQueries.scratchDir("graft-ivf-drift")
+      val t1 = ParityQueries.scratchDir("graft-ivf-regen")
+      val n = emb.agg(max(col("vec_id"))).head.getLong(0)
+      val lowHalf = emb.filter(col("vec_id") * 2 <= n)
+      Similarity.writeIvfIndex(lowHalf,
+        Similarity.firstNCentroids(lowHalf, 8), t0)
+      Similarity.appendToIvfIndex(emb.filter(col("vec_id") * 2 > n), t0)
+      val refined = Similarity.reclusterIvfIndex(spark, t0, t1, iters = 4)
+      // recall@10 audit over 16 queries vs the exact neighbors
+      val qSeq = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id"), col("embedding")).collect()
+        .map(r => r.getLong(0) ->
+          r.getSeq[Float](1).map(_.toDouble).toSeq).toSeq
+      val queries = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val exact = Similarity.knnJoin(emb, qSeq, 10)
+        .select(col("query_id"), col("vec_id")).localCheckpoint()
+      def hits(path: String): Long =
+        Similarity.knnJoinFromIndex(spark, path, queries, 10, nProbe = 2)
+          .select(col("query_id"), col("vec_id"))
+          .join(exact, Seq("query_id", "vec_id")).count()
+      val oldReadable = spark.read.parquet(s"$t0/cells").count()
+      (t0, t1, refined, hits(t0), hits(t1), oldReadable)
+    })
+
+  /** IVF index MAINTENANCE ([[Similarity.reclusterIvfIndex]]): serving
+    * top-10 from the RECLUSTERED generation, verified by the same
+    * SQL-replayed IVF oracle as q34/q50 — with the refined centroids
+    * embedded as literals (the q119 oracleGen pattern), DuckDB
+    * recomputes cell assignment, probe selection, and in-cell cosine
+    * ranking over the raw table; a generation whose rewrite lost or
+    * duplicated vectors, mis-assigned cells, or serves stale centroids
+    * hash-mismatches. In-band verdicts: the 16-query recall@10 audit
+    * did not degrade after reclustering (the drifted index's quantizer
+    * saw only the low half of the corpus), and generation 1 remains
+    * fully readable after generation 2 landed. */
+  val q184 = Q(
+    "q184_ivf_recluster",
+    (spark, dir) => {
+      val (_, newIdx, _, hitsBefore, hitsAfter, oldReadable) =
+        reclusterState(spark, dir)
+      val total = Tables.load(spark, dir, "embeddings").count()
+      ranked(Similarity.ivfTopKFromIndex(spark, newIdx,
+          queryVec(spark, dir), k = 10, nProbe = 2, excludeId = 0L))
+        .withColumn("recall_restored", lit(hitsAfter >= hitsBefore))
+        .withColumn("old_gen_readable", lit(oldReadable == total))
+    },
+    None,
+    oracleGen = Some((spark, dir) => {
+      val (_, _, refined, _, _, _) = reclusterState(spark, dir)
+      val rows = refined.zipWithIndex
+        .map { case (c, i) => s"($i, ${planeLit(c)})" }.mkString(", ")
+      val base = ivfOracle(s"SELECT CAST(cell AS INTEGER) AS cell, ce " +
+        s"FROM (VALUES $rows) AS t(cell, ce)")
+      val marker = "SELECT CAST(ROW_NUMBER() OVER ("
+      require(base.contains(marker), "ivfOracle shape changed")
+      base.replace(marker,
+        "SELECT TRUE AS recall_restored, TRUE AS old_gen_readable, " +
+          "CAST(ROW_NUMBER() OVER (")
+    })
+  )
+
   val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119,
-      q124, q132, q148, q157, q163)
+      q124, q132, q148, q157, q163, q184)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SparkSession}
-import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.StreamingDataFrame
@@ -63,9 +63,15 @@ import graft.operators.TimeTravel
   * `org.apache.spark.sql.delta` for the same purpose). */
 class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     sinceVersion: Option[Int], changeFeed: Boolean,
-    maxVersionsPerTrigger: Option[Int], override val schema: StructType)
+    maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
+    override val schema: StructType)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
+
+  require(!changeFeed || maxRowsPerTrigger.isEmpty,
+    "maxRowsPerTrigger is append-window admission (it splits commits " +
+      "at file boundaries); a change feed delivers whole commits — " +
+      "use maxVersionsPerTrigger")
 
   private def spark: SparkSession = sqlContext.sparkSession
 
@@ -77,32 +83,83 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     availableNowEnd = Some(TimeTravel.latestVersion(spark, baseDir))
 
   override def getDefaultReadLimit: ReadLimit =
-    maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong))
+    maxRowsPerTrigger.map(ReadLimit.maxRows)
+      .orElse(maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong)))
       .getOrElse(ReadLimit.allAvailable())
 
-  private def versionOf(o: OffsetV2): Int = o match {
-    case VersionOffset(v) => v
-    case other => other.json.trim.toInt // SerializedOffset after restart
+  /** Committed versions are immutable: their add lists and row counts
+    * cache for the stream's lifetime (one metadata read per version,
+    * however many triggers walk it). */
+  private val addsCache =
+    scala.collection.concurrent.TrieMap.empty[Int, Seq[String]]
+  private val rowsCache = scala.collection.concurrent.TrieMap
+    .empty[Int, Map[String, Option[Long]]]
+  private def versionAdds(v: Int): Seq[String] =
+    addsCache.getOrElseUpdate(v,
+      TimeTravel.appendWindowAdds(spark, baseDir, v - 1, v).head._2)
+  private def versionRows(v: Int): Map[String, Option[Long]] =
+    rowsCache.getOrElseUpdate(v,
+      TimeTravel.addRowCounts(spark, baseDir, v).toMap)
+
+  private def posOf(o: OffsetV2): VersionOffset = o match {
+    case v: VersionOffset => v
+    case other => VersionOffset.fromJson(other.json) // after restart
   }
 
-  /** Admission control: the next batch's end version — the log's latest
-    * (clamped to the AvailableNow capture), at most
-    * `maxVersionsPerTrigger` past the cursor. Returns the unchanged
-    * cursor (→ no batch) when nothing new committed. */
+  /** Admission control: the next batch's end position. Version-capped
+    * by `maxVersionsPerTrigger`; with `maxRowsPerTrigger` the walk
+    * packs whole ADD FILES (their `!rows=` counts from the log) until
+    * the budget is spent — a fat backfill commit splits across
+    * triggers at file boundaries instead of landing as one giant
+    * batch. At least one file always admits (progress); a file with no
+    * recorded count admits and exhausts the budget (conservative,
+    * never wrong). Returns the unchanged cursor (→ no batch) when
+    * nothing new committed. */
   override def latestOffset(startOffset: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val latest = availableNowEnd
       .getOrElse(TimeTravel.latestVersion(spark, baseDir))
     if (latest < 1) return null // table not initialized yet: no data
-    val base = Option(startOffset).map(versionOf).orElse(sinceVersion)
-    val target = (base, limit) match {
-      case (Some(b), rl: ReadMaxRows) =>
-        math.min(latest, b + rl.maxRows().toInt)
-      // initial snapshot (base None) is always one batch: one version
-      case _ => latest
-    }
+    val base = Option(startOffset).map(posOf)
+      .orElse(sinceVersion.map(VersionOffset(_)))
     base match {
-      case Some(b) if target <= b => VersionOffset(b) // caught up
-      case _ => VersionOffset(target)
+      // initial snapshot (base None) is always one batch: one version
+      case None => VersionOffset(latest)
+      case Some(b) =>
+        val endCap = math.min(latest,
+          maxVersionsPerTrigger.map(b.version + _).getOrElse(latest))
+        val target = maxRowsPerTrigger match {
+          case _ if endCap <= b.version && b.complete => b
+          case None => VersionOffset(endCap)
+          case _ if changeFeed => VersionOffset(endCap) // refused above
+          case Some(budget) =>
+            var admitted = 0L
+            var any = false // at least one file always admits: progress
+            var out = b
+            var v = if (b.complete) b.version + 1 else b.version
+            var k = if (b.complete) 0 else b.filePos
+            var done = false
+            while (!done && v <= endCap) {
+              val adds = versionAdds(v)
+              val counts = versionRows(v)
+              var i = k
+              while (!done && i < adds.size) {
+                val rows = counts.getOrElse(adds(i), None)
+                  .getOrElse(Long.MaxValue / 4) // unknown: fills budget
+                if (any && admitted + rows > budget) {
+                  out = VersionOffset(v, i) // budget spent mid-version
+                  done = true
+                } else { admitted += rows; any = true; i += 1 }
+              }
+              if (!done) {
+                out = VersionOffset(v) // version fully admitted
+                if (admitted >= budget) done = true
+                else { v += 1; k = 0 }
+              }
+            }
+            out
+        }
+        if (target.version <= b.version && (b.complete || target == b)) b
+        else target
     }
   }
 
@@ -112,16 +169,32 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
         "(this source implements SupportsAdmissionControl)")
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
-    val endV = versionOf(end)
-    val batch = start.map(versionOf(_)).orElse(sinceVersion) match {
-      case Some(s) => // a log window (s, endV] — empty when s == endV
-        if (changeFeed) TimeTravel.readChangesSince(spark, baseDir, s, endV)
-        else TimeTravel.readAppendsSince(spark, baseDir, s, endV)
+    val e = posOf(end)
+    val batch = start.map(posOf).orElse(sinceVersion.map(VersionOffset(_))) match {
+      case Some(s) if changeFeed => // whole-version CDC windows
+        TimeTravel.readChangesSince(spark, baseDir, s.version, e.version)
+      case Some(s) => // an append window (s, e] at FILE granularity
+        val files = Seq.newBuilder[String]
+        if (s.version == e.version) {
+          val adds = versionAdds(e.version)
+          val from = if (s.complete) adds.size else s.filePos
+          val until = if (e.complete) adds.size else e.filePos
+          files ++= adds.slice(from, until)
+        } else {
+          if (!s.complete) files ++= versionAdds(s.version).drop(s.filePos)
+          ((s.version + 1) until e.version)
+            .foreach(v => files ++= versionAdds(v))
+          val endAdds = versionAdds(e.version)
+          files ++= (if (e.complete) endAdds else endAdds.take(e.filePos))
+        }
+        TimeTravel.readAddFiles(spark, baseDir, files.result(), e.version,
+          s"window ($s, $e] of $baseDir has no logged schema to type " +
+            "an empty result with")
       case None => // the initial snapshot: one consistent version
-        val snap = TimeTravel.readVersion(spark, baseDir, endV)
+        val snap = TimeTravel.readVersion(spark, baseDir, e.version)
         if (changeFeed)
           snap.withColumn(TimeTravel.ChangeTypeCol, lit("insert"))
-            .withColumn(TimeTravel.CommitVersionCol, lit(endV))
+            .withColumn(TimeTravel.CommitVersionCol, lit(e.version))
         else snap
     }
     // pin to the stream's fixed schema: columns a later evolution added
@@ -144,9 +217,26 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     s"VersionedTableSource[$baseDir, changeFeed=$changeFeed]"
 }
 
-/** A source offset = the highest table version the batch covers. */
-final case class VersionOffset(version: Int) extends Offset {
-  override def json: String = version.toString
+/** A source offset: the highest table version the batch covers, plus —
+  * under row-based admission — how many of that version's ADD FILES
+  * are consumed (`Complete` = the whole version; its json stays the
+  * bare version number, so pre-row-admission checkpoints restart
+  * cleanly and whole-version offsets round-trip unchanged). */
+final case class VersionOffset(version: Int,
+    filePos: Int = VersionOffset.Complete) extends Offset {
+  def complete: Boolean = filePos == VersionOffset.Complete
+  override def json: String =
+    if (complete) version.toString else s"$version/$filePos"
+  override def toString: String = json
+}
+
+object VersionOffset {
+  val Complete: Int = -1
+  def fromJson(s: String): VersionOffset = s.trim.split('/') match {
+    case Array(v) => VersionOffset(v.trim.toInt)
+    case Array(v, k) => VersionOffset(v.trim.toInt, k.trim.toInt)
+    case _ => throw new IllegalArgumentException(s"bad offset: '$s'")
+  }
 }
 
 /** V1 streaming SINK into the versioned table — the declarative twin of
@@ -234,7 +324,7 @@ class VersionedTableSourceProvider extends RelationProvider
       parameters: Map[String, String]): Source = {
     val opts = VersionedTableSourceProvider.Opts(parameters)
     new VersionedTableSource(sqlContext, opts.path, opts.sinceVersion,
-      opts.changeFeed, opts.maxVersionsPerTrigger,
+      opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,
       VersionedTableSourceProvider.tableSchema(sqlContext.sparkSession,
         opts.path, opts.changeFeed))
   }
@@ -294,6 +384,8 @@ object VersionedTableSourceProvider {
     val changeFeed: Boolean = m.get("changefeed").exists(_.toBoolean)
     val maxVersionsPerTrigger: Option[Int] =
       m.get("maxversionspertrigger").map(_.toInt)
+    val maxRowsPerTrigger: Option[Long] =
+      m.get("maxrowspertrigger").map(_.toLong)
     // sink-side options
     val partCol: Option[String] = m.get("partcol")
     val sinkMode: String = m.getOrElse("mode", "append")
@@ -329,7 +421,8 @@ object VersionedStream {
     * for mode semantics. */
   def readStream(spark: SparkSession, baseDir: String,
       sinceVersion: Option[Int] = None, changeFeed: Boolean = false,
-      maxVersionsPerTrigger: Option[Int] = None): DataFrame = {
+      maxVersionsPerTrigger: Option[Int] = None,
+      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[VersionedTableSourceProvider].getName)
       .option("path", baseDir)
@@ -337,6 +430,8 @@ object VersionedStream {
     sinceVersion.foreach(v => r.option("sinceVersion", v.toString))
     maxVersionsPerTrigger.foreach(n =>
       r.option("maxVersionsPerTrigger", n.toString))
+    maxRowsPerTrigger.foreach(n =>
+      r.option("maxRowsPerTrigger", n.toString))
     r.load()
   }
 

@@ -463,6 +463,46 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  test("reclusterIvfIndex: new generation holds identical content under " +
+      "refined centroids; old generation untouched; same-path refused") {
+    import org.apache.spark.sql.functions.col
+    val old = tmpDir("ivf-reclu-old"); val next = tmpDir("ivf-reclu-new")
+    val lowHalf = emb.filter(col("vec_id") < 300)
+    Similarity.writeIvfIndex(lowHalf,
+      Similarity.firstNCentroids(lowHalf, 4), old)
+    Similarity.appendToIvfIndex(emb.filter(col("vec_id") >= 300), old)
+    val oldFiles = new java.io.File(s"$old/cells").listFiles()
+      .filter(_.getName.startsWith("cell="))
+      .flatMap(d => d.listFiles().map(f => f.getPath -> f.lastModified()))
+      .toMap
+    val refined = Similarity.reclusterIvfIndex(spark, old, next, iters = 3)
+    // refined == warm-started Lloyd over the union, from the old sidecar
+    val expected = Similarity.kmeansRefine(emb,
+      Similarity.firstNCentroids(lowHalf, 4), 3)
+    assert(refined === expected)
+    // content identity: every vector exactly once, assigned under the
+    // refined quantizer
+    def ids(p: String) = spark.read.parquet(s"$p/cells")
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(ids(next) === ids(old))
+    val wantCells = emb
+      .select(col("vec_id"), Similarity.ivfAssign(col("embedding"),
+        refined).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    spark.read.parquet(s"$next/cells")
+      .select("vec_id", "cell").collect().foreach { r =>
+        assert(wantCells(r.getLong(0)) === r.get(1).toString.toInt)
+      }
+    // the old generation's files are bit-for-bit untouched
+    oldFiles.foreach { case (path, mtime) =>
+      val f = new java.io.File(path)
+      assert(f.exists && f.lastModified() === mtime, path)
+    }
+    // and rewriting in place is refused
+    intercept[IllegalArgumentException](
+      Similarity.reclusterIvfIndex(spark, old, old, iters = 1))
+  }
+
   test("contaminationFromIndex: exhaustive probes equal brute force; fewer " +
       "probes are a subset (recall, never precision)") {
     import org.apache.spark.sql.functions.col

@@ -42,6 +42,70 @@ class VersionedSourceSpec extends SparkSpec {
     assert(nBatches(ck) >= 3)
   }
 
+  test("row-based admission: a fat commit splits across triggers at file " +
+      "boundaries, exactly-once, with whole-version offsets between") {
+    val t = tmpDir("vsrc-rows")
+    TimeTravel.init(spark, t, df((0L, "a", 0.0)), "part")
+    // a FAT backfill commit: 80 rows across 8 partition dirs → 8 add
+    // files of 10 rows each (the staged write lands one file per dir)
+    TimeTravel.append(spark, t,
+      (1L to 80L).map(i => (i, s"p${i % 8}", i.toDouble))
+        .toDF("id", "part", "v"), "part") // v2
+    TimeTravel.append(spark, t, df((81L, "b", 81.0)), "part") // v3
+    val out = tmpDir("vsrc-rows-out")
+    val ck = tmpDir("vsrc-rows-ck")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        maxRowsPerTrigger = Some(25L)), out, ck)
+    // exactly-once across the splits: every appended row, none twice
+    assert(outIds(out) === (1L to 81L))
+    // the fat commit could not have landed as one batch: 80 rows at a
+    // 25-row budget need >= 4 triggers, plus v3
+    assert(nBatches(ck) >= 4)
+  }
+
+  test("row-based admission resumes mid-commit from a checkpoint with no " +
+      "re-delivery and no gap") {
+    val t = tmpDir("vsrc-rows-resume")
+    TimeTravel.init(spark, t, df((0L, "a", 0.0)), "part")
+    TimeTravel.append(spark, t,
+      (1L to 60L).map(i => (i, s"p${i % 6}", i.toDouble))
+        .toDF("id", "part", "v"), "part") // v2: 6 dirs → 6 files x 10 rows
+    val out = tmpDir("vsrc-rr-out")
+    val ck = tmpDir("vsrc-rr-ck")
+    // run 1 drains v2 in 20-row slices (mid-commit offsets checkpointed)
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        maxRowsPerTrigger = Some(20L)), out, ck)
+    assert(outIds(out) === (1L to 60L))
+    val batches1 = nBatches(ck)
+    assert(batches1 >= 3, s"60 rows at 20-row budget: got $batches1")
+    // more commits while down; the restart picks up where it left off
+    TimeTravel.append(spark, t, df((61L, "a", 61.0)), "part")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        maxRowsPerTrigger = Some(20L)), out, ck)
+    assert(outIds(out) === (1L to 61L))
+  }
+
+  test("maxRowsPerTrigger is refused in changeFeed mode") {
+    val t = tmpDir("vsrc-rows-cdc")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    // the refusal fires when the source materializes at stream start,
+    // so it surfaces wrapped in the query exception
+    val e = intercept[Exception] {
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        changeFeed = true, maxRowsPerTrigger = Some(10L))
+        .writeStream.format("noop")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("maxRowsPerTrigger")))
+  }
+
   test("restart-resume: a restarted stream continues from its checkpoint " +
       "with no re-delivery and no gap") {
     val t = tmpDir("vsrc-resume")
