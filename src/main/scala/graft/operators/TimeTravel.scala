@@ -378,9 +378,10 @@ object TimeTravel {
         Map(name -> sqlExpr), s"ADD CONSTRAINT $name: existing version " +
           s"$prev")
       try {
+        val (cm, cd) = activeColmap(fs, baseDir, prev)
         writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
           schemaOfRecord(fs, baseDir, prev), Some("constraint"),
-          constraints = cs + (name -> sqlExpr))
+          constraints = cs + (name -> sqlExpr), colmap = cm, coldrop = cd)
         commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
           checkpointed = false))
         return prev + 1
@@ -403,9 +404,199 @@ object TimeTravel {
       require(cs.contains(name), s"no constraint named '$name' " +
         s"(active: ${cs.keys.toSeq.sorted.mkString(", ")})")
       try {
+        val (cm, cd) = activeColmap(fs, baseDir, prev)
         writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
           schemaOfRecord(fs, baseDir, prev), Some("constraint"),
-          constraints = cs - name)
+          constraints = cs - name, colmap = cm, coldrop = cd)
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
+  // ---------------------------------------------------------------------
+  // COLUMN MAPPING — rename/drop as METADATA-ONLY commits (Delta's
+  // column mapping). Data files keep their PHYSICAL column names
+  // forever; the log maps logical → physical, so a rename rewrites
+  // nothing and old files stay readable under every version's own
+  // names (schema time travel included). The active mapping rides in
+  // EVERY commit record as `#colmap=<enc logical>|<enc physical>`
+  // lines (non-identity entries only; absent = identity — which is
+  // also what makes every pre-mapping log valid), plus
+  // `#coldrop=<enc physical>` TOMBSTONES for dropped columns' physical
+  // names: re-adding a column whose name collides with a live or
+  // tombstoned physical name is REFUSED, or the old files' orphaned
+  // values would silently resurface in the new column (Delta solves
+  // the same hazard with UUID physical names; explicit refusal keeps
+  // the log human-readable and the hazard impossible).
+  // ---------------------------------------------------------------------
+
+  private def colmapLines(m: Map[String, String],
+      dropped: Set[String]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (l, p) =>
+      s"#colmap=${enc(l)}|${enc(p)}" } ++
+      dropped.toSeq.sorted.map(p => s"#coldrop=${enc(p)}")
+
+  private def colmapFrom(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith("#colmap=") =>
+      val body = l.stripPrefix("#colmap=")
+      val i = body.indexOf('|')
+      dec(body.take(i)) -> dec(body.drop(i + 1))
+    }.toMap
+
+  private def coldropFrom(lines: Seq[String]): Set[String] =
+    lines.collect { case l if l.startsWith("#coldrop=") =>
+      dec(l.stripPrefix("#coldrop=")) }.toSet
+
+  /** The column mapping recorded at `version` — one record read (every
+    * record carries the full mapping). Identity on pre-mapping logs. */
+  private def activeColmap(fs: FileSystem, baseDir: String,
+      version: Int): (Map[String, String], Set[String]) =
+    Seq(deltaPath(baseDir, version), manifestPath(baseDir, version))
+      .iterator.filter(fs.exists(_))
+      .map(readRawLines(fs, _))
+      .map(ls => (colmapFrom(ls), coldropFrom(ls)))
+      .nextOption().getOrElse((Map.empty, Set.empty))
+
+  /** Public view of [[activeColmap]]: logical → physical at `version`. */
+  def columnMappingAt(spark: SparkSession, baseDir: String,
+      version: Int): Map[String, String] =
+    activeColmap(hadoopFs(spark, baseDir), baseDir, version)._1
+
+  /** Physical (file-side) names a new logical column may not take:
+    * every mapped physical plus every tombstone. */
+  private def reservedPhysical(colmap: Map[String, String],
+      dropped: Set[String]): Set[String] = colmap.values.toSet ++ dropped
+
+  /** Refuse batch columns whose name collides with a reserved physical
+    * name — the add-after-rename/drop resurrection hazard (doc above). */
+  private def requireNoPhysicalCollision(
+      schema: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String], dropped: Set[String],
+      op: String): Unit = {
+    val reserved = reservedPhysical(colmap, dropped)
+    val offenders = schema.fieldNames
+      .filterNot(colmap.contains) // mapped columns own their physical
+      .filter(reserved)
+    require(offenders.isEmpty,
+      s"$op adds column(s) ${offenders.mkString(", ")} whose name is a " +
+        "RESERVED physical name (a renamed or dropped column's file-side " +
+        "name): old files' orphaned values would silently resurface — " +
+        "pick a different name")
+  }
+
+  /** The table's partition column at `version`, from the file layout
+    * (every data file lives under `col=value/`). */
+  private def partColOf(snap: Snapshot): String = {
+    val f = snap.files.head
+    f.substring(0, f.indexOf('='))
+  }
+
+  /** A crude-but-conservative "does this CHECK expression mention the
+    * column" probe: word-boundary match on the raw SQL text. */
+  private def constraintMentions(cs: Map[String, String],
+      colName: String): Option[String] = {
+    val re = ("(?i)(^|[^A-Za-z0-9_`])" +
+      java.util.regex.Pattern.quote(colName) +
+      "($|[^A-Za-z0-9_])").r
+    cs.collectFirst { case (n, e) if re.findFirstIn(e).isDefined ||
+      e.contains(s"`$colName`") => n }
+  }
+
+  /** RENAME COLUMN as a metadata-only commit: the schema takes the new
+    * logical name, the mapping binds it to the column's unchanged
+    * PHYSICAL name, zero files rewrite, and time travel returns each
+    * version's own names (a pre-rename version reads the old name from
+    * its own schema+mapping). Refused: renaming the partition column
+    * (its name is the directory layout), to an existing column, to a
+    * reserved physical name, or while an active CHECK constraint
+    * mentions the column (the expression would silently dangle). */
+  def renameColumn(spark: SparkSession, baseDir: String,
+      from: String, to: String): Int = {
+    require(from != to, "rename to the same name is a no-op — refusing")
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — init the table first")
+    while (true) {
+      val snap = resolveFull(spark, baseDir, prev)
+      val schema = snap.schema.getOrElse(throw new IllegalArgumentException(
+        s"$baseDir records no schema — pre-metadata tables cannot rename"))
+      require(schema.fieldNames.contains(from),
+        s"no column '$from' (columns: ${schema.fieldNames.mkString(", ")})")
+      require(!schema.fieldNames.contains(to),
+        s"column '$to' already exists")
+      require(from != partColOf(snap),
+        s"'$from' is the partition column — its name IS the directory " +
+          "layout; repartitioning is a rewrite, not a rename")
+      require(!reservedPhysical(snap.colmap, snap.dropped)(to) ||
+        snap.colmap.get(from).contains(to),
+        s"'$to' is a reserved physical name (a renamed or dropped " +
+          "column's file-side name) — pick a different name")
+      val cs = activeConstraints(fs, baseDir, prev)
+      constraintMentions(cs, from).foreach(n =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' mentions '$from' — drop the " +
+            "constraint first, rename, then re-add it under the new name"))
+      val physical = snap.colmap.getOrElse(from, from)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.map(f =>
+          if (f.name == from) f.copy(name = to) else f))
+      val newMap =
+        if (physical == to) snap.colmap - from // renamed BACK: identity
+        else snap.colmap - from + (to -> physical)
+      try {
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None, Some(newSchema),
+          Some("colmap"), constraints = cs,
+          colmap = newMap, coldrop = snap.dropped)
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** DROP COLUMN as a metadata-only commit: the schema loses the
+    * field, its physical name becomes a TOMBSTONE (re-add refused —
+    * see the section doc), zero files rewrite, and pre-drop versions
+    * keep reading the column through their own schema+mapping. Refused
+    * for the partition column and while a CHECK constraint mentions
+    * the column. */
+  def dropColumn(spark: SparkSession, baseDir: String,
+      name: String): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits")
+    while (true) {
+      val snap = resolveFull(spark, baseDir, prev)
+      val schema = snap.schema.getOrElse(throw new IllegalArgumentException(
+        s"$baseDir records no schema — pre-metadata tables cannot drop"))
+      require(schema.fieldNames.contains(name),
+        s"no column '$name' (columns: ${schema.fieldNames.mkString(", ")})")
+      require(name != partColOf(snap),
+        s"'$name' is the partition column — dropping it is a " +
+          "repartition (a rewrite), not a metadata drop")
+      require(schema.fields.length > 2,
+        "dropping would leave fewer than two columns (partition + one " +
+          "data column) — drop the table instead")
+      val cs = activeConstraints(fs, baseDir, prev)
+      constraintMentions(cs, name).foreach(n =>
+        throw new IllegalArgumentException(
+          s"CHECK constraint '$n' mentions '$name' — drop the " +
+            "constraint first"))
+      val physical = snap.colmap.getOrElse(name, name)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields.filterNot(_.name == name))
+      try {
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None, Some(newSchema),
+          Some("colmap"), constraints = cs,
+          colmap = snap.colmap - name, coldrop = snap.dropped + physical)
         commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
           checkpointed = false))
         return prev + 1
@@ -799,7 +990,9 @@ object TimeTravel {
     * are simply absent from `stats`). */
   private final case class Snapshot(files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      stats: Map[String, String])
+      stats: Map[String, String],
+      colmap: Map[String, String] = Map.empty,
+      dropped: Set[String] = Set.empty)
 
   private def resolveAt(spark: SparkSession, baseDir: String, version: Int)
       : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
@@ -830,6 +1023,9 @@ object TimeTravel {
       case None =>
         (ckptLines.filterNot(_.startsWith("#")).toSet, statsFrom(ckptLines))
     }
+    // the column mapping comes from the LAST record of the walk — every
+    // record carries the full current mapping (identity when absent)
+    var lastLines: Seq[String] = ckptLines
     ((ckpt + 1) to version).foreach { v =>
       require(entries.get(v).exists(_._2),
         s"version $v of $baseDir has no commit record (vacuumed away, " +
@@ -839,9 +1035,11 @@ object TimeTravel {
       val (adds, removes) = addsRemovesFrom(lines)
       files = files -- removes ++ adds
       stats = stats -- removes ++ statsFrom(lines)
+      lastLines = lines
     }
     Snapshot(files.toSeq.sorted, schema,
-      stats.filter { case (f, _) => files(f) })
+      stats.filter { case (f, _) => files(f) },
+      colmapFrom(lastLines), coldropFrom(lastLines))
   }
 
   /** Full checkpoint for `version`. Exclusive install for commit
@@ -852,9 +1050,11 @@ object TimeTravel {
       schema: Option[org.apache.spark.sql.types.StructType],
       op: Option[String], ts: Option[Long],
       stats: Map[String, String],
-      constraints: Map[String, String] = Map.empty): Array[Byte] =
+      constraints: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      coldrop: Set[String] = Set.empty): Array[Byte] =
     (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
-      constraintLines(constraints) ++
+      constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
       statsLinesFor(files, stats) ++
       files.sorted).mkString("\n").getBytes("UTF-8")
@@ -867,9 +1067,12 @@ object TimeTravel {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None, ts: Option[Long] = None,
       stats: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty): Unit = {
+      constraints: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      coldrop: Set[String] = Set.empty): Unit = {
     installExclusive(fs, manifestPath(baseDir, version),
-      manifestContent(files, txns, schema, op, ts, stats, constraints))
+      manifestContent(files, txns, schema, op, ts, stats, constraints,
+        colmap, coldrop))
   }
 
   /** Header-only checkpoint manifest: the metadata lines (txns, schema,
@@ -882,9 +1085,11 @@ object TimeTravel {
       txns: Seq[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       op: Option[String], ts: Option[Long],
-      constraints: Map[String, String]): Array[Byte] =
+      constraints: Map[String, String],
+      colmap: Map[String, String] = Map.empty,
+      coldrop: Set[String] = Set.empty): Array[Byte] =
     (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
-      constraintLines(constraints) ++
+      constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
       Seq(s"#nfiles=$nFiles", s"#filesbody=parquet:$token"))
       .mkString("\n").getBytes("UTF-8")
@@ -985,16 +1190,18 @@ object TimeTravel {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       op: Option[String] = None, ts: Option[Long] = None,
       stats: Map[String, String] = Map.empty,
-      constraints: Map[String, String] = Map.empty): Unit =
+      constraints: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      coldrop: Set[String] = Set.empty): Unit =
     if (!parquetCheckpoints)
       writeManifest(fs, baseDir, version, files, txns, schema, op, ts,
-        stats, constraints)
+        stats, constraints, colmap, coldrop)
     else {
       val token = newToken()
       writeCheckpointSidecar(fs, baseDir, version, token, files, stats)
       installExclusive(fs, manifestPath(baseDir, version),
         checkpointHeaderContent(token, files.size, txns, schema, op, ts,
-          constraints))
+          constraints, colmap, coldrop))
     }
 
   /** The losing writer of a commit race — version `version` was
@@ -1016,10 +1223,12 @@ object TimeTravel {
       op: Option[String] = None,
       stats: Map[String, String] = Map.empty,
       cdc: Option[String] = None,
-      constraints: Map[String, String] = Map.empty): Unit = {
+      constraints: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      coldrop: Set[String] = Set.empty): Unit = {
     val bytes =
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
-        constraintLines(constraints) ++
+        constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
         op.map(opLine).toSeq ++ cdc.map(cdcLine).toSeq ++ Seq(tsLine()) ++
         statsLinesFor(adds, stats) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
@@ -1061,7 +1270,8 @@ object TimeTravel {
   private[operators] def stageWrite(spark: SparkSession, baseDir: String,
       df: DataFrame, partCol: String,
       clusterBy: Option[(String, Int)] = None,
-      zorderBy: Option[((String, String), Int)] = None): Seq[String] = {
+      zorderBy: Option[((String, String), Int)] = None,
+      colmap: Map[String, String] = Map.empty): Seq[String] = {
     val fs = hadoopFs(spark, baseDir)
     val token = newToken()
     val staging =
@@ -1099,7 +1309,13 @@ object TimeTravel {
         case (None, None) => // one task's files per partition dir
           df.repartition(col(partCol))
       }
-      arranged.write.mode("overwrite").partitionBy(partCol)
+      // under column mapping, files persist PHYSICAL names: rename just
+      // before the write (the arrange above worked on logical names)
+      val physical =
+        if (colmap.isEmpty) arranged
+        else arranged.select(arranged.columns.map(c =>
+          col(c).as(colmap.getOrElse(c, c))).toSeq: _*)
+      physical.write.mode("overwrite").partitionBy(partCol)
         .parquet(staging.toString)
       relativeParquetFiles(fs, staging, staging).toSeq.sorted.map { rel =>
         val slash = rel.lastIndexOf('/')
@@ -1147,11 +1363,16 @@ object TimeTravel {
     // the active policy the batch was ENFORCED under (one record read);
     // carried forward in this commit's record, re-checked on rebase
     val constraints = activeConstraints(fs, baseDir, prev)
+    // the column mapping the staged files were WRITTEN under — carried
+    // forward, and a concurrent rename/drop refuses the rebase (the
+    // staged files' physical names would be stale)
+    val (colmap, coldrop) = activeColmap(fs, baseDir, prev)
+    requireNoPhysicalCollision(schema, colmap, coldrop, op)
     var base = prev
     while (true) {
       try return logCommit(spark, fs, baseDir, base + 1, dirs, adds,
         removes, addStats, () => resolveFull(spark, baseDir, base),
-        txn, Some(schema), op, cdc, constraints)
+        txn, Some(schema), op, cdc, constraints, colmap, coldrop)
       catch { case c: CommitConflict =>
         val latest = latestVersion(spark, baseDir)
         if (isRewrite)
@@ -1196,6 +1417,11 @@ object TimeTravel {
             s"$op of $baseDir raced a constraint change (version " +
               s"$latest): the batch was validated under the old " +
               "policy — re-run against the current version")
+        if (activeColmap(fs, baseDir, latest) != ((colmap, coldrop)))
+          throw new java.util.ConcurrentModificationException(
+            s"$op of $baseDir raced a column rename/drop (version " +
+              s"$latest): the staged files were written under the old " +
+              "physical names — re-run against the current version")
         base = latest
       }
     }
@@ -1238,7 +1464,8 @@ object TimeTravel {
 
   private def readFiles(spark: SparkSession, baseDir: String,
       files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType] = None)
+      schema: Option[org.apache.spark.sql.types.StructType] = None,
+      colmap: Map[String, String] = Map.empty)
       : DataFrame = {
     val root = dataDir(baseDir).toString
     withoutPartitionInference(spark) {
@@ -1247,8 +1474,20 @@ object TimeTravel {
       // time, files written before an evolution read their missing
       // columns as NULL, and the partition column's type comes from the
       // schema (STRING by contract)
-      schema.fold(reader)(reader.schema)
-        .parquet(files.map(f => s"$root/$f"): _*)
+      (schema, colmap.isEmpty) match {
+        case (None, _) => reader.parquet(files.map(f => s"$root/$f"): _*)
+        case (Some(sch), true) =>
+          reader.schema(sch).parquet(files.map(f => s"$root/$f"): _*)
+        case (Some(sch), false) =>
+          // column mapping: files carry PHYSICAL names; read under the
+          // physical schema and project back to the version's logical
+          // names (the rename-is-metadata contract)
+          val phys = org.apache.spark.sql.types.StructType(sch.fields
+            .map(f => f.copy(name = colmap.getOrElse(f.name, f.name))))
+          reader.schema(phys).parquet(files.map(f => s"$root/$f"): _*)
+            .select(sch.fields.map(f =>
+              col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+      }
     }
   }
 
@@ -1258,8 +1497,9 @@ object TimeTravel {
     * (schema time travel). */
   def readVersion(spark: SparkSession, baseDir: String,
       version: Int): DataFrame = {
-    val (files, schema) = resolveAt(spark, baseDir, version)
-    readFilesNonEmpty(spark, baseDir, version, files, schema)
+    val snap = resolveFull(spark, baseDir, version)
+    readFilesNonEmpty(spark, baseDir, version, snap.files, snap.schema,
+      snap.colmap)
   }
 
   /** What a stats-pruned read touched: the scan plus the file-count
@@ -1323,7 +1563,11 @@ object TimeTravel {
     // compared in UTF-8 order, matching the STRING-partition contract.
     // This folds partition pruning into the same conjunct API: the
     // caller names columns, not layout.
-    val prefix = pred.col + "="
+    // stats payloads and directory names carry PHYSICAL column names;
+    // a logical predicate column translates through the mapping (the
+    // partition column is never mapped, so dir pruning is unaffected)
+    val physCol = snap.colmap.getOrElse(pred.col, pred.col)
+    val prefix = physCol + "="
     // hoisted: the query bounds encode once, and a directory's verdict
     // is computed once however many files it holds — for a partition
     // conjunct the prune is O(dirs), not O(files)
@@ -1373,7 +1617,7 @@ object TimeTravel {
     val canSkip = asString || bounds.isDefined
     f => dirKeep(f).getOrElse {
       if (!canSkip) true
-      else snap.stats.get(f).flatMap(parseColRange(_, pred.col)) match {
+      else snap.stats.get(f).flatMap(parseColRange(_, physCol)) match {
         case None => true // no bound recorded: must read
         case Some((mn, mx)) =>
           if (asString)
@@ -1460,6 +1704,8 @@ object TimeTravel {
   private[graft] final class ScanPlan(snap: Snapshot,
       val schema: org.apache.spark.sql.types.StructType) {
     def files: Seq[String] = snap.files
+    /** Logical → physical; empty = identity (no renames/drops ever). */
+    def colmap: Map[String, String] = snap.colmap
     /** Files surviving every conjunct — a SUPERSET of the matching
       * files (the PushedFilters contract: pruning cuts I/O, the plan's
       * own Filter decides row membership). */
@@ -1504,16 +1750,17 @@ object TimeTravel {
             "no schema to type an empty result with"))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else readFiles(spark, baseDir, kept, snap.schema)
+      } else readFiles(spark, baseDir, kept, snap.schema, snap.colmap)
     new SkippingScan(mkDf, snap.files.size, kept.size, snap.stats.size)
   }
 
   private def readFilesNonEmpty(spark: SparkSession, baseDir: String,
       version: Int, files: Seq[String],
-      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+      schema: Option[org.apache.spark.sql.types.StructType],
+      colmap: Map[String, String] = Map.empty): DataFrame = {
     require(files.nonEmpty, s"version $version of $baseDir is empty — " +
       "schemaless empty snapshots are not representable on plain parquet")
-    readFiles(spark, baseDir, files, schema)
+    readFiles(spark, baseDir, files, schema, colmap)
   }
 
   /** Create the table: write `df` partitioned by `partCol`, commit v1
@@ -1617,7 +1864,7 @@ object TimeTravel {
     // directory diff that could claim a concurrent writer's files —
     // and commit cost is O(files touched), independent of table size
     val adds = stageWrite(spark, baseDir, rewritten, partCol, clusterBy,
-      zorderBy)
+      zorderBy, prevSnap.colmap)
     val removes = prevFiles
       .filter(f => dirs.exists(d => f.startsWith(d + "/")))
     // refuse BEFORE the record lands: an all-rows-gone commit would be
@@ -1645,9 +1892,11 @@ object TimeTravel {
       txn: Option[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       op: String, cdc: Option[String],
-      constraints: Map[String, String] = Map.empty): Int = {
+      constraints: Map[String, String] = Map.empty,
+      colmap: Map[String, String] = Map.empty,
+      coldrop: Set[String] = Set.empty): Int = {
     writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op),
-      addStats, cdc, constraints)
+      addStats, cdc, constraints, colmap, coldrop)
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
@@ -1655,7 +1904,7 @@ object TimeTravel {
       writeManifestCheckpoint(spark, fs, baseDir, version,
         s.files.filterNot(removed) ++ adds, Nil, schema, Some(op),
         stats = s.stats -- removes ++ addStats,
-        constraints = constraints)
+        constraints = constraints, colmap = colmap, coldrop = coldrop)
     }
     commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
@@ -1690,12 +1939,14 @@ object TimeTravel {
     val batch = rows.localCheckpoint() // distinct-collect + write: 2 actions
     enforceConstraints(batch, activeConstraints(fs, baseDir, prev),
       "append")
+    val (colmap, coldrop) = activeColmap(fs, baseDir, prev)
+    requireNoPhysicalCollision(batch.schema, colmap, coldrop, "append")
     val affected = batch.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
     Merge.requireNoNullPartition(affected, partCol)
     if (affected.isEmpty) return prev
     val dirs = affectedDirs(partCol, affected)
-    val adds = stageWrite(spark, baseDir, batch, partCol)
+    val adds = stageWrite(spark, baseDir, batch, partCol, colmap = colmap)
     commitWithRebase(spark, fs, baseDir, prev, dirs, adds, Nil,
       txn, batch.schema, "append", evolveSchema)
   }
@@ -1728,7 +1979,7 @@ object TimeTravel {
         rangeKeep(snap, ColRange(keyCol, envLo, envHi)))
     discoveryStats.put(baseDir, (probed.size, snap.files.size))
     if (probed.isEmpty) Nil
-    else readFiles(spark, baseDir, probed, snap.schema)
+    else readFiles(spark, baseDir, probed, snap.schema, snap.colmap)
       .join(gatedKeys, Seq(keyCol)).select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
   }
@@ -1744,7 +1995,8 @@ object TimeTravel {
       snap: Snapshot, partCol: String, affected: Seq[Any]): DataFrame = {
     val dirs = affectedDirs(partCol, affected)
     val files = snap.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
-    if (files.nonEmpty) readFiles(spark, baseDir, files, snap.schema)
+    if (files.nonEmpty)
+      readFiles(spark, baseDir, files, snap.schema, snap.colmap)
     else snap.schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -2113,7 +2365,8 @@ object TimeTravel {
     // Matched by FILE NAME — staged writes token-prefix every name, so
     // names are globally unique and immune to URI-encoding differences
     // between input_file_name() and the log's relative paths.
-    val matchedNames = readFiles(spark, baseDir, candidates, Some(schema))
+    val matchedNames =
+      readFiles(spark, baseDir, candidates, Some(schema), prevSnap.colmap)
       .filter(predicate)
       .select(input_file_name().as("f")).distinct()
       .collect()
@@ -2128,8 +2381,9 @@ object TimeTravel {
     // postimage / constraint check needs to find it again).
     val pred = coalesce(predicate, lit(false)) // NULL predicate: keep
     val hit = "__graft_rewrite_hit"
-    val touched = readFiles(spark, baseDir, matched, Some(schema))
-      .withColumn(hit, pred)
+    val touched =
+      readFiles(spark, baseDir, matched, Some(schema), prevSnap.colmap)
+        .withColumn(hit, pred)
     val rewrittenMarked = set match {
       case None => touched.filter(!col(hit))
       case Some(s) =>
@@ -2159,7 +2413,8 @@ object TimeTravel {
     }
     val rewritten = rewrittenMarked.drop(hit)
     val staged = rewritten.localCheckpoint() // probe work runs once
-    val adds = stageWrite(spark, baseDir, staged, partCol)
+    val adds = stageWrite(spark, baseDir, staged, partCol,
+      colmap = prevSnap.colmap)
     require(prevSnap.files.size - matched.size + adds.size > 0,
       s"$op would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
@@ -2224,7 +2479,7 @@ object TimeTravel {
     // COMMITTED schema — pre-evolution files consolidate with NULLs in
     // the added columns, exactly as a read would see them
     val rows = readFiles(spark, baseDir,
-      fragmented.values.flatten.toSeq.sorted, prevSchema)
+      fragmented.values.flatten.toSeq.sorted, prevSchema, prevSnap.colmap)
     commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
       rows, "compact", clusterBy = clusterBy, zorderBy = zorderBy)
   }
@@ -2279,7 +2534,8 @@ object TimeTravel {
     // schema: the commit carries toVersion's recorded set
     try logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
       addStats, () => cur, None, target.schema, "restore", None,
-      activeConstraints(fs, baseDir, toVersion))
+      activeConstraints(fs, baseDir, toVersion),
+      target.colmap, target.dropped)
     catch {
       case _: CommitConflict =>
         throw new java.util.ConcurrentModificationException(
@@ -2371,7 +2627,8 @@ object TimeTravel {
     else if (!fs.exists(mPath))
       writeManifestCheckpoint(spark, fs, baseDir, keepFrom, floor.toSeq,
         carried, floorSchema, opFrom(origLines).orElse(Some("floor")),
-        tsFrom(origLines), floorSnap.stats, constraintsFrom(origLines))
+        tsFrom(origLines), floorSnap.stats, constraintsFrom(origLines),
+        floorSnap.colmap, floorSnap.dropped)
     else {
       // the floor may already have a CADENCE checkpoint — written at
       // commit time with no txn marks. The marks living only in the
@@ -2390,7 +2647,8 @@ object TimeTravel {
           if (!parquetCheckpoints)
             manifestContent(floor.toSeq.sorted, carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
-              floorSnap.stats, constraintsFrom(origLines))
+              floorSnap.stats, constraintsFrom(origLines),
+              floorSnap.colmap, floorSnap.dropped)
           else {
             // new sidecar first (derived, token-named — the old one
             // stays referenced until the header rename lands, so a
@@ -2402,7 +2660,8 @@ object TimeTravel {
               floor.toSeq.sorted, floorSnap.stats)
             checkpointHeaderContent(token, floor.size, carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
-              constraintsFrom(origLines))
+              constraintsFrom(origLines),
+              floorSnap.colmap, floorSnap.dropped)
           }
         val out = fs.create(tmp, true)
         try out.write(bytes)
@@ -2696,6 +2955,11 @@ object TimeTravel {
         case Some("append") => adds
         case Some("compact") => Nil // dataChange=false: already delivered
         case Some("constraint") => Nil // metadata-only: no rows to deliver
+        case Some("colmap") => throw new IllegalArgumentException(
+          s"version $v of $baseDir renamed or dropped columns: an " +
+            "incremental window cannot be represented across a column-" +
+            "mapping change — restart from a fresh snapshot (Delta " +
+            "refuses streaming reads across column mapping the same way)")
         case None if removes.isEmpty => adds // pre-#op log, provably adds-only
         case other => throw new IllegalArgumentException(
           s"version $v of $baseDir is a " +
@@ -2730,7 +2994,8 @@ object TimeTravel {
       val s = schema.getOrElse(throw new IllegalArgumentException(emptyMsg))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else readFiles(spark, baseDir, files.sorted, schema)
+    } else readFiles(spark, baseDir, files.sorted, schema,
+      activeColmap(fs, baseDir, schemaVersion)._1)
   }
 
   /** Row-level change-type column every CDC row carries:
@@ -2793,6 +3058,10 @@ object TimeTravel {
       val lines = readRawLines(fs, deltaPath(baseDir, v))
       val (adds, removes) = addsRemovesFrom(lines)
       opFrom(lines) match {
+        case Some("colmap") => throw new IllegalArgumentException(
+          s"version $v of $baseDir renamed or dropped columns: a change " +
+            "window cannot be represented across a column-mapping " +
+            "change — restart from a fresh snapshot")
         // pre-#op adds-only records are provably appends — the same
         // acceptance readAppendsSince gives them
         case Some("append") | None if removes.isEmpty =>

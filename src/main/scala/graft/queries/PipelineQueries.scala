@@ -2040,9 +2040,78 @@ object PipelineQueries {
   private val stagedZorder =
     scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
 
+  /** COLUMN MAPPING ([[graft.operators.TimeTravel.renameColumn]] /
+    * [[graft.operators.TimeTravel.dropColumn]]): rename and drop as
+    * metadata-only commits over a versioned orders table, then keep
+    * WRITING through the mapping — an append and an upsert land under
+    * the renamed column's physical file name while reading back
+    * logically. Staged once per sf dir: init → RENAME o_totalprice →
+    * price → DROP o_orderpriority → append shifted clones (status 'N') →
+    * upsert every 7th original with price + 50. The final per-status
+    * aggregates hash-match an oracle that replays the arithmetic from
+    * raw orders; in-band verdicts pin that the rename/drop commits
+    * touched ZERO data files and that version 1 still answers under
+    * its ORIGINAL names (schema time travel through the mapping). */
+  val q185 = Q(
+    "q185_column_mapping",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, metadataOnly) = stagedColmap.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-colmap")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+        TimeTravel.init(spark, d, orders, "o_month")
+        val f1 = TimeTravel.filesAt(spark, d, 1).toSet
+        val vRen = TimeTravel.renameColumn(spark, d, "o_totalprice",
+          "price")
+        val vDrop = TimeTravel.dropColumn(spark, d, "o_orderpriority")
+        val untouched =
+          TimeTravel.filesAt(spark, d, vRen).toSet == f1 &&
+            TimeTravel.filesAt(spark, d, vDrop).toSet == f1
+        val mapped = orders.withColumnRenamed("o_totalprice", "price")
+          .drop("o_orderpriority")
+        val shift = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+        TimeTravel.append(spark, d,
+          mapped.filter(col("o_orderkey") % 13 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(shift))
+            .withColumn("o_orderstatus", lit("N")), "o_month")
+        TimeTravel.upsert(spark, d,
+          mapped.filter(col("o_orderkey") % 7 === 0)
+            .withColumn("price", col("price") + lit(50.0)),
+          "o_orderkey", "o_month")
+        (d, untouched)
+      })
+      val v1Cols = TimeTravel.readVersion(spark, t, 1).columns.toSet
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("price")).as("sum_price"))
+        .withColumn("rename_metadata_only", lit(metadataOnly))
+        .withColumn("v1_names_intact",
+          lit(v1Cols("o_totalprice") && v1Cols("o_orderpriority")))
+    },
+    Some(s"""WITH m AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders),
+      u AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+               ELSE o_totalprice END AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + m.shift, 'N', o_totalprice
+        FROM orders, m WHERE o_orderkey % 13 = 0)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price,
+        TRUE AS rename_metadata_only, TRUE AS v1_names_intact
+      FROM u GROUP BY 1""")
+  )
+  private val stagedColmap =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181, q182, q183)
+      q179, q180, q181, q182, q183, q185)
 }

@@ -88,6 +88,15 @@ final class GraftVersionedFileIndex(spark: SparkSession, baseDir: String,
 
   private val plan = TimeTravel.scanPlan(spark, baseDir, version)
 
+  // a HadoopFsRelation reads file columns by NAME: under an active
+  // column mapping the files carry physical names, and the relation
+  // would silently NULL-fill every renamed column — refuse loudly and
+  // point at the mapping-aware imperative read instead
+  require(plan.colmap.isEmpty,
+    s"$baseDir has renamed columns (column mapping active) — the " +
+      "declarative batch relation cannot project physical names; read " +
+      "this version via TimeTravel.readVersion instead")
+
   /** The table's partition column, from the file layout (every data
     * file lives under `col=value/`, the init/append invariant). */
   val partCol: String = {
