@@ -2109,9 +2109,46 @@ object PipelineQueries {
   private val stagedColmap =
     scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
 
+  /** SQL surface over the versioned table: `CREATE TEMPORARY VIEW ...
+    * USING graft-versioned` binds the declarative relation into Spark
+    * SQL (no metastore, no Scala API in the query path), and a plain
+    * SQL aggregate over the view must reproduce the staged three-commit
+    * end state exactly — the oracle replays the upsert/delete/insert
+    * arithmetic from raw orders. The consumer shape the reference's
+    * README examples translate to: users query the export with SQL,
+    * not engine APIs. */
+  val q186 = Q(
+    "q186_versioned_sql",
+    (spark, dir) => {
+      val t = versionedOrdersDir(spark, dir)
+      spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW graft_vt_orders
+        USING `graft-versioned` OPTIONS (path '$t')""")
+      spark.sql("""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+          CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+            AS sum_price
+        FROM graft_vt_orders GROUP BY o_orderstatus""")
+    },
+    Some(s"""WITH st AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1997
+               THEN 'R' ELSE o_orderstatus END AS status,
+          CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1997
+               THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE NOT (o_custkey % 50 = 0 AND year(o_orderdate) = 1999)
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1998)
+      SELECT status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price
+      FROM st GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181, q182, q183, q185)
+      q179, q180, q181, q182, q183, q185, q186)
 }

@@ -122,25 +122,41 @@ class Round10PropertySpec extends SparkSpec {
     assert(onDisk === retained)
   }
 
-  test("parquet and text checkpoints resolve identically on random histories, through vacuum, restore and constraints") {
+  test("parquet and text checkpoints resolve identically on random histories, through vacuum, restore, constraints and renames") {
     // the same seeded op sequence replayed into two tables — one with
     // parquet checkpoint sidecars (the default), one with legacy
     // full-text manifests — must agree on EVERY version's content, the
     // history view, and post-vacuum resolution: format equivalence by
     // construction, not by parsing symmetry arguments
+    // the value column's CURRENT logical name (rename arms flip it;
+    // restore may flip it back — re-derived from the table, so both
+    // format arms take identical decisions)
+    def valueCol(dir: String): String =
+      TimeTravel.readVersion(spark, dir,
+          TimeTravel.latestVersion(spark, dir))
+        .columns.filterNot(Set("id", "part")).head
+    def contentAny(dir: String, v: Int): Seq[Row3] = {
+      val d = TimeTravel.readVersion(spark, dir, v)
+      val vc = d.columns.filterNot(Set("id", "part")).head
+      d.select(col("id"), col("part"), col(vc)).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .toSeq.sorted
+    }
     def replay(dir: String, seed: Int): Int = {
       val rnd = new scala.util.Random(seed)
       def someRows(n: Int): Vector[Row3] =
         Vector.fill(n)((rnd.nextInt(30).toLong, s"p${rnd.nextInt(5)}",
           rnd.nextInt(100).toDouble))
+      def dfAs(rows: Seq[Row3]): org.apache.spark.sql.DataFrame =
+        rows.toDF("id", "part", valueCol(dir))
       var current = someRows(8).distinctBy(_._1)
       TimeTravel.init(spark, dir, df(current), "part")
-      (1 to 14).foreach { _ =>
+      (1 to 16).foreach { _ =>
         val prevVersion = TimeTravel.latestVersion(spark, dir)
-        current = rnd.nextInt(6) match {
+        current = rnd.nextInt(7) match {
           case 0 =>
             val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
-            TimeTravel.upsert(spark, dir, df(batch), "id", "part")
+            TimeTravel.upsert(spark, dir, dfAs(batch), "id", "part")
             upsertModel(current, batch)
           case 1 =>
             val keys = Vector.fill(1 + rnd.nextInt(2))(
@@ -151,22 +167,29 @@ class Round10PropertySpec extends SparkSpec {
               "id", "part"); survivors }
           case 2 =>
             val batch = someRows(1 + rnd.nextInt(3))
-            TimeTravel.append(spark, dir, df(batch), "part")
+            TimeTravel.append(spark, dir, dfAs(batch), "part")
             current ++ batch
           case 3 =>
             TimeTravel.compact(spark, dir, "part"); current
           case 4 =>
             val target = 1 + rnd.nextInt(prevVersion)
             TimeTravel.restore(spark, dir, target)
-            content(TimeTravel.readVersion(spark, dir,
-              TimeTravel.latestVersion(spark, dir)))
-              .toVector
-          case _ =>
+            contentAny(dir, TimeTravel.latestVersion(spark, dir)).toVector
+          case 5 =>
             val cs = TimeTravel.constraintsAt(spark, dir, prevVersion)
             if (cs.isEmpty)
               TimeTravel.addConstraint(spark, dir, s"c$prevVersion",
-                "v > -1e18")
+                s"${valueCol(dir)} > -1e18")
             else TimeTravel.dropConstraint(spark, dir, cs.keys.min)
+            current
+          case _ => // metadata-only RENAME, flipping v <-> w — refused
+            // while a constraint mentions the column, so skip then
+            // (both arms take the same deterministic decision)
+            if (TimeTravel.constraintsAt(spark, dir, prevVersion).isEmpty) {
+              val from = valueCol(dir)
+              TimeTravel.renameColumn(spark, dir, from,
+                if (from == "v") "w" else "v")
+            }
             current
         }
       }
@@ -189,8 +212,7 @@ class Round10PropertySpec extends SparkSpec {
     assert(sidecars(txtDir).isEmpty)
     // ...but resolve identically at every version
     (1 to latestPq).foreach { v =>
-      assert(content(TimeTravel.readVersion(spark, pqDir, v))
-        === content(TimeTravel.readVersion(spark, txtDir, v)),
+      assert(contentAny(pqDir, v) === contentAny(txtDir, v),
         s"version $v diverged between checkpoint formats")
     }
     // history parity: op kinds and file counts (per-commit metadata)
@@ -209,8 +231,7 @@ class Round10PropertySpec extends SparkSpec {
       TimeTravel.vacuum(spark, txtDir, keepFrom = floor)
     } finally TimeTravel.parquetCheckpoints = true
     (floor to latestPq).foreach { v =>
-      assert(content(TimeTravel.readVersion(spark, pqDir, v))
-        === content(TimeTravel.readVersion(spark, txtDir, v)),
+      assert(contentAny(pqDir, v) === contentAny(txtDir, v),
         s"version $v diverged after vacuum")
     }
     val live = sidecars(pqDir)
@@ -222,12 +243,11 @@ class Round10PropertySpec extends SparkSpec {
     try { TimeTravel.parquetCheckpoints = false; replay(txt2, 53) }
     finally TimeTravel.parquetCheckpoints = true
     val latest2 = TimeTravel.latestVersion(spark, txt2)
-    val before = (2 to latest2)
-      .map(v => content(TimeTravel.readVersion(spark, txt2, v)))
+    val before = (2 to latest2).map(v => contentAny(txt2, v))
     TimeTravel.vacuum(spark, txt2, keepFrom = 2)
     (2 to latest2).foreach { v =>
-      assert(content(TimeTravel.readVersion(spark, txt2, v))
-        === before(v - 2), s"migrated version $v diverged")
+      assert(contentAny(txt2, v) === before(v - 2),
+        s"migrated version $v diverged")
     }
   }
 

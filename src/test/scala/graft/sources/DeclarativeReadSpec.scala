@@ -120,6 +120,21 @@ class DeclarativeReadSpec extends SparkSpec {
     assert(filtered.count() === 3) // tip: (1,a) (2,a) (5,c)
   }
 
+  test("SQL surface: CREATE TEMPORARY VIEW USING graft-versioned, with time travel") {
+    val t = stage()
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW decl_vt
+      USING `graft-versioned` OPTIONS (path '$t')""")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM decl_vt")
+      .head.getLong(0) === 5)
+    spark.sql(s"""CREATE OR REPLACE TEMPORARY VIEW decl_vt_v1
+      USING `graft-versioned` OPTIONS (path '$t', versionAsOf '1')""")
+    assert(spark.sql(
+        "SELECT CAST(SUM(k) AS BIGINT) AS sk FROM decl_vt_v1")
+      .head.getLong(0) === 6) // keys 1+2+3 of v1
+    spark.catalog.dropTempView("decl_vt")
+    spark.catalog.dropTempView("decl_vt_v1")
+  }
+
   test("superseded files are invisible: upsert'd version reads post-image only") {
     val t = stage()
     val tip = rows(read(t))
