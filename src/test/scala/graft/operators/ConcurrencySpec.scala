@@ -42,6 +42,28 @@ class ConcurrencySpec extends SparkSpec {
       .filter(col("id") === 5L).count() === 1)
   }
 
+  test("a commit racing a concurrent column rename refuses the rebase") {
+    val dir = stage()
+    // the loser stages its files under the PRE-rename physical names...
+    val adds = TimeTravel.stageWrite(spark, dir,
+      Seq((5L, "p2", 50.0)).toDF("id", "part", "v"), "part")
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    // ...then a rename lands first: rebasing would commit files whose
+    // physical column names no longer match the mapping. The schema
+    // re-check refuses first (a rename always changes logical names);
+    // the colmap guard behind it is defense-in-depth for any future
+    // mapping change that leaves names intact. Either way: LOUD, and
+    // nothing commits.
+    val vRename = TimeTravel.renameColumn(spark, dir, "v", "w")
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    intercept[Exception](
+      TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+        dirs = Set("part=p2"), adds = adds, removes = Nil, txn = None,
+        schema = schema, op = "append", evolveSchema = false))
+    assert(TimeTravel.latestVersion(spark, dir) === vRename,
+      "the losing commit must not land past a concurrent rename")
+  }
+
   test("a rewrite rebases past a DISJOINT-partition winner") {
     val dir = stage()
     TimeTravel.upsert(spark, dir,

@@ -88,6 +88,35 @@ class VersionedSourceSpec extends SparkSpec {
     assert(outIds(out) === (1L to 61L))
   }
 
+  test("a stream whose window crosses a column rename fails LOUDLY — never a silent NULL-fill") {
+    val t = tmpDir("vsrc-rename")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2
+    TimeTravel.renameColumn(spark, t, "v", "w")             // v3
+    TimeTravel.append(spark, t,
+      Seq((3L, "a", 3.0)).toDF("id", "part", "w"), "part")  // v4
+    val out = tmpDir("vsrc-rename-out")
+    val ck = tmpDir("vsrc-rename-ck")
+    val e = intercept[Exception] {
+      EventsStream.replayToParquet(
+        VersionedStream.readStream(spark, t, sinceVersion = Some(1)),
+        out, ck)
+    }
+    def messages(x: Throwable): Seq[String] =
+      if (x == null) Nil
+      else Option(x.getMessage).toSeq ++ messages(x.getCause)
+    assert(messages(e).exists(_.contains("column-mapping")),
+      s"expected the column-mapping refusal, got: ${messages(e)}")
+    // a fresh stream from the rename onward delivers under the new name
+    val out2 = tmpDir("vsrc-rename-out2")
+    val ck2 = tmpDir("vsrc-rename-ck2")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(3)),
+      out2, ck2)
+    assert(outIds(out2) === Seq(3L))
+    assert(spark.read.parquet(out2).columns.contains("w"))
+  }
+
   test("maxRowsPerTrigger is refused in changeFeed mode") {
     val t = tmpDir("vsrc-rows-cdc")
     TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
