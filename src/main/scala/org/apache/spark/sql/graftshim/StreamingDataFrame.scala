@@ -32,6 +32,25 @@ object StreamingDataFrame {
     Dataset.ofRows(spark, plan)
   }
 
+  /** [[asStreaming]]'s exact inverse: re-tag the leaves back to batch.
+    * For code that drives a V1 source's `getBatch` directly — outside a
+    * running streaming query the batch-side analyzer refuses
+    * streaming-tagged leaves, and [[asBatch]] (the SINK bridge) cannot
+    * help because it requires the micro-batch's already-planned
+    * IncrementalExecution. Used by the source specs to verify window
+    * contents offset-by-offset. */
+  def asStaticBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[SparkSession]
+    val plan = df.queryExecution.analyzed transform {
+      case lr: LogicalRelation => lr.copy(isStreaming = false)
+      case lr: LocalRelation => lr.copy(isStreaming = false)
+      case lr: LogicalRDD =>
+        LogicalRDD(lr.output, lr.rdd, lr.outputPartitioning,
+          lr.outputOrdering, isStreaming = false)(spark)
+    }
+    Dataset.ofRows(spark, plan)
+  }
+
   /** The inverse bridge, for a V1 `Sink.addBatch`: the batch DataFrame
     * a sink receives is backed by the micro-batch's IncrementalExecution
     * and cannot be re-planned through arbitrary batch operators; rebuild

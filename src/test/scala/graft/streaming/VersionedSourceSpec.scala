@@ -88,6 +88,48 @@ class VersionedSourceSpec extends SparkSpec {
     assert(outIds(out) === (1L to 61L))
   }
 
+  test("mid-commit offsets round-trip through their checkpoint json (SerializedOffset restart)") {
+    val t = tmpDir("vsrc-offjson")
+    TimeTravel.init(spark, t, df((0L, "a", 0.0)), "part")
+    TimeTravel.append(spark, t,
+      (1L to 40L).map(i => (i, s"p${i % 4}", i.toDouble))
+        .toDF("id", "part", "v"), "part") // v2: 4 files x 10 rows
+    val src = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = false,
+      maxVersionsPerTrigger = None, maxRowsPerTrigger = Some(15L),
+      schema = TimeTravel.readVersion(spark, t, 2).schema)
+    // a 15-row budget admits one 10-row file per trigger (the next file
+    // would exceed it; only the first file ever over-admits)
+    val o1 = src.latestOffset(null, src.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o1 === VersionOffset(2, 1))
+    assert(VersionOffset.fromJson(o1.json) === o1, "offset json round-trip")
+    // a RESTART hands back the checkpointed json as a SerializedOffset;
+    // admission and the batch must continue exactly from the file position
+    val restored = org.apache.spark.sql.execution.streaming
+      .SerializedOffset(o1.json)
+    val o2 = src.latestOffset(restored, src.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o2 === VersionOffset(2, 2))
+    def batchCount(df: org.apache.spark.sql.DataFrame): Long =
+      org.apache.spark.sql.graftshim.StreamingDataFrame
+        .asStaticBatch(df).count()
+    assert(batchCount(src.getBatch(Some(restored), o2)) === 10,
+      "the window is exactly the files between the two positions")
+    // walk to the end: positions advance file by file, finishing on a
+    // COMPLETE offset whose json is the bare version number
+    // (pre-row-admission checkpoints restart cleanly)
+    val o3 = src.latestOffset(o2, src.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    val o4 = src.latestOffset(o3, src.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o3 === VersionOffset(2, 3) && o4 === VersionOffset(2))
+    assert(o4.json === "2")
+    assert(batchCount(src.getBatch(Some(o3), o4)) === 10)
+    // caught up: the cursor comes back unchanged, no phantom batch
+    assert(src.latestOffset(o4, src.getDefaultReadLimit) === o4)
+  }
+
   test("a stream whose window crosses a column rename fails LOUDLY — never a silent NULL-fill") {
     val t = tmpDir("vsrc-rename")
     TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
