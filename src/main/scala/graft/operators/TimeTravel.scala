@@ -104,6 +104,25 @@ object TimeTravel {
     * to its change rows. */
   private def changeDir(baseDir: String, token: String) =
     new Path(changeRoot(baseDir), token)
+  /** DELETION-VECTOR artifacts live under `_dv/<token>/` — one parquet
+    * dataset per DV-writing commit holding `(part, name, pos)` rows:
+    * the FILE-ABSOLUTE row positions deleted from each bound data
+    * file, keyed by the file's (partition value, basename) pair —
+    * globally unique because names are filesystem-unique within a dir
+    * (a dynamic-partition write reuses one task's part-file name
+    * ACROSS dirs, so the name alone is not). Token-addressed like
+    * change dirs and for the same reason: the artifact lands BEFORE
+    * its commit record, a rebase may move the commit's version, and an
+    * aborted commit's artifact must never be addressable by a later
+    * commit at the same number. A file's complete delete-set is the
+    * rows of its CURRENTLY-bound artifact with its (part, name) key —
+    * each DV commit folds the touched files' prior positions into its
+    * new artifact, so one pointer per file always suffices (and
+    * restore can rewind a pointer to an older artifact without seeing
+    * newer deletions). */
+  private def dvRoot(baseDir: String) = new Path(baseDir, "_dv")
+  private def dvDir(baseDir: String, token: String) =
+    new Path(dvRoot(baseDir), token)
   private[operators] def newToken(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
   private def manifestPath(baseDir: String, v: Int) =
@@ -679,6 +698,28 @@ object TimeTravel {
       stats: Map[String, String]): Seq[String] =
     files.sorted.flatMap(f => stats.get(f).map(p => statsLine(f, p)))
 
+  /** `#dv=<enc path> <enc token>` binds a data file to the deletion-
+    * vector artifact holding its deleted row positions. In a DELTA a
+    * binding applies to the record's re-ADDED files (a DV commit
+    * removes-and-re-adds each touched path so conflict detection,
+    * feeds, and stats composition all see it as the rewrite it
+    * logically is); a CHECKPOINT lists the bindings of every retained
+    * bound file. Composition mirrors stats exactly:
+    * `dvs -- removes ++ dvsFrom(lines)`. */
+  private def dvLine(path: String, token: String): String =
+    s"#dv=${enc(path)} ${enc(token)}"
+
+  /** `#dv=` lines → path → artifact token. */
+  private def dvsFrom(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith("#dv=") =>
+      val rest = l.stripPrefix("#dv=")
+      val i = rest.indexOf(' ')
+      dec(rest.take(i)) -> dec(rest.drop(i + 1))
+    }.toMap
+
+  private def dvLinesFor(dvs: Map[String, String]): Seq[String] =
+    dvs.toSeq.sortBy(_._1).map { case (f, t) => dvLine(f, t) }
+
   /** One file's per-column (min, max) as canonical strings — decimal
     * text for every numeric-ish column (dates as epoch days), raw text
     * for strings — merged across the footer's row groups. A column
@@ -992,7 +1033,8 @@ object TimeTravel {
       schema: Option[org.apache.spark.sql.types.StructType],
       stats: Map[String, String],
       colmap: Map[String, String] = Map.empty,
-      dropped: Set[String] = Set.empty)
+      dropped: Set[String] = Set.empty,
+      dvs: Map[String, String] = Map.empty)
 
   private def resolveAt(spark: SparkSession, baseDir: String, version: Int)
       : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
@@ -1017,11 +1059,12 @@ object TimeTravel {
     var schema = schemaFrom(ckptLines)
     // parquet-body checkpoints keep only metadata in the text manifest;
     // the file+stats body resolves from the token-named sidecar
-    var (files, stats) = markerFrom(ckptLines) match {
+    var (files, stats, dvs) = markerFrom(ckptLines) match {
       case Some(token) =>
         readCheckpointSidecar(spark, fs, baseDir, ckpt, token)
       case None =>
-        (ckptLines.filterNot(_.startsWith("#")).toSet, statsFrom(ckptLines))
+        (ckptLines.filterNot(_.startsWith("#")).toSet, statsFrom(ckptLines),
+          dvsFrom(ckptLines))
     }
     // the column mapping comes from the LAST record of the walk — every
     // record carries the full current mapping (identity when absent)
@@ -1035,11 +1078,13 @@ object TimeTravel {
       val (adds, removes) = addsRemovesFrom(lines)
       files = files -- removes ++ adds
       stats = stats -- removes ++ statsFrom(lines)
+      dvs = dvs -- removes ++ dvsFrom(lines)
       lastLines = lines
     }
     Snapshot(files.toSeq.sorted, schema,
       stats.filter { case (f, _) => files(f) },
-      colmapFrom(lastLines), coldropFrom(lastLines))
+      colmapFrom(lastLines), coldropFrom(lastLines),
+      dvs.filter { case (f, _) => files(f) })
   }
 
   /** Full checkpoint for `version`. Exclusive install for commit
@@ -1052,11 +1097,12 @@ object TimeTravel {
       stats: Map[String, String],
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      coldrop: Set[String] = Set.empty): Array[Byte] =
+      coldrop: Set[String] = Set.empty,
+      dvs: Map[String, String] = Map.empty): Array[Byte] =
     (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
       constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
-      statsLinesFor(files, stats) ++
+      statsLinesFor(files, stats) ++ dvLinesFor(dvs) ++
       files.sorted).mkString("\n").getBytes("UTF-8")
 
   /** `ts`: pass the ORIGINAL commit's wall-clock when re-materializing
@@ -1069,10 +1115,11 @@ object TimeTravel {
       stats: Map[String, String] = Map.empty,
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      coldrop: Set[String] = Set.empty): Unit = {
+      coldrop: Set[String] = Set.empty,
+      dvs: Map[String, String] = Map.empty): Unit = {
     installExclusive(fs, manifestPath(baseDir, version),
       manifestContent(files, txns, schema, op, ts, stats, constraints,
-        colmap, coldrop))
+        colmap, coldrop, dvs))
   }
 
   /** Header-only checkpoint manifest: the metadata lines (txns, schema,
@@ -1107,13 +1154,14 @@ object TimeTravel {
     * sweep reclaims. */
   private def writeCheckpointSidecar(fs: FileSystem, baseDir: String,
       version: Int, token: String, files: Seq[String],
-      stats: Map[String, String]): Unit = {
+      stats: Map[String, String],
+      dvs: Map[String, String] = Map.empty): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
     import org.apache.parquet.schema.MessageTypeParser
     val schema = MessageTypeParser.parseMessageType(
       "message graft_checkpoint { required binary path (UTF8); " +
-        "optional binary stats (UTF8); }")
+        "optional binary stats (UTF8); optional binary dv (UTF8); }")
     val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
     GroupWriteSupport.setSchema(schema, conf)
     val tmp = new Path(logDir(baseDir),
@@ -1128,6 +1176,7 @@ object TimeTravel {
     try files.sorted.foreach { f =>
       val g = factory.newGroup().append("path", f)
       stats.get(f).foreach(s => g.append("stats", s))
+      dvs.get(f).foreach(t => g.append("dv", t))
       writer.write(g)
     } finally writer.close()
     val dest = checkpointSidecarPath(baseDir, version, token)
@@ -1145,19 +1194,26 @@ object TimeTravel {
     * job each time). */
   private def readCheckpointSidecar(spark: SparkSession, fs: FileSystem,
       baseDir: String, version: Int, token: String)
-      : (Set[String], Map[String, String]) = {
+      : (Set[String], Map[String, String], Map[String, String]) = {
     val p = checkpointSidecarPath(baseDir, version, token)
     require(fs.exists(p), s"checkpoint sidecar $p is missing: the log " +
       "is damaged (sidecars are written before the manifests that " +
       "reference them)")
     val files = Set.newBuilder[String]
     val stats = Map.newBuilder[String, String]
+    val dvs = Map.newBuilder[String, String]
     if (fs.getFileStatus(p).getLen >= CheckpointSparkScanBytes) {
-      spark.read.parquet(p.toString).select("path", "stats").collect()
+      val df = spark.read.parquet(p.toString)
+      // pre-DV sidecars lack the `dv` column — read it as absent
+      val hasDv = df.columns.contains("dv")
+      val cols = Seq(col("path"), col("stats")) ++
+        (if (hasDv) Seq(col("dv")) else Nil)
+      df.select(cols: _*).collect()
         .foreach { r =>
           val f = r.getString(0)
           files += f
           if (!r.isNullAt(1)) stats += f -> r.getString(1)
+          if (hasDv && !r.isNullAt(2)) dvs += f -> r.getString(2)
         }
     } else {
       import org.apache.parquet.hadoop.ParquetReader
@@ -1173,11 +1229,15 @@ object TimeTravel {
           files += f
           if (g.getFieldRepetitionCount("stats") > 0)
             stats += f -> g.getString("stats", 0)
+          // pre-DV sidecars have no `dv` field at all
+          if (g.getType.containsField("dv") &&
+              g.getFieldRepetitionCount("dv") > 0)
+            dvs += f -> g.getString("dv", 0)
           g = reader.read()
         }
       } finally reader.close()
     }
-    (files.result(), stats.result())
+    (files.result(), stats.result(), dvs.result())
   }
 
   /** Checkpoint write honoring the [[parquetCheckpoints]] format: the
@@ -1192,13 +1252,15 @@ object TimeTravel {
       stats: Map[String, String] = Map.empty,
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      coldrop: Set[String] = Set.empty): Unit =
+      coldrop: Set[String] = Set.empty,
+      dvs: Map[String, String] = Map.empty): Unit =
     if (!parquetCheckpoints)
       writeManifest(fs, baseDir, version, files, txns, schema, op, ts,
-        stats, constraints, colmap, coldrop)
+        stats, constraints, colmap, coldrop, dvs)
     else {
       val token = newToken()
-      writeCheckpointSidecar(fs, baseDir, version, token, files, stats)
+      writeCheckpointSidecar(fs, baseDir, version, token, files, stats,
+        dvs)
       installExclusive(fs, manifestPath(baseDir, version),
         checkpointHeaderContent(token, files.size, txns, schema, op, ts,
           constraints, colmap, coldrop))
@@ -1225,12 +1287,13 @@ object TimeTravel {
       cdc: Option[String] = None,
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      coldrop: Set[String] = Set.empty): Unit = {
+      coldrop: Set[String] = Set.empty,
+      dvs: Map[String, String] = Map.empty): Unit = {
     val bytes =
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
         constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
         op.map(opLine).toSeq ++ cdc.map(cdcLine).toSeq ++ Seq(tsLine()) ++
-        statsLinesFor(adds, stats) ++
+        statsLinesFor(adds, stats) ++ dvLinesFor(dvs) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
         .mkString("\n").getBytes("UTF-8")
     try installExclusive(fs, deltaPath(baseDir, version), bytes)
@@ -1356,8 +1419,14 @@ object TimeTravel {
       txn: Option[(String, Long)],
       schema: org.apache.spark.sql.types.StructType,
       op: String, evolveSchema: Boolean,
-      cdc: Option[String] = None): Int = {
-    val addStats = computeAddStats(spark, fs, baseDir, adds)
+      cdc: Option[String] = None,
+      dvs: Map[String, String] = Map.empty,
+      statsOverride: Map[String, String] = Map.empty): Int = {
+    // statsOverride: carried-forward payloads for adds whose bytes did
+    // not change (a DV commit re-adds the same physical file) — no
+    // footer re-read for those; anything else is computed as usual
+    val addStats = computeAddStats(spark, fs, baseDir,
+      adds.filterNot(statsOverride.contains)) ++ statsOverride
     val isRewrite = removes.nonEmpty || op == "upsert" || op == "delete" ||
       op == "compact" || op == "merge" || op == "update"
     // the active policy the batch was ENFORCED under (one record read);
@@ -1372,7 +1441,7 @@ object TimeTravel {
     while (true) {
       try return logCommit(spark, fs, baseDir, base + 1, dirs, adds,
         removes, addStats, () => resolveFull(spark, baseDir, base),
-        txn, Some(schema), op, cdc, constraints, colmap, coldrop)
+        txn, Some(schema), op, cdc, constraints, colmap, coldrop, dvs)
       catch { case c: CommitConflict =>
         val latest = latestVersion(spark, baseDir)
         if (isRewrite)
@@ -1462,31 +1531,136 @@ object TimeTravel {
       }
     }
 
+  /** Hidden columns a position-carrying scan tags rows with: the data
+    * file's BASENAME and the row's FILE-ABSOLUTE position (from
+    * parquet's `_metadata.row_index` — stable under pushed filters,
+    * row-group pruning, and splits, because it is generated from the
+    * row group's recorded row offsets). The pair is the row's identity
+    * for deletion vectors. */
+  private[operators] val PosFileCol = "__graft_file"
+  private[operators] val PosIndexCol = "__graft_pos"
+
+  private def baseName(f: String): String =
+    f.substring(f.lastIndexOf('/') + 1)
+
+  /** The partition VALUE a relative data file's directory encodes —
+    * every data file is `<col>=<escaped value>/<name>` (the
+    * init/append layout invariant). */
+  private def partValueOf(f: String): String = {
+    val slash = f.indexOf('/')
+    val eq = f.indexOf('=')
+    require(eq > 0 && slash > eq, s"unpartitioned data file: $f")
+    ExternalCatalogUtils.unescapePathName(f.substring(eq + 1, slash))
+  }
+
+  /** A scanned row's file identity WITHOUT parsing URI strings: the
+    * (partition value, file name) pair. Names are filesystem-unique
+    * within a directory but NOT across directories (a dynamic-partition
+    * write reuses one task's part-file name in every dir it writes),
+    * and `_metadata.file_path` is URI-encoded (scheme- and
+    * escape-sensitive) — the value+name pair is exact, join-able from
+    * the row's own columns, and needs no path normalization. The
+    * directory↔value map is injective (escapePathName round-trips), so
+    * the pair is globally unique per snapshot. */
+  private def partColLogical(files: Seq[String],
+      colmap: Map[String, String]): String = {
+    val f = files.head
+    val eq = f.indexOf('=')
+    require(eq > 0 && f.indexOf('/') > eq, s"unpartitioned data file: $f")
+    val physical = f.substring(0, eq)
+    // dirs carry PHYSICAL names under column mapping; the scan projects
+    // back to logical, so the join column is the logical name
+    colmap.collectFirst { case (log, phys) if phys == physical => log }
+      .getOrElse(physical)
+  }
+
+  /** Anti-join `scanned` (a position-tagged scan carrying its partition
+    * column as `partCol`) against the deletion vectors of its files:
+    * `binding` lists each scanned file as (partition value, file name,
+    * bound token). A file's delete-set comes from its OWN token only
+    * (join on (part, name, token)) — artifacts accumulate, so after a
+    * restore rewinds one file's pointer, a NEWER artifact another file
+    * still points at may hold positions this file must NOT drop yet. */
+  private def applyDv(spark: SparkSession, baseDir: String,
+      scanned: DataFrame, partCol: String,
+      binding: Seq[(String, String, String)]): DataFrame = {
+    val bind = spark.createDataFrame(binding)
+      .toDF("__graft_dv_part", "__graft_dv_name", "__graft_dv_tok")
+    val dels = binding.map(_._3).distinct.map { t =>
+      spark.read.parquet(dvDir(baseDir, t).toString)
+        .select(col("part").as("__graft_dv_part"),
+          col("name").as("__graft_dv_name"),
+          col("pos").as("__graft_dv_pos"))
+        .withColumn("__graft_dv_tok", lit(t))
+    }.reduce(_.unionByName(_))
+      // the binding is driver-held metadata (≤ the snapshot's DV'd file
+      // count) — broadcast; the delete-set side stays distributed and
+      // AQE picks its join strategy by actual size
+      .join(broadcast(bind),
+        Seq("__graft_dv_part", "__graft_dv_name", "__graft_dv_tok"))
+      .select(col("__graft_dv_part"), col("__graft_dv_name"),
+        col("__graft_dv_pos"))
+    scanned.join(dels,
+      scanned(partCol) === dels("__graft_dv_part") &&
+        scanned(PosFileCol) === dels("__graft_dv_name") &&
+        scanned(PosIndexCol) === dels("__graft_dv_pos"), "left_anti")
+  }
+
+  /** `dvs`: the snapshot's file → DV-token bindings (restricted here to
+    * the requested files) — bound files scan through [[applyDv]], so
+    * merge-on-read deletes are invisible to every caller; unbound files
+    * keep the plain scan, zero overhead. `keepPos` retains the
+    * [[PosFileCol]]/[[PosIndexCol]] identity columns on EVERY row (the
+    * DV writer's probe needs them); otherwise they never escape. */
   private def readFiles(spark: SparkSession, baseDir: String,
       files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType] = None,
-      colmap: Map[String, String] = Map.empty)
+      colmap: Map[String, String] = Map.empty,
+      dvs: Map[String, String] = Map.empty,
+      keepPos: Boolean = false)
       : DataFrame = {
     val root = dataDir(baseDir).toString
-    withoutPartitionInference(spark) {
+    val bound = if (dvs.isEmpty) Map.empty[String, String]
+      else { val fset = files.toSet; dvs.filter { case (f, _) => fset(f) } }
+    // the LOG's schema, never inference: no footer sampling at plan
+    // time, files written before an evolution read their missing
+    // columns as NULL, and the partition column's type comes from the
+    // schema (STRING by contract)
+    def scan(group: Seq[String], tagPos: Boolean): DataFrame = {
       val reader = spark.read.option("basePath", root)
-      // the LOG's schema, never inference: no footer sampling at plan
-      // time, files written before an evolution read their missing
-      // columns as NULL, and the partition column's type comes from the
-      // schema (STRING by contract)
+      val paths = group.map(f => s"$root/$f")
+      def tag(df: DataFrame): DataFrame =
+        if (!tagPos) df
+        else df.withColumn(PosFileCol, col("_metadata.file_name"))
+          .withColumn(PosIndexCol, col("_metadata.row_index"))
       (schema, colmap.isEmpty) match {
-        case (None, _) => reader.parquet(files.map(f => s"$root/$f"): _*)
-        case (Some(sch), true) =>
-          reader.schema(sch).parquet(files.map(f => s"$root/$f"): _*)
+        case (None, _) => tag(reader.parquet(paths: _*))
+        case (Some(sch), true) => tag(reader.schema(sch).parquet(paths: _*))
         case (Some(sch), false) =>
           // column mapping: files carry PHYSICAL names; read under the
           // physical schema and project back to the version's logical
           // names (the rename-is-metadata contract)
           val phys = org.apache.spark.sql.types.StructType(sch.fields
             .map(f => f.copy(name = colmap.getOrElse(f.name, f.name))))
-          reader.schema(phys).parquet(files.map(f => s"$root/$f"): _*)
+          val extras = if (tagPos) Seq(col(PosFileCol), col(PosIndexCol))
+            else Nil
+          tag(reader.schema(phys).parquet(paths: _*))
             .select(sch.fields.map(f =>
-              col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq: _*)
+              col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
+              extras: _*)
+      }
+    }
+    withoutPartitionInference(spark) {
+      if (bound.isEmpty) scan(files, keepPos)
+      else {
+        val (dvFiles, plain) = files.partition(bound.contains)
+        val filtered = applyDv(spark, baseDir, scan(dvFiles, tagPos = true),
+          partColLogical(dvFiles, colmap),
+          dvFiles.map(f => (partValueOf(f), baseName(f), bound(f))))
+        val dvPart =
+          if (keepPos) filtered else filtered.drop(PosFileCol, PosIndexCol)
+        if (plain.isEmpty) dvPart
+        else scan(plain, keepPos).unionByName(dvPart)
       }
     }
   }
@@ -1499,7 +1673,7 @@ object TimeTravel {
       version: Int): DataFrame = {
     val snap = resolveFull(spark, baseDir, version)
     readFilesNonEmpty(spark, baseDir, version, snap.files, snap.schema,
-      snap.colmap)
+      snap.colmap, snap.dvs)
   }
 
   /** What a stats-pruned read touched: the scan plus the file-count
@@ -1706,6 +1880,9 @@ object TimeTravel {
     def files: Seq[String] = snap.files
     /** Logical → physical; empty = identity (no renames/drops ever). */
     def colmap: Map[String, String] = snap.colmap
+    /** True when any file carries a deletion-vector binding — a plain
+      * parquet scan of the file set would RESURRECT deleted rows. */
+    def hasDeletionVectors: Boolean = snap.dvs.nonEmpty
     /** Files surviving every conjunct — a SUPERSET of the matching
       * files (the PushedFilters contract: pruning cuts I/O, the plan's
       * own Filter decides row membership). */
@@ -1750,17 +1927,19 @@ object TimeTravel {
             "no schema to type an empty result with"))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      } else readFiles(spark, baseDir, kept, snap.schema, snap.colmap)
+      } else readFiles(spark, baseDir, kept, snap.schema, snap.colmap,
+        snap.dvs)
     new SkippingScan(mkDf, snap.files.size, kept.size, snap.stats.size)
   }
 
   private def readFilesNonEmpty(spark: SparkSession, baseDir: String,
       version: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
-      colmap: Map[String, String] = Map.empty): DataFrame = {
+      colmap: Map[String, String] = Map.empty,
+      dvs: Map[String, String] = Map.empty): DataFrame = {
     require(files.nonEmpty, s"version $version of $baseDir is empty — " +
       "schemaless empty snapshots are not representable on plain parquet")
-    readFiles(spark, baseDir, files, schema, colmap)
+    readFiles(spark, baseDir, files, schema, colmap, dvs)
   }
 
   /** Create the table: write `df` partitioned by `partCol`, commit v1
@@ -1894,9 +2073,10 @@ object TimeTravel {
       op: String, cdc: Option[String],
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
-      coldrop: Set[String] = Set.empty): Int = {
+      coldrop: Set[String] = Set.empty,
+      dvs: Map[String, String] = Map.empty): Int = {
     writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op),
-      addStats, cdc, constraints, colmap, coldrop)
+      addStats, cdc, constraints, colmap, coldrop, dvs)
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
@@ -1904,7 +2084,8 @@ object TimeTravel {
       writeManifestCheckpoint(spark, fs, baseDir, version,
         s.files.filterNot(removed) ++ adds, Nil, schema, Some(op),
         stats = s.stats -- removes ++ addStats,
-        constraints = constraints, colmap = colmap, coldrop = coldrop)
+        constraints = constraints, colmap = colmap, coldrop = coldrop,
+        dvs = s.dvs -- removes ++ dvs)
     }
     commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
@@ -1979,7 +2160,8 @@ object TimeTravel {
         rangeKeep(snap, ColRange(keyCol, envLo, envHi)))
     discoveryStats.put(baseDir, (probed.size, snap.files.size))
     if (probed.isEmpty) Nil
-    else readFiles(spark, baseDir, probed, snap.schema, snap.colmap)
+    else readFiles(spark, baseDir, probed, snap.schema, snap.colmap,
+      snap.dvs)
       .join(gatedKeys, Seq(keyCol)).select(col(partCol)).distinct()
       .collect().map(_.get(0)).toSeq
   }
@@ -1996,11 +2178,12 @@ object TimeTravel {
     val dirs = affectedDirs(partCol, affected)
     val files = snap.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
     if (files.nonEmpty)
-      readFiles(spark, baseDir, files, snap.schema, snap.colmap)
+      readFiles(spark, baseDir, files, snap.schema, snap.colmap, snap.dvs)
     else snap.schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case None => readFilesNonEmpty(spark, baseDir, prev, snap.files, None)
+      case None => readFilesNonEmpty(spark, baseDir, prev, snap.files,
+        None, dvs = snap.dvs)
         .filter(col(partCol).isin(affected: _*))
     }
   }
@@ -2314,6 +2497,123 @@ object TimeTravel {
       changeFeed: Boolean = false): Int =
     rewriteWhere(spark, baseDir, predicate, partCol, changeFeed, None)
 
+  /** Analyze `predicate` against the committed schema, translate its
+    * conjuncts to stats ranges, and prune the snapshot's candidate
+    * files from the LOG alone — the shared front of every predicate
+    * mutation. Publishes (candidates, total) discovery telemetry. */
+  private def pruneByPredicate(spark: SparkSession, baseDir: String,
+      snap: Snapshot, schema: org.apache.spark.sql.types.StructType,
+      predicate: Column): Seq[String] = {
+    val cond = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      .filter(predicate).queryExecution.analyzed.collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }.getOrElse(throw new IllegalArgumentException(
+        s"predicate did not analyze to a filter: $predicate"))
+    val keeps = predicateRanges(cond).map(rangeKeep(snap, _))
+    val candidates = snap.files.filter(f => keeps.forall(_(f)))
+    discoveryStats.put(baseDir, (candidates.size, snap.files.size))
+    candidates
+  }
+
+  /** Predicate DELETE as MERGE-ON-READ (Delta's deletion vectors): the
+    * matching rows' (file, position) pairs land in a `_dv/<token>/`
+    * parquet artifact and the commit re-binds each touched file to it —
+    * ZERO data-file bytes rewritten, where [[deleteWhere]] rewrites
+    * every file holding a matching row. At 100 TB this is the
+    * difference between a right-to-be-forgotten delete costing
+    * O(matching rows) and costing O(files touched × file size): a
+    * 100-row delete scattered across a thousand 1 GB files writes a
+    * few KB of positions instead of a TB of rewrites. Readers apply
+    * the vectors as a position anti-join on only the BOUND files
+    * ([[applyDv]]); [[compact]] materializes them away (rewritten
+    * files carry only live rows, OPTIMIZE being the pay-the-rewrite
+    * moment every merge-on-read format chooses deliberately).
+    *
+    * Semantics are identical to [[deleteWhere]] — same stats-pruned
+    * candidate discovery, same CDC capture (`changeFeed = true` records
+    * the deleted rows' full images, exactly once: already-deleted
+    * positions are invisible to the probe, so re-deleting a range never
+    * re-captures rows), same conflict rules (the commit removes-and-
+    * re-adds each touched path, so concurrent rewrites of the same
+    * partitions refuse to rebase past it). Each commit's artifact folds
+    * the touched files' PRIOR delete-sets in, so a file always has ONE
+    * binding and restore can rewind it without losing or resurrecting
+    * anything. Skipping stats stay sound unchanged: deletes only remove
+    * rows, so recorded bounds remain a (possibly loose) envelope, and
+    * recorded row counts become upper bounds. A delete that empties
+    * every row of every file is representable (the files remain, the
+    * version reads as zero rows) — unlike the rewrite path, which must
+    * refuse table-emptying commits. Returns the committed version, or
+    * the current one when nothing matched. */
+  def deleteWhereDv(spark: SparkSession, baseDir: String,
+      predicate: Column, partCol: String,
+      changeFeed: Boolean = false): Int = {
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val fs = hadoopFs(spark, baseDir)
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    val schema = prevSnap.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"$baseDir's log records no schema — predicate delete needs " +
+          "one to analyze the WHERE clause against"))
+    val candidates = pruneByPredicate(spark, baseDir, prevSnap, schema,
+      predicate)
+    if (candidates.isEmpty) return prev
+    // one DV-filtered, position-tagged scan serves the probe, the new
+    // artifact, and the CDC images — already-deleted rows are invisible
+    val matched = readFiles(spark, baseDir, candidates, Some(schema),
+        prevSnap.colmap, prevSnap.dvs, keepPos = true)
+      .filter(coalesce(predicate, lit(false)))
+      .localCheckpoint()
+    // files identified by (partition value, name) — see [[applyDv]]:
+    // a dynamic-partition write reuses part-file names across dirs, so
+    // the name alone is ambiguous
+    val touchedKeys = matched.select(col(partCol).cast("string"),
+        col(PosFileCol)).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    if (touchedKeys.isEmpty) return prev
+    val touched = candidates.filter(f =>
+      touchedKeys((partValueOf(f), baseName(f))))
+    val token = newToken()
+    // new artifact = new positions ∪ the touched files' PRIOR
+    // delete-sets (each read from its own bound artifact): one binding
+    // per file always suffices, and untouched files keep their old
+    // pointers — artifacts of fully-superseded commits become
+    // unreferenced and vacuum reclaims them
+    val newPos = matched.select(col(partCol).cast("string").as("part"),
+      col(PosFileCol).as("name"), col(PosIndexCol).as("pos"))
+    val prior = touched.flatMap(f =>
+      prevSnap.dvs.get(f).map(t => ((partValueOf(f), baseName(f)), t)))
+    val artifact = prior.groupBy(_._2).map { case (t, keyed) =>
+      val keys = spark.createDataFrame(keyed.map(_._1))
+        .toDF("part", "name")
+      spark.read.parquet(dvDir(baseDir, t).toString)
+        .join(broadcast(keys), Seq("part", "name"), "left_semi")
+        .select(col("part"), col("name"), col("pos"))
+    }.foldLeft(newPos)(_.unionByName(_))
+    // artifact lands BEFORE the record (like CDC captures): an aborted
+    // commit leaves an orphan dir the age-guarded vacuum sweep reclaims
+    artifact.write.mode("overwrite")
+      .parquet(dvDir(baseDir, token).toString)
+    val cdcToken = if (changeFeed) Some(newToken()) else None
+    cdcToken.foreach { tok =>
+      writeChanges(spark, baseDir, tok, Seq(
+        matched.drop(PosFileCol, PosIndexCol)
+          .withColumn(ChangeTypeCol, lit("delete"))))
+    }
+    val dirs = touched.map(f => f.take(f.indexOf('/'))).toSet
+    commitWithRebase(spark, fs, baseDir, prev, dirs,
+      adds = touched, removes = touched, txn = None, schema = schema,
+      op = "delete", evolveSchema = false, cdc = cdcToken,
+      dvs = touched.map(f => f -> token).toMap,
+      statsOverride = {
+        val tset = touched.toSet
+        prevSnap.stats.filter { case (f, _) => tset(f) }
+      })
+  }
+
   /** Predicate UPDATE (`UPDATE SET ... WHERE p`) as a new version —
     * same three-phase prune/probe/rewrite shape as [[deleteWhere]],
     * but matching rows are rewritten through `set` (column → new-value
@@ -2350,30 +2650,22 @@ object TimeTravel {
         s"SET column '$k' is not in the table schema")))
     // 1. analyze the predicate against the committed schema, translate
     // its conjuncts to stats ranges, prune candidates from the LOG
-    val cond = spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      .filter(predicate).queryExecution.analyzed.collectFirst {
-        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
-          f.condition
-      }.getOrElse(throw new IllegalArgumentException(
-        s"predicate did not analyze to a filter: $predicate"))
-    val keeps = predicateRanges(cond).map(rangeKeep(prevSnap, _))
-    val candidates = prevSnap.files.filter(f => keeps.forall(_(f)))
-    discoveryStats.put(baseDir, (candidates.size, prevSnap.files.size))
+    val candidates = pruneByPredicate(spark, baseDir, prevSnap, schema,
+      predicate)
     if (candidates.isEmpty) return prev
     // 2. probe: the candidate files that actually hold matching rows.
     // Matched by FILE NAME — staged writes token-prefix every name, so
-    // names are globally unique and immune to URI-encoding differences
-    // between input_file_name() and the log's relative paths.
+    // names are globally unique. The name comes from the scan's
+    // position tag, not input_file_name(): a DV'd candidate's scan has
+    // TWO parquet sources (data + delete-set artifact) and
+    // input_file_name() refuses multi-source plans.
     val matchedNames =
-      readFiles(spark, baseDir, candidates, Some(schema), prevSnap.colmap)
+      readFiles(spark, baseDir, candidates, Some(schema), prevSnap.colmap,
+        prevSnap.dvs, keepPos = true)
       .filter(predicate)
-      .select(input_file_name().as("f")).distinct()
-      .collect()
-      .map(r => r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1))
-      .toSet
-    val matched = candidates.filter(f =>
-      matchedNames(f.substring(f.lastIndexOf('/') + 1)))
+      .select(col(PosFileCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    val matched = candidates.filter(f => matchedNames(baseName(f)))
     if (matched.isEmpty) return prev
     // 3. rewrite ONLY the matched files. The match verdict is computed
     // ONCE per row on the ORIGINAL values (a SET that changes a
@@ -2382,7 +2674,8 @@ object TimeTravel {
     val pred = coalesce(predicate, lit(false)) // NULL predicate: keep
     val hit = "__graft_rewrite_hit"
     val touched =
-      readFiles(spark, baseDir, matched, Some(schema), prevSnap.colmap)
+      readFiles(spark, baseDir, matched, Some(schema), prevSnap.colmap,
+        prevSnap.dvs)
         .withColumn(hit, pred)
     val rewrittenMarked = set match {
       case None => touched.filter(!col(hit))
@@ -2471,15 +2764,25 @@ object TimeTravel {
     val byDir = prevFiles.groupBy(f => f.substring(0, f.indexOf('/')))
     val threshold = math.max(maxFilesPerDir,
       math.max(clusterBy.fold(0)(_._2), zorderBy.fold(0)(_._2)))
-    val fragmented = byDir.filter(_._2.size > threshold)
+    // a dir holding any DV-bound file is due for maintenance REGARDLESS
+    // of file count: merge-on-read deletes pay a per-read anti-join
+    // until OPTIMIZE materializes them (Delta's REORG ... PURGE), and
+    // compact is that moment — the rewrite reads through the vectors,
+    // so its output files carry only live rows and no bindings
+    val fragmented = byDir.filter { case (dir, fls) =>
+      fls.size > threshold || fls.exists(prevSnap.dvs.contains) }
     if (fragmented.isEmpty) return prev
     val affected = fragmented.keys.toSeq.map(d =>
       ExternalCatalogUtils.unescapePathName(d.stripPrefix(s"$partCol=")))
     // read back ONLY the fragmented partitions' files, under the
     // COMMITTED schema — pre-evolution files consolidate with NULLs in
     // the added columns, exactly as a read would see them
+    // DV'd fragments materialize here: the read applies their deletion
+    // vectors, so the consolidated files carry only live rows and the
+    // commit's removes drop the stale bindings with the files
     val rows = readFiles(spark, baseDir,
-      fragmented.values.flatten.toSeq.sorted, prevSchema, prevSnap.colmap)
+      fragmented.values.flatten.toSeq.sorted, prevSchema, prevSnap.colmap,
+      prevSnap.dvs)
     commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
       rows, "compact", clusterBy = clusterBy, zorderBy = zorderBy)
   }
@@ -2524,18 +2827,26 @@ object TimeTravel {
     val cur = resolveFull(spark, baseDir, prev)
     val curSet = cur.files.toSet
     val targetSet = target.files.toSet
-    val adds = (targetSet -- curSet).toSeq.sorted
-    val removes = (curSet -- targetSet).toSeq.sorted
+    // a file in BOTH versions whose DV binding differs (a delete-
+    // vector commit or its rewind) restores as a remove-and-re-add:
+    // the re-add carries the target's binding (or none), exactly the
+    // encoding a DV commit itself uses — content rolls back with zero
+    // bytes copied either way
+    val dvChanged = (targetSet intersect curSet)
+      .filter(f => target.dvs.get(f) != cur.dvs.get(f))
+    val adds = (targetSet -- curSet ++ dvChanged).toSeq.sorted
+    val removes = (curSet -- targetSet ++ dvChanged).toSeq.sorted
     if (adds.isEmpty && removes.isEmpty) return prev // content identical
     val dirs = (adds ++ removes).map(f => f.take(f.indexOf('/'))).toSet
     val addSet = adds.toSet
     val addStats = target.stats.filter { case (f, _) => addSet(f) }
+    val addDvs = target.dvs.filter { case (f, _) => addSet(f) }
     // constraints are table POLICY restored with the content, like the
     // schema: the commit carries toVersion's recorded set
     try logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
       addStats, () => cur, None, target.schema, "restore", None,
       activeConstraints(fs, baseDir, toVersion),
-      target.colmap, target.dropped)
+      target.colmap, target.dropped, addDvs)
     catch {
       case _: CommitConflict =>
         throw new java.util.ConcurrentModificationException(
@@ -2628,7 +2939,7 @@ object TimeTravel {
       writeManifestCheckpoint(spark, fs, baseDir, keepFrom, floor.toSeq,
         carried, floorSchema, opFrom(origLines).orElse(Some("floor")),
         tsFrom(origLines), floorSnap.stats, constraintsFrom(origLines),
-        floorSnap.colmap, floorSnap.dropped)
+        floorSnap.colmap, floorSnap.dropped, floorSnap.dvs)
     else {
       // the floor may already have a CADENCE checkpoint — written at
       // commit time with no txn marks. The marks living only in the
@@ -2648,7 +2959,7 @@ object TimeTravel {
             manifestContent(floor.toSeq.sorted, carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
               floorSnap.stats, constraintsFrom(origLines),
-              floorSnap.colmap, floorSnap.dropped)
+              floorSnap.colmap, floorSnap.dropped, floorSnap.dvs)
           else {
             // new sidecar first (derived, token-named — the old one
             // stays referenced until the header rename lands, so a
@@ -2657,7 +2968,7 @@ object TimeTravel {
             // below (or the next vacuum) reclaims
             val token = newToken()
             writeCheckpointSidecar(fs, baseDir, keepFrom, token,
-              floor.toSeq.sorted, floorSnap.stats)
+              floor.toSeq.sorted, floorSnap.stats, floorSnap.dvs)
             checkpointHeaderContent(token, floor.size, carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
               constraintsFrom(origLines),
@@ -2699,6 +3010,12 @@ object TimeTravel {
       val d = deltaPath(baseDir, v)
       if (fs.exists(d)) cdcFrom(readRawLines(fs, d)) else None
     }.toSet
+    // DV tokens of the records being dropped — collected BEFORE the
+    // drop for the same reason as droppedCdc
+    val droppedDv: Set[String] = (1 to keepFrom).flatMap { v =>
+      val d = deltaPath(baseDir, v)
+      if (fs.exists(d)) dvsFrom(readRawLines(fs, d)).values else Nil
+    }.toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanMinAgeMs)
     val oldOrphans = orphans.filter { f =>
       try fs.getFileStatus(new Path(dataDir(baseDir), f))
@@ -2739,6 +3056,27 @@ object TimeTravel {
         // before its record) — the same age guard as data orphans,
         // applied to the dir's NEWEST content (see the vacuum doc).
         if (!referenced(tok) && (droppedCdc(tok) ||
+            newestMtime(fs, st) <= cutoff))
+          fs.delete(st.getPath, true) }
+    // DV artifacts are addressable through any RETAINED version's
+    // resolution: the floor snapshot's bindings plus every retained
+    // delta's `#dv=` tokens (a binding set below the floor and still
+    // live surfaces in the floor's resolution; one set later rides its
+    // own retained record). Artifact dirs outside that set: committed
+    // history whose every binding was superseded or dropped (tokens in
+    // the dropped records — reclaim now), or a possibly-in-flight
+    // commit's artifact (written before its record — age-guarded, like
+    // every other pre-record landing).
+    val dvReferenced: Set[String] = floorSnap.dvs.values.toSet ++
+      ((keepFrom + 1) to latest).flatMap { v =>
+        val d = deltaPath(baseDir, v)
+        if (fs.exists(d)) dvsFrom(readRawLines(fs, d)).values else Nil
+      }
+    val dvr = dvRoot(baseDir)
+    if (fs.exists(dvr))
+      fs.listStatus(dvr).foreach { st =>
+        val tok = st.getPath.getName
+        if (!dvReferenced(tok) && (droppedDv(tok) ||
             newestMtime(fs, st) <= cutoff))
           fs.delete(st.getPath, true) }
     // a crashed writer's STAGING dir (files written, the move never ran)

@@ -2146,9 +2146,80 @@ object PipelineQueries {
       FROM st GROUP BY 1""")
   )
 
+  /** Merge-on-read DELETE via deletion vectors
+    * ([[graft.operators.TimeTravel.deleteWhereDv]]) — q180's
+    * right-to-be-forgotten range delete with ZERO data-file rewrites:
+    * the matching rows' (file, position) pairs land in a `_dv`
+    * artifact and the commit re-binds the touched files, so the cost
+    * is O(matching rows) however large the files are (Delta's deletion
+    * vectors; at 100 TB the difference between a few KB of positions
+    * and a TB of rewrites). The post-delete content hash-matches the
+    * oracle's anti-filter; in-band verdicts pin the merge-on-read
+    * contract — the data-file SET is bit-for-bit UNCHANGED across the
+    * delete (`zero_rewrites`, strictly stronger than q180's
+    * carry-over), the log-stats prune probed a minority of files, and
+    * the CDC feed captured exactly the deleted rows once. */
+  val q187 = Q(
+    "q187_deletion_vectors",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, nDeleted, zeroRewrites, probedOk, cdcExact) =
+        stagedDvDelete.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-dv")
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_month",
+              date_format(col("o_orderdate"), "yyyy-MM"))
+          val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+          val m5 = m / 5
+          def slab(k: Int) = orders.filter(
+            (if (k == 0) lit(true) else col("o_orderkey") > k * m5) &&
+              (if (k == 4) lit(true) else col("o_orderkey") <= (k + 1) * m5))
+          TimeTravel.init(spark, d, slab(0), "o_month")
+          (1 to 4).foreach(k =>
+            TimeTravel.append(spark, d, slab(k), "o_month"))
+          val before = TimeTravel.latestVersion(spark, d)
+          val preFiles = TimeTravel.filesAt(spark, d, before).toSet
+          val pred =
+            col("o_orderkey") > 2 * m5 && col("o_orderkey") <= 3 * m5
+          val v = TimeTravel.deleteWhereDv(spark, d, pred, "o_month",
+            changeFeed = true)
+          val (probed, total) = TimeTravel.discoveryStats(d)
+          val postFiles = TimeTravel.filesAt(spark, d, v).toSet
+          val nDel = TimeTravel.readChangesSince(spark, d, v - 1, v)
+            .filter(col(TimeTravel.ChangeTypeCol) === "delete").count()
+          val expect = orders.filter(pred).count()
+          (d, nDel, postFiles == preFiles, probed * 3 <= total,
+            nDel == expect)
+        })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(col("n_rows"), col("sum_price"), col("n_cust"),
+          lit(nDeleted).as("n_deleted"),
+          lit(zeroRewrites).as("zero_rewrites"),
+          lit(probedOk).as("probed_minority"),
+          lit(cdcExact).as("cdc_exact"))
+    },
+    Some(s"""WITH b AS (SELECT 2*(MAX(o_orderkey)//5) AS lo,
+          3*(MAX(o_orderkey)//5) AS hi FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        (SELECT COUNT(*) FROM orders o2, b
+          WHERE o2.o_orderkey > b.lo AND o2.o_orderkey <= b.hi)
+          AS n_deleted,
+        TRUE AS zero_rewrites, TRUE AS probed_minority,
+        TRUE AS cdc_exact
+      FROM orders, b
+      WHERE NOT (o_orderkey > b.lo AND o_orderkey <= b.hi)""")
+  )
+  private val stagedDvDelete = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Long, Boolean, Boolean, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181, q182, q183, q185, q186)
+      q179, q180, q181, q182, q183, q185, q186, q187)
 }

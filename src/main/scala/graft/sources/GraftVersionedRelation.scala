@@ -97,6 +97,18 @@ final class GraftVersionedFileIndex(spark: SparkSession, baseDir: String,
       "declarative batch relation cannot project physical names; read " +
       "this version via TimeTravel.readVersion instead")
 
+  // a HadoopFsRelation plans raw parquet splits: it cannot apply
+  // deletion vectors, and silently scanning a DV-bound version would
+  // RESURRECT deleted rows — the protocol-refusal every format makes
+  // readers without DV support give (Delta gates DV tables behind a
+  // reader-version bump for exactly this reason). readVersion applies
+  // the vectors; compact materializes them away, after which this
+  // relation reads the table again.
+  require(!plan.hasDeletionVectors,
+    s"version $version of $baseDir carries deletion vectors — a plain " +
+      "parquet relation would resurrect deleted rows; read it via " +
+      "TimeTravel.readVersion, or materialize with TimeTravel.compact")
+
   /** The table's partition column, from the file layout (every data
     * file lives under `col=value/`, the init/append invariant). */
   val partCol: String = {

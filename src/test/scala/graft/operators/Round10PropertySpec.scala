@@ -51,7 +51,7 @@ class Round10PropertySpec extends SparkSpec {
 
     (1 to 15).foreach { _ =>
       val prevVersion = TimeTravel.latestVersion(spark, dir)
-      val next = rnd.nextInt(6) match {
+      val next = rnd.nextInt(7) match {
         case 0 => // upsert a small batch (updates + inserts, distinct keys)
           val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
           TimeTravel.upsert(spark, dir, df(batch), "id", "part")
@@ -74,6 +74,19 @@ class Round10PropertySpec extends SparkSpec {
           val target = 1 + rnd.nextInt(prevVersion)
           TimeTravel.restore(spark, dir, target)
           history(target - 1)
+        case 5 => // merge-on-read delete of an id band (deletion
+          // vectors): same model semantics as a rewrite delete, zero
+          // data files rewritten — resolution must compose the
+          // re-binding commits exactly like any rewrite
+          val a = rnd.nextInt(30).toLong
+          val b = a + 1 + rnd.nextInt(4)
+          val survivors = current.filterNot(r => r._1 >= a && r._1 < b)
+          if (survivors.isEmpty) current // keep the table non-empty
+          else {
+            TimeTravel.deleteWhereDv(spark, dir,
+              col("id") >= a && col("id") < b, "part")
+            survivors
+          }
         case _ => // add/drop a (vacuously true) constraint: a metadata-only
           // commit every version must resolve THROUGH without content drift
           val cs = TimeTravel.constraintsAt(spark, dir, prevVersion)
@@ -151,9 +164,9 @@ class Round10PropertySpec extends SparkSpec {
         rows.toDF("id", "part", valueCol(dir))
       var current = someRows(8).distinctBy(_._1)
       TimeTravel.init(spark, dir, df(current), "part")
-      (1 to 16).foreach { _ =>
+      (1 to 24).foreach { _ =>
         val prevVersion = TimeTravel.latestVersion(spark, dir)
-        current = rnd.nextInt(7) match {
+        current = rnd.nextInt(8) match {
           case 0 =>
             val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
             TimeTravel.upsert(spark, dir, dfAs(batch), "id", "part")
@@ -182,6 +195,17 @@ class Round10PropertySpec extends SparkSpec {
                 s"${valueCol(dir)} > -1e18")
             else TimeTravel.dropConstraint(spark, dir, cs.keys.min)
             current
+          case 6 => // DV delete of an id band: the binding lines must
+            // serialize identically through both checkpoint formats
+            val a = rnd.nextInt(30).toLong
+            val b = a + 1 + rnd.nextInt(4)
+            val survivors = current.filterNot(r => r._1 >= a && r._1 < b)
+            if (survivors.isEmpty) current
+            else {
+              TimeTravel.deleteWhereDv(spark, dir,
+                col("id") >= a && col("id") < b, "part")
+              survivors
+            }
           case _ => // metadata-only RENAME, flipping v <-> w — refused
             // while a constraint mentions the column, so skip then
             // (both arms take the same deterministic decision)
@@ -267,7 +291,7 @@ class Round10PropertySpec extends SparkSpec {
 
     (1 to 10).foreach { _ =>
       val prev = TimeTravel.latestVersion(spark, dir)
-      rnd.nextInt(3) match {
+      rnd.nextInt(4) match {
         case 0 => // CDC upsert
           val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
           val v = TimeTravel.upsert(spark, dir, df(batch), "id", "part",
@@ -288,6 +312,19 @@ class Round10PropertySpec extends SparkSpec {
           if (survivors.nonEmpty && doomed.nonEmpty) {
             val v = TimeTravel.delete(spark, dir, keys.toSeq.toDF("id"),
               "id", "part", changeFeed = true)
+            expected(v) = Map("delete" -> doomed)
+            current = survivors
+          }
+        case 2 => // CDC deletion-vector delete: the feed must capture
+          // exactly the NEWLY hidden rows (already-DV'd positions are
+          // invisible to the probe — never re-captured)
+          val a = rnd.nextInt(25).toLong
+          val b = a + 1 + rnd.nextInt(3)
+          val doomed = current.filter(r => r._1 >= a && r._1 < b)
+          val survivors = current.filterNot(r => r._1 >= a && r._1 < b)
+          if (survivors.nonEmpty && doomed.nonEmpty) {
+            val v = TimeTravel.deleteWhereDv(spark, dir,
+              col("id") >= a && col("id") < b, "part", changeFeed = true)
             expected(v) = Map("delete" -> doomed)
             current = survivors
           }
