@@ -2549,15 +2549,47 @@ object TimeTravel {
     * the current one when nothing matched. */
   def deleteWhereDv(spark: SparkSession, baseDir: String,
       predicate: Column, partCol: String,
+      changeFeed: Boolean = false): Int =
+    mutateWhereDv(spark, baseDir, predicate, partCol, changeFeed, None)
+
+  /** Predicate UPDATE as MERGE-ON-READ: the matching rows' old
+    * positions hide behind a deletion vector and their UPDATED images
+    * land as NEW files in the same commit — non-matching rows in the
+    * touched files are never rewritten (Delta's DV update). Where
+    * [[updateWhere]] rewrites every file holding a match whole, this
+    * writes O(matching rows): updating 100 rows scattered across a
+    * thousand large files appends 100 rows plus a few KB of positions.
+    * Same contract as [[updateWhere]] otherwise: SET on the partition
+    * column refused (a cross-partition move is an upsert's job),
+    * updated rows re-validated against the active CHECK policy, CDC
+    * pre/post images, SET expressions evaluated on the ORIGINAL
+    * values. */
+  def updateWhereDv(spark: SparkSession, baseDir: String,
+      predicate: Column, set: Map[String, Column], partCol: String,
       changeFeed: Boolean = false): Int = {
+    require(set.nonEmpty, "updateWhereDv needs at least one SET column")
+    require(!set.contains(partCol),
+      s"SET on the partition column '$partCol' would move rows across " +
+        "partitions — use upsert for key moves")
+    mutateWhereDv(spark, baseDir, predicate, partCol, changeFeed,
+      Some(set))
+  }
+
+  private def mutateWhereDv(spark: SparkSession, baseDir: String,
+      predicate: Column, partCol: String, changeFeed: Boolean,
+      set: Option[Map[String, Column]]): Int = {
+    val op = if (set.isEmpty) "delete" else "update"
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
     val schema = prevSnap.schema.getOrElse(
       throw new IllegalArgumentException(
-        s"$baseDir's log records no schema — predicate delete needs " +
+        s"$baseDir's log records no schema — predicate $op needs " +
           "one to analyze the WHERE clause against"))
+    set.foreach(_.keys.foreach(k =>
+      require(schema.fieldNames.contains(k),
+        s"SET column '$k' is not in the table schema")))
     val candidates = pruneByPredicate(spark, baseDir, prevSnap, schema,
       predicate)
     if (candidates.isEmpty) return prev
@@ -2576,6 +2608,16 @@ object TimeTravel {
     if (touchedKeys.isEmpty) return prev
     val touched = candidates.filter(f =>
       touchedKeys((partValueOf(f), baseName(f))))
+    // updated images: every matched row through SET, evaluated on the
+    // ORIGINAL (checkpointed) values, cast to the committed types —
+    // validated against the CHECK policy BEFORE any artifact lands
+    val updated = set.map { s =>
+      val u = matched.select(schema.fieldNames.map(c =>
+        s.get(c).fold(col(c))(e => e.cast(schema(c).dataType).as(c)))
+        .toSeq: _*)
+      enforceConstraints(u, activeConstraints(fs, baseDir, prev), op)
+      u
+    }
     val token = newToken()
     // new artifact = new positions ∪ the touched files' PRIOR
     // delete-sets (each read from its own bound artifact): one binding
@@ -2599,14 +2641,22 @@ object TimeTravel {
       .parquet(dvDir(baseDir, token).toString)
     val cdcToken = if (changeFeed) Some(newToken()) else None
     cdcToken.foreach { tok =>
-      writeChanges(spark, baseDir, tok, Seq(
-        matched.drop(PosFileCol, PosIndexCol)
-          .withColumn(ChangeTypeCol, lit("delete"))))
+      val pre = matched.drop(PosFileCol, PosIndexCol)
+      writeChanges(spark, baseDir, tok, updated match {
+        case None => Seq(pre.withColumn(ChangeTypeCol, lit("delete")))
+        case Some(u) => Seq(
+          pre.withColumn(ChangeTypeCol, lit("update_preimage")),
+          u.withColumn(ChangeTypeCol, lit("update_postimage")))
+      })
     }
+    // an update's new images land as fresh files in the SAME commit —
+    // their partitions equal the touched ones (SET never moves rows)
+    val newFiles = updated.fold(Seq.empty[String])(u =>
+      stageWrite(spark, baseDir, u, partCol, colmap = prevSnap.colmap))
     val dirs = touched.map(f => f.take(f.indexOf('/'))).toSet
     commitWithRebase(spark, fs, baseDir, prev, dirs,
-      adds = touched, removes = touched, txn = None, schema = schema,
-      op = "delete", evolveSchema = false, cdc = cdcToken,
+      adds = newFiles ++ touched, removes = touched, txn = None,
+      schema = schema, op = op, evolveSchema = false, cdc = cdcToken,
       dvs = touched.map(f => f -> token).toMap,
       statsOverride = {
         val tset = touched.toSet

@@ -2217,9 +2217,75 @@ object PipelineQueries {
   private val stagedDvDelete = scala.collection.concurrent.TrieMap
     .empty[String, (String, Long, Boolean, Boolean, Boolean)]
 
+  /** Merge-on-read UPDATE via deletion vectors
+    * ([[graft.operators.TimeTravel.updateWhereDv]]) — q181's UPDATE
+    * SET price += 100 over the middle key slab, but the matching rows'
+    * OLD positions hide behind a deletion vector and only the UPDATED
+    * images land as new files: no pre-existing file is rewritten
+    * (`no_rewrites` pins every pre-update file carrying over BY NAME,
+    * where q181's rewrite path replaces the matched files whole). The
+    * post-update content hash-matches the oracle's CASE projection and
+    * the CDC window pairs pre/post images exactly — same semantics,
+    * O(matching rows) write cost. */
+  val q188 = Q(
+    "q188_update_where_dv",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, noRewrites, newFilesOk, probedOk, imagesPair) =
+        stagedDvUpdate.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-dvupd")
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_month",
+              date_format(col("o_orderdate"), "yyyy-MM"))
+          val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+          val m5 = m / 5
+          def slab(k: Int) = orders.filter(
+            (if (k == 0) lit(true) else col("o_orderkey") > k * m5) &&
+              (if (k == 4) lit(true) else col("o_orderkey") <= (k + 1) * m5))
+          TimeTravel.init(spark, d, slab(0), "o_month")
+          (1 to 4).foreach(k =>
+            TimeTravel.append(spark, d, slab(k), "o_month"))
+          val before = TimeTravel.latestVersion(spark, d)
+          val preFiles = TimeTravel.filesAt(spark, d, before).toSet
+          val v = TimeTravel.updateWhereDv(spark, d,
+            col("o_orderkey") > 2 * m5 && col("o_orderkey") <= 3 * m5,
+            Map("o_totalprice" -> (col("o_totalprice") + lit(100.0))),
+            "o_month", changeFeed = true)
+          val (probed, total) = TimeTravel.discoveryStats(d)
+          val postFiles = TimeTravel.filesAt(spark, d, v).toSet
+          val images = TimeTravel.readChangesSince(spark, d, v - 1, v)
+            .groupBy(col(TimeTravel.ChangeTypeCol)).count().collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+          (d, (preFiles -- postFiles).isEmpty,
+            (postFiles -- preFiles).nonEmpty, probed * 3 <= total,
+            images.get("update_preimage").exists(_ > 0) &&
+              images.get("update_preimage") ==
+                images.get("update_postimage"))
+        })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("n_rows"), col("sum_price"),
+          lit(noRewrites).as("no_rewrites"),
+          lit(newFilesOk).as("images_as_new_files"),
+          lit(probedOk).as("probed_minority"),
+          lit(imagesPair).as("images_pair"))
+    },
+    Some(s"""WITH b AS (SELECT 2*(MAX(o_orderkey)//5) AS lo,
+          3*(MAX(o_orderkey)//5) AS hi FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("CASE WHEN o_orderkey > b.lo AND o_orderkey <= b.hi " +
+          "THEN o_totalprice + 100.0 ELSE o_totalprice END")} AS sum_price,
+        TRUE AS no_rewrites, TRUE AS images_as_new_files,
+        TRUE AS probed_minority, TRUE AS images_pair
+      FROM orders, b""")
+  )
+  private val stagedDvUpdate = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean, Boolean, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181, q182, q183, q185, q186, q187)
+      q179, q180, q181, q182, q183, q185, q186, q187, q188)
 }

@@ -233,6 +233,55 @@ class DeletionVectorSpec extends SparkSpec {
     }
   }
 
+  test("updateWhereDv appends updated images and hides the old positions — no file rewrite") {
+    val t = slabTable()
+    val before = TimeTravel.latestVersion(spark, t)
+    val filesBefore = TimeTravel.filesAt(spark, t, before).toSet
+    val v = TimeTravel.updateWhereDv(spark, t,
+      col("k") >= 150L && col("k") < 250L,
+      Map("x" -> (col("x") + lit(1000.0))), "p", changeFeed = true)
+    val filesAfter = TimeTravel.filesAt(spark, t, v).toSet
+    // every pre-update file carries over BY NAME; the update only ADDS
+    assert((filesBefore -- filesAfter).isEmpty,
+      "an update must not rewrite any existing file")
+    assert((filesAfter -- filesBefore).nonEmpty,
+      "the updated images land as new files")
+    val got = TimeTravel.readVersion(spark, t, v)
+      .select("k", "x").as[(Long, Double)].collect().toMap
+    assert(got.size === 400)
+    (0L until 400L).foreach { k =>
+      val want = if (k >= 150 && k < 250) k + 1000.0 else k * 1.0
+      assert(got(k) === want, s"k=$k")
+    }
+    // pre-update version intact; CDC pairs pre/post images exactly
+    assert(keys(t, before) === (0L until 400L).toSet)
+    val images = TimeTravel.readChangesSince(spark, t, v - 1, v)
+      .groupBy(col(TimeTravel.ChangeTypeCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(images === Map("update_preimage" -> 100L,
+      "update_postimage" -> 100L))
+    // SET evaluated on ORIGINAL values: post-images carry k-derived x
+    val post = TimeTravel.readChangesSince(spark, t, v - 1, v)
+      .filter(col(TimeTravel.ChangeTypeCol) === "update_postimage" &&
+        col("k") === 200L).select("x").as[Double].head()
+    assert(post === 1200.0)
+  }
+
+  test("updateWhereDv re-validates against CHECK constraints and refuses whole") {
+    val t = slabTable()
+    TimeTravel.addConstraint(spark, t, "x_cap", "x < 5000")
+    val before = TimeTravel.latestVersion(spark, t)
+    intercept[IllegalArgumentException](
+      TimeTravel.updateWhereDv(spark, t, col("k") === 10L,
+        Map("x" -> lit(99999.0)), "p"))
+    assert(TimeTravel.latestVersion(spark, t) === before)
+    // a compliant DV update still lands under the policy
+    val v = TimeTravel.updateWhereDv(spark, t, col("k") === 10L,
+      Map("x" -> lit(4999.0)), "p")
+    assert(TimeTravel.readVersion(spark, t, v)
+      .filter(col("k") === 10L).select("x").as[Double].head() === 4999.0)
+  }
+
   test("the declarative relation refuses DV-bound versions instead of resurrecting rows") {
     val t = slabTable()
     val v0 = TimeTravel.latestVersion(spark, t)
