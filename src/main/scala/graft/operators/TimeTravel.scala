@@ -123,6 +123,19 @@ object TimeTravel {
   private def dvRoot(baseDir: String) = new Path(baseDir, "_dv")
   private def dvDir(baseDir: String, token: String) =
     new Path(dvRoot(baseDir), token)
+  /** BLOOM-INDEX artifacts live under `_bloom/<token>/` — one parquet
+    * dataset per bloom-building commit holding `(part, name, col,
+    * bloom)` rows: a serialized Bloom filter over each indexed
+    * column's values in each added file. Token-addressed for the same
+    * pre-record-landing reasons as `_dv` and `_change`. Filters have
+    * NO false negatives, so a file whose filter says a point-predicate
+    * value is absent is provably irrelevant — the equality-skipping
+    * complement to min/max range stats, for the high-cardinality
+    * UNCLUSTERED columns ranges cannot prune (Delta's bloom filter
+    * index). */
+  private def bloomRoot(baseDir: String) = new Path(baseDir, "_bloom")
+  private def bloomDir(baseDir: String, token: String) =
+    new Path(bloomRoot(baseDir), token)
   private[operators] def newToken(): String =
     java.util.UUID.randomUUID().toString.replace("-", "").take(12)
   private def manifestPath(baseDir: String, v: Int) =
@@ -400,7 +413,8 @@ object TimeTravel {
         val (cm, cd) = activeColmap(fs, baseDir, prev)
         writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
           schemaOfRecord(fs, baseDir, prev), Some("constraint"),
-          constraints = cs + (name -> sqlExpr), colmap = cm, coldrop = cd)
+          constraints = cs + (name -> sqlExpr), colmap = cm, coldrop = cd,
+          bloomIdx = activeBloomIdx(fs, baseDir, prev))
         commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
           checkpointed = false))
         return prev + 1
@@ -426,7 +440,98 @@ object TimeTravel {
         val (cm, cd) = activeColmap(fs, baseDir, prev)
         writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
           schemaOfRecord(fs, baseDir, prev), Some("constraint"),
-          constraints = cs - name, colmap = cm, coldrop = cd)
+          constraints = cs - name, colmap = cm, coldrop = cd,
+          bloomIdx = activeBloomIdx(fs, baseDir, prev))
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** CREATE BLOOMFILTER INDEX (Delta's
+    * `CREATE BLOOMFILTER INDEX ... ON TABLE` essentials): a
+    * metadata-only commit activating per-file Bloom filters for
+    * `column` on every file ADDED from now on — the equality-skipping
+    * complement to min/max range stats, for point lookups on
+    * high-cardinality UNCLUSTERED columns (a GDPR key probe, an id
+    * lookup) where every file's range covers every value. Sizing:
+    * `expectedItemsPerFile` at `fpp` ≈ 9.6 bits/item at 1 % — 100k
+    * items ≈ 120 KB per file, stored in a token-named `_bloom`
+    * artifact, never inline in the log record. FORWARD-ONLY like
+    * Delta's: files already in the table have no filter and are simply
+    * never bloom-skipped; compact/rewrite regenerates filters for its
+    * output files, so maintenance backfills the index incrementally.
+    * STRING and integral columns only; the partition column is refused
+    * (directory pruning already covers it exactly). */
+  def setBloomIndex(spark: SparkSession, baseDir: String, column: String,
+      expectedItemsPerFile: Long = 100000L, fpp: Double = 0.01): Int = {
+    require(expectedItemsPerFile > 0, "expectedItemsPerFile must be > 0")
+    require(fpp > 0.0 && fpp < 1.0, "fpp must be in (0, 1)")
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — init the table first")
+    while (true) {
+      val idx = activeBloomIdx(fs, baseDir, prev)
+      require(!idx.contains(column),
+        s"'$column' is already bloom-indexed — drop the index first")
+      val schema = schemaOfRecord(fs, baseDir, prev).getOrElse(
+        throw new IllegalArgumentException(
+          s"$baseDir's log records no schema — pre-metadata tables " +
+            "cannot be bloom-indexed"))
+      require(schema.fieldNames.contains(column),
+        s"'$column' is not in the table schema")
+      import org.apache.spark.sql.types._
+      schema(column).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType =>
+        case other => throw new IllegalArgumentException(
+          s"bloom index on '$column' ($other): only STRING and " +
+            "integral columns hash into the filter")
+      }
+      val snap = resolveFull(spark, baseDir, prev)
+      require(snap.files.isEmpty ||
+          partColLogical(snap.files, snap.colmap) != column,
+        s"'$column' is the partition column — directory pruning " +
+          "already answers equality on it exactly")
+      try {
+        val (cm, cd) = activeColmap(fs, baseDir, prev)
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
+          Some(schema), Some("bloomidx"),
+          constraints = activeConstraints(fs, baseDir, prev),
+          colmap = cm, coldrop = cd,
+          bloomIdx = idx + (column -> ((expectedItemsPerFile, fpp))))
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
+  /** DROP BLOOMFILTER INDEX: stop building filters for `column`.
+    * Existing bindings stay in the snapshot and keep pruning — a
+    * filter over an unchanged file never goes stale — until rewrites
+    * retire the files. Unknown column is a loud error. */
+  def dropBloomIndex(spark: SparkSession, baseDir: String,
+      column: String): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits")
+    while (true) {
+      val idx = activeBloomIdx(fs, baseDir, prev)
+      require(idx.contains(column), s"no bloom index on '$column' " +
+        s"(indexed: ${idx.keys.toSeq.sorted.mkString(", ")})")
+      try {
+        val (cm, cd) = activeColmap(fs, baseDir, prev)
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
+          schemaOfRecord(fs, baseDir, prev), Some("bloomidx"),
+          constraints = activeConstraints(fs, baseDir, prev),
+          colmap = cm, coldrop = cd, bloomIdx = idx - column)
         commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
           checkpointed = false))
         return prev + 1
@@ -560,6 +665,11 @@ object TimeTravel {
         throw new IllegalArgumentException(
           s"CHECK constraint '$n' mentions '$from' — drop the " +
             "constraint first, rename, then re-add it under the new name"))
+      val bloomIdx = activeBloomIdx(fs, baseDir, prev)
+      require(!bloomIdx.contains(from),
+        s"'$from' is bloom-indexed — drop the index first, rename, " +
+          "then re-create it under the new name (the policy and the " +
+          "recorded filters key the logical name)")
       val physical = snap.colmap.getOrElse(from, from)
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.map(f =>
@@ -570,7 +680,7 @@ object TimeTravel {
       try {
         writeDelta(fs, baseDir, prev + 1, Nil, Nil, None, Some(newSchema),
           Some("colmap"), constraints = cs,
-          colmap = newMap, coldrop = snap.dropped)
+          colmap = newMap, coldrop = snap.dropped, bloomIdx = bloomIdx)
         commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
           checkpointed = false))
         return prev + 1
@@ -609,13 +719,17 @@ object TimeTravel {
         throw new IllegalArgumentException(
           s"CHECK constraint '$n' mentions '$name' — drop the " +
             "constraint first"))
+      val bloomIdx = activeBloomIdx(fs, baseDir, prev)
+      require(!bloomIdx.contains(name),
+        s"'$name' is bloom-indexed — drop the index first")
       val physical = snap.colmap.getOrElse(name, name)
       val newSchema = org.apache.spark.sql.types.StructType(
         schema.fields.filterNot(_.name == name))
       try {
         writeDelta(fs, baseDir, prev + 1, Nil, Nil, None, Some(newSchema),
           Some("colmap"), constraints = cs,
-          colmap = snap.colmap - name, coldrop = snap.dropped + physical)
+          colmap = snap.colmap - name, coldrop = snap.dropped + physical,
+          bloomIdx = bloomIdx)
         commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
           checkpointed = false))
         return prev + 1
@@ -719,6 +833,58 @@ object TimeTravel {
 
   private def dvLinesFor(dvs: Map[String, String]): Seq[String] =
     dvs.toSeq.sortBy(_._1).map { case (f, t) => dvLine(f, t) }
+
+  /** `#bloom=<enc path> <enc token>` binds a data file to the bloom
+    * artifact holding its per-column filters. Same composition as
+    * stats and dv bindings: `blooms -- removes ++ bloomsFrom(lines)`;
+    * a rewritten file's binding drops with the file, a DV re-add
+    * CARRIES its binding forward (the bytes didn't change, and deletes
+    * only shrink the value set — the filter stays a sound
+    * over-approximation). */
+  private def bloomLine(path: String, token: String): String =
+    s"#bloom=${enc(path)} ${enc(token)}"
+
+  private def bloomsFrom(lines: Seq[String]): Map[String, String] =
+    lines.collect { case l if l.startsWith("#bloom=") =>
+      val rest = l.stripPrefix("#bloom=")
+      val i = rest.indexOf(' ')
+      dec(rest.take(i)) -> dec(rest.drop(i + 1))
+    }.toMap
+
+  private def bloomLinesFor(m: Map[String, String]): Seq[String] =
+    m.toSeq.sortBy(_._1).map { case (f, t) => bloomLine(f, t) }
+
+  /** `#bloomidx=<enc col> <expectedItems> <fpp>` — the table's ACTIVE
+    * bloom-index policy, riding in every commit record like the
+    * constraint set: which columns get a per-file filter built at
+    * commit time, sized how. One record read answers "what do I
+    * build"; files added before the policy simply have no filter and
+    * are never bloom-skipped (Delta's index is forward-only the same
+    * way). */
+  private def bloomIdxLines(p: Map[String, (Long, Double)]): Seq[String] =
+    p.toSeq.sortBy(_._1).map { case (c, (n, fpp)) =>
+      s"#bloomidx=${enc(c)} $n $fpp" }
+
+  private def bloomIdxFrom(lines: Seq[String]): Map[String, (Long, Double)] =
+    lines.collect { case l if l.startsWith("#bloomidx=") =>
+      val parts = l.stripPrefix("#bloomidx=").split(' ')
+      dec(parts(0)) -> ((parts(1).toLong, parts(2).toDouble))
+    }.toMap
+
+  /** The bloom-index policy active AS OF version `v` — one record
+    * read, like [[activeConstraints]]. */
+  private def activeBloomIdx(fs: FileSystem, baseDir: String,
+      v: Int): Map[String, (Long, Double)] = {
+    val p = Seq(deltaPath(baseDir, v), manifestPath(baseDir, v))
+      .find(fs.exists(_))
+    p.map(path => bloomIdxFrom(readRawLines(fs, path)))
+      .getOrElse(Map.empty)
+  }
+
+  /** The bloom-index policy as of `version` — public observability. */
+  def bloomIndexAt(spark: SparkSession, baseDir: String,
+      version: Int): Map[String, (Long, Double)] =
+    activeBloomIdx(hadoopFs(spark, baseDir), baseDir, version)
 
   /** One file's per-column (min, max) as canonical strings — decimal
     * text for every numeric-ish column (dates as epoch days), raw text
@@ -1034,7 +1200,8 @@ object TimeTravel {
       stats: Map[String, String],
       colmap: Map[String, String] = Map.empty,
       dropped: Set[String] = Set.empty,
-      dvs: Map[String, String] = Map.empty)
+      dvs: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
 
   private def resolveAt(spark: SparkSession, baseDir: String, version: Int)
       : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
@@ -1059,12 +1226,12 @@ object TimeTravel {
     var schema = schemaFrom(ckptLines)
     // parquet-body checkpoints keep only metadata in the text manifest;
     // the file+stats body resolves from the token-named sidecar
-    var (files, stats, dvs) = markerFrom(ckptLines) match {
+    var (files, stats, dvs, blooms) = markerFrom(ckptLines) match {
       case Some(token) =>
         readCheckpointSidecar(spark, fs, baseDir, ckpt, token)
       case None =>
         (ckptLines.filterNot(_.startsWith("#")).toSet, statsFrom(ckptLines),
-          dvsFrom(ckptLines))
+          dvsFrom(ckptLines), bloomsFrom(ckptLines))
     }
     // the column mapping comes from the LAST record of the walk — every
     // record carries the full current mapping (identity when absent)
@@ -1079,12 +1246,14 @@ object TimeTravel {
       files = files -- removes ++ adds
       stats = stats -- removes ++ statsFrom(lines)
       dvs = dvs -- removes ++ dvsFrom(lines)
+      blooms = blooms -- removes ++ bloomsFrom(lines)
       lastLines = lines
     }
     Snapshot(files.toSeq.sorted, schema,
       stats.filter { case (f, _) => files(f) },
       colmapFrom(lastLines), coldropFrom(lastLines),
-      dvs.filter { case (f, _) => files(f) })
+      dvs.filter { case (f, _) => files(f) },
+      blooms.filter { case (f, _) => files(f) })
   }
 
   /** Full checkpoint for `version`. Exclusive install for commit
@@ -1098,11 +1267,15 @@ object TimeTravel {
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
       coldrop: Set[String] = Set.empty,
-      dvs: Map[String, String] = Map.empty): Array[Byte] =
+      dvs: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty,
+      bloomIdx: Map[String, (Long, Double)] = Map.empty): Array[Byte] =
     (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
       constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
+      bloomIdxLines(bloomIdx) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
       statsLinesFor(files, stats) ++ dvLinesFor(dvs) ++
+      bloomLinesFor(blooms) ++
       files.sorted).mkString("\n").getBytes("UTF-8")
 
   /** `ts`: pass the ORIGINAL commit's wall-clock when re-materializing
@@ -1116,10 +1289,12 @@ object TimeTravel {
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
       coldrop: Set[String] = Set.empty,
-      dvs: Map[String, String] = Map.empty): Unit = {
+      dvs: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty,
+      bloomIdx: Map[String, (Long, Double)] = Map.empty): Unit = {
     installExclusive(fs, manifestPath(baseDir, version),
       manifestContent(files, txns, schema, op, ts, stats, constraints,
-        colmap, coldrop, dvs))
+        colmap, coldrop, dvs, blooms, bloomIdx))
   }
 
   /** Header-only checkpoint manifest: the metadata lines (txns, schema,
@@ -1134,9 +1309,11 @@ object TimeTravel {
       op: Option[String], ts: Option[Long],
       constraints: Map[String, String],
       colmap: Map[String, String] = Map.empty,
-      coldrop: Set[String] = Set.empty): Array[Byte] =
+      coldrop: Set[String] = Set.empty,
+      bloomIdx: Map[String, (Long, Double)] = Map.empty): Array[Byte] =
     (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
       constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
+      bloomIdxLines(bloomIdx) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
       Seq(s"#nfiles=$nFiles", s"#filesbody=parquet:$token"))
       .mkString("\n").getBytes("UTF-8")
@@ -1155,13 +1332,15 @@ object TimeTravel {
   private def writeCheckpointSidecar(fs: FileSystem, baseDir: String,
       version: Int, token: String, files: Seq[String],
       stats: Map[String, String],
-      dvs: Map[String, String] = Map.empty): Unit = {
+      dvs: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty): Unit = {
     import org.apache.parquet.example.data.simple.SimpleGroupFactory
     import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
     import org.apache.parquet.schema.MessageTypeParser
     val schema = MessageTypeParser.parseMessageType(
       "message graft_checkpoint { required binary path (UTF8); " +
-        "optional binary stats (UTF8); optional binary dv (UTF8); }")
+        "optional binary stats (UTF8); optional binary dv (UTF8); " +
+        "optional binary bloom (UTF8); }")
     val conf = new org.apache.hadoop.conf.Configuration(fs.getConf)
     GroupWriteSupport.setSchema(schema, conf)
     val tmp = new Path(logDir(baseDir),
@@ -1177,6 +1356,7 @@ object TimeTravel {
       val g = factory.newGroup().append("path", f)
       stats.get(f).foreach(s => g.append("stats", s))
       dvs.get(f).foreach(t => g.append("dv", t))
+      blooms.get(f).foreach(t => g.append("bloom", t))
       writer.write(g)
     } finally writer.close()
     val dest = checkpointSidecarPath(baseDir, version, token)
@@ -1194,7 +1374,8 @@ object TimeTravel {
     * job each time). */
   private def readCheckpointSidecar(spark: SparkSession, fs: FileSystem,
       baseDir: String, version: Int, token: String)
-      : (Set[String], Map[String, String], Map[String, String]) = {
+      : (Set[String], Map[String, String], Map[String, String],
+        Map[String, String]) = {
     val p = checkpointSidecarPath(baseDir, version, token)
     require(fs.exists(p), s"checkpoint sidecar $p is missing: the log " +
       "is damaged (sidecars are written before the manifests that " +
@@ -1202,18 +1383,24 @@ object TimeTravel {
     val files = Set.newBuilder[String]
     val stats = Map.newBuilder[String, String]
     val dvs = Map.newBuilder[String, String]
+    val blooms = Map.newBuilder[String, String]
     if (fs.getFileStatus(p).getLen >= CheckpointSparkScanBytes) {
       val df = spark.read.parquet(p.toString)
-      // pre-DV sidecars lack the `dv` column — read it as absent
-      val hasDv = df.columns.contains("dv")
-      val cols = Seq(col("path"), col("stats")) ++
-        (if (hasDv) Seq(col("dv")) else Nil)
+      // older sidecars lack the binding columns — read them as absent
+      val have = df.columns.toSet
+      val optional = Seq("dv", "bloom").filter(have)
+      val cols = Seq(col("path"), col("stats")) ++ optional.map(col)
       df.select(cols: _*).collect()
         .foreach { r =>
           val f = r.getString(0)
           files += f
           if (!r.isNullAt(1)) stats += f -> r.getString(1)
-          if (hasDv && !r.isNullAt(2)) dvs += f -> r.getString(2)
+          optional.zipWithIndex.foreach { case (name, i) =>
+            if (!r.isNullAt(2 + i)) {
+              if (name == "dv") dvs += f -> r.getString(2 + i)
+              else blooms += f -> r.getString(2 + i)
+            }
+          }
         }
     } else {
       import org.apache.parquet.hadoop.ParquetReader
@@ -1229,15 +1416,18 @@ object TimeTravel {
           files += f
           if (g.getFieldRepetitionCount("stats") > 0)
             stats += f -> g.getString("stats", 0)
-          // pre-DV sidecars have no `dv` field at all
+          // older sidecars have no binding fields at all
           if (g.getType.containsField("dv") &&
               g.getFieldRepetitionCount("dv") > 0)
             dvs += f -> g.getString("dv", 0)
+          if (g.getType.containsField("bloom") &&
+              g.getFieldRepetitionCount("bloom") > 0)
+            blooms += f -> g.getString("bloom", 0)
           g = reader.read()
         }
       } finally reader.close()
     }
-    (files.result(), stats.result(), dvs.result())
+    (files.result(), stats.result(), dvs.result(), blooms.result())
   }
 
   /** Checkpoint write honoring the [[parquetCheckpoints]] format: the
@@ -1253,17 +1443,19 @@ object TimeTravel {
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
       coldrop: Set[String] = Set.empty,
-      dvs: Map[String, String] = Map.empty): Unit =
+      dvs: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty,
+      bloomIdx: Map[String, (Long, Double)] = Map.empty): Unit =
     if (!parquetCheckpoints)
       writeManifest(fs, baseDir, version, files, txns, schema, op, ts,
-        stats, constraints, colmap, coldrop, dvs)
+        stats, constraints, colmap, coldrop, dvs, blooms, bloomIdx)
     else {
       val token = newToken()
       writeCheckpointSidecar(fs, baseDir, version, token, files, stats,
-        dvs)
+        dvs, blooms)
       installExclusive(fs, manifestPath(baseDir, version),
         checkpointHeaderContent(token, files.size, txns, schema, op, ts,
-          constraints, colmap, coldrop))
+          constraints, colmap, coldrop, bloomIdx))
     }
 
   /** The losing writer of a commit race — version `version` was
@@ -1288,12 +1480,16 @@ object TimeTravel {
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
       coldrop: Set[String] = Set.empty,
-      dvs: Map[String, String] = Map.empty): Unit = {
+      dvs: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty,
+      bloomIdx: Map[String, (Long, Double)] = Map.empty): Unit = {
     val bytes =
       (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
         constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
+        bloomIdxLines(bloomIdx) ++
         op.map(opLine).toSeq ++ cdc.map(cdcLine).toSeq ++ Seq(tsLine()) ++
         statsLinesFor(adds, stats) ++ dvLinesFor(dvs) ++
+        bloomLinesFor(blooms) ++
         adds.sorted.map("+" + _) ++ removes.sorted.map("-" + _))
         .mkString("\n").getBytes("UTF-8")
     try installExclusive(fs, deltaPath(baseDir, version), bytes)
@@ -1421,7 +1617,8 @@ object TimeTravel {
       op: String, evolveSchema: Boolean,
       cdc: Option[String] = None,
       dvs: Map[String, String] = Map.empty,
-      statsOverride: Map[String, String] = Map.empty): Int = {
+      statsOverride: Map[String, String] = Map.empty,
+      bloomCarry: Map[String, String] = Map.empty): Int = {
     // statsOverride: carried-forward payloads for adds whose bytes did
     // not change (a DV commit re-adds the same physical file) — no
     // footer re-read for those; anything else is computed as usual
@@ -1437,11 +1634,25 @@ object TimeTravel {
     // staged files' physical names would be stale)
     val (colmap, coldrop) = activeColmap(fs, baseDir, prev)
     requireNoPhysicalCollision(schema, colmap, coldrop, op)
+    // per-file bloom filters for the GENUINELY new files, when a bloom
+    // index is active: one column-pruned scan of the just-staged adds,
+    // written to a token-named `_bloom` artifact before the record.
+    // bloomCarry re-binds unchanged files (DV re-adds) to their old
+    // artifacts — a shrunk value set keeps the filter sound.
+    val bloomIdx = activeBloomIdx(fs, baseDir, prev)
+    val builtBlooms = {
+      val fresh = adds.filterNot(bloomCarry.contains)
+      if (bloomIdx.isEmpty || fresh.isEmpty) Map.empty[String, String]
+      else buildBloomArtifact(spark, baseDir, fresh, schema, colmap,
+        bloomIdx)
+    }
+    val bloomBind = bloomCarry ++ builtBlooms
     var base = prev
     while (true) {
       try return logCommit(spark, fs, baseDir, base + 1, dirs, adds,
         removes, addStats, () => resolveFull(spark, baseDir, base),
-        txn, Some(schema), op, cdc, constraints, colmap, coldrop, dvs)
+        txn, Some(schema), op, cdc, constraints, colmap, coldrop, dvs,
+        bloomBind, bloomIdx)
       catch { case c: CommitConflict =>
         val latest = latestVersion(spark, baseDir)
         if (isRewrite)
@@ -1491,6 +1702,14 @@ object TimeTravel {
             s"$op of $baseDir raced a column rename/drop (version " +
               s"$latest): the staged files were written under the old " +
               "physical names — re-run against the current version")
+        // a bloom-policy change landed concurrently: this commit's
+        // filters were built under the OLD policy — rebasing would
+        // record stale-policy filters (or none) under the new one
+        if (activeBloomIdx(fs, baseDir, latest) != bloomIdx)
+          throw new java.util.ConcurrentModificationException(
+            s"$op of $baseDir raced a bloom-index change (version " +
+              s"$latest): the batch's filters were built under the old " +
+              "policy — re-run against the current version")
         base = latest
       }
     }
@@ -1604,6 +1823,120 @@ object TimeTravel {
       scanned(partCol) === dels("__graft_dv_part") &&
         scanned(PosFileCol) === dels("__graft_dv_name") &&
         scanned(PosIndexCol) === dels("__graft_dv_pos"), "left_anti")
+  }
+
+  /** Build one `_bloom/<token>/` artifact over `files` (just-staged
+    * adds): a per-(file, indexed column) serialized Bloom filter, from
+    * ONE column-pruned scan grouped by file identity — map-side
+    * combined like any aggregate, cost O(rows written) on only the
+    * indexed columns. Policy columns missing from the schema or of a
+    * non-bloomable type are skipped (a policy may predate an
+    * evolution); a file with no non-null values gets an empty filter,
+    * which correctly proves every equality absent. Returns the
+    * file → token bindings. */
+  private def buildBloomArtifact(spark: SparkSession, baseDir: String,
+      files: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      colmap: Map[String, String],
+      idx: Map[String, (Long, Double)]): Map[String, String] = {
+    import org.apache.spark.sql.types._
+    val cols = idx.keys.toSeq.sorted.filter(c =>
+      schema.fieldNames.contains(c) && (schema(c).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType =>
+          true
+        case _ => false
+      }))
+    if (cols.isEmpty) return Map.empty
+    val partLog = partColLogical(files, colmap)
+    val df = readFiles(spark, baseDir, files, Some(schema), colmap,
+      Map.empty, keepPos = true)
+    val aggs = cols.map { c =>
+      val (n, fpp) = idx(c)
+      val in = schema(c).dataType match {
+        case StringType | LongType => col(c)
+        case _ => col(c).cast("long") // narrower integrals widen
+      }
+      graft.functions.BloomCols.bloomAgg(in, n, fpp).as(s"__graft_b_$c")
+    }
+    val rows = df.groupBy(col(partLog).cast("string").as("part"),
+        col(PosFileCol).as("name"))
+      .agg(aggs.head, aggs.tail: _*)
+    val longForm = cols.map(c => rows.select(col("part"), col("name"),
+      lit(c).as("col"), col(s"__graft_b_$c").as("bloom")))
+      .reduce(_.unionByName(_))
+    val token = newToken()
+    longForm.write.mode("overwrite")
+      .parquet(bloomDir(baseDir, token).toString)
+    files.map(_ -> token).toMap
+  }
+
+  /** BLOOM-prune `candidates`: drop every file whose recorded filter
+    * proves an equality conjunct's value ABSENT (no false negatives —
+    * "might contain" keeps, "definitely not" drops; a false positive
+    * only reads a file the plan's own Filter then empties). Applied
+    * AFTER range pruning, on the survivors: the filters load and probe
+    * as one small distributed job over the bound candidates' artifact
+    * rows, and only (file identity, drop) verdicts return to the
+    * driver. Files without a binding (pre-policy adds) and conjuncts
+    * that aren't a typed equality pass through untouched. */
+  private def bloomPrune(spark: SparkSession, baseDir: String,
+      snap: Snapshot, preds: Seq[ColRange],
+      candidates: Seq[String]): Seq[String] = {
+    if (snap.blooms.isEmpty || candidates.isEmpty || preds.isEmpty)
+      return candidates
+    val schema = snap.schema.getOrElse(return candidates)
+    import org.apache.spark.sql.types._
+    val probes: Seq[(String, Any)] = preds.flatMap { p =>
+      if (p.lo == null || p.hi == null || p.lo != p.hi) None
+      else schema.fields.find(_.name == p.col).flatMap { f =>
+        (f.dataType, p.lo) match {
+          case (StringType, s: String) => Some(p.col -> (s: Any))
+          case (LongType | IntegerType | ShortType | ByteType, v) =>
+            v match {
+              case n: java.lang.Number =>
+                Some(p.col -> (n.longValue(): Any))
+              case s: String => scala.util.Try(s.trim.toLong).toOption
+                .map(l => p.col -> (l: Any))
+              case _ => None
+            }
+          case _ => None
+        }
+      }
+    }
+    if (probes.isEmpty) return candidates
+    val bound = candidates.filter(snap.blooms.contains)
+    if (bound.isEmpty) return candidates
+    val probeCols = probes.map(_._1).distinct
+    val cand = spark.createDataFrame(bound.map(f =>
+        (partValueOf(f), baseName(f), snap.blooms(f))))
+      .toDF("part", "name", "__graft_tok")
+    val arts = bound.map(snap.blooms).distinct.map(t =>
+      spark.read.parquet(bloomDir(baseDir, t).toString)
+        .withColumn("__graft_tok", lit(t))).reduce(_.unionByName(_))
+    val probeList = probes
+    import spark.implicits._
+    val drops = arts
+      .join(broadcast(cand), Seq("part", "name", "__graft_tok"))
+      .filter(col("col").isin(probeCols: _*))
+      .select(col("part"), col("name"), col("col"), col("bloom"))
+      .as[(String, String, String, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (part, name, c, bytes) =>
+          val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+            new java.io.ByteArrayInputStream(bytes))
+          val absent = probeList.exists { case (pc, v) =>
+            pc == c && (v match {
+              // same key bytes the build hashed (UTF8String bytes)
+              case s: String => !bf.mightContainBinary(s.getBytes("UTF-8"))
+              case l: java.lang.Long => !bf.mightContainLong(l)
+              case _ => false
+            })
+          }
+          if (absent) Some((part, name)) else None
+        }
+      }.collect().toSet
+    if (drops.isEmpty) candidates
+    else candidates.filterNot(f => drops((partValueOf(f), baseName(f))))
   }
 
   /** `dvs`: the snapshot's file → DV-token bindings (restricted here to
@@ -1875,7 +2208,8 @@ object TimeTravel {
     * `>=`/`<=` comparisons). Resolved ONCE at relation construction:
     * every scan of the relation sees the same consistent version
     * however many commits land meanwhile. */
-  private[graft] final class ScanPlan(snap: Snapshot,
+  private[graft] final class ScanPlan(spark: SparkSession,
+      baseDir: String, snap: Snapshot,
       val schema: org.apache.spark.sql.types.StructType) {
     def files: Seq[String] = snap.files
     /** Logical → physical; empty = identity (no renames/drops ever). */
@@ -1885,12 +2219,14 @@ object TimeTravel {
     def hasDeletionVectors: Boolean = snap.dvs.nonEmpty
     /** Files surviving every conjunct — a SUPERSET of the matching
       * files (the PushedFilters contract: pruning cuts I/O, the plan's
-      * own Filter decides row membership). */
+      * own Filter decides row membership). Equality conjuncts also
+      * probe recorded bloom filters ([[bloomPrune]]). */
     def kept(preds: Seq[ColRange]): Seq[String] =
       if (preds.isEmpty) snap.files
       else {
         val ks = preds.map(rangeKeep(snap, _))
-        snap.files.filter(f => ks.forall(_(f)))
+        bloomPrune(spark, baseDir, snap, preds,
+          snap.files.filter(f => ks.forall(_(f))))
       }
   }
 
@@ -1899,7 +2235,7 @@ object TimeTravel {
     val snap = resolveFull(spark, baseDir, version)
     require(snap.files.nonEmpty,
       s"version $version of $baseDir is empty")
-    new ScanPlan(snap, snap.schema.getOrElse(
+    new ScanPlan(spark, baseDir, snap, snap.schema.getOrElse(
       throw new IllegalArgumentException(
         s"$baseDir's log records no schema at version $version — " +
           "pre-metadata tables are not declaratively readable")))
@@ -1919,7 +2255,8 @@ object TimeTravel {
     require(snap.files.nonEmpty,
       s"version $version of $baseDir is empty")
     val keeps = preds.map(rangeKeep(snap, _))
-    val kept = snap.files.filter(f => keeps.forall(_(f)))
+    val kept = bloomPrune(spark, baseDir, snap, preds,
+      snap.files.filter(f => keeps.forall(_(f))))
     def mkDf =
       if (kept.isEmpty) {
         val s = snap.schema.getOrElse(throw new IllegalArgumentException(
@@ -2074,9 +2411,11 @@ object TimeTravel {
       constraints: Map[String, String] = Map.empty,
       colmap: Map[String, String] = Map.empty,
       coldrop: Set[String] = Set.empty,
-      dvs: Map[String, String] = Map.empty): Int = {
+      dvs: Map[String, String] = Map.empty,
+      blooms: Map[String, String] = Map.empty,
+      bloomIdx: Map[String, (Long, Double)] = Map.empty): Int = {
     writeDelta(fs, baseDir, version, adds, removes, txn, schema, Some(op),
-      addStats, cdc, constraints, colmap, coldrop, dvs)
+      addStats, cdc, constraints, colmap, coldrop, dvs, blooms, bloomIdx)
     val checkpoint = version % checkpointEvery == 0
     if (checkpoint) {
       val removed = removes.toSet
@@ -2085,7 +2424,8 @@ object TimeTravel {
         s.files.filterNot(removed) ++ adds, Nil, schema, Some(op),
         stats = s.stats -- removes ++ addStats,
         constraints = constraints, colmap = colmap, coldrop = coldrop,
-        dvs = s.dvs -- removes ++ dvs)
+        dvs = s.dvs -- removes ++ dvs,
+        blooms = s.blooms -- removes ++ blooms, bloomIdx = bloomIdx)
     }
     commitStats.put(baseDir, CommitStats(version, dirs, adds.size,
       removes.size, checkpoint))
@@ -2511,8 +2851,12 @@ object TimeTravel {
           f.condition
       }.getOrElse(throw new IllegalArgumentException(
         s"predicate did not analyze to a filter: $predicate"))
-    val keeps = predicateRanges(cond).map(rangeKeep(snap, _))
-    val candidates = snap.files.filter(f => keeps.forall(_(f)))
+    val ranges = predicateRanges(cond)
+    val keeps = ranges.map(rangeKeep(snap, _))
+    val ranged = snap.files.filter(f => keeps.forall(_(f)))
+    // equality conjuncts additionally probe the files' bloom filters —
+    // the unclustered-point-lookup prune ranges cannot give
+    val candidates = bloomPrune(spark, baseDir, snap, ranges, ranged)
     discoveryStats.put(baseDir, (candidates.size, snap.files.size))
     candidates
   }
@@ -2654,14 +2998,15 @@ object TimeTravel {
     val newFiles = updated.fold(Seq.empty[String])(u =>
       stageWrite(spark, baseDir, u, partCol, colmap = prevSnap.colmap))
     val dirs = touched.map(f => f.take(f.indexOf('/'))).toSet
+    val tset = touched.toSet
     commitWithRebase(spark, fs, baseDir, prev, dirs,
       adds = newFiles ++ touched, removes = touched, txn = None,
       schema = schema, op = op, evolveSchema = false, cdc = cdcToken,
       dvs = touched.map(f => f -> token).toMap,
-      statsOverride = {
-        val tset = touched.toSet
-        prevSnap.stats.filter { case (f, _) => tset(f) }
-      })
+      statsOverride = prevSnap.stats.filter { case (f, _) => tset(f) },
+      // re-added files keep their bloom filters: bytes unchanged, and a
+      // delete only shrinks the value set — still a sound filter
+      bloomCarry = prevSnap.blooms.filter { case (f, _) => tset(f) })
   }
 
   /** Predicate UPDATE (`UPDATE SET ... WHERE p`) as a new version —
@@ -2891,12 +3236,14 @@ object TimeTravel {
     val addSet = adds.toSet
     val addStats = target.stats.filter { case (f, _) => addSet(f) }
     val addDvs = target.dvs.filter { case (f, _) => addSet(f) }
-    // constraints are table POLICY restored with the content, like the
-    // schema: the commit carries toVersion's recorded set
+    val addBlooms = target.blooms.filter { case (f, _) => addSet(f) }
+    // constraints and the bloom policy are table POLICY restored with
+    // the content, like the schema: the commit carries toVersion's set
     try logCommit(spark, fs, baseDir, prev + 1, dirs, adds, removes,
       addStats, () => cur, None, target.schema, "restore", None,
       activeConstraints(fs, baseDir, toVersion),
-      target.colmap, target.dropped, addDvs)
+      target.colmap, target.dropped, addDvs, addBlooms,
+      activeBloomIdx(fs, baseDir, toVersion))
     catch {
       case _: CommitConflict =>
         throw new java.util.ConcurrentModificationException(
@@ -2989,7 +3336,8 @@ object TimeTravel {
       writeManifestCheckpoint(spark, fs, baseDir, keepFrom, floor.toSeq,
         carried, floorSchema, opFrom(origLines).orElse(Some("floor")),
         tsFrom(origLines), floorSnap.stats, constraintsFrom(origLines),
-        floorSnap.colmap, floorSnap.dropped, floorSnap.dvs)
+        floorSnap.colmap, floorSnap.dropped, floorSnap.dvs,
+        floorSnap.blooms, bloomIdxFrom(origLines))
     else {
       // the floor may already have a CADENCE checkpoint — written at
       // commit time with no txn marks. The marks living only in the
@@ -3009,7 +3357,8 @@ object TimeTravel {
             manifestContent(floor.toSeq.sorted, carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
               floorSnap.stats, constraintsFrom(origLines),
-              floorSnap.colmap, floorSnap.dropped, floorSnap.dvs)
+              floorSnap.colmap, floorSnap.dropped, floorSnap.dvs,
+              floorSnap.blooms, bloomIdxFrom(origLines))
           else {
             // new sidecar first (derived, token-named — the old one
             // stays referenced until the header rename lands, so a
@@ -3018,11 +3367,13 @@ object TimeTravel {
             // below (or the next vacuum) reclaims
             val token = newToken()
             writeCheckpointSidecar(fs, baseDir, keepFrom, token,
-              floor.toSeq.sorted, floorSnap.stats, floorSnap.dvs)
+              floor.toSeq.sorted, floorSnap.stats, floorSnap.dvs,
+              floorSnap.blooms)
             checkpointHeaderContent(token, floor.size, carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
               constraintsFrom(origLines),
-              floorSnap.colmap, floorSnap.dropped)
+              floorSnap.colmap, floorSnap.dropped,
+              bloomIdxFrom(origLines))
           }
         val out = fs.create(tmp, true)
         try out.write(bytes)
@@ -3060,11 +3411,15 @@ object TimeTravel {
       val d = deltaPath(baseDir, v)
       if (fs.exists(d)) cdcFrom(readRawLines(fs, d)) else None
     }.toSet
-    // DV tokens of the records being dropped — collected BEFORE the
-    // drop for the same reason as droppedCdc
+    // DV and bloom tokens of the records being dropped — collected
+    // BEFORE the drop for the same reason as droppedCdc
     val droppedDv: Set[String] = (1 to keepFrom).flatMap { v =>
       val d = deltaPath(baseDir, v)
       if (fs.exists(d)) dvsFrom(readRawLines(fs, d)).values else Nil
+    }.toSet
+    val droppedBloom: Set[String] = (1 to keepFrom).flatMap { v =>
+      val d = deltaPath(baseDir, v)
+      if (fs.exists(d)) bloomsFrom(readRawLines(fs, d)).values else Nil
     }.toSet
     val cutoff = System.currentTimeMillis() - math.max(0L, orphanMinAgeMs)
     val oldOrphans = orphans.filter { f =>
@@ -3127,6 +3482,19 @@ object TimeTravel {
       fs.listStatus(dvr).foreach { st =>
         val tok = st.getPath.getName
         if (!dvReferenced(tok) && (droppedDv(tok) ||
+            newestMtime(fs, st) <= cutoff))
+          fs.delete(st.getPath, true) }
+    // bloom artifacts: the same addressability rule as DV artifacts
+    val bloomReferenced: Set[String] = floorSnap.blooms.values.toSet ++
+      ((keepFrom + 1) to latest).flatMap { v =>
+        val d = deltaPath(baseDir, v)
+        if (fs.exists(d)) bloomsFrom(readRawLines(fs, d)).values else Nil
+      }
+    val br = bloomRoot(baseDir)
+    if (fs.exists(br))
+      fs.listStatus(br).foreach { st =>
+        val tok = st.getPath.getName
+        if (!bloomReferenced(tok) && (droppedBloom(tok) ||
             newestMtime(fs, st) <= cutoff))
           fs.delete(st.getPath, true) }
     // a crashed writer's STAGING dir (files written, the move never ran)
@@ -3343,6 +3711,7 @@ object TimeTravel {
         case Some("append") => adds
         case Some("compact") => Nil // dataChange=false: already delivered
         case Some("constraint") => Nil // metadata-only: no rows to deliver
+        case Some("bloomidx") => Nil // metadata-only: no rows to deliver
         case Some("colmap") => throw new IllegalArgumentException(
           s"version $v of $baseDir renamed or dropped columns: an " +
             "incremental window cannot be represented across a column-" +
@@ -3460,6 +3829,7 @@ object TimeTravel {
             .withColumn(CommitVersionCol, lit(v)))
         case Some("compact") => None // dataChange=false
         case Some("constraint") => None // metadata-only commit
+        case Some("bloomidx") => None // metadata-only commit
         case op =>
           val tok = cdcFrom(lines).getOrElse(
             throw new IllegalArgumentException(

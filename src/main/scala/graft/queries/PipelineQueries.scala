@@ -2283,9 +2283,73 @@ object PipelineQueries {
   private val stagedDvUpdate = scala.collection.concurrent.TrieMap
     .empty[String, (String, Boolean, Boolean, Boolean, Boolean)]
 
+  /** Table BLOOM INDEX ([[graft.operators.TimeTravel.setBloomIndex]])
+    * — point-lookup file skipping on an UNCLUSTERED column, the case
+    * range stats cannot touch: the staged table's four ingest files
+    * STRIPE orders by `o_custkey % 4`, so every file's recorded
+    * [min, max] covers nearly every customer and a key-equality read
+    * would scan the whole table. With the index on, each post-policy
+    * add records a per-file Bloom filter in a `_bloom` artifact and
+    * the equality probe drops every file whose filter proves the key
+    * absent — no false negatives, so results stay exact, which the
+    * oracle's plain filter checks row-for-row. In-band verdicts pin
+    * the pruning (≤ 2 of 4 files read: the pre-policy file never
+    * skips, at most the key's own stripe survives among the indexed)
+    * and the forward-only contract. */
+  val q189 = Q(
+    "q189_bloom_index",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, probeKey, prunedOk, forwardOnlyOk) =
+        stagedBloomIdx.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-bloom")
+          // ONE partition dir: the point of the staging is a layout
+          // where directory and range pruning both answer NOTHING and
+          // only the per-file filters can cut the equality scan
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_part", lit("all"))
+          def stripe(i: Int) =
+            orders.filter(col("o_custkey") % 4 === i).repartition(1)
+          TimeTravel.init(spark, d, stripe(0), "o_part")
+          TimeTravel.setBloomIndex(spark, d, "o_custkey", 100000L, 0.001)
+          (1 to 3).foreach(i =>
+            TimeTravel.append(spark, d, stripe(i), "o_part"))
+          val v = TimeTravel.latestVersion(spark, d)
+          val k = orders.agg(max(col("o_custkey"))).head.getLong(0)
+          val scan = TimeTravel.readVersionSkipping(spark, d, v,
+            "o_custkey", k, k)
+          // init's files predate the policy: never skipped. The three
+          // indexed stripes prune to at most the key's own — the scan
+          // reads pre-policy files + ≤1 indexed stripe.
+          val preN = TimeTravel.filesAt(spark, d, 1).size
+          (d, k, scan.filesRead <= preN + 1 &&
+            scan.filesRead < scan.filesTotal,
+            scan.filesTotal == preN + 3)
+        })
+      val v = TimeTravel.latestVersion(spark, t)
+      TimeTravel.readVersionSkipping(spark, t, v,
+          "o_custkey", probeKey, probeKey).df
+        .filter(col("o_custkey") === probeKey)
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("n_rows"), col("sum_key"), col("sum_price"),
+          lit(prunedOk).as("bloom_pruned"),
+          lit(forwardOnlyOk).as("file_layout_intact"))
+    },
+    Some(s"""WITH k AS (SELECT MAX(o_custkey) AS v FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS bloom_pruned, TRUE AS file_layout_intact
+      FROM orders, k WHERE o_custkey = k.v""")
+  )
+  private val stagedBloomIdx = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Long, Boolean, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181, q182, q183, q185, q186, q187, q188)
+      q179, q180, q181, q182, q183, q185, q186, q187, q188, q189)
 }
