@@ -103,6 +103,52 @@ class ConcurrencySpec extends SparkSpec {
     assert(TimeTravel.readVersion(spark, dir, 2).count() === 3)
   }
 
+  test("a DV delete is a rewrite for conflict purposes: stale-base rewrites in its partition refuse") {
+    val dir = stage()
+    // the winner: a deletion-vector delete landing v2 — NO file set
+    // change, but its remove-and-re-add encoding must still mark
+    // part=p1 as touched, or a stale rewrite would silently drop the
+    // hidden positions
+    val v2 = TimeTravel.deleteWhereDv(spark, dir, col("id") === 1L, "part")
+    assert(v2 === 2)
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val p1File = TimeTravel.filesAt(spark, dir, 1)
+      .filter(_.startsWith("part=p1/"))
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    val e = intercept[java.util.ConcurrentModificationException] {
+      TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+        dirs = Set("part=p1"), adds = Nil, removes = p1File, txn = None,
+        schema = schema, op = "delete", evolveSchema = false)
+    }
+    assert(e.getMessage.contains("part=p1"))
+    // ...while a DISJOINT-partition rewrite still rebases past it
+    val p3File = TimeTravel.filesAt(spark, dir, 1)
+      .filter(_.startsWith("part=p3/"))
+    val v3 = TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+      dirs = Set("part=p3"), adds = Nil, removes = p3File, txn = None,
+      schema = schema, op = "delete", evolveSchema = false)
+    assert(v3 === 3)
+    assert(TimeTravel.readVersion(spark, dir, v3)
+      .select("id").as[Long].collect().toSet === Set(2L))
+  }
+
+  test("a commit racing a concurrent bloom-policy change refuses the rebase") {
+    val dir = stage()
+    val adds = TimeTravel.stageWrite(spark, dir,
+      Seq((5L, "p2", 50.0)).toDF("id", "part", "v"), "part")
+    val schema = TimeTravel.readVersion(spark, dir, 1).schema
+    // the policy lands first: the staged commit built no filters under
+    // it, so rebasing would record an unindexed add into a policy era
+    val vIdx = TimeTravel.setBloomIndex(spark, dir, "id")
+    val fs = TimeTravel.hadoopFs(spark, dir)
+    val e = intercept[java.util.ConcurrentModificationException](
+      TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
+        dirs = Set("part=p2"), adds = adds, removes = Nil, txn = None,
+        schema = schema, op = "append", evolveSchema = false))
+    assert(e.getMessage.contains("bloom"))
+    assert(TimeTravel.latestVersion(spark, dir) === vIdx)
+  }
+
   test("staged writes: adds are exactly the commit's own files, token-prefixed") {
     val dir = stage()
     TimeTravel.append(spark, dir,
