@@ -3182,6 +3182,56 @@ object TimeTravel {
       rows, "compact", clusterBy = clusterBy, zorderBy = zorderBy)
   }
 
+  /** SIZE-AWARE compaction (Delta OPTIMIZE's `minFileSize` semantics):
+    * consolidate ONLY the files smaller than `minFileBytes` —
+    * right-sized files carry over BY NAME, untouched. [[compact]]
+    * rewrites every file of a fragmented dir, which at production
+    * sizes re-copies multi-GB files to fold in a few KB stragglers;
+    * this is the maintenance shape a streaming ingest actually wants:
+    * each run folds the small-file accumulation since the last one and
+    * never pays for data that is already laid out right. A dir
+    * qualifies when it holds at least `minSmallFiles` undersized files
+    * (one small file alone gains nothing from a rewrite), or any
+    * DV-bound file (materialization rides along, whatever the size —
+    * the REORG PURGE contract [[compact]] also honors). File sizes
+    * come from one `listStatus` per candidate dir — O(dirs) metadata
+    * calls, no data access before the rewrite itself. Content is
+    * identical by construction (`#op=compact`, dataChange=false to the
+    * feeds); older versions keep their original files. */
+  def compactSmallFiles(spark: SparkSession, baseDir: String,
+      partCol: String, minFileBytes: Long,
+      minSmallFiles: Int = 2): Int = {
+    require(minFileBytes > 0, "minFileBytes must be > 0")
+    require(minSmallFiles >= 1, "minSmallFiles must be >= 1")
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val fs = hadoopFs(spark, baseDir)
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    val byDir = prevSnap.files.groupBy(f => f.substring(0, f.indexOf('/')))
+    val doomed = byDir.toSeq.flatMap { case (dir, fls) =>
+      val dvHere = fls.filter(prevSnap.dvs.contains)
+      val sizes = fs.listStatus(new Path(dataDir(baseDir), dir))
+        .map(st => s"$dir/${st.getPath.getName}" -> st.getLen).toMap
+      val small = fls.filter(f => sizes.get(f).exists(_ < minFileBytes))
+      val rewrite = (small ++ dvHere).distinct
+      if (small.size >= minSmallFiles || dvHere.nonEmpty) rewrite
+      else Nil
+    }.sorted
+    if (doomed.isEmpty) return prev
+    val rows = readFiles(spark, baseDir, doomed, prevSnap.schema,
+      prevSnap.colmap, prevSnap.dvs)
+    val staged = rows.localCheckpoint()
+    val adds = stageWrite(spark, baseDir, staged, partCol,
+      colmap = prevSnap.colmap)
+    require(prevSnap.files.size - doomed.size + adds.size > 0,
+      "compaction would empty the table (every remaining row was " +
+        "DV-deleted) — an empty version is not representable on plain " +
+        "parquet; drop the table instead")
+    val dirs = doomed.map(f => f.take(f.indexOf('/'))).toSet
+    commitWithRebase(spark, fs, baseDir, prev, dirs, adds, doomed,
+      None, staged.schema, "compact", evolveSchema = false)
+  }
+
   /** RESTORE: roll the table back to `toVersion` as a NEW commit (the
     * Delta `RESTORE TABLE ... TO VERSION AS OF` command) — the undo
     * button for a bad merge/delete/ingest that keeps history honest:
@@ -3598,6 +3648,129 @@ object TimeTravel {
       val nRemoved = if (hasDelta) lines.count(_.startsWith("-")) else 0
       CommitInfo(v, nAdded, nRemoved, txns, hasManifest,
         opFrom(lines), tsFrom(lines))
+    }
+  }
+
+  /** DESCRIBE DETAIL: one structured snapshot of the table's current
+    * state — version, file count and bytes, partition column, schema,
+    * and every active policy (constraints, bloom index, column
+    * mapping) plus the merge-on-read surface (DV/bloom-bound file
+    * counts). Metadata cost: one log resolve + one `listStatus` per
+    * partition dir (sizes come from the dir listings, O(dirs) calls,
+    * no data access). */
+  final case class TableDetail(version: Int, numFiles: Int,
+      sizeBytes: Long, partitionColumn: String,
+      schema: Option[org.apache.spark.sql.types.StructType],
+      constraints: Map[String, String],
+      bloomIndex: Map[String, (Long, Double)],
+      columnMapping: Map[String, String],
+      dvBoundFiles: Int, bloomBoundFiles: Int)
+
+  def detail(spark: SparkSession, baseDir: String): TableDetail = {
+    val latest = latestVersion(spark, baseDir)
+    require(latest >= 1, s"$baseDir has no commits")
+    val fs = hadoopFs(spark, baseDir)
+    val snap = resolveFull(spark, baseDir, latest)
+    val sizeBytes = snap.files.groupBy(f => f.take(f.indexOf('/')))
+      .iterator.map { case (dir, fls) =>
+        val wanted = fls.map(baseName).toSet
+        fs.listStatus(new Path(dataDir(baseDir), dir))
+          .filter(st => wanted(st.getPath.getName)).map(_.getLen).sum
+      }.sum
+    TableDetail(latest, snap.files.size, sizeBytes,
+      partColLogical(snap.files, snap.colmap), snap.schema,
+      activeConstraints(fs, baseDir, latest),
+      activeBloomIdx(fs, baseDir, latest), snap.colmap,
+      snap.dvs.size, snap.blooms.size)
+  }
+
+  /** CLONE the table AS OF `version` into `dstDir` — a full fork at
+    * ZERO data-copy cost on link-capable filesystems: every data file
+    * (and every DV / bloom artifact the version binds) HARD-LINKS into
+    * the clone, and the clone's v1 checkpoint carries the source
+    * version's stats, bindings, schema, and policies verbatim. Unlike
+    * Delta's shallow clone (which REFERENCES the source's paths, so a
+    * source VACUUM breaks the clone), a hard-linked clone shares
+    * inodes, not paths: both tables evolve, compact, and vacuum fully
+    * independently from the moment of the fork, and the shared bytes
+    * are freed only when NEITHER side references them — the filesystem
+    * does the refcounting. Where links aren't supported (cross-device,
+    * non-local FS), files COPY instead — same contract, data-copy
+    * cost; above [[DistributedFsThreshold]] the per-file work fans out
+    * as a Spark job. Txn markers are NOT carried: streams writing to
+    * the clone are new streams. Returns the clone's version (1). */
+  def cloneAt(spark: SparkSession, baseDir: String, dstDir: String,
+      version: Int = Int.MaxValue): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    val src = latestVersion(spark, baseDir)
+    require(src >= 1, s"$baseDir has no commits — nothing to clone")
+    val v = if (version == Int.MaxValue) src else version
+    require(latestVersion(spark, dstDir) == 0,
+      s"$dstDir already has commits — clone into a fresh dir")
+    val snap = resolveFull(spark, baseDir, v)
+    require(snap.files.nonEmpty, s"version $v of $baseDir is empty")
+    // data files: link (or copy) each under the same relative path
+    val srcData = fs.makeQualified(dataDir(baseDir)).toString
+    val dstData = fs.makeQualified(dataDir(dstDir)).toString
+    linkOrCopyAll(spark, fs, snap.files.map(f => (s"$srcData/$f",
+      s"$dstData/$f")))
+    // DV and bloom artifacts the version binds: whole token dirs
+    // (artifact rows for files outside this snapshot are inert — the
+    // read-side binding join ignores them)
+    (snap.dvs.values.toSeq.distinct.map(t =>
+      (dvDir(baseDir, t), dvDir(dstDir, t))) ++
+      snap.blooms.values.toSeq.distinct.map(t =>
+        (bloomDir(baseDir, t), bloomDir(dstDir, t)))).foreach {
+      case (from, to) =>
+        val qFrom = fs.makeQualified(from).toString
+        val qTo = fs.makeQualified(to).toString
+        val arts = fs.listStatus(from).filter(_.isFile).map(_.getPath)
+          .map(p => (p.toString, s"$qTo/${p.getName}")).toSeq
+        linkOrCopyAll(spark, fs, arts)
+    }
+    writeManifestCheckpoint(spark, fs, dstDir, 1, snap.files,
+      txns = Nil, schema = snap.schema, op = Some("clone"),
+      stats = snap.stats,
+      constraints = activeConstraints(fs, baseDir, v),
+      colmap = snap.colmap, coldrop = snap.dropped,
+      dvs = snap.dvs, blooms = snap.blooms,
+      bloomIdx = activeBloomIdx(fs, baseDir, v))
+    commitStats.put(dstDir, CommitStats(1, Set.empty, snap.files.size, 0,
+      checkpointed = true))
+    1
+  }
+
+  /** Hard-link each (src, dst) pair, falling back to a byte copy when
+    * the filesystem can't link; distributed above the threshold. */
+  private def linkOrCopyAll(spark: SparkSession, fs: FileSystem,
+      pairs: Seq[(String, String)],
+      threshold: Int = DistributedFsThreshold): Unit = {
+    def one(conf: org.apache.hadoop.conf.Configuration)(
+        pair: (String, String)): Unit = {
+      val (from, to) = pair
+      val toPath = new Path(to)
+      val f = toPath.getFileSystem(conf)
+      f.mkdirs(toPath.getParent)
+      val linked =
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(new java.net.URI(to)),
+            java.nio.file.Paths.get(new java.net.URI(from)))
+          true
+        } catch { case _: Exception => false }
+      if (!linked)
+        org.apache.hadoop.fs.FileUtil.copy(
+          new Path(from).getFileSystem(conf), new Path(from),
+          f, toPath, false, conf)
+    }
+    if (pairs.size <= threshold)
+      pairs.foreach(one(fs.getConf))
+    else {
+      val confW = new SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration)
+      spark.sparkContext
+        .parallelize(pairs, math.max(1, math.min(pairs.size / 16, 64)))
+        .foreach(p => one(confW.conf)(p))
     }
   }
 

@@ -2347,9 +2347,126 @@ object PipelineQueries {
   private val stagedBloomIdx = scala.collection.concurrent.TrieMap
     .empty[String, (String, Long, Boolean, Boolean)]
 
+  /** SIZE-AWARE compaction
+    * ([[graft.operators.TimeTravel.compactSmallFiles]] — Delta
+    * OPTIMIZE's minFileSize shape): the staged table holds one
+    * right-sized file (the bulk of orders) plus three straggler files
+    * from small appends; the pass consolidates ONLY the stragglers.
+    * In-band verdicts pin the maintenance contract — the big file
+    * carries over BY NAME (never re-copied to fold in a few KB: at
+    * production sizes the difference between an OPTIMIZE that costs
+    * O(new small files) and one that re-copies the table) and the
+    * post-pass dir holds exactly big + one consolidated file. Content
+    * hash-matches the full orders oracle, so the fold lost and
+    * duplicated nothing. */
+  val q190 = Q(
+    "q190_compact_small_files",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, bigCarried, consolidated) =
+        stagedCompactSmall.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-csmall")
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_part", lit("all"))
+          val cut = orders.select(col("o_orderkey"))
+            .orderBy(col("o_orderkey").desc).limit(30)
+            .collect().map(_.getLong(0)).min
+          TimeTravel.init(spark, d,
+            orders.filter(col("o_orderkey") < cut).repartition(1),
+            "o_part")
+          (0 until 3).foreach(i => TimeTravel.append(spark, d,
+            orders.filter(col("o_orderkey") >= cut &&
+              col("o_orderkey") % 3 === i).repartition(1), "o_part"))
+          val big = TimeTravel.filesAt(spark, d, 1).head
+          val thr =
+            new java.io.File(s"$d/data/$big").length() / 2
+          val v = TimeTravel.compactSmallFiles(spark, d, "o_part", thr)
+          val after = TimeTravel.filesAt(spark, d, v)
+          (d, after.contains(big), after.size == 2)
+        })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("n_rows"), col("sum_key"), col("sum_price"),
+          lit(bigCarried).as("big_file_carried"),
+          lit(consolidated).as("stragglers_folded"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS big_file_carried, TRUE AS stragglers_folded
+      FROM orders""")
+  )
+  private val stagedCompactSmall = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean)]
+
+  /** Zero-copy CLONE ([[graft.operators.TimeTravel.cloneAt]]): fork
+    * q186's staged three-commit table at its tip via hard links — no
+    * data bytes copied — then prove INDEPENDENCE in-band: a marker
+    * append lands on the clone as its own v2 while the source's tip
+    * version and file set stay untouched, and the fork point's file
+    * sets match BY NAME (shared inodes, not copies). The query reads
+    * the clone's v1 — exactly the source content at the fork — so the
+    * hash-check against q186's replayed merge arithmetic proves the
+    * clone carried content, stats, and schema verbatim. */
+  val q191 = Q(
+    "q191_clone",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, indep, sharedByName) =
+        stagedClone.getOrElseUpdate(dir, {
+          val src = versionedOrdersDir(spark, dir)
+          val d = ParityQueries.scratchDir("graft-tt-clone")
+          val srcTip = TimeTravel.latestVersion(spark, src)
+          val srcFiles = TimeTravel.filesAt(spark, src, srcTip).toSet
+          TimeTravel.cloneAt(spark, src, d)
+          val shared = TimeTravel.filesAt(spark, d, 1).toSet == srcFiles
+          // the clone evolves on its own: a marker append is the
+          // clone's v2, and the source is bit-for-bit untouched
+          val marker = TimeTravel.readVersion(spark, d, 1).limit(1)
+            .withColumn("o_orderkey", lit(999999999L))
+          TimeTravel.append(spark, d, marker, "o_month")
+          val indepOk =
+            TimeTravel.latestVersion(spark, src) == srcTip &&
+              TimeTravel.filesAt(spark, src, srcTip).toSet == srcFiles &&
+              TimeTravel.latestVersion(spark, d) == 2
+          (d, indepOk, shared)
+        })
+      TimeTravel.readVersion(spark, t, 1)
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .select(col("status"), col("n_rows"), col("sum_key"),
+          col("sum_price"),
+          lit(indep).as("independent"),
+          lit(sharedByName).as("fork_shared_by_name"))
+    },
+    Some(s"""WITH st AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1997
+               THEN 'R' ELSE o_orderstatus END AS status,
+          CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1997
+               THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE NOT (o_custkey % 50 = 0 AND year(o_orderdate) = 1999)
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1998)
+      SELECT status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price,
+        TRUE AS independent, TRUE AS fork_shared_by_name
+      FROM st GROUP BY 1""")
+  )
+  private val stagedClone = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
-      q179, q180, q181, q182, q183, q185, q186, q187, q188, q189)
+      q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
+      q191)
 }

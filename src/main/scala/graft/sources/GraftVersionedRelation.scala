@@ -73,8 +73,9 @@ object GraftVersionedRelation {
 
   /** `timestampAsOf` accepts epoch millis or a
     * `yyyy-MM-dd HH:mm:ss[.f…]` local timestamp (the
-    * `java.sql.Timestamp.valueOf` shape Delta also takes). */
-  private def parseTs(s: String): Long =
+    * `java.sql.Timestamp.valueOf` shape Delta also takes). Shared with
+    * the streaming source's `sinceTimestamp`. */
+  private[graft] def parseTs(s: String): Long =
     try s.trim.toLong
     catch { case _: NumberFormatException =>
       java.sql.Timestamp.valueOf(s.trim).getTime }

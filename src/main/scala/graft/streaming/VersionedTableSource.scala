@@ -323,7 +323,14 @@ class VersionedTableSourceProvider extends RelationProvider
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val opts = VersionedTableSourceProvider.Opts(parameters)
-    new VersionedTableSource(sqlContext, opts.path, opts.sinceVersion,
+    require(opts.sinceVersion.isEmpty || opts.sinceTimestamp.isEmpty,
+      "sinceVersion and sinceTimestamp are mutually exclusive")
+    // a timestamp cursor is a version cursor after one log lookup —
+    // the last version committed at or before the wall-clock
+    val since = opts.sinceVersion.orElse(opts.sinceTimestamp.map(ts =>
+      TimeTravel.versionAsOf(sqlContext.sparkSession, opts.path,
+        graft.sources.GraftVersionedRelation.parseTs(ts))))
+    new VersionedTableSource(sqlContext, opts.path, since,
       opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,
       VersionedTableSourceProvider.tableSchema(sqlContext.sparkSession,
         opts.path, opts.changeFeed))
@@ -378,6 +385,12 @@ object VersionedTableSourceProvider {
       throw new IllegalArgumentException(
         "option 'path' (the versioned table's base dir) is required"))
     val sinceVersion: Option[Int] = m.get("sinceversion").map(_.toInt)
+    /** Cursor start by WALL-CLOCK (Delta's `startingTimestamp`):
+      * resolved to the last version committed at or before it —
+      * tail-from-there, exactly `sinceVersion` semantics after the
+      * lookup. Epoch millis or `yyyy-MM-dd HH:mm:ss[.f…]`. Mutually
+      * exclusive with `sinceVersion`. */
+    val sinceTimestamp: Option[String] = m.get("sincetimestamp")
     // batch-read time travel (RelationProvider face)
     val versionAsOf: Option[Int] = m.get("versionasof").map(_.toInt)
     val timestampAsOf: Option[String] = m.get("timestampasof")
@@ -422,12 +435,14 @@ object VersionedStream {
   def readStream(spark: SparkSession, baseDir: String,
       sinceVersion: Option[Int] = None, changeFeed: Boolean = false,
       maxVersionsPerTrigger: Option[Int] = None,
-      maxRowsPerTrigger: Option[Long] = None): DataFrame = {
+      maxRowsPerTrigger: Option[Long] = None,
+      sinceTimestamp: Option[String] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[VersionedTableSourceProvider].getName)
       .option("path", baseDir)
       .option("changeFeed", changeFeed.toString)
     sinceVersion.foreach(v => r.option("sinceVersion", v.toString))
+    sinceTimestamp.foreach(ts => r.option("sinceTimestamp", ts))
     maxVersionsPerTrigger.foreach(n =>
       r.option("maxVersionsPerTrigger", n.toString))
     maxRowsPerTrigger.foreach(n =>

@@ -42,6 +42,32 @@ class VersionedSourceSpec extends SparkSpec {
     assert(nBatches(ck) >= 3)
   }
 
+  test("sinceTimestamp starts the cursor at the last version committed " +
+      "at or before the wall-clock") {
+    val t = tmpDir("vsrc-sints")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2
+    val tsAfterV2 = TimeTravel.history(spark, t)
+      .find(_.version == 2).flatMap(_.timestampMs).get
+    TimeTravel.append(spark, t, df((3L, "a", 3.0)), "part") // v3
+    val out = tmpDir("vsrc-sints-out")
+    val ck = tmpDir("vsrc-sints-ck")
+    // cursor resolves to v2 → only v3's append delivers
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t,
+        sinceTimestamp = Some(tsAfterV2.toString)), out, ck)
+    assert(outIds(out) === Seq(3L))
+    // mutually exclusive with sinceVersion — loud refusal
+    val e = intercept[Exception] {
+      EventsStream.replayToParquet(
+        VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+          sinceTimestamp = Some(tsAfterV2.toString)),
+        tmpDir("vsrc-sints-out2"), tmpDir("vsrc-sints-ck2"))
+    }
+    assert(e.getMessage.contains("mutually exclusive") ||
+      Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")))
+  }
+
   test("row-based admission: a fat commit splits across triggers at file " +
       "boundaries, exactly-once, with whole-version offsets between") {
     val t = tmpDir("vsrc-rows")
