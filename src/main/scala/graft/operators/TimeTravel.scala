@@ -1641,7 +1641,13 @@ object TimeTravel {
     // artifacts — a shrunk value set keeps the filter sound.
     val bloomIdx = activeBloomIdx(fs, baseDir, prev)
     val builtBlooms = {
-      val fresh = adds.filterNot(bloomCarry.contains)
+      // genuinely NEW files only: statsOverride marks byte-unchanged
+      // re-adds (a DV commit re-binding pre-policy files) — building
+      // for those would full-scan files the mutation's O(matching
+      // rows) contract promises never to re-read; they simply stay
+      // unindexed, the same forward-only rule as pre-policy adds
+      val fresh = adds.filterNot(f =>
+        bloomCarry.contains(f) || statsOverride.contains(f))
       if (bloomIdx.isEmpty || fresh.isEmpty) Map.empty[String, String]
       else buildBloomArtifact(spark, baseDir, fresh, schema, colmap,
         bloomIdx)
@@ -1831,9 +1837,11 @@ object TimeTravel {
     * combined like any aggregate, cost O(rows written) on only the
     * indexed columns. Policy columns missing from the schema or of a
     * non-bloomable type are skipped (a policy may predate an
-    * evolution); a file with no non-null values gets an empty filter,
-    * which correctly proves every equality absent. Returns the
-    * file → token bindings. */
+    * evolution); a file whose rows are all NULL in the column gets an
+    * empty filter, which correctly proves every equality absent, and a
+    * file contributing ZERO rows (no group, no artifact row) stays
+    * unbound — never skipped, conservatively. Returns the bindings of
+    * exactly the files with artifact rows. */
   private def buildBloomArtifact(spark: SparkSession, baseDir: String,
       files: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
@@ -1867,7 +1875,15 @@ object TimeTravel {
     val token = newToken()
     longForm.write.mode("overwrite")
       .parquet(bloomDir(baseDir, token).toString)
-    files.map(_ -> token).toMap
+    // bind only the files that actually PRODUCED filter rows: a staged
+    // file contributing zero rows to the scan forms no group and has
+    // no artifact row — binding it would promise a filter the probe
+    // can never find (one cheap read of the just-written tiny artifact)
+    val present = spark.read.parquet(bloomDir(baseDir, token).toString)
+      .select("part", "name").distinct().collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    files.filter(f => present((partValueOf(f), baseName(f))))
+      .map(_ -> token).toMap
   }
 
   /** BLOOM-prune `candidates`: drop every file whose recorded filter
@@ -3702,6 +3718,10 @@ object TimeTravel {
   def cloneAt(spark: SparkSession, baseDir: String, dstDir: String,
       version: Int = Int.MaxValue): Int = {
     val fs = hadoopFs(spark, baseDir)
+    // destination metadata/log writes go through the DESTINATION's
+    // filesystem — a cross-FS clone (local → HDFS) would otherwise die
+    // on Hadoop's wrong-FS check before the copy fallback ever ran
+    val dstFs = hadoopFs(spark, dstDir)
     val src = latestVersion(spark, baseDir)
     require(src >= 1, s"$baseDir has no commits — nothing to clone")
     val v = if (version == Int.MaxValue) src else version
@@ -3711,7 +3731,7 @@ object TimeTravel {
     require(snap.files.nonEmpty, s"version $v of $baseDir is empty")
     // data files: link (or copy) each under the same relative path
     val srcData = fs.makeQualified(dataDir(baseDir)).toString
-    val dstData = fs.makeQualified(dataDir(dstDir)).toString
+    val dstData = dstFs.makeQualified(dataDir(dstDir)).toString
     linkOrCopyAll(spark, fs, snap.files.map(f => (s"$srcData/$f",
       s"$dstData/$f")))
     // DV and bloom artifacts the version binds: whole token dirs
@@ -3722,13 +3742,13 @@ object TimeTravel {
       snap.blooms.values.toSeq.distinct.map(t =>
         (bloomDir(baseDir, t), bloomDir(dstDir, t)))).foreach {
       case (from, to) =>
-        val qFrom = fs.makeQualified(from).toString
-        val qTo = fs.makeQualified(to).toString
+        val qTo = dstFs.makeQualified(to).toString
         val arts = fs.listStatus(from).filter(_.isFile).map(_.getPath)
-          .map(p => (p.toString, s"$qTo/${p.getName}")).toSeq
+          .map(p => (fs.makeQualified(p).toString, s"$qTo/${p.getName}"))
+          .toSeq
         linkOrCopyAll(spark, fs, arts)
     }
-    writeManifestCheckpoint(spark, fs, dstDir, 1, snap.files,
+    writeManifestCheckpoint(spark, dstFs, dstDir, 1, snap.files,
       txns = Nil, schema = snap.schema, op = Some("clone"),
       stats = snap.stats,
       constraints = activeConstraints(fs, baseDir, v),
@@ -3745,19 +3765,30 @@ object TimeTravel {
   private def linkOrCopyAll(spark: SparkSession, fs: FileSystem,
       pairs: Seq[(String, String)],
       threshold: Int = DistributedFsThreshold): Unit = {
+    // the RAW local path behind a `file:` qualified string — NO
+    // java.net.URI round-trip: Hadoop path strings carry escaped
+    // partition dir names (`part=a%3Ab`) as literal characters, and
+    // URI parsing would decode the %XX into a nonexistent path, making
+    // every link attempt silently fail into a full byte copy
+    def rawLocal(s: String): Option[java.nio.file.Path] =
+      if (!s.startsWith("file:")) None
+      else {
+        val p = s.stripPrefix("file:")
+        Some(java.nio.file.Paths.get(
+          if (p.startsWith("///")) p.drop(2) else p))
+      }
     def one(conf: org.apache.hadoop.conf.Configuration)(
         pair: (String, String)): Unit = {
       val (from, to) = pair
       val toPath = new Path(to)
       val f = toPath.getFileSystem(conf)
       f.mkdirs(toPath.getParent)
-      val linked =
-        try {
-          java.nio.file.Files.createLink(
-            java.nio.file.Paths.get(new java.net.URI(to)),
-            java.nio.file.Paths.get(new java.net.URI(from)))
-          true
-        } catch { case _: Exception => false }
+      val linked = (rawLocal(from), rawLocal(to)) match {
+        case (Some(lf), Some(lt)) =>
+          try { java.nio.file.Files.createLink(lt, lf); true }
+          catch { case _: Exception => false }
+        case _ => false
+      }
       if (!linked)
         org.apache.hadoop.fs.FileUtil.copy(
           new Path(from).getFileSystem(conf), new Path(from),

@@ -62,16 +62,30 @@ import graft.operators.TimeTravel
   * build one from a batch relation (Delta reaches into
   * `org.apache.spark.sql.delta` for the same purpose). */
 class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
-    sinceVersion: Option[Int], changeFeed: Boolean,
+    sinceVersionThunk: () => Option[Int], changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
     override val schema: StructType)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
+  def this(sqlContext: SQLContext, baseDir: String,
+      sinceVersion: Option[Int], changeFeed: Boolean,
+      maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
+      schema: StructType) =
+    this(sqlContext, baseDir, () => sinceVersion, changeFeed,
+      maxVersionsPerTrigger, maxRowsPerTrigger, schema)
+
   require(!changeFeed || maxRowsPerTrigger.isEmpty,
     "maxRowsPerTrigger is append-window admission (it splits commits " +
       "at file boundaries); a change feed delivers whole commits — " +
       "use maxVersionsPerTrigger")
+
+  /** The starting cursor, resolved LAZILY and once: a restarted stream
+    * restores its position from the checkpoint offset and never asks —
+    * which is what lets a `sinceTimestamp` stream restart after a
+    * vacuum truncated history past its (long-since-irrelevant)
+    * starting wall-clock instead of failing the timestamp lookup. */
+  private lazy val sinceVersion: Option[Int] = sinceVersionThunk()
 
   private def spark: SparkSession = sqlContext.sparkSession
 
@@ -326,10 +340,21 @@ class VersionedTableSourceProvider extends RelationProvider
     require(opts.sinceVersion.isEmpty || opts.sinceTimestamp.isEmpty,
       "sinceVersion and sinceTimestamp are mutually exclusive")
     // a timestamp cursor is a version cursor after one log lookup —
-    // the last version committed at or before the wall-clock
-    val since = opts.sinceVersion.orElse(opts.sinceTimestamp.map(ts =>
-      TimeTravel.versionAsOf(sqlContext.sparkSession, opts.path,
-        graft.sources.GraftVersionedRelation.parseTs(ts))))
+    // INCLUSIVE of a commit landing exactly at the wall-clock (Delta's
+    // startingTimestamp contract): cursor = last version committed
+    // STRICTLY BEFORE ts. A pre-history timestamp starts from the
+    // first commit (cursor 1 — cursor mode tails; it never replays the
+    // init snapshot, use the default snapshot mode for that). The
+    // lookup runs LAZILY (see sinceVersion in the source): a restarted
+    // stream reads its checkpoint offset instead, so vacuuming history
+    // past the starting timestamp never breaks a restart.
+    val since: () => Option[Int] = () =>
+      opts.sinceVersion.orElse(opts.sinceTimestamp.map { ts =>
+        val millis = graft.sources.GraftVersionedRelation.parseTs(ts)
+        try TimeTravel.versionAsOf(sqlContext.sparkSession, opts.path,
+          millis - 1)
+        catch { case _: IllegalArgumentException => 1 }
+      })
     new VersionedTableSource(sqlContext, opts.path, since,
       opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,
       VersionedTableSourceProvider.tableSchema(sqlContext.sparkSession,
@@ -386,10 +411,11 @@ object VersionedTableSourceProvider {
         "option 'path' (the versioned table's base dir) is required"))
     val sinceVersion: Option[Int] = m.get("sinceversion").map(_.toInt)
     /** Cursor start by WALL-CLOCK (Delta's `startingTimestamp`):
-      * resolved to the last version committed at or before it —
-      * tail-from-there, exactly `sinceVersion` semantics after the
-      * lookup. Epoch millis or `yyyy-MM-dd HH:mm:ss[.f…]`. Mutually
-      * exclusive with `sinceVersion`. */
+      * commits at or AFTER the timestamp deliver (the cursor resolves
+      * to the last version committed strictly before it); a
+      * pre-history timestamp tails from the first commit. Epoch millis
+      * or `yyyy-MM-dd HH:mm:ss[.f…]`. Mutually exclusive with
+      * `sinceVersion`. */
     val sinceTimestamp: Option[String] = m.get("sincetimestamp")
     // batch-read time travel (RelationProvider face)
     val versionAsOf: Option[Int] = m.get("versionasof").map(_.toInt)

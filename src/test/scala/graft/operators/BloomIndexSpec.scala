@@ -78,6 +78,17 @@ class BloomIndexSpec extends SparkSpec {
       41L)
     assert(scan41.filesRead <= 2)
     assert(scan41.df.filter(col("k") === 41L).count() === 1)
+    // a DV delete touching the PRE-policy file must not backfill a
+    // filter for it — that would full-scan a file the mutation's
+    // O(matching rows) contract promises never to re-read; it stays
+    // unbound (forward-only), so the same probe still reads it
+    val nBloomDirs = new java.io.File(s"$t/_bloom").listFiles().length
+    val vd0 = TimeTravel.deleteWhereDv(spark, t, col("k") === 0L, "p")
+    assert(new java.io.File(s"$t/_bloom").listFiles().length
+      === nBloomDirs, "no new bloom artifact for a DV re-add")
+    val scan0 = TimeTravel.readVersionSkipping(spark, t, vd0, "k", 40L,
+      40L)
+    assert(scan0.filesRead <= 2) // pre-policy file + stripe 0's filter
   }
 
   test("compaction regenerates filters for its consolidated output") {

@@ -42,26 +42,49 @@ class VersionedSourceSpec extends SparkSpec {
     assert(nBatches(ck) >= 3)
   }
 
-  test("sinceTimestamp starts the cursor at the last version committed " +
-      "at or before the wall-clock") {
+  test("sinceTimestamp delivers commits at or after the wall-clock; " +
+      "pre-history tails from the first commit; restarts survive vacuum") {
     val t = tmpDir("vsrc-sints")
     TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
     TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2
-    val tsAfterV2 = TimeTravel.history(spark, t)
+    val tsV2 = TimeTravel.history(spark, t)
       .find(_.version == 2).flatMap(_.timestampMs).get
     TimeTravel.append(spark, t, df((3L, "a", 3.0)), "part") // v3
     val out = tmpDir("vsrc-sints-out")
     val ck = tmpDir("vsrc-sints-ck")
-    // cursor resolves to v2 → only v3's append delivers
+    // INCLUSIVE: v2 committed exactly at tsV2 delivers too. One commit
+    // per batch, so the checkpoint holds per-version offsets — the
+    // restart below re-initializes from its LAST WINDOW's offsets and
+    // never re-asks the timestamp.
     EventsStream.replayToParquet(
       VersionedStream.readStream(spark, t,
-        sinceTimestamp = Some(tsAfterV2.toString)), out, ck)
-    assert(outIds(out) === Seq(3L))
+        sinceTimestamp = Some(tsV2.toString),
+        maxVersionsPerTrigger = Some(1)), out, ck)
+    assert(outIds(out) === Seq(2L, 3L))
+    // a PRE-HISTORY timestamp tails from the first commit (every
+    // append; the init snapshot is the default mode's job)
+    val out0 = tmpDir("vsrc-sints-out0")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceTimestamp = Some("1")),
+      out0, tmpDir("vsrc-sints-ck0"))
+    assert(outIds(out0) === Seq(2L, 3L))
+    // lazy resolution: vacuum the pre-timestamp history away (v1's
+    // record and stamp drop; an eager lookup would now resolve the
+    // fallback cursor 1 and die on the vacuumed window), append more,
+    // and RESTART from the checkpoint — the stream resumes from its
+    // offset; the timestamp is never consulted again
+    TimeTravel.vacuum(spark, t, keepFrom = 2)
+    TimeTravel.append(spark, t, df((4L, "a", 4.0)), "part") // v4
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t,
+        sinceTimestamp = Some(tsV2.toString),
+        maxVersionsPerTrigger = Some(1)), out, ck)
+    assert(outIds(out) === Seq(2L, 3L, 4L))
     // mutually exclusive with sinceVersion — loud refusal
     val e = intercept[Exception] {
       EventsStream.replayToParquet(
         VersionedStream.readStream(spark, t, sinceVersion = Some(1),
-          sinceTimestamp = Some(tsAfterV2.toString)),
+          sinceTimestamp = Some(tsV2.toString)),
         tmpDir("vsrc-sints-out2"), tmpDir("vsrc-sints-ck2"))
     }
     assert(e.getMessage.contains("mutually exclusive") ||
