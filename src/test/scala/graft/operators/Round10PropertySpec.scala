@@ -51,7 +51,7 @@ class Round10PropertySpec extends SparkSpec {
 
     (1 to 15).foreach { _ =>
       val prevVersion = TimeTravel.latestVersion(spark, dir)
-      val next = rnd.nextInt(7) match {
+      val next = rnd.nextInt(8) match {
         case 0 => // upsert a small batch (updates + inserts, distinct keys)
           val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
           TimeTravel.upsert(spark, dir, df(batch), "id", "part")
@@ -87,6 +87,14 @@ class Round10PropertySpec extends SparkSpec {
               col("id") >= a && col("id") < b, "part")
             survivors
           }
+        case 6 => // toggle the bloom index on `id`: a metadata-only
+          // policy commit, and every data commit AFTER it also builds
+          // and binds per-file filters — resolution, checkpoints, and
+          // vacuum must compose through both without content drift
+          if (TimeTravel.bloomIndexAt(spark, dir, prevVersion).isEmpty)
+            TimeTravel.setBloomIndex(spark, dir, "id", 1000L, 0.01)
+          else TimeTravel.dropBloomIndex(spark, dir, "id")
+          current
         case _ => // add/drop a (vacuously true) constraint: a metadata-only
           // commit every version must resolve THROUGH without content drift
           val cs = TimeTravel.constraintsAt(spark, dir, prevVersion)
