@@ -301,6 +301,48 @@ class DeletionVectorSpec extends SparkSpec {
       .load().count() === 399)
   }
 
+  test("DV deletes compose with schema evolution: NULL-filled columns and vectors apply together") {
+    val t = tmpDir("dv-evolve")
+    TimeTravel.init(spark, t, (0 until 20).map(i =>
+      (i.toLong, "a", i * 1.0)).toDF("k", "p", "x").repartition(1), "p")
+    // widen the schema, then DV-delete rows from the PRE-evolution file
+    TimeTravel.append(spark, t, (20 until 30).map(i =>
+      (i.toLong, "a", i * 1.0, s"tag$i")).toDF("k", "p", "x", "tag")
+      .repartition(1), "p", evolveSchema = true)
+    val v = TimeTravel.deleteWhereDv(spark, t, col("k") < 5L, "p")
+    val out = TimeTravel.readVersion(spark, t, v)
+    assert(out.count() === 25)
+    // pre-evolution survivors NULL-fill the added column; the vector
+    // hid exactly the matching pre-evolution positions
+    assert(out.filter(col("tag").isNull)
+      .select("k").as[Long].collect().toSet === (5L until 20L).toSet)
+    assert(out.filter(col("tag").isNotNull).count() === 10)
+    // and deleting across BOTH eras in one predicate works too
+    val v2 = TimeTravel.deleteWhereDv(spark, t,
+      col("k").isin(7L, 25L), "p")
+    assert(TimeTravel.readVersion(spark, t, v2).count() === 23)
+  }
+
+  test("a DV delete streams through CDC mode like any captured rewrite") {
+    val t = tmpDir("dv-stream")
+    TimeTravel.init(spark, t, (0 until 10).map(i =>
+      (i.toLong, "a", i * 1.0)).toDF("k", "p", "x").repartition(1), "p")
+    val v0 = TimeTravel.latestVersion(spark, t)
+    TimeTravel.append(spark, t,
+      Seq((10L, "a", 10.0)).toDF("k", "p", "x"), "p")
+    TimeTravel.deleteWhereDv(spark, t, col("k") <= 1L, "p",
+      changeFeed = true)
+    val out = tmpDir("dv-stream-out")
+    val ck = tmpDir("dv-stream-ck")
+    graft.streaming.EventsStream.replayToParquet(
+      graft.streaming.VersionedStream.readStream(spark, t,
+        sinceVersion = Some(v0), changeFeed = true), out, ck)
+    val got = spark.read.parquet(out)
+      .select(col("k"), col(TimeTravel.ChangeTypeCol))
+      .as[(Long, String)].collect().toSet
+    assert(got === Set((10L, "insert"), (0L, "delete"), (1L, "delete")))
+  }
+
   test("DV deletes compose with column mapping (rename is metadata, positions are physical)") {
     val t = tmpDir("dv-colmap")
     TimeTravel.init(spark, t, (0 until 20).map(i =>
