@@ -174,7 +174,7 @@ class Round10PropertySpec extends SparkSpec {
       TimeTravel.init(spark, dir, df(current), "part")
       (1 to 24).foreach { _ =>
         val prevVersion = TimeTravel.latestVersion(spark, dir)
-        current = rnd.nextInt(8) match {
+        current = rnd.nextInt(9) match {
           case 0 =>
             val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
             TimeTravel.upsert(spark, dir, dfAs(batch), "id", "part")
@@ -214,6 +214,13 @@ class Round10PropertySpec extends SparkSpec {
                 col("id") >= a && col("id") < b, "part")
               survivors
             }
+          case 7 => // bloom-policy toggle: `#bloomidx=` policy lines and
+            // every later commit's `#bloom=` bindings must also agree
+            // between the text and parquet checkpoint formats
+            if (TimeTravel.bloomIndexAt(spark, dir, prevVersion).isEmpty)
+              TimeTravel.setBloomIndex(spark, dir, "id", 1000L, 0.01)
+            else TimeTravel.dropBloomIndex(spark, dir, "id")
+            current
           case _ => // metadata-only RENAME, flipping v <-> w — refused
             // while a constraint mentions the column, so skip then
             // (both arms take the same deterministic decision)
