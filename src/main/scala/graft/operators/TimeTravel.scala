@@ -276,21 +276,120 @@ object TimeTravel {
         v -> (kinds.exists(_._2), kinds.exists(!_._2)) }
   }
 
-  /** Log-record lines, metadata (`#`-prefixed, e.g. the txn marker)
-    * excluded — resolution sees only file paths. */
-  private def readLogLines(fs: FileSystem, p: Path): List[String] = {
-    val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .filter(l => l.nonEmpty && !l.startsWith("#")).toList
-    finally in.close()
+  // ---------------------------------------------------------------------
+  // PROTOCOL / FEATURE GATES — every commit record carries a
+  // `#protocol=<minReader>/<minWriter>` line: the MINIMUM reader and
+  // writer capability a client needs to use the table without silent
+  // corruption (Delta's protocol action, scaled to essentials). The
+  // contract is FAIL CLOSED: a reader seeing a requirement above what
+  // it supports refuses EVERY read path with one error, even for
+  // features it has never heard of — which is what turns today's
+  // per-feature ad-hoc refusals (DV, column mapping) into the default
+  // every future format addition inherits. Requirements RATCHET: each
+  // record carries max(what its own content needs, the previous
+  // record's requirement), so a table that ever used a feature stays
+  // gated until an explicit downgrade story exists (none today —
+  // matching Delta, where protocol never auto-downgrades). Pre-protocol
+  // records read as 1/1 (the base format every version of this library
+  // reads), which is also what keeps every existing log valid.
+  //
+  // Version ledger (both axes):
+  //   1 = base: files, stats, schema, txn markers, constraints, CDC,
+  //       bloom artifacts (skippable by construction — ignoring them
+  //       costs I/O, never correctness)
+  //   2 = column mapping: `#colmap=`/`#coldrop=` — a reader without it
+  //       would silently NULL-fill renamed columns
+  //   3 = deletion vectors: `#dv=` — a reader without it would
+  //       resurrect deleted rows
+  // ---------------------------------------------------------------------
+  private[operators] val SupportedReader = 3
+  private[operators] val SupportedWriter = 3
+
+  private def protocolLine(minReader: Int, minWriter: Int): String =
+    s"#protocol=$minReader/$minWriter"
+
+  /** A record's declared requirement; (1, 1) on pre-protocol records.
+    * An unparsable declaration refuses loudly — a garbled gate must
+    * fail closed, never read as "no gate". */
+  private def protocolFrom(lines: Seq[String]): (Int, Int) =
+    lines.collectFirst { case l if l.startsWith("#protocol=") =>
+      val body = l.stripPrefix("#protocol=")
+      val i = body.indexOf('/')
+      try (body.take(i).trim.toInt, body.drop(i + 1).trim.toInt)
+      catch { case _: Exception => throw new IllegalStateException(
+        s"unparsable protocol requirement '$l' — refusing to read a " +
+          "record whose gate cannot be understood") }
+    }.getOrElse((1, 1))
+
+  /** The requirement a record's OWN content needs (before the ratchet
+    * against its predecessor). */
+  private def protocolNeededBy(colmap: Map[String, String],
+      coldrop: Set[String], dvs: Map[String, String]): (Int, Int) = {
+    val v = if (dvs.nonEmpty) 3
+      else if (colmap.nonEmpty || coldrop.nonEmpty) 2
+      else 1
+    (v, v)
   }
 
-  private def readRawLines(fs: FileSystem, p: Path): List[String] = {
+  private def maxProtocol(a: (Int, Int), b: (Int, Int)): (Int, Int) =
+    (math.max(a._1, b._1), math.max(a._2, b._2))
+
+  /** The highest requirement any record of `version` declares (delta
+    * and/or checkpoint — a vacuum floor may leave only the manifest),
+    * or None when no record survives. Reads UNGATED: the ratchet and
+    * the writer gate must be computable even when the reader gate
+    * would refuse the content itself. */
+  private def protocolOfRecord(fs: FileSystem, baseDir: String,
+      version: Int): Option[(Int, Int)] = {
+    val ps = Seq(deltaPath(baseDir, version),
+      manifestPath(baseDir, version)).filter(fs.exists(_))
+    if (ps.isEmpty) None
+    else Some(ps.map(p => protocolFrom(readLinesUngated(fs, p)))
+      .reduce(maxProtocol))
+  }
+
+  /** READER GATE — the single choke point: both raw-line readers pass
+    * every log record through here, so a record requiring a newer
+    * reader refuses every read path (resolution, feeds, metadata
+    * lookups, the declarative relation) with this one error. */
+  private def gateReader(p: Path, lines: List[String]): List[String] = {
+    val (r, _) = protocolFrom(lines)
+    if (r > SupportedReader) throw new IllegalStateException(
+      s"$p requires reader protocol version $r, but this library " +
+        s"supports up to $SupportedReader — the table uses a newer " +
+        "format feature; upgrade the library before reading it")
+    lines
+  }
+
+  /** WRITER GATE — called before a commit record lands: the table's
+    * current requirement is its latest record's declaration. A table
+    * may be readable but not writable (a write-gated feature), which
+    * is exactly the split Delta's reader/writer versions encode. */
+  private def gateWriter(fs: FileSystem, baseDir: String,
+      prevVersion: Int): Unit =
+    if (prevVersion >= 1)
+      protocolOfRecord(fs, baseDir, prevVersion).foreach { case (_, w) =>
+        if (w > SupportedWriter) throw new IllegalStateException(
+          s"$baseDir requires writer protocol version $w, but this " +
+            s"library supports up to $SupportedWriter — the table uses " +
+            "a newer format feature; upgrade the library before " +
+            "writing to it")
+      }
+
+  private def readLinesUngated(fs: FileSystem, p: Path): List[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
       .filter(_.nonEmpty).toList
     finally in.close()
   }
+
+  /** Log-record lines, metadata (`#`-prefixed, e.g. the txn marker)
+    * excluded — resolution sees only file paths. */
+  private def readLogLines(fs: FileSystem, p: Path): List[String] =
+    gateReader(p, readLinesUngated(fs, p)).filterNot(_.startsWith("#"))
+
+  private def readRawLines(fs: FileSystem, p: Path): List[String] =
+    gateReader(p, readLinesUngated(fs, p))
 
   /** The single place that knows the delta-line grammar: `+path` adds,
     * `-path` removes, `#` metadata (ignored here). Every reader of a
@@ -1259,7 +1358,18 @@ object TimeTravel {
   /** Full checkpoint for `version`. Exclusive install for commit
     * records (init's v1); vacuum may re-materialize a floor checkpoint,
     * which skips the write when one already exists. */
-  private def manifestContent(files: Seq[String],
+  /** The requirement a record at `version` must declare: what its own
+    * content needs, ratcheted against any surviving record at the same
+    * version (a checkpoint written next to its delta) and the previous
+    * one — requirements never decrease without an explicit downgrade. */
+  private def ratchetedProtocol(fs: FileSystem, baseDir: String,
+      version: Int, colmap: Map[String, String], coldrop: Set[String],
+      dvs: Map[String, String]): (Int, Int) =
+    (Seq(protocolNeededBy(colmap, coldrop, dvs)) ++
+      protocolOfRecord(fs, baseDir, version) ++
+      protocolOfRecord(fs, baseDir, version - 1)).reduce(maxProtocol)
+
+  private def manifestContent(proto: (Int, Int), files: Seq[String],
       txns: Seq[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       op: Option[String], ts: Option[Long],
@@ -1270,7 +1380,8 @@ object TimeTravel {
       dvs: Map[String, String] = Map.empty,
       blooms: Map[String, String] = Map.empty,
       bloomIdx: Map[String, (Long, Double)] = Map.empty): Array[Byte] =
-    (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
+    (Seq(protocolLine(proto._1, proto._2)) ++
+      txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
       constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
       bloomIdxLines(bloomIdx) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
@@ -1293,7 +1404,9 @@ object TimeTravel {
       blooms: Map[String, String] = Map.empty,
       bloomIdx: Map[String, (Long, Double)] = Map.empty): Unit = {
     installExclusive(fs, manifestPath(baseDir, version),
-      manifestContent(files, txns, schema, op, ts, stats, constraints,
+      manifestContent(
+        ratchetedProtocol(fs, baseDir, version, colmap, coldrop, dvs),
+        files, txns, schema, op, ts, stats, constraints,
         colmap, coldrop, dvs, blooms, bloomIdx))
   }
 
@@ -1303,7 +1416,8 @@ object TimeTravel {
     * retains, where the text body was O(files) driver-built string.
     * The body order (metadata first) keeps [[commitTimestamp]]'s
     * header-only read contract intact. */
-  private def checkpointHeaderContent(token: String, nFiles: Int,
+  private def checkpointHeaderContent(proto: (Int, Int), token: String,
+      nFiles: Int,
       txns: Seq[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
       op: Option[String], ts: Option[Long],
@@ -1311,7 +1425,8 @@ object TimeTravel {
       colmap: Map[String, String] = Map.empty,
       coldrop: Set[String] = Set.empty,
       bloomIdx: Map[String, (Long, Double)] = Map.empty): Array[Byte] =
-    (txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
+    (Seq(protocolLine(proto._1, proto._2)) ++
+      txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
       constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
       bloomIdxLines(bloomIdx) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
@@ -1454,7 +1569,9 @@ object TimeTravel {
       writeCheckpointSidecar(fs, baseDir, version, token, files, stats,
         dvs, blooms)
       installExclusive(fs, manifestPath(baseDir, version),
-        checkpointHeaderContent(token, files.size, txns, schema, op, ts,
+        checkpointHeaderContent(
+          ratchetedProtocol(fs, baseDir, version, colmap, coldrop, dvs),
+          token, files.size, txns, schema, op, ts,
           constraints, colmap, coldrop, bloomIdx))
     }
 
@@ -1483,8 +1600,14 @@ object TimeTravel {
       dvs: Map[String, String] = Map.empty,
       blooms: Map[String, String] = Map.empty,
       bloomIdx: Map[String, (Long, Double)] = Map.empty): Unit = {
+    // the table's current requirement gates the WRITE, and the new
+    // record carries the ratcheted requirement forward
+    gateWriter(fs, baseDir, version - 1)
+    val proto = (protocolOfRecord(fs, baseDir, version - 1) ++
+      Seq(protocolNeededBy(colmap, coldrop, dvs))).reduce(maxProtocol)
     val bytes =
-      (txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
+      (Seq(protocolLine(proto._1, proto._2)) ++
+        txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
         constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
         bloomIdxLines(bloomIdx) ++
         op.map(opLine).toSeq ++ cdc.map(cdcLine).toSeq ++ Seq(tsLine()) ++
@@ -1618,12 +1741,20 @@ object TimeTravel {
       cdc: Option[String] = None,
       dvs: Map[String, String] = Map.empty,
       statsOverride: Map[String, String] = Map.empty,
-      bloomCarry: Map[String, String] = Map.empty): Int = {
+      bloomCarry: Map[String, String] = Map.empty,
+      dvTouched: Set[String] = Set.empty): Int = {
     // statsOverride: carried-forward payloads for adds whose bytes did
     // not change (a DV commit re-adds the same physical file) — no
-    // footer re-read for those; anything else is computed as usual
+    // footer re-read for those; anything else is computed as usual.
+    // dvTouched marks those byte-unchanged re-adds EXPLICITLY: a
+    // touched file with no recorded stats (pre-stats history) must not
+    // be inferred "fresh" from statsOverride membership — it would pay
+    // a footer re-read here and a full data scan in the bloom build
+    // below, violating the mutation's O(matching rows) contract; it
+    // stays stats-less and unindexed like any other pre-policy file
     val addStats = computeAddStats(spark, fs, baseDir,
-      adds.filterNot(statsOverride.contains)) ++ statsOverride
+      adds.filterNot(f => statsOverride.contains(f) || dvTouched(f))) ++
+      statsOverride
     val isRewrite = removes.nonEmpty || op == "upsert" || op == "delete" ||
       op == "compact" || op == "merge" || op == "update"
     // the active policy the batch was ENFORCED under (one record read);
@@ -1641,13 +1772,15 @@ object TimeTravel {
     // artifacts — a shrunk value set keeps the filter sound.
     val bloomIdx = activeBloomIdx(fs, baseDir, prev)
     val builtBlooms = {
-      // genuinely NEW files only: statsOverride marks byte-unchanged
-      // re-adds (a DV commit re-binding pre-policy files) — building
+      // genuinely NEW files only: dvTouched (and, redundantly, a
+      // statsOverride or bloomCarry entry) marks byte-unchanged
+      // re-adds (a DV commit re-binding existing files) — building
       // for those would full-scan files the mutation's O(matching
       // rows) contract promises never to re-read; they simply stay
       // unindexed, the same forward-only rule as pre-policy adds
       val fresh = adds.filterNot(f =>
-        bloomCarry.contains(f) || statsOverride.contains(f))
+        bloomCarry.contains(f) || statsOverride.contains(f) ||
+          dvTouched(f))
       if (bloomIdx.isEmpty || fresh.isEmpty) Map.empty[String, String]
       else buildBloomArtifact(spark, baseDir, fresh, schema, colmap,
         bloomIdx)
@@ -1869,8 +2002,16 @@ object TimeTravel {
     val rows = df.groupBy(col(partLog).cast("string").as("part"),
         col(PosFileCol).as("name"))
       .agg(aggs.head, aggs.tail: _*)
+    // artifact rows key the column's PHYSICAL name: a filter describes
+    // the file's BYTES, which never change under a metadata rename — a
+    // probe translates its logical column through the CURRENT mapping
+    // (the way range stats do), so a retained filter keeps pruning
+    // across renames of the indexed column, and can never be joined to
+    // a DIFFERENT column that later takes the original logical name
+    // (the drop-index → rename → rename-into-place chain)
     val longForm = cols.map(c => rows.select(col("part"), col("name"),
-      lit(c).as("col"), col(s"__graft_b_$c").as("bloom")))
+      lit(colmap.getOrElse(c, c)).as("col"),
+      col(s"__graft_b_$c").as("bloom")))
       .reduce(_.unionByName(_))
     val token = newToken()
     longForm.write.mode("overwrite")
@@ -1902,17 +2043,24 @@ object TimeTravel {
       return candidates
     val schema = snap.schema.getOrElse(return candidates)
     import org.apache.spark.sql.types._
+    // probes key the PHYSICAL column name (artifact rows do too): the
+    // predicate names the snapshot's logical column, the filter was
+    // built over file bytes — translating through the mapping keeps a
+    // retained filter pruning across renames, and makes it structurally
+    // impossible for a probe on a re-used logical name to join filter
+    // rows built over a different physical column
     val probes: Seq[(String, Any)] = preds.flatMap { p =>
+      val phys = snap.colmap.getOrElse(p.col, p.col)
       if (p.lo == null || p.hi == null || p.lo != p.hi) None
       else schema.fields.find(_.name == p.col).flatMap { f =>
         (f.dataType, p.lo) match {
-          case (StringType, s: String) => Some(p.col -> (s: Any))
+          case (StringType, s: String) => Some(phys -> (s: Any))
           case (LongType | IntegerType | ShortType | ByteType, v) =>
             v match {
               case n: java.lang.Number =>
-                Some(p.col -> (n.longValue(): Any))
+                Some(phys -> (n.longValue(): Any))
               case s: String => scala.util.Try(s.trim.toLong).toOption
-                .map(l => p.col -> (l: Any))
+                .map(l => phys -> (l: Any))
               case _ => None
             }
           case _ => None
@@ -2244,6 +2392,31 @@ object TimeTravel {
         bloomPrune(spark, baseDir, snap, preds,
           snap.files.filter(f => ks.forall(_(f))))
       }
+    /** The stats-kept files of `preds` as a DataFrame — the
+      * merge-on-read relation's scan body: column mapping projected to
+      * the version's logical names and deletion vectors anti-joined on
+      * the bound files only, exactly [[readVersion]]'s semantics
+      * restricted to the pruned file set. Zero kept files type an
+      * empty frame from the committed schema. */
+    def readKept(preds: Seq[ColRange]): DataFrame = {
+      val ks = kept(preds)
+      if (ks.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      else readFiles(spark, baseDir, ks, Some(schema), snap.colmap,
+        snap.dvs)
+    }
+    /** Snapshot file sizes for the relation's `sizeInBytes`: one
+      * `listStatus` per partition dir, filtered to the snapshot. */
+    def sizeInBytes: Long = {
+      val fs = hadoopFs(spark, baseDir)
+      snap.files.groupBy(f => f.take(f.indexOf('/')))
+        .iterator.map { case (dir, fls) =>
+          val wanted = fls.map(baseName).toSet
+          fs.listStatus(new Path(dataDir(baseDir), dir))
+            .filter(st => wanted(st.getPath.getName)).map(_.getLen).sum
+        }.sum
+    }
   }
 
   private[graft] def scanPlan(spark: SparkSession, baseDir: String,
@@ -3022,7 +3195,8 @@ object TimeTravel {
       statsOverride = prevSnap.stats.filter { case (f, _) => tset(f) },
       // re-added files keep their bloom filters: bytes unchanged, and a
       // delete only shrinks the value set — still a sound filter
-      bloomCarry = prevSnap.blooms.filter { case (f, _) => tset(f) })
+      bloomCarry = prevSnap.blooms.filter { case (f, _) => tset(f) },
+      dvTouched = tset)
   }
 
   /** Predicate UPDATE (`UPDATE SET ... WHERE p`) as a new version —
@@ -3418,9 +3592,15 @@ object TimeTravel {
       if (!covered) {
         val tmp = new Path(logDir(baseDir), s"$keepFrom.manifest.tmp")
         fs.delete(tmp, false)
+        // the rewritten floor keeps the ORIGINAL record's ratcheted
+        // requirement (origLines carries it), raised if the floor
+        // snapshot's own content needs more
+        val floorProto = maxProtocol(protocolFrom(origLines),
+          protocolNeededBy(floorSnap.colmap, floorSnap.dropped,
+            floorSnap.dvs))
         val bytes =
           if (!parquetCheckpoints)
-            manifestContent(floor.toSeq.sorted, carried,
+            manifestContent(floorProto, floor.toSeq.sorted, carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
               floorSnap.stats, constraintsFrom(origLines),
               floorSnap.colmap, floorSnap.dropped, floorSnap.dvs,
@@ -3435,7 +3615,8 @@ object TimeTravel {
             writeCheckpointSidecar(fs, baseDir, keepFrom, token,
               floor.toSeq.sorted, floorSnap.stats, floorSnap.dvs,
               floorSnap.blooms)
-            checkpointHeaderContent(token, floor.size, carried,
+            checkpointHeaderContent(floorProto, token, floor.size,
+              carried,
               floorSchema, opFrom(origLines), tsFrom(origLines),
               constraintsFrom(origLines),
               floorSnap.colmap, floorSnap.dropped,
@@ -3837,7 +4018,27 @@ object TimeTravel {
   }
 
   def versionAsOf(spark: SparkSession, baseDir: String,
-      tsMillis: Long): Int = {
+      tsMillis: Long): Int =
+    versionAsOfOption(spark, baseDir, tsMillis).getOrElse {
+      val fs = hadoopFs(spark, baseDir)
+      val versions = logEntries(fs, baseDir).keys.toSeq.sorted
+      val stamps = versions.flatMap(v => commitTimestamp(fs, baseDir, v))
+      throw new IllegalArgumentException(
+        s"no version of $baseDir has a recorded commit time at or " +
+          s"before $tsMillis (earliest retained timestamp: " +
+          s"${stamps.headOption}) — pre-metadata " +
+          "commits are never timestamp-addressable; use readVersion")
+    }
+
+  /** [[versionAsOf]] that answers the PRE-HISTORY case with None
+    * instead of throwing: a timestamp earlier than every retained
+    * commit is a legitimate question ("start from wherever history
+    * begins") that callers like the streaming source's
+    * `sinceTimestamp` must distinguish from a damaged or uninitialized
+    * log — which still throws, so a real failure is never silently
+    * mapped to "start from v1". */
+  def versionAsOfOption(spark: SparkSession, baseDir: String,
+      tsMillis: Long): Option[Int] = {
     val fs = hadoopFs(spark, baseDir)
     val versions = logEntries(fs, baseDir).keys.toSeq.sorted
     require(versions.nonEmpty, s"$baseDir has no commits")
@@ -3848,12 +4049,7 @@ object TimeTravel {
       ts.foreach(t => eff = math.max(eff, t))
       if (eff != Long.MinValue && eff <= tsMillis) Some(v) else None
     }
-    require(eligible.nonEmpty,
-      s"no version of $baseDir has a recorded commit time at or " +
-        s"before $tsMillis (earliest retained timestamp: " +
-        s"${stamps.flatMap(_._2).headOption}) — pre-metadata " +
-        "commits are never timestamp-addressable; use readVersion")
-    eligible.max
+    eligible.maxOption
   }
 
   /** Insert-only CHANGE FEED — the incremental-consumption shape a

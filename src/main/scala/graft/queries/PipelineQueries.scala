@@ -2056,31 +2056,7 @@ object PipelineQueries {
     "q185_column_mapping",
     (spark, dir) => {
       import graft.operators.TimeTravel
-      val (t, metadataOnly) = stagedColmap.getOrElseUpdate(dir, {
-        val d = ParityQueries.scratchDir("graft-tt-colmap")
-        val orders = Tables.load(spark, dir, "orders")
-          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
-        TimeTravel.init(spark, d, orders, "o_month")
-        val f1 = TimeTravel.filesAt(spark, d, 1).toSet
-        val vRen = TimeTravel.renameColumn(spark, d, "o_totalprice",
-          "price")
-        val vDrop = TimeTravel.dropColumn(spark, d, "o_orderpriority")
-        val untouched =
-          TimeTravel.filesAt(spark, d, vRen).toSet == f1 &&
-            TimeTravel.filesAt(spark, d, vDrop).toSet == f1
-        val mapped = orders.withColumnRenamed("o_totalprice", "price")
-          .drop("o_orderpriority")
-        val shift = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
-        TimeTravel.append(spark, d,
-          mapped.filter(col("o_orderkey") % 13 === 0)
-            .withColumn("o_orderkey", col("o_orderkey") + lit(shift))
-            .withColumn("o_orderstatus", lit("N")), "o_month")
-        TimeTravel.upsert(spark, d,
-          mapped.filter(col("o_orderkey") % 7 === 0)
-            .withColumn("price", col("price") + lit(50.0)),
-          "o_orderkey", "o_month")
-        (d, untouched)
-      })
+      val (t, metadataOnly) = colmapDir(spark, dir)
       val v1Cols = TimeTravel.readVersion(spark, t, 1).columns.toSet
       TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
         .groupBy(col("o_orderstatus").as("status"))
@@ -2108,6 +2084,40 @@ object PipelineQueries {
   )
   private val stagedColmap =
     scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+
+  /** q185's staged column-mapped history, shared with q193's
+    * declarative read: init → rename o_totalprice → price → drop
+    * o_orderpriority → append 'N' clones → upsert price+50. Memoized
+    * per sf dir; returns (tableDir, renameWasMetadataOnly). */
+  private def colmapDir(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, Boolean) = {
+    import graft.operators.TimeTravel
+    stagedColmap.getOrElseUpdate(dir, {
+      val d = ParityQueries.scratchDir("graft-tt-colmap")
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+      TimeTravel.init(spark, d, orders, "o_month")
+      val f1 = TimeTravel.filesAt(spark, d, 1).toSet
+      val vRen = TimeTravel.renameColumn(spark, d, "o_totalprice",
+        "price")
+      val vDrop = TimeTravel.dropColumn(spark, d, "o_orderpriority")
+      val untouched =
+        TimeTravel.filesAt(spark, d, vRen).toSet == f1 &&
+          TimeTravel.filesAt(spark, d, vDrop).toSet == f1
+      val mapped = orders.withColumnRenamed("o_totalprice", "price")
+        .drop("o_orderpriority")
+      val shift = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+      TimeTravel.append(spark, d,
+        mapped.filter(col("o_orderkey") % 13 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(shift))
+          .withColumn("o_orderstatus", lit("N")), "o_month")
+      TimeTravel.upsert(spark, d,
+        mapped.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("price", col("price") + lit(50.0)),
+        "o_orderkey", "o_month")
+      (d, untouched)
+    })
+  }
 
   /** SQL surface over the versioned table: `CREATE TEMPORARY VIEW ...
     * USING graft-versioned` binds the declarative relation into Spark
@@ -2164,33 +2174,7 @@ object PipelineQueries {
     (spark, dir) => {
       import graft.operators.TimeTravel
       val (t, nDeleted, zeroRewrites, probedOk, cdcExact) =
-        stagedDvDelete.getOrElseUpdate(dir, {
-          val d = ParityQueries.scratchDir("graft-tt-dv")
-          val orders = Tables.load(spark, dir, "orders")
-            .withColumn("o_month",
-              date_format(col("o_orderdate"), "yyyy-MM"))
-          val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
-          val m5 = m / 5
-          def slab(k: Int) = orders.filter(
-            (if (k == 0) lit(true) else col("o_orderkey") > k * m5) &&
-              (if (k == 4) lit(true) else col("o_orderkey") <= (k + 1) * m5))
-          TimeTravel.init(spark, d, slab(0), "o_month")
-          (1 to 4).foreach(k =>
-            TimeTravel.append(spark, d, slab(k), "o_month"))
-          val before = TimeTravel.latestVersion(spark, d)
-          val preFiles = TimeTravel.filesAt(spark, d, before).toSet
-          val pred =
-            col("o_orderkey") > 2 * m5 && col("o_orderkey") <= 3 * m5
-          val v = TimeTravel.deleteWhereDv(spark, d, pred, "o_month",
-            changeFeed = true)
-          val (probed, total) = TimeTravel.discoveryStats(d)
-          val postFiles = TimeTravel.filesAt(spark, d, v).toSet
-          val nDel = TimeTravel.readChangesSince(spark, d, v - 1, v)
-            .filter(col(TimeTravel.ChangeTypeCol) === "delete").count()
-          val expect = orders.filter(pred).count()
-          (d, nDel, postFiles == preFiles, probed * 3 <= total,
-            nDel == expect)
-        })
+        dvDeleteDir(spark, dir)
       TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
         .agg(count(lit(1)).as("n_rows"),
           Exact.dsum(col("o_totalprice")).as("sum_price"),
@@ -2216,6 +2200,42 @@ object PipelineQueries {
   )
   private val stagedDvDelete = scala.collection.concurrent.TrieMap
     .empty[String, (String, Long, Boolean, Boolean, Boolean)]
+
+  /** q187's staged DV history, shared with q192's declarative read:
+    * five key slabs appended, middle slab deleted merge-on-read
+    * (deletion vectors, CDC on). Memoized per sf dir; returns
+    * (tableDir, nDeleted, zeroRewrites, probedMinority, cdcExact). */
+  private def dvDeleteDir(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (String, Long, Boolean, Boolean, Boolean) = {
+    import graft.operators.TimeTravel
+    stagedDvDelete.getOrElseUpdate(dir, {
+      val d = ParityQueries.scratchDir("graft-tt-dv")
+      val orders = Tables.load(spark, dir, "orders")
+        .withColumn("o_month",
+          date_format(col("o_orderdate"), "yyyy-MM"))
+      val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+      val m5 = m / 5
+      def slab(k: Int) = orders.filter(
+        (if (k == 0) lit(true) else col("o_orderkey") > k * m5) &&
+          (if (k == 4) lit(true) else col("o_orderkey") <= (k + 1) * m5))
+      TimeTravel.init(spark, d, slab(0), "o_month")
+      (1 to 4).foreach(k =>
+        TimeTravel.append(spark, d, slab(k), "o_month"))
+      val before = TimeTravel.latestVersion(spark, d)
+      val preFiles = TimeTravel.filesAt(spark, d, before).toSet
+      val pred =
+        col("o_orderkey") > 2 * m5 && col("o_orderkey") <= 3 * m5
+      val v = TimeTravel.deleteWhereDv(spark, d, pred, "o_month",
+        changeFeed = true)
+      val (probed, total) = TimeTravel.discoveryStats(d)
+      val postFiles = TimeTravel.filesAt(spark, d, v).toSet
+      val nDel = TimeTravel.readChangesSince(spark, d, v - 1, v)
+        .filter(col(TimeTravel.ChangeTypeCol) === "delete").count()
+      val expect = orders.filter(pred).count()
+      (d, nDel, postFiles == preFiles, probed * 3 <= total,
+        nDel == expect)
+    })
+  }
 
   /** Merge-on-read UPDATE via deletion vectors
     * ([[graft.operators.TimeTravel.updateWhereDv]]) — q181's UPDATE
@@ -2463,10 +2483,110 @@ object PipelineQueries {
   private val stagedClone = scala.collection.concurrent.TrieMap
     .empty[String, (String, Boolean, Boolean)]
 
+  /** DV-AWARE DECLARATIVE READ
+    * ([[graft.sources.GraftVersionedMorRelation]]): `spark.read
+    * .format("graft-versioned")` over q187's staged DV history — the
+    * provider routes the DV-bound version to the merge-on-read
+    * relation, which anti-joins the deletion vectors inside the scan
+    * instead of refusing (the round-13 behavior) or silently
+    * resurrecting deleted rows (what a raw-split relation would do).
+    * Content hash-matches the oracle's anti-filter; in-band verdicts
+    * pin that the declarative aggregates EQUAL `readVersion`'s (same
+    * rows, not just same shape), that pushed filters still reach the
+    * scan (`PushedFilters` in the executed plan), and that a pushed
+    * range restricted to the first key slab counts exactly its rows —
+    * file skipping stays a superset prune, never a result change. */
+  val q192 = Q(
+    "q192_dv_declarative_read",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, _, _, _, _) = dvDeleteDir(spark, dir)
+      val tip = TimeTravel.latestVersion(spark, t)
+      val decl = spark.read.format("graft-versioned")
+        .option("path", t).load()
+      def sig(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("o_orderkey")),
+          sum(crc32(concat_ws("|", col("o_orderstatus"),
+            col("o_month"))))).head.toSeq
+      val matches =
+        sig(decl) == sig(TimeTravel.readVersion(spark, t, tip))
+      val m5 = Tables.load(spark, dir, "orders")
+        .agg(max(col("o_orderkey"))).head.getLong(0) / 5
+      val firstSlab = decl.filter(col("o_orderkey") <= m5)
+      val pushedShown = firstSlab.queryExecution.executedPlan.toString
+        .contains("PushedFilters")
+      decl.agg(count(lit(1)).as("n_rows"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .select(col("n_rows"), col("sum_price"), col("n_cust"),
+          lit(firstSlab.count()).as("n_first_slab"),
+          lit(matches).as("matches_imperative"),
+          lit(pushedShown).as("pushed_filters_shown"))
+    },
+    Some(s"""WITH b AS (SELECT MAX(o_orderkey)//5 AS m5 FROM orders)
+      SELECT COUNT(*) AS n_rows,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        COUNT(DISTINCT o_custkey) AS n_cust,
+        (SELECT COUNT(*) FROM orders, b WHERE o_orderkey <= b.m5)
+          AS n_first_slab,
+        TRUE AS matches_imperative, TRUE AS pushed_filters_shown
+      FROM orders, b
+      WHERE NOT (o_orderkey > 2*b.m5 AND o_orderkey <= 3*b.m5)""")
+  )
+
+  /** COLUMN-MAPPED DECLARATIVE READ: the same merge-on-read relation
+    * over q185's staged rename/drop history — the declarative surface
+    * returns the version's LOGICAL names (`price` present,
+    * `o_totalprice`/`o_orderpriority` absent) with values read from
+    * the files' unchanged physical columns, instead of refusing the
+    * mapping (round-13 behavior). Per-status aggregates hash-match the
+    * oracle's replayed arithmetic; the in-band verdict pins equality
+    * with `readVersion` row content. */
+  val q193 = Q(
+    "q193_colmap_declarative_read",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, _) = colmapDir(spark, dir)
+      val tip = TimeTravel.latestVersion(spark, t)
+      val decl = spark.read.format("graft-versioned")
+        .option("path", t).load()
+      val logicalNames = decl.columns.contains("price") &&
+        !decl.columns.contains("o_totalprice") &&
+        !decl.columns.contains("o_orderpriority")
+      def sig(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)), sum(col("o_orderkey")),
+          sum(crc32(col("o_orderstatus"))),
+          sum(crc32(col("price").cast("decimal(18,2)").cast("string"))))
+          .head.toSeq
+      val matches =
+        sig(decl) == sig(TimeTravel.readVersion(spark, t, tip))
+      decl.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("price")).as("sum_price"))
+        .withColumn("logical_names", lit(logicalNames))
+        .withColumn("matches_imperative", lit(matches))
+    },
+    Some(s"""WITH m AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders),
+      u AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 50.0
+               ELSE o_totalprice END AS price
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey + m.shift, 'N', o_totalprice
+        FROM orders, m WHERE o_orderkey % 13 = 0)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price,
+        TRUE AS logical_names, TRUE AS matches_imperative
+      FROM u GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
-      q191)
+      q191, q192, q193)
 }

@@ -65,10 +65,22 @@ object GraftVersionedRelation {
         require(latest >= 1, s"$baseDir has no commits")
         latest
       }
-    val index = new GraftVersionedFileIndex(spark, baseDir, version)
-    HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-      bucketSpec = None, new ParquetFileFormat,
-      options = Map.empty)(spark)
+    val plan = TimeTravel.scanPlan(spark, baseDir, version)
+    // FAST PATH — plain snapshots: a HadoopFsRelation plans raw parquet
+    // splits (vectorized reader, whole-stage codegen, parquet-level
+    // PushedFilters). It reads file columns by NAME and cannot inject
+    // an anti-join, so two snapshot states need the MERGE-ON-READ
+    // relation instead: an active column mapping (files carry physical
+    // names the relation must project back to logical) and deletion-
+    // vector bindings (a raw split scan would resurrect deleted rows —
+    // the hazard Delta gates behind a reader-version bump).
+    if (plan.colmap.isEmpty && !plan.hasDeletionVectors) {
+      val index = new GraftVersionedFileIndex(spark, baseDir, version,
+        plan)
+      HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
+        bucketSpec = None, new ParquetFileFormat,
+        options = Map.empty)(spark)
+    } else new GraftVersionedMorRelation(spark, baseDir, version, plan)
   }
 
   /** `timestampAsOf` accepts epoch millis or a
@@ -81,34 +93,15 @@ object GraftVersionedRelation {
       java.sql.Timestamp.valueOf(s.trim).getTime }
 }
 
-/** The log-backed [[FileIndex]]: resolves version `version`'s file set
-  * and schema from the commit log ONCE at construction; `listFiles`
-  * prunes it per query from the pushed partition and data filters. */
-final class GraftVersionedFileIndex(spark: SparkSession, baseDir: String,
-    version: Int) extends FileIndex {
-
-  private val plan = TimeTravel.scanPlan(spark, baseDir, version)
-
-  // a HadoopFsRelation reads file columns by NAME: under an active
-  // column mapping the files carry physical names, and the relation
-  // would silently NULL-fill every renamed column — refuse loudly and
-  // point at the mapping-aware imperative read instead
-  require(plan.colmap.isEmpty,
-    s"$baseDir has renamed columns (column mapping active) — the " +
-      "declarative batch relation cannot project physical names; read " +
-      "this version via TimeTravel.readVersion instead")
-
-  // a HadoopFsRelation plans raw parquet splits: it cannot apply
-  // deletion vectors, and silently scanning a DV-bound version would
-  // RESURRECT deleted rows — the protocol-refusal every format makes
-  // readers without DV support give (Delta gates DV tables behind a
-  // reader-version bump for exactly this reason). readVersion applies
-  // the vectors; compact materializes them away, after which this
-  // relation reads the table again.
-  require(!plan.hasDeletionVectors,
-    s"version $version of $baseDir carries deletion vectors — a plain " +
-      "parquet relation would resurrect deleted rows; read it via " +
-      "TimeTravel.readVersion, or materialize with TimeTravel.compact")
+/** The log-backed [[FileIndex]]: the resolved `plan` of `version`
+  * (file set + schema, resolved once by the provider); `listFiles`
+  * prunes it per query from the pushed partition and data filters.
+  * Reaches only plain snapshots — [[GraftVersionedRelation.apply]]
+  * routes column-mapped and DV-bound versions to the merge-on-read
+  * relation instead. */
+private[graft] final class GraftVersionedFileIndex(spark: SparkSession,
+    baseDir: String, version: Int, plan: TimeTravel.ScanPlan)
+    extends FileIndex {
 
   /** The table's partition column, from the file layout (every data
     * file lives under `col=value/`, the init/append invariant). */
@@ -192,4 +185,112 @@ final class GraftVersionedFileIndex(spark: SparkSession, baseDir: String,
   override def refresh(): Unit = () // the version is immutable
 
   override def sizeInBytes: Long = statusByFile.values.map(_.getLen).sum
+}
+
+/** MERGE-ON-READ declarative relation — the read path for snapshot
+  * states a raw-split [[HadoopFsRelation]] cannot represent: versions
+  * with deletion-vector bindings (positions must anti-join out, or
+  * deleted rows resurrect) and versions under an active column mapping
+  * (files carry physical names that must project back to the
+  * version's logical schema). The Delta analogue is its DV-aware scan
+  * planning: the declarative surface keeps working the moment a team
+  * adopts merge-on-read deletes, instead of breaking until a
+  * compaction materializes the vectors.
+  *
+  * Pushed filters do BOTH kinds of work they do on the fast path:
+  *   - file skipping: pushed conjuncts translate to
+  *     [[TimeTravel.ColRange]]s and prune the version's file list via
+  *     the log's stats (range + bloom), BEFORE any data is planned;
+  *   - parquet pushdown: the same conjuncts re-apply as `Column`
+  *     filters INSIDE the body scan, where Catalyst pushes them
+  *     through the DV anti-join down to the vectorized parquet reader
+  *     (the inner scan shows its own PushedFilters).
+  * Everything stays distributed: the body is [[TimeTravel]]'s normal
+  * file-list scan (vectorized parquet + broadcast anti-join on only
+  * the DV-bound files); the only seam is the Row boundary every V1
+  * `buildScan` has. All filters report unhandled, so Spark re-applies
+  * them above the scan — pruning is a superset optimization, exactly
+  * the PushedFilters contract.
+  *
+  * At 100 TB: planning is one log resolve plus O(dirs) listings (for
+  * `sizeInBytes`), skipping is metadata-only, and the scan fans out
+  * like any parquet read. The relation is the TRANSITIONAL-state
+  * reader by design — compaction materializes DVs away and the
+  * provider routes back to the codegen fast path. */
+private[graft] final class GraftVersionedMorRelation(spark: SparkSession,
+    baseDir: String, version: Int,
+    plan: TimeTravel.ScanPlan) extends BaseRelation
+    with org.apache.spark.sql.sources.PrunedFilteredScan {
+
+  import org.apache.spark.sql.sources
+  import org.apache.spark.sql.sources.{Filter, EqualTo, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, StringContains, StringEndsWith, StringStartsWith}
+  import org.apache.spark.sql.functions.{col, lit}
+
+  override def sqlContext: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+
+  override val schema: StructType = plan.schema
+
+  /** Real bytes (one listing per partition dir, computed once):
+    * keeps the optimizer from broadcasting a large snapshot by
+    * default-size accident. */
+  override lazy val sizeInBytes: Long = plan.sizeInBytes
+
+  /** Skipping is a SUPERSET prune — every filter re-applies above. */
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] =
+    filters
+
+  /** Pushed conjuncts → stats ranges (file skipping). Only shapes the
+    * log's min/max can answer translate; everything else prunes
+    * nothing — conservative, never wrong. */
+  private def ranges(f: Filter): Seq[TimeTravel.ColRange] = f match {
+    case EqualTo(a, v) => Seq(TimeTravel.ColRange(a, v, v))
+    case GreaterThan(a, v) => Seq(TimeTravel.ColRange(a, v, null))
+    case GreaterThanOrEqual(a, v) => Seq(TimeTravel.ColRange(a, v, null))
+    case LessThan(a, v) => Seq(TimeTravel.ColRange(a, null, v))
+    case LessThanOrEqual(a, v) => Seq(TimeTravel.ColRange(a, null, v))
+    case sources.And(l, r) => ranges(l) ++ ranges(r)
+    case _ => Nil
+  }
+
+  /** Pushed filters → `Column`s for the INNER scan (parquet-level
+    * pushdown through the DV anti-join); None = not expressible here,
+    * the outer Filter still applies it. */
+  private def toColumn(f: Filter): Option[org.apache.spark.sql.Column] =
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case In(a, vs) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, p) => Some(col(a).startsWith(p))
+      case StringEndsWith(a, p) => Some(col(a).endsWith(p))
+      case StringContains(a, p) => Some(col(a).contains(p))
+      case sources.And(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) }
+        yield lc && rc
+      case sources.Or(l, r) => for { lc <- toColumn(l); rc <- toColumn(r) }
+        yield lc || rc
+      case sources.Not(c) => toColumn(c).map(!_)
+      case _ => None
+    }
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter])
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    val body = plan.readKept(filters.flatMap(ranges).toSeq)
+    val filtered = filters.flatMap(toColumn)
+      .foldLeft(body)((df, c) => df.filter(c))
+    // empty projection (COUNT(*)) still needs the row CARDINALITY
+    val projected =
+      if (requiredColumns.isEmpty) filtered.select()
+      else filtered.select(requiredColumns.map(col).toIndexedSeq: _*)
+    projected.rdd
+  }
+
+  override def toString: String =
+    s"GraftVersionedMorRelation[$baseDir@v$version, " +
+      s"dv=${plan.hasDeletionVectors}, mapped=${plan.colmap.nonEmpty}]"
 }

@@ -342,18 +342,23 @@ class VersionedTableSourceProvider extends RelationProvider
     // a timestamp cursor is a version cursor after one log lookup —
     // INCLUSIVE of a commit landing exactly at the wall-clock (Delta's
     // startingTimestamp contract): cursor = last version committed
-    // STRICTLY BEFORE ts. A pre-history timestamp starts from the
-    // first commit (cursor 1 — cursor mode tails; it never replays the
-    // init snapshot, use the default snapshot mode for that). The
-    // lookup runs LAZILY (see sinceVersion in the source): a restarted
-    // stream reads its checkpoint offset instead, so vacuuming history
-    // past the starting timestamp never breaks a restart.
+    // STRICTLY BEFORE ts. CAUTION for pre-history timestamps: cursor
+    // mode TAILS — it delivers commits AFTER the cursor and never
+    // replays the cursor version itself, so a timestamp predating all
+    // retained history resolves to cursor 1 and v1's rows (the init
+    // snapshot) are NOT delivered; use the default snapshot mode to
+    // replay them. Only the specific "every retained commit is later"
+    // case maps to cursor 1 (versionAsOfOption answers it with None) —
+    // an uninitialized or damaged log still fails loudly here instead
+    // of silently tailing from v1. The lookup runs LAZILY (see
+    // sinceVersion in the source): a restarted stream reads its
+    // checkpoint offset instead, so vacuuming history past the
+    // starting timestamp never breaks a restart.
     val since: () => Option[Int] = () =>
       opts.sinceVersion.orElse(opts.sinceTimestamp.map { ts =>
         val millis = graft.sources.GraftVersionedRelation.parseTs(ts)
-        try TimeTravel.versionAsOf(sqlContext.sparkSession, opts.path,
-          millis - 1)
-        catch { case _: IllegalArgumentException => 1 }
+        TimeTravel.versionAsOfOption(sqlContext.sparkSession, opts.path,
+          millis - 1).getOrElse(1)
       })
     new VersionedTableSource(sqlContext, opts.path, since,
       opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,

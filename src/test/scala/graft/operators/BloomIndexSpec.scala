@@ -189,6 +189,73 @@ class BloomIndexSpec extends SparkSpec {
     assert(fed === Set(2L))
   }
 
+  test("retained filters key PHYSICAL names: a re-used logical name never joins another column's filters") {
+    val t = tmpDir("bloom-colmap")
+    // columns: a (stripe values 0..399, every file's range covers the
+    // domain), b (9000 + a, same shape), p (partition)
+    def stripe(s: Int) = (0 until 400).filter(_ % 4 == s)
+      .map(v => (v.toLong, 9000L + v, "x")).toDF("a", "b", "p")
+      .repartition(1)
+    TimeTravel.init(spark, t, stripe(0), "p") // pre-policy: never skipped
+    TimeTravel.renameColumn(spark, t, "a", "a2") // colmap: a2 → a
+    TimeTravel.setBloomIndex(spark, t, "a2", 1000L, 0.001)
+    (1 to 3).foreach(s => TimeTravel.append(spark, t,
+      stripe(s).toDF("a2", "b", "p"), "p"))
+    // the hazard chain: drop the index (bindings retained by design),
+    // move the indexed logical name away, re-use it for ANOTHER column
+    TimeTravel.dropBloomIndex(spark, t, "a2")
+    TimeTravel.renameColumn(spark, t, "a2", "z") // colmap: z → a
+    TimeTravel.renameColumn(spark, t, "b", "a2") // colmap: a2 → b
+    val v = TimeTravel.latestVersion(spark, t)
+    // 9005 exists in exactly one file's b column (stripe 1) and in NO
+    // file's old a values: the retained filters (built over physical
+    // a's bytes) must NOT "prove" it absent from the new logical a2
+    // (physical b) — that would silently skip the file and lose the row
+    val scan = TimeTravel.readVersionSkipping(spark, t, v, "a2",
+      9005L, 9005L)
+    assert(scan.df.filter(col("a2") === 9005L).count() === 1,
+      "a probe on the re-used logical name joined another column's " +
+        "retained filters and silently skipped a matching file")
+    // and the filters KEEP pruning under the indexed column's NEW
+    // name: physical keying survives the rename instead of going dark
+    val hit = TimeTravel.readVersionSkipping(spark, t, v, "z", 205L, 205L)
+    assert(hit.filesRead <= 2, s"expected bloom pruning on the renamed " +
+      s"indexed column, read ${hit.filesRead}")
+    assert(hit.df.filter(col("z") === 205L).count() === 1)
+    val miss = TimeTravel.readVersionSkipping(spark, t, v, "z", 1001L,
+      1001L)
+    assert(miss.filesRead <= 1) // only the pre-policy init file survives
+  }
+
+  test("a DV re-add with no recorded stats stays unindexed: no footer re-read, no full-scan bloom build") {
+    val t = stripeTable() // init v1, bloomidx v2, appends v3..v5
+    // simulate pre-stats/pre-bloom history for stripe 1 (the v3
+    // append): strip its #stats= and #bloom= lines from the record
+    val delta3 = new java.io.File(s"$t/_graft_log/3.delta")
+    val kept = scala.io.Source.fromFile(delta3, "UTF-8").getLines()
+      .filterNot(l => l.startsWith("#stats=") || l.startsWith("#bloom="))
+      .toList
+    val w = new java.io.PrintWriter(delta3, "UTF-8")
+    try kept.foreach(w.println) finally w.close()
+    val nBloomDirs = new java.io.File(s"$t/_bloom").listFiles().length
+    // k=37 lives in stripe 1 only; with its filter stripped, the file
+    // is probed (unbound files never skip) and becomes the DV target
+    val vd = TimeTravel.deleteWhereDv(spark, t, col("k") === 37L, "p")
+    assert(TimeTravel.readVersion(spark, t, vd).count() === 399)
+    // the touched stats-less file is marked a re-add EXPLICITLY: it
+    // must not be classified "fresh" — no bloom artifact built over it
+    // (a full data scan) and no stats recomputed (a footer re-read)
+    assert(new java.io.File(s"$t/_bloom").listFiles().length
+      === nBloomDirs, "DV re-add of a stats-less file built a bloom " +
+        "artifact — a full scan the O(matching rows) contract forbids")
+    val rec = scala.io.Source.fromFile(
+      new java.io.File(s"$t/_graft_log/$vd.delta"), "UTF-8")
+      .getLines().toList
+    assert(!rec.exists(_.startsWith("#stats=")),
+      "DV re-add of a stats-less file recorded fresh stats — a footer " +
+        "re-read the mutation's contract forbids")
+  }
+
   test("the declarative relation's pushed equality bloom-prunes before split planning") {
     val t = stripeTable()
     val df = spark.read.format("graft-versioned").option("path", t)

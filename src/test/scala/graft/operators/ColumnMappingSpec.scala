@@ -160,15 +160,19 @@ class ColumnMappingSpec extends SparkSpec {
       .as[Double].head() === 99.0)
   }
 
-  test("the declarative batch relation refuses mapped tables loudly") {
+  test("the declarative batch relation reads mapped tables under logical names") {
     val t = stage()
     TimeTravel.renameColumn(spark, t, "x", "score")
-    val e = intercept[IllegalArgumentException](
-      spark.read.format("graft-versioned").option("path", t).load()
-        .count())
-    assert(e.getMessage.contains("column mapping"))
-    // pre-rename versions have an identity mapping: still readable
-    assert(spark.read.format("graft-versioned").option("path", t)
-      .option("versionAsOf", "2").load().count() === 3)
+    // round 13 refused here; the merge-on-read relation now projects
+    // the unchanged physical bytes back to the version's logical names
+    val decl = spark.read.format("graft-versioned").option("path", t)
+      .load()
+    assert(decl.columns.contains("score") && !decl.columns.contains("x"))
+    assert(decl.count() === 3)
+    // pre-rename versions still read under their OWN names
+    val v2 = spark.read.format("graft-versioned").option("path", t)
+      .option("versionAsOf", "2").load()
+    assert(v2.columns.contains("x") && !v2.columns.contains("score"))
+    assert(v2.count() === 3)
   }
 }

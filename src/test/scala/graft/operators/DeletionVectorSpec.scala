@@ -282,23 +282,30 @@ class DeletionVectorSpec extends SparkSpec {
       .filter(col("k") === 10L).select("x").as[Double].head() === 4999.0)
   }
 
-  test("the declarative relation refuses DV-bound versions instead of resurrecting rows") {
+  test("the declarative relation applies DVs instead of refusing or resurrecting rows") {
     val t = slabTable()
     val v0 = TimeTravel.latestVersion(spark, t)
     val v = TimeTravel.deleteWhereDv(spark, t, col("k") === 7L, "p")
-    val e = intercept[IllegalArgumentException](
-      spark.read.format("graft-versioned").option("path", t).load()
-        .count())
-    assert(e.getMessage.contains("deletion vectors"))
-    // pre-DV versions stay declaratively readable, and compaction
-    // (materialization) restores the declarative tip
+    // round 13 refused here; the merge-on-read relation now anti-joins
+    // the vectors inside the scan — the deleted row is GONE, not
+    // resurrected, through the same declarative surface
+    val decl = spark.read.format("graft-versioned").option("path", t)
+      .load()
+    assert(decl.count() === 399)
+    assert(decl.filter(col("k") === 7L).count() === 0)
+    // pre-DV versions route to the codegen fast path and see the row
     assert(spark.read.format("graft-versioned").option("path", t)
       .option("versionAsOf", v0.toString).load().count() === 400)
-    // compact materializes DV'd dirs regardless of file count (PURGE)
+    // compact materializes DV'd dirs regardless of file count (PURGE):
+    // the tip routes BACK to the raw-split fast path afterwards
     val vC = TimeTravel.compact(spark, t, "p", maxFilesPerDir = 16)
     assert(vC > v)
-    assert(spark.read.format("graft-versioned").option("path", t)
-      .load().count() === 399)
+    val tip = spark.read.format("graft-versioned").option("path", t)
+      .load()
+    assert(tip.count() === 399)
+    assert(tip.queryExecution.executedPlan.toString
+      .contains("FileScan parquet"), "materialized tip should plan as " +
+        "a native parquet scan again")
   }
 
   test("DV deletes compose with schema evolution: NULL-filled columns and vectors apply together") {

@@ -454,6 +454,14 @@ class TimeTravelSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeTravel.versionAsOf(spark, dir, t1 - 1) // before every commit
     }
+    // the Option face distinguishes PRE-HISTORY (None — the streaming
+    // source's sinceTimestamp maps it to cursor 1) from a damaged or
+    // uninitialized log (still throws — never silently "start from v1")
+    assert(TimeTravel.versionAsOfOption(spark, dir, t1 - 1).isEmpty)
+    assert(TimeTravel.versionAsOfOption(spark, dir, t3) === Some(3))
+    intercept[IllegalArgumentException] {
+      TimeTravel.versionAsOfOption(spark, tmpDir("vaoo-empty"), t1)
+    }
     assert(TimeTravel.versionAsOf(spark, dir, t1) === 1 || t2 === t1)
     assert(TimeTravel.versionAsOf(spark, dir, t3) === 3)
     assert(TimeTravel.versionAsOf(spark, dir, t3 + 60000) === 3)

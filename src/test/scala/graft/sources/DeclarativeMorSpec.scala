@@ -1,0 +1,98 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.TimeTravel
+
+/** Merge-on-read declarative relation
+  * ([[GraftVersionedMorRelation]]): `spark.read.format(
+  * "graft-versioned")` keeps working on DV-bound and column-mapped
+  * versions — the two snapshot states the raw-split HadoopFsRelation
+  * cannot represent — with readVersion-identical results, pushed
+  * filters, and per-version schema time travel. */
+class DeclarativeMorSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def read(t: String, opts: (String, String)*) =
+    opts.foldLeft(spark.read.format("graft-versioned")
+      .option("path", t))((r, kv) => r.option(kv._1, kv._2)).load()
+
+  private def dvTable(): (String, Int) = {
+    val t = tmpDir("mor-dv")
+    val df = (1 to 400).map(i => (i.toLong, s"p${i % 4}", i * 1.0))
+      .toDF("k", "p", "x").repartition(2)
+    TimeTravel.init(spark, t, df, "p")
+    val v = TimeTravel.deleteWhereDv(spark, t,
+      col("k") % 10 === 0, "p")
+    (t, v)
+  }
+
+  test("a DV-bound version reads declaratively: deleted rows stay deleted") {
+    val (t, v) = dvTable()
+    val decl = read(t)
+    assert(decl.count() === 360) // NOT 400: no resurrection
+    assert(decl.filter(col("k") % 10 === 0).count() === 0)
+    // row-identical to the imperative read
+    val imp = TimeTravel.readVersion(spark, t, v)
+    assert(decl.select("k", "p", "x").except(imp.select("k", "p", "x"))
+      .isEmpty)
+    assert(imp.select("k", "p", "x").except(decl.select("k", "p", "x"))
+      .isEmpty)
+    // versionAsOf the PRE-delete version routes to the codegen fast
+    // path (no DVs there) and still sees all rows
+    assert(read(t, "versionAsOf" -> "1").count() === 400)
+  }
+
+  test("pushed filters reach the MOR scan and results stay exact") {
+    val (t, _) = dvTable()
+    val filtered = read(t).filter(col("k") > 100L && col("p") === "p1")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftVersionedMorRelation"))
+    assert(plan.contains("PushedFilters"))
+    assert(filtered.count() ===
+      (101 to 400).count(i => i % 4 == 1 && i % 10 != 0))
+    // COUNT(*) (empty projection) keeps cardinality through the DV join
+    assert(read(t).selectExpr("count(*)").head.getLong(0) === 360)
+  }
+
+  test("a column-mapped version reads declaratively under logical names") {
+    val t = tmpDir("mor-colmap")
+    val df = (1 to 100).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
+      .toDF("k", "p", "x").repartition(1)
+    TimeTravel.init(spark, t, df, "p")
+    TimeTravel.renameColumn(spark, t, "x", "value")
+    TimeTravel.append(spark, t,
+      Seq((1000L, "p0", 7.5)).toDF("k", "p", "value"), "p")
+    val decl = read(t)
+    assert(decl.columns.toSet === Set("k", "p", "value"))
+    assert(decl.filter(col("k") === 50L).select("value")
+      .head.getDouble(0) === 50.0) // physical bytes, logical name
+    assert(decl.count() === 101)
+    // schema TIME TRAVEL: v1 still answers under its own (old) names
+    val v1 = read(t, "versionAsOf" -> "1")
+    assert(v1.columns.toSet === Set("k", "p", "x"))
+    assert(v1.count() === 100)
+  }
+
+  test("DV + column mapping compose in one declarative read") {
+    val t = tmpDir("mor-both")
+    val df = (1 to 200).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
+      .toDF("k", "p", "x").repartition(1)
+    TimeTravel.init(spark, t, df, "p")
+    TimeTravel.renameColumn(spark, t, "x", "value")
+    TimeTravel.deleteWhereDv(spark, t, col("value") <= 20.0, "p")
+    val decl = read(t)
+    assert(decl.columns.toSet === Set("k", "p", "value"))
+    assert(decl.count() === 180)
+    assert(decl.agg(min(col("value"))).head.getDouble(0) === 21.0)
+  }
+
+  test("a pushed range that prunes every file still types an exact empty result") {
+    val (t, _) = dvTable()
+    val none = read(t).filter(col("k") > 100000L)
+    assert(none.count() === 0)
+    assert(none.columns.toSet === Set("k", "p", "x"))
+  }
+}
