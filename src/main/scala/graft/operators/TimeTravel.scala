@@ -2661,6 +2661,58 @@ object TimeTravel {
       txn, batch.schema, "append", evolveSchema)
   }
 
+  /** The table's partition column (LOGICAL name) at the latest
+    * version — one log resolve, no data access. The declarative write
+    * and SQL DML surfaces use it so callers never restate what the
+    * layout already records. */
+  def partitionColumn(spark: SparkSession, baseDir: String): String = {
+    val latest = latestVersion(spark, baseDir)
+    require(latest >= 1, s"$baseDir has no commits")
+    val snap = resolveFull(spark, baseDir, latest)
+    partColLogical(snap.files, snap.colmap)
+  }
+
+  /** Full OVERWRITE as a new version (SQL `INSERT OVERWRITE` /
+    * `SaveMode.Overwrite`): the batch's rows replace the ENTIRE table
+    * content in one commit — every previous file is removed, the
+    * staged files are the adds, and like every commit here nothing is
+    * physically deleted (old versions stay readable; vacuum reclaims).
+    * An empty batch is refused (an empty version is unrepresentable on
+    * plain parquet); the batch is constraint-enforced and
+    * schema-checked like an append. A REWRITE for conflict purposes:
+    * its dirs are the union of old and new partitions, so any
+    * concurrent commit refuses to rebase past it (and vice versa) —
+    * replacing the table under a concurrent writer must be loud. */
+  def overwrite(spark: SparkSession, baseDir: String, rows: DataFrame,
+      partCol: String, txn: Option[(String, Long)] = None,
+      evolveSchema: Boolean = false): Int = {
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    requireStringPartCol(rows, partCol)
+    val fs = hadoopFs(spark, baseDir)
+    checkSchema(rows.schema, schemaOfRecord(fs, baseDir, prev),
+      evolveSchema, "overwrite")
+    val batch = rows.localCheckpoint()
+    enforceConstraints(batch, activeConstraints(fs, baseDir, prev),
+      "overwrite")
+    val (colmap, coldrop) = activeColmap(fs, baseDir, prev)
+    requireNoPhysicalCollision(batch.schema, colmap, coldrop, "overwrite")
+    val affected = batch.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSeq
+    Merge.requireNoNullPartition(affected, partCol)
+    require(affected.nonEmpty,
+      "overwrite with an empty batch would empty the table — an empty " +
+        "version is not representable on plain parquet; drop the table " +
+        "instead")
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    val adds = stageWrite(spark, baseDir, batch, partCol, colmap = colmap)
+    val dirs = affectedDirs(partCol, affected) ++
+      prevSnap.files.map(f => f.take(f.indexOf('/')))
+    commitWithRebase(spark, fs, baseDir, prev, dirs, adds,
+      removes = prevSnap.files, txn, batch.schema, "overwrite",
+      evolveSchema)
+  }
+
   /** Per-table telemetry of the last MERGE/DELETE's discovery probe:
     * (files probed, files in the version). The observable contract of
     * stats-pruned discovery — on a key-clustered table, probed ≪ total

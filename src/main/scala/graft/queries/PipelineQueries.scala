@@ -2583,10 +2583,130 @@ object PipelineQueries {
       FROM u GROUP BY 1""")
   )
 
+  /** DECLARATIVE BATCH WRITE (`df.write.format("graft-versioned")` —
+    * the `CreatableRelationProvider` face): a table CREATED by a
+    * SaveMode.Append write (no Scala API), grown by a second append
+    * that infers the partition column from the log's own layout, with
+    * the Delta-style `txnAppId`/`txnVersion` idempotence pair — the
+    * staged re-delivery of batch 1 lands NOTHING (in-band
+    * `redelivery_noop`). The final declarative read hash-matches the
+    * plain orders aggregate, so the two writes reassembled the table
+    * exactly once each. */
+  val q194 = Q(
+    "q194_declarative_write",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, redeliveryNoop) = stagedDeclWrite.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-declw")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("o_month",
+            date_format(col("o_orderdate"), "yyyy-MM"))
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .write.format("graft-versioned")
+          .option("path", d).option("partCol", "o_month")
+          .mode("append").save()
+        def writeOdd(): Unit = orders.filter(col("o_orderkey") % 2 === 1)
+          .write.format("graft-versioned")
+          .option("path", d)
+          .option("txnAppId", "declw").option("txnVersion", "1")
+          .mode("append").save()
+        writeOdd()
+        val v = TimeTravel.latestVersion(spark, d)
+        writeOdd() // exact re-delivery: the txn marker makes it a no-op
+        (d, TimeTravel.latestVersion(spark, d) == v)
+      })
+      spark.read.format("graft-versioned").option("path", t).load()
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("redelivery_noop", lit(redeliveryNoop))
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS redelivery_noop
+      FROM orders GROUP BY 1""")
+  )
+  private val stagedDeclWrite =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+
+  /** SQL DML ([[graft.sql.GraftSql]]): the write half of the SQL
+    * consumer surface — `INSERT INTO`, `MERGE INTO` (conditional
+    * clauses, q182's shape) and `DELETE FROM` as SQL STRINGS over a
+    * `graft.`path``-addressed table, parsed by Spark's own parser and
+    * routed to the TimeTravel mutation paths. The oracle replays the
+    * three statements' arithmetic from raw orders, so a mis-parsed
+    * alias, a mis-ordered clause, or a mis-cast SET would
+    * hash-mismatch. In-band: the three statements committed three
+    * strictly-ordered versions. */
+  val q195 = Q(
+    "q195_sql_dml",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, ordered) = stagedSqlDml.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-sqldml")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("o_month",
+            date_format(col("o_orderdate"), "yyyy-MM"))
+        TimeTravel.init(spark, d, orders, "o_month")
+        orders.filter(col("o_orderkey") % 97 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L))
+          .withColumn("o_orderstatus", lit("N"))
+          .createOrReplaceTempView("q195_ins")
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .unionByName(orders.filter(col("o_orderkey") % 89 === 0)
+            .withColumn("o_orderkey", col("o_orderkey") + lit(20000000L))
+            .withColumn("o_orderstatus", lit("M")))
+          .createOrReplaceTempView("q195_src")
+        val vIns = graft.sql.GraftSql.exec(spark,
+          s"INSERT INTO graft.`$d` SELECT * FROM q195_ins")
+        val vMrg = graft.sql.GraftSql.exec(spark,
+          s"""MERGE INTO graft.`$d` t USING q195_src s
+             ON t.o_orderkey = s.o_orderkey
+             WHEN MATCHED THEN
+               UPDATE SET o_totalprice = s.o_totalprice + 100.0
+             WHEN NOT MATCHED THEN INSERT *""")
+        val vDel = graft.sql.GraftSql.exec(spark,
+          s"DELETE FROM graft.`$d` WHERE o_custkey % 50 = 0")
+        (d, vIns < vMrg && vMrg < vDel)
+      })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("ordered_commits", lit(ordered))
+    },
+    Some(s"""WITH mx AS (SELECT MAX(o_orderkey) AS m FROM orders),
+      base AS (
+        SELECT o_orderkey AS k, o_custkey AS c, o_orderstatus AS s,
+          o_totalprice AS pr FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0),
+      merged AS (
+        SELECT k, c, s,
+          CASE WHEN k <= (SELECT m FROM mx) AND k % 7 = 0
+               THEN pr + 100.0 ELSE pr END AS pr
+        FROM base
+        UNION ALL
+        SELECT o_orderkey + 20000000, o_custkey, 'M', o_totalprice
+        FROM orders WHERE o_orderkey % 89 = 0),
+      fin AS (SELECT * FROM merged WHERE NOT (c % 50 = 0))
+      SELECT s AS status, COUNT(*) AS n_rows,
+        CAST(SUM(k) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("pr")} AS sum_price,
+        TRUE AS ordered_commits
+      FROM fin GROUP BY 1""")
+  )
+  private val stagedSqlDml =
+    scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193)
+      q191, q192, q193, q194, q195)
 }

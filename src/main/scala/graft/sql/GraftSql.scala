@@ -1,0 +1,224 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.graftshim.DmlBridge
+
+import graft.operators.TimeTravel
+
+/** SQL DML over the versioned table — the string surface a consumer
+  * who "speaks SQL, not engine APIs" needs for WRITES, completing what
+  * q186's read-only view started (reference analogue: the README's
+  * consumer examples are SQL; a user migrating them expects INSERT /
+  * UPDATE / DELETE / MERGE to be SQL too). The design is deliberately
+  * Spark-first: statements parse through SPARK'S OWN SQL parser (full
+  * grammar, comments, quoting — nothing hand-rolled), and the parsed
+  * Catalyst plans route to the [[TimeTravel]] mutation API, which is
+  * where constraints, conflict detection, CDC capture, protocol gates
+  * and merge-on-read all already live. Delta takes the same route: its
+  * SQL DML resolves to the same commands its Scala API calls.
+  *
+  * Tables are addressed path-first, Delta's convention for
+  * catalog-less tables: `` graft.`/abs/path` `` (backticks around the
+  * path). Example surface:
+  * {{{
+  *   GraftSql.exec(spark, "INSERT INTO graft.`/t` SELECT * FROM src")
+  *   GraftSql.exec(spark, "DELETE FROM graft.`/t` WHERE k % 10 = 0")
+  *   GraftSql.exec(spark, "UPDATE graft.`/t` SET x = x + 1 WHERE k = 3")
+  *   GraftSql.exec(spark, """MERGE INTO graft.`/t` t USING updates s
+  *     ON t.k = s.k
+  *     WHEN MATCHED AND s.del THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *""")
+  * }}}
+  *
+  * `mergeOnRead = true` routes DELETE/UPDATE through the
+  * deletion-vector paths ([[TimeTravel.deleteWhereDv]] /
+  * [[TimeTravel.updateWhereDv]]) — same SQL, O(matching rows) commit.
+  * Refused loudly (never silently narrowed): static-partition INSERT
+  * clauses, `WHEN NOT MATCHED BY SOURCE`, non-identity INSERT column
+  * lists in MERGE, and a MERGE condition that is not a single
+  * key-equality — each names the unsupported piece. */
+object GraftSql {
+
+  /** Execute one DML statement against a versioned table; returns the
+    * committed version (the unchanged current version when the
+    * statement matched nothing). */
+  def exec(spark: SparkSession, sql: String,
+      mergeOnRead: Boolean = false,
+      changeFeed: Boolean = false): Int =
+    spark.sessionState.sqlParser.parsePlan(sql) match {
+      case i: InsertIntoStatement => insert(spark, i)
+      case d: DeleteFromTable => delete(spark, d, mergeOnRead, changeFeed)
+      case u: UpdateTable => update(spark, u, mergeOnRead, changeFeed)
+      case m: MergeIntoTable => merge(spark, m, changeFeed)
+      case other => throw new IllegalArgumentException(
+        s"not a DML statement (${other.nodeName}): GraftSql executes " +
+          "INSERT INTO / INSERT OVERWRITE / DELETE FROM / UPDATE / " +
+          "MERGE INTO; run queries through spark.sql over the " +
+          "graft-versioned view (q186's surface)")
+    }
+
+  /** The `graft`.`<path>` target of a DML plan, plus its alias when
+    * one was written (`MERGE INTO graft.\`/t\` AS t`). */
+  private def target(plan: LogicalPlan): (String, Option[String]) =
+    plan match {
+      case SubqueryAlias(id, child) => (target(child)._1, Some(id.name))
+      case r: UnresolvedRelation => r.multipartIdentifier match {
+        case Seq(cat, p) if cat.equalsIgnoreCase("graft") => (p, None)
+        case other => throw new IllegalArgumentException(
+          s"DML target must be graft.`/abs/path` " +
+            s"(got `${other.mkString(".")}`) — versioned tables are " +
+            "path-addressed, the Delta convention for catalog-less " +
+            "tables")
+      }
+      case other => throw new IllegalArgumentException(
+        s"unsupported DML target shape: ${other.nodeName}")
+    }
+
+  /** Strip (or remap) the leading qualifier of attribute references:
+    * a parsed `t.price > 10` must reach [[TimeTravel]] as the bare
+    * `price` (single-table predicates) or as `tgt.price`/`src.price`
+    * (the merge join's fixed aliases). */
+  private def requalify(e: Expression,
+      remap: Map[String, Seq[String]]): Expression = e.transformUp {
+    case a: UnresolvedAttribute if a.nameParts.length > 1 &&
+        remap.contains(a.nameParts.head.toLowerCase) =>
+      UnresolvedAttribute(
+        remap(a.nameParts.head.toLowerCase) ++ a.nameParts.tail)
+  }
+
+  private def bareName(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"assignment key must be a column, got $other")
+  }
+
+  private def insert(spark: SparkSession, i: InsertIntoStatement): Int = {
+    val (path, _) = target(i.table)
+    require(i.partitionSpec.isEmpty,
+      "static-partition INSERT clauses are not supported — the " +
+        "versioned table partitions by its own layout; insert rows " +
+        "carrying the partition column instead")
+    var df = DmlBridge.ofRows(spark, i.query)
+    if (i.userSpecifiedCols.nonEmpty) {
+      require(i.userSpecifiedCols.length == df.columns.length,
+        s"INSERT column list (${i.userSpecifiedCols.length}) and query " +
+          s"output (${df.columns.length}) differ in arity")
+      df = df.toDF(i.userSpecifiedCols: _*)
+    }
+    // SQL INSERT semantics: values cast to the target columns' types
+    // (a literal 9.9 parses as DECIMAL(2,1) — the committed DOUBLE
+    // column decides, exactly as INSERT INTO does everywhere)
+    TimeTravel.schemaAt(spark, path,
+      TimeTravel.latestVersion(spark, path)).foreach { ts =>
+      val types = ts.fields.map(f => f.name -> f.dataType).toMap
+      df = df.select(df.columns.toIndexedSeq.map(c => types.get(c)
+        .map(t => org.apache.spark.sql.functions.col(c).cast(t).as(c))
+        .getOrElse(org.apache.spark.sql.functions.col(c))): _*)
+    }
+    val partCol = TimeTravel.partitionColumn(spark, path)
+    if (i.overwrite) TimeTravel.overwrite(spark, path, df, partCol)
+    else TimeTravel.append(spark, path, df, partCol)
+  }
+
+  private def delete(spark: SparkSession, d: DeleteFromTable,
+      mor: Boolean, changeFeed: Boolean): Int = {
+    val (path, alias) = target(d.table)
+    val cond = column(d.condition, alias)
+    val partCol = TimeTravel.partitionColumn(spark, path)
+    if (mor) TimeTravel.deleteWhereDv(spark, path, cond, partCol,
+      changeFeed)
+    else TimeTravel.deleteWhere(spark, path, cond, partCol, changeFeed)
+  }
+
+  private def update(spark: SparkSession, u: UpdateTable,
+      mor: Boolean, changeFeed: Boolean): Int = {
+    val (path, alias) = target(u.table)
+    val cond = u.condition.map(column(_, alias))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val set = u.assignments.map(a =>
+      bareName(a.key) -> column(a.value, alias)).toMap
+    val partCol = TimeTravel.partitionColumn(spark, path)
+    if (mor) TimeTravel.updateWhereDv(spark, path, cond, set, partCol,
+      changeFeed)
+    else TimeTravel.updateWhere(spark, path, cond, set, partCol,
+      changeFeed)
+  }
+
+  /** A single-table expression as a Column: the target alias (if any)
+    * strips off — an empty remap prefix — so `t.price` and `price`
+    * both reach the scan as the bare column. */
+  private def column(e: Expression, alias: Option[String]): Column =
+    DmlBridge.column(requalify(e,
+      alias.map(a => a.toLowerCase -> Seq.empty[String]).toMap))
+
+  private def merge(spark: SparkSession, m: MergeIntoTable,
+      changeFeed: Boolean): Int = {
+    require(m.notMatchedBySourceActions.isEmpty,
+      "WHEN NOT MATCHED BY SOURCE is not supported — express it as a " +
+        "second DELETE/UPDATE statement over the anti-joined keys")
+    require(!m.withSchemaEvolution,
+      "MERGE WITH SCHEMA EVOLUTION is not supported — evolve the " +
+        "table with an evolveSchema append first")
+    val (path, tAlias) = target(m.targetTable)
+    val (srcPlan, sAlias) = m.sourceTable match {
+      case SubqueryAlias(id, child) => (child, Some(id.name))
+      case other => (other, None)
+    }
+    val source = DmlBridge.ofRows(spark, srcPlan)
+    // the merge join's fixed scope: target alias → tgt, source → src
+    val joinedMap: Map[String, Seq[String]] =
+      tAlias.map(_.toLowerCase -> Seq("tgt")).toMap ++
+        sAlias.map(_.toLowerCase -> Seq("src")).toMap
+    // NOT MATCHED scope: the bare source row (no target to reference)
+    val srcBareMap: Map[String, Seq[String]] =
+      sAlias.map(_.toLowerCase -> Seq.empty[String]).toMap
+    val keyCol = m.mergeCondition match {
+      case org.apache.spark.sql.catalyst.expressions.EqualTo(
+          l: UnresolvedAttribute, r: UnresolvedAttribute)
+          if l.nameParts.last == r.nameParts.last =>
+        l.nameParts.last
+      case other => throw new IllegalArgumentException(
+        s"MERGE condition must be a single key equality " +
+          s"(t.k = s.k), got: ${other.sql} — compose richer matching " +
+          "with a pre-joined source")
+    }
+    def joinedCol(e: Expression) =
+      DmlBridge.column(requalify(e, joinedMap))
+    def srcCol(e: Expression) =
+      DmlBridge.column(requalify(e, srcBareMap))
+    val matched: Seq[TimeTravel.MergeClause] = m.matchedActions.map {
+      case UpdateStarAction(cond) =>
+        TimeTravel.MatchedUpdate(cond.map(joinedCol), Map.empty)
+      case UpdateAction(cond, assignments, fromStar) =>
+        TimeTravel.MatchedUpdate(cond.map(joinedCol),
+          if (fromStar) Map.empty
+          else assignments.map(a =>
+            bareName(a.key) -> joinedCol(a.value)).toMap)
+      case DeleteAction(cond) =>
+        TimeTravel.MatchedDelete(cond.map(joinedCol))
+      case other => throw new IllegalArgumentException(
+        s"unsupported MATCHED action: $other")
+    }
+    val notMatched: Seq[TimeTravel.MergeClause] =
+      m.notMatchedActions.map {
+        case InsertStarAction(cond) =>
+          TimeTravel.NotMatchedInsert(cond.map(srcCol))
+        case InsertAction(cond, assignments)
+            if assignments.forall(a =>
+              bareName(a.key) == bareName(a.value)) =>
+          // identity column list = INSERT * spelled out
+          TimeTravel.NotMatchedInsert(cond.map(srcCol))
+        case other => throw new IllegalArgumentException(
+          s"unsupported NOT MATCHED action: $other — the versioned " +
+            "merge inserts the WHOLE source row (Delta's INSERT *); " +
+            "project the source instead of remapping columns here")
+      }
+    val partCol = TimeTravel.partitionColumn(spark, path)
+    TimeTravel.merge(spark, path, source, keyCol, partCol,
+      matched ++ notMatched, changeFeed = changeFeed)
+  }
+}

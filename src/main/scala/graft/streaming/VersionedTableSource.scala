@@ -5,7 +5,7 @@ import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsAdmissi
 import org.apache.spark.sql.execution.streaming.{Offset, Sink, Source}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftshim.StreamingDataFrame
-import org.apache.spark.sql.sources.{BaseRelation, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, StreamSinkProvider, StreamSourceProvider}
 import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
 
@@ -306,10 +306,14 @@ class VersionedTableSink(spark: SparkSession, baseDir: String,
 /** V1 provider: `spark.read.format("graft-versioned")` (batch, with
   * `versionAsOf`/`timestampAsOf` time travel —
   * [[graft.sources.GraftVersionedRelation]]),
+  * `df.write.format("graft-versioned")` (declarative batch write:
+  * append / overwrite / errorifexists / ignore, with
+  * `txnAppId`/`txnVersion` idempotence),
   * `spark.readStream.format("graft-versioned")` /
   * `df.writeStream.format("graft-versioned")` (registered via
   * META-INF/services) or the fully-qualified class name. */
 class VersionedTableSourceProvider extends RelationProvider
+    with CreatableRelationProvider
     with StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
 
@@ -320,6 +324,59 @@ class VersionedTableSourceProvider extends RelationProvider
     val opts = VersionedTableSourceProvider.Opts(parameters)
     graft.sources.GraftVersionedRelation(sqlContext.sparkSession,
       opts.path, opts.versionAsOf, opts.timestampAsOf)
+  }
+
+  /** Declarative BATCH WRITE (`df.write.format("graft-versioned")`,
+    * the Delta batch-writer shape): every mode lands through the
+    * normal commit paths, so constraints, schema checks, protocol
+    * gates, CDC-ability and conflict rules all hold with zero
+    * imperative glue.
+    *   - `Append` → [[TimeTravel.append]] (blind-append commit;
+    *     `init` when the table doesn't exist yet);
+    *   - `Overwrite` → [[TimeTravel.overwrite]] (full replace as ONE
+    *     commit — old versions stay readable);
+    *   - `ErrorIfExists` / `Ignore` → standard SaveMode semantics.
+    * `txnAppId` + `txnVersion` make a re-delivered batch a NO-OP (the
+    * marker rides INSIDE the commit record — Delta's idempotent-write
+    * pair), which is what turns at-least-once orchestration retries
+    * into exactly-once appends. `partCol` is required only at table
+    * creation; afterwards the log's layout answers it. */
+  override def createRelation(sqlContext: SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame): BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val spark = sqlContext.sparkSession
+    val opts = VersionedTableSourceProvider.Opts(parameters)
+    val path = opts.path
+    val exists = TimeTravel.latestVersion(spark, path) >= 1
+    val txn = for { a <- opts.txnAppId; v <- opts.txnVersion }
+      yield (a, v)
+    require(opts.txnAppId.isEmpty == opts.txnVersion.isEmpty,
+      "txnAppId and txnVersion come together or not at all")
+    val alreadyLanded = exists && txn.exists { case (a, v) =>
+      TimeTravel.lastCommittedTxn(spark, path, a).exists(_ >= v) }
+    val partCol = opts.partCol.getOrElse {
+      if (exists) TimeTravel.partitionColumn(spark, path)
+      else throw new IllegalArgumentException(
+        "option 'partCol' is required when the write CREATES the table " +
+          "(afterwards the log's layout answers it)")
+    }
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalStateException(
+          s"$path already has commits (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists => ()
+      case _ if alreadyLanded => () // idempotent re-delivery: no-op
+      case m =>
+        if (!exists) TimeTravel.init(spark, path, data, partCol, txn)
+        else if (m == SaveMode.Append)
+          TimeTravel.append(spark, path, data, partCol, txn,
+            opts.evolveSchema)
+        else TimeTravel.overwrite(spark, path, data, partCol, txn,
+          opts.evolveSchema)
+    }
+    graft.sources.GraftVersionedRelation(spark, path, None, None)
   }
 
   override def sourceSchema(sqlContext: SQLContext,
@@ -436,6 +493,13 @@ object VersionedTableSourceProvider {
     val keyCol: Option[String] = m.get("keycol")
     val streamId: Option[String] =
       m.get("streamid").orElse(m.get("checkpointlocation"))
+    // declarative batch-write options (CreatableRelationProvider face):
+    // txnAppId/txnVersion are Delta's idempotent-writer pair — a batch
+    // at or below the app's recorded high-water mark is a re-delivery
+    // and lands nothing
+    val txnAppId: Option[String] = m.get("txnappid")
+    val txnVersion: Option[Long] = m.get("txnversion").map(_.toLong)
+    val evolveSchema: Boolean = m.get("evolveschema").exists(_.toBoolean)
   }
 
   /** The stream's schema: the log's committed schema at the current
