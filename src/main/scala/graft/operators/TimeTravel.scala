@@ -4142,8 +4142,43 @@ object TimeTravel {
     * (the streaming source's row-based admission). File order within a
     * version is the record's sorted order — stable across reads, which
     * is what makes a mid-version offset meaningful. */
+  /** A column-mapping commit inside a consumer's window: acceptable
+    * ONLY when the consumer already reads under the commit's resulting
+    * logical names — i.e. it (re)started at or after the change and
+    * its pinned schema matches. Then the commit is metadata-only from
+    * the consumer's seat (zero rows, files unchanged) and contributes
+    * nothing. A consumer pinned to the OLD names must RESTART: its
+    * name-aligned delivery would silently NULL-fill every renamed
+    * column. The restart is lossless — the checkpoint offset is the
+    * cursor, and post-restart windows re-read pre-rename adds under
+    * the new names (files carry physical names; the end-version
+    * mapping projects them). This is Delta's schema-tracking restart
+    * contract: fail the query once at the change, resume clean. */
+  private def colmapWindowVerdict(baseDir: String, v: Int,
+      lines: Seq[String], consumerSchema: Option[Seq[String]]): Unit =
+    consumerSchema match {
+      case Some(names)
+          if schemaFrom(lines).exists(_.fieldNames.toSeq == names) => ()
+      case Some(_) => throw new IllegalStateException(
+        s"version $v of $baseDir renamed or dropped columns after this " +
+          "stream pinned its schema — RESTART the stream to resume " +
+          "under the new column names (the checkpoint offset is " +
+          "preserved: no rows are lost or re-delivered; Delta's " +
+          "schema-tracking restart contract)")
+      case None => throw new IllegalArgumentException(
+        s"version $v of $baseDir renamed or dropped columns: an " +
+          "incremental window cannot be represented across a column-" +
+          "mapping change — restart from a fresh snapshot (Delta " +
+          "refuses streaming reads across column mapping the same way)")
+    }
+
+  /** `consumerSchema`: the window consumer's pinned logical field
+    * names (the streaming source's). None = batch consumer with no
+    * pinned schema — every column-mapping commit in the window refuses
+    * (the conservative pre-schema-tracking contract). */
   private[graft] def appendWindowAdds(spark: SparkSession,
-      baseDir: String, sinceVersion: Int, endVersion: Int)
+      baseDir: String, sinceVersion: Int, endVersion: Int,
+      consumerSchema: Option[Seq[String]] = None)
       : Seq[(Int, Seq[String])] = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
@@ -4164,11 +4199,9 @@ object TimeTravel {
         case Some("compact") => Nil // dataChange=false: already delivered
         case Some("constraint") => Nil // metadata-only: no rows to deliver
         case Some("bloomidx") => Nil // metadata-only: no rows to deliver
-        case Some("colmap") => throw new IllegalArgumentException(
-          s"version $v of $baseDir renamed or dropped columns: an " +
-            "incremental window cannot be represented across a column-" +
-            "mapping change — restart from a fresh snapshot (Delta " +
-            "refuses streaming reads across column mapping the same way)")
+        case Some("colmap") =>
+          colmapWindowVerdict(baseDir, v, lines, consumerSchema)
+          Nil // metadata-only once the consumer reads the new names
         case None if removes.isEmpty => adds // pre-#op log, provably adds-only
         case other => throw new IllegalArgumentException(
           s"version $v of $baseDir is a " +
@@ -4246,8 +4279,133 @@ object TimeTravel {
     * committed schema plus the two CDC columns, NULL-filling columns
     * added since a change was captured. Windows compose exactly:
     * `(a,b] ++ (b,c] = (a,c]`. */
+  /** One row-admission unit of a CDC window — either an ADD file of
+    * an append commit (its rows deliver as `insert` changes) or one
+    * parquet file of a rewrite commit's captured change rows. `rows`
+    * None = unknown: admits and exhausts the budget, conservative. */
+  private[graft] final case class CdcUnit(path: String, isAdd: Boolean,
+      rows: Option[Long])
+
+  private def parquetRowCount(fs: FileSystem, p: Path): Long = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, fs.getConf))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Version `v`'s CDC admission units in a STABLE order (record
+    * order for adds, name order for change files) — what makes a
+    * mid-version CDC offset meaningful across restarts. Cost: one
+    * record read, plus one footer read per change file for a rewrite
+    * commit (append adds reuse the recorded `!rows=` counts); callers
+    * cache per version. The same acceptance contract as
+    * [[readChangesSince]]: metadata and compact commits contribute
+    * nothing, a capture-less rewrite refuses, a colmap commit passes
+    * only for a consumer already pinned to its resulting names. */
+  private[graft] def cdcUnits(spark: SparkSession, baseDir: String,
+      v: Int, consumerSchema: Option[Seq[String]]): Seq[CdcUnit] = {
+    val fs = hadoopFs(spark, baseDir)
+    require(fs.exists(deltaPath(baseDir, v)),
+      s"version $v of $baseDir has no commit record (vacuumed away): " +
+        "the change window is not reconstructible — restart from a " +
+        "full readVersion snapshot")
+    val lines = readRawLines(fs, deltaPath(baseDir, v))
+    val (adds, removes) = addsRemovesFrom(lines)
+    opFrom(lines) match {
+      case Some("append") =>
+        val stats = statsFrom(lines)
+        adds.sorted.map(f => CdcUnit(f, isAdd = true,
+          stats.get(f).flatMap(parseRowCount)))
+      case None if removes.isEmpty => // pre-#op adds-only: an append
+        adds.sorted.map(f => CdcUnit(f, isAdd = true, None))
+      case Some("compact") | Some("constraint") | Some("bloomidx") => Nil
+      case Some("colmap") =>
+        colmapWindowVerdict(baseDir, v, lines, consumerSchema)
+        Nil
+      case op =>
+        val tok = cdcFrom(lines).getOrElse(
+          throw new IllegalArgumentException(
+            s"version $v of $baseDir is a ${op.getOrElse("rewrite")} " +
+              "commit that recorded no change rows (changeFeed was " +
+              "off at commit time) — re-read a full version or " +
+              "snapshotDiff"))
+        val cd = changeDir(baseDir, tok)
+        require(fs.exists(cd), s"version $v of $baseDir references " +
+          s"change rows at $cd that no longer exist")
+        fs.listStatus(cd).filter(st => st.isFile &&
+            st.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName).toSeq
+          .map(st => CdcUnit(st.getPath.toString, isAdd = false,
+            Some(parquetRowCount(fs, st.getPath))))
+    }
+  }
+
+  /** Read a CDC window at UNIT granularity (`unitsByVersion` from
+    * [[cdcUnits]], possibly a partial slice per version): rows come
+    * back under `schemaVersion`'s committed schema plus the CDC
+    * columns — the streaming source's sub-commit CDC batch, composing
+    * exactly with whole-version windows because unit order is
+    * stable. */
+  private[graft] def readCdcUnits(spark: SparkSession, baseDir: String,
+      unitsByVersion: Seq[(Int, Seq[CdcUnit])],
+      schemaVersion: Int): DataFrame = {
+    val fs = hadoopFs(spark, baseDir)
+    val schema = schemaOfRecord(fs, baseDir, schemaVersion).getOrElse(
+      throw new IllegalArgumentException(
+        s"$baseDir's log records no schema — pre-metadata tables have " +
+          "no change feed"))
+    val frames = unitsByVersion.flatMap { case (v, units) =>
+      if (units.isEmpty) None
+      else {
+        val (addUnits, cdcFiles) = units.partition(_.isAdd)
+        val lines =
+          if (addUnits.isEmpty) Nil
+          else readRawLines(fs, deltaPath(baseDir, v))
+        val parts = Seq(
+          if (addUnits.isEmpty) None
+          else Some(readFiles(spark, baseDir,
+              addUnits.map(_.path).sorted, schemaFrom(lines),
+              activeColmap(fs, baseDir, v)._1)
+            .withColumn(ChangeTypeCol, lit("insert"))),
+          if (cdcFiles.isEmpty) None
+          else Some(spark.read.parquet(cdcFiles.map(_.path): _*))
+        ).flatten
+        parts.map(_.withColumn(CommitVersionCol, lit(v)))
+          .reduceOption(_.unionByName(_, allowMissingColumns = true))
+      }
+    }
+    alignChangeFrames(spark, schema, frames)
+  }
+
+  /** Deliver change frames under `schema` + the CDC columns,
+    * NULL-filling columns a capture predates (shared by the
+    * whole-version and unit-granular CDC reads). */
+  private def alignChangeFrames(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType,
+      frames: Seq[DataFrame]): DataFrame = {
+    val out = schema.fields.map(f => col(f.name).cast(f.dataType)) ++
+      Seq(col(ChangeTypeCol), col(CommitVersionCol))
+    if (frames.isEmpty) {
+      import org.apache.spark.sql.types._
+      val s = StructType(schema.fields ++ Seq(
+        StructField(ChangeTypeCol, StringType),
+        StructField(CommitVersionCol, IntegerType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+    } else frames
+      .map { df =>
+        val have = df.columns.toSet
+        val widened = schema.fields.filterNot(f => have(f.name))
+          .foldLeft(df)((d, f) =>
+            d.withColumn(f.name, lit(null).cast(f.dataType)))
+        widened.select(out.toIndexedSeq: _*)
+      }
+      .reduce(_.unionByName(_))
+  }
+
   def readChangesSince(spark: SparkSession, baseDir: String,
-      sinceVersion: Int, endVersion: Int = Int.MaxValue): DataFrame = {
+      sinceVersion: Int, endVersion: Int = Int.MaxValue,
+      consumerSchema: Option[Seq[String]] = None): DataFrame = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
     val end = if (endVersion == Int.MaxValue) latest else endVersion
@@ -4267,10 +4425,9 @@ object TimeTravel {
       val lines = readRawLines(fs, deltaPath(baseDir, v))
       val (adds, removes) = addsRemovesFrom(lines)
       opFrom(lines) match {
-        case Some("colmap") => throw new IllegalArgumentException(
-          s"version $v of $baseDir renamed or dropped columns: a change " +
-            "window cannot be represented across a column-mapping " +
-            "change — restart from a fresh snapshot")
+        case Some("colmap") =>
+          colmapWindowVerdict(baseDir, v, lines, consumerSchema)
+          None // metadata-only once the consumer reads the new names
         // pre-#op adds-only records are provably appends — the same
         // acceptance readAppendsSince gives them
         case Some("append") | None if removes.isEmpty =>
@@ -4298,23 +4455,6 @@ object TimeTravel {
     }
     // deliver under endVersion's schema + the CDC columns: changes
     // captured before an evolution NULL-fill the added columns
-    val out = schema.fields.map(f => col(f.name).cast(f.dataType)) ++
-      Seq(col(ChangeTypeCol), col(CommitVersionCol))
-    if (frames.isEmpty) {
-      import org.apache.spark.sql.types._
-      val s = StructType(schema.fields ++ Seq(
-        StructField(ChangeTypeCol, StringType),
-        StructField(CommitVersionCol, IntegerType)))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-    } else frames
-      .map { df =>
-        val have = df.columns.toSet
-        val widened = schema.fields.filterNot(f => have(f.name))
-          .foldLeft(df)((d, f) =>
-            d.withColumn(f.name, lit(null).cast(f.dataType)))
-        widened.select(out: _*)
-      }
-      .reduce(_.unionByName(_))
+    alignChangeFrames(spark, schema, frames)
   }
 }

@@ -2703,10 +2703,90 @@ object PipelineQueries {
   private val stagedSqlDml =
     scala.collection.concurrent.TrieMap.empty[String, (String, Boolean)]
 
+  /** STREAMING SCHEMA TRACKING across column mapping: a rename lands
+    * MID-STREAM — the running stream (pinned to the old names) fails
+    * with the loud RESTART instruction instead of silently
+    * NULL-filling the renamed column, and the restarted stream (pinned
+    * to the log's new names) resumes from the SAME checkpoint cursor:
+    * the rename commit is metadata-only from its seat, the post-rename
+    * append delivers under the new name, nothing is lost or
+    * re-delivered (Delta's schema-tracking restart contract). The
+    * final tip aggregate hash-matches plain orders, proving the three
+    * slabs reassembled exactly across the schema change. */
+  val q196 = Q(
+    "q196_stream_schema_tracking",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      import graft.streaming.{VersionedTableSource, VersionOffset}
+      import org.apache.spark.sql.graftshim.StreamingDataFrame
+      val (t, restartRequired, resumedOk) =
+        stagedSchemaTrack.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-schtrack")
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_month",
+              date_format(col("o_orderdate"), "yyyy-MM"))
+          val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+          val m3 = m / 3
+          def slab(k: Int) = orders.filter(
+            (if (k == 0) lit(true) else col("o_orderkey") > k * m3) &&
+              (if (k == 2) lit(true)
+               else col("o_orderkey") <= (k + 1) * m3))
+          TimeTravel.init(spark, d, slab(0), "o_month")
+          TimeTravel.append(spark, d, slab(1), "o_month") // v2
+          def src(schemaV: Int) = new VersionedTableSource(
+            spark.sqlContext, d, sinceVersion = Some(1),
+            changeFeed = false, maxVersionsPerTrigger = None,
+            maxRowsPerTrigger = None,
+            schema = TimeTravel.schemaAt(spark, d, schemaV).get)
+          val running = src(2)
+          val o2 = running.latestOffset(null,
+            running.getDefaultReadLimit).asInstanceOf[VersionOffset]
+          val delivered1 = StreamingDataFrame.asStaticBatch(
+            running.getBatch(None, o2)).count()
+          TimeTravel.renameColumn(spark, d, "o_totalprice", "price")
+          TimeTravel.append(spark, d,
+            slab(2).withColumnRenamed("o_totalprice", "price"),
+            "o_month") // v4
+          val restartNeeded =
+            try {
+              val end = running.latestOffset(o2,
+                running.getDefaultReadLimit).asInstanceOf[VersionOffset]
+              StreamingDataFrame.asStaticBatch(
+                running.getBatch(Some(o2), end)).count()
+              false
+            } catch { case e: IllegalStateException =>
+              e.getMessage.contains("RESTART") }
+          val restarted = src(4)
+          val end = restarted.latestOffset(o2,
+            restarted.getDefaultReadLimit).asInstanceOf[VersionOffset]
+          val resumed = StreamingDataFrame.asStaticBatch(
+            restarted.getBatch(Some(o2), end))
+          val ok = resumed.columns.contains("price") &&
+            resumed.count() == slab(2).count() &&
+            delivered1 == slab(1).count()
+          (d, restartNeeded, ok)
+        })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("price")).as("sum_price"))
+        .select(col("n_rows"), col("sum_key"), col("sum_price"),
+          lit(restartRequired).as("restart_required"),
+          lit(resumedOk).as("resume_lossless"))
+    },
+    Some(s"""SELECT COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS restart_required, TRUE AS resume_lossless
+      FROM orders""")
+  )
+  private val stagedSchemaTrack = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195)
+      q191, q192, q193, q194, q195, q196)
 }

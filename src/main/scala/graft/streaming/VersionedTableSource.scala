@@ -75,10 +75,10 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     this(sqlContext, baseDir, () => sinceVersion, changeFeed,
       maxVersionsPerTrigger, maxRowsPerTrigger, schema)
 
-  require(!changeFeed || maxRowsPerTrigger.isEmpty,
-    "maxRowsPerTrigger is append-window admission (it splits commits " +
-      "at file boundaries); a change feed delivers whole commits — " +
-      "use maxVersionsPerTrigger")
+  // maxRowsPerTrigger composes with BOTH modes: append windows split
+  // at add-file boundaries, change feeds at change-capture-file
+  // boundaries (a backfill-scale captured rewrite drains as bounded
+  // batches instead of landing as one giant micro-batch)
 
   /** The starting cursor, resolved LAZILY and once: a restarted stream
     * restores its position from the checkpoint offset and never asks —
@@ -101,6 +101,16 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
       .orElse(maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong)))
       .getOrElse(ReadLimit.allAvailable())
 
+  /** The stream's pinned LOGICAL field names (CDC columns excluded) —
+    * what makes a column-mapping commit acceptable inside a window: a
+    * (re)started stream whose pinned names already match the change's
+    * resulting schema treats it as metadata-only; a stream pinned to
+    * the OLD names gets the loud restart error instead of silently
+    * NULL-filled columns (Delta's schema-tracking restart contract). */
+  private val pinnedNames: Seq[String] = schema.fields.map(_.name)
+    .filterNot(n => n == TimeTravel.ChangeTypeCol ||
+      n == TimeTravel.CommitVersionCol).toSeq
+
   /** Committed versions are immutable: their add lists and row counts
     * cache for the stream's lifetime (one metadata read per version,
     * however many triggers walk it). */
@@ -110,10 +120,26 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     .empty[Int, Map[String, Option[Long]]]
   private def versionAdds(v: Int): Seq[String] =
     addsCache.getOrElseUpdate(v,
-      TimeTravel.appendWindowAdds(spark, baseDir, v - 1, v).head._2)
+      TimeTravel.appendWindowAdds(spark, baseDir, v - 1, v,
+        Some(pinnedNames)).head._2)
   private def versionRows(v: Int): Map[String, Option[Long]] =
     rowsCache.getOrElseUpdate(v,
       TimeTravel.addRowCounts(spark, baseDir, v).toMap)
+  private val cdcUnitsCache = scala.collection.concurrent.TrieMap
+    .empty[Int, Seq[TimeTravel.CdcUnit]]
+  private def versionCdcUnits(v: Int): Seq[TimeTravel.CdcUnit] =
+    cdcUnitsCache.getOrElseUpdate(v,
+      TimeTravel.cdcUnits(spark, baseDir, v, Some(pinnedNames)))
+
+  /** The row-admission units of version `v` in this stream's mode:
+    * per-add-file recorded counts (append) or per-change-file footer
+    * counts (CDC) — one shared packing walk serves both. */
+  private def unitRowCounts(v: Int): Seq[Option[Long]] =
+    if (changeFeed) versionCdcUnits(v).map(_.rows)
+    else {
+      val counts = versionRows(v)
+      versionAdds(v).map(f => counts.getOrElse(f, None))
+    }
 
   private def posOf(o: OffsetV2): VersionOffset = o match {
     case v: VersionOffset => v
@@ -144,7 +170,6 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
         val target = maxRowsPerTrigger match {
           case _ if endCap <= b.version && b.complete => b
           case None => VersionOffset(endCap)
-          case _ if changeFeed => VersionOffset(endCap) // refused above
           case Some(budget) =>
             var admitted = 0L
             var any = false // at least one file always admits: progress
@@ -153,11 +178,10 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
             var k = if (b.complete) 0 else b.filePos
             var done = false
             while (!done && v <= endCap) {
-              val adds = versionAdds(v)
-              val counts = versionRows(v)
+              val units = unitRowCounts(v)
               var i = k
-              while (!done && i < adds.size) {
-                val rows = counts.getOrElse(adds(i), None)
+              while (!done && i < units.size) {
+                val rows = units(i)
                   .getOrElse(Long.MaxValue / 4) // unknown: fills budget
                 if (any && admitted + rows > budget) {
                   out = VersionOffset(v, i) // budget spent mid-version
@@ -185,8 +209,30 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val e = posOf(end)
     val batch = start.map(posOf).orElse(sinceVersion.map(VersionOffset(_))) match {
-      case Some(s) if changeFeed => // whole-version CDC windows
-        TimeTravel.readChangesSince(spark, baseDir, s.version, e.version)
+      case Some(s) if changeFeed =>
+        if (s.complete && e.complete) // whole-version CDC windows
+          TimeTravel.readChangesSince(spark, baseDir, s.version,
+            e.version, consumerSchema = Some(pinnedNames))
+        else { // row-admitted window: change-capture-file granularity
+          val byVersion = Seq.newBuilder[(Int, Seq[TimeTravel.CdcUnit])]
+          if (s.version == e.version) {
+            val us = versionCdcUnits(e.version)
+            val from = if (s.complete) us.size else s.filePos
+            val until = if (e.complete) us.size else e.filePos
+            byVersion += e.version -> us.slice(from, until)
+          } else {
+            if (!s.complete)
+              byVersion += s.version ->
+                versionCdcUnits(s.version).drop(s.filePos)
+            ((s.version + 1) until e.version)
+              .foreach(v => byVersion += v -> versionCdcUnits(v))
+            val endUs = versionCdcUnits(e.version)
+            byVersion += e.version ->
+              (if (e.complete) endUs else endUs.take(e.filePos))
+          }
+          TimeTravel.readCdcUnits(spark, baseDir, byVersion.result(),
+            e.version)
+        }
       case Some(s) => // an append window (s, e] at FILE granularity
         val files = Seq.newBuilder[String]
         if (s.version == e.version) {

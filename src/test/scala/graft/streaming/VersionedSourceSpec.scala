@@ -179,51 +179,152 @@ class VersionedSourceSpec extends SparkSpec {
     assert(src.latestOffset(o4, src.getDefaultReadLimit) === o4)
   }
 
-  test("a stream whose window crosses a column rename fails LOUDLY — never a silent NULL-fill") {
+  test("column rename mid-stream: the RUNNING stream fails loudly; a restart resumes from the same cursor under the new names, no gap, no re-delivery") {
+    import org.apache.spark.sql.graftshim.StreamingDataFrame
     val t = tmpDir("vsrc-rename")
     TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
     TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part") // v2
+    // a RUNNING stream pinned to the PRE-rename names, cursor at v2
+    val running = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = false,
+      maxVersionsPerTrigger = None, maxRowsPerTrigger = None,
+      schema = TimeTravel.readVersion(spark, t, 2).schema)
+    val o2 = running.latestOffset(null, running.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o2.version === 2)
+    assert(StreamingDataFrame.asStaticBatch(
+      running.getBatch(None, o2)).count() >= 1) // v2 delivered
     TimeTravel.renameColumn(spark, t, "v", "w")             // v3
     TimeTravel.append(spark, t,
       Seq((3L, "a", 3.0)).toDF("id", "part", "w"), "part")  // v4
-    val out = tmpDir("vsrc-rename-out")
-    val ck = tmpDir("vsrc-rename-ck")
-    val e = intercept[Exception] {
-      EventsStream.replayToParquet(
-        VersionedStream.readStream(spark, t, sinceVersion = Some(1)),
-        out, ck)
+    // the running stream would silently NULL-fill `w` into `v` — it
+    // must fail with the RESTART instruction instead
+    val e = intercept[IllegalStateException] {
+      val end = running.latestOffset(o2, running.getDefaultReadLimit)
+        .asInstanceOf[VersionOffset]
+      StreamingDataFrame.asStaticBatch(
+        running.getBatch(Some(o2), end)).count()
     }
-    def messages(x: Throwable): Seq[String] =
-      if (x == null) Nil
-      else Option(x.getMessage).toSeq ++ messages(x.getCause)
-    assert(messages(e).exists(_.contains("column-mapping")),
-      s"expected the column-mapping refusal, got: ${messages(e)}")
-    // a fresh stream from the rename onward delivers under the new name
+    assert(e.getMessage.contains("RESTART the stream"))
+    // the RESTARTED stream pins the post-rename schema (sourceSchema
+    // reads the log's latest) and resumes from the SAME checkpoint
+    // cursor: the rename commit is metadata-only from its seat, v4
+    // delivers under the new name — id 2 not re-delivered, id 3 not lost
+    val restarted = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = false,
+      maxVersionsPerTrigger = None, maxRowsPerTrigger = None,
+      schema = VersionedTableSourceProvider.tableSchema(spark, t,
+        changeFeed = false))
+    val end = restarted.latestOffset(o2, restarted.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    val batch = StreamingDataFrame.asStaticBatch(
+      restarted.getBatch(Some(o2), end))
+    assert(batch.columns.contains("w") && !batch.columns.contains("v"))
+    assert(batch.select("id").as[Long].collect().toSeq === Seq(3L))
+    // and a FRESH stream crossing the rename from v1 delivers the whole
+    // tail under the new names — pre-rename files project through the
+    // mapping, nothing NULL-fills
     val out2 = tmpDir("vsrc-rename-out2")
     val ck2 = tmpDir("vsrc-rename-ck2")
     EventsStream.replayToParquet(
-      VersionedStream.readStream(spark, t, sinceVersion = Some(3)),
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1)),
       out2, ck2)
-    assert(outIds(out2) === Seq(3L))
-    assert(spark.read.parquet(out2).columns.contains("w"))
+    assert(outIds(out2) === Seq(2L, 3L))
+    val fresh = spark.read.parquet(out2)
+    assert(fresh.columns.contains("w"))
+    assert(fresh.filter(col("id") === 2L).select("w")
+      .as[Double].head() === 2.0, "pre-rename rows carry their values " +
+        "under the new name, not NULLs")
   }
 
-  test("maxRowsPerTrigger is refused in changeFeed mode") {
+  test("CDC row admission: a fat captured rewrite splits across triggers at change-file boundaries, exactly-once") {
+    import org.apache.spark.sql.graftshim.StreamingDataFrame
     val t = tmpDir("vsrc-rows-cdc")
-    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
-    // the refusal fires when the source materializes at stream start,
-    // so it surfaces wrapped in the query exception
-    val e = intercept[Exception] {
-      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
-        changeFeed = true, maxRowsPerTrigger = Some(10L))
-        .writeStream.format("noop")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start().awaitTermination()
-    }
-    def messages(x: Throwable): Seq[String] =
-      if (x == null) Nil
-      else Option(x.getMessage).toSeq ++ messages(x.getCause)
-    assert(messages(e).exists(_.contains("maxRowsPerTrigger")))
+    TimeTravel.init(spark, t,
+      (1L to 30L).map(i => (i, "a", i.toDouble)).toDF("id", "part", "v"),
+      "part")
+    // captured UPDATE: pre- and post-image frames land as separate
+    // parquet files in the change dir — the unit boundaries the
+    // admission walk packs against
+    TimeTravel.updateWhere(spark, t, col("id") <= 20L,
+      Map("v" -> (col("v") + lit(100.0))), "part",
+      changeFeed = true) // v2: 40 change rows in ≥ 2 files
+    val changeRoot = new java.io.File(s"$t/_change")
+    val nChangeFiles = changeRoot.listFiles().head.listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(nChangeFiles >= 2, s"staging precondition: expected multiple " +
+      s"change-capture files, got $nChangeFiles")
+    def mkSrc() = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = true,
+      maxVersionsPerTrigger = None, maxRowsPerTrigger = Some(20L),
+      schema = VersionedTableSourceProvider.tableSchema(spark, t,
+        changeFeed = true))
+    val src = mkSrc()
+    // trigger 1: the 20-row budget admits only the first capture file
+    val o1 = src.latestOffset(null, src.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(!o1.complete && o1.version === 2,
+      s"the fat CDC commit must split mid-version, got $o1")
+    val b1 = StreamingDataFrame.asStaticBatch(src.getBatch(None, o1))
+      .select("id", TimeTravel.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(b1.nonEmpty && b1.length < 40, "a strict subset per trigger")
+    // trigger 2+: walk to completion; the union is EXACTLY the whole
+    // window — no row lost at the split, none duplicated
+    var cur = o1
+    val rest = Seq.newBuilder[(Long, String)]
+    var steps = 0
+    while ({
+      val nxt = src.latestOffset(cur, src.getDefaultReadLimit)
+        .asInstanceOf[VersionOffset]
+      val advanced = nxt != cur
+      if (advanced) {
+        rest ++= StreamingDataFrame.asStaticBatch(
+            src.getBatch(Some(cur), nxt))
+          .select("id", TimeTravel.ChangeTypeCol).collect()
+          .map(r => (r.getLong(0), r.getString(1)))
+        cur = nxt; steps += 1
+      }
+      advanced && steps < 10
+    }) ()
+    val streamed = (b1 ++ rest.result()).sorted.toSeq
+    val whole = TimeTravel.readChangesSince(spark, t, 1, 2)
+      .select("id", TimeTravel.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1))).sorted.toSeq
+    assert(streamed === whole)
+    // restart mid-version from the checkpointed json: no re-delivery
+    val restarted = mkSrc()
+    val restored = org.apache.spark.sql.execution.streaming
+      .SerializedOffset(o1.json)
+    val o2 = restarted.latestOffset(restored,
+      restarted.getDefaultReadLimit).asInstanceOf[VersionOffset]
+    val resumed = StreamingDataFrame.asStaticBatch(
+        restarted.getBatch(Some(restored), o2))
+      .select("id", TimeTravel.ChangeTypeCol).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert((b1.toSet intersect resumed.toSet).isEmpty,
+      "a restart mid-version must not re-deliver the consumed units")
+    // a mixed partial-CDC + append window composes: append v3, read
+    // from the mid-v2 cursor with a big budget in one batch
+    TimeTravel.append(spark, t,
+      (31L to 35L).map(i => (i, "a", i.toDouble)).toDF("id", "part", "v"),
+      "part") // v3
+    val wide = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = true,
+      maxVersionsPerTrigger = None, maxRowsPerTrigger = Some(1000L),
+      schema = VersionedTableSourceProvider.tableSchema(spark, t,
+        changeFeed = true))
+    val o3 = wide.latestOffset(restored, wide.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o3 === VersionOffset(3))
+    val mixed = StreamingDataFrame.asStaticBatch(
+        wide.getBatch(Some(restored), o3))
+      .groupBy(col(TimeTravel.ChangeTypeCol)).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mixed.get("insert") === Some(5L))
+    assert((mixed.getOrElse("update_preimage", 0L) +
+      mixed.getOrElse("update_postimage", 0L)) === (40L - b1.length),
+      s"the unconsumed capture units deliver exactly once, got $mixed")
   }
 
   test("restart-resume: a restarted stream continues from its checkpoint " +
