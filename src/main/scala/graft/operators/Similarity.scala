@@ -563,31 +563,14 @@ object Similarity {
     * |c|²−2·dot expansion over [[graft.functions.VecCols]] if a profile
     * ever says otherwise). Driver state is the codebook + ADC tables:
     * O(kCent·dim + m·kCent) constants, the index-artifact contract. */
-  def pqTopK(emb: DataFrame, q: Seq[Double], k: Int, m: Int = 8,
-      kCent: Int = 16, rerank: Int = 40, excludeId: Long = -1L): DataFrame = {
-    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
-    val dim = q.length
-    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+  /** PQ code columns (one INT per subspace) for `embedding` over an
+    * explicit codebook — shared by the live [[pqTopK]] and the index
+    * build ([[writeIvfPqIndex]]), so stored codes are byte-identical
+    * to on-the-fly encoding (same expression, same tie-break). */
+  private def pqCodeCols(cents: Seq[Seq[Double]], dim: Int, m: Int,
+      kCent: Int): Seq[Column] = {
     val sub = dim / m
-    // codebook: float32 values, as the executors will see them
-    val cents: Seq[Seq[Double]] = firstNCentroids(emb, kCent)
-    require(cents.nonEmpty && cents.head.length == dim,
-      s"codebook dim ${cents.headOption.map(_.length)} != $dim")
-    // ADC tables: t(s)(j) = dot(query subvector s, centroid j's subvector
-    // s), float-cast elements, sequential double fold — the same
-    // arithmetic the re-used litVec/zip_with path performs per row
-    val tables: Seq[Seq[Double]] = (0 until m).map { s =>
-      cents.map { c =>
-        var acc = 0.0
-        var i = s * sub
-        while (i < (s + 1) * sub) {
-          acc += q(i).toFloat.toDouble * c(i).toFloat.toDouble
-          i += 1
-        }
-        acc
-      }
-    }
-    val codeCols = (0 until m).map { s =>
+    (0 until m).map { s =>
       val subv = slice(col("embedding"), s * sub + 1, sub)
       val dists = array((0 until kCent).map { j =>
         val c = litVec(cents(j).slice(s * sub, (s + 1) * sub))
@@ -601,6 +584,37 @@ object Similarity {
       (array_position(dists, array_min(dists)) - 1)
         .cast(IntegerType).as(s"_c$s")
     }
+  }
+
+  /** ADC tables: t(s)(j) = dot(query subvector s, centroid j's
+    * subvector s), float-cast elements, sequential double fold — the
+    * same arithmetic the litVec/zip_with path performs per row. */
+  private def pqAdcTables(q: Seq[Double], cents: Seq[Seq[Double]],
+      m: Int, sub: Int): Seq[Seq[Double]] =
+    (0 until m).map { s =>
+      cents.map { c =>
+        var acc = 0.0
+        var i = s * sub
+        while (i < (s + 1) * sub) {
+          acc += q(i).toFloat.toDouble * c(i).toFloat.toDouble
+          i += 1
+        }
+        acc
+      }
+    }
+
+  def pqTopK(emb: DataFrame, q: Seq[Double], k: Int, m: Int = 8,
+      kCent: Int = 16, rerank: Int = 40, excludeId: Long = -1L): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val dim = q.length
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val sub = dim / m
+    // codebook: float32 values, as the executors will see them
+    val cents: Seq[Seq[Double]] = firstNCentroids(emb, kCent)
+    require(cents.nonEmpty && cents.head.length == dim,
+      s"codebook dim ${cents.headOption.map(_.length)} != $dim")
+    val tables = pqAdcTables(q, cents, m, sub)
+    val codeCols = pqCodeCols(cents, dim, m, kCent)
     val adc = (0 until m).map { s =>
       element_at(lit(tables(s).toArray), col(s"_c$s") + 1)
     }.reduce(_ + _)
@@ -611,6 +625,93 @@ object Similarity {
       .orderBy(col("_adc").desc, col("vec_id"))
       .limit(rerank)
     cand.select(col("vec_id"), col("label"),
+        cosineWithLit(col("embedding"), q).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** IVF-PQ COMPOSED index: the [[writeIvfIndex]] layout (corpus
+    * `partitionBy(cell)` + centroid sidecar) with PRODUCT-QUANTIZED
+    * codes stored per row — the serving shape real ANN stacks run
+    * (FAISS's IVFPQ): the candidate scan reads m small INTEGER codes
+    * per vector instead of dim floats, and parquet's columnar layout
+    * makes that physical (the ADC projection touches only the `codes`
+    * column's bytes; the float embeddings live in the same rows but
+    * their column chunks are never read until the exact re-rank wants
+    * the few candidates). Codes are encoded AT BUILD TIME with the
+    * exact [[pqTopK]] expression over the deterministic first-`kCent`
+    * codebook, stored alongside in a `codebook` sidecar (with `m`) so
+    * serving never re-derives them. At 100 TB: a query reads
+    * ~nProbe/nCells of the corpus's CODE bytes (m×4 per vector here;
+    * a production int8/bit-packed layout shrinks further without
+    * changing the plan) plus `rerank` embeddings — versus nProbe/
+    * nCells of full float vectors for plain IVF. */
+  def writeIvfPqIndex(emb: DataFrame, centroids: Seq[Seq[Double]],
+      path: String, m: Int = 8, kCent: Int = 16): Unit = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val dim = probeDim(emb).getOrElse(throw new IllegalArgumentException(
+      "writeIvfPqIndex: empty corpus — nothing to index"))
+    require(dim % m == 0, s"dim=$dim not divisible by m=$m")
+    val cents = firstNCentroids(emb, kCent)
+    val codes = pqCodeCols(cents, dim, m, kCent)
+    emb
+      .select(col("*") +: codes: _*)
+      .withColumn("codes",
+        array((0 until m).map(s => col(s"_c$s")): _*))
+      .drop((0 until m).map(s => s"_c$s"): _*)
+      .withColumn("cell", ivfAssign(col("embedding"), centroids))
+      .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("cell", "centroid")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/centroids")
+    cents.zipWithIndex.map { case (c, j) => (j, c, m) }
+      .toDF("j", "centroid", "m")
+      .repartition(1).write.mode("overwrite").parquet(s"$path/codebook")
+  }
+
+  /** ANN served from a [[writeIvfPqIndex]] artifact: probe the
+    * `nProbe` max-dot cells (physical partition pruning, as
+    * [[ivfTopKFromIndex]]), rank candidates by the ADC sum over the
+    * STORED codes (the scan projects only `(vec_id, codes)` — the
+    * byte-bound phase), keep the top `rerank`, then re-rank those few
+    * by exact cosine over the original embeddings (a broadcast
+    * semi-join of ≤ rerank ids back into the pruned cells — only the
+    * candidates' embedding bytes are read). Results equal [[pqTopK]]
+    * restricted to the probed cells — the candidate set is the same
+    * ADC order over the same stored-at-build codes — which is what
+    * lets the declared query's oracle compose q34's cell chain with
+    * q116's PQ chain verbatim. */
+  def ivfPqTopKFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, q: Seq[Double], k: Int, nProbe: Int,
+      rerank: Int = 40, excludeId: Long = -1L): DataFrame = {
+    require(rerank >= k, s"rerank=$rerank must be >= k=$k")
+    val centroids = indexCentroids(spark, path)
+    val qDots = centroids.map(c => c.zip(q).map { case (a, b) =>
+      a.toFloat.toDouble * b.toFloat.toDouble
+    }.sum)
+    val probes = qDots.zipWithIndex.sortBy(-_._1).take(nProbe).map(_._2)
+    val cbRows = spark.read.parquet(s"$path/codebook")
+      .orderBy(col("j")).collect()
+    val cents = cbRows.map(_.getSeq[Double](1).toSeq).toSeq
+    val m = cbRows.head.getInt(2)
+    val dim = q.length
+    require(dim % m == 0, s"dim=$dim not divisible by indexed m=$m")
+    val tables = pqAdcTables(q, cents, m, dim / m)
+    val adc = (0 until m).map { s =>
+      element_at(lit(tables(s).toArray),
+        element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probes: _*))
+    val cand = cells
+      .filter(col("vec_id") =!= excludeId)
+      .select(col("vec_id"), adc.as("_adc")) // codes-column bytes only
+      .orderBy(col("_adc").desc, col("vec_id"))
+      .limit(rerank)
+    cells
+      .join(broadcast(cand.select(col("vec_id"))), Seq("vec_id"))
+      .select(col("vec_id"), col("label"),
         cosineWithLit(col("embedding"), q).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)

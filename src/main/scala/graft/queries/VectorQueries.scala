@@ -1086,7 +1086,82 @@ object VectorQueries {
     })
   )
 
+  /** The IVF-PQ composed index artifact
+    * ([[Similarity.writeIvfPqIndex]]): q124's cell-partitioned layout
+    * with q116's PQ codes stored per row (+ codebook sidecar). Built
+    * once per sf dir; q197 measures serving from it. */
+  private val stagedIvfPqIndex =
+    new scala.collection.concurrent.TrieMap[String, String]()
+  private def ivfPqIndexDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    stagedIvfPqIndex.getOrElseUpdate(dir, {
+      val t = ParityQueries.scratchDir("graft-ivfpq-index")
+      Similarity.writeIvfPqIndex(Tables.load(spark, dir, "embeddings"),
+        first8(spark, dir), t, m = 8, kCent = 16)
+      t
+    })
+
+  /** ANN served from the COMPOSED IVF-PQ index: partition pruning to
+    * the 2 probed cells (q124's physical-pruning contract), candidate
+    * ranking by the ADC sum over the codes STORED AT BUILD TIME (the
+    * scan projects only `(vec_id, codes)` — parquet reads the code
+    * column's bytes, never the float embeddings), exact cosine re-rank
+    * of the top 40 (only those rows' embedding bytes are touched).
+    * The oracle composes q34's first-8 cell chain with q116's PQ chain
+    * — assignment, probe selection, code encoding, ADC fold order, and
+    * both rankings are all recomputed from the table itself, so a
+    * drifted stored code, a wrong probe, or a re-rank boundary slip
+    * hash-mismatches. Recall vs the exact top-10 is therefore pinned
+    * by the same in-band discipline as q119: the result IS the
+    * oracle-verified candidate-restricted exact ranking. */
+  val q197 = Q(
+    "q197_ivfpq_index",
+    (spark, dir) => ranked(Similarity.ivfPqTopKFromIndex(
+      spark, ivfPqIndexDir(spark, dir), queryVec(spark, dir), k = 10,
+      nProbe = 2, rerank = 40, excludeId = 0L)),
+    Some(s"""WITH $cosineCtes,
+      ${ivfTopCtes("i8_",
+        """SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cell,
+             embedding AS ce
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 8)""")},
+      p_fb AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS j,
+                 embedding AS ce
+               FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+      p_cb AS (SELECT j, CAST((pos - 1) // 8 AS INTEGER) AS s,
+                 CAST((pos - 1) % 8 AS INTEGER) AS i, CAST(c AS DOUBLE) AS c
+               FROM (SELECT j, unnest(ce) AS c,
+                       unnest(generate_series(1, len(ce))) AS pos FROM p_fb)),
+      p_pu AS (SELECT vec_id, CAST((pos - 1) // 8 AS INTEGER) AS s,
+                 CAST((pos - 1) % 8 AS INTEGER) AS i, CAST(ev AS DOUBLE) AS x
+               FROM (SELECT vec_id, unnest(embedding) AS ev,
+                       unnest(generate_series(1, len(embedding))) AS pos
+                     FROM embeddings)),
+      p_d AS (SELECT p.vec_id, p.s, c.j,
+                list_sum(list((p.x - c.c) * (p.x - c.c) ORDER BY p.i)) AS dist
+              FROM p_pu p JOIN p_cb c ON c.s = p.s AND c.i = p.i
+              GROUP BY 1, 2, 3),
+      p_code AS (SELECT vec_id, s, j FROM (
+                 SELECT vec_id, s, j, ROW_NUMBER() OVER (
+                   PARTITION BY vec_id, s ORDER BY dist, j) AS rn FROM p_d)
+               WHERE rn = 1),
+      p_qt AS (SELECT c.s, c.j, list_sum(list(qq.x * c.c ORDER BY qq.i)) AS t
+               FROM (SELECT s, i, x FROM p_pu WHERE vec_id = 0) qq
+               JOIN p_cb c ON c.s = qq.s AND c.i = qq.i
+               GROUP BY 1, 2),
+      p_adc AS (SELECT c.vec_id, list_sum(list(p_qt.t ORDER BY c.s)) AS adc
+                FROM p_code c JOIN p_qt ON p_qt.s = c.s AND p_qt.j = c.j
+                JOIN i8_asg a ON a.vid = c.vec_id
+                JOIN i8_pr pr ON pr.cell = a.cell
+                WHERE c.vec_id <> 0 GROUP BY 1),
+      p_topc AS (SELECT vec_id FROM p_adc ORDER BY adc DESC, vec_id LIMIT 40)
+      SELECT CAST(ROW_NUMBER() OVER (
+               ORDER BY cs.dotq/(cs.na*qn.nq) DESC, cs.vec_id) AS INTEGER) AS rank,
+             cs.vec_id AS vec_id, cs.label AS label
+      FROM cs JOIN p_topc USING (vec_id), qn
+      ORDER BY 1 LIMIT 10""")
+  )
+
   val all: Seq[Q] =
     Seq(q30, q31, q32, q33, q34, q50, q70, q71, q72, q79, q87, q116, q119,
-      q124, q132, q148, q157, q163, q184)
+      q124, q132, q148, q157, q163, q184, q197)
 }

@@ -89,4 +89,36 @@ class CloneSpec extends SparkSpec {
     assert(d.numFiles === TimeTravel.filesAt(spark, dst, 1).size)
     assert(d.sizeBytes > 0)
   }
+
+  test("clone refuses a vacuumed-away source version cleanly — no half-created destination") {
+    val src = stage()
+    TimeTravel.compact(spark, src, "p") // v3: checkpointable floor
+    TimeTravel.vacuum(spark, src, keepFrom = 3)
+    val dst = tmpDir("clone-vacuumed")
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.cloneAt(spark, src, dst, version = 1))
+    assert(e.getMessage.contains("not resolvable"),
+      s"expected the resolution refusal, got: ${e.getMessage}")
+    // the refusal fired BEFORE anything landed: the destination has no
+    // commits and a retry against a live version succeeds cleanly
+    assert(TimeTravel.latestVersion(spark, dst) === 0)
+    assert(TimeTravel.cloneAt(spark, src, dst, version = 3) === 1)
+    assert(keys(dst) === (0L until 120L).toSet)
+  }
+
+  test("a source file vanishing mid-clone (a concurrent vacuum's crash window) cannot produce a half-linked clone") {
+    val src = stage()
+    // simulate the race: the clone resolved its snapshot, then a
+    // concurrent source vacuum reclaimed one of the files before the
+    // link pass reached it
+    val victim = TimeTravel.filesAt(spark, src, 2).head
+    assert(new java.io.File(s"$src/data/$victim").delete())
+    val dst = tmpDir("clone-race")
+    intercept[Exception](TimeTravel.cloneAt(spark, src, dst))
+    // the clone's manifest lands AFTER the link pass, so the failed
+    // clone is INVISIBLE — no commit, no readable half-state; the
+    // leftover linked files are orphans a dst-side cleanup can sweep
+    assert(TimeTravel.latestVersion(spark, dst) === 0)
+    intercept[Exception](TimeTravel.readVersion(spark, dst, 1))
+  }
 }

@@ -414,6 +414,42 @@ class VectorSpec extends SparkSpec {
       s"cell not in PartitionFilters:\n$plan")
   }
 
+  test("IVF-PQ composed index: full-probe full-rerank equals brute force; " +
+      "default budgets equal cell-restricted pqTopK; ADC scan prunes cells " +
+      "and projects only the code column") {
+    val centroids = Similarity.firstNCentroids(emb, 8)
+    val q = local(0L).map(_.toDouble).toSeq
+    val idx = tmpDir("graft-ivfpq-idx")
+    Similarity.writeIvfPqIndex(emb, centroids, idx, m = 8, kCent = 16)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getAs[Long]("vec_id")).toSeq
+    // every cell probed + rerank = corpus → EXACT top-k: the stored
+    // codes only gate the candidate order, the re-rank is exact cosine
+    val n = emb.count().toInt
+    val exhaustive = Similarity.ivfPqTopKFromIndex(spark, idx, q, k = 10,
+      nProbe = 8, rerank = n, excludeId = 0L)
+    assert(ids(exhaustive) ===
+      ids(Similarity.cosineTopK(emb, q, 10, excludeId = 0L)))
+    // default budgets: stored codes reproduce the LIVE pq encoding —
+    // all-probe serving equals pqTopK (same codebook, same ADC order)
+    val allProbe = Similarity.ivfPqTopKFromIndex(spark, idx, q, k = 10,
+      nProbe = 8, rerank = 40, excludeId = 0L)
+    assert(ids(allProbe) === ids(Similarity.pqTopK(emb, q, k = 10,
+      m = 8, kCent = 16, rerank = 40, excludeId = 0L)))
+    // probed serving: partition pruning reached the ADC scan, and the
+    // candidate phase reads ONLY (vec_id, codes) — never the floats
+    val served = Similarity.ivfPqTopKFromIndex(spark, idx, q, k = 10,
+      nProbe = 2, rerank = 40, excludeId = 0L)
+    assert(ids(served).size === 10)
+    val plan = served.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(plan).isDefined,
+      s"cell not in PartitionFilters:\n$plan")
+    val adcScan = "ReadSchema: [^\\n]*codes[^\\n]*".r.findFirstIn(plan)
+    assert(adcScan.isDefined, s"no codes-projecting scan in:\n$plan")
+    assert(!adcScan.get.contains("embedding"),
+      s"the ADC scan must not read the float embeddings:\n${adcScan.get}")
+  }
+
   test("knnJoinFromIndex: serving the persisted index equals the live " +
       "bucketed join, with partition-pruned cell scans") {
     import org.apache.spark.sql.functions.col
