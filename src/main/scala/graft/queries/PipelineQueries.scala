@@ -2504,24 +2504,30 @@ object PipelineQueries {
       val tip = TimeTravel.latestVersion(spark, t)
       val decl = spark.read.format("graft-versioned")
         .option("path", t).load()
-      def sig(df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)), sum(col("o_orderkey")),
-          sum(crc32(concat_ws("|", col("o_orderstatus"),
-            col("o_month"))))).head.toSeq
-      val matches =
-        sig(decl) == sig(TimeTravel.readVersion(spark, t, tip))
       val m5 = Tables.load(spark, dir, "orders")
         .agg(max(col("o_orderkey"))).head.getLong(0) / 5
-      val firstSlab = decl.filter(col("o_orderkey") <= m5)
-      val pushedShown = firstSlab.queryExecution.executedPlan.toString
-        .contains("PushedFilters")
-      decl.agg(count(lit(1)).as("n_rows"),
-          Exact.dsum(col("o_totalprice")).as("sum_price"),
-          countDistinct(col("o_custkey")).as("n_cust"))
-        .select(col("n_rows"), col("sum_price"), col("n_cust"),
-          lit(firstSlab.count()).as("n_first_slab"),
-          lit(matches).as("matches_imperative"),
-          lit(pushedShown).as("pushed_filters_shown"))
+      // ONE aggregate action per side carries the content aggregates,
+      // the row-identity signature, AND the pushed-range slab count
+      def aggRow(df: org.apache.spark.sql.DataFrame) =
+        df.agg(count(lit(1)),
+          Exact.dsum(col("o_totalprice")),
+          countDistinct(col("o_custkey")),
+          sum(when(col("o_orderkey") <= m5, 1L).otherwise(0L)),
+          sum(col("o_orderkey")),
+          sum(crc32(concat_ws("|", col("o_orderstatus"),
+            col("o_month"))))).head
+      val d = aggRow(decl)
+      val matches =
+        d == aggRow(TimeTravel.readVersion(spark, t, tip))
+      val pushedShown = decl.filter(col("o_orderkey") <= m5)
+        .queryExecution.executedPlan.toString.contains("PushedFilters")
+      spark.range(1).select(
+        lit(d.getLong(0)).as("n_rows"),
+        lit(d.getDouble(1)).as("sum_price"),
+        lit(d.getLong(2)).as("n_cust"),
+        lit(d.getLong(3)).as("n_first_slab"),
+        lit(matches).as("matches_imperative"),
+        lit(pushedShown).as("pushed_filters_shown"))
     },
     Some(s"""WITH b AS (SELECT MAX(o_orderkey)//5 AS m5 FROM orders)
       SELECT COUNT(*) AS n_rows,
@@ -2553,17 +2559,22 @@ object PipelineQueries {
       val logicalNames = decl.columns.contains("price") &&
         !decl.columns.contains("o_totalprice") &&
         !decl.columns.contains("o_orderpriority")
-      def sig(df: org.apache.spark.sql.DataFrame) =
-        df.agg(count(lit(1)), sum(col("o_orderkey")),
-          sum(crc32(col("o_orderstatus"))),
-          sum(crc32(col("price").cast("decimal(18,2)").cast("string"))))
-          .head.toSeq
+      // one per-status aggregate action per side: the collected rows
+      // are BOTH the output content and the row-identity comparison
+      def perStatus(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("sum_key"),
+            Exact.dsum(col("price")).as("sum_price"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+            r.getDouble(3)))
+          .sortBy(_._1).toSeq
+      val dRows = perStatus(decl)
       val matches =
-        sig(decl) == sig(TimeTravel.readVersion(spark, t, tip))
-      decl.groupBy(col("o_orderstatus").as("status"))
-        .agg(count(lit(1)).as("n_rows"),
-          sum(col("o_orderkey")).as("sum_key"),
-          Exact.dsum(col("price")).as("sum_price"))
+        dRows == perStatus(TimeTravel.readVersion(spark, t, tip))
+      spark.createDataFrame(dRows)
+        .toDF("status", "n_rows", "sum_key", "sum_price")
         .withColumn("logical_names", lit(logicalNames))
         .withColumn("matches_imperative", lit(matches))
     },
