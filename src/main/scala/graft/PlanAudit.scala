@@ -125,7 +125,11 @@ object PlanAudit {
         val shuffles = "Exchange hashpartitioning|Exchange rangepartitioning|Exchange SinglePartition".r
           .findAllIn(plan).length
         val broadcasts = "BroadcastExchange".r.findAllIn(plan).length
-        val scans = "Scan parquet".r.findAllIn(plan).length
+        // "Scan parquet" = FileSourceScanExec; "Scan GraftVersioned" =
+        // the merge-on-read V1 relation (RowDataSourceScanExec) — a
+        // real distributed scan, counted as one
+        val scans = "Scan parquet|Scan GraftVersioned".r
+          .findAllIn(plan).length
         val pushed = "PushedFilters: \\[(?!\\])".r.findAllIn(plan).length
         // codegen stages appear as "*(n) Operator" in simpleString; count
         // distinct stage ids
@@ -143,7 +147,7 @@ object PlanAudit {
          |Generated by `graft.PlanAudit` at sf dir `$sfDir` (initial AQE
          |plans; AQE may further coalesce at runtime). Columns:
          |
-         |- **scans**: parquet scans in the plan
+         |- **scans**: parquet + versioned-relation scans in the plan
          |- **pushed**: scans with a non-empty PushedFilters list
          |- **shuffles**: hash/range/single-partition exchanges
          |- **broadcasts**: broadcast exchanges (dimension sides)

@@ -2519,15 +2519,21 @@ object PipelineQueries {
       val d = aggRow(decl)
       val matches =
         d == aggRow(TimeTravel.readVersion(spark, t, tip))
-      val pushedShown = decl.filter(col("o_orderkey") <= m5)
+      val firstSlab = decl.filter(col("o_orderkey") <= m5)
+      val pushedShown = firstSlab
         .queryExecution.executedPlan.toString.contains("PushedFilters")
-      spark.range(1).select(
-        lit(d.getLong(0)).as("n_rows"),
-        lit(d.getDouble(1)).as("sum_price"),
-        lit(d.getLong(2)).as("n_cust"),
-        lit(d.getLong(3)).as("n_first_slab"),
-        lit(matches).as("matches_imperative"),
-        lit(pushedShown).as("pushed_filters_shown"))
+      // the OUTPUT plan carries the real pushed-range scan of the
+      // merge-on-read relation (PLANS.md shows the scan + its
+      // PushedFilters); the whole-table aggregates ride as literals
+      // from the single aggregate action above
+      firstSlab.agg(count(lit(1)).as("n_first_slab"))
+        .select(
+          lit(d.getLong(0)).as("n_rows"),
+          lit(d.getDouble(1)).as("sum_price"),
+          lit(d.getLong(2)).as("n_cust"),
+          col("n_first_slab"),
+          lit(matches).as("matches_imperative"),
+          lit(pushedShown).as("pushed_filters_shown"))
     },
     Some(s"""WITH b AS (SELECT MAX(o_orderkey)//5 AS m5 FROM orders)
       SELECT COUNT(*) AS n_rows,
@@ -2573,8 +2579,12 @@ object PipelineQueries {
       val dRows = perStatus(decl)
       val matches =
         dRows == perStatus(TimeTravel.readVersion(spark, t, tip))
-      spark.createDataFrame(dRows)
-        .toDF("status", "n_rows", "sum_key", "sum_price")
+      // the OUTPUT plan is the real per-status aggregate over the
+      // merge-on-read relation (PLANS.md shows the logical-name scan)
+      decl.groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("price")).as("sum_price"))
         .withColumn("logical_names", lit(logicalNames))
         .withColumn("matches_imperative", lit(matches))
     },
