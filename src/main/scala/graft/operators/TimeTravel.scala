@@ -376,6 +376,47 @@ object TimeTravel {
             "writing to it")
       }
 
+  /** PROTOCOL DOWNGRADE — the explicit story the ratchet points at
+    * (Delta's `ALTER TABLE DROP FEATURE`, scaled to essentials): a
+    * metadata-only commit whose `#protocol=` line is exactly what the
+    * CURRENT snapshot's content needs, instead of the ratcheted
+    * historical maximum. Sound because the gate is PER RECORD and
+    * content-derived: time travel to a pre-downgrade version still
+    * walks that version's own records, which still carry (and
+    * enforce) the higher requirement — the downgrade frees only the
+    * tip-onward path. Typical flow: `deleteWhereDv` raised the table
+    * to 3/3, a later `compact` materialized every vector away, and
+    * the downgrade returns new commits to 1/1 so pre-DV readers can
+    * consume the tip again. Refused when the requirement is already
+    * minimal (a no-op commit would be noise, not an operation). */
+  def downgradeProtocol(spark: SparkSession, baseDir: String): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits")
+    while (true) {
+      val snap = resolveFull(spark, baseDir, prev)
+      val needed = protocolNeededBy(snap.colmap, snap.dropped, snap.dvs)
+      val cur = protocolOfRecord(fs, baseDir, prev).getOrElse((1, 1))
+      require(cur != needed,
+        s"$baseDir's protocol requirement $cur is already the minimum " +
+          "its current content needs — nothing to downgrade")
+      try {
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None,
+          schemaOfRecord(fs, baseDir, prev), Some("protocol"),
+          constraints = activeConstraints(fs, baseDir, prev),
+          colmap = snap.colmap, coldrop = snap.dropped,
+          bloomIdx = activeBloomIdx(fs, baseDir, prev),
+          protocolOverride = Some(needed))
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
   private def readLinesUngated(fs: FileSystem, p: Path): List[String] = {
     val in = fs.open(p)
     try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
@@ -1599,12 +1640,21 @@ object TimeTravel {
       coldrop: Set[String] = Set.empty,
       dvs: Map[String, String] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      bloomIdx: Map[String, (Long, Double)] = Map.empty): Unit = {
+      bloomIdx: Map[String, (Long, Double)] = Map.empty,
+      protocolOverride: Option[(Int, Int)] = None): Unit = {
     // the table's current requirement gates the WRITE, and the new
-    // record carries the ratcheted requirement forward
+    // record carries the ratcheted requirement forward —
+    // protocolOverride ([[downgradeProtocol]]) replaces the ratchet
+    // but may never understate what the record's own content needs
     gateWriter(fs, baseDir, version - 1)
-    val proto = (protocolOfRecord(fs, baseDir, version - 1) ++
-      Seq(protocolNeededBy(colmap, coldrop, dvs))).reduce(maxProtocol)
+    val needed = protocolNeededBy(colmap, coldrop, dvs)
+    protocolOverride.foreach(p => require(
+      maxProtocol(p, needed) == p,
+      s"protocol override $p understates the record's own content " +
+        s"(needs $needed)"))
+    val proto = protocolOverride.getOrElse(
+      (protocolOfRecord(fs, baseDir, version - 1) ++
+        Seq(needed)).reduce(maxProtocol))
     val bytes =
       (Seq(protocolLine(proto._1, proto._2)) ++
         txn.map(txnLine).toSeq ++ schema.map(schemaLine).toSeq ++
@@ -4199,6 +4249,7 @@ object TimeTravel {
         case Some("compact") => Nil // dataChange=false: already delivered
         case Some("constraint") => Nil // metadata-only: no rows to deliver
         case Some("bloomidx") => Nil // metadata-only: no rows to deliver
+        case Some("protocol") => Nil // metadata-only: no rows to deliver
         case Some("colmap") =>
           colmapWindowVerdict(baseDir, v, lines, consumerSchema)
           Nil // metadata-only once the consumer reads the new names
@@ -4318,7 +4369,8 @@ object TimeTravel {
           stats.get(f).flatMap(parseRowCount)))
       case None if removes.isEmpty => // pre-#op adds-only: an append
         adds.sorted.map(f => CdcUnit(f, isAdd = true, None))
-      case Some("compact") | Some("constraint") | Some("bloomidx") => Nil
+      case Some("compact") | Some("constraint") | Some("bloomidx") |
+           Some("protocol") => Nil
       case Some("colmap") =>
         colmapWindowVerdict(baseDir, v, lines, consumerSchema)
         Nil
@@ -4439,6 +4491,7 @@ object TimeTravel {
         case Some("compact") => None // dataChange=false
         case Some("constraint") => None // metadata-only commit
         case Some("bloomidx") => None // metadata-only commit
+        case Some("protocol") => None // metadata-only commit
         case op =>
           val tok = cdcFrom(lines).getOrElse(
             throw new IllegalArgumentException(

@@ -104,6 +104,41 @@ class ProtocolSpec extends SparkSpec {
       TimeTravel.addConstraint(spark, t, "c", "k > 0"))
   }
 
+  test("downgradeProtocol returns the tip to what content needs; old versions keep their own gates") {
+    val t = stage()
+    val vDv = TimeTravel.deleteWhereDv(spark, t, col("k") === 1L, "p")
+    assert(protoOf(t, vDv) === "3/3")
+    // compaction MATERIALIZES the vectors — content no longer needs 3,
+    // but the ratchet keeps the requirement until the explicit downgrade
+    val vC = TimeTravel.compact(spark, t, "p", maxFilesPerDir = 16)
+    assert(protoOf(t, vC) === "3/3")
+    val vD = TimeTravel.downgradeProtocol(spark, t)
+    assert(protoOf(t, vD) === "1/1")
+    // new commits stay at the downgraded requirement
+    val vA = TimeTravel.append(spark, t,
+      Seq((9L, "a", 9.0)).toDF("k", "p", "x"), "p")
+    assert(protoOf(t, vA) === "1/1")
+    assert(TimeTravel.readVersion(spark, t, vA).count() === 2)
+    // TIME TRAVEL to the DV-bound version still enforces ITS records'
+    // requirement (per-record gating — the downgrade frees only the
+    // tip-onward path) and still reads correctly
+    assert(TimeTravel.readVersion(spark, t, vDv).count() === 1)
+    // feeds treat the protocol commit as metadata-only
+    assert(TimeTravel.readAppendsSince(spark, t, vC).count() === 1)
+    // a second downgrade is a loud no-op
+    val e = intercept[IllegalArgumentException](
+      TimeTravel.downgradeProtocol(spark, t))
+    assert(e.getMessage.contains("already the minimum"))
+    // a downgrade can never understate content: with an active column
+    // mapping the minimum is 2/2, not 1/1
+    val t2 = stage()
+    TimeTravel.renameColumn(spark, t2, "x", "y")
+    TimeTravel.deleteWhereDv(spark, t2, col("k") === 1L, "p")
+    TimeTravel.compact(spark, t2, "p", maxFilesPerDir = 16)
+    val vD2 = TimeTravel.downgradeProtocol(spark, t2)
+    assert(protoOf(t2, vD2) === "2/2")
+  }
+
   test("an unparsable protocol declaration fails closed") {
     val t = stage()
     forgeProtocol(t, TimeTravel.latestVersion(spark, t), "banana")

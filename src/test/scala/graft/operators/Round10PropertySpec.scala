@@ -51,7 +51,7 @@ class Round10PropertySpec extends SparkSpec {
 
     (1 to 15).foreach { _ =>
       val prevVersion = TimeTravel.latestVersion(spark, dir)
-      val next = rnd.nextInt(8) match {
+      val next = rnd.nextInt(9) match {
         case 0 => // upsert a small batch (updates + inserts, distinct keys)
           val batch = someRows(1 + rnd.nextInt(3)).distinctBy(_._1)
           TimeTravel.upsert(spark, dir, df(batch), "id", "part")
@@ -95,6 +95,13 @@ class Round10PropertySpec extends SparkSpec {
             TimeTravel.setBloomIndex(spark, dir, "id", 1000L, 0.01)
           else TimeTravel.dropBloomIndex(spark, dir, "id")
           current
+        case 7 => // full OVERWRITE: the table becomes exactly the batch
+          // (the declarative SaveMode.Overwrite commit) — a rewrite
+          // whose removes are the WHOLE previous file set; resolution,
+          // restore, and vacuum must compose through it like any commit
+          val batch = someRows(2 + rnd.nextInt(4))
+          TimeTravel.overwrite(spark, dir, df(batch), "part")
+          batch
         case _ => // add/drop a (vacuously true) constraint: a metadata-only
           // commit every version must resolve THROUGH without content drift
           val cs = TimeTravel.constraintsAt(spark, dir, prevVersion)
