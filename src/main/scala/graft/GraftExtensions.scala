@@ -32,5 +32,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer surface: the lossless bounded-edit-distance prefilter
     // (same rule GraftSession.installOptimizations adds imperatively)
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
+    // the merge-on-read scan splice (gated on spark.graft.mor.rewrite)
+    ext.injectOptimizerRule(_ => graft.plans.MorScanRewrite)
   }
 }

@@ -40,7 +40,11 @@ object GraftSession {
     "spark.sql.adaptive.enabled" -> "true",
     "spark.ui.enabled" -> "false",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
-    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k")
+    "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
+    // merge-on-read scan splice ([[graft.plans.MorScanRewrite]]): the
+    // tuned sessions read DV-bound / column-mapped versioned tables
+    // through the native codegen plan instead of the V1 Row fallback
+    "spark.graft.mor.rewrite" -> "true")
 
   /** `builder.config(k, v)` for every [[engineConfs]] entry. */
   def tuned(builder: SparkSession.Builder): SparkSession.Builder =
@@ -73,13 +77,22 @@ object GraftSession {
     * imperative twin of the `graft.GraftExtensions` injection):
     * currently the lossless Levenshtein length-bound prefilter. Guarded
     * against double-install, so every entry path may call it. */
-  def installOptimizations(spark: SparkSession): Unit =
+  def installOptimizations(spark: SparkSession): Unit = {
     if (!spark.experimental.extraOptimizations
         .contains(graft.plans.LevenshteinPrefilter)) {
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+
           graft.plans.LevenshteinPrefilter
     }
+    // the merge-on-read scan splice (gated on spark.graft.mor.rewrite,
+    // which the tuned sessions set — see MorScanRewrite's scaladoc)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.MorScanRewrite)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+
+          graft.plans.MorScanRewrite
+    }
+  }
 
   /** Schema introspection (SURVEY.md §2.8 M1/M2): column names + types of
     * any result — the DESCRIBE surface the reference's converter uses. */

@@ -22,6 +22,8 @@ object PlanAudit {
       // AQE off for the audit: the static plan shows codegen spans and the
       // worst-case exchange count (AQE only ever removes work at runtime)
       .config("spark.sql.adaptive.enabled", "false")
+      // audit the plans the tuned sessions run: the MOR splice included
+      .config("spark.graft.mor.rewrite", "true")
       .getOrCreate()
     GraftSession.installOptimizations(spark)
     spark.sparkContext.setLogLevel("ERROR")

@@ -1,0 +1,76 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.{Alias, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+import graft.operators.TimeTravel
+import graft.sources.GraftVersionedMorRelation
+
+/** Optimizer rule: splice the merge-on-read versioned-table relation's
+  * REAL logical scan (native vectorized parquet + the deletion-vector
+  * anti-join + the logical-name projection) in place of the V1
+  * [[GraftVersionedMorRelation]] — the Delta `PrepareDeltaScan` design.
+  * The V1 relation's `buildScan` is correct but pays a Row boundary
+  * (internal → external → internal row conversion around the
+  * RowDataSourceScanExec seam); the spliced plan keeps whole-stage
+  * codegen end to end and lets Catalyst push the query's own filters
+  * through the anti-join down to the parquet readers.
+  *
+  * A filter sitting directly on the relation ALSO drives log-stats
+  * file skipping: its conjuncts translate to
+  * [[TimeTravel.ColRange]]s and prune the version's file list (range
+  * stats + bloom probes) before the scan is even planned, exactly what
+  * the relation's `buildScan` does for pushed filters — and the Filter
+  * node stays in place, so skipping remains the superset-prune
+  * optimization it must be. Output attributes re-alias to the
+  * relation's ORIGINAL exprIds, so every parent reference resolves
+  * unchanged.
+  *
+  * Gated on `spark.graft.mor.rewrite` (set by the tuned sessions;
+  * DEFAULT FALSE) so plan shape is deterministic per session rather
+  * than per rule-install order — with the flag off, the V1 fallback
+  * serves, same results. Idempotent: the splice removes the only node
+  * shape the rule matches. */
+object MorScanRewrite extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!conf.getConfString("spark.graft.mor.rewrite", "false").toBoolean)
+      plan
+    // transformDOWN: the Filter-over-relation pattern must match at
+    // the parent BEFORE the bare-relation case consumes the child (an
+    // upward transform rewrites the relation first and the filter
+    // case never fires)
+    else plan.transformDown {
+      // a filter directly on the relation is CONSUMED whole: its
+      // conjuncts drive log-stats file skipping, and the full condition
+      // re-optimizes WITH the spliced subplan so parquet pushdown
+      // happens even though Spark's own pushdown batches already ran
+      case Filter(cond, lr: LogicalRelation)
+          if lr.relation.isInstanceOf[GraftVersionedMorRelation] =>
+        spliced(lr, TimeTravel.predicateRanges(cond), Some(cond))
+      case lr: LogicalRelation
+          if lr.relation.isInstanceOf[GraftVersionedMorRelation] =>
+        spliced(lr, Nil, None)
+    }
+
+  private def spliced(lr: LogicalRelation,
+      preds: Seq[TimeTravel.ColRange],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : LogicalPlan = {
+    val mor = lr.relation.asInstanceOf[GraftVersionedMorRelation]
+    val replacement = mor.logicalScan(preds, cond)
+    val byName = replacement.output.map(a => a.name -> a).toMap
+    // the committed schema is the contract on both sides; a drifted
+    // replacement (a column the relation promises but the scan lacks)
+    // must fail the rewrite loudly, never bind by position
+    val projections: Seq[NamedExpression] = lr.output.map { o =>
+      val src = byName.getOrElse(o.name, throw new IllegalStateException(
+        s"MorScanRewrite: replacement scan lacks column '${o.name}' " +
+          s"(has: ${replacement.output.map(_.name).mkString(", ")})"))
+      Alias(src, o.name)(exprId = o.exprId, qualifier = o.qualifier)
+    }
+    Project(projections, replacement)
+  }
+}

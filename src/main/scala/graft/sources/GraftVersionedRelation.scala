@@ -277,6 +277,40 @@ private[graft] final class GraftVersionedMorRelation(spark: SparkSession,
       case _ => None
     }
 
+  /** The ANALYZED logical plan of this relation's merge-on-read scan,
+    * file-skipped by `preds` — the [[graft.plans.MorScanRewrite]]
+    * hook: the optimizer rule splices this plan (native parquet scans
+    * + the DV anti-join, full codegen) in place of the V1 relation,
+    * which only remains as the rule-less fallback with its Row
+    * boundary. */
+  /** `cond`: the query's own filter over this relation, remapped onto
+    * the scan's attributes and optimized WITH the subplan — the splice
+    * happens in the LATE user-rules batch, after Spark's own pushdown
+    * already ran, so the inner optimization is what carries the
+    * predicate through the DV anti-join down to the parquet readers.
+    * The subplan must also be the OPTIMIZED plan (not analyzed): the
+    * early batches (hint resolution, subquery cleanup) have already
+    * run on the outer query, and an un-eliminated ResolvedHint would
+    * reach the planner and fail. The subplan holds no MOR relations,
+    * so its own optimization cannot recurse into the rule. */
+  private[graft] def logicalScan(preds: Seq[TimeTravel.ColRange],
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions.AttributeReference
+    val base = plan.readKept(preds).queryExecution.analyzed
+    val byName = base.output.map(a => a.name -> a).toMap
+    val withFilter = cond.fold(base) { c =>
+      val remapped = c.transform {
+        case a: AttributeReference => byName.getOrElse(a.name,
+          throw new IllegalStateException(
+            s"MOR scan lacks filter column '${a.name}' " +
+              s"(has: ${base.output.map(_.name).mkString(", ")})"))
+      }
+      org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, base)
+    }
+    spark.sessionState.executePlan(withFilter).optimizedPlan
+  }
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {

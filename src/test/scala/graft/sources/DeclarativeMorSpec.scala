@@ -95,4 +95,44 @@ class DeclarativeMorSpec extends SparkSpec {
     assert(none.count() === 0)
     assert(none.columns.toSet === Set("k", "p", "x"))
   }
+
+  test("MorScanRewrite splices the native codegen plan under the tuned flag; identical results") {
+    val (t, v) = dvTable()
+    graft.GraftSession.installOptimizations(spark)
+    spark.conf.set("spark.graft.mor.rewrite", "true")
+    try {
+      val decl = read(t).filter(col("k") > 100L && col("p") === "p1")
+      val plan = decl.queryExecution.executedPlan.toString
+      // the V1 Row seam is GONE: the scan is native parquet with the
+      // query's own filters pushed through the DV anti-join
+      assert(!plan.contains("GraftVersionedMorRelation"),
+        s"relation not spliced:\n$plan")
+      assert(plan.contains("FileScan parquet") ||
+        plan.contains("Scan parquet"), s"no native scan in:\n$plan")
+      assert("PushedFilters: \\[[^\\]]*GreaterThan".r
+        .findFirstIn(plan).isDefined,
+        s"query filter not pushed to the parquet reader:\n$plan")
+      assert(decl.count() ===
+        (101 to 400).count(i => i % 4 == 1 && i % 10 != 0))
+      // whole-table read and row identity vs the imperative read
+      val all = read(t)
+      assert(all.count() === 360)
+      assert(all.select("k", "p", "x")
+        .except(graft.operators.TimeTravel.readVersion(spark, t, v)
+          .select("k", "p", "x")).isEmpty)
+      // colmap + DV composition through the splice
+      val t2 = tmpDir("mor-rule-both")
+      val df2 = (1 to 50).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
+        .toDF("k", "p", "x").repartition(1)
+      graft.operators.TimeTravel.init(spark, t2, df2, "p")
+      graft.operators.TimeTravel.renameColumn(spark, t2, "x", "value")
+      graft.operators.TimeTravel.deleteWhereDv(spark, t2,
+        col("value") <= 10.0, "p")
+      val both = read(t2)
+      assert(both.columns.toSet === Set("k", "p", "value"))
+      assert(both.count() === 40)
+      assert(!both.queryExecution.executedPlan.toString
+        .contains("GraftVersionedMorRelation"))
+    } finally spark.conf.set("spark.graft.mor.rewrite", "false")
+  }
 }
