@@ -2804,10 +2804,53 @@ object PipelineQueries {
   private val stagedSchemaTrack = scala.collection.concurrent.TrieMap
     .empty[String, (String, Boolean, Boolean)]
 
+  /** Path-addressed SQL READS with time travel
+    * ([[graft.sql.GraftSql.sql]]): `SELECT ... FROM graft.`path``
+    * with `VERSION AS OF` — no view registration, the Delta SQL-read
+    * shape completing q186 (which needed a CREATE TEMPORARY VIEW) and
+    * q195 (the write half). The tip aggregate hash-matches q186's
+    * replayed merge arithmetic; the in-band verdict pins a
+    * `VERSION AS OF 1` read equal to `readVersion(1)` — time travel
+    * through the SQL string, not the Scala API. */
+  val q198 = Q(
+    "q198_sql_time_travel",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = versionedOrdersDir(spark, dir)
+      val v1n = graft.sql.GraftSql.sql(spark,
+        s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 1")
+        .head.getLong(0)
+      val v1ok = v1n == TimeTravel.readVersion(spark, t, 1).count()
+      graft.sql.GraftSql.sql(spark,
+        s"""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+             CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+               AS sum_price
+           FROM graft.`$t` GROUP BY o_orderstatus""")
+        .withColumn("v1_matches", lit(v1ok))
+    },
+    Some(s"""WITH st AS (
+        SELECT o_orderkey,
+          CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1997
+               THEN 'R' ELSE o_orderstatus END AS status,
+          CASE WHEN o_orderkey % 7 = 0 AND year(o_orderdate) = 1997
+               THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+        FROM orders
+        WHERE NOT (o_custkey % 50 = 0 AND year(o_orderdate) = 1999)
+        UNION ALL
+        SELECT o_orderkey + 10000000, 'N', o_totalprice
+        FROM orders WHERE o_orderkey % 97 = 0 AND year(o_orderdate) = 1998)
+      SELECT status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price,
+        TRUE AS v1_matches
+      FROM st GROUP BY 1""")
+  )
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196)
+      q191, q192, q193, q194, q195, q196, q198)
 }

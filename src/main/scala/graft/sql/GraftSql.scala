@@ -57,9 +57,77 @@ object GraftSql {
       case other => throw new IllegalArgumentException(
         s"not a DML statement (${other.nodeName}): GraftSql executes " +
           "INSERT INTO / INSERT OVERWRITE / DELETE FROM / UPDATE / " +
-          "MERGE INTO; run queries through spark.sql over the " +
-          "graft-versioned view (q186's surface)")
+          "MERGE INTO; run SELECTs through GraftSql.sql (path-addressed " +
+          "with VERSION AS OF) or spark.sql over a registered view " +
+          "(q186's surface)")
     }
+
+  /** SQL QUERY surface over versioned tables — `spark.sql` semantics
+    * with Delta's path addressing and time travel, no view
+    * registration:
+    * {{{
+    *   GraftSql.sql(spark, "SELECT count(*) FROM graft.`/t`")
+    *   GraftSql.sql(spark,
+    *     "SELECT * FROM graft.`/t` VERSION AS OF 2 WHERE k > 10")
+    *   GraftSql.sql(spark,
+    *     "SELECT * FROM graft.`/t` TIMESTAMP AS OF '2026-08-01 00:00:00'")
+    * }}}
+    * Every `graft.`path`` relation (time-traveled or not) rewrites to
+    * the declarative relation's resolved plan — so merge-on-read
+    * versions, the codegen splice, pushed filters and file skipping
+    * all apply exactly as they do to `spark.read.format(
+    * "graft-versioned")`; non-graft relations (views, catalog tables)
+    * resolve normally, so versioned tables join freely with anything
+    * else in the query. */
+  def sql(spark: SparkSession, query: String)
+      : org.apache.spark.sql.DataFrame =
+    DmlBridge.ofRows(spark,
+      rewriteReads(spark, spark.sessionState.sqlParser.parsePlan(query)))
+
+  /** Rewrite every `graft.`path`` relation in `plan` (with optional
+    * VERSION/TIMESTAMP AS OF) to the declarative relation's analyzed
+    * plan; everything else is left for the normal analyzer. */
+  private def rewriteReads(spark: SparkSession,
+      plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.RelationTimeTravel
+    plan.transformUp {
+      case RelationTimeTravel(r: UnresolvedRelation, ts, version)
+          if graftPath(r).isDefined =>
+        relationPlan(spark, graftPath(r).get, version,
+          ts.map(timestampText))
+      case r: UnresolvedRelation if graftPath(r).isDefined =>
+        relationPlan(spark, graftPath(r).get, None, None)
+    }
+  }
+
+  private def graftPath(r: UnresolvedRelation): Option[String] =
+    r.multipartIdentifier match {
+      case Seq(cat, p) if cat.equalsIgnoreCase("graft") => Some(p)
+      case _ => None
+    }
+
+  /** A TIMESTAMP AS OF operand as the reader's `timestampAsOf` text:
+    * string literals pass through; a timestamp-typed foldable folds to
+    * epoch micros, which convert to the millis form the reader takes. */
+  private def timestampText(e: Expression): String = {
+    require(e.foldable && e.deterministic,
+      s"TIMESTAMP AS OF operand must be a constant, got: ${e.sql}")
+    e.eval(null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case l: java.lang.Long
+          if e.dataType ==
+            org.apache.spark.sql.types.TimestampType => (l / 1000L).toString
+      case other => String.valueOf(other)
+    }
+  }
+
+  private def relationPlan(spark: SparkSession, path: String,
+      version: Option[String], ts: Option[String]): LogicalPlan = {
+    val reader = spark.read.format("graft-versioned").option("path", path)
+    val withV = version.fold(reader)(v => reader.option("versionAsOf", v))
+    val withTs = ts.fold(withV)(t => withV.option("timestampAsOf", t))
+    withTs.load().queryExecution.analyzed
+  }
 
   /** The `graft`.`<path>` target of a DML plan, plus its alias when
     * one was written (`MERGE INTO graft.\`/t\` AS t`). */
@@ -102,7 +170,9 @@ object GraftSql {
       "static-partition INSERT clauses are not supported — the " +
         "versioned table partitions by its own layout; insert rows " +
         "carrying the partition column instead")
-    var df = DmlBridge.ofRows(spark, i.query)
+    // the source query may itself read graft tables (INSERT INTO
+    // graft.`a` SELECT * FROM graft.`b` — the cross-table copy)
+    var df = DmlBridge.ofRows(spark, rewriteReads(spark, i.query))
     if (i.userSpecifiedCols.nonEmpty) {
       require(i.userSpecifiedCols.length == df.columns.length,
         s"INSERT column list (${i.userSpecifiedCols.length}) and query " +
@@ -168,7 +238,7 @@ object GraftSql {
       case SubqueryAlias(id, child) => (child, Some(id.name))
       case other => (other, None)
     }
-    val source = DmlBridge.ofRows(spark, srcPlan)
+    val source = DmlBridge.ofRows(spark, rewriteReads(spark, srcPlan))
     // the merge join's fixed scope: target alias → tgt, source → src
     val joinedMap: Map[String, Seq[String]] =
       tAlias.map(_.toLowerCase -> Seq("tgt")).toMap ++

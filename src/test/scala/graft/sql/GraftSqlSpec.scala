@@ -96,6 +96,48 @@ class GraftSqlSpec extends SparkSpec {
     assert(tip.count() === 40) // 40 - 1 deleted + 1 inserted
   }
 
+  test("GraftSql.sql: path-addressed SELECT with VERSION/TIMESTAMP AS OF time travel") {
+    val t = stage() // v1: 40 rows
+    TimeTravel.append(spark, t,
+      Seq((100L, "p0", 1.0), (101L, "p1", 2.0)).toDF("k", "p", "x"), "p")
+    // tip read, no view registration
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$t`").head.getLong(0) === 42)
+    // VERSION AS OF reads the pre-append snapshot
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$t` VERSION AS OF 1")
+      .head.getLong(0) === 40)
+    // TIMESTAMP AS OF at v1's recorded wall-clock
+    val ts1 = TimeTravel.history(spark, t)
+      .find(_.version == 1).flatMap(_.timestampMs).get
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$t` TIMESTAMP AS OF $ts1")
+      .head.getLong(0) === 40)
+    // predicates, projections, and joins against ordinary views compose
+    Seq((1L, "one"), (2L, "two")).toDF("k", "name")
+      .createOrReplaceTempView("sql_names")
+    val joined = GraftSql.sql(spark,
+      s"""SELECT g.k, n.name FROM graft.`$t` g
+         JOIN sql_names n ON g.k = n.k WHERE g.x < 10 ORDER BY g.k""")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(joined === Seq((1L, "one"), (2L, "two")))
+    // merge-on-read versions read through the same surface
+    TimeTravel.deleteWhereDv(spark, t, col("k") === 100L, "p")
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$t`").head.getLong(0) === 41)
+  }
+
+  test("INSERT INTO ... SELECT FROM graft.`b`: the cross-table SQL copy") {
+    val a = stage()
+    val b = tmpDir("sqldml-b")
+    TimeTravel.init(spark, b,
+      Seq((500L, "p0", 5.5), (501L, "p1", 6.5)).toDF("k", "p", "x"), "p")
+    GraftSql.exec(spark,
+      s"INSERT INTO graft.`$a` SELECT * FROM graft.`$b` WHERE k = 500")
+    assert(readTip(a).filter(col("k") === 500L).count() === 1)
+    assert(readTip(a).count() === 41)
+  }
+
   test("refusals name the unsupported piece") {
     val t = stage()
     val e1 = intercept[IllegalArgumentException](GraftSql.exec(spark,
