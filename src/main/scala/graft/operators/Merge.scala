@@ -119,6 +119,19 @@ object Merge {
         "merge/delete cannot address the null partition; filter or " +
         "default the partition value upstream")
 
+  /** Tuple variant for multi-column layouts: refuse a NULL in ANY
+    * partition component (the tuple has no directory identity). */
+  private[operators] def requireNoNullPartitionTuple(
+      affected: Seq[Seq[Any]], partCols: Seq[String]): Unit =
+    affected.foreach { vs =>
+      vs.zip(partCols).foreach { case (v, c) =>
+        require(v != null,
+          s"NULL value in partition column '$c': partition-granular " +
+            "merge/delete cannot address the null partition; filter or " +
+            "default the partition value upstream")
+      }
+    }
+
   /** Remove `partCol=<v>` directories for affected partition values that
     * the rewritten data no longer contains. Directory names use Hive
     * partition-path escaping (the same encoding Spark's dynamic partition

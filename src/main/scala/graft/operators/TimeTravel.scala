@@ -633,8 +633,8 @@ object TimeTravel {
       }
       val snap = resolveFull(spark, baseDir, prev)
       require(snap.files.isEmpty ||
-          partColLogical(snap.files, snap.colmap) != column,
-        s"'$column' is the partition column — directory pruning " +
+          !partColsLogical(snap.files, snap.colmap).contains(column),
+        s"'$column' is a partition column — directory pruning " +
           "already answers equality on it exactly")
       try {
         val (cm, cd) = activeColmap(fs, baseDir, prev)
@@ -753,12 +753,10 @@ object TimeTravel {
         "pick a different name")
   }
 
-  /** The table's partition column at `version`, from the file layout
-    * (every data file lives under `col=value/`). */
-  private def partColOf(snap: Snapshot): String = {
-    val f = snap.files.head
-    f.substring(0, f.indexOf('='))
-  }
+  /** The table's partition columns at `version`, from the file layout
+    * (`a=1/b=2/<name>`; empty for an unpartitioned table). */
+  private def partColsOf(snap: Snapshot): Seq[String] =
+    if (snap.files.isEmpty) Nil else partColsPhysical(snap.files)
 
   /** A crude-but-conservative "does this CHECK expression mention the
     * column" probe: word-boundary match on the raw SQL text. */
@@ -793,8 +791,8 @@ object TimeTravel {
         s"no column '$from' (columns: ${schema.fieldNames.mkString(", ")})")
       require(!schema.fieldNames.contains(to),
         s"column '$to' already exists")
-      require(from != partColOf(snap),
-        s"'$from' is the partition column — its name IS the directory " +
+      require(!partColsOf(snap).contains(from),
+        s"'$from' is a partition column — its name IS the directory " +
           "layout; repartitioning is a rewrite, not a rename")
       require(!reservedPhysical(snap.colmap, snap.dropped)(to) ||
         snap.colmap.get(from).contains(to),
@@ -848,8 +846,8 @@ object TimeTravel {
         s"$baseDir records no schema — pre-metadata tables cannot drop"))
       require(schema.fieldNames.contains(name),
         s"no column '$name' (columns: ${schema.fieldNames.mkString(", ")})")
-      require(name != partColOf(snap),
-        s"'$name' is the partition column — dropping it is a " +
+      require(!partColsOf(snap).contains(name),
+        s"'$name' is a partition column — dropping it is a " +
           "repartition (a rewrite), not a metadata drop")
       require(schema.fields.length > 2,
         "dropping would leave fewer than two columns (partition + one " +
@@ -1039,7 +1037,7 @@ object TimeTravel {
     * `!`), feeding the streaming source's row-based admission. */
   private def footerColumnStats(
       conf: org.apache.hadoop.conf.Configuration, file: Path)
-      : (Map[String, (String, String)], Long) = {
+      : (Map[String, (String, String)], Long, Long) = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import org.apache.parquet.io.api.Binary
@@ -1049,8 +1047,8 @@ object TimeTravel {
       DateLogicalTypeAnnotation, IntLogicalTypeAnnotation}
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
     import scala.jdk.CollectionConverters._
-    val reader =
-      ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    val input = HadoopInputFile.fromPath(file, conf)
+    val reader = ParquetFileReader.open(input)
     try {
       // (numeric?, min, max) per column; None = column disqualified
       val acc = scala.collection.mutable.Map
@@ -1155,15 +1153,16 @@ object TimeTravel {
       }.toMap
       val rows = reader.getFooter.getBlocks.asScala
         .map(_.getRowCount.toLong).sum
-      (cols, rows)
+      (cols, rows, input.getLength)
     } finally reader.close()
   }
 
   private def encodeStatsPayload(
-      cols: Map[String, (String, String)], rows: Long): String =
+      cols: Map[String, (String, String)], rows: Long,
+      bytes: Long): String =
     (cols.toSeq.sortBy(_._1).map { case (c, (mn, mx)) =>
       s"${enc(c)}=${enc(mn)}:${enc(mx)}"
-    } :+ s"!rows=$rows").mkString(";")
+    } :+ s"!rows=$rows" :+ s"!bytes=$bytes").mkString(";")
 
   /** The `!rows=` token of a stats payload — absent on records written
     * before row counts were recorded (consumers degrade: the streaming
@@ -1173,6 +1172,15 @@ object TimeTravel {
     payload.split(';').collectFirst {
       case tok if tok.startsWith("!rows=") =>
         tok.stripPrefix("!rows=").toLong
+    }
+
+  /** The `!bytes=` token — the add file's on-disk size, recorded for
+    * byte-budget streaming admission (`maxBytesPerTrigger`); same
+    * degrade-to-exhaust contract as `!rows=` on older records. */
+  private def parseByteCount(payload: String): Option[Long] =
+    payload.split(';').collectFirst {
+      case tok if tok.startsWith("!bytes=") =>
+        tok.stripPrefix("!bytes=").toLong
     }
 
   /** Hadoop `Configuration` is not `Serializable`; this wrapper ships
@@ -1209,9 +1217,9 @@ object TimeTravel {
       threshold: Int = DistributedStatsThreshold): Map[String, String] =
     if (adds.size <= threshold)
       adds.map { f =>
-        val (cols, rows) = footerColumnStats(fs.getConf,
+        val (cols, rows, bytes) = footerColumnStats(fs.getConf,
           new Path(dataDir(baseDir), f))
-        f -> encodeStatsPayload(cols, rows)
+        f -> encodeStatsPayload(cols, rows, bytes)
       }.toMap
     else {
       val confW =
@@ -1220,9 +1228,9 @@ object TimeTravel {
       spark.sparkContext
         .parallelize(adds, math.max(1, math.min(adds.size / 8, 64)))
         .map { f =>
-          val (cols, rows) =
+          val (cols, rows, bytes) =
             footerColumnStats(confW.conf, new Path(s"$root/$f"))
-          f -> encodeStatsPayload(cols, rows)
+          f -> encodeStatsPayload(cols, rows, bytes)
         }
         .collect()
         .toMap
@@ -1699,8 +1707,14 @@ object TimeTravel {
     * knows its files because it MOVED them, and the token keeps names
     * globally unique. Renames are per-file metadata ops on a real
     * filesystem — the classic staging-commit every table format uses. */
+  /** Single-string convenience (comma-separated columns; "" =
+    * unpartitioned) — the spelling tests and older call sites use. */
   private[operators] def stageWrite(spark: SparkSession, baseDir: String,
-      df: DataFrame, partCol: String,
+      df: DataFrame, partCol: String): Seq[String] =
+    stageWrite(spark, baseDir, df, splitCols(partCol))
+
+  private[operators] def stageWrite(spark: SparkSession, baseDir: String,
+      df: DataFrame, partCols: Seq[String],
       clusterBy: Option[(String, Int)] = None,
       zorderBy: Option[((String, String), Int)] = None,
       colmap: Map[String, String] = Map.empty): Seq[String] = {
@@ -1709,6 +1723,7 @@ object TimeTravel {
     val staging =
       fs.makeQualified(new Path(baseDir, s"_staging/$token"))
     try {
+      val partExprs = partCols.map(col)
       val arranged = (clusterBy, zorderBy) match {
         // CLUSTERED layout: k range buckets over the cluster key, each
         // bucket writing one file per partition dir it holds rows of —
@@ -1718,7 +1733,7 @@ object TimeTravel {
         // row-group stats monotone and gives the dynamic-partition
         // writer sequential dir runs.
         case (Some((ck, k)), _) => df.repartitionByRange(k, col(ck))
-          .sortWithinPartitions(col(partCol), col(ck))
+          .sortWithinPartitions(partExprs :+ col(ck): _*)
         // Z-ORDER layout: k range buckets over the two columns' Morton
         // interleave ([[Layout.zValue]] — a codegen'd bit_interleave),
         // so every file covers a small RECTANGLE of the (x, y) space
@@ -1736,10 +1751,11 @@ object TimeTravel {
             b.getDouble(1), b.getDouble(2), b.getDouble(3))
           df.withColumn("__graft_z", z)
             .repartitionByRange(k, col("__graft_z"))
-            .sortWithinPartitions(col(partCol), col("__graft_z"))
+            .sortWithinPartitions(partExprs :+ col("__graft_z"): _*)
             .drop("__graft_z")
-        case (None, None) => // one task's files per partition dir
-          df.repartition(col(partCol))
+        case (None, None) if partCols.nonEmpty =>
+          df.repartition(partExprs: _*) // one task's files per dir
+        case (None, None) => df // unpartitioned: the batch's own layout
       }
       // under column mapping, files persist PHYSICAL names: rename just
       // before the write (the arrange above worked on logical names)
@@ -1747,26 +1763,36 @@ object TimeTravel {
         if (colmap.isEmpty) arranged
         else arranged.select(arranged.columns.map(c =>
           col(c).as(colmap.getOrElse(c, c))).toSeq: _*)
-      physical.write.mode("overwrite").partitionBy(partCol)
+      val writer = physical.write.mode("overwrite")
+      (if (partCols.isEmpty) writer else writer.partitionBy(partCols: _*))
         .parquet(staging.toString)
-      relativeParquetFiles(fs, staging, staging).toSeq.sorted.map { rel =>
-        val slash = rel.lastIndexOf('/')
-        val target = s"${rel.take(slash)}/$token-${rel.drop(slash + 1)}"
-        val dst = new Path(dataDir(baseDir), target)
-        fs.mkdirs(dst.getParent)
-        require(fs.rename(new Path(staging, rel), dst),
-          s"failed to install staged file $rel as $dst")
-        target
-      }
+      // the moved names carry the token AND a per-stage ordinal: the
+      // dynamic-partition writer reuses one task's part-file name in
+      // every dir it writes, so the ordinal is what makes staged names
+      // GLOBALLY unique — the file-identity invariant the DV binding
+      // and the predicate-rewrite probes join on
+      relativeParquetFiles(fs, staging, staging).toSeq.sorted.zipWithIndex
+        .map { case (rel, i) =>
+          val slash = rel.lastIndexOf('/')
+          val dir = if (slash < 0) "" else rel.take(slash + 1)
+          val target = s"$dir$token-$i-${rel.drop(slash + 1)}"
+          val dst = new Path(dataDir(baseDir), target)
+          fs.mkdirs(dst.getParent)
+          require(fs.rename(new Path(staging, rel), dst),
+            s"failed to install staged file $rel as $dst")
+          target
+        }
     } finally fs.delete(staging, true)
   }
 
-  /** Top-level partition dirs a committed version's record touched
-    * (adds and removes both) — the unit of rewrite conflict. */
+  /** Partition dirs a committed version's record touched (adds and
+    * removes both) — the unit of rewrite conflict. "" = the
+    * unpartitioned root, where every rewrite conflicts with every
+    * other (no partition isolation to exploit). */
   private def deltaTouchedDirs(fs: FileSystem, baseDir: String,
       v: Int): Set[String] = {
     val (adds, removes) = readDelta(fs, baseDir, v)
-    (adds ++ removes).map(f => f.take(f.indexOf('/'))).toSet
+    (adds ++ removes).map(dirOf).toSet
   }
 
   /** Attempt the commit at `prev + 1`, REBASING past concurrent
@@ -1907,18 +1933,33 @@ object TimeTravel {
 
   /** Manifest entries are matched to partitions by DIRECTORY TEXT, so a
     * partition value must round-trip identically: written dir name →
-    * read-back value → re-escaped dir name. Partition-type INFERENCE
-    * breaks that round trip (a string "01" written as `part=01` reads
-    * back as int 1 and re-renders as `part=1` — the kept-file filter then
-    * misses the old directory and a delete silently resurrects rows). The
-    * versioned table therefore pins the contract both ways: the partition
-    * column must be STRING at every write, and reads disable inference so
-    * directory text comes back verbatim. */
-  private def requireStringPartCol(df: DataFrame, partCol: String): Unit =
-    require(df.schema(partCol).dataType ==
-      org.apache.spark.sql.types.StringType,
-      s"partition column '$partCol' must be STRING: manifest matching " +
-        "round-trips partition values as directory text")
+    * read-back value → re-escaped dir name. Two things pin that round
+    * trip: reads use the COMMITTED schema (dir text casts to the
+    * declared type — inference, which would misread a string "01" as
+    * int 1, is disabled on the schema-less legacy path), and partition
+    * column TYPES are restricted to those whose directory text is
+    * CANONICAL — STRING verbatim, integral/boolean/date `toString`
+    * (what the dynamic-partition writer emits and what a collected
+    * value re-renders as). Float/timestamp/binary partition values have
+    * non-canonical or zone-dependent text and are refused — same
+    * restriction spirit as Delta's partition-type whitelist. */
+  private def requirePartCols(df: DataFrame,
+      partCols: Seq[String]): Unit = {
+    import org.apache.spark.sql.types._
+    partCols.foreach { partCol =>
+      require(df.schema.fieldNames.contains(partCol),
+        s"partition column '$partCol' is not in the batch schema " +
+          s"(${df.schema.fieldNames.mkString(", ")})")
+      df.schema(partCol).dataType match {
+        case StringType | LongType | IntegerType | ShortType | ByteType |
+             BooleanType | DateType => ()
+        case other => throw new IllegalArgumentException(
+          s"partition column '$partCol' has type $other: only STRING, " +
+            "integral, BOOLEAN and DATE partition values render " +
+            "canonical directory text (the manifest-matching contract)")
+      }
+    }
+  }
 
   /** Serialized: the toggle mutates SHARED session conf, and this
     * table is multi-writer — two concurrent reads interleaving their
@@ -1951,66 +1992,91 @@ object TimeTravel {
   private def baseName(f: String): String =
     f.substring(f.lastIndexOf('/') + 1)
 
-  /** The partition VALUE a relative data file's directory encodes —
-    * every data file is `<col>=<escaped value>/<name>` (the
-    * init/append layout invariant). */
-  private def partValueOf(f: String): String = {
-    val slash = f.indexOf('/')
-    val eq = f.indexOf('=')
-    require(eq > 0 && slash > eq, s"unpartitioned data file: $f")
-    ExternalCatalogUtils.unescapePathName(f.substring(eq + 1, slash))
+  /** A relative data file's PARTITION DIRECTORY ("" when the table is
+    * unpartitioned) — the unit of rewrite conflict and of log-entry ↔
+    * partition matching. Multi-column layouts nest
+    * (`a=1/b=2/<name>`), so the prefix runs to the LAST slash. */
+  private def dirOf(f: String): String = {
+    val i = f.lastIndexOf('/')
+    if (i < 0) "" else f.substring(0, i)
   }
 
-  /** A scanned row's file identity WITHOUT parsing URI strings: the
-    * (partition value, file name) pair. Names are filesystem-unique
-    * within a directory but NOT across directories (a dynamic-partition
-    * write reuses one task's part-file name in every dir it writes),
-    * and `_metadata.file_path` is URI-encoded (scheme- and
-    * escape-sensitive) — the value+name pair is exact, join-able from
-    * the row's own columns, and needs no path normalization. The
-    * directory↔value map is injective (escapePathName round-trips), so
-    * the pair is globally unique per snapshot. */
-  private def partColLogical(files: Seq[String],
-      colmap: Map[String, String]): String = {
-    val f = files.head
-    val eq = f.indexOf('=')
-    require(eq > 0 && f.indexOf('/') > eq, s"unpartitioned data file: $f")
-    val physical = f.substring(0, eq)
-    // dirs carry PHYSICAL names under column mapping; the scan projects
-    // back to logical, so the join column is the logical name
-    colmap.collectFirst { case (log, phys) if phys == physical => log }
-      .getOrElse(physical)
+  /** Is relative file `f` inside partition dir `d`? ("" = the
+    * unpartitioned root, which holds every file of an unpartitioned
+    * table and none of a partitioned one.) */
+  private def underDir(f: String, d: String): Boolean =
+    if (d.isEmpty) !f.contains('/') else f.startsWith(d + "/")
+
+  /** The single-string partition/key parameter surface parses as a
+    * COMMA-SEPARATED column list — `"region"`, `"o_orderdate,region"`,
+    * or `""` for an unpartitioned table / no extra key columns. Kept
+    * as the one public spelling so every existing call site (and the
+    * option-string provider surfaces) stays source-compatible while
+    * gaining multi-column layouts. */
+  private[graft] def splitCols(s: String): Seq[String] =
+    s.split(',').iterator.map(_.trim).filter(_.nonEmpty).toSeq
+
+  /** The physical partition columns a version's file layout encodes,
+    * parsed from any one relative path (`a=1/b=2/name` → a, b; a
+    * root-level file → unpartitioned). The layout is uniform by
+    * construction — every commit stages through [[stageWrite]] with
+    * the table's fixed column list. */
+  private def partColsPhysical(files: Seq[String]): Seq[String] = {
+    val segs = files.head.split('/')
+    segs.iterator.take(segs.length - 1).map { seg =>
+      val eq = seg.indexOf('=')
+      require(eq > 0, s"malformed partition segment '$seg'")
+      seg.substring(0, eq)
+    }.toSeq
   }
 
-  /** Anti-join `scanned` (a position-tagged scan carrying its partition
-    * column as `partCol`) against the deletion vectors of its files:
-    * `binding` lists each scanned file as (partition value, file name,
-    * bound token). A file's delete-set comes from its OWN token only
-    * (join on (part, name, token)) — artifacts accumulate, so after a
+  /** Logical names of a snapshot's partition columns (dirs carry
+    * PHYSICAL names; partition columns cannot be renamed, so the two
+    * coincide — the inverse mapping is kept for pre-refusal logs). */
+  private def partColsLogical(files: Seq[String],
+      colmap: Map[String, String]): Seq[String] =
+    partColsPhysical(files).map(physical =>
+      colmap.collectFirst { case (log, phys) if phys == physical => log }
+        .getOrElse(physical))
+
+  /** A partition VALUE's directory text — matching what Spark's
+    * dynamic-partition writer emits for the supported partition types
+    * (STRING verbatim; integral/boolean/date canonical `toString`). */
+  private def partPathText(v: Any): String = v.toString
+
+  /** The escaped partition-directory prefix of one affected tuple
+    * ("" for unpartitioned). */
+  private def dirPrefix(partCols: Seq[String], values: Seq[Any]): String =
+    partCols.zip(values).map { case (c, v) =>
+      s"$c=${ExternalCatalogUtils.escapePathName(partPathText(v))}"
+    }.mkString("/")
+
+  /** Anti-join `scanned` (a position-tagged scan) against the deletion
+    * vectors of its files: `binding` lists each scanned file as (file
+    * name, bound token). Staged file names are GLOBALLY unique per
+    * table (commit token + per-stage ordinal), so the name alone is
+    * the file identity. A file's delete-set comes from its OWN token
+    * only (join on (name, token)) — artifacts accumulate, so after a
     * restore rewinds one file's pointer, a NEWER artifact another file
     * still points at may hold positions this file must NOT drop yet. */
   private def applyDv(spark: SparkSession, baseDir: String,
-      scanned: DataFrame, partCol: String,
-      binding: Seq[(String, String, String)]): DataFrame = {
+      scanned: DataFrame,
+      binding: Seq[(String, String)]): DataFrame = {
     val bind = spark.createDataFrame(binding)
-      .toDF("__graft_dv_part", "__graft_dv_name", "__graft_dv_tok")
-    val dels = binding.map(_._3).distinct.map { t =>
+      .toDF("__graft_dv_name", "__graft_dv_tok")
+    val dels = binding.map(_._2).distinct.map { t =>
       spark.read.parquet(dvDir(baseDir, t).toString)
-        .select(col("part").as("__graft_dv_part"),
-          col("name").as("__graft_dv_name"),
+        .select(col("name").as("__graft_dv_name"),
           col("pos").as("__graft_dv_pos"))
         .withColumn("__graft_dv_tok", lit(t))
     }.reduce(_.unionByName(_))
       // the binding is driver-held metadata (≤ the snapshot's DV'd file
       // count) — broadcast; the delete-set side stays distributed and
       // AQE picks its join strategy by actual size
-      .join(broadcast(bind),
-        Seq("__graft_dv_part", "__graft_dv_name", "__graft_dv_tok"))
-      .select(col("__graft_dv_part"), col("__graft_dv_name"),
-        col("__graft_dv_pos"))
+      .join(broadcast(bind), Seq("__graft_dv_name", "__graft_dv_tok"))
+      .select(col("__graft_dv_name"), col("__graft_dv_pos"))
     scanned.join(dels,
-      scanned(partCol) === dels("__graft_dv_part") &&
-        scanned(PosFileCol) === dels("__graft_dv_name") &&
+      scanned(PosFileCol) === dels("__graft_dv_name") &&
         scanned(PosIndexCol) === dels("__graft_dv_pos"), "left_anti")
   }
 
@@ -2038,7 +2104,6 @@ object TimeTravel {
         case _ => false
       }))
     if (cols.isEmpty) return Map.empty
-    val partLog = partColLogical(files, colmap)
     val df = readFiles(spark, baseDir, files, Some(schema), colmap,
       Map.empty, keepPos = true)
     val aggs = cols.map { c =>
@@ -2049,8 +2114,10 @@ object TimeTravel {
       }
       graft.functions.BloomCols.bloomAgg(in, n, fpp).as(s"__graft_b_$c")
     }
-    val rows = df.groupBy(col(partLog).cast("string").as("part"),
-        col(PosFileCol).as("name"))
+    // artifact rows key the file's NAME alone: staged names carry a
+    // commit token plus a per-stage ordinal, so they are globally
+    // unique per table — no (partition value, name) compound needed
+    val rows = df.groupBy(col(PosFileCol).as("name"))
       .agg(aggs.head, aggs.tail: _*)
     // artifact rows key the column's PHYSICAL name: a filter describes
     // the file's BYTES, which never change under a metadata rename — a
@@ -2059,7 +2126,7 @@ object TimeTravel {
     // across renames of the indexed column, and can never be joined to
     // a DIFFERENT column that later takes the original logical name
     // (the drop-index → rename → rename-into-place chain)
-    val longForm = cols.map(c => rows.select(col("part"), col("name"),
+    val longForm = cols.map(c => rows.select(col("name"),
       lit(colmap.getOrElse(c, c)).as("col"),
       col(s"__graft_b_$c").as("bloom")))
       .reduce(_.unionByName(_))
@@ -2071,10 +2138,9 @@ object TimeTravel {
     // no artifact row — binding it would promise a filter the probe
     // can never find (one cheap read of the just-written tiny artifact)
     val present = spark.read.parquet(bloomDir(baseDir, token).toString)
-      .select("part", "name").distinct().collect()
-      .map(r => (r.getString(0), r.getString(1))).toSet
-    files.filter(f => present((partValueOf(f), baseName(f))))
-      .map(_ -> token).toMap
+      .select("name").distinct().collect()
+      .map(_.getString(0)).toSet
+    files.filter(f => present(baseName(f))).map(_ -> token).toMap
   }
 
   /** BLOOM-prune `candidates`: drop every file whose recorded filter
@@ -2122,20 +2188,20 @@ object TimeTravel {
     if (bound.isEmpty) return candidates
     val probeCols = probes.map(_._1).distinct
     val cand = spark.createDataFrame(bound.map(f =>
-        (partValueOf(f), baseName(f), snap.blooms(f))))
-      .toDF("part", "name", "__graft_tok")
+        (baseName(f), snap.blooms(f))))
+      .toDF("name", "__graft_tok")
     val arts = bound.map(snap.blooms).distinct.map(t =>
       spark.read.parquet(bloomDir(baseDir, t).toString)
         .withColumn("__graft_tok", lit(t))).reduce(_.unionByName(_))
     val probeList = probes
     import spark.implicits._
     val drops = arts
-      .join(broadcast(cand), Seq("part", "name", "__graft_tok"))
+      .join(broadcast(cand), Seq("name", "__graft_tok"))
       .filter(col("col").isin(probeCols: _*))
-      .select(col("part"), col("name"), col("col"), col("bloom"))
-      .as[(String, String, String, Array[Byte])]
+      .select(col("name"), col("col"), col("bloom"))
+      .as[(String, String, Array[Byte])]
       .mapPartitions { it =>
-        it.flatMap { case (part, name, c, bytes) =>
+        it.flatMap { case (name, c, bytes) =>
           val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
             new java.io.ByteArrayInputStream(bytes))
           val absent = probeList.exists { case (pc, v) =>
@@ -2146,11 +2212,11 @@ object TimeTravel {
               case _ => false
             })
           }
-          if (absent) Some((part, name)) else None
+          if (absent) Some(name) else None
         }
       }.collect().toSet
     if (drops.isEmpty) candidates
-    else candidates.filterNot(f => drops((partValueOf(f), baseName(f))))
+    else candidates.filterNot(f => drops(baseName(f)))
   }
 
   /** `dvs`: the snapshot's file → DV-token bindings (restricted here to
@@ -2202,8 +2268,7 @@ object TimeTravel {
       else {
         val (dvFiles, plain) = files.partition(bound.contains)
         val filtered = applyDv(spark, baseDir, scan(dvFiles, tagPos = true),
-          partColLogical(dvFiles, colmap),
-          dvFiles.map(f => (partValueOf(f), baseName(f), bound(f))))
+          dvFiles.map(f => (baseName(f), bound(f))))
         val dvPart =
           if (keepPos) filtered else filtered.drop(PosFileCol, PosIndexCol)
         if (plain.isEmpty) dvPart
@@ -2289,24 +2354,16 @@ object TimeTravel {
     // partition column is never mapped, so dir pruning is unaffected)
     val physCol = snap.colmap.getOrElse(pred.col, pred.col)
     val prefix = physCol + "="
-    // hoisted: the query bounds encode once, and a directory's verdict
-    // is computed once however many files it holds — for a partition
-    // conjunct the prune is O(dirs), not O(files)
-    val loB = Option(pred.lo).map(_.toString.getBytes("UTF-8"))
-    val hiB = Option(pred.hi).map(_.toString.getBytes("UTF-8"))
-    val dirVerdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
-    def dirKeep(f: String): Option[Boolean] =
-      if (!f.startsWith(prefix)) None
-      else {
-        val d = f.substring(0, f.indexOf('/'))
-        Some(dirVerdicts.getOrElseUpdate(d, {
-          val v = ExternalCatalogUtils.unescapePathName(
-            d.substring(prefix.length)).getBytes("UTF-8")
-          !(loB.exists(l => bytesLt(v, l)) || hiB.exists(h => bytesLt(h, v)))
-        }))
-      }
     val dt = snap.schema.flatMap(s =>
       s.fields.find(_.name == pred.col).map(_.dataType))
+    // hoisted: the query bounds encode once, and a directory's verdict
+    // is computed once however many files it holds — for a partition
+    // conjunct the prune is O(dirs), not O(files). The column's segment
+    // may sit at ANY depth of a multi-column layout; TYPED partition
+    // values (int/date) compare under their own order, never byte
+    // order ("9" vs "10").
+    val loB = Option(pred.lo).map(_.toString.getBytes("UTF-8"))
+    val hiB = Option(pred.hi).map(_.toString.getBytes("UTF-8"))
     def num(v: Any): java.math.BigDecimal = v match {
       case d: java.sql.Date =>
         java.math.BigDecimal.valueOf(d.toLocalDate.toEpochDay)
@@ -2336,6 +2393,31 @@ object TimeTravel {
       else try Some((Option(pred.lo).map(num), Option(pred.hi).map(num)))
       catch { case scala.util.control.NonFatal(_) => None }
     val canSkip = asString || bounds.isDefined
+    val dirVerdicts = scala.collection.mutable.HashMap.empty[String, Boolean]
+    def dirKeep(f: String): Option[Boolean] = {
+      val dir = dirOf(f)
+      if (dir.isEmpty) None
+      else dir.split('/').find(_.startsWith(prefix)).map { seg =>
+        dirVerdicts.getOrElseUpdate(dir, {
+          val text = ExternalCatalogUtils.unescapePathName(
+            seg.substring(prefix.length))
+          val typedKeep =
+            if (dt.exists(_ != StringType) && bounds.isDefined)
+              try {
+                val v = num(text)
+                val (nLo, nHi) = bounds.get
+                Some(!(nLo.exists(l => v.compareTo(l) < 0) ||
+                  nHi.exists(h => v.compareTo(h) > 0)))
+              } catch { case scala.util.control.NonFatal(_) => None }
+            else None
+          typedKeep.getOrElse {
+            val v = text.getBytes("UTF-8")
+            !(loB.exists(l => bytesLt(v, l)) ||
+              hiB.exists(h => bytesLt(h, v)))
+          }
+        })
+      }
+    }
     f => dirKeep(f).getOrElse {
       if (!canSkip) true
       else snap.stats.get(f).flatMap(parseColRange(_, physCol)) match {
@@ -2460,11 +2542,14 @@ object TimeTravel {
       * `listStatus` per partition dir, filtered to the snapshot. */
     def sizeInBytes: Long = {
       val fs = hadoopFs(spark, baseDir)
-      snap.files.groupBy(f => f.take(f.indexOf('/')))
+      snap.files.groupBy(dirOf)
         .iterator.map { case (dir, fls) =>
           val wanted = fls.map(baseName).toSet
-          fs.listStatus(new Path(dataDir(baseDir), dir))
-            .filter(st => wanted(st.getPath.getName)).map(_.getLen).sum
+          val p = if (dir.isEmpty) dataDir(baseDir)
+            else new Path(dataDir(baseDir), dir)
+          fs.listStatus(p)
+            .filter(st => st.isFile && wanted(st.getPath.getName))
+            .map(_.getLen).sum
         }.sum
     }
   }
@@ -2533,11 +2618,13 @@ object TimeTravel {
     val fs = hadoopFs(spark, baseDir)
     require(latestVersion(spark, baseDir) == 0,
       s"$baseDir already has commits")
-    requireStringPartCol(df, partCol)
-    require(df.filter(col(partCol).isNull).isEmpty,
-      s"NULL values in partition column '$partCol': such rows could " +
-        "never be updated or deleted — default the value upstream")
-    val files = stageWrite(spark, baseDir, df, partCol)
+    val partCols = splitCols(partCol)
+    requirePartCols(df, partCols)
+    partCols.foreach(pc =>
+      require(df.filter(col(pc).isNull).isEmpty,
+        s"NULL values in partition column '$pc': such rows could " +
+          "never be updated or deleted — default the value upstream"))
+    val files = stageWrite(spark, baseDir, df, partCols)
     require(files.nonEmpty, "init with an EMPTY DataFrame — an empty v1 " +
       "is not representable on plain parquet and would brick every " +
       "later commit; create the table from its first real batch instead")
@@ -2597,31 +2684,34 @@ object TimeTravel {
             s"batch ${batch.simpleString}")
     }
 
-  /** The escaped `partCol=<v>` directory prefix for each affected
-    * partition value — how log entries are matched to partitions. */
-  private def affectedDirs(partCol: String, affected: Seq[Any]): Set[String] =
-    affected.map(v =>
-      s"$partCol=${ExternalCatalogUtils.escapePathName(v.toString)}").toSet
+  /** The escaped directory prefix for each affected partition TUPLE
+    * (values in `partCols` order) — how log entries are matched to
+    * partitions. An unpartitioned table's single "partition" is the
+    * root ("" — every rewrite touches it). */
+  private def affectedDirs(partCols: Seq[String],
+      affected: Seq[Seq[Any]]): Set[String] =
+    affected.map(vs => dirPrefix(partCols, vs)).toSet
 
   /** `prevFiles` is version `prev`'s ALREADY-RESOLVED file set — every
     * caller has just resolved it (to read the version back or pick the
-    * fragmented dirs), so commitRewrite never re-reads the log. */
+    * fragmented dirs), so commitRewrite never re-reads the log.
+    * `dirs`: the affected partition DIRECTORIES (escaped prefixes; ""
+    * = the unpartitioned root). */
   private def commitRewrite(spark: SparkSession, baseDir: String,
-      partCol: String, affected: Seq[Any], prev: Int,
+      partCols: Seq[String], dirs: Set[String], prev: Int,
       prevSnap: Snapshot, rewritten: DataFrame, op: String,
       evolveSchema: Boolean = false, cdc: Option[String] = None,
       clusterBy: Option[(String, Int)] = None,
       zorderBy: Option[((String, String), Int)] = None): Int = {
     val fs = hadoopFs(spark, baseDir)
     val prevFiles = prevSnap.files
-    val dirs = affectedDirs(partCol, affected)
     // staged write: adds are the files WE moved in — exact, never a
     // directory diff that could claim a concurrent writer's files —
     // and commit cost is O(files touched), independent of table size
-    val adds = stageWrite(spark, baseDir, rewritten, partCol, clusterBy,
+    val adds = stageWrite(spark, baseDir, rewritten, partCols, clusterBy,
       zorderBy, prevSnap.colmap)
     val removes = prevFiles
-      .filter(f => dirs.exists(d => f.startsWith(d + "/")))
+      .filter(f => dirs.exists(d => underDir(f, d)))
     // refuse BEFORE the record lands: an all-rows-gone commit would be
     // an empty version — unreadable on plain parquet (no schema source)
     // and, as the latest version, it would block every later commit. The
@@ -2692,7 +2782,8 @@ object TimeTravel {
       evolveSchema: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    requireStringPartCol(rows, partCol)
+    val partCols = splitCols(partCol)
+    requirePartCols(rows, partCols)
     val fs = hadoopFs(spark, baseDir)
     checkSchema(rows.schema, schemaOfRecord(fs, baseDir, prev),
       evolveSchema, "append")
@@ -2701,25 +2792,41 @@ object TimeTravel {
       "append")
     val (colmap, coldrop) = activeColmap(fs, baseDir, prev)
     requireNoPhysicalCollision(batch.schema, colmap, coldrop, "append")
-    val affected = batch.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    Merge.requireNoNullPartition(affected, partCol)
+    val affected = affectedTuples(batch, partCols)
+    Merge.requireNoNullPartitionTuple(affected, partCols)
     if (affected.isEmpty) return prev
-    val dirs = affectedDirs(partCol, affected)
-    val adds = stageWrite(spark, baseDir, batch, partCol, colmap = colmap)
+    val dirs = affectedDirs(partCols, affected)
+    val adds = stageWrite(spark, baseDir, batch, partCols, colmap = colmap)
     commitWithRebase(spark, fs, baseDir, prev, dirs, adds, Nil,
       txn, batch.schema, "append", evolveSchema)
   }
 
+  /** The DISTINCT partition tuples of `batch` (values in `partCols`
+    * order) — driver-held metadata, one action. An unpartitioned
+    * table's batch contributes the single empty tuple when non-empty. */
+  private def affectedTuples(batch: DataFrame,
+      partCols: Seq[String]): Seq[Seq[Any]] =
+    if (partCols.isEmpty) {
+      if (batch.isEmpty) Nil else Seq(Seq.empty[Any])
+    } else batch.select(partCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSeq
+
   /** The table's partition column (LOGICAL name) at the latest
     * version — one log resolve, no data access. The declarative write
     * and SQL DML surfaces use it so callers never restate what the
-    * layout already records. */
-  def partitionColumn(spark: SparkSession, baseDir: String): String = {
+    * layout already records. Multi-column layouts come back as the
+    * comma-joined list (the same spelling the write surface takes);
+    * an unpartitioned table answers "". */
+  def partitionColumn(spark: SparkSession, baseDir: String): String =
+    partitionColumns(spark, baseDir).mkString(",")
+
+  /** The table's partition columns (LOGICAL names, layout order) at
+    * the latest version; empty for an unpartitioned table. */
+  def partitionColumns(spark: SparkSession, baseDir: String): Seq[String] = {
     val latest = latestVersion(spark, baseDir)
     require(latest >= 1, s"$baseDir has no commits")
     val snap = resolveFull(spark, baseDir, latest)
-    partColLogical(snap.files, snap.colmap)
+    partColsLogical(snap.files, snap.colmap)
   }
 
   /** Full OVERWRITE as a new version (SQL `INSERT OVERWRITE` /
@@ -2738,7 +2845,8 @@ object TimeTravel {
       evolveSchema: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    requireStringPartCol(rows, partCol)
+    val partCols = splitCols(partCol)
+    requirePartCols(rows, partCols)
     val fs = hadoopFs(spark, baseDir)
     checkSchema(rows.schema, schemaOfRecord(fs, baseDir, prev),
       evolveSchema, "overwrite")
@@ -2747,17 +2855,16 @@ object TimeTravel {
       "overwrite")
     val (colmap, coldrop) = activeColmap(fs, baseDir, prev)
     requireNoPhysicalCollision(batch.schema, colmap, coldrop, "overwrite")
-    val affected = batch.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
-    Merge.requireNoNullPartition(affected, partCol)
+    val affected = affectedTuples(batch, partCols)
+    Merge.requireNoNullPartitionTuple(affected, partCols)
     require(affected.nonEmpty,
       "overwrite with an empty batch would empty the table — an empty " +
         "version is not representable on plain parquet; drop the table " +
         "instead")
     val prevSnap = resolveFull(spark, baseDir, prev)
-    val adds = stageWrite(spark, baseDir, batch, partCol, colmap = colmap)
-    val dirs = affectedDirs(partCol, affected) ++
-      prevSnap.files.map(f => f.take(f.indexOf('/')))
+    val adds = stageWrite(spark, baseDir, batch, partCols, colmap = colmap)
+    val dirs = affectedDirs(partCols, affected) ++
+      prevSnap.files.map(dirOf)
     commitWithRebase(spark, fs, baseDir, prev, dirs, adds,
       removes = prevSnap.files, txn, batch.schema, "overwrite",
       evolveSchema)
@@ -2783,18 +2890,22 @@ object TimeTravel {
     * grows and one that doesn't. A NULL `envLo` (all-NULL or empty key
     * set) probes nothing: NULL keys cannot match an equi-join. */
   private def discoverAffected(spark: SparkSession, baseDir: String,
-      snap: Snapshot, keyCol: String, partCol: String,
-      envLo: Any, envHi: Any, gatedKeys: DataFrame): Seq[Any] = {
+      snap: Snapshot, keyCols: Seq[String], partCols: Seq[String],
+      envLo: Any, envHi: Any, gatedKeys: DataFrame): Seq[Seq[Any]] = {
+    // composite keys envelope-prune on the LEADING key column (sound:
+    // a file holding any matching composite holds its first component,
+    // so the leading ranges intersect); the join below matches on the
+    // full key tuple
     val probed =
       if (envLo == null) Nil
       else snap.files.filter(
-        rangeKeep(snap, ColRange(keyCol, envLo, envHi)))
+        rangeKeep(snap, ColRange(keyCols.head, envLo, envHi)))
     discoveryStats.put(baseDir, (probed.size, snap.files.size))
     if (probed.isEmpty) Nil
-    else readFiles(spark, baseDir, probed, snap.schema, snap.colmap,
-      snap.dvs)
-      .join(gatedKeys, Seq(keyCol)).select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    else affectedTuples(
+      readFiles(spark, baseDir, probed, snap.schema, snap.colmap,
+        snap.dvs).join(gatedKeys, keyCols),
+      partCols)
   }
 
   /** The affected partitions' rows of the previous version — exactly
@@ -2805,9 +2916,10 @@ object TimeTravel {
     * relation (schema-less legacy logs fall back to the full read —
     * the only schema source there is the files themselves). */
   private def readAffected(spark: SparkSession, baseDir: String, prev: Int,
-      snap: Snapshot, partCol: String, affected: Seq[Any]): DataFrame = {
-    val dirs = affectedDirs(partCol, affected)
-    val files = snap.files.filter(f => dirs.exists(d => f.startsWith(d + "/")))
+      snap: Snapshot, partCols: Seq[String],
+      affected: Seq[Seq[Any]]): DataFrame = {
+    val dirs = affectedDirs(partCols, affected)
+    val files = snap.files.filter(f => dirs.exists(d => underDir(f, d)))
     if (files.nonEmpty)
       readFiles(spark, baseDir, files, snap.schema, snap.colmap, snap.dvs)
     else snap.schema match {
@@ -2815,7 +2927,10 @@ object TimeTravel {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => readFilesNonEmpty(spark, baseDir, prev, snap.files,
         None, dvs = snap.dvs)
-        .filter(col(partCol).isin(affected: _*))
+        .filter(affected.map(vs => partCols.zip(vs)
+            .map { case (c, v) => col(c) === lit(v) }
+            .reduceOption(_ && _).getOrElse(lit(true)))
+          .reduce(_ || _))
     }
   }
 
@@ -2831,7 +2946,10 @@ object TimeTravel {
       evolveSchema: Boolean = false, changeFeed: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    requireStringPartCol(updates, partCol)
+    val partCols = splitCols(partCol)
+    val keyCols = splitCols(keyCol)
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    requirePartCols(updates, partCols)
     // resolved ONCE per commit: file set, committed schema, and stats
     val prevSnap = resolveFull(spark, baseDir, prev)
     val prevSchema = prevSnap.schema
@@ -2840,17 +2958,19 @@ object TimeTravel {
     enforceConstraints(ups,
       activeConstraints(hadoopFs(spark, baseDir), baseDir, prev), "upsert")
     // one action serves the broadcast gate AND the discovery envelope
-    val gate = ups.agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)))
-      .head
-    val updKeys = Merge.gateBroadcast(ups.select(col(keyCol)).distinct(),
+    // (the envelope prunes on the LEADING key column)
+    val gate = ups.agg(count(lit(1)), min(col(keyCols.head)),
+      max(col(keyCols.head))).head
+    val updKeys = Merge.gateBroadcast(
+      ups.select(keyCols.map(col): _*).distinct(),
       broadcastKeyLimit, gate.getLong(0))
     val existingAffected = discoverAffected(spark, baseDir, prevSnap,
-      keyCol, partCol, gate.get(1), gate.get(2), updKeys)
-    val affected = (ups.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq ++ existingAffected).distinct
-    Merge.requireNoNullPartition(affected, partCol)
+      keyCols, partCols, gate.get(1), gate.get(2), updKeys)
+    val affected = (affectedTuples(ups, partCols) ++ existingAffected)
+      .distinct
+    Merge.requireNoNullPartitionTuple(affected, partCols)
     if (affected.isEmpty) return prev // empty batch: nothing to commit
-    val current = readAffected(spark, baseDir, prev, prevSnap, partCol,
+    val current = readAffected(spark, baseDir, prev, prevSnap, partCols,
       affected)
     val cdcToken = if (changeFeed) Some(newToken()) else None
     cdcToken.foreach { tok =>
@@ -2859,23 +2979,24 @@ object TimeTravel {
       // the key joins split the batch into updates vs inserts. The key
       // set is checkpointed so the three branches don't each re-scan
       // the affected partitions to rebuild it.
-      val existingKeys = current.select(col(keyCol)).distinct()
+      val existingKeys = current.select(keyCols.map(col): _*).distinct()
         .localCheckpoint()
       writeChanges(spark, baseDir, tok, Seq(
-        current.join(updKeys, Seq(keyCol))
+        current.join(updKeys, keyCols)
           .withColumn(ChangeTypeCol, lit("update_preimage")),
-        ups.join(existingKeys, Seq(keyCol), "left_semi")
+        ups.join(existingKeys, keyCols, "left_semi")
           .withColumn(ChangeTypeCol, lit("update_postimage")),
-        ups.join(existingKeys, Seq(keyCol), "left_anti")
+        ups.join(existingKeys, keyCols, "left_anti")
           .withColumn(ChangeTypeCol, lit("insert"))))
     }
     // allowMissingColumns: under evolution the kept rows lack the new
     // columns and read as NULL — the standard add-column semantics
     val merged = ups.unionByName(
-      current.join(updKeys, Seq(keyCol), "left_anti"),
+      current.join(updKeys, keyCols, "left_anti"),
         allowMissingColumns = true)
       .localCheckpoint() // don't re-plan the discovery work in the write
-    commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
+    commitRewrite(spark, baseDir, partCols,
+      affectedDirs(partCols, affected), prev, prevSnap,
       merged, "upsert", evolveSchema, cdcToken)
   }
 
@@ -2888,40 +3009,45 @@ object TimeTravel {
       changeFeed: Boolean = false): Int = {
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
+    val partCols = splitCols(partCol)
+    val keyCols = splitCols(keyCol)
+    require(keyCols.nonEmpty, "delete needs at least one key column")
     val prevSnap = resolveFull(spark, baseDir, prev)
-    // the keys are interpreted under the TABLE's key type: a caller
+    // the keys are interpreted under the TABLE's key types: a caller
     // handing string keys against a LONG column (CSV-sourced deletes)
     // would otherwise compute its envelope in STRING order while the
     // probe compares in the table's order — a silent under-delete.
     // try_cast (not cast): un-castable values become NULL and match
     // nothing, like any NULL key in an equi-join, under ANY ANSI mode.
-    val keyedCol = prevSnap.schema
-      .flatMap(_.fields.find(_.name == keyCol).map(_.dataType))
-      .fold(col(keyCol))(t =>
-        expr(s"try_cast(`$keyCol` AS ${t.sql})"))
-    val checkpointedKeys = keys.select(keyedCol.as(keyCol)).distinct()
+    def keyedCol(kc: String): Column = prevSnap.schema
+      .flatMap(_.fields.find(_.name == kc).map(_.dataType))
+      .fold(col(kc))(t => expr(s"try_cast(`$kc` AS ${t.sql})"))
+    val checkpointedKeys = keys
+      .select(keyCols.map(kc => keyedCol(kc).as(kc)): _*).distinct()
       .localCheckpoint()
     // one action serves the broadcast gate AND the discovery envelope
     val gate = checkpointedKeys
-      .agg(count(lit(1)), min(col(keyCol)), max(col(keyCol))).head
+      .agg(count(lit(1)), min(col(keyCols.head)), max(col(keyCols.head)))
+      .head
     val delKeys = Merge.gateBroadcast(checkpointedKeys, broadcastKeyLimit,
       gate.getLong(0))
-    val affected = discoverAffected(spark, baseDir, prevSnap, keyCol,
-      partCol, gate.get(1), gate.get(2), delKeys)
-    Merge.requireNoNullPartition(affected, partCol)
+    val affected = discoverAffected(spark, baseDir, prevSnap, keyCols,
+      partCols, gate.get(1), gate.get(2), delKeys)
+    Merge.requireNoNullPartitionTuple(affected, partCols)
     if (affected.isEmpty) prev
     else {
-      val touched = readAffected(spark, baseDir, prev, prevSnap, partCol,
+      val touched = readAffected(spark, baseDir, prev, prevSnap, partCols,
         affected)
       val cdcToken = if (changeFeed) Some(newToken()) else None
       cdcToken.foreach(tok =>
         writeChanges(spark, baseDir, tok, Seq(
-          touched.join(delKeys, Seq(keyCol))
+          touched.join(delKeys, keyCols)
             .withColumn(ChangeTypeCol, lit("delete")))))
       val survivors = touched
-        .join(delKeys, Seq(keyCol), "left_anti")
+        .join(delKeys, keyCols, "left_anti")
         .localCheckpoint()
-      commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
+      commitRewrite(spark, baseDir, partCols,
+        affectedDirs(partCols, affected), prev, prevSnap,
         survivors, "delete", cdc = cdcToken)
     }
   }
@@ -2948,9 +3074,29 @@ object TimeTravel {
   /** WHEN MATCHED [AND condition] THEN DELETE. */
   final case class MatchedDelete(condition: Option[Column] = None)
       extends MergeClause
-  /** WHEN NOT MATCHED [AND condition] THEN INSERT (the source row). */
-  final case class NotMatchedInsert(condition: Option[Column] = None)
-      extends MergeClause
+  /** WHEN NOT MATCHED [AND condition] THEN INSERT. An EMPTY `set`
+    * inserts the whole source row (Delta's `INSERT *`); a non-empty
+    * `set` is the explicit column list — target column → expression
+    * over the BARE source row (same scope as the condition), unlisted
+    * columns NULL. A set that skips a partition column is refused
+    * up front (this table refuses NULL partition values). */
+  final case class NotMatchedInsert(condition: Option[Column] = None,
+      set: Map[String, Column] = Map.empty) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND condition] THEN UPDATE SET —
+    * TARGET rows with no source match (the sync-a-dimension shape:
+    * flag or retire rows the feed stopped mentioning). Conditions and
+    * SET values see the TARGET row as `tgt.*` (there is no source row
+    * to reference — Delta's rule too). NOTE the scale shape: a BY
+    * SOURCE clause's candidates are every target row, so the rewrite
+    * scope becomes the whole table (Delta pays the same; partition
+    * pruning can't apply without knowing which rows the source does
+    * NOT hold). */
+  final case class NotMatchedBySourceUpdate(
+      condition: Option[Column] = None,
+      set: Map[String, Column]) extends MergeClause
+  /** WHEN NOT MATCHED BY SOURCE [AND condition] THEN DELETE. */
+  final case class NotMatchedBySourceDelete(
+      condition: Option[Column] = None) extends MergeClause
 
   /** Conditional MERGE INTO as a new version — [[upsert]] generalized
     * to the full WHEN-clause surface (update/delete/insert, each
@@ -2966,74 +3112,149 @@ object TimeTravel {
   def merge(spark: SparkSession, baseDir: String, source: DataFrame,
       keyCol: String, partCol: String, clauses: Seq[MergeClause],
       broadcastKeyLimit: Long = Merge.DefaultBroadcastKeyLimit,
-      changeFeed: Boolean = false): Int = {
+      changeFeed: Boolean = false,
+      extraOn: Option[Column] = None): Int = {
     require(clauses.nonEmpty, "merge needs at least one WHEN clause")
     val matchedClauses = clauses.filter {
       case _: NotMatchedInsert => false
+      case _: NotMatchedBySourceUpdate => false
+      case _: NotMatchedBySourceDelete => false
       case _ => true
     }
     val insertClauses = clauses.collect { case c: NotMatchedInsert => c }
+    val bySourceClauses: Seq[MergeClause] = clauses.filter {
+      case _: NotMatchedBySourceUpdate => true
+      case _: NotMatchedBySourceDelete => true
+      case _ => false
+    }
     val prev = latestVersion(spark, baseDir)
     require(prev >= 1, s"$baseDir has no commits — call init first")
-    requireStringPartCol(source, partCol)
+    val partCols = splitCols(partCol)
+    val keyCols = splitCols(keyCol)
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    requirePartCols(source, partCols)
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
     checkSchema(source.schema, prevSnap.schema, evolve = false, "merge")
     val fields = prevSnap.schema.getOrElse(source.schema)
+    def checkSet(set: Map[String, Column], kind: String): Unit =
+      set.keys.foreach { c =>
+        require(fields.fieldNames.contains(c),
+          s"$kind SET column '$c' is not in the table schema")
+        require(!keyCols.contains(c) && !partCols.contains(c),
+          s"$kind SET on '$c' would move the row across keys/" +
+            "partitions — use upsert for moves")
+      }
     matchedClauses.foreach {
-      case MatchedUpdate(_, set) =>
-        set.keys.foreach { c =>
-          require(fields.fieldNames.contains(c),
-            s"SET column '$c' is not in the table schema")
-          require(c != keyCol && c != partCol,
-            s"SET on '$c' would move the row across keys/partitions — " +
-              "use upsert for moves")
-        }
+      case MatchedUpdate(_, set) => checkSet(set, "MATCHED")
       case _ => ()
     }
+    bySourceClauses.foreach {
+      case NotMatchedBySourceUpdate(_, set) =>
+        checkSet(set, "NOT MATCHED BY SOURCE")
+      case _ => ()
+    }
+    insertClauses.foreach { cl =>
+      if (cl.set.nonEmpty) {
+        cl.set.keys.foreach(c =>
+          require(fields.fieldNames.contains(c),
+            s"INSERT column '$c' is not in the table schema"))
+        partCols.foreach(pc => require(cl.set.contains(pc),
+          s"an explicit INSERT column list must set partition column " +
+            s"'$pc' — this table refuses NULL partition values"))
+      }
+    }
     val src = source.localCheckpoint()
-    require(src.groupBy(col(keyCol)).count()
-        .filter(col("count") > 1).isEmpty,
+    // ONE gate action serves the broadcast gate, the discovery envelope
+    // (leading key column) AND the duplicate-source refusal: distinct
+    // non-NULL key tuples vs non-NULL-keyed rows — no separate
+    // full-source aggregation job (NULL-keyed source rows never match a
+    // target, so duplicates among them are not ambiguous)
+    val allKeysNotNull = keyCols.map(col(_).isNotNull).reduce(_ && _)
+    val gate = src.agg(count(lit(1)), min(col(keyCols.head)),
+      max(col(keyCols.head)),
+      countDistinct(keyCols.head, keyCols.tail: _*),
+      sum(when(allKeysNotNull, 1L).otherwise(0L))).head
+    require(gate.getLong(3) == gate.getLong(4),
       "merge source has duplicate keys: two source rows matching one " +
         "target row is ambiguous — deduplicate the source first")
-    // discovery: same stats-pruned probe as upsert
-    val gate = src.agg(count(lit(1)), min(col(keyCol)), max(col(keyCol)))
-      .head
-    val srcKeys = Merge.gateBroadcast(src.select(col(keyCol)).distinct(),
+    val srcKeys = Merge.gateBroadcast(
+      src.select(keyCols.map(col): _*).distinct(),
       broadcastKeyLimit, gate.getLong(0))
     val existingAffected = discoverAffected(spark, baseDir, prevSnap,
-      keyCol, partCol, gate.get(1), gate.get(2), srcKeys)
+      keyCols, partCols, gate.get(1), gate.get(2), srcKeys)
     // keys already in the table — complete, because conservative
     // pruning probes every file whose bounds could hold a source key
     val existingKeys = readAffected(spark, baseDir, prev, prevSnap,
-      partCol, existingAffected)
-      .join(srcKeys, Seq(keyCol), "left_semi")
-      .select(col(keyCol)).distinct().localCheckpoint()
+      partCols, existingAffected)
+      .join(srcKeys, keyCols, "left_semi")
+      .select(keyCols.map(col): _*).distinct().localCheckpoint()
     // NOT MATCHED cascade, evaluated on the bare source row: the
-    // accepting clause's index, -1 when none accepts (row dropped)
+    // accepting clause's index, -1 when none accepts (row dropped).
+    // Explicit INSERT column lists PRE-MATERIALIZE their value
+    // expressions here too — the bare-source scope Delta gives INSERT
+    // values — so the joined frame below only references columns.
     val insActCol = "__graft_merge_ins"
+    def insColName(i: Int, c: String) = s"__graft_ins_${i}_$c"
     val insAct = insertClauses.zipWithIndex
       .foldRight(lit(-1): Column) { case ((cl, i), acc) =>
         when(coalesce(cl.condition.getOrElse(lit(true)), lit(false)),
           lit(i)).otherwise(acc)
       }
-    val srcMarked = src.withColumn(insActCol, insAct)
-    val inserts = srcMarked.join(existingKeys, Seq(keyCol), "left_anti")
-      .filter(col(insActCol) >= 0)
-    val insertParts = inserts.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSeq
+    val srcMarked = insertClauses.zipWithIndex.foldLeft(
+        src.withColumn(insActCol, insAct)) { case (d, (cl, i)) =>
+      cl.set.foldLeft(d) { case (dd, (c, e)) =>
+        dd.withColumn(insColName(i, c), e.cast(fields(c).dataType)) }
+    }
+    // insert partitions: a clause with an explicit column list lands
+    // rows at the partitions its SET expressions compute; whole-row
+    // inserts land at the source row's own partitions. Without a
+    // general ON, key-absent rows are the only possible inserts —
+    // prune by the existing-keys anti-join; with one, the key may
+    // exist while the full condition fails, so every accepted source
+    // row is a candidate (a superset of dirs is correct, never wrong).
+    val insertParts: Seq[Seq[Any]] =
+      insertClauses.zipWithIndex.flatMap { case (cl, i) =>
+        val accepted = srcMarked.filter(col(insActCol) === i)
+        val candidates =
+          if (extraOn.isEmpty)
+            accepted.join(existingKeys, keyCols, "left_anti")
+          else accepted
+        if (cl.set.isEmpty) affectedTuples(candidates, partCols)
+        else affectedTuples(candidates.select(
+          partCols.map(pc => col(insColName(i, pc)).as(pc)): _*),
+          partCols)
+      }.distinct
     val affected = (existingAffected ++ insertParts).distinct
-    Merge.requireNoNullPartition(affected, partCol)
-    if (affected.isEmpty) return prev
-    val current = readAffected(spark, baseDir, prev, prevSnap, partCol,
-      affected)
+    Merge.requireNoNullPartitionTuple(affected, partCols)
+    if (affected.isEmpty && bySourceClauses.isEmpty) return prev
+    // presence MARKERS give null-safe match verdicts: a NULL component
+    // in a key must read as "no match", never as "target-only row"
+    val tgtMark = "__graft_merge_tgt"
+    // BY SOURCE clauses touch target rows the source does NOT hold —
+    // their candidates are the whole table, so the rewrite scope is
+    // every partition (the price Delta pays for the same clause)
+    val dirs =
+      if (bySourceClauses.isEmpty) affectedDirs(partCols, affected)
+      else prevSnap.files.map(dirOf).toSet
+    val current = (
+      if (bySourceClauses.isEmpty)
+        readAffected(spark, baseDir, prev, prevSnap, partCols, affected)
+      else readFiles(spark, baseDir, prevSnap.files, prevSnap.schema,
+        prevSnap.colmap, prevSnap.dvs)
+      ).withColumn(tgtMark, lit(true))
+    val joinCond = keyCols.map(k =>
+      col(s"tgt.$k") === col(s"src.$k")).reduce(_ && _)
+    // a general ON narrows the MATCH itself: a key-equal pair failing
+    // the extra condition is NOT matched (the source row may insert,
+    // the target row is BY SOURCE territory) — exactly SQL MERGE
+    val fullCond = extraOn.fold(joinCond)(joinCond && _)
     val joined = current.alias("tgt")
-      .join(srcMarked.alias("src"),
-        col(s"tgt.$keyCol") === col(s"src.$keyCol"), "full_outer")
+      .join(srcMarked.alias("src"), fullCond, "full_outer")
       .localCheckpoint() // result + CDC + constraint frames share it
     val isMatched =
-      col(s"tgt.$keyCol").isNotNull && col(s"src.$keyCol").isNotNull
-    val isTgtOnly = col(s"src.$keyCol").isNull
+      col(s"tgt.$tgtMark").isNotNull && col(s"src.$insActCol").isNotNull
+    val isTgtOnly = col(s"src.$insActCol").isNull
     // MATCHED cascade: first clause whose condition holds (1-based
     // clause index; 0 = no clause, the row passes through unchanged)
     val actCol = "__graft_merge_act"
@@ -3047,19 +3268,38 @@ object TimeTravel {
         when(coalesce(cond.getOrElse(lit(true)), lit(false)),
           lit(i + 1)).otherwise(acc)
       }
+    // BY SOURCE cascade over TARGET-only rows (conditions see tgt.*;
+    // 1-based index, 0 = no clause accepts → row passes through)
+    val bsActCol = "__graft_merge_bs"
+    val bsAct = bySourceClauses.zipWithIndex
+      .foldRight(lit(0): Column) { case ((cl, i), acc) =>
+        val cond = cl match {
+          case NotMatchedBySourceUpdate(c, _) => c
+          case NotMatchedBySourceDelete(c) => c
+          case _ => None // filtered out above
+        }
+        when(coalesce(cond.getOrElse(lit(true)), lit(false)),
+          lit(i + 1)).otherwise(acc)
+      }
     val j = joined.withColumn(actCol, when(isMatched, mAct))
+      .withColumn(bsActCol, when(isTgtOnly, bsAct))
     val deleteActs = matchedClauses.zipWithIndex.collect {
       case (_: MatchedDelete, i) => i + 1 }
     val updateActs = matchedClauses.zipWithIndex.collect {
       case (_: MatchedUpdate, i) => i + 1 }
+    val bsDeleteActs = bySourceClauses.zipWithIndex.collect {
+      case (_: NotMatchedBySourceDelete, i) => i + 1 }
+    val bsUpdateActs = bySourceClauses.zipWithIndex.collect {
+      case (_: NotMatchedBySourceUpdate, i) => i + 1 }
     val keep =
       when(isMatched,
         if (deleteActs.isEmpty) lit(true)
         else !col(actCol).isin(deleteActs.map(Integer.valueOf): _*))
-      .when(isTgtOnly, lit(true))
+      .when(isTgtOnly,
+        if (bsDeleteActs.isEmpty) lit(true)
+        else !col(bsActCol).isin(bsDeleteActs.map(Integer.valueOf): _*))
       .otherwise(col(insActCol) >= 0)
     def tgtCols = fields.fieldNames.map(c => col(s"tgt.$c").as(c)).toSeq
-    def srcCols = fields.fieldNames.map(c => col(s"src.$c").as(c)).toSeq
     def valueOf(c: String): Column = {
       val t = fields(c).dataType
       val matchedVal = matchedClauses.zipWithIndex
@@ -3071,35 +3311,57 @@ object TimeTravel {
             when(col(actCol) === (i + 1), v).otherwise(acc)
           case (acc, _) => acc // delete rows never reach the select
         }
+      val tgtOnlyVal = bySourceClauses.zipWithIndex
+        .foldLeft(col(s"tgt.$c")) {
+          case (acc, (NotMatchedBySourceUpdate(_, set), i)) =>
+            when(col(bsActCol) === (i + 1),
+              set.get(c).fold(col(s"tgt.$c"))(_.cast(t))).otherwise(acc)
+          case (acc, _) => acc
+        }
+      val insVal = insertClauses.zipWithIndex
+        .foldLeft(col(s"src.$c")) {
+          case (acc, (cl, i)) if cl.set.nonEmpty =>
+            when(col(insActCol) === i,
+              cl.set.get(c)
+                .map(_ => col(s"src.${insColName(i, c)}").cast(t))
+                .getOrElse(lit(null).cast(t))).otherwise(acc)
+          case (acc, _) => acc
+        }
       when(isMatched, matchedVal)
-        .when(isTgtOnly, col(s"tgt.$c"))
-        .otherwise(col(s"src.$c")).as(c)
+        .when(isTgtOnly, tgtOnlyVal)
+        .otherwise(insVal).as(c)
     }
     val outCols = fields.fieldNames.map(valueOf).toSeq
     val isUpdated = isMatched &&
       (if (updateActs.isEmpty) lit(false)
        else col(actCol).isin(updateActs.map(Integer.valueOf): _*))
+    val isBsUpdated = isTgtOnly &&
+      (if (bsUpdateActs.isEmpty) lit(false)
+       else col(bsActCol).isin(bsUpdateActs.map(Integer.valueOf): _*))
+    val isBsDeleted = isTgtOnly &&
+      (if (bsDeleteActs.isEmpty) lit(false)
+       else col(bsActCol).isin(bsDeleteActs.map(Integer.valueOf): _*))
     val isInserted = !isMatched && !isTgtOnly && col(insActCol) >= 0
     enforceConstraints(
-      j.filter(isUpdated || isInserted).select(outCols: _*),
+      j.filter(isUpdated || isInserted || isBsUpdated).select(outCols: _*),
       activeConstraints(fs, baseDir, prev), "merge")
     val cdcToken = if (changeFeed) Some(newToken()) else None
     cdcToken.foreach { tok =>
       writeChanges(spark, baseDir, tok, Seq(
-        j.filter(isUpdated).select(tgtCols: _*)
+        j.filter(isUpdated || isBsUpdated).select(tgtCols: _*)
           .withColumn(ChangeTypeCol, lit("update_preimage")),
-        j.filter(isUpdated).select(outCols: _*)
+        j.filter(isUpdated || isBsUpdated).select(outCols: _*)
           .withColumn(ChangeTypeCol, lit("update_postimage")),
-        j.filter(isMatched && (
+        j.filter(isBsDeleted || (isMatched && (
             if (deleteActs.isEmpty) lit(false)
-            else col(actCol).isin(deleteActs.map(Integer.valueOf): _*)))
+            else col(actCol).isin(deleteActs.map(Integer.valueOf): _*))))
           .select(tgtCols: _*)
           .withColumn(ChangeTypeCol, lit("delete")),
-        j.filter(isInserted).select(srcCols: _*)
+        j.filter(isInserted).select(outCols: _*)
           .withColumn(ChangeTypeCol, lit("insert"))))
     }
     val rewritten = j.filter(keep).select(outCols: _*).localCheckpoint()
-    commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
+    commitRewrite(spark, baseDir, partCols, dirs, prev, prevSnap,
       rewritten, "merge", cdc = cdcToken)
   }
 
@@ -3203,9 +3465,6 @@ object TimeTravel {
       predicate: Column, set: Map[String, Column], partCol: String,
       changeFeed: Boolean = false): Int = {
     require(set.nonEmpty, "updateWhereDv needs at least one SET column")
-    require(!set.contains(partCol),
-      s"SET on the partition column '$partCol' would move rows across " +
-        "partitions — use upsert for key moves")
     mutateWhereDv(spark, baseDir, predicate, partCol, changeFeed,
       Some(set))
   }
@@ -3218,6 +3477,12 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
+    // the rewrite's layout IS the table's recorded layout — the
+    // partCol parameter is kept for source compatibility only
+    val partCols = partColsLogical(prevSnap.files, prevSnap.colmap)
+    set.foreach(s => partCols.foreach(pc => require(!s.contains(pc),
+      s"SET on the partition column '$pc' would move rows across " +
+        "partitions — use upsert for key moves")))
     val schema = prevSnap.schema.getOrElse(
       throw new IllegalArgumentException(
         s"$baseDir's log records no schema — predicate $op needs " +
@@ -3234,15 +3499,12 @@ object TimeTravel {
         prevSnap.colmap, prevSnap.dvs, keepPos = true)
       .filter(coalesce(predicate, lit(false)))
       .localCheckpoint()
-    // files identified by (partition value, name) — see [[applyDv]]:
-    // a dynamic-partition write reuses part-file names across dirs, so
-    // the name alone is ambiguous
-    val touchedKeys = matched.select(col(partCol).cast("string"),
-        col(PosFileCol)).distinct()
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    if (touchedKeys.isEmpty) return prev
-    val touched = candidates.filter(f =>
-      touchedKeys((partValueOf(f), baseName(f))))
+    // files identified by NAME — globally unique per table (commit
+    // token + per-stage ordinal, see [[stageWrite]])
+    val touchedNames = matched.select(col(PosFileCol)).distinct()
+      .collect().map(_.getString(0)).toSet
+    if (touchedNames.isEmpty) return prev
+    val touched = candidates.filter(f => touchedNames(baseName(f)))
     // updated images: every matched row through SET, evaluated on the
     // ORIGINAL (checkpointed) values, cast to the committed types —
     // validated against the CHECK policy BEFORE any artifact lands
@@ -3259,16 +3521,16 @@ object TimeTravel {
     // per file always suffices, and untouched files keep their old
     // pointers — artifacts of fully-superseded commits become
     // unreferenced and vacuum reclaims them
-    val newPos = matched.select(col(partCol).cast("string").as("part"),
-      col(PosFileCol).as("name"), col(PosIndexCol).as("pos"))
+    val newPos = matched.select(col(PosFileCol).as("name"),
+      col(PosIndexCol).as("pos"))
     val prior = touched.flatMap(f =>
-      prevSnap.dvs.get(f).map(t => ((partValueOf(f), baseName(f)), t)))
+      prevSnap.dvs.get(f).map(t => (baseName(f), t)))
     val artifact = prior.groupBy(_._2).map { case (t, keyed) =>
-      val keys = spark.createDataFrame(keyed.map(_._1))
-        .toDF("part", "name")
+      val keys = spark.createDataFrame(keyed.map(k => Tuple1(k._1)))
+        .toDF("name")
       spark.read.parquet(dvDir(baseDir, t).toString)
-        .join(broadcast(keys), Seq("part", "name"), "left_semi")
-        .select(col("part"), col("name"), col("pos"))
+        .join(broadcast(keys), Seq("name"), "left_semi")
+        .select(col("name"), col("pos"))
     }.foldLeft(newPos)(_.unionByName(_))
     // artifact lands BEFORE the record (like CDC captures): an aborted
     // commit leaves an orphan dir the age-guarded vacuum sweep reclaims
@@ -3287,8 +3549,8 @@ object TimeTravel {
     // an update's new images land as fresh files in the SAME commit —
     // their partitions equal the touched ones (SET never moves rows)
     val newFiles = updated.fold(Seq.empty[String])(u =>
-      stageWrite(spark, baseDir, u, partCol, colmap = prevSnap.colmap))
-    val dirs = touched.map(f => f.take(f.indexOf('/'))).toSet
+      stageWrite(spark, baseDir, u, partCols, colmap = prevSnap.colmap))
+    val dirs = touched.map(dirOf).toSet
     val tset = touched.toSet
     commitWithRebase(spark, fs, baseDir, prev, dirs,
       adds = newFiles ++ touched, removes = touched, txn = None,
@@ -3314,9 +3576,6 @@ object TimeTravel {
       predicate: Column, set: Map[String, Column], partCol: String,
       changeFeed: Boolean = false): Int = {
     require(set.nonEmpty, "updateWhere needs at least one SET column")
-    require(!set.contains(partCol),
-      s"SET on the partition column '$partCol' would move rows across " +
-        "partitions — use upsert for key moves")
     rewriteWhere(spark, baseDir, predicate, partCol, changeFeed, Some(set))
   }
 
@@ -3328,6 +3587,12 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
+    // the rewrite's layout IS the table's recorded layout — the
+    // partCol parameter is kept for source compatibility only
+    val partCols = partColsLogical(prevSnap.files, prevSnap.colmap)
+    set.foreach(s => partCols.foreach(pc => require(!s.contains(pc),
+      s"SET on the partition column '$pc' would move rows across " +
+        "partitions — use upsert for key moves")))
     val schema = prevSnap.schema.getOrElse(
       throw new IllegalArgumentException(
         s"$baseDir's log records no schema — predicate $op needs one " +
@@ -3393,12 +3658,12 @@ object TimeTravel {
     }
     val rewritten = rewrittenMarked.drop(hit)
     val staged = rewritten.localCheckpoint() // probe work runs once
-    val adds = stageWrite(spark, baseDir, staged, partCol,
+    val adds = stageWrite(spark, baseDir, staged, partCols,
       colmap = prevSnap.colmap)
     require(prevSnap.files.size - matched.size + adds.size > 0,
       s"$op would empty the table — an empty version is not " +
         "representable on plain parquet; drop the table instead")
-    val dirs = matched.map(f => f.take(f.indexOf('/'))).toSet
+    val dirs = matched.map(dirOf).toSet
     commitWithRebase(spark, fs, baseDir, prev, dirs, adds, matched,
       None, schema, op, evolveSchema = false, cdcToken)
   }
@@ -3448,7 +3713,8 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val prevSnap = resolveFull(spark, baseDir, prev)
     val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
-    val byDir = prevFiles.groupBy(f => f.substring(0, f.indexOf('/')))
+    val partCols = partColsLogical(prevFiles, prevSnap.colmap)
+    val byDir = prevFiles.groupBy(dirOf)
     val threshold = math.max(maxFilesPerDir,
       math.max(clusterBy.fold(0)(_._2), zorderBy.fold(0)(_._2)))
     // a dir holding any DV-bound file is due for maintenance REGARDLESS
@@ -3459,8 +3725,6 @@ object TimeTravel {
     val fragmented = byDir.filter { case (dir, fls) =>
       fls.size > threshold || fls.exists(prevSnap.dvs.contains) }
     if (fragmented.isEmpty) return prev
-    val affected = fragmented.keys.toSeq.map(d =>
-      ExternalCatalogUtils.unescapePathName(d.stripPrefix(s"$partCol=")))
     // read back ONLY the fragmented partitions' files, under the
     // COMMITTED schema — pre-evolution files consolidate with NULLs in
     // the added columns, exactly as a read would see them
@@ -3470,8 +3734,16 @@ object TimeTravel {
     val rows = readFiles(spark, baseDir,
       fragmented.values.flatten.toSeq.sorted, prevSchema, prevSnap.colmap,
       prevSnap.dvs)
-    commitRewrite(spark, baseDir, partCol, affected, prev, prevSnap,
-      rows, "compact", clusterBy = clusterBy, zorderBy = zorderBy)
+    // an unpartitioned table has no directory axis for the staged
+    // write's one-task-per-dir arrangement to consolidate by — the
+    // compaction itself declares the target file count
+    val consolidated =
+      if (partCols.isEmpty && clusterBy.isEmpty && zorderBy.isEmpty)
+        rows.repartition(threshold)
+      else rows
+    commitRewrite(spark, baseDir, partCols, fragmented.keySet, prev,
+      prevSnap, consolidated, "compact", clusterBy = clusterBy,
+      zorderBy = zorderBy)
   }
 
   /** SIZE-AWARE compaction (Delta OPTIMIZE's `minFileSize` semantics):
@@ -3499,11 +3771,15 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
-    val byDir = prevSnap.files.groupBy(f => f.substring(0, f.indexOf('/')))
+    val partCols = partColsLogical(prevSnap.files, prevSnap.colmap)
+    val byDir = prevSnap.files.groupBy(dirOf)
     val doomed = byDir.toSeq.flatMap { case (dir, fls) =>
       val dvHere = fls.filter(prevSnap.dvs.contains)
-      val sizes = fs.listStatus(new Path(dataDir(baseDir), dir))
-        .map(st => s"$dir/${st.getPath.getName}" -> st.getLen).toMap
+      val dirPath = if (dir.isEmpty) dataDir(baseDir)
+        else new Path(dataDir(baseDir), dir)
+      val sizes = fs.listStatus(dirPath).iterator.filter(_.isFile)
+        .map(st => (if (dir.isEmpty) st.getPath.getName
+          else s"$dir/${st.getPath.getName}") -> st.getLen).toMap
       val small = fls.filter(f => sizes.get(f).exists(_ < minFileBytes))
       val rewrite = (small ++ dvHere).distinct
       if (small.size >= minSmallFiles || dvHere.nonEmpty) rewrite
@@ -3512,14 +3788,16 @@ object TimeTravel {
     if (doomed.isEmpty) return prev
     val rows = readFiles(spark, baseDir, doomed, prevSnap.schema,
       prevSnap.colmap, prevSnap.dvs)
-    val staged = rows.localCheckpoint()
-    val adds = stageWrite(spark, baseDir, staged, partCol,
+    val staged0 = rows.localCheckpoint()
+    // unpartitioned: fold the undersized files into one (see compact)
+    val staged = if (partCols.isEmpty) staged0.repartition(1) else staged0
+    val adds = stageWrite(spark, baseDir, staged, partCols,
       colmap = prevSnap.colmap)
     require(prevSnap.files.size - doomed.size + adds.size > 0,
       "compaction would empty the table (every remaining row was " +
         "DV-deleted) — an empty version is not representable on plain " +
         "parquet; drop the table instead")
-    val dirs = doomed.map(f => f.take(f.indexOf('/'))).toSet
+    val dirs = doomed.map(dirOf).toSet
     commitWithRebase(spark, fs, baseDir, prev, dirs, adds, doomed,
       None, staged.schema, "compact", evolveSchema = false)
   }
@@ -3574,7 +3852,7 @@ object TimeTravel {
     val adds = (targetSet -- curSet ++ dvChanged).toSeq.sorted
     val removes = (curSet -- targetSet ++ dvChanged).toSeq.sorted
     if (adds.isEmpty && removes.isEmpty) return prev // content identical
-    val dirs = (adds ++ removes).map(f => f.take(f.indexOf('/'))).toSet
+    val dirs = (adds ++ removes).map(dirOf).toSet
     val addSet = adds.toSet
     val addStats = target.stats.filter { case (f, _) => addSet(f) }
     val addDvs = target.dvs.filter { case (f, _) => addSet(f) }
@@ -3970,14 +4248,17 @@ object TimeTravel {
     require(latest >= 1, s"$baseDir has no commits")
     val fs = hadoopFs(spark, baseDir)
     val snap = resolveFull(spark, baseDir, latest)
-    val sizeBytes = snap.files.groupBy(f => f.take(f.indexOf('/')))
+    val sizeBytes = snap.files.groupBy(dirOf)
       .iterator.map { case (dir, fls) =>
         val wanted = fls.map(baseName).toSet
-        fs.listStatus(new Path(dataDir(baseDir), dir))
-          .filter(st => wanted(st.getPath.getName)).map(_.getLen).sum
+        val p = if (dir.isEmpty) dataDir(baseDir)
+          else new Path(dataDir(baseDir), dir)
+        fs.listStatus(p)
+          .filter(st => st.isFile && wanted(st.getPath.getName))
+          .map(_.getLen).sum
       }.sum
     TableDetail(latest, snap.files.size, sizeBytes,
-      partColLogical(snap.files, snap.colmap), snap.schema,
+      partColsLogical(snap.files, snap.colmap).mkString(","), snap.schema,
       activeConstraints(fs, baseDir, latest),
       activeBloomIdx(fs, baseDir, latest), snap.colmap,
       snap.dvs.size, snap.blooms.size)
@@ -4193,42 +4474,44 @@ object TimeTravel {
     * version is the record's sorted order — stable across reads, which
     * is what makes a mid-version offset meaningful. */
   /** A column-mapping commit inside a consumer's window: acceptable
-    * ONLY when the consumer already reads under the commit's resulting
-    * logical names — i.e. it (re)started at or after the change and
-    * its pinned schema matches. Then the commit is metadata-only from
-    * the consumer's seat (zero rows, files unchanged) and contributes
-    * nothing. A consumer pinned to the OLD names must RESTART: its
-    * name-aligned delivery would silently NULL-fill every renamed
-    * column. The restart is lossless — the checkpoint offset is the
-    * cursor, and post-restart windows re-read pre-rename adds under
-    * the new names (files carry physical names; the end-version
-    * mapping projects them). This is Delta's schema-tracking restart
-    * contract: fail the query once at the change, resume clean. */
+    * whenever the consumer's DELIVERY schema postdates it — windows
+    * deliver every row under one schema version's logical names, and
+    * files carry stable PHYSICAL names, so any mapping commit at or
+    * before that version is metadata-only from the consumer's seat
+    * (zero rows, files unchanged; the delivery mapping projects every
+    * file, pre- and post-rename alike). A streaming consumer pinned
+    * BEFORE the change must RESTART: delivering new rows under its
+    * stale names would hide the rename from the downstream sink. The
+    * restart is lossless — the checkpoint offset is the cursor, and
+    * post-restart windows re-read every add under the new names. This
+    * is Delta's schema-tracking restart contract: fail the query once
+    * at the change, resume clean. A backlog holding SEVERAL mapping
+    * commits drains after one restart: the tip-pinned schema postdates
+    * them all, so each is accepted (no per-commit exact-schema match —
+    * the round-14 shape that made two queued renames permanently
+    * unreadable). Batch consumers (`consumerPinnedAt` None) deliver
+    * under the window-END version's mapping, so every in-window
+    * mapping commit is acceptable by construction. */
   private def colmapWindowVerdict(baseDir: String, v: Int,
-      lines: Seq[String], consumerSchema: Option[Seq[String]]): Unit =
-    consumerSchema match {
-      case Some(names)
-          if schemaFrom(lines).exists(_.fieldNames.toSeq == names) => ()
-      case Some(_) => throw new IllegalStateException(
+      consumerPinnedAt: Option[Int]): Unit =
+    consumerPinnedAt match {
+      case Some(p) if v > p => throw new IllegalStateException(
         s"version $v of $baseDir renamed or dropped columns after this " +
           "stream pinned its schema — RESTART the stream to resume " +
           "under the new column names (the checkpoint offset is " +
           "preserved: no rows are lost or re-delivered; Delta's " +
           "schema-tracking restart contract)")
-      case None => throw new IllegalArgumentException(
-        s"version $v of $baseDir renamed or dropped columns: an " +
-          "incremental window cannot be represented across a column-" +
-          "mapping change — restart from a fresh snapshot (Delta " +
-          "refuses streaming reads across column mapping the same way)")
+      case _ => () // delivery schema postdates the change: metadata-only
     }
 
-  /** `consumerSchema`: the window consumer's pinned logical field
-    * names (the streaming source's). None = batch consumer with no
-    * pinned schema — every column-mapping commit in the window refuses
-    * (the conservative pre-schema-tracking contract). */
+  /** `consumerPinnedAt`: the version whose schema the window consumer
+    * pinned and delivers under (the streaming source's). None = batch
+    * consumer — delivery is under the window-END version's schema and
+    * mapping, so column-mapping commits inside the window are always
+    * representable. */
   private[graft] def appendWindowAdds(spark: SparkSession,
       baseDir: String, sinceVersion: Int, endVersion: Int,
-      consumerSchema: Option[Seq[String]] = None)
+      consumerPinnedAt: Option[Int] = None)
       : Seq[(Int, Seq[String])] = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
@@ -4251,7 +4534,7 @@ object TimeTravel {
         case Some("bloomidx") => Nil // metadata-only: no rows to deliver
         case Some("protocol") => Nil // metadata-only: no rows to deliver
         case Some("colmap") =>
-          colmapWindowVerdict(baseDir, v, lines, consumerSchema)
+          colmapWindowVerdict(baseDir, v, consumerPinnedAt)
           Nil // metadata-only once the consumer reads the new names
         case None if removes.isEmpty => adds // pre-#op log, provably adds-only
         case other => throw new IllegalArgumentException(
@@ -4263,21 +4546,49 @@ object TimeTravel {
     }
   }
 
-  /** Version `v`'s add files paired with their RECORDED row counts
-    * (the stats payload's `!rows=` token; None on pre-row-count
-    * records), in the record's stable order — the streaming source's
-    * row-admission walk. One metadata read, no data access. */
+  /** Version `v`'s add files paired with their RECORDED row and byte
+    * counts (the stats payload's `!rows=`/`!bytes=` tokens; None on
+    * records written before they were recorded), in the record's
+    * stable order — the streaming source's row/byte-admission walk.
+    * One metadata read, no data access. */
   private[graft] def addRowCounts(spark: SparkSession, baseDir: String,
-      v: Int): Seq[(String, Option[Long])] = {
+      v: Int): Seq[(String, (Option[Long], Option[Long]))] = {
     val fs = hadoopFs(spark, baseDir)
     val lines = readRawLines(fs, deltaPath(baseDir, v))
     val stats = statsFrom(lines)
     addsRemovesFrom(lines)._1
-      .map(f => f -> stats.get(f).flatMap(parseRowCount))
+      .map(f => f -> ((stats.get(f).flatMap(parseRowCount),
+        stats.get(f).flatMap(parseByteCount))))
   }
 
-  /** Read a set of add files under the window-END version's committed
-    * schema (an empty set types as an empty frame). */
+  /** The newest version at or below `fromVersion` whose committed
+    * schema carries exactly `pinnedNames` — how the streaming source
+    * binds its pinned field names back to a VERSION (whose column
+    * mapping then governs every batch read, however far behind the
+    * batch windows trail). Normally one record read (the tip matches);
+    * the walk-back only pays when commits raced the stream's schema
+    * resolution. No match = the schema moved between resolution and
+    * start: fail with the restart contract. */
+  private[graft] def pinSchemaVersion(spark: SparkSession,
+      baseDir: String, pinnedNames: Seq[String],
+      fromVersion: Int): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    // order-insensitive: the partition column's position varies by
+    // read path (a partitioned scan appends it last), the NAME SET is
+    // the schema identity that matters for the mapping
+    val pinned = pinnedNames.sorted
+    (fromVersion to 1 by -1).find(v =>
+      schemaOfRecord(fs, baseDir, v)
+        .exists(_.fieldNames.sorted.toSeq == pinned))
+      .getOrElse(throw new IllegalStateException(
+        s"no retained version of $baseDir carries this stream's pinned " +
+          s"schema (${pinnedNames.mkString(", ")}) — the table's schema " +
+          "changed while the stream was starting; RESTART the stream " +
+          "to pin the current names"))
+  }
+
+  /** Read a set of add files under `schemaVersion`'s committed schema
+    * and column mapping (an empty set types as an empty frame). */
   private[graft] def readAddFiles(spark: SparkSession, baseDir: String,
       files: Seq[String], schemaVersion: Int,
       emptyMsg: String): DataFrame = {
@@ -4332,10 +4643,11 @@ object TimeTravel {
     * `(a,b] ++ (b,c] = (a,c]`. */
   /** One row-admission unit of a CDC window — either an ADD file of
     * an append commit (its rows deliver as `insert` changes) or one
-    * parquet file of a rewrite commit's captured change rows. `rows`
-    * None = unknown: admits and exhausts the budget, conservative. */
+    * parquet file of a rewrite commit's captured change rows.
+    * `rows`/`bytes` None = unknown: admits and exhausts the budget,
+    * conservative. */
   private[graft] final case class CdcUnit(path: String, isAdd: Boolean,
-      rows: Option[Long])
+      rows: Option[Long], bytes: Option[Long] = None)
 
   private def parquetRowCount(fs: FileSystem, p: Path): Long = {
     import org.apache.parquet.hadoop.ParquetFileReader
@@ -4352,9 +4664,9 @@ object TimeTravel {
     * cache per version. The same acceptance contract as
     * [[readChangesSince]]: metadata and compact commits contribute
     * nothing, a capture-less rewrite refuses, a colmap commit passes
-    * only for a consumer already pinned to its resulting names. */
+    * only when the consumer's pinned schema version postdates it. */
   private[graft] def cdcUnits(spark: SparkSession, baseDir: String,
-      v: Int, consumerSchema: Option[Seq[String]]): Seq[CdcUnit] = {
+      v: Int, consumerPinnedAt: Option[Int]): Seq[CdcUnit] = {
     val fs = hadoopFs(spark, baseDir)
     require(fs.exists(deltaPath(baseDir, v)),
       s"version $v of $baseDir has no commit record (vacuumed away): " +
@@ -4366,13 +4678,14 @@ object TimeTravel {
       case Some("append") =>
         val stats = statsFrom(lines)
         adds.sorted.map(f => CdcUnit(f, isAdd = true,
-          stats.get(f).flatMap(parseRowCount)))
+          stats.get(f).flatMap(parseRowCount),
+          stats.get(f).flatMap(parseByteCount)))
       case None if removes.isEmpty => // pre-#op adds-only: an append
         adds.sorted.map(f => CdcUnit(f, isAdd = true, None))
       case Some("compact") | Some("constraint") | Some("bloomidx") |
            Some("protocol") => Nil
       case Some("colmap") =>
-        colmapWindowVerdict(baseDir, v, lines, consumerSchema)
+        colmapWindowVerdict(baseDir, v, consumerPinnedAt)
         Nil
       case op =>
         val tok = cdcFrom(lines).getOrElse(
@@ -4388,7 +4701,7 @@ object TimeTravel {
             st.getPath.getName.endsWith(".parquet"))
           .sortBy(_.getPath.getName).toSeq
           .map(st => CdcUnit(st.getPath.toString, isAdd = false,
-            Some(parquetRowCount(fs, st.getPath))))
+            Some(parquetRowCount(fs, st.getPath)), Some(st.getLen)))
     }
   }
 
@@ -4406,27 +4719,55 @@ object TimeTravel {
       throw new IllegalArgumentException(
         s"$baseDir's log records no schema — pre-metadata tables have " +
           "no change feed"))
+    val deliveryColmap = activeColmap(fs, baseDir, schemaVersion)._1
     val frames = unitsByVersion.flatMap { case (v, units) =>
       if (units.isEmpty) None
       else {
         val (addUnits, cdcFiles) = units.partition(_.isAdd)
-        val lines =
-          if (addUnits.isEmpty) Nil
-          else readRawLines(fs, deltaPath(baseDir, v))
+        val lines = readRawLines(fs, deltaPath(baseDir, v))
         val parts = Seq(
+          // add files read under the DELIVERY version's schema+mapping
+          // (files carry stable physical names), never the commit's own
+          // — reading at-v logical names and realigning by name would
+          // NULL-fill every column renamed between v and delivery
           if (addUnits.isEmpty) None
           else Some(readFiles(spark, baseDir,
-              addUnits.map(_.path).sorted, schemaFrom(lines),
-              activeColmap(fs, baseDir, v)._1)
+              addUnits.map(_.path).sorted, Some(schema), deliveryColmap)
             .withColumn(ChangeTypeCol, lit("insert"))),
+          // captured change rows were written under v's LOGICAL names:
+          // project them onto the delivery names via the physical names
           if (cdcFiles.isEmpty) None
-          else Some(spark.read.parquet(cdcFiles.map(_.path): _*))
+          else Some(remapCaptureNames(
+            spark.read.parquet(cdcFiles.map(_.path): _*),
+            colmapFrom(lines), deliveryColmap))
         ).flatten
         parts.map(_.withColumn(CommitVersionCol, lit(v)))
           .reduceOption(_.unionByName(_, allowMissingColumns = true))
       }
     }
     alignChangeFrames(spark, schema, frames)
+  }
+
+  /** Project a change-capture frame's CAPTURE-TIME logical names onto
+    * the delivery version's logical names through the stable PHYSICAL
+    * names — the same identity [[readFiles]]' column-mapping projection
+    * uses for data files, applied to captured parquet whose column
+    * names are the capture commit's logical schema. A capture column
+    * whose physical name the delivery version dropped keeps its
+    * physical name and falls out in [[alignChangeFrames]]' final
+    * select. Simultaneous (one select, not chained renames): a
+    * rename-swap between capture and delivery must not collide. */
+  private def remapCaptureNames(df: DataFrame,
+      captureColmap: Map[String, String],
+      deliveryColmap: Map[String, String]): DataFrame = {
+    val physToDelivery = deliveryColmap.map(_.swap)
+    df.select(df.columns.map { c =>
+      if (c == ChangeTypeCol || c == CommitVersionCol) col(c)
+      else {
+        val phys = captureColmap.getOrElse(c, c)
+        col(c).as(physToDelivery.getOrElse(phys, phys))
+      }
+    }.toIndexedSeq: _*)
   }
 
   /** Deliver change frames under `schema` + the CDC columns,
@@ -4457,7 +4798,7 @@ object TimeTravel {
 
   def readChangesSince(spark: SparkSession, baseDir: String,
       sinceVersion: Int, endVersion: Int = Int.MaxValue,
-      consumerSchema: Option[Seq[String]] = None): DataFrame = {
+      consumerPinnedAt: Option[Int] = None): DataFrame = {
     val fs = hadoopFs(spark, baseDir)
     val latest = latestVersion(spark, baseDir)
     val end = if (endVersion == Int.MaxValue) latest else endVersion
@@ -4465,10 +4806,17 @@ object TimeTravel {
       s"window ($sinceVersion, $end] out of range for $baseDir " +
         s"(latest: $latest)")
     val entries = logEntries(fs, baseDir)
-    val schema = schemaOfRecord(fs, baseDir, end).getOrElse(
+    // the DELIVERY version: every row comes back under its schema and
+    // column mapping (a streaming consumer's pinned version, else the
+    // window end) — one consistent name space however many renames the
+    // window crosses, since files and captures project through stable
+    // physical names
+    val deliveryV = consumerPinnedAt.getOrElse(end)
+    val schema = schemaOfRecord(fs, baseDir, deliveryV).getOrElse(
       throw new IllegalArgumentException(
         s"$baseDir's log records no schema — pre-metadata tables have " +
           "no change feed"))
+    val deliveryColmap = activeColmap(fs, baseDir, deliveryV)._1
     val frames = ((sinceVersion + 1) to end).flatMap { v =>
       require(entries.get(v).exists(_._2),
         s"version $v of $baseDir has no commit record (vacuumed away): " +
@@ -4478,14 +4826,16 @@ object TimeTravel {
       val (adds, removes) = addsRemovesFrom(lines)
       opFrom(lines) match {
         case Some("colmap") =>
-          colmapWindowVerdict(baseDir, v, lines, consumerSchema)
+          colmapWindowVerdict(baseDir, v, consumerPinnedAt)
           None // metadata-only once the consumer reads the new names
         // pre-#op adds-only records are provably appends — the same
-        // acceptance readAppendsSince gives them
+        // acceptance readAppendsSince gives them. Adds read under the
+        // DELIVERY schema+mapping (files carry stable physical names):
+        // a rename between v and delivery projects, never NULL-fills
         case Some("append") | None if removes.isEmpty =>
           if (adds.isEmpty) None
           else Some(readFiles(spark, baseDir, adds.sorted,
-            schemaFrom(lines))
+            Some(schema), deliveryColmap)
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
         case Some("compact") => None // dataChange=false
@@ -4502,12 +4852,15 @@ object TimeTravel {
           require(fs.exists(cd),
             s"version $v of $baseDir references change rows at $cd " +
               "that no longer exist")
-          Some(spark.read.parquet(cd.toString)
+          // captured rows carry v's LOGICAL names: project them onto
+          // the delivery names via the stable physical names
+          Some(remapCaptureNames(spark.read.parquet(cd.toString),
+            colmapFrom(lines), deliveryColmap)
             .withColumn(CommitVersionCol, lit(v)))
       }
     }
-    // deliver under endVersion's schema + the CDC columns: changes
-    // captured before an evolution NULL-fill the added columns
+    // deliver under the delivery version's schema + the CDC columns:
+    // changes captured before an evolution NULL-fill the added columns
     alignChangeFrames(spark, schema, frames)
   }
 }

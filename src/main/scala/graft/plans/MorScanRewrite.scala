@@ -38,34 +38,56 @@ object MorScanRewrite extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.mor.rewrite", "false").toBoolean)
       plan
-    // transformDOWN: the Filter-over-relation pattern must match at
-    // the parent BEFORE the bare-relation case consumes the child (an
-    // upward transform rewrites the relation first and the filter
-    // case never fires)
+    // transformDOWN: the Project/Filter-over-relation patterns must
+    // match at the parent BEFORE the bare-relation case consumes the
+    // child (an upward transform rewrites the relation first and the
+    // parent cases never fire)
     else plan.transformDown {
+      // a Project above the relation captures the query's REQUIRED
+      // columns: the splice runs after Spark's own ColumnPruning, so
+      // without threading them a narrow query over a DV-bound version
+      // would physically read every column of the table
+      case p @ Project(_, Filter(cond, lr: LogicalRelation))
+          if lr.relation.isInstanceOf[GraftVersionedMorRelation] =>
+        p.copy(child = spliced(lr, TimeTravel.predicateRanges(cond),
+          Some(cond), requiredOf(p, lr)))
+      case p @ Project(_, lr: LogicalRelation)
+          if lr.relation.isInstanceOf[GraftVersionedMorRelation] =>
+        p.copy(child = spliced(lr, Nil, None, requiredOf(p, lr)))
       // a filter directly on the relation is CONSUMED whole: its
       // conjuncts drive log-stats file skipping, and the full condition
       // re-optimizes WITH the spliced subplan so parquet pushdown
       // happens even though Spark's own pushdown batches already ran
       case Filter(cond, lr: LogicalRelation)
           if lr.relation.isInstanceOf[GraftVersionedMorRelation] =>
-        spliced(lr, TimeTravel.predicateRanges(cond), Some(cond))
+        spliced(lr, TimeTravel.predicateRanges(cond), Some(cond), None)
       case lr: LogicalRelation
           if lr.relation.isInstanceOf[GraftVersionedMorRelation] =>
-        spliced(lr, Nil, None)
+        spliced(lr, Nil, None, None)
     }
+
+  /** The parent projection's referenced columns, in relation order —
+    * what the spliced subplan needs to output (filter references stay
+    * inside the subplan and prune there). */
+  private def requiredOf(p: Project,
+      lr: LogicalRelation): Option[Seq[String]] = {
+    val refs = p.projectList.flatMap(_.references.map(_.name)).toSet
+    Some(lr.output.map(_.name).filter(refs))
+  }
 
   private def spliced(lr: LogicalRelation,
       preds: Seq[TimeTravel.ColRange],
-      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
-      : LogicalPlan = {
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      required: Option[Seq[String]]): LogicalPlan = {
     val mor = lr.relation.asInstanceOf[GraftVersionedMorRelation]
-    val replacement = mor.logicalScan(preds, cond)
+    val replacement = mor.logicalScan(preds, cond, required)
     val byName = replacement.output.map(a => a.name -> a).toMap
     // the committed schema is the contract on both sides; a drifted
     // replacement (a column the relation promises but the scan lacks)
     // must fail the rewrite loudly, never bind by position
-    val projections: Seq[NamedExpression] = lr.output.map { o =>
+    val wanted = required.fold(lr.output)(r =>
+      { val keep = r.toSet; lr.output.filter(a => keep(a.name)) })
+    val projections: Seq[NamedExpression] = wanted.map { o =>
       val src = byName.getOrElse(o.name, throw new IllegalStateException(
         s"MorScanRewrite: replacement scan lacks column '${o.name}' " +
           s"(has: ${replacement.output.map(_.name).mkString(", ")})"))

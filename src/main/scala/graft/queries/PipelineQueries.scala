@@ -2847,10 +2847,247 @@ object PipelineQueries {
       FROM st GROUP BY 1""")
   )
 
+  /** UNPARTITIONED versioned table ([[graft.operators.TimeTravel]] with
+    * `partCol = ""`): the layout a small dimension table or a
+    * globally-clustered fact actually wants — files at the data root,
+    * no directory axis, every other capability intact. Staged once:
+    * three key-slab commits, an upsert (composite-free), a predicate
+    * delete, then OPTIMIZE. In-band verdicts pin the layout contract —
+    * zero partition directories in the resolved file set, the
+    * partition-columns API answering empty, the compaction folding the
+    * accumulated files — and the tip content hash-matches the oracle's
+    * replayed arithmetic. Scale shape: with no directory axis, rewrite
+    * conflict granularity is the whole table (correct — there is no
+    * partition isolation to exploit), while stats skipping still
+    * prunes by the key-slab file bounds. */
+  val q199 = Q(
+    "q199_unpartitioned_table",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, flatLayout, apiEmpty, folded) =
+        stagedUnpartitioned.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-unpart")
+          val orders = Tables.load(spark, dir, "orders")
+          val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+          val m3 = m / 3
+          def slab(k: Int) = orders.filter(
+            (if (k == 0) lit(true) else col("o_orderkey") > k * m3) &&
+              (if (k == 2) lit(true) else col("o_orderkey") <= (k + 1) * m3))
+          TimeTravel.init(spark, d, slab(0), "")
+          (1 to 2).foreach(k => TimeTravel.append(spark, d, slab(k), ""))
+          // upsert: bump every 11th key's price (full-row replacement)
+          TimeTravel.upsert(spark, d,
+            TimeTravel.readVersion(spark, d, 3)
+              .filter(col("o_orderkey") % 11 === 0)
+              .withColumn("o_totalprice", col("o_totalprice") + lit(25.0)),
+            "o_orderkey", "")
+          TimeTravel.deleteWhere(spark, d, col("o_custkey") % 97 === 0, "")
+          val pre = TimeTravel.filesAt(spark, d,
+            TimeTravel.latestVersion(spark, d))
+          val v = TimeTravel.compact(spark, d, "")
+          val post = TimeTravel.filesAt(spark, d, v)
+          (d,
+            (pre ++ post).forall(!_.contains('/')),
+            TimeTravel.partitionColumns(spark, d).isEmpty,
+            post.size < pre.size)
+        })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("flat_layout", lit(flatLayout))
+        .withColumn("unpartitioned_api", lit(apiEmpty))
+        .withColumn("compaction_folded", lit(folded))
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("CASE WHEN o_orderkey % 11 = 0 " +
+          "THEN o_totalprice + 25.0 ELSE o_totalprice END")} AS sum_price,
+        TRUE AS flat_layout, TRUE AS unpartitioned_api,
+        TRUE AS compaction_folded
+      FROM orders WHERE NOT (o_custkey % 97 = 0)
+      GROUP BY 1""")
+  )
+  private val stagedUnpartitioned = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean, Boolean)]
+
+  /** TWO-COLUMN TYPED PARTITIONING + COMPOSITE-KEY MERGE: the
+    * production layout a real deployment runs — `(o_pyear DATE,
+    * o_seg STRING)` nested directories with TYPED partition values,
+    * mutated through a composite-business-key MERGE
+    * (`o_orderkey, o_custkey`) whose source sits in one key band.
+    * In-band verdicts pin every scale contract at once: the
+    * partition-columns API answers the typed pair (and the declarative
+    * relation's partition schema carries DATE, not directory text), a
+    * conjunctive two-axis prune (month equality + segment equality)
+    * reads a small minority of files BEFORE any data access — DATE
+    * dirs compared under date order, never byte order — and the
+    * merge's leading-key envelope probed strictly fewer files than the
+    * table holds. Content hash-matches the oracle's replayed merge. */
+  val q200 = Q(
+    "q200_typed_partitions_merge",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, typedApi, dirPruned, probedMinority) =
+        stagedTypedParts.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-typed")
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_pyear", trunc(col("o_orderdate"), "YEAR"))
+            .withColumn("o_seg",
+              concat(lit("s"), (col("o_custkey") % 4).cast("string")))
+          val m = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+          val m5 = m / 5
+          def slab(k: Int) = orders.filter(
+            (if (k == 0) lit(true) else col("o_orderkey") > k * m5) &&
+              (if (k == 4) lit(true) else col("o_orderkey") <= (k + 1) * m5))
+          TimeTravel.init(spark, d, slab(0), "o_pyear,o_seg")
+          (1 to 4).foreach(k =>
+            TimeTravel.append(spark, d, slab(k), "o_pyear,o_seg"))
+          // composite-key MERGE, source confined to the middle band:
+          // matched rows (every 13th key) take +100, genuinely new
+          // composite keys (every 29th, shifted) insert
+          val tip = TimeTravel.readVersion(spark, d, 5)
+          val band = tip.filter(
+            col("o_orderkey") > 2 * m5 && col("o_orderkey") <= 3 * m5)
+          val source = band.filter(col("o_orderkey") % 13 === 0)
+            .unionByName(band.filter(col("o_orderkey") % 29 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(m + 1)))
+          TimeTravel.merge(spark, d, source.localCheckpoint(),
+            "o_orderkey,o_custkey", "o_pyear,o_seg",
+            Seq(
+              TimeTravel.MatchedUpdate(None, Map("o_totalprice" ->
+                (col("tgt.o_totalprice") + lit(100.0)))),
+              TimeTravel.NotMatchedInsert()))
+          val (probed, total) = TimeTravel.discoveryStats(d)
+          // conjunctive TYPED directory prune: one month, one segment
+          val firstMonth = tip.agg(min(col("o_pyear"))).head.getDate(0)
+          val scan = TimeTravel.readVersionSkippingAll(spark, d,
+            TimeTravel.latestVersion(spark, d), Seq(
+              TimeTravel.ColRange("o_pyear", firstMonth, firstMonth),
+              TimeTravel.ColRange("o_seg", "s1", "s1")))
+          (d,
+            TimeTravel.partitionColumns(spark, d) ==
+              Seq("o_pyear", "o_seg") &&
+              spark.read.format("graft-versioned").option("path", d)
+                .load().schema("o_pyear").dataType ==
+                org.apache.spark.sql.types.DateType,
+            scan.filesRead * 3 <= scan.filesTotal && scan.filesRead > 0,
+            probed < total && probed > 0)
+        })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_seg").as("seg"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("typed_partition_api", lit(typedApi))
+        .withColumn("two_axis_dir_prune", lit(dirPruned))
+        .withColumn("merge_probe_pruned", lit(probedMinority))
+    },
+    Some(s"""WITH b AS (SELECT MAX(o_orderkey) AS m,
+          2*(MAX(o_orderkey)//5) AS lo, 3*(MAX(o_orderkey)//5) AS hi
+        FROM orders),
+      base AS (
+        SELECT o_orderkey, o_custkey,
+          CONCAT('s', o_custkey % 4) AS seg,
+          CASE WHEN o_orderkey % 13 = 0 AND o_orderkey > b.lo
+                AND o_orderkey <= b.hi
+               THEN o_totalprice + 100.0 ELSE o_totalprice END AS price
+        FROM orders, b
+        UNION ALL
+        SELECT o_orderkey + b.m + 1, o_custkey,
+          CONCAT('s', o_custkey % 4) AS seg, o_totalprice
+        FROM orders, b
+        WHERE o_orderkey % 29 = 0 AND o_orderkey > b.lo
+          AND o_orderkey <= b.hi)
+      SELECT seg, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price,
+        TRUE AS typed_partition_api, TRUE AS two_axis_dir_prune,
+        TRUE AS merge_probe_pruned
+      FROM base GROUP BY 1""")
+  )
+  private val stagedTypedParts = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean, Boolean)]
+
+  /** FULL MERGE PARITY through SQL ([[graft.sql.GraftSql.exec]]):
+    * one statement exercising everything round 14 refused — a GENERAL
+    * ON condition (key equality AND a target-price band: key-equal
+    * pairs failing it are NOT matched), a CONDITIONAL MATCHED UPDATE,
+    * an EXPLICIT INSERT COLUMN LIST (listed columns take expressions,
+    * the unlisted `o_orderpriority` NULL-fills), and both WHEN NOT
+    * MATCHED BY SOURCE forms (conditional DELETE retiring 'P' rows the
+    * source no longer matches, UPDATE flagging the rest STALE — the
+    * sync-a-dimension-table shape). The oracle replays the clause
+    * algebra as a CTE over raw orders (q182's shape); any scope error
+    * (a BY SOURCE clause leaking onto matched rows, an insert list
+    * filling the wrong column, the ON band ignored) shifts a status
+    * group or the STALE count and hash-mismatches. */
+  val q201 = Q(
+    "q201_merge_by_source",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = stagedBySource.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-bysource")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("o_month", date_format(col("o_orderdate"), "yyyy-MM"))
+          .select("o_orderkey", "o_month", "o_orderstatus",
+            "o_orderpriority", "o_totalprice")
+        TimeTravel.init(spark, d, orders, "o_month")
+        val shift = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+        orders.unionByName(orders
+            .withColumn("o_orderkey", col("o_orderkey") + lit(shift))
+            .withColumn("o_orderstatus", lit("N")))
+          .createOrReplaceTempView("q201_src")
+        graft.sql.GraftSql.exec(spark, s"""MERGE INTO graft.`$d` t
+          USING q201_src s
+          ON t.o_orderkey = s.o_orderkey AND t.o_totalprice < 175000.0
+          WHEN MATCHED AND t.o_orderstatus <> 'P'
+            THEN UPDATE SET o_totalprice = t.o_totalprice + 10.0
+          WHEN NOT MATCHED AND s.o_orderstatus = 'N'
+            THEN INSERT (o_orderkey, o_month, o_orderstatus, o_totalprice)
+            VALUES (s.o_orderkey, s.o_month, s.o_orderstatus,
+              s.o_totalprice + 5.0)
+          WHEN NOT MATCHED BY SOURCE AND t.o_orderstatus = 'P' THEN DELETE
+          WHEN NOT MATCHED BY SOURCE
+            THEN UPDATE SET o_orderpriority = 'STALE'""")
+        d
+      })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          sum(when(col("o_orderpriority") === "STALE", 1L).otherwise(0L))
+            .as("n_stale"))
+    },
+    Some(s"""WITH m AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders),
+      kept AS (
+        SELECT o_orderkey, o_orderstatus,
+          CASE WHEN o_totalprice < 175000.0 AND o_orderstatus <> 'P'
+               THEN o_totalprice + 10.0 ELSE o_totalprice END AS price,
+          CASE WHEN o_totalprice >= 175000.0 THEN 'STALE'
+               ELSE o_orderpriority END AS prio
+        FROM orders
+        WHERE NOT (o_totalprice >= 175000.0 AND o_orderstatus = 'P')),
+      ins AS (
+        SELECT o_orderkey + m.shift AS o_orderkey, 'N' AS o_orderstatus,
+          o_totalprice + 5.0 AS price, NULL AS prio
+        FROM orders, m),
+      u AS (SELECT * FROM kept UNION ALL SELECT * FROM ins)
+      SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price,
+        SUM(CASE WHEN prio = 'STALE' THEN 1 ELSE 0 END) AS n_stale
+      FROM u GROUP BY 1""")
+  )
+  private val stagedBySource =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
-      q191, q192, q193, q194, q195, q196, q198)
+      q191, q192, q193, q194, q195, q196, q198, q199, q200, q201)
 }

@@ -103,23 +103,30 @@ private[graft] final class GraftVersionedFileIndex(spark: SparkSession,
     baseDir: String, version: Int, plan: TimeTravel.ScanPlan)
     extends FileIndex {
 
-  /** The table's partition column, from the file layout (every data
-    * file lives under `col=value/`, the init/append invariant). */
-  val partCol: String = {
-    val f = plan.files.head
-    val eq = f.indexOf('=')
-    require(eq > 0 && f.indexOf('/') > eq,
-      s"unpartitioned data file in the log: $f")
-    f.substring(0, eq)
+  private def dirOf(f: String): String = {
+    val i = f.lastIndexOf('/')
+    if (i < 0) "" else f.substring(0, i)
   }
 
+  /** The table's partition columns, from the file layout (every data
+    * file lives under `a=v/b=w/…`, the init/append invariant; a
+    * root-level file means the table is unpartitioned). */
+  val partCols: Seq[String] = {
+    val segs = plan.files.head.split('/')
+    segs.iterator.take(segs.length - 1)
+      .map(seg => seg.substring(0, seg.indexOf('='))).toSeq
+  }
+
+  /** Partition columns keep their COMMITTED types (typed layouts:
+    * a DATE or INT partition value casts from its directory text). */
   override val partitionSchema: StructType =
-    StructType(Seq(StructField(partCol, StringType, nullable = false)))
+    StructType(partCols.map(c =>
+      StructField(c, plan.schema(c).dataType, nullable = false)))
 
   /** File-content schema: the committed schema minus the partition
-    * column (which lives in directory names, not file data). */
+    * columns (which live in directory names, not file data). */
   val dataSchema: StructType =
-    StructType(plan.schema.fields.filterNot(_.name == partCol))
+    StructType(plan.schema.fields.filterNot(f => partCols.contains(f.name)))
 
   private val dataRoot =
     new Path(new Path(baseDir), "data")
@@ -135,44 +142,72 @@ private[graft] final class GraftVersionedFileIndex(spark: SparkSession,
     * per relation, only when a scan actually plans. */
   private lazy val statusByFile: Map[String, FileStatus] = {
     val fs = dataRoot.getFileSystem(spark.sessionState.newHadoopConf())
-    plan.files.groupBy(f => f.substring(0, f.indexOf('/')))
+    plan.files.groupBy(dirOf)
       .iterator.flatMap { case (dir, fls) =>
-        val wanted = fls.map(f => f.substring(f.indexOf('/') + 1)).toSet
-        fs.listStatus(new Path(dataRoot, dir)).iterator
-          .filter(st => wanted(st.getPath.getName))
-          .map(st => s"$dir/${st.getPath.getName}" -> st)
+        val wanted = fls.map(f => f.substring(f.lastIndexOf('/') + 1)).toSet
+        val p = if (dir.isEmpty) dataRoot else new Path(dataRoot, dir)
+        fs.listStatus(p).iterator
+          .filter(st => st.isFile && wanted(st.getPath.getName))
+          .map(st => (if (dir.isEmpty) st.getPath.getName
+            else s"$dir/${st.getPath.getName}") -> st)
       }.toMap
   }
+
+  /** Directory text → typed partition value (Catalyst internal form). */
+  private val converters: Seq[String => Any] =
+    partitionSchema.fields.map { f =>
+      f.dataType match {
+        case StringType => (s: String) => UTF8String.fromString(s)
+        case dt => (s: String) =>
+          org.apache.spark.sql.catalyst.expressions.Cast(
+            org.apache.spark.sql.catalyst.expressions.Literal
+              .create(UTF8String.fromString(s), StringType), dt,
+            Some(java.time.ZoneId.systemDefault().getId)).eval(null)
+      }
+    }.toSeq
+
+  private def partitionRow(dir: String): InternalRow =
+    if (partCols.isEmpty) InternalRow.empty
+    else {
+      val segs = dir.split('/')
+      InternalRow.fromSeq(partCols.indices.map { i =>
+        val seg = segs(i)
+        converters(i)(ExternalCatalogUtils.unescapePathName(
+          seg.substring(seg.indexOf('=') + 1)))
+      })
+    }
 
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
     // data-column conjuncts → log-stats skipping ([[TimeTravel
     // .predicateRanges]]; unsupported shapes simply don't prune —
-    // conservative). The partition column is excluded: its values are
-    // not in file stats, and the directory evaluation below prunes it
-    // exactly, any predicate shape.
+    // conservative). Partition columns are excluded: their values are
+    // not in file stats, and the directory evaluation below prunes
+    // them exactly, any predicate shape.
     val kept = plan.kept(dataFilters
       .flatMap(TimeTravel.predicateRanges)
-      .filterNot(_.col == partCol))
+      .filterNot(r => partCols.contains(r.col)))
     // partition-column predicates → exact evaluation per DIRECTORY
-    // value (any predicate shape, evaluated once per dir, not per file)
+    // tuple (any predicate shape, evaluated once per dir, not per file)
+    val ordinal = partCols.zipWithIndex.toMap
     val keep: InternalRow => Boolean =
       if (partitionFilters.isEmpty) _ => true
       else {
         val bound = CatalystPredicate.createInterpreted(
           partitionFilters.reduce(And).transform {
-            case _: AttributeReference =>
-              BoundReference(0, StringType, nullable = false)
+            case a: AttributeReference =>
+              val i = ordinal.getOrElse(a.name,
+                throw new IllegalStateException(
+                  s"partition filter on non-partition column ${a.name}"))
+              BoundReference(i, partitionSchema.fields(i).dataType,
+                nullable = false)
           })
         bound.initialize(0)
         bound.eval _
       }
-    kept.groupBy(f => f.substring(0, f.indexOf('/'))).iterator
+    kept.groupBy(dirOf).iterator
       .flatMap { case (dir, fls) =>
-        val value = UTF8String.fromString(
-          ExternalCatalogUtils.unescapePathName(
-            dir.substring(dir.indexOf('=') + 1)))
-        val row = InternalRow(value)
+        val row = partitionRow(dir)
         if (!keep(row)) None
         else Some(PartitionDirectory(row,
           fls.flatMap(statusByFile.get).toArray))
@@ -293,8 +328,15 @@ private[graft] final class GraftVersionedMorRelation(spark: SparkSession,
     * run on the outer query, and an un-eliminated ResolvedHint would
     * reach the planner and fail. The subplan holds no MOR relations,
     * so its own optimization cannot recurse into the rule. */
+  /** `required`: the PARENT's needed columns (None = all) — the splice
+    * runs in the late user-rules batch, AFTER Spark's own ColumnPruning,
+    * so the subplan must carry the projection itself or a narrow query
+    * over a DV-bound version physically reads every column. The select
+    * lands BELOW the inner optimization, which prunes the parquet
+    * ReadSchema down to projection + filter references. */
   private[graft] def logicalScan(preds: Seq[TimeTravel.ColRange],
-      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression])
+      cond: Option[org.apache.spark.sql.catalyst.expressions.Expression],
+      required: Option[Seq[String]] = None)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions.AttributeReference
     val base = plan.readKept(preds).queryExecution.analyzed
@@ -308,12 +350,34 @@ private[graft] final class GraftVersionedMorRelation(spark: SparkSession,
       }
       org.apache.spark.sql.catalyst.plans.logical.Filter(remapped, base)
     }
-    spark.sessionState.executePlan(withFilter).optimizedPlan
+    val projected = required.fold(withFilter) { names =>
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        names.map(n => byName.getOrElse(n,
+          throw new IllegalStateException(
+            s"MOR scan lacks required column '$n' " +
+              s"(has: ${base.output.map(_.name).mkString(", ")})"))),
+        withFilter)
+    }
+    spark.sessionState.executePlan(projected).optimizedPlan
   }
 
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter])
       : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+    // fast-path discoverability: a vanilla session (no GraftExtensions /
+    // installOptimizations) reaches this correct-but-Row-boundary V1
+    // fallback — say so ONCE per JVM instead of silently serving the
+    // slow path forever
+    if (!spark.conf.get("spark.graft.mor.rewrite", "false").toBoolean &&
+        GraftVersionedMorRelation.slowPathWarned.compareAndSet(false, true)) {
+      GraftVersionedMorRelation.slowPathWarnings.incrementAndGet()
+      org.slf4j.LoggerFactory.getLogger(classOf[GraftVersionedMorRelation])
+        .warn(s"serving $baseDir@v$version through the V1 merge-on-read " +
+          "fallback (Row boundary, no whole-stage codegen): install " +
+          "graft.GraftSession.installOptimizations(spark) or the " +
+          "GraftExtensions session extension to enable the optimized " +
+          "MorScanRewrite splice")
+    }
     val body = plan.readKept(filters.flatMap(ranges).toSeq)
     val filtered = filters.flatMap(toColumn)
       .foldLeft(body)((df, c) => df.filter(c))
@@ -327,4 +391,13 @@ private[graft] final class GraftVersionedMorRelation(spark: SparkSession,
   override def toString: String =
     s"GraftVersionedMorRelation[$baseDir@v$version, " +
       s"dv=${plan.hasDeletionVectors}, mapped=${plan.colmap.nonEmpty}]"
+}
+
+private[graft] object GraftVersionedMorRelation {
+  /** One-time latch + observable count for the V1 slow-path warning
+    * (spec-asserted: fires exactly once per JVM). */
+  private[graft] val slowPathWarned =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+  private[graft] val slowPathWarnings =
+    new java.util.concurrent.atomic.AtomicLong(0L)
 }

@@ -227,9 +227,6 @@ object GraftSql {
 
   private def merge(spark: SparkSession, m: MergeIntoTable,
       changeFeed: Boolean): Int = {
-    require(m.notMatchedBySourceActions.isEmpty,
-      "WHEN NOT MATCHED BY SOURCE is not supported — express it as a " +
-        "second DELETE/UPDATE statement over the anti-joined keys")
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported — evolve the " +
         "table with an evolveSchema append first")
@@ -246,20 +243,37 @@ object GraftSql {
     // NOT MATCHED scope: the bare source row (no target to reference)
     val srcBareMap: Map[String, Seq[String]] =
       sAlias.map(_.toLowerCase -> Seq.empty[String]).toMap
-    val keyCol = m.mergeCondition match {
-      case org.apache.spark.sql.catalyst.expressions.EqualTo(
-          l: UnresolvedAttribute, r: UnresolvedAttribute)
-          if l.nameParts.last == r.nameParts.last =>
-        l.nameParts.last
-      case other => throw new IllegalArgumentException(
-        s"MERGE condition must be a single key equality " +
-          s"(t.k = s.k), got: ${other.sql} — compose richer matching " +
-          "with a pre-joined source")
+    // BY SOURCE scope: the target row alone, under the join's tgt alias
+    val tgtMap: Map[String, Seq[String]] =
+      tAlias.map(_.toLowerCase -> Seq("tgt")).toMap
+    // the ON condition: same-named equality conjuncts become the
+    // (possibly composite) merge key; every other conjunct narrows the
+    // MATCH itself (general ON — carried into the join condition)
+    import org.apache.spark.sql.catalyst.expressions.{And, EqualTo}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
     }
+    val (keyEqs, extras) = conjuncts(m.mergeCondition).partition {
+      case EqualTo(l: UnresolvedAttribute, r: UnresolvedAttribute) =>
+        l.nameParts.last == r.nameParts.last
+      case _ => false
+    }
+    require(keyEqs.nonEmpty,
+      s"MERGE condition needs at least one key equality conjunct " +
+        s"(t.k = s.k), got: ${m.mergeCondition.sql} — the key drives " +
+        "file-pruned discovery; extra conjuncts of any shape may ride " +
+        "alongside it")
+    val keyCols = keyEqs.map {
+      case EqualTo(l: UnresolvedAttribute, _) => l.nameParts.last
+    }.distinct
     def joinedCol(e: Expression) =
       DmlBridge.column(requalify(e, joinedMap))
     def srcCol(e: Expression) =
       DmlBridge.column(requalify(e, srcBareMap))
+    def tgtCol(e: Expression) =
+      DmlBridge.column(requalify(e, tgtMap))
+    val extraOn = extras.map(joinedCol).reduceOption(_ && _)
     val matched: Seq[TimeTravel.MergeClause] = m.matchedActions.map {
       case UpdateStarAction(cond) =>
         TimeTravel.MatchedUpdate(cond.map(joinedCol), Map.empty)
@@ -277,18 +291,33 @@ object GraftSql {
       m.notMatchedActions.map {
         case InsertStarAction(cond) =>
           TimeTravel.NotMatchedInsert(cond.map(srcCol))
-        case InsertAction(cond, assignments)
-            if assignments.forall(a =>
-              bareName(a.key) == bareName(a.value)) =>
-          // identity column list = INSERT * spelled out
-          TimeTravel.NotMatchedInsert(cond.map(srcCol))
+        case InsertAction(cond, assignments) =>
+          // explicit column list: target column ← source-scoped
+          // expression, unlisted columns NULL (SQL INSERT semantics;
+          // an identity list covering every column ≡ INSERT *)
+          TimeTravel.NotMatchedInsert(cond.map(srcCol),
+            assignments.map(a =>
+              bareName(a.key) -> srcCol(a.value)).toMap)
         case other => throw new IllegalArgumentException(
-          s"unsupported NOT MATCHED action: $other — the versioned " +
-            "merge inserts the WHOLE source row (Delta's INSERT *); " +
-            "project the source instead of remapping columns here")
+          s"unsupported NOT MATCHED action: $other")
+      }
+    // WHEN NOT MATCHED BY SOURCE: target rows outside the source —
+    // conditions and SET values reference the TARGET row only (qualify
+    // them with the target alias; Delta imposes the same scope)
+    val bySource: Seq[TimeTravel.MergeClause] =
+      m.notMatchedBySourceActions.map {
+        case UpdateAction(cond, assignments, _) =>
+          TimeTravel.NotMatchedBySourceUpdate(cond.map(tgtCol),
+            assignments.map(a =>
+              bareName(a.key) -> tgtCol(a.value)).toMap)
+        case DeleteAction(cond) =>
+          TimeTravel.NotMatchedBySourceDelete(cond.map(tgtCol))
+        case other => throw new IllegalArgumentException(
+          s"unsupported NOT MATCHED BY SOURCE action: $other")
       }
     val partCol = TimeTravel.partitionColumn(spark, path)
-    TimeTravel.merge(spark, path, source, keyCol, partCol,
-      matched ++ notMatched, changeFeed = changeFeed)
+    TimeTravel.merge(spark, path, source, keyCols.mkString(","), partCol,
+      matched ++ notMatched ++ bySource, changeFeed = changeFeed,
+      extraOn = extraOn)
   }
 }

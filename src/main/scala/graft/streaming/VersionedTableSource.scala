@@ -46,6 +46,10 @@ import graft.operators.TimeTravel
   *     `Trigger.AvailableNow` too, via [[SupportsTriggerAvailableNow]]
   *     (the FileStreamSource pattern — a plain V1 source would be
   *     wrapped and collapse to one batch).
+  *   - `maxRowsPerTrigger` / `maxBytesPerTrigger`: row and byte
+  *     budgets packed at file granularity from the log's recorded
+  *     `!rows=`/`!bytes=` stats — all three caps compose; the
+  *     tightest one decides the batch end.
   *
   * Scale shape: `latestOffset` is one log-dir listing (metadata);
   * `getBatch` plans from the log alone — the add files of the window's
@@ -64,7 +68,8 @@ import graft.operators.TimeTravel
 class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     sinceVersionThunk: () => Option[Int], changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
-    override val schema: StructType)
+    override val schema: StructType,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -73,7 +78,15 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
       maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
       schema: StructType) =
     this(sqlContext, baseDir, () => sinceVersion, changeFeed,
-      maxVersionsPerTrigger, maxRowsPerTrigger, schema)
+      maxVersionsPerTrigger, maxRowsPerTrigger, schema, None)
+
+  def this(sqlContext: SQLContext, baseDir: String,
+      sinceVersion: Option[Int], changeFeed: Boolean,
+      maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
+      schema: StructType, maxBytesPerTrigger: Option[Long]) =
+    this(sqlContext, baseDir, () => sinceVersion, changeFeed,
+      maxVersionsPerTrigger, maxRowsPerTrigger, schema,
+      maxBytesPerTrigger)
 
   // maxRowsPerTrigger composes with BOTH modes: append windows split
   // at add-file boundaries, change feeds at change-capture-file
@@ -103,13 +116,24 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
 
   /** The stream's pinned LOGICAL field names (CDC columns excluded) —
     * what makes a column-mapping commit acceptable inside a window: a
-    * (re)started stream whose pinned names already match the change's
-    * resulting schema treats it as metadata-only; a stream pinned to
-    * the OLD names gets the loud restart error instead of silently
-    * NULL-filled columns (Delta's schema-tracking restart contract). */
+    * (re)started stream whose pinned names postdate the change treats
+    * it as metadata-only; a stream pinned to the OLD names gets the
+    * loud restart error instead of silently NULL-filled columns
+    * (Delta's schema-tracking restart contract). */
   private val pinnedNames: Seq[String] = schema.fields.map(_.name)
     .filterNot(n => n == TimeTravel.ChangeTypeCol ||
       n == TimeTravel.CommitVersionCol).toSeq
+
+  /** The VERSION the pinned names bind to — every batch reads under
+    * ITS schema and column mapping, never the batch-end version's: a
+    * restarted stream draining a backlog from before a rename would
+    * otherwise read old logical names and silently NULL-fill the
+    * renamed column when aligning to the pinned schema. Resolved once,
+    * lazily (the tip at stream start, walked back only if a commit
+    * raced schema resolution). */
+  private lazy val pinnedVersion: Int =
+    TimeTravel.pinSchemaVersion(spark, baseDir, pinnedNames,
+      TimeTravel.latestVersion(spark, baseDir))
 
   /** Committed versions are immutable: their add lists and row counts
     * cache for the stream's lifetime (one metadata read per version,
@@ -117,28 +141,30 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
   private val addsCache =
     scala.collection.concurrent.TrieMap.empty[Int, Seq[String]]
   private val rowsCache = scala.collection.concurrent.TrieMap
-    .empty[Int, Map[String, Option[Long]]]
+    .empty[Int, Map[String, (Option[Long], Option[Long])]]
   private def versionAdds(v: Int): Seq[String] =
     addsCache.getOrElseUpdate(v,
       TimeTravel.appendWindowAdds(spark, baseDir, v - 1, v,
-        Some(pinnedNames)).head._2)
-  private def versionRows(v: Int): Map[String, Option[Long]] =
+        Some(pinnedVersion)).head._2)
+  private def versionRows(v: Int)
+      : Map[String, (Option[Long], Option[Long])] =
     rowsCache.getOrElseUpdate(v,
       TimeTravel.addRowCounts(spark, baseDir, v).toMap)
   private val cdcUnitsCache = scala.collection.concurrent.TrieMap
     .empty[Int, Seq[TimeTravel.CdcUnit]]
   private def versionCdcUnits(v: Int): Seq[TimeTravel.CdcUnit] =
     cdcUnitsCache.getOrElseUpdate(v,
-      TimeTravel.cdcUnits(spark, baseDir, v, Some(pinnedNames)))
+      TimeTravel.cdcUnits(spark, baseDir, v, Some(pinnedVersion)))
 
-  /** The row-admission units of version `v` in this stream's mode:
-    * per-add-file recorded counts (append) or per-change-file footer
-    * counts (CDC) — one shared packing walk serves both. */
-  private def unitRowCounts(v: Int): Seq[Option[Long]] =
-    if (changeFeed) versionCdcUnits(v).map(_.rows)
+  /** The admission units of version `v` in this stream's mode as
+    * (rows, bytes) pairs: per-add-file recorded counts (append) or
+    * per-change-file footer/listing counts (CDC) — one shared packing
+    * walk serves row and byte budgets alike. */
+  private def unitSizes(v: Int): Seq[(Option[Long], Option[Long])] =
+    if (changeFeed) versionCdcUnits(v).map(u => (u.rows, u.bytes))
     else {
       val counts = versionRows(v)
-      versionAdds(v).map(f => counts.getOrElse(f, None))
+      versionAdds(v).map(f => counts.getOrElse(f, (None, None)))
     }
 
   private def posOf(o: OffsetV2): VersionOffset = o match {
@@ -167,30 +193,41 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
       case Some(b) =>
         val endCap = math.min(latest,
           maxVersionsPerTrigger.map(b.version + _).getOrElse(latest))
-        val target = maxRowsPerTrigger match {
+        val target = (maxRowsPerTrigger, maxBytesPerTrigger) match {
           case _ if endCap <= b.version && b.complete => b
-          case None => VersionOffset(endCap)
-          case Some(budget) =>
-            var admitted = 0L
+          case (None, None) => VersionOffset(endCap)
+          case (rowBudget, byteBudget) =>
+            var rowsAdm = 0L
+            var bytesAdm = 0L
             var any = false // at least one file always admits: progress
             var out = b
             var v = if (b.complete) b.version + 1 else b.version
             var k = if (b.complete) 0 else b.filePos
             var done = false
+            def spent: Boolean =
+              rowBudget.exists(rowsAdm >= _) ||
+                byteBudget.exists(bytesAdm >= _)
             while (!done && v <= endCap) {
-              val units = unitRowCounts(v)
+              val units = unitSizes(v)
               var i = k
               while (!done && i < units.size) {
-                val rows = units(i)
-                  .getOrElse(Long.MaxValue / 4) // unknown: fills budget
-                if (any && admitted + rows > budget) {
+                // unknown counts fill the corresponding budget whole —
+                // conservative, never a giant surprise batch
+                val rows = units(i)._1.getOrElse(Long.MaxValue / 4)
+                val bytes = units(i)._2.getOrElse(Long.MaxValue / 4)
+                val over =
+                  rowBudget.exists(rowsAdm + rows > _) ||
+                    byteBudget.exists(bytesAdm + bytes > _)
+                if (any && over) {
                   out = VersionOffset(v, i) // budget spent mid-version
                   done = true
-                } else { admitted += rows; any = true; i += 1 }
+                } else {
+                  rowsAdm += rows; bytesAdm += bytes; any = true; i += 1
+                }
               }
               if (!done) {
                 out = VersionOffset(v) // version fully admitted
-                if (admitted >= budget) done = true
+                if (spent) done = true
                 else { v += 1; k = 0 }
               }
             }
@@ -212,7 +249,7 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
       case Some(s) if changeFeed =>
         if (s.complete && e.complete) // whole-version CDC windows
           TimeTravel.readChangesSince(spark, baseDir, s.version,
-            e.version, consumerSchema = Some(pinnedNames))
+            e.version, consumerPinnedAt = Some(pinnedVersion))
         else { // row-admitted window: change-capture-file granularity
           val byVersion = Seq.newBuilder[(Int, Seq[TimeTravel.CdcUnit])]
           if (s.version == e.version) {
@@ -231,7 +268,7 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
               (if (e.complete) endUs else endUs.take(e.filePos))
           }
           TimeTravel.readCdcUnits(spark, baseDir, byVersion.result(),
-            e.version)
+            pinnedVersion)
         }
       case Some(s) => // an append window (s, e] at FILE granularity
         val files = Seq.newBuilder[String]
@@ -247,11 +284,23 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
           val endAdds = versionAdds(e.version)
           files ++= (if (e.complete) endAdds else endAdds.take(e.filePos))
         }
-        TimeTravel.readAddFiles(spark, baseDir, files.result(), e.version,
+        // read under the PINNED version's schema+mapping, not the
+        // batch end's: a backlog batch ending before a rename commit
+        // must still deliver the renamed column's values (files carry
+        // stable physical names; the pinned mapping projects them)
+        TimeTravel.readAddFiles(spark, baseDir, files.result(),
+          pinnedVersion,
           s"window ($s, $e] of $baseDir has no logged schema to type " +
             "an empty result with")
       case None => // the initial snapshot: one consistent version
         val snap = TimeTravel.readVersion(spark, baseDir, e.version)
+        // a rename racing the stream start would make the align step
+        // below silently NULL-fill — fail with the restart contract
+        if (snap.columns.toSet != pinnedNames.toSet)
+          throw new IllegalStateException(
+            s"version ${e.version} of $baseDir carries different column " +
+              "names than this stream pinned at start — RESTART the " +
+              "stream to pin the current names")
         if (changeFeed)
           snap.withColumn(TimeTravel.ChangeTypeCol, lit("insert"))
             .withColumn(TimeTravel.CommitVersionCol, lit(e.version))
@@ -466,7 +515,7 @@ class VersionedTableSourceProvider extends RelationProvider
     new VersionedTableSource(sqlContext, opts.path, since,
       opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,
       VersionedTableSourceProvider.tableSchema(sqlContext.sparkSession,
-        opts.path, opts.changeFeed))
+        opts.path, opts.changeFeed), opts.maxBytesPerTrigger)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -486,19 +535,21 @@ class VersionedTableSourceProvider extends RelationProvider
       s"mode=append requires Append output mode (got $outputMode): " +
         "Update/Complete re-emit rows across triggers, which a blind " +
         "append would duplicate — use mode=upsert with a keyCol")
-    require(partitionColumns.length <= 1,
-      "the versioned table partitions by ONE column; got " +
-        partitionColumns.mkString(", "))
-    // `.partitionBy("col")` on the writer and option("partCol", ...)
-    // are the same declaration; either works, they must not disagree
-    val partCol = (opts.partCol, partitionColumns.headOption) match {
-      case (Some(a), Some(b)) if a != b =>
+    // `.partitionBy(cols…)` on the writer and option("partCol", "a,b")
+    // are the same declaration; either works, they must not disagree.
+    // An explicit partCol="" declares an UNPARTITIONED table.
+    val fromBy = Option(partitionColumns).filter(_.nonEmpty)
+      .map(_.mkString(","))
+    val partCol = (opts.partCol, fromBy) match {
+      case (Some(a), Some(b))
+          if TimeTravel.splitCols(a) != TimeTravel.splitCols(b) =>
         throw new IllegalArgumentException(
           s"option partCol='$a' disagrees with partitionBy('$b')")
       case (a, b) => a.orElse(b).getOrElse(
         throw new IllegalArgumentException(
-          "the table's partition column is required — pass " +
-            "option 'partCol' or .partitionBy(col)"))
+          "the table's partition layout is required — pass option " +
+            "'partCol' (comma-separated; '' = unpartitioned) or " +
+            ".partitionBy(cols)"))
     }
     new VersionedTableSink(sqlContext.sparkSession, opts.path, partCol,
       mode, opts.keyCol, opts.streamId.getOrElse(
@@ -533,6 +584,11 @@ object VersionedTableSourceProvider {
       m.get("maxversionspertrigger").map(_.toInt)
     val maxRowsPerTrigger: Option[Long] =
       m.get("maxrowspertrigger").map(_.toLong)
+    /** Byte-budget admission (Delta's maxBytesPerTrigger): add/CDC
+      * units pack against the log's recorded `!bytes=` sizes the same
+      * way rows pack — composes with the row and version caps. */
+    val maxBytesPerTrigger: Option[Long] =
+      m.get("maxbytespertrigger").map(_.toLong)
     // sink-side options
     val partCol: Option[String] = m.get("partcol")
     val sinkMode: String = m.getOrElse("mode", "append")
@@ -577,7 +633,8 @@ object VersionedStream {
       sinceVersion: Option[Int] = None, changeFeed: Boolean = false,
       maxVersionsPerTrigger: Option[Int] = None,
       maxRowsPerTrigger: Option[Long] = None,
-      sinceTimestamp: Option[String] = None): DataFrame = {
+      sinceTimestamp: Option[String] = None,
+      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[VersionedTableSourceProvider].getName)
       .option("path", baseDir)
@@ -588,6 +645,8 @@ object VersionedStream {
       r.option("maxVersionsPerTrigger", n.toString))
     maxRowsPerTrigger.foreach(n =>
       r.option("maxRowsPerTrigger", n.toString))
+    maxBytesPerTrigger.foreach(n =>
+      r.option("maxBytesPerTrigger", n.toString))
     r.load()
   }
 

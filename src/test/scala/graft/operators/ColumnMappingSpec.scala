@@ -109,21 +109,35 @@ class ColumnMappingSpec extends SparkSpec {
     assert(latestDf(t).columns.contains("score"))
   }
 
-  test("feeds refuse windows crossing a rename/drop; post-change windows deliver") {
+  test("batch feeds deliver ACROSS a rename under the end version's names — pre-rename adds project, never NULL-fill") {
     val t = stage()
     val v2 = TimeTravel.latestVersion(spark, t)
     val vRen = TimeTravel.renameColumn(spark, t, "x", "score")
     TimeTravel.append(spark, t,
       Seq((4L, "b", 40.0, "z")).toDF("k", "p", "score", "s"), "p")
-    val e = intercept[IllegalArgumentException](
-      TimeTravel.readAppendsSince(spark, t, v2 - 1))
-    assert(e.getMessage.contains("column-mapping"))
-    intercept[IllegalArgumentException](
-      TimeTravel.readChangesSince(spark, t, v2 - 1))
-    // a window starting AT the mapping commit is representable
+    // the window (v2-1, latest] crosses the rename: the v2 add (30.0)
+    // was written under physical name `x`; it must come back under the
+    // END version's logical name `score` with its VALUE intact
+    val feed = TimeTravel.readAppendsSince(spark, t, v2 - 1)
+    assert(feed.columns.contains("score") && !feed.columns.contains("x"))
+    assert(feed.select("k", "score").as[(Long, Double)].collect().toMap
+      === Map(3L -> 30.0, 4L -> 40.0))
+    val cdc = TimeTravel.readChangesSince(spark, t, v2 - 1)
+    assert(cdc.filter(col(TimeTravel.ChangeTypeCol) === "insert")
+      .select("k", "score").as[(Long, Double)].collect().toMap
+      === Map(3L -> 30.0, 4L -> 40.0))
+    // a window starting AT the mapping commit still delivers
     val after = TimeTravel.readAppendsSince(spark, t, vRen)
     assert(after.select("k", "score").as[(Long, Double)].collect().toSeq
       === Seq((4L, 40.0)))
+    // and captured REWRITE changes from before the rename remap onto
+    // the new name through the stable physical identity
+    TimeTravel.renameColumn(spark, t, "score", "pts")
+    val all = TimeTravel.readChangesSince(spark, t, v2 - 1)
+    assert(all.columns.contains("pts") && !all.columns.contains("score"))
+    assert(all.filter(col("k") === 3L).select("pts").as[Double]
+      .collect().toSeq === Seq(30.0), "two renames in one window " +
+        "compose — values ride the physical name")
   }
 
   test("restore across a rename restores the old names; vacuum floor carries the mapping") {

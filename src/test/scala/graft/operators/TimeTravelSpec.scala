@@ -190,10 +190,16 @@ class TimeTravelSpec extends SparkSpec {
       Seq((2L, "01", 22.0)).toDF("id", "part", "v"), "id", "part")
     assert(rows(TimeTravel.readVersion(spark, dir, 3))
       === Set((2L, "01", 22.0), (3L, "2", 3.0)))
-    // a non-string partition column is refused up front
+    // integral partition values render canonical dir text and are
+    // ACCEPTED (round 15 lifted the STRING-only rule); float text is
+    // non-canonical and stays refused
+    val intPart = tmpDir("tt-int-part")
+    TimeTravel.init(spark, intPart,
+      Seq((1L, 1, 1.0)).toDF("id", "part", "v"), "part")
+    assert(TimeTravel.readVersion(spark, intPart, 1).count() === 1)
     intercept[IllegalArgumentException] {
-      TimeTravel.init(spark, tmpDir("tt-int-part"),
-        Seq((1L, 1, 1.0)).toDF("id", "part", "v"), "part")
+      TimeTravel.init(spark, tmpDir("tt-float-part"),
+        Seq((1L, 1.5f, 1.0)).toDF("id", "part", "v"), "part")
     }
   }
 

@@ -135,4 +135,48 @@ class DeclarativeMorSpec extends SparkSpec {
         .contains("GraftVersionedMorRelation"))
     } finally spark.conf.set("spark.graft.mor.rewrite", "false")
   }
+
+  test("the splice PRUNES COLUMNS: a narrow aggregate over a DV-bound version reads only the needed columns") {
+    val (t, _) = dvTable()
+    graft.GraftSession.installOptimizations(spark)
+    spark.conf.set("spark.graft.mor.rewrite", "true")
+    // every parquet ReadSchema in the executed plan (AQE prints the
+    // whole tree; collect() would not descend into it)
+    def readSchemas(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      "ReadSchema: struct<[^>]*>".r
+        .findAllIn(df.queryExecution.executedPlan.toString).toSeq
+    def readsX(s: String): Boolean = "[<,]x:".r.findFirstIn(s).isDefined
+    try {
+      // one data column out of (k, p, x): the parquet ReadSchema must
+      // not carry x — the rule runs after Spark's ColumnPruning, so the
+      // projection has to thread INTO the spliced subplan
+      val narrow = read(t).filter(col("p") === "p1")
+        .groupBy(col("p")).agg(sum(col("k")).as("s"))
+      val schemas = readSchemas(narrow)
+      assert(schemas.nonEmpty, "no native scan — splice did not fire")
+      assert(schemas.forall(!readsX(_)),
+        s"unreferenced column 'x' still read: $schemas")
+      assert(narrow.collect().map(r => (r.getString(0), r.getLong(1)))
+        .toSet === Set("p1" ->
+          (1 to 400).filter(i => i % 4 == 1 && i % 10 != 0).map(_.toLong).sum))
+      // bare narrow projection (no filter) prunes too
+      val proj = read(t).select(col("k"))
+      val projSchemas = readSchemas(proj)
+      assert(projSchemas.nonEmpty)
+      assert(projSchemas.forall(!readsX(_)),
+        s"projection-only reads must not scan unreferenced data " +
+          s"columns: $projSchemas")
+      assert(proj.count() === 360)
+    } finally spark.conf.set("spark.graft.mor.rewrite", "false")
+  }
+
+  test("the V1 slow-path warning fires exactly once per JVM and only without the rewrite rule") {
+    val (t, _) = dvTable()
+    GraftVersionedMorRelation.slowPathWarned.set(false)
+    val before = GraftVersionedMorRelation.slowPathWarnings.get()
+    spark.conf.set("spark.graft.mor.rewrite", "false")
+    read(t).count() // V1 fallback: warns once
+    read(t).count() // second scan: latched, no second warning
+    assert(GraftVersionedMorRelation.slowPathWarnings.get() === before + 1)
+  }
 }

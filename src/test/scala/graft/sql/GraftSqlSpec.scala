@@ -143,11 +143,13 @@ class GraftSqlSpec extends SparkSpec {
     val e1 = intercept[IllegalArgumentException](GraftSql.exec(spark,
       s"DELETE FROM sometable WHERE k = 1"))
     assert(e1.getMessage.contains("graft.`/abs/path`"))
+    // a composite equality ON is SUPPORTED now (round-15 merge
+    // parity); only an ON with no key-equality conjunct refuses
     val e2 = intercept[IllegalArgumentException](GraftSql.exec(spark,
       s"""MERGE INTO graft.`$t` t USING (SELECT 1L k, 'p0' p, 1.0 x) s
-         ON t.k = s.k AND t.p = s.p
+         ON t.x < s.x
          WHEN MATCHED THEN DELETE"""))
-    assert(e2.getMessage.contains("single key equality"))
+    assert(e2.getMessage.contains("key equality"))
     val e3 = intercept[IllegalArgumentException](GraftSql.exec(spark,
       s"SELECT * FROM graft.`$t`"))
     assert(e3.getMessage.contains("not a DML statement"))

@@ -525,9 +525,14 @@ class VersionedSourceSpec extends SparkSpec {
         Map("path" -> t, "partCol" -> "other", "streamId" -> "s1"),
         Seq("part"), OutputMode.Append())
     }
+    // multi-column partitionBy is a valid layout declaration now; it
+    // must agree with an explicit partCol option when both are given
+    provider.createSink(spark.sqlContext,
+      Map("path" -> tmpDir("vsink-pby2"), "streamId" -> "s1"),
+      Seq("a", "b"), OutputMode.Append())
     intercept[IllegalArgumentException] {
       provider.createSink(spark.sqlContext,
-        Map("path" -> t, "streamId" -> "s1"),
+        Map("path" -> t, "partCol" -> "a", "streamId" -> "s1"),
         Seq("a", "b"), OutputMode.Append())
     }
   }
@@ -557,6 +562,165 @@ class VersionedSourceSpec extends SparkSpec {
       .select("part", "n", "total").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got === Set(("a", 2L, 6.0), ("b", 2L, 8.0)))
+  }
+
+  test("restart after a rename: row-admitted batches ENDING BEFORE the " +
+      "rename commit still deliver the renamed column's values (pinned-" +
+      "version reads, never batch-end NULL-fill)") {
+    import org.apache.spark.sql.graftshim.StreamingDataFrame
+    val t = tmpDir("vsrc-ren-backlog")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part")  // v2 (pre)
+    TimeTravel.renameColumn(spark, t, "v", "w")              // v3
+    TimeTravel.append(spark, t,
+      Seq((3L, "a", 3.0)).toDF("id", "part", "w"), "part")   // v4 (post)
+    // restarted stream pinned POST-rename, draining the backlog from v1
+    // with a 1-row budget: the first batch's END version (2) precedes
+    // the rename commit (3) — exactly the window that used to NULL-fill
+    val src = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = false,
+      maxVersionsPerTrigger = None, maxRowsPerTrigger = Some(1L),
+      schema = VersionedTableSourceProvider.tableSchema(spark, t,
+        changeFeed = false))
+    val o1 = src.latestOffset(null, src.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o1.version === 2, s"first batch must end before the rename, got $o1")
+    val b1 = StreamingDataFrame.asStaticBatch(src.getBatch(None, o1))
+      .select("id", "w").as[(Long, Option[Double])].collect().toMap
+    assert(b1 === Map(2L -> Some(2.0)),
+      "the pre-rename add must deliver its value under the NEW name")
+    // drain the rest: the rename commit is metadata-only from the
+    // pinned seat, v4 delivers; union has no NULLs and no gaps
+    var cur = o1
+    val rest = Seq.newBuilder[(Long, Option[Double])]
+    var advanced = true
+    while (advanced) {
+      val nxt = src.latestOffset(cur, src.getDefaultReadLimit)
+        .asInstanceOf[VersionOffset]
+      advanced = nxt != cur
+      if (advanced) {
+        rest ++= StreamingDataFrame.asStaticBatch(src.getBatch(Some(cur), nxt))
+          .select("id", "w").as[(Long, Option[Double])].collect()
+        cur = nxt
+      }
+    }
+    assert((b1 ++ rest.result()) === Map(2L -> Some(2.0), 3L -> Some(3.0)))
+  }
+
+  test("CDC restart across a rename: captured rewrites and append adds " +
+      "from before the rename deliver under the new name, no NULLs") {
+    import org.apache.spark.sql.graftshim.StreamingDataFrame
+    val t = tmpDir("vsrc-ren-cdc")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0), (2L, "a", 2.0)), "part")
+    TimeTravel.updateWhere(spark, t, col("id") === 1L,
+      Map("v" -> lit(10.0)), "part", changeFeed = true)       // v2 capture
+    TimeTravel.append(spark, t, df((3L, "a", 3.0)), "part")   // v3 (pre)
+    TimeTravel.renameColumn(spark, t, "v", "w")               // v4
+    TimeTravel.append(spark, t,
+      Seq((4L, "a", 4.0)).toDF("id", "part", "w"), "part")    // v5 (post)
+    val src = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = true,
+      maxVersionsPerTrigger = Some(1), maxRowsPerTrigger = None,
+      schema = VersionedTableSourceProvider.tableSchema(spark, t,
+        changeFeed = true))
+    var cur: VersionOffset = null
+    val got = Seq.newBuilder[(Long, Option[Double], String)]
+    var advanced = true
+    while (advanced) {
+      val nxt = src.latestOffset(cur, src.getDefaultReadLimit)
+        .asInstanceOf[VersionOffset]
+      advanced = nxt != cur
+      if (advanced) {
+        got ++= StreamingDataFrame.asStaticBatch(
+            src.getBatch(Option(cur), nxt))
+          .select(col("id"), col("w"), col(TimeTravel.ChangeTypeCol))
+          .as[(Long, Option[Double], String)].collect()
+        cur = nxt
+      }
+    }
+    val rows = got.result()
+    assert(rows.forall(_._2.nonEmpty),
+      s"no delivered change row may NULL-fill the renamed column: $rows")
+    assert(rows.toSet === Set(
+      (1L, Some(1.0), "update_preimage"), (1L, Some(10.0), "update_postimage"),
+      (3L, Some(3.0), "insert"), (4L, Some(4.0), "insert")))
+  }
+
+  test("a backlog holding TWO renames drains after one restart — no " +
+      "permanently unreadable window") {
+    val t = tmpDir("vsrc-2ren")
+    TimeTravel.init(spark, t, df((1L, "a", 1.0)), "part")
+    TimeTravel.append(spark, t, df((2L, "a", 2.0)), "part")   // v2
+    TimeTravel.renameColumn(spark, t, "v", "w")               // v3
+    TimeTravel.append(spark, t,
+      Seq((3L, "a", 3.0)).toDF("id", "part", "w"), "part")    // v4
+    TimeTravel.renameColumn(spark, t, "w", "u")               // v5
+    TimeTravel.append(spark, t,
+      Seq((4L, "a", 4.0)).toDF("id", "part", "u"), "part")    // v6
+    // a single restarted stream (pinned at the tip: id, part, u) drains
+    // the whole backlog — the round-14 per-commit exact-schema check
+    // made the FIRST rename commit permanently unreadable here
+    val out = tmpDir("vsrc-2ren-out")
+    val ck = tmpDir("vsrc-2ren-ck")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        maxVersionsPerTrigger = Some(1)), out, ck)
+    val gotRows = spark.read.parquet(out).select("id", "u")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(gotRows === Map(2L -> Some(2.0), 3L -> Some(3.0),
+      4L -> Some(4.0)))
+  }
+
+  test("maxBytesPerTrigger: a fat commit splits by the log's recorded " +
+      "byte sizes, mid-version offsets resume exactly") {
+    import org.apache.spark.sql.graftshim.StreamingDataFrame
+    val t = tmpDir("vsrc-bytes")
+    TimeTravel.init(spark, t, df((0L, "a", 0.0)), "part")
+    TimeTravel.append(spark, t,
+      (1L to 40L).map(i => (i, s"p${i % 4}", i.toDouble))
+        .toDF("id", "part", "v"), "part") // v2: 4 files
+    // one file's recorded size (from the log, no fs access)
+    val oneFile = new java.io.File(s"$t/data").listFiles()
+      .filter(_.isDirectory).head.listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.length()
+    def mkSrc() = new VersionedTableSource(spark.sqlContext, t,
+      sinceVersion = Some(1), changeFeed = false,
+      maxVersionsPerTrigger = None, maxRowsPerTrigger = None,
+      schema = TimeTravel.readVersion(spark, t, 2).schema,
+      maxBytesPerTrigger = Some(oneFile + oneFile / 2))
+    val src = mkSrc()
+    // a 1.5-file byte budget admits one file per trigger
+    val o1 = src.latestOffset(null, src.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o1 === VersionOffset(2, 1), s"byte budget must split: $o1")
+    def batchCount(s: Option[VersionOffset], e: VersionOffset): Long =
+      StreamingDataFrame.asStaticBatch(
+        src.getBatch(s.map(identity), e)).count()
+    assert(batchCount(None, o1) === 10)
+    // restart from the checkpointed mid-version json: exact resume
+    val restored = org.apache.spark.sql.execution.streaming
+      .SerializedOffset(o1.json)
+    val fresh = mkSrc()
+    val o2 = fresh.latestOffset(restored, fresh.getDefaultReadLimit)
+      .asInstanceOf[VersionOffset]
+    assert(o2 === VersionOffset(2, 2))
+    assert(StreamingDataFrame.asStaticBatch(
+      fresh.getBatch(Some(restored), o2)).count() === 10)
+    // walk to completion: all 40 rows exactly once
+    var cur: VersionOffset = o2
+    var total = 20L
+    var advanced = true
+    while (advanced) {
+      val nxt = fresh.latestOffset(cur, fresh.getDefaultReadLimit)
+        .asInstanceOf[VersionOffset]
+      advanced = nxt != cur
+      if (advanced) {
+        total += StreamingDataFrame.asStaticBatch(
+          fresh.getBatch(Some(cur), nxt)).count()
+        cur = nxt
+      }
+    }
+    assert(total === 40L && cur === VersionOffset(2))
   }
 
   test("a vacuumed-away window fails loudly on restart — never a silent gap") {
