@@ -98,4 +98,52 @@ object GraftSession {
     * any result — the DESCRIBE surface the reference's converter uses. */
   def describe(df: DataFrame): Seq[(String, String)] =
     df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+
+  // ---------------------------------------------------------------------
+  // NAME-ADDRESSED TABLES — a session-level name → path registry, the
+  // minimal catalog seam: consumers say `graft.orders_gold` (SQL) or
+  // `.option("table", "orders_gold")` (reader/writer/stream) instead
+  // of restating absolute paths everywhere. Deliberately NOT a Spark
+  // TableCatalog: the tables stay path-addressed underneath (the
+  // Delta-on-paths convention); this only removes the path restating.
+  // Keyed per session UUID so two sessions' registries never collide.
+  // ---------------------------------------------------------------------
+
+  private val tableRegistry =
+    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+
+  /** A stable per-session key (identity hash — sessions are long-lived
+    * JVM objects; cloned sessions get their own registries). */
+  private def sessionKey(spark: SparkSession): String =
+    System.identityHashCode(spark).toHexString
+
+  /** Bind `name` to a versioned table's base path for this session.
+    * Re-registering a name rebinds it (latest wins, like temp views). */
+  def registerTable(spark: SparkSession, name: String,
+      path: String): Unit = {
+    require(name.nonEmpty && !name.contains('/'),
+      s"table name must be a bare identifier, got '$name'")
+    tableRegistry.put((sessionKey(spark), name.toLowerCase), path)
+  }
+
+  /** The path `name` is bound to in this session, if any. */
+  def tablePath(spark: SparkSession, name: String): Option[String] =
+    tableRegistry.get((sessionKey(spark), name.toLowerCase))
+
+  /** Names registered in this session (for error listings). */
+  def registeredTables(spark: SparkSession): Seq[String] =
+    tableRegistry.keys.collect {
+      case (s, n) if s == sessionKey(spark) => n }.toSeq.sorted
+
+  /** Resolve a `graft.<x>` operand: an absolute path passes through;
+    * a bare identifier looks up the session registry, refusing loudly
+    * with the registered names when unbound. */
+  def resolveTable(spark: SparkSession, x: String): String =
+    if (x.contains('/')) x
+    else tablePath(spark, x).getOrElse(
+      throw new IllegalArgumentException(
+        s"no registered graft table named '$x' " +
+          s"(registered: ${registeredTables(spark).mkString(", ")}) — " +
+          "bind it with GraftSession.registerTable(spark, name, path) " +
+          "or address the table by absolute path: graft.`/abs/path`"))
 }

@@ -43,24 +43,154 @@ import graft.operators.TimeTravel
   * key-equality — each names the unsupported piece. */
 object GraftSql {
 
-  /** Execute one DML statement against a versioned table; returns the
-    * committed version (the unchanged current version when the
-    * statement matched nothing). */
+  /** Execute one DML or DDL/maintenance statement against a versioned
+    * table; returns the committed version (the unchanged current
+    * version when the statement matched or reclaimed nothing). DML
+    * parses through Spark's parser and routes to [[TimeTravel]]'s
+    * mutation API; DDL adds the verbs a "speaks SQL" operator needs:
+    * {{{
+    *   CREATE TABLE graft.`/t` USING `graft-versioned`
+    *     PARTITIONED BY (m, r) AS SELECT ...          -- TimeTravel.init
+    *   ALTER TABLE graft.`/t` ADD CONSTRAINT p CHECK (x > 0)
+    *   ALTER TABLE graft.`/t` DROP CONSTRAINT p
+    *   OPTIMIZE graft.`/t` [ZORDER BY (a[, b])]       -- compact
+    *   VACUUM graft.`/t` RETAIN 3 VERSIONS [DRY RUN]  -- vacuum
+    *   RESTORE TABLE graft.`/t` TO VERSION AS OF 2    -- restore
+    * }}}
+    * OPTIMIZE / VACUUM / RESTORE are not in Spark's grammar (they are
+    * Delta-style extensions) and hand-route; everything else is
+    * Spark-parsed. DESCRIBE HISTORY/DETAIL return result SETS, so they
+    * live on the DataFrame surface: [[sql]]. */
   def exec(spark: SparkSession, sql: String,
       mergeOnRead: Boolean = false,
       changeFeed: Boolean = false): Int =
-    spark.sessionState.sqlParser.parsePlan(sql) match {
-      case i: InsertIntoStatement => insert(spark, i)
-      case d: DeleteFromTable => delete(spark, d, mergeOnRead, changeFeed)
-      case u: UpdateTable => update(spark, u, mergeOnRead, changeFeed)
-      case m: MergeIntoTable => merge(spark, m, changeFeed)
-      case other => throw new IllegalArgumentException(
-        s"not a DML statement (${other.nodeName}): GraftSql executes " +
-          "INSERT INTO / INSERT OVERWRITE / DELETE FROM / UPDATE / " +
-          "MERGE INTO; run SELECTs through GraftSql.sql (path-addressed " +
-          "with VERSION AS OF) or spark.sql over a registered view " +
-          "(q186's surface)")
+    maintenanceRoute(spark, sql).getOrElse(
+      spark.sessionState.sqlParser.parsePlan(sql) match {
+        case i: InsertIntoStatement => insert(spark, i)
+        case d: DeleteFromTable => delete(spark, d, mergeOnRead, changeFeed)
+        case u: UpdateTable => update(spark, u, mergeOnRead, changeFeed)
+        case m: MergeIntoTable => merge(spark, m, changeFeed)
+        case c: CreateTableAsSelect => createAsSelect(spark, c)
+        case _: CreateTable => throw new IllegalArgumentException(
+          "CREATE TABLE without AS SELECT would create an EMPTY table, " +
+            "which plain parquet cannot represent (no file to anchor " +
+            "the layout) — use CREATE TABLE ... AS SELECT, or land the " +
+            "first batch through the declarative writer")
+        case a: AddCheckConstraint => addConstraint(spark, a)
+        case d: DropConstraint => dropConstraintCmd(spark, d)
+        case other => throw new IllegalArgumentException(
+          s"not a DML/DDL statement (${other.nodeName}): GraftSql " +
+            "executes INSERT / DELETE / UPDATE / MERGE / CREATE TABLE " +
+            "AS SELECT / ALTER TABLE ADD|DROP CONSTRAINT / OPTIMIZE / " +
+            "VACUUM / RESTORE; run SELECTs and DESCRIBE " +
+            "HISTORY/DETAIL through GraftSql.sql")
+      })
+
+  // hand-routed maintenance verbs (Delta-style grammar extensions
+  // Spark's parser refuses): OPTIMIZE / VACUUM / RESTORE
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`?([^`\s;]+)`?\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+graft\s*\.\s*`?([^`\s;]+)`?\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`?([^`\s;]+)`?\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+
+  private def maintenanceRoute(spark: SparkSession,
+      sql: String): Option[Int] = sql match {
+    case OptimizeRe(path0, zcols) =>
+      val path = resolved(spark, path0)
+      Some(Option(zcols).map(_.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq).getOrElse(Nil) match {
+        case Nil => TimeTravel.compact(spark, path, "")
+        case Seq(c) => TimeTravel.compact(spark, path, "",
+          clusterBy = Some((c, 16)))
+        case Seq(a, b) => TimeTravel.compact(spark, path, "",
+          zorderBy = Some(((a, b), 16)))
+        case more => throw new IllegalArgumentException(
+          s"ZORDER BY takes one or two columns, got ${more.mkString(", ")}")
+      })
+    case VacuumRe(path0, n, dry) =>
+      val path = resolved(spark, path0)
+      val latest = TimeTravel.latestVersion(spark, path)
+      val keepFrom = math.max(1, latest - n.toInt + 1)
+      TimeTravel.vacuum(spark, path, keepFrom, dryRun = dry != null)
+      Some(latest)
+    case RestoreRe(path0, v) =>
+      Some(TimeTravel.restore(spark, resolved(spark, path0), v.toInt))
+    case _ => None
+  }
+
+  /** CREATE TABLE ... USING `graft-versioned` PARTITIONED BY (...) AS
+    * SELECT — routes to [[TimeTravel.init]]; IF NOT EXISTS on an
+    * existing table is a no-op returning its current version. */
+  private def createAsSelect(spark: SparkSession,
+      c: CreateTableAsSelect): Int = {
+    val path = resolved(spark, identPath(c.name))
+    c.tableSpec match {
+      case u: UnresolvedTableSpec =>
+        require(u.provider.forall(_.equalsIgnoreCase("graft-versioned")),
+          s"CREATE TABLE graft.`…` must say USING `graft-versioned` " +
+            s"(got ${u.provider.getOrElse("none")})")
+      case _ => ()
     }
+    val partCols = c.partitioning.map { t =>
+      // identity transforms only: `name == "identity"` with one field
+      // reference (IdentityTransform itself is private to Spark)
+      require(t.name == "identity" && t.references.length == 1,
+        s"only identity PARTITIONED BY columns are supported, got $t")
+      t.references.head.fieldNames().mkString(".")
+    }
+    val exists = TimeTravel.latestVersion(spark, path) >= 1
+    if (exists) {
+      if (c.ignoreIfExists) return TimeTravel.latestVersion(spark, path)
+      throw new IllegalStateException(
+        s"$path already has commits — CREATE TABLE refuses to replace " +
+          "it; add IF NOT EXISTS or pick a fresh path")
+    }
+    val df = DmlBridge.ofRows(spark, rewriteReads(spark, c.query))
+    TimeTravel.init(spark, path, df, partCols.mkString(","))
+  }
+
+  private def identPath(name: LogicalPlan): String = name match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      u.nameParts match {
+        case Seq(cat, p) if cat.equalsIgnoreCase("graft") => p
+        case other => throw new IllegalArgumentException(
+          s"DDL target must be graft.`/abs/path`, got " +
+            s"`${other.mkString(".")}`")
+      }
+    case other => throw new IllegalArgumentException(
+      s"unsupported DDL target shape: ${other.nodeName}")
+  }
+
+  /** ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — routes to
+    * [[TimeTravel.addConstraint]] (which validates the existing data
+    * first, like Delta). */
+  private def addConstraint(spark: SparkSession,
+      a: AddCheckConstraint): Int = {
+    val path = a.child.collectFirst {
+      case r: UnresolvedRelation if graftPath(r).isDefined =>
+        graftPath(r).get
+    }.getOrElse(throw new IllegalArgumentException(
+      "ADD CONSTRAINT target must be graft.`/abs/path`"))
+    TimeTravel.addConstraint(spark, resolved(spark, path),
+      a.checkConstraint.name, a.checkConstraint.condition)
+  }
+
+  private def dropConstraintCmd(spark: SparkSession,
+      d: DropConstraint): Int = {
+    val path = d.child.collectFirst {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        t.multipartIdentifier match {
+          case Seq(cat, p) if cat.equalsIgnoreCase("graft") => p
+          case other => throw new IllegalArgumentException(
+            s"DROP CONSTRAINT target must be graft.`/abs/path`, got " +
+              s"`${other.mkString(".")}`")
+        }
+    }.getOrElse(throw new IllegalArgumentException(
+      "DROP CONSTRAINT target must be graft.`/abs/path`"))
+    TimeTravel.dropConstraint(spark, resolved(spark, path), d.name)
+  }
 
   /** SQL QUERY surface over versioned tables — `spark.sql` semantics
     * with Delta's path addressing and time travel, no view
@@ -80,9 +210,38 @@ object GraftSql {
     * resolve normally, so versioned tables join freely with anything
     * else in the query. */
   def sql(spark: SparkSession, query: String)
-      : org.apache.spark.sql.DataFrame =
-    DmlBridge.ofRows(spark,
+      : org.apache.spark.sql.DataFrame = query match {
+    // DESCRIBE HISTORY / DETAIL return result sets, not versions —
+    // they live here, not on exec (Spark's parser reads them as
+    // DESCRIBE COLUMN, so they pre-route on the raw text)
+    case DescribeRe(kind, path0) =>
+      val path = resolved(spark, path0)
+      if (kind.equalsIgnoreCase("HISTORY")) {
+        import spark.implicits._
+        TimeTravel.history(spark, path)
+          .map(ci => (ci.version, ci.op.getOrElse(""),
+            ci.timestampMs, ci.nAdded, ci.nRemoved, ci.checkpointed))
+          .toDF("version", "operation", "timestamp_ms", "n_added",
+            "n_removed", "checkpointed")
+      } else {
+        import spark.implicits._
+        val d = TimeTravel.detail(spark, path)
+        Seq((d.version, d.numFiles, d.sizeBytes, d.partitionColumn,
+          d.schema.map(_.simpleString).getOrElse(""),
+          d.constraints.size, d.bloomIndex.keys.toSeq.sorted
+            .mkString(","), d.columnMapping.size, d.dvBoundFiles,
+          d.bloomBoundFiles))
+          .toDF("version", "num_files", "size_bytes",
+            "partition_columns", "schema", "n_constraints",
+            "bloom_index_columns", "n_mapped_columns", "dv_bound_files",
+            "bloom_bound_files")
+      }
+    case _ => DmlBridge.ofRows(spark,
       rewriteReads(spark, spark.sessionState.sqlParser.parsePlan(query)))
+  }
+
+  private val DescribeRe =
+    """(?is)\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+graft\s*\.\s*`?([^`\s;]+)`?\s*;?\s*""".r
 
   /** Rewrite every `graft.`path`` relation in `plan` (with optional
     * VERSION/TIMESTAMP AS OF) to the declarative relation's analyzed
@@ -100,11 +259,19 @@ object GraftSql {
     }
   }
 
+  /** `graft.<x>` operands: an absolute backticked path, or a
+    * session-registered table NAME ([[graft.GraftSession.registerTable]]).
+    * Resolution to a path happens at the use site (it needs the
+    * session). */
   private def graftPath(r: UnresolvedRelation): Option[String] =
     r.multipartIdentifier match {
       case Seq(cat, p) if cat.equalsIgnoreCase("graft") => Some(p)
       case _ => None
     }
+
+  /** Name-or-path resolution against the session registry. */
+  private def resolved(spark: SparkSession, p: String): String =
+    graft.GraftSession.resolveTable(spark, p)
 
   /** A TIMESTAMP AS OF operand as the reader's `timestampAsOf` text:
     * string literals pass through; a timestamp-typed foldable folds to
@@ -121,8 +288,9 @@ object GraftSql {
     }
   }
 
-  private def relationPlan(spark: SparkSession, path: String,
+  private def relationPlan(spark: SparkSession, path0: String,
       version: Option[String], ts: Option[String]): LogicalPlan = {
+    val path = resolved(spark, path0)
     val reader = spark.read.format("graft-versioned").option("path", path)
     val withV = version.fold(reader)(v => reader.option("versionAsOf", v))
     val withTs = ts.fold(withV)(t => withV.option("timestampAsOf", t))
@@ -165,7 +333,7 @@ object GraftSql {
   }
 
   private def insert(spark: SparkSession, i: InsertIntoStatement): Int = {
-    val (path, _) = target(i.table)
+    val path = resolved(spark, target(i.table)._1)
     require(i.partitionSpec.isEmpty,
       "static-partition INSERT clauses are not supported — the " +
         "versioned table partitions by its own layout; insert rows " +
@@ -179,11 +347,20 @@ object GraftSql {
           s"output (${df.columns.length}) differ in arity")
       df = df.toDF(i.userSpecifiedCols: _*)
     }
-    // SQL INSERT semantics: values cast to the target columns' types
-    // (a literal 9.9 parses as DECIMAL(2,1) — the committed DOUBLE
-    // column decides, exactly as INSERT INTO does everywhere)
+    // SQL INSERT semantics: without a column list the query's output
+    // maps to the table's columns BY POSITION (select-list names are
+    // irrelevant — standard SQL), and values cast to the target
+    // columns' types (a literal 9.9 parses as DECIMAL(2,1) — the
+    // committed DOUBLE column decides, exactly as INSERT INTO does
+    // everywhere)
     TimeTravel.schemaAt(spark, path,
       TimeTravel.latestVersion(spark, path)).foreach { ts =>
+      if (i.userSpecifiedCols.isEmpty) {
+        require(df.columns.length == ts.fields.length,
+          s"INSERT query output (${df.columns.length} columns) and " +
+            s"table (${ts.fields.length}) differ in arity")
+        df = df.toDF(ts.fieldNames.toIndexedSeq: _*)
+      }
       val types = ts.fields.map(f => f.name -> f.dataType).toMap
       df = df.select(df.columns.toIndexedSeq.map(c => types.get(c)
         .map(t => org.apache.spark.sql.functions.col(c).cast(t).as(c))
@@ -196,7 +373,8 @@ object GraftSql {
 
   private def delete(spark: SparkSession, d: DeleteFromTable,
       mor: Boolean, changeFeed: Boolean): Int = {
-    val (path, alias) = target(d.table)
+    val (path0, alias) = target(d.table)
+    val path = resolved(spark, path0)
     val cond = column(d.condition, alias)
     val partCol = TimeTravel.partitionColumn(spark, path)
     if (mor) TimeTravel.deleteWhereDv(spark, path, cond, partCol,
@@ -206,7 +384,8 @@ object GraftSql {
 
   private def update(spark: SparkSession, u: UpdateTable,
       mor: Boolean, changeFeed: Boolean): Int = {
-    val (path, alias) = target(u.table)
+    val (path0, alias) = target(u.table)
+    val path = resolved(spark, path0)
     val cond = u.condition.map(column(_, alias))
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     val set = u.assignments.map(a =>
@@ -230,7 +409,8 @@ object GraftSql {
     require(!m.withSchemaEvolution,
       "MERGE WITH SCHEMA EVOLUTION is not supported — evolve the " +
         "table with an evolveSchema append first")
-    val (path, tAlias) = target(m.targetTable)
+    val (path0, tAlias) = target(m.targetTable)
+    val path = resolved(spark, path0)
     val (srcPlan, sAlias) = m.sourceTable match {
       case SubqueryAlias(id, child) => (child, Some(id.name))
       case other => (other, None)

@@ -418,7 +418,8 @@ class VersionedTableSourceProvider extends RelationProvider
       parameters: Map[String, String]): BaseRelation = {
     val opts = VersionedTableSourceProvider.Opts(parameters)
     graft.sources.GraftVersionedRelation(sqlContext.sparkSession,
-      opts.path, opts.versionAsOf, opts.timestampAsOf)
+      opts.pathFor(sqlContext.sparkSession), opts.versionAsOf,
+      opts.timestampAsOf)
   }
 
   /** Declarative BATCH WRITE (`df.write.format("graft-versioned")`,
@@ -443,7 +444,7 @@ class VersionedTableSourceProvider extends RelationProvider
     import org.apache.spark.sql.SaveMode
     val spark = sqlContext.sparkSession
     val opts = VersionedTableSourceProvider.Opts(parameters)
-    val path = opts.path
+    val path = opts.pathFor(spark)
     val exists = TimeTravel.latestVersion(spark, path) >= 1
     val txn = for { a <- opts.txnAppId; v <- opts.txnVersion }
       yield (a, v)
@@ -482,13 +483,15 @@ class VersionedTableSourceProvider extends RelationProvider
         "do not pass one")
     val opts = VersionedTableSourceProvider.Opts(parameters)
     (shortName(), VersionedTableSourceProvider.tableSchema(
-      sqlContext.sparkSession, opts.path, opts.changeFeed))
+      sqlContext.sparkSession, opts.pathFor(sqlContext.sparkSession),
+      opts.changeFeed))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
     val opts = VersionedTableSourceProvider.Opts(parameters)
+    val srcPath = opts.pathFor(sqlContext.sparkSession)
     require(opts.sinceVersion.isEmpty || opts.sinceTimestamp.isEmpty,
       "sinceVersion and sinceTimestamp are mutually exclusive")
     // a timestamp cursor is a version cursor after one log lookup —
@@ -509,13 +512,13 @@ class VersionedTableSourceProvider extends RelationProvider
     val since: () => Option[Int] = () =>
       opts.sinceVersion.orElse(opts.sinceTimestamp.map { ts =>
         val millis = graft.sources.GraftVersionedRelation.parseTs(ts)
-        TimeTravel.versionAsOfOption(sqlContext.sparkSession, opts.path,
+        TimeTravel.versionAsOfOption(sqlContext.sparkSession, srcPath,
           millis - 1).getOrElse(1)
       })
-    new VersionedTableSource(sqlContext, opts.path, since,
+    new VersionedTableSource(sqlContext, srcPath, since,
       opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,
       VersionedTableSourceProvider.tableSchema(sqlContext.sparkSession,
-        opts.path, opts.changeFeed), opts.maxBytesPerTrigger)
+        srcPath, opts.changeFeed), opts.maxBytesPerTrigger)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -551,7 +554,8 @@ class VersionedTableSourceProvider extends RelationProvider
             "'partCol' (comma-separated; '' = unpartitioned) or " +
             ".partitionBy(cols)"))
     }
-    new VersionedTableSink(sqlContext.sparkSession, opts.path, partCol,
+    new VersionedTableSink(sqlContext.sparkSession,
+      opts.pathFor(sqlContext.sparkSession), partCol,
       mode, opts.keyCol, opts.streamId.getOrElse(
         throw new IllegalArgumentException(
           "option 'streamId' is required when no checkpointLocation " +
@@ -565,9 +569,15 @@ object VersionedTableSourceProvider {
     * keys; direct construction may not). */
   private[streaming] final case class Opts(raw: Map[String, String]) {
     private val m = raw.map { case (k, v) => k.toLowerCase -> v }
-    val path: String = m.getOrElse("path",
-      throw new IllegalArgumentException(
-        "option 'path' (the versioned table's base dir) is required"))
+    /** The table's base dir: option `path`, or option `table` — a
+      * session-registered NAME ([[graft.GraftSession.registerTable]]),
+      * the catalog seam that stops consumers restating paths. */
+    def pathFor(spark: org.apache.spark.sql.SparkSession): String =
+      m.get("path").orElse(m.get("table").map(n =>
+        graft.GraftSession.resolveTable(spark, n)))
+        .getOrElse(throw new IllegalArgumentException(
+          "option 'path' (the versioned table's base dir) or 'table' " +
+            "(a session-registered name) is required"))
     val sinceVersion: Option[Int] = m.get("sinceversion").map(_.toInt)
     /** Cursor start by WALL-CLOCK (Delta's `startingTimestamp`):
       * commits at or AFTER the timestamp deliver (the cursor resolves

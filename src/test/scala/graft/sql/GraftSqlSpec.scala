@@ -138,6 +138,100 @@ class GraftSqlSpec extends SparkSpec {
     assert(readTip(a).count() === 41)
   }
 
+  test("DDL verbs: CTAS, constraints, OPTIMIZE, VACUUM, RESTORE, DESCRIBE HISTORY/DETAIL — an operator who speaks only SQL runs the whole lifecycle") {
+    val t = tmpDir("sqlddl")
+    (1 to 30).map(i => (i.toLong, s"p${i % 2}", i * 1.0))
+      .toDF("k", "p", "x").createOrReplaceTempView("ddl_src")
+    // CREATE TABLE AS SELECT → init
+    GraftSql.exec(spark, s"""CREATE TABLE graft.`$t`
+      USING `graft-versioned` PARTITIONED BY (p)
+      AS SELECT * FROM ddl_src""")
+    assert(readTip(t).count() === 30)
+    assert(TimeTravel.partitionColumns(spark, t) === Seq("p"))
+    // IF NOT EXISTS on an existing table: no-op; bare CREATE refuses
+    GraftSql.exec(spark, s"""CREATE TABLE IF NOT EXISTS graft.`$t`
+      USING `graft-versioned` AS SELECT * FROM ddl_src""")
+    assert(TimeTravel.latestVersion(spark, t) === 1)
+    intercept[IllegalStateException](GraftSql.exec(spark,
+      s"CREATE TABLE graft.`$t` USING `graft-versioned` " +
+        "AS SELECT * FROM ddl_src"))
+    intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"CREATE TABLE graft.`${tmpDir("sqlddl-empty")}` " +
+        "(k BIGINT, p STRING) USING `graft-versioned`"))
+    // ADD CONSTRAINT validates existing data, then gates inserts
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` ADD CONSTRAINT x_pos CHECK (x > 0)")
+    assert(TimeTravel.constraintsAt(spark, t,
+      TimeTravel.latestVersion(spark, t)).contains("x_pos"))
+    val bad = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"INSERT INTO graft.`$t` SELECT 99L, 'p0', -5.0"))
+    assert(bad.getMessage.contains("x_pos"))
+    // fragment the table, OPTIMIZE folds it
+    GraftSql.exec(spark, s"INSERT INTO graft.`$t` SELECT 31L, 'p0', 31.0")
+    GraftSql.exec(spark, s"INSERT INTO graft.`$t` SELECT 32L, 'p1', 32.0")
+    val preFiles = TimeTravel.filesAt(spark, t,
+      TimeTravel.latestVersion(spark, t)).size
+    val vOpt = GraftSql.exec(spark, s"OPTIMIZE graft.`$t`")
+    assert(TimeTravel.filesAt(spark, t, vOpt).size < preFiles)
+    // a bad delete, then RESTORE undoes it
+    GraftSql.exec(spark, s"DELETE FROM graft.`$t` WHERE k <= 15")
+    assert(readTip(t).count() === 17)
+    GraftSql.exec(spark,
+      s"RESTORE TABLE graft.`$t` TO VERSION AS OF $vOpt")
+    assert(readTip(t).count() === 32)
+    // DESCRIBE HISTORY shows the op trail; DETAIL the current state
+    val hist = GraftSql.sql(spark, s"DESCRIBE HISTORY graft.`$t`")
+      .select("version", "operation").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(hist(1) === "init" && hist(vOpt) === "compact" &&
+      hist(vOpt + 1) === "delete" && hist(vOpt + 2) === "restore")
+    val det = GraftSql.sql(spark, s"DESCRIBE DETAIL graft.`$t`").head
+    assert(det.getAs[String]("partition_columns") === "p")
+    assert(det.getAs[Int]("n_constraints") === 1)
+    // DROP CONSTRAINT, then the bad insert lands
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` DROP CONSTRAINT x_pos")
+    GraftSql.exec(spark, s"INSERT INTO graft.`$t` SELECT 99L, 'p0', -5.0")
+    assert(readTip(t).count() === 33)
+    // VACUUM RETAIN keeps the tail readable, drops ancient versions
+    val latest = TimeTravel.latestVersion(spark, t)
+    GraftSql.exec(spark, s"VACUUM graft.`$t` RETAIN 2 VERSIONS")
+    assert(TimeTravel.readVersion(spark, t, latest).count() === 33)
+    intercept[Exception](TimeTravel.readVersion(spark, t, 1).count())
+  }
+
+  test("name-addressed tables: a registered name works across SQL, reader, writer, and stream — no path restating") {
+    import graft.GraftSession
+    val t = stage()
+    GraftSession.registerTable(spark, "orders_gold", t)
+    // SQL reads, DML and maintenance by NAME
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft.orders_gold").head.getLong(0) === 40)
+    GraftSql.exec(spark,
+      "INSERT INTO graft.orders_gold SELECT 500L, 'p0', 5.5")
+    assert(readTip(t).count() === 41)
+    GraftSql.exec(spark, "DELETE FROM graft.orders_gold WHERE k = 500")
+    GraftSql.exec(spark, "OPTIMIZE graft.orders_gold") // no-op: compact
+    assert(GraftSql.sql(spark, "DESCRIBE HISTORY graft.orders_gold")
+      .count() >= 3)
+    // declarative reader/writer by name
+    val byName = spark.read.format("graft-versioned")
+      .option("table", "orders_gold").load()
+    assert(byName.count() === 40)
+    Seq((600L, "p1", 6.5)).toDF("k", "p", "x")
+      .write.format("graft-versioned").mode("append")
+      .option("table", "orders_gold").save()
+    assert(readTip(t).filter(col("k") === 600L).count() === 1)
+    // time travel by name; versions pre-date the name binding fine
+    assert(GraftSql.sql(spark,
+      "SELECT count(*) AS n FROM graft.orders_gold VERSION AS OF 1")
+      .head.getLong(0) === 40)
+    // unknown names refuse with the registered listing
+    val e = intercept[IllegalArgumentException](GraftSql.sql(spark,
+      "SELECT * FROM graft.nope"))
+    assert(e.getMessage.contains("orders_gold"))
+  }
+
   test("refusals name the unsupported piece") {
     val t = stage()
     val e1 = intercept[IllegalArgumentException](GraftSql.exec(spark,
@@ -152,7 +246,7 @@ class GraftSqlSpec extends SparkSpec {
     assert(e2.getMessage.contains("key equality"))
     val e3 = intercept[IllegalArgumentException](GraftSql.exec(spark,
       s"SELECT * FROM graft.`$t`"))
-    assert(e3.getMessage.contains("not a DML statement"))
+    assert(e3.getMessage.contains("not a DML/DDL statement"))
     val e4 = intercept[IllegalArgumentException](GraftSql.exec(spark,
       s"INSERT INTO graft.`$t` PARTITION (p='p0') SELECT 1L, 1.0"))
     assert(e4.getMessage.contains("static-partition"))
