@@ -21,26 +21,35 @@ import graft.operators.TimeTravel
   * SQL DML resolves to the same commands its Scala API calls.
   *
   * Tables are addressed path-first, Delta's convention for
-  * catalog-less tables: `` graft.`/abs/path` `` (backticks around the
-  * path). Example surface:
+  * catalog-less tables — `` graft.`/abs/path` `` (backticks around the
+  * path) — or by a session-registered NAME
+  * ([[graft.GraftSession.registerTable]]): `graft.orders_gold`.
+  * Example surface:
   * {{{
   *   GraftSql.exec(spark, "INSERT INTO graft.`/t` SELECT * FROM src")
   *   GraftSql.exec(spark, "DELETE FROM graft.`/t` WHERE k % 10 = 0")
   *   GraftSql.exec(spark, "UPDATE graft.`/t` SET x = x + 1 WHERE k = 3")
   *   GraftSql.exec(spark, """MERGE INTO graft.`/t` t USING updates s
-  *     ON t.k = s.k
+  *     ON t.k1 = s.k1 AND t.k2 = s.k2 AND t.ts < s.ts
   *     WHEN MATCHED AND s.del THEN DELETE
   *     WHEN MATCHED THEN UPDATE SET *
-  *     WHEN NOT MATCHED THEN INSERT *""")
+  *     WHEN NOT MATCHED THEN INSERT (k1, k2, p, x)
+  *       VALUES (s.k1, s.k2, s.p, s.x + 1)
+  *     WHEN NOT MATCHED BY SOURCE AND t.stale THEN DELETE
+  *     WHEN NOT MATCHED BY SOURCE THEN UPDATE SET flag = 'stale'""")
   * }}}
+  * MERGE covers the full clause surface: composite and GENERAL ON
+  * conditions (equality conjuncts drive pruned discovery; everything
+  * else narrows the match), explicit INSERT column lists (unlisted
+  * columns NULL), and both NOT MATCHED BY SOURCE forms.
   *
   * `mergeOnRead = true` routes DELETE/UPDATE through the
   * deletion-vector paths ([[TimeTravel.deleteWhereDv]] /
   * [[TimeTravel.updateWhereDv]]) — same SQL, O(matching rows) commit.
   * Refused loudly (never silently narrowed): static-partition INSERT
-  * clauses, `WHEN NOT MATCHED BY SOURCE`, non-identity INSERT column
-  * lists in MERGE, and a MERGE condition that is not a single
-  * key-equality — each names the unsupported piece. */
+  * clauses, CREATE TABLE without AS SELECT (empty tables are
+  * unrepresentable), MERGE WITH SCHEMA EVOLUTION, and an ON condition
+  * with no key-equality conjunct — each names the unsupported piece. */
 object GraftSql {
 
   /** Execute one DML or DDL/maintenance statement against a versioned
