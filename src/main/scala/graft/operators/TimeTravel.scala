@@ -753,10 +753,6 @@ object TimeTravel {
         "pick a different name")
   }
 
-  /** The table's partition columns at `version`, from the file layout
-    * (`a=1/b=2/<name>`; empty for an unpartitioned table). */
-  private def partColsOf(snap: Snapshot): Seq[String] =
-    if (snap.files.isEmpty) Nil else partColsPhysical(snap.files)
 
   /** A crude-but-conservative "does this CHECK expression mention the
     * column" probe: word-boundary match on the raw SQL text. */
@@ -791,7 +787,8 @@ object TimeTravel {
         s"no column '$from' (columns: ${schema.fieldNames.mkString(", ")})")
       require(!schema.fieldNames.contains(to),
         s"column '$to' already exists")
-      require(!partColsOf(snap).contains(from),
+      require(!activePartCols(spark, baseDir, snap, prev)
+          .getOrElse(Nil).contains(from),
         s"'$from' is a partition column — its name IS the directory " +
           "layout; repartitioning is a rewrite, not a rename")
       require(!reservedPhysical(snap.colmap, snap.dropped)(to) ||
@@ -846,7 +843,8 @@ object TimeTravel {
         s"$baseDir records no schema — pre-metadata tables cannot drop"))
       require(schema.fieldNames.contains(name),
         s"no column '$name' (columns: ${schema.fieldNames.mkString(", ")})")
-      require(!partColsOf(snap).contains(name),
+      require(!activePartCols(spark, baseDir, snap, prev)
+          .getOrElse(Nil).contains(name),
         s"'$name' is a partition column — dropping it is a " +
           "repartition (a rewrite), not a metadata drop")
       require(schema.fields.length > 2,
@@ -1418,6 +1416,19 @@ object TimeTravel {
       protocolOfRecord(fs, baseDir, version) ++
       protocolOfRecord(fs, baseDir, version - 1)).reduce(maxProtocol)
 
+  /** `#partcols=` — the table's partition layout, recorded explicitly
+    * ONLY where the file layout cannot answer it: a record whose
+    * resolved file set is EMPTY (an [[initEmpty]] v1). Everywhere else
+    * the layout derives from any file path, so the line stays off the
+    * hot grammar. Comma-joined encoded logical names; the bare marker
+    * (empty value) declares an unpartitioned table. */
+  private def partColsLine(partCols: Seq[String]): String =
+    s"#partcols=${partCols.map(enc).mkString(",")}"
+
+  private def partColsFrom(lines: Seq[String]): Option[Seq[String]] =
+    lines.collectFirst { case l if l.startsWith("#partcols=") =>
+      splitCols(l.stripPrefix("#partcols=")).map(dec) }
+
   private def manifestContent(proto: (Int, Int), files: Seq[String],
       txns: Seq[(String, Long)],
       schema: Option[org.apache.spark.sql.types.StructType],
@@ -1428,9 +1439,11 @@ object TimeTravel {
       coldrop: Set[String] = Set.empty,
       dvs: Map[String, String] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      bloomIdx: Map[String, (Long, Double)] = Map.empty): Array[Byte] =
+      bloomIdx: Map[String, (Long, Double)] = Map.empty,
+      partCols: Option[Seq[String]] = None): Array[Byte] =
     (Seq(protocolLine(proto._1, proto._2)) ++
       txns.map(txnLine) ++ schema.map(schemaLine).toSeq ++
+      partCols.map(partColsLine).toSeq ++
       constraintLines(constraints) ++ colmapLines(colmap, coldrop) ++
       bloomIdxLines(bloomIdx) ++
       op.map(opLine).toSeq ++ Seq(ts.fold(tsLine())(t => s"#ts=$t")) ++
@@ -1451,12 +1464,13 @@ object TimeTravel {
       coldrop: Set[String] = Set.empty,
       dvs: Map[String, String] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      bloomIdx: Map[String, (Long, Double)] = Map.empty): Unit = {
+      bloomIdx: Map[String, (Long, Double)] = Map.empty,
+      partCols: Option[Seq[String]] = None): Unit = {
     installExclusive(fs, manifestPath(baseDir, version),
       manifestContent(
         ratchetedProtocol(fs, baseDir, version, colmap, coldrop, dvs),
         files, txns, schema, op, ts, stats, constraints,
-        colmap, coldrop, dvs, blooms, bloomIdx))
+        colmap, coldrop, dvs, blooms, bloomIdx, partCols))
   }
 
   /** Header-only checkpoint manifest: the metadata lines (txns, schema,
@@ -2565,6 +2579,18 @@ object TimeTravel {
           "pre-metadata tables are not declaratively readable")))
   }
 
+  /** The committed schema of `version` WHEN its resolved file set is
+    * empty (a CREATE-TABLE-empty v1 or a restore to it) — the
+    * declarative relation's empty-snapshot hook; None for the normal
+    * non-empty case. */
+  private[graft] def emptySchemaAt(spark: SparkSession, baseDir: String,
+      version: Int): Option[org.apache.spark.sql.types.StructType] = {
+    val snap = resolveFull(spark, baseDir, version)
+    if (snap.files.nonEmpty) None
+    else Some(snap.schema.getOrElse(throw new IllegalArgumentException(
+      s"version $version of $baseDir is empty and records no schema")))
+  }
+
   /** CONJUNCTIVE data-skipping read: a file is read only if EVERY
     * range's recorded bounds can intersect it — one disjoint conjunct
     * proves the file irrelevant to the whole AND, so multi-predicate
@@ -2597,11 +2623,15 @@ object TimeTravel {
       version: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       colmap: Map[String, String] = Map.empty,
-      dvs: Map[String, String] = Map.empty): DataFrame = {
-    require(files.nonEmpty, s"version $version of $baseDir is empty — " +
-      "schemaless empty snapshots are not representable on plain parquet")
-    readFiles(spark, baseDir, files, schema, colmap, dvs)
-  }
+      dvs: Map[String, String] = Map.empty): DataFrame =
+    if (files.isEmpty) schema match {
+      // a CREATE-TABLE-empty v1 (or a restore to it): typed empty frame
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case None => throw new IllegalArgumentException(
+        s"version $version of $baseDir is empty — schemaless empty " +
+          "snapshots are not representable on plain parquet")
+    } else readFiles(spark, baseDir, files, schema, colmap, dvs)
 
   /** Create the table: write `df` partitioned by `partCol`, commit v1
     * as the table's first checkpoint. The partition column must be
@@ -2634,6 +2664,76 @@ object TimeTravel {
       checkpointed = true))
     1
   }
+
+  /** CREATE an EMPTY table: v1 is a files-free checkpoint carrying the
+    * schema, the declared partition layout (`#partcols=` — the one
+    * record kind that must state it, since there is no file path to
+    * derive it from) and nothing else. `readVersion(1)` types an empty
+    * frame; the first append establishes the physical layout, which
+    * must match the declaration (the write-path layout guard). The SQL
+    * face is `CREATE TABLE graft.`…` (cols) USING graft-versioned`. */
+  def initEmpty(spark: SparkSession, baseDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partCol: String): Int = {
+    val fs = hadoopFs(spark, baseDir)
+    require(latestVersion(spark, baseDir) == 0,
+      s"$baseDir already has commits")
+    val partCols = splitCols(partCol)
+    requirePartCols(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
+      partCols)
+    writeManifest(fs, baseDir, 1, Nil, Nil, Some(schema),
+      Some("init"), partCols = Some(partCols))
+    commitStats.put(baseDir, CommitStats(1, Set.empty, 0, 0,
+      checkpointed = true))
+    1
+  }
+
+  /** The table's partition layout at `version`: from any file path when
+    * the resolved set is non-empty (the normal case), else from the
+    * newest retained record's `#partcols=` declaration (an empty
+    * table); None when neither answers (a legacy empty state). */
+  private def activePartCols(spark: SparkSession, baseDir: String,
+      snap: Snapshot, version: Int): Option[Seq[String]] =
+    if (snap.files.nonEmpty)
+      Some(partColsLogical(snap.files, snap.colmap))
+    else {
+      val fs = hadoopFs(spark, baseDir)
+      (version to 1 by -1).iterator.flatMap { v =>
+        Seq(deltaPath(baseDir, v), manifestPath(baseDir, v))
+          .filter(fs.exists(_))
+          .flatMap(p => partColsFrom(readRawLines(fs, p)))
+          .headOption
+      }.nextOption()
+    }
+
+  /** Refuse a write whose declared partition layout disagrees with the
+    * table's — a mismatched `partCol` would nest files under a
+    * DIFFERENT directory scheme and silently corrupt layout-derived
+    * planning. `known` None (a pre-declaration empty state) skips: the
+    * first real write establishes the layout. */
+  private def requireLayoutMatch(declared: Seq[String],
+      known: Option[Seq[String]], op: String): Unit =
+    known.foreach(k => require(declared == k,
+      s"$op declares partition layout (${declared.mkString(", ")}) but " +
+        s"the table's layout is (${k.mkString(", ")}) — the partition " +
+        "column list is fixed at table creation"))
+
+  /** One record's view of the layout: its `#partcols=` declaration, or
+    * any of its own ADD paths. None for metadata-only commits — the
+    * blind-append guard's cheap, one-record heuristic. */
+  private def layoutOfRecord(fs: FileSystem, baseDir: String,
+      v: Int): Option[Seq[String]] =
+    Seq(deltaPath(baseDir, v), manifestPath(baseDir, v))
+      .find(fs.exists(_)).flatMap { p =>
+        val lines = readRawLines(fs, p)
+        partColsFrom(lines)
+          .orElse(addsRemovesFrom(lines)._1.headOption
+            .map(f => partColsPhysical(Seq(f))))
+          .orElse(lines.find(l => !l.startsWith("#") && l.nonEmpty &&
+              !l.startsWith("+") && !l.startsWith("-"))
+            .map(f => partColsPhysical(Seq(f)))) // text-checkpoint body
+      }
 
   /** Batch-vs-table schema contract: identical column (name, type) sets
     * by default; with `evolve`, the batch may be a SUPERSET (columns
@@ -2785,6 +2885,11 @@ object TimeTravel {
     val partCols = splitCols(partCol)
     requirePartCols(rows, partCols)
     val fs = hadoopFs(spark, baseDir)
+    // cheap layout guard: the previous record's own adds (or #partcols
+    // declaration) when it has any — the blind append must not pay a
+    // full snapshot resolve; metadata-only predecessors skip the check
+    requireLayoutMatch(partCols, layoutOfRecord(fs, baseDir, prev),
+      "append")
     checkSchema(rows.schema, schemaOfRecord(fs, baseDir, prev),
       evolveSchema, "append")
     val batch = rows.localCheckpoint() // distinct-collect + write: 2 actions
@@ -2826,7 +2931,10 @@ object TimeTravel {
     val latest = latestVersion(spark, baseDir)
     require(latest >= 1, s"$baseDir has no commits")
     val snap = resolveFull(spark, baseDir, latest)
-    partColsLogical(snap.files, snap.colmap)
+    activePartCols(spark, baseDir, snap, latest).getOrElse(
+      throw new IllegalStateException(
+        s"$baseDir records neither files nor a partition-layout " +
+          "declaration — the layout is unknowable"))
   }
 
   /** Full OVERWRITE as a new version (SQL `INSERT OVERWRITE` /
@@ -2862,6 +2970,8 @@ object TimeTravel {
         "version is not representable on plain parquet; drop the table " +
         "instead")
     val prevSnap = resolveFull(spark, baseDir, prev)
+    requireLayoutMatch(partCols,
+      activePartCols(spark, baseDir, prevSnap, prev), "overwrite")
     val adds = stageWrite(spark, baseDir, batch, partCols, colmap = colmap)
     val dirs = affectedDirs(partCols, affected) ++
       prevSnap.files.map(dirOf)
@@ -2952,6 +3062,8 @@ object TimeTravel {
     requirePartCols(updates, partCols)
     // resolved ONCE per commit: file set, committed schema, and stats
     val prevSnap = resolveFull(spark, baseDir, prev)
+    requireLayoutMatch(partCols,
+      activePartCols(spark, baseDir, prevSnap, prev), "upsert")
     val prevSchema = prevSnap.schema
     checkSchema(updates.schema, prevSchema, evolveSchema, "upsert")
     val ups = updates.localCheckpoint()
@@ -3135,6 +3247,8 @@ object TimeTravel {
     requirePartCols(source, partCols)
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
+    requireLayoutMatch(partCols,
+      activePartCols(spark, baseDir, prevSnap, prev), "merge")
     checkSchema(source.schema, prevSnap.schema, evolve = false, "merge")
     val fields = prevSnap.schema.getOrElse(source.schema)
     def checkSet(set: Map[String, Column], kind: String): Unit =
@@ -3477,6 +3591,7 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
+    if (prevSnap.files.isEmpty) return prev // empty table: no matches
     // the rewrite's layout IS the table's recorded layout — the
     // partCol parameter is kept for source compatibility only
     val partCols = partColsLogical(prevSnap.files, prevSnap.colmap)
@@ -3587,6 +3702,7 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
+    if (prevSnap.files.isEmpty) return prev // empty table: no matches
     // the rewrite's layout IS the table's recorded layout — the
     // partCol parameter is kept for source compatibility only
     val partCols = partColsLogical(prevSnap.files, prevSnap.colmap)
@@ -3713,6 +3829,7 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val prevSnap = resolveFull(spark, baseDir, prev)
     val (prevFiles, prevSchema) = (prevSnap.files, prevSnap.schema)
+    if (prevFiles.isEmpty) return prev // empty table: nothing to fold
     val partCols = partColsLogical(prevFiles, prevSnap.colmap)
     val byDir = prevFiles.groupBy(dirOf)
     val threshold = math.max(maxFilesPerDir,
@@ -3771,6 +3888,7 @@ object TimeTravel {
     require(prev >= 1, s"$baseDir has no commits — call init first")
     val fs = hadoopFs(spark, baseDir)
     val prevSnap = resolveFull(spark, baseDir, prev)
+    if (prevSnap.files.isEmpty) return prev // empty table: no-op
     val partCols = partColsLogical(prevSnap.files, prevSnap.colmap)
     val byDir = prevSnap.files.groupBy(dirOf)
     val doomed = byDir.toSeq.flatMap { case (dir, fls) =>

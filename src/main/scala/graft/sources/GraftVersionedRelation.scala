@@ -65,22 +65,30 @@ object GraftVersionedRelation {
         require(latest >= 1, s"$baseDir has no commits")
         latest
       }
-    val plan = TimeTravel.scanPlan(spark, baseDir, version)
-    // FAST PATH — plain snapshots: a HadoopFsRelation plans raw parquet
-    // splits (vectorized reader, whole-stage codegen, parquet-level
-    // PushedFilters). It reads file columns by NAME and cannot inject
-    // an anti-join, so two snapshot states need the MERGE-ON-READ
-    // relation instead: an active column mapping (files carry physical
-    // names the relation must project back to logical) and deletion-
-    // vector bindings (a raw split scan would resurrect deleted rows —
-    // the hazard Delta gates behind a reader-version bump).
-    if (plan.colmap.isEmpty && !plan.hasDeletionVectors) {
-      val index = new GraftVersionedFileIndex(spark, baseDir, version,
-        plan)
-      HadoopFsRelation(index, index.partitionSchema, index.dataSchema,
-        bucketSpec = None, new ParquetFileFormat,
-        options = Map.empty)(spark)
-    } else new GraftVersionedMorRelation(spark, baseDir, version, plan)
+    // an EMPTY snapshot (CREATE-TABLE-empty v1, or a restore to it):
+    // a typed zero-row relation — no files to plan
+    TimeTravel.emptySchemaAt(spark, baseDir, version) match {
+      case Some(s) => new GraftEmptyRelation(spark, s)
+      case None =>
+        val plan = TimeTravel.scanPlan(spark, baseDir, version)
+        // FAST PATH — plain snapshots: a HadoopFsRelation plans raw
+        // parquet splits (vectorized reader, whole-stage codegen,
+        // parquet-level PushedFilters). It reads file columns by NAME
+        // and cannot inject an anti-join, so two snapshot states need
+        // the MERGE-ON-READ relation instead: an active column mapping
+        // (files carry physical names the relation must project back
+        // to logical) and deletion-vector bindings (a raw split scan
+        // would resurrect deleted rows — the hazard Delta gates behind
+        // a reader-version bump).
+        if (plan.colmap.isEmpty && !plan.hasDeletionVectors) {
+          val index = new GraftVersionedFileIndex(spark, baseDir,
+            version, plan)
+          HadoopFsRelation(index, index.partitionSchema,
+            index.dataSchema, bucketSpec = None, new ParquetFileFormat,
+            options = Map.empty)(spark)
+        } else new GraftVersionedMorRelation(spark, baseDir, version,
+          plan)
+    }
   }
 
   /** `timestampAsOf` accepts epoch millis or a
@@ -391,6 +399,19 @@ private[graft] final class GraftVersionedMorRelation(spark: SparkSession,
   override def toString: String =
     s"GraftVersionedMorRelation[$baseDir@v$version, " +
       s"dv=${plan.hasDeletionVectors}, mapped=${plan.colmap.nonEmpty}]"
+}
+
+/** A typed ZERO-ROW relation — the declarative face of an empty
+  * snapshot (a CREATE-TABLE-empty v1 before its first batch). */
+private[graft] final class GraftEmptyRelation(spark: SparkSession,
+    override val schema: StructType) extends BaseRelation
+    with org.apache.spark.sql.sources.TableScan {
+  override def sqlContext: org.apache.spark.sql.SQLContext =
+    spark.sqlContext
+  override def buildScan()
+      : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+    spark.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+  override def sizeInBytes: Long = 0L
 }
 
 private[graft] object GraftVersionedMorRelation {

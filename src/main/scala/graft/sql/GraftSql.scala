@@ -80,11 +80,7 @@ object GraftSql {
         case u: UpdateTable => update(spark, u, mergeOnRead, changeFeed)
         case m: MergeIntoTable => merge(spark, m, changeFeed)
         case c: CreateTableAsSelect => createAsSelect(spark, c)
-        case _: CreateTable => throw new IllegalArgumentException(
-          "CREATE TABLE without AS SELECT would create an EMPTY table, " +
-            "which plain parquet cannot represent (no file to anchor " +
-            "the layout) — use CREATE TABLE ... AS SELECT, or land the " +
-            "first batch through the declarative writer")
+        case c: CreateTable => createEmpty(spark, c)
         case a: AddCheckConstraint => addConstraint(spark, a)
         case d: DropConstraint => dropConstraintCmd(spark, d)
         case other => throw new IllegalArgumentException(
@@ -158,6 +154,35 @@ object GraftSql {
     }
     val df = DmlBridge.ofRows(spark, rewriteReads(spark, c.query))
     TimeTravel.init(spark, path, df, partCols.mkString(","))
+  }
+
+  /** Bare CREATE TABLE (column list, no AS SELECT) — an EMPTY v1
+    * carrying the schema and the declared partition layout
+    * ([[TimeTravel.initEmpty]]); the first batch fills it. */
+  private def createEmpty(spark: SparkSession, c: CreateTable): Int = {
+    val path = resolved(spark, identPath(c.name))
+    c.tableSpec match {
+      case u: UnresolvedTableSpec =>
+        require(u.provider.forall(_.equalsIgnoreCase("graft-versioned")),
+          s"CREATE TABLE graft.`…` must say USING `graft-versioned` " +
+            s"(got ${u.provider.getOrElse("none")})")
+      case _ => ()
+    }
+    val partCols = c.partitioning.map { t =>
+      require(t.name == "identity" && t.references.length == 1,
+        s"only identity PARTITIONED BY columns are supported, got $t")
+      t.references.head.fieldNames().mkString(".")
+    }
+    if (TimeTravel.latestVersion(spark, path) >= 1) {
+      if (c.ignoreIfExists) return TimeTravel.latestVersion(spark, path)
+      throw new IllegalStateException(
+        s"$path already has commits — CREATE TABLE refuses to replace " +
+          "it; add IF NOT EXISTS or pick a fresh path")
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      c.columns.map(cd => org.apache.spark.sql.types
+        .StructField(cd.name, cd.dataType, cd.nullable)))
+    TimeTravel.initEmpty(spark, path, schema, partCols.mkString(","))
   }
 
   private def identPath(name: LogicalPlan): String = name match {

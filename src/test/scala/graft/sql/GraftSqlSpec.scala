@@ -155,9 +155,6 @@ class GraftSqlSpec extends SparkSpec {
     intercept[IllegalStateException](GraftSql.exec(spark,
       s"CREATE TABLE graft.`$t` USING `graft-versioned` " +
         "AS SELECT * FROM ddl_src"))
-    intercept[IllegalArgumentException](GraftSql.exec(spark,
-      s"CREATE TABLE graft.`${tmpDir("sqlddl-empty")}` " +
-        "(k BIGINT, p STRING) USING `graft-versioned`"))
     // ADD CONSTRAINT validates existing data, then gates inserts
     GraftSql.exec(spark,
       s"ALTER TABLE graft.`$t` ADD CONSTRAINT x_pos CHECK (x > 0)")
@@ -198,6 +195,51 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.exec(spark, s"VACUUM graft.`$t` RETAIN 2 VERSIONS")
     assert(TimeTravel.readVersion(spark, t, latest).count() === 33)
     intercept[Exception](TimeTravel.readVersion(spark, t, 1).count())
+  }
+
+  test("bare CREATE TABLE: an EMPTY v1 carries schema + layout; reads type empty frames and the first batches fill it") {
+    val t = tmpDir("sqlddl-empty")
+    GraftSql.exec(spark, s"""CREATE TABLE graft.`$t`
+      (k BIGINT, d DATE, r STRING, x DOUBLE)
+      USING `graft-versioned` PARTITIONED BY (d, r)""")
+    // empty reads: imperative, SQL, and declarative all type zero rows
+    assert(TimeTravel.readVersion(spark, t, 1).count() === 0)
+    assert(TimeTravel.readVersion(spark, t, 1).columns.toSeq ===
+      Seq("k", "d", "r", "x"))
+    assert(GraftSql.sql(spark,
+      s"SELECT count(*) AS n FROM graft.`$t`").head.getLong(0) === 0)
+    assert(spark.read.format("graft-versioned").option("path", t)
+      .load().count() === 0)
+    // the declared layout answers before any file exists, and a
+    // DISAGREEING first write refuses (the layout guard)
+    assert(TimeTravel.partitionColumns(spark, t) === Seq("d", "r"))
+    val rows = Seq((1L, java.sql.Date.valueOf("2024-01-01"), "eu", 1.5),
+      (2L, java.sql.Date.valueOf("2024-02-01"), "us", 2.5))
+      .toDF("k", "d", "r", "x")
+    intercept[IllegalArgumentException](
+      TimeTravel.upsert(spark, t, rows, "k", "r"))
+    // SQL INSERT derives the layout from the declaration
+    rows.createOrReplaceTempView("empty_fill")
+    GraftSql.exec(spark, s"INSERT INTO graft.`$t` " +
+      "SELECT * FROM empty_fill")
+    assert(readTip(t).count() === 2)
+    assert(TimeTravel.filesAt(spark, t, 2)
+      .forall(_.split('/').length == 3), "declared layout established")
+    // IF NOT EXISTS no-ops; plain CREATE refuses the existing table
+    GraftSql.exec(spark, s"CREATE TABLE IF NOT EXISTS graft.`$t` " +
+      "(k BIGINT) USING `graft-versioned`")
+    intercept[IllegalStateException](GraftSql.exec(spark,
+      s"CREATE TABLE graft.`$t` (k BIGINT) USING `graft-versioned`"))
+    // constraints may land on the empty table before any data
+    val t2 = tmpDir("sqlddl-empty2")
+    GraftSql.exec(spark, s"CREATE TABLE graft.`$t2` " +
+      "(k BIGINT, p STRING, x DOUBLE) USING `graft-versioned` " +
+      "PARTITIONED BY (p)")
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t2` ADD CONSTRAINT xp CHECK (x > 0)")
+    val e = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"INSERT INTO graft.`$t2` SELECT 1L, 'a', -1.0"))
+    assert(e.getMessage.contains("xp"))
   }
 
   test("name-addressed tables: a registered name works across SQL, reader, writer, and stream — no path restating") {
