@@ -2698,13 +2698,14 @@ object TimeTravel {
     if (snap.files.nonEmpty)
       Some(partColsLogical(snap.files, snap.colmap))
     else {
+      // empty snapshot: walk records newest-first for a `#partcols=`
+      // declaration OR any record's own file paths (a restore back to
+      // the empty v1 leaves the layout recoverable from the history
+      // in between)
       val fs = hadoopFs(spark, baseDir)
-      (version to 1 by -1).iterator.flatMap { v =>
-        Seq(deltaPath(baseDir, v), manifestPath(baseDir, v))
-          .filter(fs.exists(_))
-          .flatMap(p => partColsFrom(readRawLines(fs, p)))
-          .headOption
-      }.nextOption()
+      (version to 1 by -1).iterator
+        .flatMap(v => layoutOfRecord(fs, baseDir, v))
+        .nextOption()
     }
 
   /** Refuse a write whose declared partition layout disagrees with the

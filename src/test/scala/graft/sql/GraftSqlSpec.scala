@@ -230,6 +230,15 @@ class GraftSqlSpec extends SparkSpec {
       "(k BIGINT) USING `graft-versioned`")
     intercept[IllegalStateException](GraftSql.exec(spark,
       s"CREATE TABLE graft.`$t` (k BIGINT) USING `graft-versioned`"))
+    // RESTORE back to the empty v1: the tip reads empty, the layout
+    // stays answerable (recovered from the in-between history), and
+    // the table refills
+    GraftSql.exec(spark, s"RESTORE TABLE graft.`$t` TO VERSION AS OF 1")
+    assert(readTip(t).count() === 0)
+    assert(TimeTravel.partitionColumns(spark, t) === Seq("d", "r"))
+    GraftSql.exec(spark,
+      s"INSERT INTO graft.`$t` SELECT * FROM empty_fill")
+    assert(readTip(t).count() === 2)
     // constraints may land on the empty table before any data
     val t2 = tmpDir("sqlddl-empty2")
     GraftSql.exec(spark, s"CREATE TABLE graft.`$t2` " +
