@@ -34,5 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => graft.plans.LevenshteinPrefilter)
     // the merge-on-read scan splice (gated on spark.graft.mor.rewrite)
     ext.injectOptimizerRule(_ => graft.plans.MorScanRewrite)
+    // name resolution: `graft.<registered-name>` readable from PLAIN
+    // spark.sql — session registry first, then the durable warehouse
+    // catalog file (see GraftNameResolution's scaladoc)
+    ext.injectResolutionRule(s => graft.sql.GraftNameResolution(s))
   }
 }

@@ -44,7 +44,13 @@ object GraftSession {
     // merge-on-read scan splice ([[graft.plans.MorScanRewrite]]): the
     // tuned sessions read DV-bound / column-mapped versioned tables
     // through the native codegen plan instead of the V1 Row fallback
-    "spark.graft.mor.rewrite" -> "true")
+    "spark.graft.mor.rewrite" -> "true",
+    // full extension surface at session BUILD time — functions, the
+    // optimizer rules, and the `graft.<name>` resolution rule (plain
+    // spark.sql over registered/durable table names); imperative
+    // installOptimizations stays for pre-built sessions, which cannot
+    // take analyzer rules after the fact
+    "spark.sql.extensions" -> "graft.GraftExtensions")
 
   /** `builder.config(k, v)` for every [[engineConfs]] entry. */
   def tuned(builder: SparkSession.Builder): SparkSession.Builder =
@@ -100,40 +106,131 @@ object GraftSession {
     df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
 
   // ---------------------------------------------------------------------
-  // NAME-ADDRESSED TABLES — a session-level name → path registry, the
-  // minimal catalog seam: consumers say `graft.orders_gold` (SQL) or
+  // NAME-ADDRESSED TABLES — a name → path registry, the minimal catalog
+  // seam: consumers say `graft.orders_gold` (SQL) or
   // `.option("table", "orders_gold")` (reader/writer/stream) instead
-  // of restating absolute paths everywhere. Deliberately NOT a Spark
-  // TableCatalog: the tables stay path-addressed underneath (the
-  // Delta-on-paths convention); this only removes the path restating.
-  // Keyed per session UUID so two sessions' registries never collide.
+  // of restating absolute paths everywhere. Two layers:
+  //   - SESSION bindings (default): keyed by the SparkSession OBJECT in
+  //     a weak-keyed map, so a dead session's entries are GC-evicted
+  //     and a new session can never inherit or collide with them
+  //     (identity-hash keys were both recyclable and leak-prone);
+  //   - DURABLE bindings (`durable = true`): written through to a
+  //     warehouse-level catalog file, so `graft.orders_gold` survives
+  //     the JVM — a new session with no prior registerTable call
+  //     resolves it from disk. Location: `spark.graft.catalog.path`
+  //     when set, else `<spark.sql.warehouse.dir>/_graft_catalog`.
+  // The tables stay path-addressed underneath (the Delta-on-paths
+  // convention); this only removes the path restating. Session
+  // bindings shadow durable ones; durable writes are read-modify-write
+  // through the warehouse filesystem with last-writer-wins semantics
+  // (a name registry, not a commit log — table COMMITS have their own
+  // optimistic-concurrency story in the table's log).
   // ---------------------------------------------------------------------
 
-  private val tableRegistry =
-    scala.collection.concurrent.TrieMap.empty[(String, String), String]
+  private val tableRegistry = new java.util.WeakHashMap[SparkSession,
+    scala.collection.concurrent.TrieMap[String, String]]()
 
-  /** A stable per-session key (identity hash — sessions are long-lived
-    * JVM objects; cloned sessions get their own registries). */
-  private def sessionKey(spark: SparkSession): String =
-    System.identityHashCode(spark).toHexString
+  private def sessionBindings(spark: SparkSession)
+      : scala.collection.concurrent.TrieMap[String, String] =
+    tableRegistry.synchronized {
+      var m = tableRegistry.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, String]
+        tableRegistry.put(spark, m)
+      }
+      m
+    }
 
-  /** Bind `name` to a versioned table's base path for this session.
-    * Re-registering a name rebinds it (latest wins, like temp views). */
-  def registerTable(spark: SparkSession, name: String,
-      path: String): Unit = {
-    require(name.nonEmpty && !name.contains('/'),
-      s"table name must be a bare identifier, got '$name'")
-    tableRegistry.put((sessionKey(spark), name.toLowerCase), path)
+  /** The durable catalog file's location for this session's warehouse. */
+  def catalogPath(spark: SparkSession): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.getOption("spark.graft.catalog.path").getOrElse(
+        spark.conf.get("spark.sql.warehouse.dir").stripSuffix("/") +
+          "/_graft_catalog"))
+
+  private def catalogFs(spark: SparkSession,
+      p: org.apache.hadoop.fs.Path): org.apache.hadoop.fs.FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** The durable catalog's bindings (empty when no catalog file
+    * exists) — one small metadata read, name → base path. */
+  def durableTables(spark: SparkSession): Map[String, String] = {
+    val p = catalogPath(spark)
+    val fs = catalogFs(spark, p)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      try {
+        scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+          .filter(l => l.nonEmpty && !l.startsWith("#"))
+          .flatMap { l =>
+            val i = l.indexOf('=')
+            if (i <= 0) None else Some(l.take(i) -> l.drop(i + 1))
+          }.toMap
+      } finally in.close()
+    }
   }
 
-  /** The path `name` is bound to in this session, if any. */
-  def tablePath(spark: SparkSession, name: String): Option[String] =
-    tableRegistry.get((sessionKey(spark), name.toLowerCase))
+  private val catalogWriteLock = new Object
 
-  /** Names registered in this session (for error listings). */
+  private def writeDurable(spark: SparkSession,
+      mutate: Map[String, String] => Map[String, String]): Unit =
+    catalogWriteLock.synchronized {
+      val p = catalogPath(spark)
+      val fs = catalogFs(spark, p)
+      val next = mutate(durableTables(spark))
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s"${p.getName}.tmp-${System.nanoTime()}")
+      val out = fs.create(tmp, true)
+      try {
+        val body = next.toSeq.sortBy(_._1)
+          .map { case (n, pa) => s"$n=$pa" }.mkString("", "\n", "\n")
+        out.write(body.getBytes("UTF-8"))
+      } finally out.close()
+      if (fs.exists(p)) fs.delete(p, false)
+      require(fs.rename(tmp, p), s"failed to install catalog file $p")
+    }
+
+  private def requireBareName(name: String): Unit =
+    require(name.nonEmpty && !name.contains('/') && !name.contains('=') &&
+        !name.contains('\n'),
+      s"table name must be a bare identifier, got '$name'")
+
+  /** Bind `name` to a versioned table's base path. Session-local by
+    * default (dies with the session; re-registering rebinds, like temp
+    * views); `durable = true` also writes the binding through to the
+    * warehouse catalog file, so the name outlives the JVM and a fresh
+    * session resolves it with no registerTable call in scope. */
+  def registerTable(spark: SparkSession, name: String, path: String,
+      durable: Boolean = false): Unit = {
+    requireBareName(name)
+    sessionBindings(spark).put(name.toLowerCase, path)
+    if (durable)
+      writeDurable(spark, _ + (name.toLowerCase -> path))
+  }
+
+  /** Remove a binding — from this session, and with `durable = true`
+    * from the warehouse catalog file too. Unknown names no-op (DROP IF
+    * EXISTS shape: unbinding is idempotent housekeeping). */
+  def unregisterTable(spark: SparkSession, name: String,
+      durable: Boolean = false): Unit = {
+    requireBareName(name)
+    sessionBindings(spark).remove(name.toLowerCase)
+    if (durable)
+      writeDurable(spark, _ - name.toLowerCase)
+  }
+
+  /** The path `name` is bound to — this session's binding when one
+    * exists, else the durable catalog's. */
+  def tablePath(spark: SparkSession, name: String): Option[String] =
+    sessionBindings(spark).get(name.toLowerCase)
+      .orElse(durableTables(spark).get(name.toLowerCase))
+
+  /** Names resolvable in this session (session ∪ durable, for error
+    * listings). */
   def registeredTables(spark: SparkSession): Seq[String] =
-    tableRegistry.keys.collect {
-      case (s, n) if s == sessionKey(spark) => n }.toSeq.sorted
+    (sessionBindings(spark).keySet ++ durableTables(spark).keySet)
+      .toSeq.sorted
 
   /** Resolve a `graft.<x>` operand: an absolute path passes through;
     * a bare identifier looks up the session registry, refusing loudly

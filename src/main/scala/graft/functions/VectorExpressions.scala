@@ -252,6 +252,9 @@ object GraftFunctions {
       ((args: Seq[Expression]) => SortedIntersectSize(args.head, args(1))),
     "bit_interleave" -> ((args: Seq[Expression]) => BitInterleave(args.head, args(1),
       intLit(args, 2, "bit_interleave(x, y, bits): bits must be an integer literal"))),
+    "bit_interleave_n" -> ((args: Seq[Expression]) => BitInterleaveN(args.init,
+      intLit(args, args.size - 1,
+        "bit_interleave_n(x1, ..., xn, bits): bits must be an integer literal"))),
     "simhash" -> ((args: Seq[Expression]) => SimHashAgg(args.head).toAggregateExpression()),
     "minhash" -> ((args: Seq[Expression]) => MinHashAgg(args.head,
       intLit(args, 1, "minhash(col, k): k must be an integer literal"))

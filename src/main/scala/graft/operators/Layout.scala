@@ -40,6 +40,26 @@ object Layout {
     LayoutCols.bitInterleave(scaled(x, xMin, xMax), scaled(y, yMin, yMax), bits)
   }
 
+  /** The Z-value for N numeric dimensions (`bounds(i)` = (min, max) of
+    * `cols(i)`): each dimension min/max-scales to `bits` bits and the
+    * N-ary Morton interleave ([[LayoutCols.bitInterleaveN]]) orders the
+    * n-cube. `bits` defaults to the largest per-axis width that fits a
+    * long (⌊63/n⌋, capped at 16 — beyond 16 bits per axis the extra
+    * resolution is below file-granularity anyway). For n = 2 the codes
+    * are bit-identical to [[zValue]]. */
+  def zValueN(cols: Seq[Column], bounds: Seq[(Double, Double)],
+      bits: Int = 0): Column = {
+    require(cols.size >= 2 && cols.size == bounds.size,
+      "zValueN needs >= 2 columns with one (min, max) pair each")
+    val b = if (bits > 0) bits else math.min(16, 63 / cols.size)
+    def scaled(c: Column, lo: Double, hi: Double): Column =
+      if (hi == lo) lit(0L)
+      else floor((c.cast("double") - lit(lo)) *
+        lit(((1L << b) - 1).toDouble) / lit(hi - lo)).cast("long")
+    LayoutCols.bitInterleaveN(
+      cols.zip(bounds).map { case (c, (lo, hi)) => scaled(c, lo, hi) }, b)
+  }
+
   /** Z-order-cluster `df` on two numeric columns: probe their bounds,
     * range-partition by Z-value, sort within partitions — the DataFrame
     * is then laid out for a `Sinks.parquet` write whose files are

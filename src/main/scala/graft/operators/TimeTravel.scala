@@ -765,6 +765,60 @@ object TimeTravel {
       e.contains(s"`$colName`") => n }
   }
 
+  /** ADD COLUMN(S) as a METADATA-ONLY commit (`#op=evolve`): the
+    * committed schema widens by the new fields — zero files rewrite,
+    * and every pre-evolution file reads the new columns as NULL (the
+    * same NULL-fill contract `append(evolveSchema = true)` gives a
+    * widening batch, without needing rows in hand). Version-pinned
+    * reads return each version's OWN schema, so time travel across the
+    * evolution round-trips. Refused: an existing column name, a
+    * reserved physical name (the add-after-rename/drop resurrection
+    * hazard), nested field paths, and NOT NULL fields (pre-evolution
+    * rows are NULL by construction — a non-nullable add would be a
+    * lie; add the column nullable, backfill, then constrain). */
+  def addColumns(spark: SparkSession, baseDir: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    require(cols.nonEmpty, "ADD COLUMNS needs at least one column")
+    val fs = hadoopFs(spark, baseDir)
+    var prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — init the table first")
+    cols.foreach(f => require(f.nullable,
+      s"ADD COLUMN ${f.name} NOT NULL is unsatisfiable: every " +
+        "pre-evolution row reads the new column as NULL — add it " +
+        "nullable, backfill, then ADD CONSTRAINT"))
+    require(cols.map(_.name).distinct.size == cols.size,
+      s"duplicate names in ADD COLUMNS (${cols.map(_.name).mkString(", ")})")
+    while (true) {
+      val snap = resolveFull(spark, baseDir, prev)
+      val schema = snap.schema.getOrElse(throw new IllegalArgumentException(
+        s"$baseDir records no schema — pre-metadata tables cannot evolve"))
+      cols.foreach { f =>
+        require(!schema.fieldNames.contains(f.name),
+          s"column '${f.name}' already exists " +
+            s"(columns: ${schema.fieldNames.mkString(", ")})")
+        require(!reservedPhysical(snap.colmap, snap.dropped)(f.name),
+          s"'${f.name}' is a reserved physical name (a renamed or " +
+            "dropped column's file-side name) — old files' orphaned " +
+            "values would silently resurface; pick a different name")
+      }
+      val newSchema = org.apache.spark.sql.types.StructType(
+        schema.fields ++ cols)
+      try {
+        writeDelta(fs, baseDir, prev + 1, Nil, Nil, None, Some(newSchema),
+          Some("evolve"),
+          constraints = activeConstraints(fs, baseDir, prev),
+          colmap = snap.colmap, coldrop = snap.dropped,
+          bloomIdx = activeBloomIdx(fs, baseDir, prev))
+        commitStats.put(baseDir, CommitStats(prev + 1, Set.empty, 0, 0,
+          checkpointed = false))
+        return prev + 1
+      } catch {
+        case _: CommitConflict => prev = latestVersion(spark, baseDir)
+      }
+    }
+    -1 // unreachable
+  }
+
   /** RENAME COLUMN as a metadata-only commit: the schema takes the new
     * logical name, the mapping binds it to the column's unchanged
     * PHYSICAL name, zero files rewrite, and time travel returns each
@@ -1730,7 +1784,7 @@ object TimeTravel {
   private[operators] def stageWrite(spark: SparkSession, baseDir: String,
       df: DataFrame, partCols: Seq[String],
       clusterBy: Option[(String, Int)] = None,
-      zorderBy: Option[((String, String), Int)] = None,
+      zorderBy: Option[(Seq[String], Int)] = None,
       colmap: Map[String, String] = Map.empty): Seq[String] = {
     val fs = hadoopFs(spark, baseDir)
     val token = newToken()
@@ -1748,21 +1802,21 @@ object TimeTravel {
         // writer sequential dir runs.
         case (Some((ck, k)), _) => df.repartitionByRange(k, col(ck))
           .sortWithinPartitions(partExprs :+ col(ck): _*)
-        // Z-ORDER layout: k range buckets over the two columns' Morton
-        // interleave ([[Layout.zValue]] — a codegen'd bit_interleave),
-        // so every file covers a small RECTANGLE of the (x, y) space
-        // and its recorded min/max stay narrow on BOTH axes — the
-        // conjunctive-skipping-preserving maintenance layout (Delta's
-        // OPTIMIZE ZORDER BY). One bounds probe over the batch scales
-        // the interleave; z-sorting within buckets keeps row-group
-        // stats tight.
-        case (None, Some(((cx, cy), k))) =>
-          val b = df.agg(
-            min(col(cx)).cast("double"), max(col(cx)).cast("double"),
-            min(col(cy)).cast("double"), max(col(cy)).cast("double"))
-            .head()
-          val z = Layout.zValue(col(cx), col(cy), b.getDouble(0),
-            b.getDouble(1), b.getDouble(2), b.getDouble(3))
+        // Z-ORDER layout: k range buckets over the n columns' Morton
+        // interleave ([[Layout.zValueN]] — a codegen'd
+        // bit_interleave_n), so every file covers a small n-CUBE of
+        // the key space and its recorded min/max stay narrow on EVERY
+        // axis — the conjunctive-skipping-preserving maintenance
+        // layout (Delta's OPTIMIZE ZORDER BY). One bounds probe over
+        // the batch scales the interleave; z-sorting within buckets
+        // keeps row-group stats tight.
+        case (None, Some((zcols, k))) =>
+          val aggs = zcols.flatMap(c => Seq(
+            min(col(c)).cast("double"), max(col(c)).cast("double")))
+          val b = df.agg(aggs.head, aggs.tail: _*).head()
+          val bounds = zcols.indices
+            .map(i => (b.getDouble(2 * i), b.getDouble(2 * i + 1)))
+          val z = Layout.zValueN(zcols.map(col), bounds)
           df.withColumn("__graft_z", z)
             .repartitionByRange(k, col("__graft_z"))
             .sortWithinPartitions(partExprs :+ col("__graft_z"): _*)
@@ -1826,13 +1880,28 @@ object TimeTravel {
       baseDir: String, prev: Int, dirs: Set[String],
       adds: Seq[String], removes: Seq[String],
       txn: Option[(String, Long)],
-      schema: org.apache.spark.sql.types.StructType,
+      batchSchema: org.apache.spark.sql.types.StructType,
       op: String, evolveSchema: Boolean,
       cdc: Option[String] = None,
       dvs: Map[String, String] = Map.empty,
       statsOverride: Map[String, String] = Map.empty,
       bloomCarry: Map[String, String] = Map.empty,
       dvTouched: Set[String] = Set.empty): Int = {
+    // the RECORDED schema keeps the table's committed column ORDER
+    // (genuinely new columns append): checkSchema admits any batch
+    // column order, but recording the batch's spelling verbatim would
+    // let one column-list INSERT permute the committed order — and
+    // that order is load-bearing (DESCRIBE, SELECT *, positional
+    // INSERT binding, the streaming source's ordered-name pin)
+    val schema = schemaOfRecord(fs, baseDir, prev) match {
+      case Some(t) =>
+        val byName = batchSchema.fields.map(f => f.name -> f).toMap
+        val committed = t.fieldNames.toSet
+        org.apache.spark.sql.types.StructType(
+          t.fields.flatMap(f => byName.get(f.name)) ++
+            batchSchema.fields.filterNot(f => committed(f.name)))
+      case None => batchSchema
+    }
     // statsOverride: carried-forward payloads for adds whose bytes did
     // not change (a DV commit re-adds the same physical file) — no
     // footer re-read for those; anything else is computed as usual.
@@ -2005,6 +2074,30 @@ object TimeTravel {
 
   private def baseName(f: String): String =
     f.substring(f.lastIndexOf('/') + 1)
+
+  /** Staged file names carry `token-ordinal-` prefixes ([[stageWrite]])
+    * and are therefore GLOBALLY unique per table — the invariant that
+    * lets DV and bloom artifacts key file identity by basename alone.
+    * Names from the pre-ordinal scheme (`token-partfile`) could repeat
+    * one task's part-file basename across partition dirs in a single
+    * commit, so a basename-keyed artifact probe over them can bind a
+    * sibling's delete-set or filter — refuse those tables LOUDLY
+    * instead of misreading (rewrite their files via OPTIMIZE first). */
+  private val OrdinalNameRe =
+    java.util.regex.Pattern.compile("^[0-9a-f]{12}-[0-9]+-")
+  private def requireOrdinalNames(files: Iterable[String],
+      kind: String): Unit =
+    files.find(f => !OrdinalNameRe.matcher(baseName(f)).find())
+      .foreach { f =>
+        throw new IllegalStateException(
+          s"$kind artifact binding references file '${baseName(f)}', " +
+            "which lacks the commit-token+ordinal name prefix — " +
+            "pre-ordinal staged names are not globally unique, so a " +
+            "basename-keyed artifact could silently misread a " +
+            "same-named sibling's positions or filter; OPTIMIZE the " +
+            s"table to rewrite its files before using $kind artifacts " +
+            "with this reader")
+      }
 
   /** A relative data file's PARTITION DIRECTORY ("" when the table is
     * unpartitioned) — the unit of rewrite conflict and of log-entry ↔
@@ -2200,6 +2293,7 @@ object TimeTravel {
     if (probes.isEmpty) return candidates
     val bound = candidates.filter(snap.blooms.contains)
     if (bound.isEmpty) return candidates
+    requireOrdinalNames(bound, "bloom")
     val probeCols = probes.map(_._1).distinct
     val cand = spark.createDataFrame(bound.map(f =>
         (baseName(f), snap.blooms(f))))
@@ -2262,7 +2356,15 @@ object TimeTravel {
           .withColumn(PosIndexCol, col("_metadata.row_index"))
       (schema, colmap.isEmpty) match {
         case (None, _) => tag(reader.parquet(paths: _*))
-        case (Some(sch), true) => tag(reader.schema(sch).parquet(paths: _*))
+        case (Some(sch), true) =>
+          // a partitioned scan surfaces directory columns LAST whatever
+          // the passed schema says — project back to the COMMITTED
+          // order so SELECT *, DESCRIBE, and positional INSERT binding
+          // all speak the log's column order
+          val extras = if (tagPos) Seq(col(PosFileCol), col(PosIndexCol))
+            else Nil
+          tag(reader.schema(sch).parquet(paths: _*))
+            .select(sch.fieldNames.map(col).toSeq ++ extras: _*)
         case (Some(sch), false) =>
           // column mapping: files carry PHYSICAL names; read under the
           // physical schema and project back to the version's logical
@@ -2280,6 +2382,7 @@ object TimeTravel {
     withoutPartitionInference(spark) {
       if (bound.isEmpty) scan(files, keepPos)
       else {
+        requireOrdinalNames(bound.keys, "DV")
         val (dvFiles, plain) = files.partition(bound.contains)
         val filtered = applyDv(spark, baseDir, scan(dvFiles, tagPos = true),
           dvFiles.map(f => (baseName(f), bound(f))))
@@ -2803,7 +2906,7 @@ object TimeTravel {
       prevSnap: Snapshot, rewritten: DataFrame, op: String,
       evolveSchema: Boolean = false, cdc: Option[String] = None,
       clusterBy: Option[(String, Int)] = None,
-      zorderBy: Option[((String, String), Int)] = None): Int = {
+      zorderBy: Option[(Seq[String], Int)] = None): Int = {
     val fs = hadoopFs(spark, baseDir)
     val prevFiles = prevSnap.files
     // staged write: adds are the files WE moved in — exact, never a
@@ -2886,10 +2989,17 @@ object TimeTravel {
     val partCols = splitCols(partCol)
     requirePartCols(rows, partCols)
     val fs = hadoopFs(spark, baseDir)
-    // cheap layout guard: the previous record's own adds (or #partcols
-    // declaration) when it has any — the blind append must not pay a
-    // full snapshot resolve; metadata-only predecessors skip the check
-    requireLayoutMatch(partCols, layoutOfRecord(fs, baseDir, prev),
+    // cheap layout guard without a full snapshot resolve: walk records
+    // newest-first to the FIRST one with a derivable layout (its
+    // #partcols declaration or its own add paths). Checking only the
+    // immediately previous record would let a metadata-only
+    // predecessor (constraint/colmap/bloomidx/protocol) silently skip
+    // the check — and a wrong partCol would then nest a second
+    // directory scheme, the exact corruption this guard exists to
+    // refuse. The walk is bounded: it stops at the newest data commit.
+    requireLayoutMatch(partCols,
+      (prev to 1 by -1).iterator
+        .flatMap(v => layoutOfRecord(fs, baseDir, v)).nextOption(),
       "append")
     checkSchema(rows.schema, schemaOfRecord(fs, baseDir, prev),
       evolveSchema, "append")
@@ -2987,6 +3097,46 @@ object TimeTravel {
     * (spec-asserted). */
   private[graft] val discoveryStats =
     scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  /** Per-table telemetry of the last merge's BY SOURCE scope prune:
+    * (files in rewrite scope, files in the version). Only written when
+    * the merge had BY SOURCE clauses; conditional clauses with
+    * stats-prunable conjuncts record scope ≪ total (spec-asserted),
+    * unconditional ones record the honest whole-table scope. */
+  private[graft] val bySourceScopeStats =
+    scala.collection.concurrent.TrieMap.empty[String, (Int, Int)]
+
+  /** Files whose recorded stats CAN satisfy one BY SOURCE clause
+    * condition — the clause-scope analogue of [[pruneByPredicate]]:
+    * analyze the condition against the committed schema (aliased
+    * `tgt`, the scope clause conditions see), translate its conjuncts
+    * to ranges, range-keep, then bloom-probe the equality conjuncts.
+    * Anything unanalyzable or untranslatable keeps EVERY file — no
+    * pruning is ever wrong. */
+  private def bySourceScopeFiles(spark: SparkSession, baseDir: String,
+      snap: Snapshot, schema: org.apache.spark.sql.types.StructType,
+      cond: Column): Seq[String] = {
+    val analyzed =
+      try spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .alias("tgt").filter(cond)
+        .queryExecution.analyzed.collectFirst {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition
+        }
+      catch { case scala.util.control.NonFatal(_) => None }
+    analyzed match {
+      case Some(c) =>
+        val ranges = predicateRanges(c)
+        if (ranges.isEmpty) snap.files
+        else {
+          val keeps = ranges.map(rangeKeep(snap, _))
+          bloomPrune(spark, baseDir, snap, ranges,
+            snap.files.filter(f => keeps.forall(_(f))))
+        }
+      case None => snap.files
+    }
+  }
 
   /** The partitions holding rows whose `keyCol` matches `gatedKeys` —
     * MERGE/DELETE discovery, probing only the files whose recorded key
@@ -3347,15 +3497,45 @@ object TimeTravel {
     // in a key must read as "no match", never as "target-only row"
     val tgtMark = "__graft_merge_tgt"
     // BY SOURCE clauses touch target rows the source does NOT hold —
-    // their candidates are the whole table, so the rewrite scope is
-    // every partition (the price Delta pays for the same clause)
-    val dirs =
-      if (bySourceClauses.isEmpty) affectedDirs(partCols, affected)
-      else prevSnap.files.map(dirOf).toSet
+    // their default candidates are the whole table (the price Delta
+    // pays for the same clause, and what an UNCONDITIONAL clause
+    // genuinely requires). But when EVERY BY SOURCE clause carries a
+    // condition, the scope STATS-PRUNES to files whose recorded bounds
+    // (and bloom filters) can satisfy at least one clause — the same
+    // conservative keep contract as deleteWhere's phase-1 prune. Sound
+    // because a file every clause provably misses holds only
+    // pass-through target rows, which carry over by name; matched rows
+    // are already covered by the discovery envelope's dirs. At 100 TB
+    // this turns "retire last quarter's stale rows" from a table-scale
+    // rewrite into a quarter-scale one.
+    val bsDirs: Set[String] =
+      if (bySourceClauses.isEmpty) Set.empty
+      else {
+        val conds = bySourceClauses.map {
+          case NotMatchedBySourceUpdate(c, _) => c
+          case NotMatchedBySourceDelete(c) => c
+          case _ => None // filtered out above
+        }
+        val scope =
+          if (conds.exists(_.isEmpty)) prevSnap.files
+          else conds.flatten
+            .flatMap(c => bySourceScopeFiles(spark, baseDir, prevSnap,
+              fields, c)).distinct
+        bySourceScopeStats.put(baseDir,
+          (scope.size, prevSnap.files.size))
+        scope.map(dirOf).toSet
+      }
+    val dirs = affectedDirs(partCols, affected) ++ bsDirs
+    if (dirs.isEmpty) return prev // every clause provably matched nothing
+    val scopeFiles =
+      prevSnap.files.filter(f => dirs.exists(d => underDir(f, d)))
     val current = (
-      if (bySourceClauses.isEmpty)
-        readAffected(spark, baseDir, prev, prevSnap, partCols, affected)
-      else readFiles(spark, baseDir, prevSnap.files, prevSnap.schema,
+      if (scopeFiles.isEmpty) prevSnap.schema.map(s =>
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s))
+        .getOrElse(readAffected(spark, baseDir, prev, prevSnap, partCols,
+          affected)) // schema-less legacy: affected-dir fallback
+      else readFiles(spark, baseDir, scopeFiles, prevSnap.schema,
         prevSnap.colmap, prevSnap.dvs)
       ).withColumn(tgtMark, lit(true))
     val joinCond = keyCols.map(k =>
@@ -3670,7 +3850,7 @@ object TimeTravel {
     val tset = touched.toSet
     commitWithRebase(spark, fs, baseDir, prev, dirs,
       adds = newFiles ++ touched, removes = touched, txn = None,
-      schema = schema, op = op, evolveSchema = false, cdc = cdcToken,
+      batchSchema = schema, op = op, evolveSchema = false, cdc = cdcToken,
       dvs = touched.map(f => f -> token).toMap,
       statsOverride = prevSnap.stats.filter { case (f, _) => tset(f) },
       // re-added files keep their bloom filters: bytes unchanged, and a
@@ -3807,18 +3987,18 @@ object TimeTravel {
     * maintenance op that KEEPS [[readVersionSkipping]] selective while
     * still folding the small-files accumulation (Delta's OPTIMIZE
     * ZORDER BY, scaled to the 1-column essentials). */
-  /** `zorderBy = Some(((x, y), k))` is the TWO-column clustered
+  /** `zorderBy = Some((Seq(x, y, …), k))` is the N-column clustered
     * variant: k global buckets over the columns' Morton interleave
-    * ([[Layout.zValue]]), so every rewritten file covers a small
-    * rectangle of the (x, y) space and conjunctive skipping
-    * ([[readVersionSkippingAll]]) stays selective on BOTH predicate
-    * axes after maintenance — single-column range clustering preserves
-    * one axis and destroys the other (Delta's OPTIMIZE ZORDER BY).
+    * ([[Layout.zValueN]]), so every rewritten file covers a small
+    * n-cube of the key space and conjunctive skipping
+    * ([[readVersionSkippingAll]]) stays selective on EVERY predicate
+    * axis after maintenance — single-column range clustering preserves
+    * one axis and destroys the others (Delta's OPTIMIZE ZORDER BY).
     * Mutually exclusive with `clusterBy`. */
   def compact(spark: SparkSession, baseDir: String, partCol: String,
       maxFilesPerDir: Int = 1,
       clusterBy: Option[(String, Int)] = None,
-      zorderBy: Option[((String, String), Int)] = None): Int = {
+      zorderBy: Option[(Seq[String], Int)] = None): Int = {
     require(maxFilesPerDir >= 1, "maxFilesPerDir must be >= 1")
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "clusterBy and zorderBy are mutually exclusive")
@@ -4652,6 +4832,7 @@ object TimeTravel {
         case Some("constraint") => Nil // metadata-only: no rows to deliver
         case Some("bloomidx") => Nil // metadata-only: no rows to deliver
         case Some("protocol") => Nil // metadata-only: no rows to deliver
+        case Some("evolve") => Nil // schema widening: no rows to deliver
         case Some("colmap") =>
           colmapWindowVerdict(baseDir, v, consumerPinnedAt)
           Nil // metadata-only once the consumer reads the new names
@@ -4692,13 +4873,16 @@ object TimeTravel {
       baseDir: String, pinnedNames: Seq[String],
       fromVersion: Int): Int = {
     val fs = hadoopFs(spark, baseDir)
-    // order-insensitive: the partition column's position varies by
-    // read path (a partitioned scan appends it last), the NAME SET is
-    // the schema identity that matters for the mapping
-    val pinned = pinnedNames.sorted
+    // ORDERED comparison: the pinned names come from the log's
+    // committed schema (tableSchemaAt), so record order is the shared
+    // spelling — and order is load-bearing: a rename chain that swaps
+    // two column NAMES preserves the name SET but not the sequence, so
+    // set-matching could bind the wrong version's column mapping and
+    // deliver swapped column values
+    val pinned = pinnedNames.toSeq
     (fromVersion to 1 by -1).find(v =>
       schemaOfRecord(fs, baseDir, v)
-        .exists(_.fieldNames.sorted.toSeq == pinned))
+        .exists(_.fieldNames.toSeq == pinned))
       .getOrElse(throw new IllegalStateException(
         s"no retained version of $baseDir carries this stream's pinned " +
           s"schema (${pinnedNames.mkString(", ")}) — the table's schema " +
@@ -4802,7 +4986,7 @@ object TimeTravel {
       case None if removes.isEmpty => // pre-#op adds-only: an append
         adds.sorted.map(f => CdcUnit(f, isAdd = true, None))
       case Some("compact") | Some("constraint") | Some("bloomidx") |
-           Some("protocol") => Nil
+           Some("protocol") | Some("evolve") => Nil
       case Some("colmap") =>
         colmapWindowVerdict(baseDir, v, consumerPinnedAt)
         Nil
@@ -4961,6 +5145,7 @@ object TimeTravel {
         case Some("constraint") => None // metadata-only commit
         case Some("bloomidx") => None // metadata-only commit
         case Some("protocol") => None // metadata-only commit
+        case Some("evolve") => None // schema widening: metadata-only
         case op =>
           val tok = cdcFrom(lines).getOrElse(
             throw new IllegalArgumentException(

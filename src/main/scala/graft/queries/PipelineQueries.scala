@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -1986,7 +1987,7 @@ object PipelineQueries {
         val c0 = TimeTravel.readVersionSkipping(spark, d, v0,
           "o_custkey", 9 * (mm.getLong(1) / 20) + 1, mm.getLong(1) / 2)
         TimeTravel.compact(spark, d, "part",
-          zorderBy = Some((("o_orderkey", "o_custkey"), 16)))
+          zorderBy = Some((Seq("o_orderkey", "o_custkey"), 16)))
         (d, c0.filesRead == c0.filesTotal)
       })
       val v = TimeTravel.latestVersion(spark, t)
@@ -3238,11 +3239,333 @@ object PipelineQueries {
   private val stagedNamed = scala.collection.concurrent.TrieMap
     .empty[String, (String, Boolean, Boolean)]
 
+  /** SQL SCHEMA EVOLUTION ([[graft.sql.GraftSql.exec]] routing
+    * Spark-parsed `AddColumns`/`RenameColumn`/`DropColumns` plans to
+    * the metadata-only [[graft.operators.TimeTravel]] evolution API):
+    * an operator who speaks ONLY SQL strings drives
+    * ADD COLUMNS → write under the new column → RENAME COLUMN →
+    * UPDATE through the renamed name → DROP COLUMN, all with ZERO file
+    * rewrites for the DDL itself. The final content hash-matches a
+    * DuckDB replay over raw orders; in-band verdicts pin the
+    * metadata-only contract (the ADD reuses v1's exact file set), the
+    * version-pinned NARROW read (schema time travel: v1 still answers
+    * three columns), and the rename's mapping (pre-rename rows read
+    * through the new name, never NULL-filled). */
+  val q204 = Q(
+    "q204_sql_schema_evolution",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      import graft.sql.GraftSql
+      val (t, metaOnly, pinnedNarrow, renameReads) =
+        stagedEvolve.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-evolve")
+          Tables.load(spark, dir, "orders")
+            .withColumn("o_quarter", concat(year(col("o_orderdate")),
+              lit("-Q"), quarter(col("o_orderdate"))))
+            .select("o_orderkey", "o_quarter", "o_totalprice")
+            .createOrReplaceTempView("q204_src")
+          GraftSql.exec(spark, s"""CREATE TABLE graft.`$d`
+            USING `graft-versioned` PARTITIONED BY (o_quarter)
+            AS SELECT * FROM q204_src""")
+          val v1Files = TimeTravel.filesAt(spark, d, 1).toSet
+          GraftSql.exec(spark,
+            s"ALTER TABLE graft.`$d` ADD COLUMNS (tier0 STRING)")
+          val vAdd = TimeTravel.latestVersion(spark, d)
+          val metaOnly =
+            TimeTravel.filesAt(spark, d, vAdd).toSet == v1Files
+          GraftSql.exec(spark, s"""INSERT INTO graft.`$d`
+            SELECT o_orderkey + (SELECT MAX(o_orderkey) + 1
+              FROM q204_src), o_quarter, o_totalprice,
+              CONCAT('T', o_orderkey % 3)
+            FROM q204_src WHERE o_orderkey % 7 = 0""")
+          GraftSql.exec(spark,
+            s"ALTER TABLE graft.`$d` RENAME COLUMN tier0 TO tier")
+          GraftSql.exec(spark, s"""UPDATE graft.`$d` SET tier = 'LEGACY'
+            WHERE o_orderkey % 11 = 0 AND tier IS NULL""")
+          // the DROP leg: a scratch column through the full cycle —
+          // dropping it restores the pre-add column list, and the
+          // pre-drop version still answers it (metadata tombstone)
+          GraftSql.exec(spark,
+            s"ALTER TABLE graft.`$d` ADD COLUMNS (scratch DOUBLE)")
+          val vScratch = TimeTravel.latestVersion(spark, d)
+          GraftSql.exec(spark,
+            s"ALTER TABLE graft.`$d` DROP COLUMN scratch")
+          val cols = TimeTravel.readVersion(spark, d,
+            TimeTravel.latestVersion(spark, d)).columns.toSeq
+          val pinnedNarrow = TimeTravel.readVersion(spark, d, 1)
+            .columns.toSeq ==
+              Seq("o_orderkey", "o_quarter", "o_totalprice") &&
+            TimeTravel.readVersion(spark, d, vScratch)
+              .columns.contains("scratch") &&
+            cols == Seq("o_orderkey", "o_quarter", "o_totalprice",
+              "tier")
+          // pre-rename rows must READ through the new name (the
+          // mapping, not a NULL-fill): every inserted 'T%' row kept
+          // its value across the rename
+          val renameReads = GraftSql.sql(spark,
+            s"SELECT count(*) AS n FROM graft.`$d` " +
+              "WHERE tier LIKE 'T%'").head.getLong(0) ==
+            GraftSql.sql(spark,
+              s"SELECT count(*) AS n FROM q204_src " +
+                "WHERE o_orderkey % 7 = 0").head.getLong(0)
+          (d, metaOnly, pinnedNarrow, renameReads)
+        })
+      GraftSql.sql(spark, s"""SELECT tier, COUNT(*) AS n_rows,
+          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+            AS STRING) AS DOUBLE) AS sum_price
+        FROM graft.`$t` GROUP BY tier""")
+        .withColumn("evolution_metadata_only", lit(metaOnly))
+        .withColumn("schema_time_travel", lit(pinnedNarrow))
+        .withColumn("rename_reads_through_mapping", lit(renameReads))
+    },
+    Some(s"""WITH m AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders),
+      base AS (SELECT o_orderkey, o_totalprice,
+          CASE WHEN o_orderkey % 11 = 0 THEN 'LEGACY' END AS tier
+        FROM orders),
+      ins AS (SELECT o_orderkey + m.shift AS o_orderkey, o_totalprice,
+          CONCAT('T', o_orderkey % 3) AS tier
+        FROM orders, m WHERE o_orderkey % 7 = 0),
+      u AS (SELECT * FROM base UNION ALL SELECT * FROM ins)
+      SELECT tier, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS evolution_metadata_only, TRUE AS schema_time_travel,
+        TRUE AS rename_reads_through_mapping
+      FROM u GROUP BY 1""")
+  )
+  private val stagedEvolve = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean, Boolean)]
+
+  /** DURABLE NAME CATALOG ([[graft.GraftSession.registerTable]] with
+    * `durable = true` + the [[graft.sql.GraftNameResolution]] analyzer
+    * rule): the binding writes through to a warehouse catalog FILE, and
+    * `graft.orders_durable` then resolves from PLAIN `spark.sql` — no
+    * GraftSql wrapper — including in a FRESH `newSession()` that never
+    * saw a registerTable call (its weak-keyed session registry is
+    * empty; the name loads from disk). In-band verdicts pin both
+    * resolution paths against the path-addressed read. */
+  val q205 = Q(
+    "q205_durable_catalog",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, plainOk, freshOk) =
+        stagedDurable.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-durable")
+          val cat = ParityQueries.scratchDir("graft-catalog") +
+            "/catalog"
+          spark.conf.set("spark.graft.catalog.path", cat)
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_quarter", concat(year(col("o_orderdate")),
+              lit("-Q"), quarter(col("o_orderdate"))))
+            .select("o_orderkey", "o_quarter", "o_orderstatus",
+              "o_totalprice")
+          TimeTravel.init(spark, d, orders, "o_quarter")
+          graft.GraftSession.registerTable(spark, "orders_durable", d,
+            durable = true)
+          val byPath = TimeTravel.readVersion(spark, d, 1).count()
+          // plain spark.sql in THIS session (analyzer rule + session
+          // binding)
+          val plainN = spark.sql(
+            "SELECT count(*) AS n FROM graft.orders_durable")
+            .head.getLong(0)
+          // a FRESH session: no session bindings exist for it — the
+          // name must come back from the catalog file on disk
+          val s2 = spark.newSession()
+          s2.conf.set("spark.graft.catalog.path", cat)
+          val freshN = s2.sql(
+            "SELECT count(*) AS n FROM graft.orders_durable")
+            .head.getLong(0)
+          (d, plainN == byPath, freshN == byPath)
+        })
+      spark.sql(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+            AS STRING) AS DOUBLE) AS sum_price
+        FROM graft.orders_durable GROUP BY o_orderstatus""")
+        .withColumn("plain_sql_resolves", lit(plainOk))
+        .withColumn("fresh_session_resolves_from_disk", lit(freshOk))
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS plain_sql_resolves,
+        TRUE AS fresh_session_resolves_from_disk
+      FROM orders GROUP BY 1""")
+  )
+  private val stagedDurable = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean)]
+
+  /** STATS-PRUNED `WHEN NOT MATCHED BY SOURCE` scope
+    * ([[graft.operators.TimeTravel.merge]]): the sync-one-quarter shape
+    * — the source holds quarter 1995-Q1's current rows (its even
+    * keys), the MATCHED clause bumps their price, and the BY SOURCE
+    * clause retires the quarter's leftovers as STALE **with a
+    * partition conjunct** (`t.o_quarter = '1995-Q1'`). Delta rewrites
+    * the whole table for any BY SOURCE merge; here the clause's
+    * analyzed ranges prune the rewrite scope to files whose bounds can
+    * satisfy it — one quarter's directory out of ~28 — and the in-band
+    * verdict pins scope ≪ total from the engine's own telemetry. Every
+    * other quarter's rows carry over BY NAME (zero rewrite), which the
+    * oracle's full-table replay verifies byte-exactly. */
+  val q206 = Q(
+    "q206_merge_by_source_pruned",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, scopePruned) = stagedBsPruned.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-bspruned")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("o_quarter", concat(year(col("o_orderdate")),
+            lit("-Q"), quarter(col("o_orderdate"))))
+          .select("o_orderkey", "o_quarter", "o_orderstatus",
+            "o_orderpriority", "o_totalprice")
+        TimeTravel.init(spark, d, orders, "o_quarter")
+        val source = orders.filter(col("o_quarter") === "1995-Q1" &&
+          col("o_orderkey") % 2 === 0)
+        TimeTravel.merge(spark, d, source, "o_orderkey", "o_quarter",
+          Seq(
+            TimeTravel.MatchedUpdate(None,
+              Map("o_totalprice" -> (col("tgt.o_totalprice") +
+                lit(10.0)))),
+            TimeTravel.NotMatchedBySourceUpdate(
+              Some(col("tgt.o_quarter") === "1995-Q1"),
+              Map("o_orderpriority" -> lit("STALE")))))
+        val (scope, total) = TimeTravel.bySourceScopeStats(d)
+        (d, scope < total && scope > 0)
+      })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_quarter").as("q"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"),
+          sum(when(col("o_orderpriority") === "STALE", 1L)
+            .otherwise(0L)).as("n_stale"))
+        .withColumn("by_source_scope_pruned", lit(scopePruned))
+    },
+    Some(s"""WITH base AS (SELECT o_orderkey,
+        CONCAT(YEAR(o_orderdate), '-Q', QUARTER(o_orderdate)) AS q,
+        CASE WHEN CONCAT(YEAR(o_orderdate), '-Q',
+              QUARTER(o_orderdate)) = '1995-Q1' AND o_orderkey % 2 = 0
+             THEN o_totalprice + 10.0 ELSE o_totalprice END AS price,
+        CASE WHEN CONCAT(YEAR(o_orderdate), '-Q',
+              QUARTER(o_orderdate)) = '1995-Q1' AND o_orderkey % 2 = 1
+             THEN 'STALE' ELSE o_orderpriority END AS prio
+      FROM orders)
+      SELECT q, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("price")} AS sum_price,
+        SUM(CASE WHEN prio = 'STALE' THEN 1 ELSE 0 END) AS n_stale,
+        TRUE AS by_source_scope_pruned
+      FROM base GROUP BY 1""")
+  )
+  private val stagedBsPruned = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean)]
+
+  /** N-COLUMN Z-ORDER (`OPTIMIZE … ZORDER BY (a, b, c)` →
+    * [[graft.operators.TimeTravel.compact]] with
+    * [[graft.operators.Layout.zValueN]]'s n-ary Morton interleave —
+    * the `bit_interleave_n` codegen expression): q183's two-axis story
+    * generalized to THREE clustering axes. The staging lands 12
+    * key-clustered slabs (only the key axis prunes), then one SQL
+    * OPTIMIZE re-lays the table as 16 Morton buckets over
+    * (o_orderkey, o_custkey, x3) — and narrow windows on EVERY axis
+    * then skip ≥ 1/4 of the files (in-band verdicts from the engine's
+    * own filesRead/filesTotal), while window contents and the prior
+    * version hash-match the oracle. x3 is a multiplicative-hash axis
+    * ((key · 2654435761) % 100000), deliberately uncorrelated with the
+    * key ordering so its pruning is earned by the interleave alone. */
+  val q207 = Q(
+    "q207_zorder_three_axis",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val t = stagedZorder3.getOrElseUpdate(dir, {
+        val d = ParityQueries.scratchDir("graft-tt-zorder3")
+        val orders = Tables.load(spark, dir, "orders")
+          .withColumn("part", lit("all"))
+          .withColumn("x3",
+            (col("o_orderkey") * lit(2654435761L)) % lit(100000L))
+          .select("o_orderkey", "o_custkey", "x3", "o_totalprice",
+            "part")
+        val mk = orders.agg(max(col("o_orderkey"))).head.getLong(0)
+        // 24 slabs: strictly more files than the 16 Morton buckets, so
+        // the OPTIMIZE genuinely re-lays the table (compact no-ops on
+        // dirs at or under its bucket threshold)
+        val w = mk / 24
+        def slab(k: Int) = orders.filter(
+          (if (k == 0) lit(true) else col("o_orderkey") > k * w) &&
+            (if (k == 23) lit(true) else col("o_orderkey") <= (k + 1) * w))
+        TimeTravel.init(spark, d, slab(0).repartition(1), "part")
+        (1 to 23).foreach(k =>
+          TimeTravel.append(spark, d, slab(k).repartition(1), "part"))
+        graft.sql.GraftSql.exec(spark,
+          s"OPTIMIZE graft.`$d` ZORDER BY (o_orderkey, o_custkey, x3)")
+        d
+      })
+      val v = TimeTravel.latestVersion(spark, t)
+      val mm = Tables.load(spark, dir, "orders")
+        .agg(max(col("o_orderkey")), max(col("o_custkey"))).head
+      val (loK, hiK) = (7 * (mm.getLong(0) / 24), 8 * (mm.getLong(0) / 24))
+      val (loC, hiC) = (9 * (mm.getLong(1) / 20), 10 * (mm.getLong(1) / 20))
+      val (lo3, hi3) = (20000L, 30000L)
+      val scanK = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_orderkey", loK + 1, hiK)
+      val scanC = TimeTravel.readVersionSkipping(spark, t, v,
+        "o_custkey", loC + 1, hiC)
+      val scan3 = TimeTravel.readVersionSkipping(spark, t, v,
+        "x3", lo3, hi3 - 1)
+      val prevIntact = TimeTravel.readVersion(spark, t, v - 1).count() ==
+        TimeTravel.readVersion(spark, t, v).count()
+      def agg(df: org.apache.spark.sql.DataFrame, c: Column,
+          n: String, p: String) =
+        df.filter(c).agg(count(lit(1)).as(n),
+          Exact.dsum(col("o_totalprice")).as(p))
+      agg(scanK.df, col("o_orderkey") > loK && col("o_orderkey") <= hiK,
+        "n_key", "price_key")
+        .crossJoin(agg(scanC.df,
+          col("o_custkey") > loC && col("o_custkey") <= hiC,
+          "n_cust", "price_cust"))
+        .crossJoin(agg(scan3.df, col("x3") >= lo3 && col("x3") < hi3,
+          "n_x3", "price_x3"))
+        .select(col("n_key"), col("price_key"), col("n_cust"),
+          col("price_cust"), col("n_x3"), col("price_x3"),
+          lit(scanK.filesRead * 4 <= scanK.filesTotal * 3)
+            .as("key_axis_skips"),
+          lit(scanC.filesRead * 4 <= scanC.filesTotal * 3)
+            .as("cust_axis_skips"),
+          lit(scan3.filesRead * 4 <= scan3.filesTotal * 3)
+            .as("x3_axis_skips"),
+          lit(prevIntact).as("prev_version_intact"))
+    },
+    Some(s"""WITH b AS (SELECT 7*(MAX(o_orderkey)//24) AS lok,
+          8*(MAX(o_orderkey)//24) AS hik,
+          9*(MAX(o_custkey)//20) AS loc,
+          10*(MAX(o_custkey)//20) AS hic FROM orders)
+      SELECT
+        (SELECT COUNT(*) FROM orders, b
+         WHERE o_orderkey > b.lok AND o_orderkey <= b.hik) AS n_key,
+        (SELECT ${Exact.sqlSum("o_totalprice")} FROM orders, b
+         WHERE o_orderkey > b.lok AND o_orderkey <= b.hik) AS price_key,
+        (SELECT COUNT(*) FROM orders, b
+         WHERE o_custkey > b.loc AND o_custkey <= b.hic) AS n_cust,
+        (SELECT ${Exact.sqlSum("o_totalprice")} FROM orders, b
+         WHERE o_custkey > b.loc AND o_custkey <= b.hic) AS price_cust,
+        (SELECT COUNT(*) FROM orders
+         WHERE (o_orderkey * 2654435761) % 100000 >= 20000
+           AND (o_orderkey * 2654435761) % 100000 < 30000) AS n_x3,
+        (SELECT ${Exact.sqlSum("o_totalprice")} FROM orders
+         WHERE (o_orderkey * 2654435761) % 100000 >= 20000
+           AND (o_orderkey * 2654435761) % 100000 < 30000) AS price_x3,
+        TRUE AS key_axis_skips, TRUE AS cust_axis_skips,
+        TRUE AS x3_axis_skips, TRUE AS prev_version_intact""")
+  )
+  private val stagedZorder3 =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
       q191, q192, q193, q194, q195, q196, q198, q199, q200, q201, q202,
-      q203)
+      q203, q204, q205, q206, q207)
 }

@@ -83,12 +83,15 @@ object GraftSql {
         case c: CreateTable => createEmpty(spark, c)
         case a: AddCheckConstraint => addConstraint(spark, a)
         case d: DropConstraint => dropConstraintCmd(spark, d)
+        case a: AddColumns => addColumnsCmd(spark, a)
+        case r: RenameColumn => renameColumnCmd(spark, r)
+        case d: DropColumns => dropColumnsCmd(spark, d)
         case other => throw new IllegalArgumentException(
           s"not a DML/DDL statement (${other.nodeName}): GraftSql " +
             "executes INSERT / DELETE / UPDATE / MERGE / CREATE TABLE " +
-            "AS SELECT / ALTER TABLE ADD|DROP CONSTRAINT / OPTIMIZE / " +
-            "VACUUM / RESTORE; run SELECTs and DESCRIBE " +
-            "HISTORY/DETAIL through GraftSql.sql")
+            "AS SELECT / ALTER TABLE ADD|DROP CONSTRAINT / ALTER TABLE " +
+            "ADD|RENAME|DROP COLUMN(S) / OPTIMIZE / VACUUM / RESTORE; " +
+            "run SELECTs and DESCRIBE HISTORY/DETAIL through GraftSql.sql")
       })
 
   // hand-routed maintenance verbs (Delta-style grammar extensions
@@ -109,10 +112,12 @@ object GraftSql {
         case Nil => TimeTravel.compact(spark, path, "")
         case Seq(c) => TimeTravel.compact(spark, path, "",
           clusterBy = Some((c, 16)))
-        case Seq(a, b) => TimeTravel.compact(spark, path, "",
-          zorderBy = Some(((a, b), 16)))
+        case cols if cols.size <= 8 => TimeTravel.compact(spark, path, "",
+          zorderBy = Some((cols, 16)))
         case more => throw new IllegalArgumentException(
-          s"ZORDER BY takes one or two columns, got ${more.mkString(", ")}")
+          s"ZORDER BY takes at most 8 columns (beyond that each axis " +
+            s"gets under 8 bits of resolution — meaningless at file " +
+            s"granularity), got ${more.size}: ${more.mkString(", ")}")
       })
     case VacuumRe(path0, n, dry) =>
       val path = resolved(spark, path0)
@@ -226,6 +231,89 @@ object GraftSql {
     TimeTravel.dropConstraint(spark, resolved(spark, path), d.name)
   }
 
+  /** The `graft.<x>` operand of an ALTER TABLE verb (Spark parses the
+    * target as an UnresolvedTable). */
+  private def alterTablePath(child: LogicalPlan, verb: String): String =
+    child.collectFirst {
+      case t: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        t.multipartIdentifier match {
+          case Seq(cat, p) if cat.equalsIgnoreCase("graft") => p
+          case other => throw new IllegalArgumentException(
+            s"$verb target must be graft.`/abs/path` or a registered " +
+              s"graft name, got `${other.mkString(".")}`")
+        }
+    }.getOrElse(throw new IllegalArgumentException(
+      s"$verb target must be graft.`/abs/path` or a registered graft " +
+        "name"))
+
+  /** ALTER TABLE ... ADD COLUMN(S) — a metadata-only schema widening
+    * ([[TimeTravel.addColumns]]): zero files rewrite, pre-evolution
+    * rows read the new columns as NULL. Nested paths, FIRST/AFTER
+    * positions, and DEFAULT values are refused loudly (new columns
+    * append, defaults belong to the write path). */
+  private def addColumnsCmd(spark: SparkSession, a: AddColumns): Int = {
+    val path = resolved(spark, alterTablePath(a.table, "ADD COLUMNS"))
+    val fields = a.columnsToAdd.map { qc =>
+      require(qc.path.isEmpty,
+        s"nested ADD COLUMN (${(qc.path.map(_.name).getOrElse(Nil) :+
+          qc.colName).mkString(".")}) is not supported — top-level " +
+          "columns only")
+      require(qc.position.isEmpty,
+        "ADD COLUMN ... FIRST/AFTER is not supported — new columns " +
+          "append to the schema")
+      require(qc.default.isEmpty,
+        "ADD COLUMN ... DEFAULT is not supported — pre-evolution rows " +
+          "read NULL; backfill with UPDATE if a fill is needed")
+      org.apache.spark.sql.types.StructField(qc.colName, qc.dataType,
+        qc.nullable)
+    }
+    TimeTravel.addColumns(spark, path, fields)
+  }
+
+  /** ALTER TABLE ... RENAME COLUMN a TO b —
+    * [[TimeTravel.renameColumn]]'s metadata-only commit (the mapping
+    * keeps the physical name; time travel returns each version's own
+    * names). */
+  private def renameColumnCmd(spark: SparkSession,
+      r: RenameColumn): Int = {
+    val path = resolved(spark, alterTablePath(r.table, "RENAME COLUMN"))
+    val from = r.column.name match {
+      case Seq(n) => n
+      case other => throw new IllegalArgumentException(
+        s"nested RENAME COLUMN (${other.mkString(".")}) is not " +
+          "supported — top-level columns only")
+    }
+    TimeTravel.renameColumn(spark, path, from, r.newName)
+  }
+
+  /** ALTER TABLE ... DROP COLUMN(S) — [[TimeTravel.dropColumn]]'s
+    * metadata-only tombstone per column (multi-column drops land as a
+    * commit per column, each independently time-travelable). IF EXISTS
+    * skips absent names instead of refusing. */
+  private def dropColumnsCmd(spark: SparkSession, d: DropColumns): Int = {
+    val path = resolved(spark, alterTablePath(d.table, "DROP COLUMN"))
+    val names = d.columnsToDrop.map {
+      case f: org.apache.spark.sql.catalyst.analysis.UnresolvedFieldName =>
+        f.name match {
+          case Seq(n) => n
+          case other => throw new IllegalArgumentException(
+            s"nested DROP COLUMN (${other.mkString(".")}) is not " +
+              "supported — top-level columns only")
+        }
+      case other => throw new IllegalArgumentException(
+        s"unsupported DROP COLUMN operand: $other")
+    }
+    var v = TimeTravel.latestVersion(spark, path)
+    names.foreach { n =>
+      val present = TimeTravel.schemaAt(spark, path, v)
+        .exists(_.fieldNames.contains(n))
+      if (present) v = TimeTravel.dropColumn(spark, path, n)
+      else if (!d.ifExists) v = TimeTravel.dropColumn(spark, path, n)
+      // IF EXISTS + absent: skip (dropColumn would refuse loudly)
+    }
+    v
+  }
+
   /** SQL QUERY surface over versioned tables — `spark.sql` semantics
     * with Delta's path addressing and time travel, no view
     * registration:
@@ -328,7 +416,23 @@ object GraftSql {
     val reader = spark.read.format("graft-versioned").option("path", path)
     val withV = version.fold(reader)(v => reader.option("versionAsOf", v))
     val withTs = ts.fold(withV)(t => withV.option("timestampAsOf", t))
-    withTs.load().queryExecution.analyzed
+    val df = withTs.load()
+    // surface the COMMITTED column order: the fast-path relation is a
+    // HadoopFsRelation, which always lists partition columns LAST —
+    // but SELECT *, DESCRIBE, and positional INSERT binding must all
+    // speak the log's order, so project back when they differ (the
+    // Project prunes away like any other; no plan cost)
+    val committed = TimeTravel.schemaAt(spark, path,
+      version.map(_.trim.toInt).getOrElse(
+        ts.fold(TimeTravel.latestVersion(spark, path))(t =>
+          TimeTravel.versionAsOf(spark, path,
+            graft.sources.GraftVersionedRelation.parseTs(t)))))
+      .map(_.fieldNames.toSeq)
+    committed
+      .filter(o => o != df.columns.toSeq && o.toSet == df.columns.toSet)
+      .fold(df)(o => df.select(o.map(
+        org.apache.spark.sql.functions.col): _*))
+      .queryExecution.analyzed
   }
 
   /** The `graft`.`<path>` target of a DML plan, plus its alias when
@@ -393,6 +497,22 @@ object GraftSql {
         require(df.columns.length == ts.fields.length,
           s"INSERT query output (${df.columns.length} columns) and " +
             s"table (${ts.fields.length}) differ in arity")
+        // transition guard: earlier releases bound INSERT output BY
+        // NAME; positional is standard SQL, but a query whose output
+        // names equal the table's columns in a DIFFERENT order is
+        // near-certainly a by-name caller whose values would now land
+        // in the wrong columns whenever types coincide — refuse loudly
+        // instead of silently permuting
+        val out = df.columns.map(_.toLowerCase)
+        val tbl = ts.fieldNames.map(_.toLowerCase)
+        require(!(out.sorted.sameElements(tbl.sorted) &&
+            !out.sameElements(tbl)),
+          "INSERT without a column list binds the query's output to " +
+            "the table's columns BY POSITION, but this query's output " +
+            s"names (${df.columns.mkString(", ")}) match the table's " +
+            s"columns (${ts.fieldNames.mkString(", ")}) in a different " +
+            "order — reorder the select list, or write an explicit " +
+            "INSERT (col, ...) column list")
         df = df.toDF(ts.fieldNames.toIndexedSeq: _*)
       }
       val types = ts.fields.map(f => f.name -> f.dataType).toMap

@@ -69,7 +69,8 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     sinceVersionThunk: () => Option[Int], changeFeed: Boolean,
     maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
     override val schema: StructType,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    schemaResolvedAt: Option[Int] = None)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -128,12 +129,20 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     * ITS schema and column mapping, never the batch-end version's: a
     * restarted stream draining a backlog from before a rename would
     * otherwise read old logical names and silently NULL-fill the
-    * renamed column when aligning to the pinned schema. Resolved once,
-    * lazily (the tip at stream start, walked back only if a commit
-    * raced schema resolution). */
+    * renamed column when aligning to the pinned schema. The provider
+    * captured the EXACT version it resolved the schema at
+    * (`schemaResolvedAt`) — when that record still carries the pinned
+    * names in order, it IS the binding, immune to a commit landing
+    * between resolution and first batch that reproduces the same name
+    * sequence under a different column mapping (drop + re-add of a
+    * same-named column). The ordered-name walk is the fallback for
+    * callers of the legacy constructors. */
   private lazy val pinnedVersion: Int =
-    TimeTravel.pinSchemaVersion(spark, baseDir, pinnedNames,
-      TimeTravel.latestVersion(spark, baseDir))
+    schemaResolvedAt
+      .filter(v => TimeTravel.schemaAt(spark, baseDir, v)
+        .exists(_.fieldNames.toSeq == pinnedNames))
+      .getOrElse(TimeTravel.pinSchemaVersion(spark, baseDir, pinnedNames,
+        TimeTravel.latestVersion(spark, baseDir)))
 
   /** Committed versions are immutable: their add lists and row counts
     * cache for the stream's lifetime (one metadata read per version,
@@ -515,10 +524,12 @@ class VersionedTableSourceProvider extends RelationProvider
         TimeTravel.versionAsOfOption(sqlContext.sparkSession, srcPath,
           millis - 1).getOrElse(1)
       })
+    val (resolvedSchema, resolvedAt) =
+      VersionedTableSourceProvider.tableSchemaAt(sqlContext.sparkSession,
+        srcPath, opts.changeFeed)
     new VersionedTableSource(sqlContext, srcPath, since,
       opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,
-      VersionedTableSourceProvider.tableSchema(sqlContext.sparkSession,
-        srcPath, opts.changeFeed), opts.maxBytesPerTrigger)
+      resolvedSchema, opts.maxBytesPerTrigger, Some(resolvedAt))
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -617,7 +628,15 @@ object VersionedTableSourceProvider {
   /** The stream's schema: the log's committed schema at the current
     * latest version, plus the two CDC columns in changeFeed mode. */
   private[streaming] def tableSchema(spark: SparkSession, baseDir: String,
-      changeFeed: Boolean): StructType = {
+      changeFeed: Boolean): StructType =
+    tableSchemaAt(spark, baseDir, changeFeed)._1
+
+  /** [[tableSchema]] plus the VERSION it was resolved at — the source
+    * pins its column-mapping binding to that exact record, closing the
+    * race where a commit reproducing the same ordered names under a
+    * different mapping lands between resolution and first batch. */
+  private[streaming] def tableSchemaAt(spark: SparkSession,
+      baseDir: String, changeFeed: Boolean): (StructType, Int) = {
     val latest = TimeTravel.latestVersion(spark, baseDir)
     require(latest >= 1,
       s"$baseDir has no commits — a stream needs an initialized table")
@@ -625,11 +644,12 @@ object VersionedTableSourceProvider {
       throw new IllegalArgumentException(
         s"$baseDir's log records no schema — pre-metadata tables are " +
           "not streamable"))
-    if (changeFeed)
+    val s = if (changeFeed)
       StructType(base.fields ++ Seq(
         StructField(TimeTravel.ChangeTypeCol, StringType),
         StructField(TimeTravel.CommitVersionCol, IntegerType)))
     else base
+    (s, latest)
   }
 }
 

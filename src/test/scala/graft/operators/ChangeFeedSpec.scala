@@ -137,7 +137,7 @@ class ChangeFeedSpec extends SparkSpec {
     val schema = TimeTravel.readVersion(spark, dir, 1).schema
     val v = TimeTravel.commitWithRebase(spark, fs, dir, prev = 1,
       dirs = Set("part=p1"), adds = adds, removes = removes, txn = None,
-      schema = schema, op = "upsert", evolveSchema = false,
+      batchSchema = schema, op = "upsert", evolveSchema = false,
       cdc = Some(tok))
     assert(v === 3) // rebased past the append
     val feed = TimeTravel.readChangesSince(spark, dir, 2)

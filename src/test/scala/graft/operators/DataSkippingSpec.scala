@@ -231,7 +231,7 @@ class DataSkippingSpec extends SparkSpec {
     assert(before.filesRead === before.filesTotal,
       "pre-maintenance x2 window reads everything (id-clustered slabs)")
     val vc = TimeTravel.compact(spark, dir, "part",
-      zorderBy = Some((("id", "x2"), 4)))
+      zorderBy = Some((Seq("id", "x2"), 4)))
     assert(vc === v0 + 1)
     assert(TimeTravel.filesAt(spark, dir, vc).size <= 4)
     // both axes now prune
@@ -249,7 +249,7 @@ class DataSkippingSpec extends SparkSpec {
     // clusterBy and zorderBy together are refused
     intercept[IllegalArgumentException](TimeTravel.compact(spark, dir,
       "part", clusterBy = Some(("id", 2)),
-      zorderBy = Some((("id", "x2"), 2))))
+      zorderBy = Some((Seq("id", "x2"), 2))))
   }
 
   test("NULL bounds: both-null keeps all; one null side is UNBOUNDED but the defined side still prunes") {

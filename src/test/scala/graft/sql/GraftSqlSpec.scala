@@ -283,6 +283,57 @@ class GraftSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("orders_gold"))
   }
 
+  test("ALTER TABLE ADD/RENAME/DROP COLUMN: metadata-only schema evolution as SQL strings") {
+    val t = stage() // v1: (k, p, x), 40 rows
+    // ADD COLUMNS: zero files rewrite; old rows read NULL
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` ADD COLUMNS (note STRING, score DOUBLE)")
+    assert(readTip(t).columns.toSeq === Seq("k", "p", "x", "note", "score"))
+    assert(readTip(t).filter(col("note").isNull).count() === 40)
+    assert(TimeTravel.filesAt(spark, t,
+      TimeTravel.latestVersion(spark, t)).toSet ===
+      TimeTravel.filesAt(spark, t, 1).toSet) // metadata-only
+    // new columns are writable; the pre-evolution version stays narrow
+    GraftSql.exec(spark, s"INSERT INTO graft.`$t` " +
+      "SELECT 900L, 'p0', 9.0, 'fresh', 0.5")
+    assert(readTip(t).filter(col("note") === "fresh").count() === 1)
+    assert(TimeTravel.readVersion(spark, t, 1).columns.toSeq ===
+      Seq("k", "p", "x")) // schema time travel
+    // RENAME COLUMN: metadata-only; version-pinned reads keep OLD names
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` RENAME COLUMN note TO comment")
+    assert(readTip(t).columns.contains("comment"))
+    assert(readTip(t).filter(col("comment") === "fresh").count() === 1)
+    // DROP COLUMN: tombstoned; the pre-drop version still reads it
+    val vBeforeDrop = TimeTravel.latestVersion(spark, t)
+    GraftSql.exec(spark, s"ALTER TABLE graft.`$t` DROP COLUMN score")
+    assert(!readTip(t).columns.contains("score"))
+    assert(TimeTravel.readVersion(spark, t, vBeforeDrop)
+      .columns.contains("score"))
+    // IF EXISTS skips absent names; plain DROP refuses them
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` DROP COLUMN IF EXISTS nope")
+    val eDrop = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` DROP COLUMN nope"))
+    assert(eDrop.getMessage.contains("nope"))
+    // refusals: partition column, existing name, NOT NULL add,
+    // constraint-referenced rename
+    val ePart = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` RENAME COLUMN p TO q"))
+    assert(ePart.getMessage.contains("partition"))
+    val eDup = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` ADD COLUMNS (x STRING)"))
+    assert(eDup.getMessage.contains("already exists"))
+    val eNn = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` ADD COLUMNS (nn BIGINT NOT NULL)"))
+    assert(eNn.getMessage.contains("NULL"))
+    GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` ADD CONSTRAINT cx CHECK (x > 0)")
+    val eCons = intercept[IllegalArgumentException](GraftSql.exec(spark,
+      s"ALTER TABLE graft.`$t` RENAME COLUMN x TO y"))
+    assert(eCons.getMessage.contains("cx"))
+  }
+
   test("refusals name the unsupported piece") {
     val t = stage()
     val e1 = intercept[IllegalArgumentException](GraftSql.exec(spark,
