@@ -24,6 +24,9 @@ object PlanAudit {
       .config("spark.sql.adaptive.enabled", "false")
       // audit the plans the tuned sessions run: the MOR splice included
       .config("spark.graft.mor.rewrite", "true")
+      // the full extension surface too — the graft.<name> resolution
+      // rule (q205 reads a durable-catalog name from plain spark.sql)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .getOrCreate()
     GraftSession.installOptimizations(spark)
     spark.sparkContext.setLogLevel("ERROR")
