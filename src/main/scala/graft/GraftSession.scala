@@ -226,6 +226,19 @@ object GraftSession {
     sessionBindings(spark).get(name.toLowerCase)
       .orElse(durableTables(spark).get(name.toLowerCase))
 
+  /** The warehouse location a NAME-addressed CREATE lands at
+    * (`CREATE TABLE graft.sales …` with no path and no prior
+    * binding): `spark.graft.warehouse.dir` when set, else
+    * `<spark.sql.warehouse.dir>/graft`, plus the lowercased name —
+    * the managed-table convention, next to the catalog file. */
+  def tableLocation(spark: SparkSession, name: String): String = {
+    requireBareName(name)
+    val base = spark.conf.getOption("spark.graft.warehouse.dir")
+      .getOrElse(spark.conf.get("spark.sql.warehouse.dir")
+        .stripSuffix("/") + "/graft")
+    s"${base.stripSuffix("/")}/${name.toLowerCase}"
+  }
+
   /** Names resolvable in this session (session ∪ durable, for error
     * listings). */
   def registeredTables(spark: SparkSession): Seq[String] =

@@ -1328,6 +1328,18 @@ object TimeTravel {
       version: Int): Option[org.apache.spark.sql.types.StructType] =
     resolveAt(spark, baseDir, version)._2
 
+  /** The committed schema of `version` at RECORD cost: every modern
+    * commit record carries its own `#schema=`, so this is one record
+    * read; pre-schema-line records fall back to the full [[schemaAt]]
+    * walk. The cheap path for callers that only need the committed
+    * column ORDER (the SQL surface's per-statement lookup) and must
+    * not pay a log resolve per query. */
+  private[graft] def schemaOfRecordFast(spark: SparkSession,
+      baseDir: String, version: Int)
+      : Option[org.apache.spark.sql.types.StructType] =
+    schemaOfRecord(hadoopFs(spark, baseDir), baseDir, version)
+      .orElse(schemaAt(spark, baseDir, version))
+
   /** Fast path for the commit-time schema check: every commit record
     * carries its own `#schema=`, so `version`'s schema is ONE record
     * read — no log walk. (None only on pre-schema-line logs, where the

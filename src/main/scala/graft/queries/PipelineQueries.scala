@@ -3561,11 +3561,80 @@ object PipelineQueries {
   private val stagedZorder3 =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  /** MANAGED-NAME catalog lifecycle, purely as SQL strings
+    * ([[graft.sql.GraftSql]] + the durable catalog): `CREATE TABLE
+    * graft.orders_managed … AS SELECT` with NO PATH ANYWHERE —
+    * the table auto-locates under the graft warehouse dir and the
+    * name registers durably (catalog file) — then `SHOW TABLES`
+    * lists it, plain `spark.sql` aggregates it by name, and a
+    * scratch sibling's `DROP TABLE` unbinds the NAME while its files
+    * survive (external-table semantics; a later CREATE IF NOT EXISTS
+    * would re-bind them). In-band verdicts pin the managed location,
+    * the durable file entry, the SHOW row, and the unbind. */
+  val q208 = Q(
+    "q208_managed_catalog_lifecycle",
+    (spark, dir) => {
+      import graft.sql.GraftSql
+      val (managedOk, showOk, dropOk) =
+        stagedManaged.getOrElseUpdate(dir, {
+          val cat = ParityQueries.scratchDir("graft-cat208") + "/catalog"
+          val wh = ParityQueries.scratchDir("graft-wh208")
+          spark.conf.set("spark.graft.catalog.path", cat)
+          spark.conf.set("spark.graft.warehouse.dir", wh)
+          Tables.load(spark, dir, "orders")
+            .withColumn("o_quarter", concat(year(col("o_orderdate")),
+              lit("-Q"), quarter(col("o_orderdate"))))
+            .select("o_orderkey", "o_quarter", "o_orderstatus",
+              "o_totalprice")
+            .createOrReplaceTempView("q208_src")
+          GraftSql.exec(spark, s"""CREATE TABLE graft.orders_managed
+            USING `graft-versioned` PARTITIONED BY (o_quarter)
+            AS SELECT * FROM q208_src""")
+          val path = graft.GraftSession
+            .tablePath(spark, "orders_managed")
+          val managedOk = path.contains(s"$wh/orders_managed") &&
+            graft.GraftSession.durableTables(spark)
+              .get("orders_managed") == path
+          val showOk = GraftSql.sql(spark, "SHOW TABLES")
+            .filter(col("table_name") === "orders_managed" &&
+              col("durable")).count() == 1
+          GraftSql.exec(spark, """CREATE TABLE graft.scratch208
+            (k BIGINT, v DOUBLE) USING `graft-versioned`""")
+          val scratchPath = graft.GraftSession
+            .tablePath(spark, "scratch208").get
+          GraftSql.exec(spark, "DROP TABLE graft.scratch208")
+          val dropOk = graft.GraftSession
+            .tablePath(spark, "scratch208").isEmpty &&
+            !graft.GraftSession.durableTables(spark)
+              .contains("scratch208") &&
+            graft.operators.TimeTravel
+              .latestVersion(spark, scratchPath) >= 1 // files survive
+          (managedOk, showOk, dropOk)
+        })
+      spark.sql("""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+          CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+          CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,10)))
+            AS STRING) AS DOUBLE) AS sum_price
+        FROM graft.orders_managed GROUP BY o_orderstatus""")
+        .withColumn("managed_location_bound", lit(managedOk))
+        .withColumn("show_tables_lists", lit(showOk))
+        .withColumn("drop_unbinds_files_survive", lit(dropOk))
+    },
+    Some(s"""SELECT o_orderstatus AS status, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS managed_location_bound, TRUE AS show_tables_lists,
+        TRUE AS drop_unbinds_files_survive
+      FROM orders GROUP BY 1""")
+  )
+  private val stagedManaged = scala.collection.concurrent.TrieMap
+    .empty[String, (Boolean, Boolean, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
       q191, q192, q193, q194, q195, q196, q198, q199, q200, q201, q202,
-      q203, q204, q205, q206, q207)
+      q203, q204, q205, q206, q207, q208)
 }

@@ -86,12 +86,14 @@ object GraftSql {
         case a: AddColumns => addColumnsCmd(spark, a)
         case r: RenameColumn => renameColumnCmd(spark, r)
         case d: DropColumns => dropColumnsCmd(spark, d)
+        case d: DropTable => dropTableCmd(spark, d)
         case other => throw new IllegalArgumentException(
           s"not a DML/DDL statement (${other.nodeName}): GraftSql " +
             "executes INSERT / DELETE / UPDATE / MERGE / CREATE TABLE " +
             "AS SELECT / ALTER TABLE ADD|DROP CONSTRAINT / ALTER TABLE " +
-            "ADD|RENAME|DROP COLUMN(S) / OPTIMIZE / VACUUM / RESTORE; " +
-            "run SELECTs and DESCRIBE HISTORY/DETAIL through GraftSql.sql")
+            "ADD|RENAME|DROP COLUMN(S) / DROP TABLE / OPTIMIZE / VACUUM / " +
+            "RESTORE; run SELECTs, SHOW TABLES, and DESCRIBE " +
+            "HISTORY/DETAIL through GraftSql.sql")
       })
 
   // hand-routed maintenance verbs (Delta-style grammar extensions
@@ -135,7 +137,7 @@ object GraftSql {
     * existing table is a no-op returning its current version. */
   private def createAsSelect(spark: SparkSession,
       c: CreateTableAsSelect): Int = {
-    val path = resolved(spark, identPath(c.name))
+    val (path, registerAs) = createTarget(spark, identPath(c.name))
     c.tableSpec match {
       case u: UnresolvedTableSpec =>
         require(u.provider.forall(_.equalsIgnoreCase("graft-versioned")),
@@ -152,20 +154,29 @@ object GraftSql {
     }
     val exists = TimeTravel.latestVersion(spark, path) >= 1
     if (exists) {
-      if (c.ignoreIfExists) return TimeTravel.latestVersion(spark, path)
+      if (c.ignoreIfExists) {
+        // re-bind the name even on the no-op path: a dropped binding
+        // over surviving files comes back with one IF NOT EXISTS
+        registerAs.foreach(n => graft.GraftSession.registerTable(spark,
+          n, path, durable = true))
+        return TimeTravel.latestVersion(spark, path)
+      }
       throw new IllegalStateException(
         s"$path already has commits — CREATE TABLE refuses to replace " +
           "it; add IF NOT EXISTS or pick a fresh path")
     }
     val df = DmlBridge.ofRows(spark, rewriteReads(spark, c.query))
-    TimeTravel.init(spark, path, df, partCols.mkString(","))
+    val v = TimeTravel.init(spark, path, df, partCols.mkString(","))
+    registerAs.foreach(n =>
+      graft.GraftSession.registerTable(spark, n, path, durable = true))
+    v
   }
 
   /** Bare CREATE TABLE (column list, no AS SELECT) — an EMPTY v1
     * carrying the schema and the declared partition layout
     * ([[TimeTravel.initEmpty]]); the first batch fills it. */
   private def createEmpty(spark: SparkSession, c: CreateTable): Int = {
-    val path = resolved(spark, identPath(c.name))
+    val (path, registerAs) = createTarget(spark, identPath(c.name))
     c.tableSpec match {
       case u: UnresolvedTableSpec =>
         require(u.provider.forall(_.equalsIgnoreCase("graft-versioned")),
@@ -179,7 +190,13 @@ object GraftSql {
       t.references.head.fieldNames().mkString(".")
     }
     if (TimeTravel.latestVersion(spark, path) >= 1) {
-      if (c.ignoreIfExists) return TimeTravel.latestVersion(spark, path)
+      if (c.ignoreIfExists) {
+        // re-bind the name even on the no-op path: a dropped binding
+        // over surviving files comes back with one IF NOT EXISTS
+        registerAs.foreach(n => graft.GraftSession.registerTable(spark,
+          n, path, durable = true))
+        return TimeTravel.latestVersion(spark, path)
+      }
       throw new IllegalStateException(
         s"$path already has commits — CREATE TABLE refuses to replace " +
           "it; add IF NOT EXISTS or pick a fresh path")
@@ -187,19 +204,73 @@ object GraftSql {
     val schema = org.apache.spark.sql.types.StructType(
       c.columns.map(cd => org.apache.spark.sql.types
         .StructField(cd.name, cd.dataType, cd.nullable)))
-    TimeTravel.initEmpty(spark, path, schema, partCols.mkString(","))
+    val v = TimeTravel.initEmpty(spark, path, schema,
+      partCols.mkString(","))
+    registerAs.foreach(n =>
+      graft.GraftSession.registerTable(spark, n, path, durable = true))
+    v
   }
 
-  private def identPath(name: LogicalPlan): String = name match {
-    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
-      u.nameParts match {
-        case Seq(cat, p) if cat.equalsIgnoreCase("graft") => p
-        case other => throw new IllegalArgumentException(
-          s"DDL target must be graft.`/abs/path`, got " +
-            s"`${other.mkString(".")}`")
-      }
-    case other => throw new IllegalArgumentException(
-      s"unsupported DDL target shape: ${other.nodeName}")
+  /** The CREATE target's path, plus the name to DURABLY register on
+    * success when the operand was a bare unbound name: a path
+    * operand passes through, a bound name reuses its binding (so
+    * `CREATE … IF NOT EXISTS graft.sales` is a no-op on the existing
+    * table), and an UNBOUND bare name auto-locates under the graft
+    * warehouse dir ([[graft.GraftSession.tableLocation]]) — the
+    * managed-table shape: `CREATE TABLE graft.sales (…)` needs no
+    * path at all, and the name survives the JVM via the catalog file. */
+  private def createTarget(spark: SparkSession,
+      p: String): (String, Option[String]) =
+    if (p.contains('/')) (p, None)
+    else graft.GraftSession.tablePath(spark, p) match {
+      case Some(path) => (path, None)
+      case None => (graft.GraftSession.tableLocation(spark, p), Some(p))
+    }
+
+  /** DROP TABLE graft.<name> [IF EXISTS] — EXTERNAL-table semantics
+    * (the Delta-on-paths convention): the NAME unbinds from the
+    * session registry and the durable catalog file; the table's files
+    * and log stay on disk, addressable by path and re-bindable by a
+    * later CREATE IF NOT EXISTS or registerTable. Path operands are
+    * refused (a path is a directory, not a catalog entry — deleting
+    * data is the filesystem's job, and VACUUM's for history). Returns
+    * the dropped table's latest version (0 for an IF EXISTS miss). */
+  private def dropTableCmd(spark: SparkSession, d: DropTable): Int = {
+    val name = identPath(d.child)
+    require(!name.contains('/'),
+      s"DROP TABLE takes a registered graft NAME, got the path '$name' " +
+        "— a path-addressed table has no catalog entry to drop; delete " +
+        "the directory (or VACUUM its history) instead")
+    graft.GraftSession.tablePath(spark, name) match {
+      case Some(path) =>
+        val v = TimeTravel.latestVersion(spark, path)
+        graft.GraftSession.unregisterTable(spark, name, durable = true)
+        v
+      case None if d.ifExists => 0
+      case None => throw new IllegalArgumentException(
+        s"no registered graft table named '$name' (registered: " +
+          s"${graft.GraftSession.registeredTables(spark).mkString(", ")})" +
+          " — add IF EXISTS to make the drop a no-op")
+    }
+  }
+
+  private def identPath(name: LogicalPlan): String = {
+    def fromParts(parts: Seq[String]): String = parts match {
+      case Seq(cat, p) if cat.equalsIgnoreCase("graft") => p
+      case other => throw new IllegalArgumentException(
+        s"DDL target must be graft.`/abs/path` or a graft name, got " +
+          s"`${other.mkString(".")}`")
+    }
+    name match {
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        fromParts(u.nameParts)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableOrView =>
+        fromParts(u.multipartIdentifier)
+      case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+        fromParts(u.multipartIdentifier)
+      case other => throw new IllegalArgumentException(
+        s"unsupported DDL target shape: ${other.nodeName}")
+    }
   }
 
   /** ALTER TABLE ... ADD CONSTRAINT name CHECK (expr) — routes to
@@ -333,6 +404,17 @@ object GraftSql {
     * else in the query. */
   def sql(spark: SparkSession, query: String)
       : org.apache.spark.sql.DataFrame = query match {
+    // SHOW TABLES: the catalog listing as a result set — one row per
+    // resolvable name (this session's bindings ∪ the durable catalog
+    // file), `durable` flagging the ones that survive the JVM
+    case ShowTablesRe() =>
+      import spark.implicits._
+      val durable = graft.GraftSession.durableTables(spark)
+      graft.GraftSession.registeredTables(spark)
+        .map(n => (n,
+          graft.GraftSession.tablePath(spark, n).getOrElse(""),
+          durable.contains(n)))
+        .toDF("table_name", "path", "durable")
     // DESCRIBE HISTORY / DETAIL return result sets, not versions —
     // they live here, not on exec (Spark's parser reads them as
     // DESCRIBE COLUMN, so they pre-route on the raw text)
@@ -364,6 +446,8 @@ object GraftSql {
 
   private val DescribeRe =
     """(?is)\s*DESC(?:RIBE)?\s+(HISTORY|DETAIL)\s+graft\s*\.\s*`?([^`\s;]+)`?\s*;?\s*""".r
+  private val ShowTablesRe =
+    """(?is)\s*SHOW\s+TABLES(?:\s+IN\s+graft)?\s*;?\s*""".r
 
   /** Rewrite every `graft.`path`` relation in `plan` (with optional
     * VERSION/TIMESTAMP AS OF) to the declarative relation's analyzed
@@ -422,7 +506,7 @@ object GraftSql {
     // but SELECT *, DESCRIBE, and positional INSERT binding must all
     // speak the log's order, so project back when they differ (the
     // Project prunes away like any other; no plan cost)
-    val committed = TimeTravel.schemaAt(spark, path,
+    val committed = TimeTravel.schemaOfRecordFast(spark, path,
       version.map(_.trim.toInt).getOrElse(
         ts.fold(TimeTravel.latestVersion(spark, path))(t =>
           TimeTravel.versionAsOf(spark, path,

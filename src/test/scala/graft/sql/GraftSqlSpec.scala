@@ -334,6 +334,55 @@ class GraftSqlSpec extends SparkSpec {
     assert(eCons.getMessage.contains("cx"))
   }
 
+  test("managed names: CREATE TABLE graft.<name> auto-locates under the warehouse and registers durably; SHOW TABLES lists; DROP TABLE unbinds, files survive") {
+    import graft.GraftSession
+    val cat = tmpDir("sqlcat") + "/catalog"
+    val wh = tmpDir("sqlcat-wh")
+    spark.conf.set("spark.graft.catalog.path", cat)
+    spark.conf.set("spark.graft.warehouse.dir", wh)
+    try {
+      GraftSql.exec(spark, "CREATE TABLE graft.managed_t " +
+        "(k BIGINT, p STRING, x DOUBLE) USING `graft-versioned` " +
+        "PARTITIONED BY (p)")
+      val path = GraftSession.tablePath(spark, "managed_t").get
+      assert(path === s"$wh/managed_t") // the managed location
+      assert(GraftSession.durableTables(spark).contains("managed_t"))
+      GraftSql.exec(spark, "INSERT INTO graft.managed_t SELECT 1L, 'a', 1.0")
+      assert(GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM graft.managed_t").head.getLong(0) === 1)
+      val st = GraftSql.sql(spark, "SHOW TABLES")
+      assert(st.filter(col("table_name") === "managed_t" &&
+        col("durable")).count() === 1)
+      // DROP unbinds the name (external-table semantics): files stay,
+      // path addressing still works, the name refuses
+      GraftSql.exec(spark, "DROP TABLE graft.managed_t")
+      assert(GraftSession.tablePath(spark, "managed_t").isEmpty)
+      intercept[IllegalArgumentException](GraftSql.sql(spark,
+        "SELECT * FROM graft.managed_t").collect())
+      assert(TimeTravel.readVersion(spark, path,
+        TimeTravel.latestVersion(spark, path)).count() === 1)
+      GraftSql.exec(spark, "DROP TABLE IF EXISTS graft.managed_t") // no-op
+      val e = intercept[IllegalArgumentException](GraftSql.exec(spark,
+        "DROP TABLE graft.managed_t"))
+      assert(e.getMessage.contains("IF EXISTS"))
+      // CREATE IF NOT EXISTS over the surviving files re-binds the name
+      GraftSql.exec(spark, "CREATE TABLE IF NOT EXISTS graft.managed_t " +
+        "(k BIGINT, p STRING, x DOUBLE) USING `graft-versioned` " +
+        "PARTITIONED BY (p)")
+      assert(GraftSession.tablePath(spark, "managed_t").contains(path))
+      assert(GraftSql.sql(spark,
+        "SELECT count(*) AS n FROM graft.managed_t").head.getLong(0) === 1)
+      // a path operand has no catalog entry to drop
+      val e2 = intercept[IllegalArgumentException](GraftSql.exec(spark,
+        s"DROP TABLE graft.`$path`"))
+      assert(e2.getMessage.contains("path"))
+    } finally {
+      GraftSession.unregisterTable(spark, "managed_t")
+      spark.conf.unset("spark.graft.warehouse.dir")
+      spark.conf.unset("spark.graft.catalog.path")
+    }
+  }
+
   test("refusals name the unsupported piece") {
     val t = stage()
     val e1 = intercept[IllegalArgumentException](GraftSql.exec(spark,
