@@ -4113,6 +4113,69 @@ object TimeTravel {
       None, staged.schema, "compact", evolveSchema = false)
   }
 
+  /** REPARTITION the table: rewrite the CURRENT version's rows under a
+    * NEW partition-directory layout in one commit (`#op=repartition`) —
+    * partition EVOLUTION for a layout that stopped matching the
+    * workload ("we partitioned by day, the queries filter by
+    * priority"), which neither append nor OPTIMIZE can express (the
+    * partition column list is otherwise fixed at creation). Semantics:
+    *
+    *  - ROWS ARE IDENTICAL — only their directory placement changes,
+    *    so feeds and streams treat the commit like a compaction
+    *    (dataChange = false: nothing new to deliver);
+    *  - OLD VERSIONS keep reading their own layout (each version's
+    *    file set is internally uniform; time travel across the
+    *    boundary just works), and the NEW layout governs from this
+    *    commit on — later appends must declare it, and partition-axis
+    *    skipping prunes by the new directories;
+    *  - deletion vectors MATERIALIZE away through the rewrite's read
+    *    (output files carry live rows only), constraints and column
+    *    mapping carry, and an active bloom policy re-indexes the new
+    *    files — the same carry rules as any rewrite;
+    *  - the commit conflicts with EVERYTHING (its dirs are the union
+    *    of both layouts' directories), which is honest: relocating
+    *    every row under a concurrent writer must be loud.
+    *
+    * The cost is one full-table rewrite — the same price Iceberg users
+    * pay when they `rewrite_data_files` after a partition-spec change;
+    * unlike Iceberg's metadata-only evolution, every version here
+    * stays a plain uniform parquet layout, which is what keeps
+    * [[partColsPhysical]]-derived planning O(1) per version. An empty
+    * `newPartCol` ("") relocates to the unpartitioned root. Refused:
+    * an unknown or non-atomic column, a NULL partition value in the
+    * data, a no-op (the layout already matches), and pre-schema
+    * tables. */
+  def repartitionTable(spark: SparkSession, baseDir: String,
+      newPartCol: String): Int = {
+    val prev = latestVersion(spark, baseDir)
+    require(prev >= 1, s"$baseDir has no commits — call init first")
+    val prevSnap = resolveFull(spark, baseDir, prev)
+    require(prevSnap.files.nonEmpty,
+      "repartition of an empty table is meaningless — the first write " +
+        "establishes whatever layout it declares")
+    val newCols = splitCols(newPartCol)
+    val schema = prevSnap.schema.getOrElse(
+      throw new IllegalArgumentException(
+        s"$baseDir records no schema — pre-metadata tables cannot " +
+          "repartition"))
+    newCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"no column '$c' (columns: ${schema.fieldNames.mkString(", ")})"))
+    val oldCols = activePartCols(spark, baseDir, prevSnap, prev)
+      .getOrElse(Nil)
+    require(newCols != oldCols,
+      s"the table is already partitioned by (${oldCols.mkString(", ")})")
+    val rows = readFiles(spark, baseDir, prevSnap.files, prevSnap.schema,
+      prevSnap.colmap, prevSnap.dvs)
+    // the new layout's directories, driver-held: the NULL refusal and
+    // the conflict scope both need them (one column-pruned distinct)
+    val newTuples = affectedTuples(rows, newCols)
+    Merge.requireNoNullPartitionTuple(newTuples, newCols)
+    val dirs = prevSnap.files.map(dirOf).toSet ++
+      affectedDirs(newCols, newTuples)
+    commitRewrite(spark, baseDir, newCols, dirs, prev, prevSnap, rows,
+      "repartition")
+  }
+
   /** RESTORE: roll the table back to `toVersion` as a NEW commit (the
     * Delta `RESTORE TABLE ... TO VERSION AS OF` command) — the undo
     * button for a bad merge/delete/ingest that keeps history honest:
@@ -4841,6 +4904,7 @@ object TimeTravel {
       v -> (opFrom(lines) match {
         case Some("append") => adds
         case Some("compact") => Nil // dataChange=false: already delivered
+        case Some("repartition") => Nil // rows identical, dirs moved
         case Some("constraint") => Nil // metadata-only: no rows to deliver
         case Some("bloomidx") => Nil // metadata-only: no rows to deliver
         case Some("protocol") => Nil // metadata-only: no rows to deliver
@@ -4998,7 +5062,7 @@ object TimeTravel {
       case None if removes.isEmpty => // pre-#op adds-only: an append
         adds.sorted.map(f => CdcUnit(f, isAdd = true, None))
       case Some("compact") | Some("constraint") | Some("bloomidx") |
-           Some("protocol") | Some("evolve") => Nil
+           Some("protocol") | Some("evolve") | Some("repartition") => Nil
       case Some("colmap") =>
         colmapWindowVerdict(baseDir, v, consumerPinnedAt)
         Nil
@@ -5154,6 +5218,7 @@ object TimeTravel {
             .withColumn(ChangeTypeCol, lit("insert"))
             .withColumn(CommitVersionCol, lit(v)))
         case Some("compact") => None // dataChange=false
+        case Some("repartition") => None // rows identical, dirs moved
         case Some("constraint") => None // metadata-only commit
         case Some("bloomidx") => None // metadata-only commit
         case Some("protocol") => None // metadata-only commit

@@ -3630,11 +3630,86 @@ object PipelineQueries {
   private val stagedManaged = scala.collection.concurrent.TrieMap
     .empty[String, (Boolean, Boolean, Boolean)]
 
+  /** PARTITION EVOLUTION (`REPARTITION TABLE … BY (…)` →
+    * [[graft.operators.TimeTravel.repartitionTable]]): the table was
+    * partitioned by o_quarter, the workload filters by priority — one
+    * rewrite commit relocates every row under `o_orderpriority=` dirs.
+    * The NEW layout governs from that commit (the follow-up append
+    * declares it and lands; the new axis dir-prunes), OLD versions
+    * keep reading their own directories (time travel across the
+    * boundary), and feeds see dataChange=false. Delta cannot change a
+    * table's partition columns at all; Iceberg's spec change leaves
+    * mixed layouts until a rewrite — here every version stays
+    * uniformly laid out, which is what keeps per-version planning
+    * O(1). In-band verdicts pin the switch, the old version's intact
+    * directories, and the new axis's pruning; the content (base ∪ the
+    * post-evolution append) hash-matches the oracle. */
+  val q209 = Q(
+    "q209_repartition_table",
+    (spark, dir) => {
+      import graft.operators.TimeTravel
+      val (t, switched, oldIntact, prunes) =
+        stagedRepart.getOrElseUpdate(dir, {
+          val d = ParityQueries.scratchDir("graft-tt-repart")
+          val orders = Tables.load(spark, dir, "orders")
+            .withColumn("o_quarter", concat(year(col("o_orderdate")),
+              lit("-Q"), quarter(col("o_orderdate"))))
+            .select("o_orderkey", "o_quarter", "o_orderpriority",
+              "o_totalprice")
+          TimeTravel.init(spark, d, orders, "o_quarter")
+          val v = graft.sql.GraftSql.exec(spark,
+            s"REPARTITION TABLE graft.`$d` BY (o_orderpriority)")
+          val switched =
+            TimeTravel.partitionColumns(spark, d) ==
+              Seq("o_orderpriority") &&
+            TimeTravel.filesAt(spark, d, v)
+              .forall(_.startsWith("o_orderpriority="))
+          val oldIntact = TimeTravel.filesAt(spark, d, 1)
+            .forall(_.startsWith("o_quarter=")) &&
+            TimeTravel.readVersion(spark, d, 1).count() ==
+              TimeTravel.readVersion(spark, d, v).count()
+          // the post-evolution append declares the NEW layout
+          val shift = orders.agg(max(col("o_orderkey"))).head.getLong(0) + 1
+          TimeTravel.append(spark, d,
+            orders.filter(col("o_orderkey") % 13 === 0)
+              .withColumn("o_orderkey", col("o_orderkey") + lit(shift)),
+            "o_orderpriority")
+          val scan = TimeTravel.readVersionSkipping(spark, d,
+            TimeTravel.latestVersion(spark, d),
+            "o_orderpriority", "3-MEDIUM", "3-MEDIUM")
+          val prunes = scan.filesRead < scan.filesTotal
+          (d, switched, oldIntact, prunes)
+        })
+      TimeTravel.readVersion(spark, t, TimeTravel.latestVersion(spark, t))
+        .groupBy(col("o_orderpriority").as("prio"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          Exact.dsum(col("o_totalprice")).as("sum_price"))
+        .withColumn("layout_switched", lit(switched))
+        .withColumn("old_version_intact", lit(oldIntact))
+        .withColumn("new_axis_dir_prunes", lit(prunes))
+    },
+    Some(s"""WITH m AS (SELECT MAX(o_orderkey) + 1 AS shift FROM orders),
+      u AS (
+        SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders
+        UNION ALL
+        SELECT o_orderkey + m.shift, o_orderpriority, o_totalprice
+        FROM orders, m WHERE o_orderkey % 13 = 0)
+      SELECT o_orderpriority AS prio, COUNT(*) AS n_rows,
+        CAST(SUM(o_orderkey) AS BIGINT) AS sum_key,
+        ${Exact.sqlSum("o_totalprice")} AS sum_price,
+        TRUE AS layout_switched, TRUE AS old_version_intact,
+        TRUE AS new_axis_dir_prunes
+      FROM u GROUP BY 1""")
+  )
+  private val stagedRepart = scala.collection.concurrent.TrieMap
+    .empty[String, (String, Boolean, Boolean, Boolean)]
+
   val all: Seq[Q] =
     Seq(q51, q52, q53, q61, q62, q63, q64, q76, q84, q88, q91, q128, q133,
       q137, q141, q142, q150, q151, q156, q158, q159, q162, q165, q166,
       q167, q168, q169, q170, q171, q172, q173, q174, q175, q177, q178,
       q179, q180, q181, q182, q183, q185, q186, q187, q188, q189, q190,
       q191, q192, q193, q194, q195, q196, q198, q199, q200, q201, q202,
-      q203, q204, q205, q206, q207, q208)
+      q203, q204, q205, q206, q207, q208, q209)
 }

@@ -62,7 +62,8 @@ object GraftSql {
     *     PARTITIONED BY (m, r) AS SELECT ...          -- TimeTravel.init
     *   ALTER TABLE graft.`/t` ADD CONSTRAINT p CHECK (x > 0)
     *   ALTER TABLE graft.`/t` DROP CONSTRAINT p
-    *   OPTIMIZE graft.`/t` [ZORDER BY (a[, b])]       -- compact
+    *   OPTIMIZE graft.`/t` [ZORDER BY (a[, b, …])]   -- compact
+    *   REPARTITION TABLE graft.`/t` BY (c[, …])       -- layout evolution
     *   VACUUM graft.`/t` RETAIN 3 VERSIONS [DRY RUN]  -- vacuum
     *   RESTORE TABLE graft.`/t` TO VERSION AS OF 2    -- restore
     * }}}
@@ -104,6 +105,9 @@ object GraftSql {
     """(?is)\s*VACUUM\s+graft\s*\.\s*`?([^`\s;]+)`?\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`?([^`\s;]+)`?\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
+  // partition evolution as one rewrite commit; BY () = unpartitioned
+  private val RepartitionRe =
+    """(?is)\s*REPARTITION\s+TABLE\s+graft\s*\.\s*`?([^`\s;]+)`?\s+BY\s*\(([^)]*)\)\s*;?\s*""".r
 
   private def maintenanceRoute(spark: SparkSession,
       sql: String): Option[Int] = sql match {
@@ -129,6 +133,9 @@ object GraftSql {
       Some(latest)
     case RestoreRe(path0, v) =>
       Some(TimeTravel.restore(spark, resolved(spark, path0), v.toInt))
+    case RepartitionRe(path0, cols) =>
+      Some(TimeTravel.repartitionTable(spark, resolved(spark, path0),
+        cols.trim))
     case _ => None
   }
 

@@ -183,6 +183,52 @@ class PartitionLayoutSpec extends SparkSpec {
     assert(e3.getMessage.contains("partition column"))
   }
 
+  test("repartitionTable: partition EVOLUTION as one rewrite — new layout governs, old versions keep theirs, feeds skip it, appends must declare the new list") {
+    val t = tmpDir("layout-repart")
+    TimeTravel.init(spark, t,
+      df((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0)), "part")
+    TimeTravel.append(spark, t, df((4L, "b", 4.0)), "part") // v2
+    // a DV delete rides along to prove it materializes through
+    TimeTravel.deleteWhereDv(spark, t, col("id") === 3L, "part") // v3
+    val vOld = TimeTravel.latestVersion(spark, t)
+    // SQL verb, empty () relocates to the unpartitioned root
+    val v = graft.sql.GraftSql.exec(spark,
+      s"REPARTITION TABLE graft.`$t` BY ()")
+    assert(TimeTravel.partitionColumns(spark, t).isEmpty)
+    assert(TimeTravel.filesAt(spark, t, v).forall(!_.contains('/')))
+    // rows identical (the DV'd row stays gone), old version intact
+    assert(TimeTravel.readVersion(spark, t, v)
+      .select("id", "v").as[(Long, Double)].collect().toMap ===
+      Map(1L -> 1.0, 2L -> 2.0, 4L -> 4.0))
+    assert(TimeTravel.filesAt(spark, t, vOld)
+      .forall(_.startsWith("part=")))
+    assert(TimeTravel.readVersion(spark, t, vOld).count() === 3)
+    // feeds treat it as dataChange=false: a window crossing ONLY the
+    // repartition delivers nothing (rows identical, just relocated)
+    assert(TimeTravel.readAppendsSince(spark, t, vOld).count() === 0)
+    // appends now declare the NEW layout; the old one refuses loudly
+    intercept[IllegalArgumentException](
+      TimeTravel.append(spark, t, df((5L, "c", 5.0)), "part"))
+    TimeTravel.append(spark, t, df((5L, "c", 5.0)), "")
+    assert(TimeTravel.readVersion(spark, t,
+      TimeTravel.latestVersion(spark, t)).count() === 4)
+    // …and BACK to a partitioned layout, by the API this time
+    val v2 = TimeTravel.repartitionTable(spark, t, "part")
+    assert(TimeTravel.partitionColumns(spark, t) === Seq("part"))
+    assert(TimeTravel.filesAt(spark, t, v2)
+      .forall(_.startsWith("part=")))
+    assert(TimeTravel.readVersion(spark, t, v2)
+      .select("id").as[Long].collect().sorted === Seq(1L, 2L, 4L, 5L))
+    // partition-axis skipping prunes by the NEW directories
+    assert(TimeTravel.filesAt(spark, t, v2).count(_.startsWith("part=b"))
+      < TimeTravel.filesAt(spark, t, v2).size)
+    // refusals: no-op layout, unknown column
+    intercept[IllegalArgumentException](
+      TimeTravel.repartitionTable(spark, t, "part"))
+    intercept[IllegalArgumentException](
+      TimeTravel.repartitionTable(spark, t, "nope"))
+  }
+
   test("streaming source tails an unpartitioned table") {
     import graft.streaming.{EventsStream, VersionedStream}
     val t = tmpDir("layout-unpart-stream")
