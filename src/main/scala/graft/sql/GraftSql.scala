@@ -102,7 +102,7 @@ object GraftSql {
   private val OptimizeRe =
     """(?is)\s*OPTIMIZE\s+graft\s*\.\s*`?([^`\s;]+)`?\s*(?:ZORDER\s+BY\s*\(([^)]*)\))?\s*;?\s*""".r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+graft\s*\.\s*`?([^`\s;]+)`?\s+RETAIN\s+(\d+)\s+VERSIONS(\s+DRY\s+RUN)?\s*;?\s*""".r
+    """(?is)\s*VACUUM\s+graft\s*\.\s*`?([^`\s;]+)`?\s+RETAIN\s+(\d+)\s+(VERSIONS|HOURS)(\s+DRY\s+RUN)?\s*;?\s*""".r
   private val RestoreRe =
     """(?is)\s*RESTORE\s+(?:TABLE\s+)?graft\s*\.\s*`?([^`\s;]+)`?\s+(?:TO\s+)?VERSION\s+AS\s+OF\s+(\d+)\s*;?\s*""".r
   // partition evolution as one rewrite commit; BY () = unpartitioned
@@ -125,10 +125,26 @@ object GraftSql {
             s"gets under 8 bits of resolution — meaningless at file " +
             s"granularity), got ${more.size}: ${more.mkString(", ")}")
       })
-    case VacuumRe(path0, n, dry) =>
+    case VacuumRe(path0, n, unit, dry) =>
       val path = resolved(spark, path0)
       val latest = TimeTravel.latestVersion(spark, path)
-      val keepFrom = math.max(1, latest - n.toInt + 1)
+      // RETAIN n VERSIONS keeps the newest n; RETAIN n HOURS (Delta's
+      // spelling) keeps every version committed inside the window PLUS
+      // the one current at its start — time travel to any instant
+      // within the window keeps resolving
+      val keepFrom =
+        if (unit.equalsIgnoreCase("VERSIONS"))
+          math.max(1, latest - n.toInt + 1)
+        else {
+          // clamp to the CURRENT floor: a retention window reaching
+          // past an earlier vacuum must not try to lower it (those
+          // versions are gone; re-vacuuming at the floor is a no-op)
+          val floor = TimeTravel.history(spark, path)
+            .map(_.version).min
+          math.max(floor, TimeTravel.versionAsOfOption(spark, path,
+            System.currentTimeMillis() - n.toLong * 3600_000L)
+            .getOrElse(1))
+        }
       TimeTravel.vacuum(spark, path, keepFrom, dryRun = dry != null)
       Some(latest)
     case RestoreRe(path0, v) =>

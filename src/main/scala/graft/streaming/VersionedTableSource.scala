@@ -46,9 +46,10 @@ import graft.operators.TimeTravel
   *     `Trigger.AvailableNow` too, via [[SupportsTriggerAvailableNow]]
   *     (the FileStreamSource pattern — a plain V1 source would be
   *     wrapped and collapse to one batch).
-  *   - `maxRowsPerTrigger` / `maxBytesPerTrigger`: row and byte
-  *     budgets packed at file granularity from the log's recorded
-  *     `!rows=`/`!bytes=` stats — all three caps compose; the
+  *   - `maxRowsPerTrigger` / `maxBytesPerTrigger` /
+  *     `maxFilesPerTrigger`: row, byte, and file-count budgets packed
+  *     at file granularity (row/byte sizes from the log's recorded
+  *     `!rows=`/`!bytes=` stats) — all four caps compose; the
   *     tightest one decides the batch end.
   *
   * Scale shape: `latestOffset` is one log-dir listing (metadata);
@@ -70,7 +71,8 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
     maxVersionsPerTrigger: Option[Int], maxRowsPerTrigger: Option[Long],
     override val schema: StructType,
     maxBytesPerTrigger: Option[Long] = None,
-    schemaResolvedAt: Option[Int] = None)
+    schemaResolvedAt: Option[Int] = None,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Source with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
 
@@ -112,6 +114,7 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
 
   override def getDefaultReadLimit: ReadLimit =
     maxRowsPerTrigger.map(ReadLimit.maxRows)
+      .orElse(maxFilesPerTrigger.map(ReadLimit.maxFiles))
       .orElse(maxVersionsPerTrigger.map(n => ReadLimit.maxRows(n.toLong)))
       .getOrElse(ReadLimit.allAvailable())
 
@@ -202,12 +205,14 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
       case Some(b) =>
         val endCap = math.min(latest,
           maxVersionsPerTrigger.map(b.version + _).getOrElse(latest))
-        val target = (maxRowsPerTrigger, maxBytesPerTrigger) match {
+        val target =
+          (maxRowsPerTrigger, maxBytesPerTrigger, maxFilesPerTrigger) match {
           case _ if endCap <= b.version && b.complete => b
-          case (None, None) => VersionOffset(endCap)
-          case (rowBudget, byteBudget) =>
+          case (None, None, None) => VersionOffset(endCap)
+          case (rowBudget, byteBudget, fileBudget) =>
             var rowsAdm = 0L
             var bytesAdm = 0L
+            var filesAdm = 0L
             var any = false // at least one file always admits: progress
             var out = b
             var v = if (b.complete) b.version + 1 else b.version
@@ -215,7 +220,8 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
             var done = false
             def spent: Boolean =
               rowBudget.exists(rowsAdm >= _) ||
-                byteBudget.exists(bytesAdm >= _)
+                byteBudget.exists(bytesAdm >= _) ||
+                fileBudget.exists(filesAdm >= _)
             while (!done && v <= endCap) {
               val units = unitSizes(v)
               var i = k
@@ -226,12 +232,14 @@ class VersionedTableSource(sqlContext: SQLContext, baseDir: String,
                 val bytes = units(i)._2.getOrElse(Long.MaxValue / 4)
                 val over =
                   rowBudget.exists(rowsAdm + rows > _) ||
-                    byteBudget.exists(bytesAdm + bytes > _)
+                    byteBudget.exists(bytesAdm + bytes > _) ||
+                    fileBudget.exists(filesAdm + 1 > _)
                 if (any && over) {
                   out = VersionOffset(v, i) // budget spent mid-version
                   done = true
                 } else {
-                  rowsAdm += rows; bytesAdm += bytes; any = true; i += 1
+                  rowsAdm += rows; bytesAdm += bytes; filesAdm += 1
+                  any = true; i += 1
                 }
               }
               if (!done) {
@@ -529,7 +537,8 @@ class VersionedTableSourceProvider extends RelationProvider
         srcPath, opts.changeFeed)
     new VersionedTableSource(sqlContext, srcPath, since,
       opts.changeFeed, opts.maxVersionsPerTrigger, opts.maxRowsPerTrigger,
-      resolvedSchema, opts.maxBytesPerTrigger, Some(resolvedAt))
+      resolvedSchema, opts.maxBytesPerTrigger, Some(resolvedAt),
+      opts.maxFilesPerTrigger)
   }
 
   override def createSink(sqlContext: SQLContext,
@@ -610,6 +619,11 @@ object VersionedTableSourceProvider {
       * way rows pack — composes with the row and version caps. */
     val maxBytesPerTrigger: Option[Long] =
       m.get("maxbytespertrigger").map(_.toLong)
+    /** File-count admission (Delta's maxFilesPerTrigger): at most n
+      * add/CDC units per micro-batch; composes with every other cap —
+      * the tightest one decides the batch end. */
+    val maxFilesPerTrigger: Option[Int] =
+      m.get("maxfilespertrigger").map(_.toInt)
     // sink-side options
     val partCol: Option[String] = m.get("partcol")
     val sinkMode: String = m.getOrElse("mode", "append")
@@ -664,7 +678,8 @@ object VersionedStream {
       maxVersionsPerTrigger: Option[Int] = None,
       maxRowsPerTrigger: Option[Long] = None,
       sinceTimestamp: Option[String] = None,
-      maxBytesPerTrigger: Option[Long] = None): DataFrame = {
+      maxBytesPerTrigger: Option[Long] = None,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
     val r = spark.readStream
       .format(classOf[VersionedTableSourceProvider].getName)
       .option("path", baseDir)
@@ -677,6 +692,8 @@ object VersionedStream {
       r.option("maxRowsPerTrigger", n.toString))
     maxBytesPerTrigger.foreach(n =>
       r.option("maxBytesPerTrigger", n.toString))
+    maxFilesPerTrigger.foreach(n =>
+      r.option("maxFilesPerTrigger", n.toString))
     r.load()
   }
 

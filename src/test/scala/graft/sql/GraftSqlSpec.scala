@@ -195,6 +195,15 @@ class GraftSqlSpec extends SparkSpec {
     GraftSql.exec(spark, s"VACUUM graft.`$t` RETAIN 2 VERSIONS")
     assert(TimeTravel.readVersion(spark, t, latest).count() === 33)
     intercept[Exception](TimeTravel.readVersion(spark, t, 1).count())
+    // time-based retention (Delta's spelling): everything committed in
+    // the last hour survives a RETAIN 1 HOURS…
+    GraftSql.exec(spark, s"VACUUM graft.`$t` RETAIN 1 HOURS")
+    assert(TimeTravel.readVersion(spark, t, latest - 1).count() > 0)
+    // …while RETAIN 0 HOURS keeps only the version current right now
+    GraftSql.exec(spark, s"VACUUM graft.`$t` RETAIN 0 HOURS")
+    assert(TimeTravel.readVersion(spark, t, latest).count() === 33)
+    intercept[Exception](TimeTravel.readVersion(spark, t, latest - 1)
+      .count())
   }
 
   test("bare CREATE TABLE: an EMPTY v1 carries schema + layout; reads type empty frames and the first batches fill it") {

@@ -91,6 +91,25 @@ class VersionedSourceSpec extends SparkSpec {
       Option(e.getCause).exists(_.getMessage.contains("mutually exclusive")))
   }
 
+  test("file-count admission: maxFilesPerTrigger packs whole add files, " +
+      "splits fat commits, composes with the other caps, exactly-once") {
+    val t = tmpDir("vsrc-files")
+    TimeTravel.init(spark, t, df((0L, "a", 0.0)), "part")
+    // a fat commit landing 6 files (6 partition dirs)…
+    TimeTravel.append(spark, t,
+      (1L to 30L).map(i => (i, s"p${i % 6}", i.toDouble))
+        .toDF("id", "part", "v"), "part") // v2
+    TimeTravel.append(spark, t, df((31L, "b", 31.0)), "part") // v3
+    val out = tmpDir("vsrc-files-out")
+    val ck = tmpDir("vsrc-files-ck")
+    EventsStream.replayToParquet(
+      VersionedStream.readStream(spark, t, sinceVersion = Some(1),
+        maxFilesPerTrigger = Some(2)), out, ck)
+    // exactly-once, and 6 files at 2 per trigger need >= 3 batches + v3
+    assert(outIds(out) === (1L to 31L))
+    assert(nBatches(ck) >= 4)
+  }
+
   test("row-based admission: a fat commit splits across triggers at file " +
       "boundaries, exactly-once, with whole-version offsets between") {
     val t = tmpDir("vsrc-rows")
