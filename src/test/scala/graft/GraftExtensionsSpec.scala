@@ -56,6 +56,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
       assert(probe.getBoolean(0))
       assert(!probe.getBoolean(1))
       assert(probe.getLong(2) === 2L)
+      // the graft.<name> resolution rule rides the same injection:
+      // plain spark.sql resolves a registered versioned table — and a
+      // DURABLE binding written by another session resolves from the
+      // catalog file with no registerTable call on THIS session
+      val t = java.nio.file.Files
+        .createTempDirectory("ext-resolve").toString
+      val cat = java.nio.file.Files
+        .createTempDirectory("ext-cat").toString + "/catalog"
+      base.conf.set("spark.graft.catalog.path", cat)
+      s.conf.set("spark.graft.catalog.path", cat)
+      import s.implicits._
+      graft.operators.TimeTravel.init(s, t,
+        Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "p", "x"), "p")
+      GraftSession.registerTable(base, "ext_resolved", t, durable = true)
+      assert(s.sql("SELECT count(*) AS n FROM graft.ext_resolved")
+        .head.getLong(0) === 2L)
+      base.conf.unset("spark.graft.catalog.path")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
