@@ -27,20 +27,38 @@ import org.apache.spark.sql.catalyst.rules.Rule
 case class GraftNameResolution(spark: SparkSession)
     extends Rule[LogicalPlan] {
 
+  private def graftPathOf(u: UnresolvedRelation): Option[String] =
+    if (u.isStreaming || u.multipartIdentifier.length != 2 ||
+        !u.multipartIdentifier.head.equalsIgnoreCase("graft")) None
+    else {
+      val x = u.multipartIdentifier(1)
+      if (x.contains('/')) Some(x)
+      else graft.GraftSession.tablePath(spark, x)
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
-      case u: UnresolvedRelation
-          if !u.isStreaming && u.multipartIdentifier.length == 2 &&
-            u.multipartIdentifier.head.equalsIgnoreCase("graft") =>
-        val x = u.multipartIdentifier(1)
-        val path =
-          if (x.contains('/')) Some(x)
-          else graft.GraftSession.tablePath(spark, x)
-        path.map { p =>
-          val latest =
-            graft.operators.TimeTravel.latestVersion(spark, p)
-          graft.operators.TimeTravel.readVersion(spark, p, latest)
-            .queryExecution.analyzed
-        }.getOrElse(u)
+      // time travel first: `graft.x VERSION/TIMESTAMP AS OF …` parses
+      // to RelationTimeTravel over the unresolved relation — resolve
+      // the pinned version, mirroring GraftSql's read rewrite
+      case org.apache.spark.sql.catalyst.analysis.RelationTimeTravel(
+          u: UnresolvedRelation, ts, version)
+          if graftPathOf(u).isDefined =>
+        val p = graftPathOf(u).get
+        val v = version.map(_.toInt).getOrElse {
+          val text = ts.map(GraftSql.timestampText)
+            .getOrElse(throw new IllegalArgumentException(
+              "time travel needs VERSION AS OF or TIMESTAMP AS OF"))
+          graft.operators.TimeTravel.versionAsOf(spark, p,
+            graft.sources.GraftVersionedRelation.parseTs(text))
+        }
+        graft.operators.TimeTravel.readVersion(spark, p, v)
+          .queryExecution.analyzed
+      case u: UnresolvedRelation if graftPathOf(u).isDefined =>
+        val p = graftPathOf(u).get
+        val latest =
+          graft.operators.TimeTravel.latestVersion(spark, p)
+        graft.operators.TimeTravel.readVersion(spark, p, latest)
+          .queryExecution.analyzed
     }
 }

@@ -505,7 +505,7 @@ object GraftSql {
   /** A TIMESTAMP AS OF operand as the reader's `timestampAsOf` text:
     * string literals pass through; a timestamp-typed foldable folds to
     * epoch micros, which convert to the millis form the reader takes. */
-  private def timestampText(e: Expression): String = {
+  private[sql] def timestampText(e: Expression): String = {
     require(e.foldable && e.deterministic,
       s"TIMESTAMP AS OF operand must be a constant, got: ${e.sql}")
     e.eval(null) match {

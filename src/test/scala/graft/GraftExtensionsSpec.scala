@@ -72,6 +72,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
       GraftSession.registerTable(base, "ext_resolved", t, durable = true)
       assert(s.sql("SELECT count(*) AS n FROM graft.ext_resolved")
         .head.getLong(0) === 2L)
+      // plain-SQL time travel on the name rides the same rule
+      graft.operators.TimeTravel.append(s, t,
+        Seq((3L, "a", 3.0)).toDF("k", "p", "x"), "p")
+      assert(s.sql("SELECT count(*) AS n FROM graft.ext_resolved")
+        .head.getLong(0) === 3L)
+      assert(s.sql(
+        "SELECT count(*) AS n FROM graft.ext_resolved VERSION AS OF 1")
+        .head.getLong(0) === 2L)
       base.conf.unset("spark.graft.catalog.path")
     } finally {
       SparkSession.setDefaultSession(base)
