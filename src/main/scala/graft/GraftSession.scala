@@ -41,6 +41,16 @@ object GraftSession {
     "spark.ui.enabled" -> "false",
     "spark.sql.objectHashAggregate.sortBased.fallbackThreshold" -> "65536",
     "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "64k",
+    // partition discovery: the 32-path default launches a WHOLE Spark
+    // job (one task per directory) to stat as few as 33 partition dirs
+    // — a fixed ~150 ms tax on every read of a freshly-written
+    // partitioned table (copy-on-write merges invalidate the status
+    // cache on each commit, so the tax recurs per merge). Driver-side
+    // listing of ≤1k dirs is milliseconds on any filesystem; tables
+    // wide enough to genuinely need cluster-parallel listing (>1k
+    // dirs) still get the job, and log-backed tables never list at all
+    // (graftshim.LogFileIndex)
+    "spark.sql.sources.parallelPartitionDiscovery.threshold" -> "1024",
     // merge-on-read scan splice ([[graft.plans.MorScanRewrite]]): the
     // tuned sessions read DV-bound / column-mapped versioned tables
     // through the native codegen plan instead of the V1 Row fallback

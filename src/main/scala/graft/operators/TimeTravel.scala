@@ -2350,7 +2350,8 @@ object TimeTravel {
       schema: Option[org.apache.spark.sql.types.StructType] = None,
       colmap: Map[String, String] = Map.empty,
       dvs: Map[String, String] = Map.empty,
-      keepPos: Boolean = false)
+      keepPos: Boolean = false,
+      stats: Map[String, String] = Map.empty)
       : DataFrame = {
     val root = dataDir(baseDir).toString
     val bound = if (dvs.isEmpty) Map.empty[String, String]
@@ -2366,6 +2367,29 @@ object TimeTravel {
         if (!tagPos) df
         else df.withColumn(PosFileCol, col("_metadata.file_name"))
           .withColumn(PosIndexCol, col("_metadata.row_index"))
+      // Plan the scan FROM THE LOG when every file's size is recorded
+      // (`!bytes=` stats): no listing, no getFileStatus, and above all
+      // no parallel-discovery Spark job (one task PER FILE past the
+      // 32-path default — a 960-file version read spent 1.3 s there).
+      // Missing stats (pre-`!bytes` tables) degrade to the listed read.
+      def logScan(sch: org.apache.spark.sql.types.StructType)
+          : Option[DataFrame] =
+        if (spark.conf.getOption("spark.graft.log.fileIndex")
+            .exists(_.equalsIgnoreCase("false"))) None
+        else {
+          val sized = group.map(f =>
+            stats.get(f).flatMap(parseByteCount)
+              .map(org.apache.spark.sql.graftshim.LogFileIndex.LogFile(f, _)))
+          if (sized.exists(_.isEmpty)) None
+          else {
+            val partCols = group.head.split('/').dropRight(1).toSeq
+              .map(seg => seg.take(seg.indexOf('=')))
+            if (partCols.exists(c => c.isEmpty || !sch.fieldNames.contains(c)))
+              None
+            else Some(org.apache.spark.sql.graftshim.LogFileIndex
+              .scan(spark, root, sized.map(_.get), sch, partCols))
+          }
+        }
       (schema, colmap.isEmpty) match {
         case (None, _) => tag(reader.parquet(paths: _*))
         case (Some(sch), true) =>
@@ -2375,7 +2399,7 @@ object TimeTravel {
           // all speak the log's column order
           val extras = if (tagPos) Seq(col(PosFileCol), col(PosIndexCol))
             else Nil
-          tag(reader.schema(sch).parquet(paths: _*))
+          tag(logScan(sch).getOrElse(reader.schema(sch).parquet(paths: _*)))
             .select(sch.fieldNames.map(col).toSeq ++ extras: _*)
         case (Some(sch), false) =>
           // column mapping: files carry PHYSICAL names; read under the
@@ -2385,7 +2409,7 @@ object TimeTravel {
             .map(f => f.copy(name = colmap.getOrElse(f.name, f.name))))
           val extras = if (tagPos) Seq(col(PosFileCol), col(PosIndexCol))
             else Nil
-          tag(reader.schema(phys).parquet(paths: _*))
+          tag(logScan(phys).getOrElse(reader.schema(phys).parquet(paths: _*)))
             .select(sch.fields.map(f =>
               col(colmap.getOrElse(f.name, f.name)).as(f.name)).toSeq ++
               extras: _*)
@@ -2414,7 +2438,7 @@ object TimeTravel {
       version: Int): DataFrame = {
     val snap = resolveFull(spark, baseDir, version)
     readFilesNonEmpty(spark, baseDir, version, snap.files, snap.schema,
-      snap.colmap, snap.dvs)
+      snap.colmap, snap.dvs, snap.stats)
   }
 
   /** What a stats-pruned read touched: the scan plus the file-count
@@ -2665,7 +2689,7 @@ object TimeTravel {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       else readFiles(spark, baseDir, ks, Some(schema), snap.colmap,
-        snap.dvs)
+        snap.dvs, stats = snap.stats)
     }
     /** Snapshot file sizes for the relation's `sizeInBytes`: one
       * `listStatus` per partition dir, filtered to the snapshot. */
@@ -2730,7 +2754,7 @@ object TimeTravel {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       } else readFiles(spark, baseDir, kept, snap.schema, snap.colmap,
-        snap.dvs)
+        snap.dvs, stats = snap.stats)
     new SkippingScan(mkDf, snap.files.size, kept.size, snap.stats.size)
   }
 
@@ -2738,7 +2762,8 @@ object TimeTravel {
       version: Int, files: Seq[String],
       schema: Option[org.apache.spark.sql.types.StructType],
       colmap: Map[String, String] = Map.empty,
-      dvs: Map[String, String] = Map.empty): DataFrame =
+      dvs: Map[String, String] = Map.empty,
+      stats: Map[String, String] = Map.empty): DataFrame =
     if (files.isEmpty) schema match {
       // a CREATE-TABLE-empty v1 (or a restore to it): typed empty frame
       case Some(s) => spark.createDataFrame(
@@ -2746,7 +2771,8 @@ object TimeTravel {
       case None => throw new IllegalArgumentException(
         s"version $version of $baseDir is empty — schemaless empty " +
           "snapshots are not representable on plain parquet")
-    } else readFiles(spark, baseDir, files, schema, colmap, dvs)
+    } else readFiles(spark, baseDir, files, schema, colmap, dvs,
+      stats = stats)
 
   /** Create the table: write `df` partitioned by `partCol`, commit v1
     * as the table's first checkpoint. The partition column must be
@@ -3177,7 +3203,7 @@ object TimeTravel {
     if (probed.isEmpty) Nil
     else affectedTuples(
       readFiles(spark, baseDir, probed, snap.schema, snap.colmap,
-        snap.dvs).join(gatedKeys, keyCols),
+        snap.dvs, stats = snap.stats).join(gatedKeys, keyCols),
       partCols)
   }
 
@@ -3194,7 +3220,8 @@ object TimeTravel {
     val dirs = affectedDirs(partCols, affected)
     val files = snap.files.filter(f => dirs.exists(d => underDir(f, d)))
     if (files.nonEmpty)
-      readFiles(spark, baseDir, files, snap.schema, snap.colmap, snap.dvs)
+      readFiles(spark, baseDir, files, snap.schema, snap.colmap, snap.dvs,
+        stats = snap.stats)
     else snap.schema match {
       case Some(s) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -3548,7 +3575,7 @@ object TimeTravel {
         .getOrElse(readAffected(spark, baseDir, prev, prevSnap, partCols,
           affected)) // schema-less legacy: affected-dir fallback
       else readFiles(spark, baseDir, scopeFiles, prevSnap.schema,
-        prevSnap.colmap, prevSnap.dvs)
+        prevSnap.colmap, prevSnap.dvs, stats = prevSnap.stats)
       ).withColumn(tgtMark, lit(true))
     val joinCond = keyCols.map(k =>
       col(s"tgt.$k") === col(s"src.$k")).reduce(_ && _)
@@ -3804,7 +3831,8 @@ object TimeTravel {
     // one DV-filtered, position-tagged scan serves the probe, the new
     // artifact, and the CDC images — already-deleted rows are invisible
     val matched = readFiles(spark, baseDir, candidates, Some(schema),
-        prevSnap.colmap, prevSnap.dvs, keepPos = true)
+        prevSnap.colmap, prevSnap.dvs, keepPos = true,
+        stats = prevSnap.stats)
       .filter(coalesce(predicate, lit(false)))
       .localCheckpoint()
     // files identified by NAME — globally unique per table (commit
@@ -3922,7 +3950,7 @@ object TimeTravel {
     // input_file_name() refuses multi-source plans.
     val matchedNames =
       readFiles(spark, baseDir, candidates, Some(schema), prevSnap.colmap,
-        prevSnap.dvs, keepPos = true)
+        prevSnap.dvs, keepPos = true, stats = prevSnap.stats)
       .filter(predicate)
       .select(col(PosFileCol)).distinct()
       .collect().map(_.getString(0)).toSet
@@ -3936,7 +3964,7 @@ object TimeTravel {
     val hit = "__graft_rewrite_hit"
     val touched =
       readFiles(spark, baseDir, matched, Some(schema), prevSnap.colmap,
-        prevSnap.dvs)
+        prevSnap.dvs, stats = prevSnap.stats)
         .withColumn(hit, pred)
     val rewrittenMarked = set match {
       case None => touched.filter(!col(hit))
@@ -4043,7 +4071,7 @@ object TimeTravel {
     // commit's removes drop the stale bindings with the files
     val rows = readFiles(spark, baseDir,
       fragmented.values.flatten.toSeq.sorted, prevSchema, prevSnap.colmap,
-      prevSnap.dvs)
+      prevSnap.dvs, stats = prevSnap.stats)
     // an unpartitioned table has no directory axis for the staged
     // write's one-task-per-dir arrangement to consolidate by — the
     // compaction itself declares the target file count
@@ -4098,7 +4126,7 @@ object TimeTravel {
     }.sorted
     if (doomed.isEmpty) return prev
     val rows = readFiles(spark, baseDir, doomed, prevSnap.schema,
-      prevSnap.colmap, prevSnap.dvs)
+      prevSnap.colmap, prevSnap.dvs, stats = prevSnap.stats)
     val staged0 = rows.localCheckpoint()
     // unpartitioned: fold the undersized files into one (see compact)
     val staged = if (partCols.isEmpty) staged0.repartition(1) else staged0
@@ -4165,7 +4193,7 @@ object TimeTravel {
     require(newCols != oldCols,
       s"the table is already partitioned by (${oldCols.mkString(", ")})")
     val rows = readFiles(spark, baseDir, prevSnap.files, prevSnap.schema,
-      prevSnap.colmap, prevSnap.dvs)
+      prevSnap.colmap, prevSnap.dvs, stats = prevSnap.stats)
     // the new layout's directories, driver-held: the NULL refusal and
     // the conflict scope both need them (one column-pruned distinct)
     val newTuples = affectedTuples(rows, newCols)
