@@ -47,6 +47,21 @@ object ProfileJobs {
       }
     }
     spark.sparkContext.addSparkListener(listener)
+    // per-micro-batch duration breakdown (triggerExecution and its
+    // components) — the streaming equivalent of the job lines
+    spark.streams.addListener(
+      new org.apache.spark.sql.streaming.StreamingQueryListener {
+        import org.apache.spark.sql.streaming.StreamingQueryListener._
+        override def onQueryStarted(e: QueryStartedEvent): Unit = ()
+        override def onQueryTerminated(e: QueryTerminatedEvent): Unit = ()
+        override def onQueryProgress(e: QueryProgressEvent): Unit =
+          if (collecting) {
+            val p = e.progress
+            val d = p.durationMs
+            lines.add(s"[batch] ${p.batchId} rows=${p.numInputRows} " +
+              s"durationMs=${new java.util.TreeMap(d)}")
+          }
+      })
 
     for (n <- names) {
       val q = queries.Registry.byName(n)

@@ -182,6 +182,196 @@ case class FloatVecNorm(child: Expression)
     copy(child = newChild)
 }
 
+/** pq_encode(embedding): the vector's `m` product-quantization codes —
+  * per subspace, the index of the L2-nearest codebook centroid
+  * (smallest-index tie-break) — in ONE codegen'd pass.
+  *
+  * Replaces the `slice`+`zip_with`+`aggregate`+`array_min`+
+  * `array_position` formulation: that builds m×kCent interpreted
+  * higher-order-function expressions per row (each allocating a zipped
+  * array and binding lambda variables element by element) and breaks
+  * whole-stage codegen for the scan — profiled at ~2/3 of the whole PQ
+  * chain's wall time. Arithmetic is bit-identical to the HOF chain:
+  * per element `(float→double − float→double)²`, summed in index order
+  * from 0.0; the argmin comparison is `Double.compare < 0`, which is
+  * exactly `array_min` + first-match `array_position` semantics (first
+  * minimum wins ties, NaN sorts above every value). A vector whose
+  * length differs from the codebook's dim yields NULL (the
+  * [[FloatVecDot]] mismatch contract). */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Float]], m: Int)
+  extends UnaryExpression {
+
+  private val kCent = codebook.size
+  private val dim = codebook.headOption.map(_.size).getOrElse(0)
+  require(kCent > 0 && dim > 0 && m > 0 && dim % m == 0,
+    s"pq_encode: bad codebook (kCent=$kCent, dim=$dim, m=$m)")
+  private val sub = dim / m
+
+  /** Codebook flattened row-major for the generated loop. */
+  @transient private lazy val flat: Array[Float] = {
+    val a = new Array[Float](kCent * dim)
+    var j = 0
+    while (j < kCent) {
+      var i = 0
+      while (i < dim) { a(j * dim + i) = codebook(j)(i); i += 1 }
+      j += 1
+    }
+    a
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"pq_encode expects ARRAY<FLOAT>, got ${other.simpleString}")
+    }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != dim) return null
+    val codes = new Array[Int](m)
+    val cb = flat
+    var s = 0
+    while (s < m) {
+      var bestJ = 0
+      var best = Double.MaxValue
+      var j = 0
+      while (j < kCent) {
+        var acc = 0.0
+        var i = 0
+        val base = j * dim + s * sub
+        val off = s * sub
+        while (i < sub) {
+          val d = x.getFloat(off + i).toDouble - cb(base + i).toDouble
+          acc += d * d
+          i += 1
+        }
+        if (j == 0 || java.lang.Double.compare(acc, best) < 0) {
+          best = acc; bestJ = j
+        }
+        j += 1
+      }
+      codes(s) = bestJ
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("pqCodebook", flat, "float[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val codes = ctx.freshName("codes")
+      val s = ctx.freshName("s")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val best = ctx.freshName("best")
+      val bestJ = ctx.freshName("bestJ")
+      val d = ctx.freshName("d")
+      val base = ctx.freshName("base")
+      val off = ctx.freshName("off")
+      s"""
+         |if ($a.numElements() != $dim) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int[] $codes = new int[$m];
+         |  for (int $s = 0; $s < $m; $s++) {
+         |    int $bestJ = 0;
+         |    double $best = 0.0;
+         |    int $off = $s * $sub;
+         |    for (int $j = 0; $j < $kCent; $j++) {
+         |      double $acc = 0.0;
+         |      int $base = $j * $dim + $off;
+         |      for (int $i = 0; $i < $sub; $i++) {
+         |        double $d = (double)$a.getFloat($off + $i)
+         |          - (double)$cbRef[$base + $i];
+         |        $acc += $d * $d;
+         |      }
+         |      if ($j == 0 || java.lang.Double.compare($acc, $best) < 0) {
+         |        $best = $acc; $bestJ = $j;
+         |      }
+         |    }
+         |    $codes[$s] = $bestJ;
+         |  }
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+         |}
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** sq8_codes(embedding, norm): the vector's SQ8 codes as ARRAY<FLOAT> —
+  * per element `round(v/norm·127/scale)` (Spark `Round` HALF_UP
+  * semantics, int-cast, float-cast), all zeros when `norm` is 0 — in one
+  * codegen'd pass. Replaces `transform(...)` + `cast(array<float>)`:
+  * two interpreted array passes per row with per-element lambda binding.
+  * Codes ≤ 127 are exact in float32, so emitting the post-cast float
+  * image directly changes no bit of the downstream integer dot. */
+case class Sq8Codes(left: Expression, right: Expression, scale: Double)
+  extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "sq8_codes"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq8_codes expects (ARRAY<FLOAT>, DOUBLE), got " +
+          s"${l.simpleString}, ${r.simpleString}")
+    }
+
+  /** One element's code under Spark's exact op chain:
+    * `round(v/nm·127/scale)` — Round(double, 0) is
+    * BigDecimal.valueOf + HALF_UP with NaN/Inf passthrough — then the
+    * non-ANSI double→int cast, then int→float. */
+  private def code(v: Double, nm: Double): Float = {
+    val x = v / nm * 127.0 / scale
+    val rounded =
+      if (x.isNaN || x.isInfinite) x
+      else java.math.BigDecimal.valueOf(x)
+        .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+    rounded.toInt.toFloat
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val nm = b.asInstanceOf[Double]
+    val n = x.numElements()
+    val out = new Array[Float](n)
+    if (nm != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = code(x.getFloat(i).toDouble, nm)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("sq8", this,
+      classOf[Sq8Codes].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData)" +
+        s" $self.nullSafeEval($a, (Double)$b);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Sq8Codes =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API wrappers over the native expressions. */
 object VecCols {
   import org.apache.spark.sql.Column
@@ -192,6 +382,12 @@ object VecCols {
   def cosine(a: Column, b: Column): Column =
     column(FloatVecCosine(expression(a), expression(b)))
   def norm(a: Column): Column = column(FloatVecNorm(expression(a)))
+  /** PQ codes of `emb` over `cents` (float32-cast, the litVec contract). */
+  def pqEncode(emb: Column, cents: Seq[Seq[Double]], m: Int): Column =
+    column(PqEncode(expression(emb), cents.map(_.map(_.toFloat)), m))
+  /** SQ8 codes of `emb` given its precomputed norm column. */
+  def sq8Codes(emb: Column, nm: Column, scale: Double): Column =
+    column(Sq8Codes(expression(emb), expression(nm), scale))
 }
 
 /** Session registration so the expressions are usable from both the Column

@@ -531,7 +531,7 @@ object Similarity {
         VecCols.norm(col("embedding")).as("nm"))
       .select(col("vec_id"), col("label"), col("embedding"),
         VecCols.dot(
-          sq8Codes(col("embedding"), col("nm"), scale).cast("array<float>"),
+          VecCols.sq8Codes(col("embedding"), col("nm"), scale),
           litVec(qCodes)).as("qdot"))
       .orderBy(col("qdot").desc, col("vec_id"))
       .limit(rerank)
@@ -563,28 +563,16 @@ object Similarity {
     * |c|²−2·dot expansion over [[graft.functions.VecCols]] if a profile
     * ever says otherwise). Driver state is the codebook + ADC tables:
     * O(kCent·dim + m·kCent) constants, the index-artifact contract. */
-  /** PQ code columns (one INT per subspace) for `embedding` over an
-    * explicit codebook — shared by the live [[pqTopK]] and the index
-    * build ([[writeIvfPqIndex]]), so stored codes are byte-identical
-    * to on-the-fly encoding (same expression, same tie-break). */
-  private def pqCodeCols(cents: Seq[Seq[Double]], dim: Int, m: Int,
-      kCent: Int): Seq[Column] = {
-    val sub = dim / m
-    (0 until m).map { s =>
-      val subv = slice(col("embedding"), s * sub + 1, sub)
-      val dists = array((0 until kCent).map { j =>
-        val c = litVec(cents(j).slice(s * sub, (s + 1) * sub))
-        aggregate(
-          zip_with(subv, c, (a, b) =>
-            (a.cast(DoubleType) - b.cast(DoubleType)) *
-              (a.cast(DoubleType) - b.cast(DoubleType))),
-          lit(0.0), (acc, x) => acc + x)
-      }: _*)
-      // array_position returns the FIRST index of the min → smallest-j ties
-      (array_position(dists, array_min(dists)) - 1)
-        .cast(IntegerType).as(s"_c$s")
-    }
-  }
+  /** PQ codes (ARRAY<INT>, one element per subspace) for `embedding`
+    * over an explicit codebook — shared by the live [[pqTopK]] and the
+    * index build ([[writeIvfPqIndex]]), so stored codes are
+    * byte-identical to on-the-fly encoding. One native codegen pass
+    * ([[graft.functions.PqEncode]]): the previous `slice`+`zip_with`+
+    * `aggregate` formulation evaluated m×kCent interpreted lambdas per
+    * row and was ~2/3 of the PQ chain's profiled wall time; arithmetic
+    * and the smallest-j tie-break are identical. */
+  private def pqCodesCol(cents: Seq[Seq[Double]], m: Int): Column =
+    graft.functions.VecCols.pqEncode(col("embedding"), cents, m)
 
   /** ADC tables: t(s)(j) = dot(query subvector s, centroid j's
     * subvector s), float-cast elements, sequential double fold — the
@@ -614,13 +602,12 @@ object Similarity {
     require(cents.nonEmpty && cents.head.length == dim,
       s"codebook dim ${cents.headOption.map(_.length)} != $dim")
     val tables = pqAdcTables(q, cents, m, sub)
-    val codeCols = pqCodeCols(cents, dim, m, kCent)
     val adc = (0 until m).map { s =>
-      element_at(lit(tables(s).toArray), col(s"_c$s") + 1)
+      element_at(lit(tables(s).toArray), element_at(col("_codes"), s + 1) + 1)
     }.reduce(_ + _)
     val cand = emb.filter(col("vec_id") =!= excludeId)
-      .select(col("vec_id") +: col("label") +: col("embedding") +:
-        codeCols: _*)
+      .select(col("vec_id"), col("label"), col("embedding"),
+        pqCodesCol(cents, m).as("_codes"))
       .withColumn("_adc", adc)
       .orderBy(col("_adc").desc, col("vec_id"))
       .limit(rerank)
@@ -654,12 +641,8 @@ object Similarity {
       "writeIvfPqIndex: empty corpus — nothing to index"))
     require(dim % m == 0, s"dim=$dim not divisible by m=$m")
     val cents = firstNCentroids(emb, kCent)
-    val codes = pqCodeCols(cents, dim, m, kCent)
     emb
-      .select(col("*") +: codes: _*)
-      .withColumn("codes",
-        array((0 until m).map(s => col(s"_c$s")): _*))
-      .drop((0 until m).map(s => s"_c$s"): _*)
+      .withColumn("codes", pqCodesCol(cents, m))
       .withColumn("cell", ivfAssign(col("embedding"), centroids))
       .write.partitionBy("cell").mode("overwrite").parquet(s"$path/cells")
     centroids.zipWithIndex.map { case (c, i) => (i, c) }
