@@ -14,6 +14,25 @@ import org.apache.spark.sql.types._
   */
 object TextAnalysis {
 
+  /** Widen a low-parallelism corpus before CPU-heavy row-local work
+    * (tokenize/shingle/regex): a small corpus arrives as a one-file,
+    * one-partition scan and would run its whole tokenize pass on a
+    * single core — profiled at 0.2–0.6 s single-threaded stages inside
+    * otherwise-parallel text queries. Keyed (hash) repartition, never
+    * round-robin: round-robin first pays a per-partition sort
+    * (sortBeforeRepartition) and is retry-hazardous on non-deterministic
+    * inputs. At scale a multi-file scan is already wide and this is a
+    * no-op — the guard exists so no full-corpus shuffle is ever ADDED to
+    * a properly-partitioned input. (Same contract as the dedup family's
+    * internal widen; every consumer here is order-insensitive —
+    * aggregates, joins, sorted collects.) */
+  def parallelized(docs: org.apache.spark.sql.DataFrame,
+      key: String = "doc_id"): org.apache.spark.sql.DataFrame = {
+    val parallelism = docs.sparkSession.sparkContext.defaultParallelism
+    if (docs.rdd.getNumPartitions >= math.min(parallelism, 8)) docs
+    else docs.repartition(parallelism, col(key))
+  }
+
   /** Whitespace tokenization of trimmed text. */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
